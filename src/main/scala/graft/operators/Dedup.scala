@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators.
+  *
+  * `latestByKey` is the engine's replacement for the reference's
+  * ReplacingMergeTree + `OPTIMIZE TABLE ... FINAL` storage-side dedup
+  * (`/root/reference/migrations/clickhouse/000001_create_table_issues.up.sql:41-45`,
+  * `services/clickhouse.py:125-128`): an explicit latest-version-per-key
+  * operator applied before the sink, making re-runs idempotent.
+  *
+  * The LLM-corpus near-dup family (exact / MinHash-LSH / SimHash / n-gram
+  * Jaccard) is designed for 100 TB scale: candidate generation is always
+  * bucketed (LSH bands, fingerprint chunks, blocking keys) — never an
+  * all-pairs cross join. The only shuffles are one hash-aggregate per
+  * signature build and one equi-join on bucket keys.
+  */
+object Dedup {
+
+  /** Keep the max-`version` row per key — a single partial-aggregating
+    * hash aggregate (`max_by(struct(*), version)`), cheaper at scale than
+    * a `row_number` window (no per-partition sort, map-side combine).
+    */
+  def latestByKey(df: DataFrame, keys: Seq[String], versionCols: Seq[String]): DataFrame = {
+    val all = struct(df.columns.map(col).toSeq: _*)
+    val version = struct(versionCols.map(col): _*)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(all, version).as("_latest"))
+      .select(df.columns.map(c => col(s"_latest.$c")).toSeq: _*)
+  }
+
+  /** Exact near-dup: fingerprint = md5 of whitespace-normalized lowered
+    * text. One hash aggregate; canonical doc = min id per fingerprint.
+    */
+  def exactFingerprint(text: Column): Column =
+    md5(lower(trim(regexp_replace(text, "\\s+", " "))))
+
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
+      .groupBy(col("fingerprint"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
+
+  /** Word k-shingles of a text column (distinct, order-preserving input). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - k, lit(0))), i =>
+        when(size(toks) >= k, concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+    )
+  }
+
+  /** MinHash signature: `numHashes` permutations h_j(x) = (a_j·x + b_j) mod p
+    * over xxhash64 shingle hashes. Built with one explode + one hash
+    * aggregate (numHashes `min` columns) — a single shuffle keyed by doc id,
+    * partial aggregation on the map side.
+    */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, numHashes: Int = 32): DataFrame = {
+    val p = 4294967311L // prime > 2^32
+    val rnd = new scala.util.Random(42)
+    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val exploded = docs
+      .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
+      .where(col("shingle").isNotNull)
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(1L << 32)).as("x"))
+    val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"h$j")
+    }
+    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
+      .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("signature"))
+  }
+
+  /** LSH band buckets: signature → `bands` keys of `rows` consecutive
+    * minhashes each. Docs sharing any band key are candidates.
+    */
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"), hash(slice(col("signature"), b * rows + 1, rows)).as("bucket"))
+    }
+    sigs.select(col(idCol), explode(array(bandCols: _*)).as("bk"))
+      .select(col(idCol), col("bk.band"), col("bk.bucket"))
+  }
+
+  /** Candidate near-dup pairs: equi-join on (band, bucket) — pairs only
+    * form inside buckets, never across the full corpus. Returns distinct
+    * (a, b) with a < b.
+    */
+  def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val buckets = lshBuckets(minHashSignatures(docs, textCol, idCol, k, numHashes), idCol, bands, numHashes / bands)
+    val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
+    val r = buckets.select(col("band"), col("bucket"), col(idCol).as("b"))
+    l.join(r, Seq("band", "bucket")).where(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+  }
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b))).cast("double")
+
+  /** MinHash near-dup pairs verified with exact shingle Jaccard —
+    * candidates from LSH buckets only.
+    */
+  def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   threshold: Double = 0.5, k: Int = 3,
+                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands)
+    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    cands
+      .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
+      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), col("jaccard"))
+  }
+
+  /** SimHash fingerprint, `bits` wide (default 16), from the md5 nibbles
+    * of distinct whitespace tokens: bit j is the sign of
+    * Σ_tokens (nibble_j(md5(token)) ≥ 8 ? +1 : −1). Pure built-ins
+    * (md5/substring/explode/sum), one explode + one hash aggregate.
+    */
+  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+    val toks = docs.select(
+      col(idCol),
+      explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
+    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+    val sums = (0 until bits).map { j =>
+      sum(when(substring(md5(col("tok")), j + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j")
+    }
+    toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until bits)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup candidates by the pigeonhole trick: split the
+    * fingerprint into `chunks` pieces; pairs within Hamming distance
+    * `chunks - 1` must agree on at least one chunk → equi-join per chunk,
+    * then exact Hamming filter. No all-pairs comparison.
+    */
+  def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
+                   bits: Int = 16, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    val fp = simHash(docs, textCol, idCol, bits)
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val keyed = fp.select(
+      col(idCol), col("simhash"),
+      explode(array((0 until chunks).map(c =>
+        struct(lit(c).as("c"), (shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))).as("v"))): _*)).as("ck"))
+    val l = keyed.select(col("ck"), col(idCol).as("a"), col("simhash").as("fa"))
+    val r = keyed.select(col("ck"), col(idCol).as("b"), col("simhash").as("fb"))
+    l.join(r, "ck").where(col("a") < col("b"))
+      .select(col("a"), col("b"), bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Word n-grams as distinct strings (for n-gram Jaccard dedup). */
+  def wordNgrams(text: Column, n: Int): Column = shingles(text, n)
+}

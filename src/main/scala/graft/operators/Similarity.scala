@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`).
+  *
+  * Baseline: brute-force cosine top-k with the (small) query set broadcast
+  * — at 100 TB the candidate side streams through a map-side join, no
+  * shuffle of the big side. Scale path: random-hyperplane LSH bucketing so
+  * each query only scores candidates in its bucket(s); recall is traded
+  * for a bucket-sized candidate list. Dot products are native
+  * `zip_with`/`aggregate` expressions, not UDFs.
+  */
+object Similarity {
+
+  /** Σ aᵢ·bᵢ over two array<float|double> columns, computed in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors of each query vector.
+    * `queries` must be small (it is broadcast); candidates stream.
+    * Deterministic tie-break on candidate id.
+    */
+  def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes (seeded) as literal array columns. */
+  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-of-projection LSH bucket id (one int from `planes` bits). */
+  def lshBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column =
+    hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
+      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed approximate top-k: queries and candidates are bucketed
+    * by hyperplane signs; scoring happens only inside matching buckets
+    * (equi-join on bucket id — no cartesian product). Multi-probe: each
+    * query also probes the `probes` buckets at Hamming distance 1 to
+    * recover near-boundary neighbors.
+    */
+  def lshTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              planes: Int = 12, probes: Int = 6, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
+    val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), dim, planes, seed).as("b0"))
+    // multi-probe: own bucket + flipping each of the first `probes` bits
+    val probeCols = array((lit(0L) +: (0 until math.min(probes, planes)).map(i => lit(1L << i))): _*)
+    val q = broadcast(
+      qBase.select(col("query_id"), col("qv"), col("b0"),
+        explode(probeCols).as("flip"))
+        .withColumn("bucket", col("b0").bitwiseXOR(col("flip")))
+        .drop("flip", "b0"))
+    val scored = q.join(c, "bucket")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{StringFns, TimeFns}
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Core operator queries over the TESTDATA corpus, each paired with a
+  * DuckDB oracle in [[Oracles]]. Every operator class from SURVEY.md §2
+  * (scan/filter/projection/join/agg/window/sort/function) is exercised by
+  * at least one entry.
+  *
+  * Determinism rules for the oracle hash-compare:
+  *   - double aggregates go through exact decimal(18,2) sums, cast to
+  *     double at the end (sum order then cannot matter);
+  *   - every output is fully ordered by its key columns;
+  *   - all computed columns are aliased identically here and in the SQL.
+  */
+object CoreQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def sumDbl(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** events.ts is nanosecond-precision parquet; normalize to Spark
+    * micro-precision TimestampType (same truncation DuckDB applies).
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = Tables.events(s, d)
+    raw.schema("ts").dataType.typeName match {
+      case "long" => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _      => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** S1: scan with predicate pushdown + column pruning. */
+  def s1ScanPushdown(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") && col("l_quantity") < 5)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** S2: point lookup by key. */
+  def s2PointLookup(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).where(col("o_orderkey") === 999)
+
+  /** O1/O2: global sort + limit (top-k by price). */
+  def o1SortLimit(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** P1–P5: the wide issue-style projection re-expressed over
+    * orders ⋈ broadcast(customer): key synthesis, snake_casing,
+    * derived booleans, null-safe lowering, date derivations — the same
+    * column-expression shapes as the tracker projection
+    * (reference models/issue.py:74-107).
+    */
+  def p1WideProjection(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val c = broadcast(Tables.customer(s, d))
+    o.join(c, o("o_custkey") === c("c_custkey"), "left")
+      .select(
+        concat(lit("ORD-"), col("o_orderkey").cast("string")).as("issue_key"),
+        StringFns.snakeCase(col("o_orderpriority")).as("queue"),
+        StringFns.snakeCase(col("o_orderstatus")).as("status"),
+        (col("o_orderstatus") === "F").as("is_closed"),
+        col("o_orderstatus").isin("F", "P").as("is_resolved"),
+        lower(regexp_replace(col("c_name"), " ", ".")).as("assignee"),
+        StringFns.lowerSafe(col("c_mktsegment")).as("title"),
+        col("o_orderdate").cast("timestamp").as("created_at"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("created_date"),
+        floor(col("o_totalprice") / 1000.0).cast("long").as("story_points"))
+      .orderBy(col("issue_key"))
+  }
+
+  /** P6/P7: chained event filters (type whitelist, null guards, range). */
+  def p6EventFilters(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .where(col("event_type").isin("click", "view"))
+      .where(col("value").isNotNull && col("ts").isNotNull)
+      .where(col("ts") >= lit("2024-01-10 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"), col("value"))
+      .orderBy(col("event_id"))
+
+  /** P9-ish + F9: semi-structured JSON field extraction from props. */
+  def p9JsonExtract(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .where(col("k").isNotNull)
+      .orderBy(col("event_id"))
+
+  /** J1: multi-way broadcast dimension join (revenue rollup by region/nation). */
+  def j1BroadcastJoin(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val sup = broadcast(Tables.supplier(s, d))
+    val nat = broadcast(Tables.nation(s, d))
+    val reg = broadcast(Tables.region(s, d))
+    l.join(sup, l("l_suppkey") === sup("s_suppkey"))
+      .join(nat, sup("s_nationkey") === nat("n_nationkey"))
+      .join(reg, nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  /** J2: explode keeping parent columns (word counts from documents). */
+  def j2Explode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("lang"), col("word"))
+
+  /** Per-event status intervals: from-status attribution via lag with
+    * first-interval anchoring — the W2 window pattern
+    * (reference models/issue.py:185: `from or createdAt`).
+    */
+  def intervalCols(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d).select(
+      col("user_id"), col("event_id"), col("ts"), col("event_type"),
+      coalesce(lag(col("event_type"), 1).over(w), lit("created")).as("from_status"),
+      TimeFns.timedeltaSeconds(col("ts"), coalesce(lag(col("ts"), 1).over(w), col("ts"))).as("duration_s"))
+  }
+
+  /** W2: the raw interval rows. */
+  def w2LagIntervals(s: SparkSession, d: String): DataFrame =
+    intervalCols(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("from_status"), col("duration_s"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+
+  /** A1: the core per-(entity, from-status) duration aggregation —
+    * transitions count, summed wall seconds, set-once last_seen
+    * (reference models/issue.py:212-224; last_seen = end time of the
+    * first event that created the group = min(ts) in event order).
+    */
+  def a1StatusMetrics(s: SparkSession, d: String): DataFrame =
+    intervalCols(s, d)
+      .groupBy(col("user_id"), col("from_status"))
+      .agg(
+        count(lit(1)).as("status_transitions_count"),
+        sum(col("duration_s")).as("duration"),
+        min(col("ts")).as("last_seen"))
+      .orderBy(col("user_id"), col("from_status"))
+
+  /** A2: count-only pre-aggregation. */
+  def a2CountByType(s: SparkSession, d: String): DataFrame =
+    events(s, d).groupBy(col("event_type")).agg(count(lit(1)).as("n")).orderBy(col("event_type"))
+
+  /** A3: watermark aggregation — max(updated) + row count. */
+  def a3Watermark(s: SparkSession, d: String): DataFrame =
+    events(s, d).agg(max(col("ts")).as("watermark"), count(lit(1)).as("n_rows"))
+
+  /** A4: latest-version dedup per key (ReplacingMergeTree-FINAL semantics)
+    * via a single hash aggregate, not a window sort.
+    */
+  def a4DedupLatest(s: SparkSession, d: String): DataFrame =
+    Dedup.latestByKey(
+      events(s, d).select(col("user_id"), col("event_id"), col("event_type"), col("ts"), col("value")),
+      keys = Seq("user_id"), versionCols = Seq("ts", "event_id"))
+      .orderBy(col("user_id"))
+
+  /** A5: run statistics (exact distinct + counters). */
+  def a5RunStats(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sumDbl(col("value")).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** Q1-style pricing summary (wide hash aggregate, decimal-exact). */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sumDbl(col("l_quantity")).as("sum_qty"),
+        sumDbl(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** F1: Cyrillic-aware snake_case over part attributes. */
+  def f1SnakeCase(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        StringFns.snakeCase(col("p_name")).as("sn_name"),
+        StringFns.snakeCase(col("p_type")).as("sn_type"),
+        StringFns.snakeCase(col("p_brand")).as("sn_brand"))
+      .orderBy(col("p_partkey"))
+
+  /** F2: emoji strip (emoji appended then removed — result must equal the
+    * plain prefix).
+    */
+  def f2StripEmoji(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        StringFns.stripEmoji(concat(substring(col("text"), 1, 20), lit("😎🚀"))).as("clean"))
+      .orderBy(col("doc_id"))
+
+  /** F3: timezone-aware datetime formatting (tracker wire format). */
+  def f3DatetimeConvert(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        TimeFns.formatTracker(col("ts").cast("timestamp"), "Europe/Moscow").as("msk"),
+        TimeFns.formatTrackerDate(col("ts").cast("timestamp"), "UTC").as("utc_date"))
+      .orderBy(col("event_id"))
+
+  /** F4: whole-second timedeltas against an epoch anchor. */
+  def f4Timedelta(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(
+        col("event_id"),
+        TimeFns.timedeltaSeconds(col("ts"), lit("2024-01-01 00:00:00").cast("timestamp")).as("secs"))
+      .orderBy(col("event_id"))
+
+  /** F6: human-readable durations as a pure column expression. */
+  def f6HumanTime(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_id"), ((col("event_id") * 7919) % 10000000).as("s"))
+      .select(col("event_id"), col("s"), TimeFns.toHumanTime(col("s"), 2).as("human"))
+      .orderBy(col("event_id"))
+
+  /** F9: changelog-value stringification rules (long-text truncation +
+    * null→empty normalization; reference utils/helpers.py:261-298).
+    */
+  def f9Stringify(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        when(length(col("text")) > 100, lit("text too long, see history in UI"))
+          .otherwise(col("text")).as("changed_to"),
+        coalesce(col("lang"), lit("")).as("lang_str"))
+      .orderBy(col("doc_id"))
+
+  /** F12: JSON serialization of a struct. */
+  def f12ToJson(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d)
+      .select(col("n_nationkey"), to_json(struct(col("n_nationkey"), col("n_name"))).as("js"))
+      .orderBy(col("n_nationkey"))
+
+  /** F13: array transform / slice / join. */
+  def f13ArrayOps(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        array_join(transform(slice(split(col("text"), " "), 1, 5), x => upper(x)), ", ").as("head5"))
+      .orderBy(col("doc_id"))
+
+  /** Streaming-equivalent tumbling-window aggregation (batch form of the
+    * Structured Streaming pipeline in graft.streaming).
+    */
+  def streamWindowCounts(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(window(col("ts").cast("timestamp"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumDbl(col("value")).as("total_value"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
+      .orderBy(col("ws"), col("event_type"))
+
+  /** §2.9: incremental watermark scan — filter above the committed
+    * watermark, then aggregate the new high-water mark.
+    */
+  def incrementalScan(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .where(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_watermark"))
+      .orderBy(col("event_type"))
+}
