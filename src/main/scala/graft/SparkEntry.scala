@@ -1,13 +1,77 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.{CoreQueries => C, LlmQueries => L, Oracles}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is registered here as a
+  * named query; [[graft.queries.Oracles]] carries the DuckDB-equivalent
+  * SQL for each entry that is SQL-expressible (the rest get the driver's
+  * rows-only check and brute-force ScalaTest verification).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    C.j1BroadcastJoin(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2 + the
+    * LLM-pipeline operator families.
+    */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 scans / §2.6 sorts
+    "s1_scan_pushdown" -> (C.s1ScanPushdown _),
+    "s2_point_lookup" -> (C.s2PointLookup _),
+    "o1_sort_limit" -> (C.o1SortLimit _),
+    // §2.2 projections / filters
+    "p1_wide_projection" -> (C.p1WideProjection _),
+    "p6_event_filters" -> (C.p6EventFilters _),
+    "p9_json_extract" -> (C.p9JsonExtract _),
+    // §2.3 joins
+    "j1_broadcast_join" -> (C.j1BroadcastJoin _),
+    "j2_explode" -> (C.j2Explode _),
+    // §2.5 windows
+    "w2_lag_intervals" -> (C.w2LagIntervals _),
+    // §2.4 aggregations
+    "a1_status_metrics" -> (C.a1StatusMetrics _),
+    "a1_business_metrics" -> (L.a1BusinessMetrics _),
+    "a2_count_by_type" -> (C.a2CountByType _),
+    "a3_watermark" -> (C.a3Watermark _),
+    "a4_dedup_latest" -> (C.a4DedupLatest _),
+    "a5_run_stats" -> (C.a5RunStats _),
+    "q1_pricing_summary" -> (C.q1PricingSummary _),
+    // §2.8 scalar functions
+    "f1_snake_case" -> (C.f1SnakeCase _),
+    "f2_strip_emoji" -> (C.f2StripEmoji _),
+    "f3_datetime_convert" -> (C.f3DatetimeConvert _),
+    "f4_timedelta" -> (C.f4Timedelta _),
+    "f6_human_time" -> (C.f6HumanTime _),
+    "f9_stringify" -> (C.f9Stringify _),
+    "f12_to_json" -> (C.f12ToJson _),
+    "f13_array_ops" -> (C.f13ArrayOps _),
+    // §2.9 streaming-equivalent
+    "stream_window_counts" -> (C.streamWindowCounts _),
+    "incremental_scan" -> (C.incrementalScan _),
+    // LLM-pipeline: dedup family
+    "dedup_exact" -> (L.dedupExact _),
+    "dedup_minhash" -> (L.dedupMinhash _),
+    "dedup_ngram" -> (L.dedupNgram _),
+    "dedup_simhash" -> (L.dedupSimhash _),
+    // LLM-pipeline: similarity search
+    "ann_brute" -> (L.annBrute _),
+    "ann_lsh" -> (L.annLsh _),
+    // LLM-pipeline: text analysis
+    "text_quality" -> (L.textQuality _),
+    "text_langid" -> (L.textLangid _),
+    "text_tokens" -> (L.textTokens _),
+    "text_fingerprint" -> (L.textFingerprint _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for ann_lsh (seeded Gaussian
+    * hyperplanes are not SQL-expressible) → rows-only check.
+    */
+  def oracleSql: Map[String, String] = Oracles.sql
 }

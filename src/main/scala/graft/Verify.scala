@@ -12,13 +12,27 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet stores TIMESTAMP(NANOS), which Spark 4 refuses by
+      // default; read as long nanos and truncate to micros in the reader
+      // (graft.sources.Tables.events) — the same truncation DuckDB applies.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        // Timestamps → TIMESTAMP_NTZ in the dump: the session runs UTC, so
+        // the cast is identity on values, but the parquet type then matches
+        // DuckDB's timezone-naive TIMESTAMP — otherwise the oracle compare
+        // sees tz-aware vs naive dtypes for identical instants.
+        val df = fn(spark, sfDir)
+        val ntz = df.schema.fields.foldLeft(df) { (acc, f) =>
+          if (f.dataType.typeName == "timestamp")
+            acc.withColumn(f.name, acc.col(f.name).cast("timestamp_ntz"))
+          else acc
+        }
+        ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -21,9 +21,11 @@ object TimeFns {
   def timedeltaSeconds(end: Column, start: Column): Column =
     ((unix_micros(end) - unix_micros(start)) / lit(1000000L)).cast("long")
 
-  /** Same, in whole minutes (floor division of the seconds delta). */
+  /** Same, in whole minutes — floor division of the seconds delta
+    * (`delta // 60`, helpers.py:36: -61s → -2m, not -1m).
+    */
   def timedeltaMinutes(end: Column, start: Column): Column =
-    (timedeltaSeconds(end, start) / lit(60L)).cast("long")
+    floor(timedeltaSeconds(end, start) / lit(60.0)).cast("long")
 
   /** Parse the tracker's ISO-8601 wire format
     * `%Y-%m-%dT%H:%M:%S.%f%z` (milliseconds + numeric offset) into a

@@ -56,16 +56,20 @@ object Dedup {
     * over xxhash64 shingle hashes. Built with one explode + one hash
     * aggregate (numHashes `min` columns) — a single shuffle keyed by doc id,
     * partial aggregation on the map side.
+    *
+    * Overflow-safe under ANSI mode: shingle hashes and coefficients are both
+    * drawn below 2^31, so `x * a + b < 2^62 + 2^31` never wraps a long.
     */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, numHashes: Int = 32): DataFrame = {
-    val p = 4294967311L // prime > 2^32
+                        k: Int = 3, numHashes: Int = 128): DataFrame = {
+    val p = 2147483659L // prime > 2^31 (the shingle-hash domain)
+    val dom = 1L << 31
     val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1) + 1, math.abs(rnd.nextLong()) % p))
+    val coefs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
       .where(col("shingle").isNotNull)
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(1L << 32)).as("x"))
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(dom)).as("x"))
     val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
       min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"h$j")
     }
@@ -89,7 +93,7 @@ object Dedup {
     * (a, b) with a < b.
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                        k: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val buckets = lshBuckets(minHashSignatures(docs, textCol, idCol, k, numHashes), idCol, bands, numHashes / bands)
     val l = buckets.select(col("band"), col("bucket"), col(idCol).as("a"))
@@ -107,7 +111,7 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,
-                   numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands)
     val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
     cands
@@ -118,18 +122,25 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
-  /** SimHash fingerprint, `bits` wide (default 16), from the md5 nibbles
-    * of distinct whitespace tokens: bit j is the sign of
-    * Σ_tokens (nibble_j(md5(token)) ≥ 8 ? +1 : −1). Pure built-ins
-    * (md5/substring/explode/sum), one explode + one hash aggregate.
+  /** SimHash fingerprint, `bits` wide (default 48, max 60), from the first
+    * `bits/4` hex chars of md5 over distinct whitespace tokens: token hash
+    * = the hex prefix parsed as a long, bit j of the fingerprint is the
+    * sign of Σ_tokens (bit_j(tokenHash) ? +1 : −1). Pure built-ins
+    * (md5/conv/shiftright/explode/sum), one explode + one hash aggregate.
+    *
+    * 48 bits (not 16) matters at scale: the pigeonhole candidate join
+    * buckets on `bits/chunks`-wide chunk values, so the bucket-key domain
+    * is chunks·2^(bits/chunks) — 4·4096 at the default vs the 64 buckets a
+    * 16-bit fingerprint gives, which degenerates to ~n²/64 candidate pairs.
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 16): DataFrame = {
+  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
+    require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, <= 60 (hex-prefix long parse)")
     val toks = docs.select(
       col(idCol),
       explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
-    val hexHigh = Seq("8", "9", "a", "b", "c", "d", "e", "f")
+      .select(col(idCol), conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long").as("th"))
     val sums = (0 until bits).map { j =>
-      sum(when(substring(md5(col("tok")), j + 1, 1).isin(hexHigh: _*), 1).otherwise(-1)).as(s"b$j")
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
     toks.groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
       .select(
@@ -145,7 +156,7 @@ object Dedup {
     * then exact Hamming filter. No all-pairs comparison.
     */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   bits: Int = 16, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 48, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
     val fp = simHash(docs, textCol, idCol, bits)
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1

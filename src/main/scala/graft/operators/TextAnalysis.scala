@@ -14,12 +14,13 @@ object TextAnalysis {
   /** Whitespace tokens of lowered text. */
   def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** BPE-ish subword count: word-piece regex split (letters / digits /
-    * single punctuation), approximating a byte-pair tokenizer's token
-    * count without a vocab.
+  /** BPE-ish subword count: maximal alphanumeric runs plus each single
+    * non-alphanumeric char (incl. whitespace), approximating a byte-pair
+    * tokenizer's token count without a vocab. One `regexp_count` — no
+    * split-array allocation.
     */
   def bpeishTokenCount(text: Column): Column =
-    size(filter(split(text, "(?=[^a-zA-Z0-9])|(?<=[^a-zA-Z0-9])"), t => length(t) > 0))
+    regexp_count(text, lit("[a-zA-Z0-9]+|[^a-zA-Z0-9]"))
 
   /** Per-document quality metrics as a projection. */
   def qualityMetrics(docs: DataFrame, textCol: String): DataFrame = {
@@ -36,7 +37,7 @@ object TextAnalysis {
       .withColumn("stopword_hits", size(filter(toks, x => x.isInCollection(stop))))
       .withColumn("stopword_ratio", col("stopword_hits").cast("double") / nTok.cast("double"))
       .withColumn("distinct_ratio", col("n_distinct_tokens").cast("double") / nTok.cast("double"))
-      .withColumn("punct_count", size(filter(split(t, ""), c => c.isInCollection(Seq(".", ",", "!", "?", ";", ":")))))
+      .withColumn("punct_count", regexp_count(t, lit("[.,!?;:]")))
       .withColumn("is_quality",
         col("n_tokens") >= 10 && col("distinct_ratio") > 0.2 && col("avg_token_len") < 15.0)
   }

@@ -23,16 +23,10 @@ object CoreQueries {
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
   private def sumDbl(c: Column): Column = sum(dec(c)).cast("double")
 
-  /** events.ts is nanosecond-precision parquet; normalize to Spark
-    * micro-precision TimestampType (same truncation DuckDB applies).
+  /** events with `ts` normalized to micro-precision TimestampType — see
+    * [[graft.sources.Tables.events]].
     */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = Tables.events(s, d)
-    raw.schema("ts").dataType.typeName match {
-      case "long" => raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-      case _      => raw.withColumn("ts", col("ts").cast("timestamp"))
-    }
-  }
+  def events(s: SparkSession, d: String): DataFrame = Tables.events(s, d)
 
   /** S1: scan with predicate pushdown + column pruning. */
   def s1ScanPushdown(s: SparkSession, d: String): DataFrame =
@@ -260,8 +254,8 @@ object CoreQueries {
         array_join(transform(slice(split(col("text"), " "), 1, 5), x => upper(x)), ", ").as("head5"))
       .orderBy(col("doc_id"))
 
-  /** Streaming-equivalent tumbling-window aggregation (batch form of the
-    * Structured Streaming pipeline in graft.streaming).
+  /** Streaming-equivalent tumbling-window aggregation (batch form; the same
+    * plan runs under Structured Streaming with a watermark).
     */
   def streamWindowCounts(s: SparkSession, d: String): DataFrame =
     events(s, d)

@@ -1,0 +1,329 @@
+package graft.queries
+
+/** DuckDB oracle SQL for every entry in [[graft.SparkEntry.queries]].
+  *
+  * Written against the driver's DuckDB views of the same parquet tables
+  * (`lineitem`, `orders`, ..., `events`, `documents`, `embeddings`).
+  * Mirroring rules (the driver hash-compares values after sorting columns
+  * by name, so arithmetic must match bit-for-bit):
+  *   - `events.ts` is TIMESTAMP(NANOS) parquet: Spark reads long nanos and
+  *     truncates with integer `div`; here `CAST(ts AS TIMESTAMP)` applies
+  *     DuckDB's identical truncation to micros.
+  *   - seconds deltas use `epoch_us(..) - epoch_us(..) // 1000000` — DuckDB
+  *     integer `//` truncates toward zero exactly like Spark's
+  *     double-divide + cast(long) for the magnitudes involved.
+  *   - double aggregates go through DECIMAL(18,2) sums cast to double on
+  *     both sides (exact, order-independent).
+  *   - `size`/`len` results are cast to INTEGER to match Spark's int.
+  *   - RE2 has no lookaround, so the snake_case lookahead regexes become
+  *     equivalent capture-group rewrites (boundary classes are disjoint, so
+  *     consume-vs-lookahead cannot differ).
+  *   - DuckDB list lambdas (`list_reduce`/`list_transform`) reproduce
+  *     Spark's left-fold `aggregate` exactly (same operation order ⇒ same
+  *     float rounding).
+  */
+object Oracles {
+
+  /** events with ts truncated to micro precision, as a subquery body. */
+  private val EV = "(SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props FROM events)"
+
+  /** The 4-step Cyrillic-aware snake_case chain (StringFns.snakeCase). */
+  private def snake(c: String): String = {
+    val s1 = s"regexp_replace($c, '([a-zа-яё])([A-ZА-ЯЁ])', '\\1_\\2', 'g')"
+    val s2 = s"regexp_replace($s1, '([a-zа-яё])([0-9])', '\\1_\\2', 'g')"
+    val s3 = s"regexp_replace($s2, '([0-9])([a-zа-яё])', '\\1_\\2', 'g')"
+    val s4 = s"regexp_replace($s3, '[^a-zA-Zа-яёА-ЯЁ0-9_]', '_', 'g')"
+    s"CASE WHEN $c IS NULL THEN NULL WHEN trim($c) = '' THEN trim($c) ELSE lower($s4) END"
+  }
+
+  /** TimeFns.toHumanTime(expr, verbosity=2) for a non-negative BIGINT expr:
+    * greedy divmod cascade over y/mo/w/d/h/m/s, top-2 non-zero units.
+    */
+  private def humanTime(e: String): String = {
+    val units = Seq("y" -> 31104000L, "mo" -> 2592000L, "w" -> 604800L,
+      "d" -> 86400L, "h" -> 3600L, "m" -> 60L, "s" -> 1L)
+    var rem = s"($e)"
+    val parts = units.map { case (name, cnt) =>
+      val v = s"($rem // $cnt)"
+      val part = s"CASE WHEN $v > 0 THEN $v::VARCHAR || '$name' END"
+      rem = s"($rem % $cnt)"
+      part
+    }
+    s"CASE WHEN ($e) = 0 THEN '0s' ELSE array_to_string(list_slice(list_filter([${parts.mkString(", ")}], x -> x IS NOT NULL), 1, 2), ' ') END"
+  }
+
+  /** BusinessTime.businessSecondsCol(s, e) as a correlated scalar subquery:
+    * overlap of [s, e] with 09:00–22:00 on Mon–Fri minus RU fixed holidays,
+    * whole seconds per day segment (matching the UDF's per-day truncation).
+    */
+  private def busSeconds(s: String, e: String): String = {
+    val holidays = "101,102,103,104,105,106,107,108,223,308,501,509,612,1104"
+    s"""(SELECT coalesce(sum(greatest(0, epoch_us(least($e, d + INTERVAL 22 HOUR)) - epoch_us(greatest($s, d + INTERVAL 9 HOUR))) // 1000000), 0)
+       |  FROM unnest(generate_series(date_trunc('day', $s), date_trunc('day', $e), INTERVAL 1 DAY)) AS bt(d)
+       |  WHERE isodow(d) <= 5 AND (month(d) * 100 + day(d)) NOT IN ($holidays))""".stripMargin
+  }
+
+  /** Left-fold double dot product of two float-list columns (Similarity.dot). */
+  private def dot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
+
+  /** Word k-shingle list (Dedup.shingles) from a pre-split token list. */
+  private def shingleSelect(k: Int, extraCols: String = "", where: String = ""): String =
+    s"""SELECT doc_id$extraCols, list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
+       |FROM (SELECT doc_id$extraCols, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents$where)
+       |WHERE len(toks) >= $k""".stripMargin
+
+  /** Dedup.simHash 48-bit fingerprint CTEs (tok → th → bits → fp). */
+  private def simhashFp: String = {
+    val bits = 48
+    val sums = (0 until bits).map(j => s"sum(CASE WHEN ((th >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val fp = (0 until bits).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)::BIGINT").mkString(" + ")
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok FROM documents),
+       |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, ${bits / 4}))::BIGINT AS th FROM tok),
+       |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
+       |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
+  }
+
+  private val intervalsCte =
+    s"""SELECT user_id, event_id, ts, event_type,
+       |  coalesce(lag(event_type) OVER w, 'created') AS from_status,
+       |  coalesce(lag(ts) OVER w, ts) AS prev_ts
+       |FROM $EV WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  val sql: Map[String, String] = Map(
+
+    "s1_scan_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity < 5
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "s2_point_lookup" ->
+      "SELECT * FROM orders WHERE o_orderkey = 999",
+
+    "o1_sort_limit" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+
+    "p1_wide_projection" ->
+      s"""SELECT 'ORD-' || o_orderkey::VARCHAR AS issue_key,
+         |  ${snake("o_orderpriority")} AS queue,
+         |  ${snake("o_orderstatus")} AS status,
+         |  (o_orderstatus = 'F') AS is_closed,
+         |  o_orderstatus IN ('F', 'P') AS is_resolved,
+         |  lower(replace(c_name, ' ', '.')) AS assignee,
+         |  lower(c_mktsegment) AS title,
+         |  o_orderdate AS created_at,
+         |  strftime(o_orderdate, '%Y-%m-%d') AS created_date,
+         |  floor(o_totalprice / 1000.0)::BIGINT AS story_points
+         |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+         |ORDER BY issue_key""".stripMargin,
+
+    "p6_event_filters" ->
+      s"""SELECT event_id, user_id, event_type, ts, value FROM $EV
+         |WHERE event_type IN ('click', 'view') AND value IS NOT NULL AND ts IS NOT NULL
+         |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+
+    "p9_json_extract" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INTEGER AS k FROM events
+        |WHERE json_extract_string(props, '$.k')::INTEGER IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
+
+    "j1_broadcast_join" ->
+      """SELECT r_name, n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "j2_explode" ->
+      """SELECT lang, word, count(*) AS n
+        |FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY lang, word ORDER BY lang, word""".stripMargin,
+
+    "w2_lag_intervals" ->
+      s"""SELECT user_id, event_id, ts, from_status,
+         |  (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS duration_s
+         |FROM ($intervalsCte)
+         |ORDER BY user_id, ts, event_id""".stripMargin,
+
+    "a1_status_metrics" ->
+      s"""SELECT user_id, from_status, count(*) AS status_transitions_count,
+         |  sum((epoch_us(ts) - epoch_us(prev_ts)) // 1000000)::BIGINT AS duration,
+         |  min(ts) AS last_seen
+         |FROM ($intervalsCte)
+         |GROUP BY user_id, from_status ORDER BY user_id, from_status""".stripMargin,
+
+    "a1_business_metrics" ->
+      s"""WITH iv AS ($intervalsCte),
+         |iv2 AS (
+         |  SELECT user_id, from_status, ts,
+         |    (epoch_us(ts) - epoch_us(prev_ts)) // 1000000 AS duration_s,
+         |    ${busSeconds("iv.prev_ts", "iv.ts")} AS busdays_s
+         |  FROM iv)
+         |SELECT user_id, from_status, count(*) AS status_transitions_count,
+         |  sum(duration_s)::BIGINT AS duration,
+         |  sum(busdays_s)::BIGINT AS busdays_duration,
+         |  min(ts) AS last_seen,
+         |  ${humanTime("sum(duration_s)::BIGINT")} AS human_readable_duration
+         |FROM iv2 GROUP BY user_id, from_status ORDER BY user_id, from_status""".stripMargin,
+
+    "a2_count_by_type" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type",
+
+    "a3_watermark" ->
+      s"SELECT max(ts) AS watermark, count(*) AS n_rows FROM $EV",
+
+    "a4_dedup_latest" ->
+      s"""SELECT user_id, event_id, event_type, ts, value FROM $EV
+         |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+         |ORDER BY user_id""".stripMargin,
+
+    "a5_run_stats" ->
+      """SELECT event_type, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+        |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2)))::DOUBLE AS sum_qty,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE AS sum_base_price,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "f1_snake_case" ->
+      s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f2_strip_emoji" ->
+      """SELECT doc_id, regexp_replace(substr(text, 1, 20) || '😎🚀', '[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}\x{1F1E0}-\x{1F1FF}]+', '', 'g') AS clean
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f3_datetime_convert" ->
+      s"""SELECT event_id, strftime(ts + INTERVAL 3 HOUR, '%Y-%m-%dT%H:%M:%S.%g') AS msk,
+         |  strftime(ts, '%Y-%m-%d') AS utc_date
+         |FROM $EV ORDER BY event_id""".stripMargin,
+
+    "f4_timedelta" ->
+      s"""SELECT event_id, (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 1000000 AS secs
+         |FROM $EV ORDER BY event_id""".stripMargin,
+
+    "f6_human_time" ->
+      s"""SELECT event_id, (event_id * 7919) % 10000000 AS s,
+         |  ${humanTime("(event_id * 7919) % 10000000")} AS human
+         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f9_stringify" ->
+      """SELECT doc_id,
+        |  CASE WHEN length(text) > 100 THEN 'text too long, see history in UI' ELSE text END AS changed_to,
+        |  coalesce(lang, '') AS lang_str
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "f12_to_json" ->
+      """SELECT n_nationkey, to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name)) AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+
+    "f13_array_ops" ->
+      """SELECT doc_id, array_to_string(list_transform(string_split(text, ' ')[1:5], x -> upper(x)), ', ') AS head5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stream_window_counts" ->
+      s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
+         |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+         |FROM $EV GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    "incremental_scan" ->
+      s"""SELECT event_type, count(*) AS n_new, max(ts) AS new_watermark
+         |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""WITH sh AS (${shingleSelect(3)})
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""WITH g AS (${shingleSelect(2, ", lang", " WHERE doc_id % 5 = 0")})
+         |SELECT a, b, jaccard FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard
+         |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id)
+         |WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""WITH $simhashFp
+         |SELECT a, b, hamming FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    "ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |s AS (SELECT query_id, neighbor_id,
+         |  ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+         |FROM q CROSS JOIN c)
+         |SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "text_quality" ->
+      """SELECT doc_id,
+        |  len(toks)::INTEGER AS n_tokens,
+        |  len(list_distinct(toks))::INTEGER AS n_distinct_tokens,
+        |  length(text)::INTEGER AS n_chars_text,
+        |  length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE AS avg_token_len,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::INTEGER AS stopword_hits,
+        |  len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::DOUBLE / len(toks)::DOUBLE AS stopword_ratio,
+        |  len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS distinct_ratio,
+        |  len(regexp_extract_all(text, '[.,!?;:]'))::INTEGER AS punct_count,
+        |  (len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |   AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0) AS is_quality
+        |FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_langid" -> {
+      val langWords = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+        "en" -> Seq("the", "a", "of", "and", "to", "in"),
+        "es" -> Seq("el", "la", "de", "los", "que", "y"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+        "ru" -> Seq("и", "в", "не", "на", "что", "это"))
+      val scoreCols = langWords.map { case (l, ws) =>
+        s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))::INTEGER AS score_$l"
+      }.mkString(",\n  ")
+      val best = s"greatest(${langWords.map { case (l, _) => s"score_$l" }.mkString(", ")})"
+      val pred = langWords.map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }.mkString(" ")
+      s"""SELECT doc_id, lang_true, score_de, score_en, score_es, score_fr, score_ru,
+         |  CASE $pred END AS lang_pred
+         |FROM (SELECT doc_id, lang AS lang_true,
+         |  $scoreCols
+         |FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+'))::INTEGER AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_bpeish_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
