@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.pipeline.IssuePipeline
+import graft.schema.{EngineConfig, Schemas}
+import graft.sinks.{ConsoleSink, ParquetSink}
+import graft.state.FileStateStore
+
+/** CLI entry ≙ the reference's `tracker-exporter --run-once`
+  * (main.py:127-147): one micro-batch of the issue pipeline.
+  *
+  * Usage: PipelineMain <rawIssues.(json|parquet)> <outDir> [stateFile]
+  *   - rawIssues: newline-delimited JSON or parquet in the
+  *     [[graft.schema.Schemas.rawIssue]] shape
+  *   - outDir: parquet sink base dir ("console" → dry-run S9 sink)
+  *   - stateFile: optional watermark KV path → stateful incremental scan
+  */
+object PipelineMain {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: PipelineMain <rawIssues> <outDir> [stateFile]")
+    val Array(rawPath, outDir) = args.take(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val raw =
+      if (rawPath.endsWith(".json") || rawPath.endsWith(".ndjson"))
+        spark.read.schema(Schemas.rawIssue).json(rawPath)
+      else spark.read.parquet(rawPath)
+
+    val sink = if (outDir == "console") new ConsoleSink() else new ParquetSink(outDir)
+    val state = args.lift(2).map(p => new FileStateStore(p))
+    val stats = IssuePipeline.run(raw, EngineConfig(), sink, state)
+    println(s"[pipeline] issues=${stats.issuesProcessed} metrics=${stats.metricsRows} " +
+      s"changelog=${stats.changelogRows} watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")
+    spark.stop()
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.schema.EngineConfig
+import graft.sinks.Sink
+import graft.state.StateStore
+import graft.transform.IssueTransform
+
+/** Pipeline orchestration ≙ YandexTrackerETL.run (etl.py:202-264):
+  * watermark-bounded scan → transform into three tables → latest-version
+  * dedup → sinks → commit watermark only after every write succeeded
+  * (:242-256). Re-runs are idempotent because dedup is an explicit
+  * operator on the DDL sort keys (replacing ReplacingMergeTree +
+  * `OPTIMIZE FINAL`, S7/A4).
+  */
+object IssuePipeline {
+
+  final case class Payload(issues: DataFrame, metrics: DataFrame, changelog: DataFrame)
+
+  final case class RunStats(
+      issuesProcessed: Long,
+      metricsRows: Long,
+      changelogRows: Long,
+      newWatermark: Option[String],
+      uploaded: Boolean)
+
+  /** DDL sort keys (migrations/clickhouse/000001..000003 ORDER BY) —
+    * the dedup identity of each table; `version` picks the survivor.
+    */
+  val sortKeys: Map[String, Seq[String]] = Map(
+    "issues" -> Seq("issue_key"),
+    "issue_metrics" -> Seq("issue_key", "status_name", "last_seen"),
+    "issues_changelog" -> Seq("issue_key", "event_time", "event_type", "changed_field"))
+
+  def transform(raw: DataFrame, cfg: EngineConfig = EngineConfig(),
+                version: Column = current_timestamp()): Payload = {
+    val wf = IssueTransform.workflowEvents(raw, cfg)
+    Payload(
+      issues = IssueTransform.issues(raw, cfg, version),
+      metrics = IssueTransform.metrics(wf, version),
+      changelog =
+        if (cfg.changelogExportEnabled) IssueTransform.changelog(raw, version)
+        else IssueTransform.changelog(raw.limit(0), version))
+  }
+
+  /** Latest-version dedup per table on its DDL sort key (A4). */
+  def dedup(p: Payload): Payload = Payload(
+    issues = Dedup.latestByKey(p.issues, sortKeys("issues"), Seq("version")),
+    metrics = Dedup.latestByKey(p.metrics, sortKeys("issue_metrics"), Seq("version")),
+    changelog = Dedup.latestByKey(p.changelog, sortKeys("issues_changelog"), Seq("version")))
+
+  /** One scheduled micro-batch. `source` is the full raw-issue corpus;
+    * stateful mode filters it above the committed watermark
+    * (etl.py:80-89), transforms, writes the three tables, and commits the
+    * new watermark only after all writes succeed (etl.py:242-256).
+    */
+  def run(source: DataFrame,
+          cfg: EngineConfig = EngineConfig(),
+          sink: Sink,
+          state: Option[StateStore] = None,
+          stateKey: String = "last_update_at",
+          version: Column = current_timestamp()): RunStats = {
+
+    val watermark = state.flatMap(_.get(stateKey))
+    val bounded = watermark match {
+      case Some(w) => source.where(col("updatedAt") > lit(w))
+      case None => source
+    }
+
+    // Early exit: nothing to export (etl.py:143-145).
+    val nIssues = bounded.count()
+    if (nIssues == 0) return RunStats(0, 0, 0, watermark, uploaded = false)
+
+    val payload = dedup(transform(bounded, cfg, version))
+    val nMetrics = payload.metrics.count()
+    val nChangelog = payload.changelog.count()
+
+    sink.write(payload.issues, "issues")
+    sink.write(payload.metrics, "issue_metrics")
+    sink.write(payload.changelog, "issues_changelog")
+
+    // Commit-after-write ordering: the watermark moves only once every
+    // table landed, so a failed run re-reads the same window and dedup
+    // collapses the duplicates (exactly the reference's tolerance level).
+    val newWm = bounded.agg(max(col("updatedAt"))).collect()(0).getString(0)
+    state.foreach(_.set(stateKey, newWm))
+    RunStats(nIssues, nMetrics, nChangelog, Option(newWm), uploaded = true)
+  }
+}

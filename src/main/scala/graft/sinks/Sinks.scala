@@ -1,0 +1,81 @@
+package graft.sinks
+
+import org.apache.spark.sql.DataFrame
+
+/** Output seam ≙ the reference's load stage (etl.py:193-200). */
+trait Sink extends Serializable {
+  def write(df: DataFrame, table: String): Unit
+}
+
+/** Parquet sink for tests/goldens and offline corpora. */
+final class ParquetSink(baseDir: String) extends Sink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite").parquet(s"$baseDir/$table")
+}
+
+/** S9 console sink (dry run, etl.py:260-264). */
+final class ConsoleSink(rows: Int = 20) extends Sink {
+  def write(df: DataFrame, table: String): Unit = {
+    println(s"== $table")
+    df.show(rows, truncate = false)
+  }
+}
+
+/** Exponential backoff ≙ the reference's `backoff` decorator
+  * (utils/helpers.py:149-186; defaults config.py:57-60: base 0.5 s,
+  * factor 2.5, 3 tries, jitter).
+  */
+object Retry {
+  def withBackoff[T](tries: Int = 3, baseDelayMs: Long = 500, factor: Double = 2.5,
+                     jitter: Boolean = true, seed: Long = 42L)(op: => T): T = {
+    val rnd = new scala.util.Random(seed)
+    var attempt = 0
+    var delay = baseDelayMs.toDouble
+    while (true) {
+      try return op
+      catch {
+        case e: Throwable =>
+          attempt += 1
+          if (attempt >= tries) throw e
+          val sleep = delay + (if (jitter) rnd.nextDouble() * delay * 0.1 else 0.0)
+          Thread.sleep(sleep.toLong)
+          delay *= factor
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+}
+
+/** ClickHouse batch-insert sink ≙ `insert_batch`
+  * (services/clickhouse.py:110-123): rows serialized to JSONEachRow, one
+  * `INSERT INTO db.table FORMAT JSONEachRow` statement per batch, retried
+  * with exponential backoff (:72-107). The HTTP/JDBC transport is a
+  * pluggable `String => Unit` so tests (and environments without a
+  * ClickHouse) can capture statements; a real deployment passes an HTTP
+  * POST or JDBC statement executor.
+  *
+  * Scale note: batching is per executor partition (`foreachPartition`),
+  * not a driver-side collect — each of N partitions independently issues
+  * `ceil(rows/batchSize)` inserts, so the sink throughput scales with the
+  * cluster instead of the driver's memory (the reference materializes the
+  * whole payload in RAM, etl.py:135-137).
+  */
+final class ClickHouseBatchSink(
+    execute: String => Unit,
+    database: String = "agile",
+    batchSize: Int = 10000,
+    tries: Int = 3) extends Sink {
+
+  def write(df: DataFrame, table: String): Unit = {
+    val exec = execute
+    val db = database
+    val bs = batchSize
+    val t = tries
+    df.toJSON.foreachPartition { (rows: Iterator[String]) =>
+      rows.grouped(bs).foreach { batch =>
+        val sql = s"INSERT INTO $db.$table FORMAT JSONEachRow ${batch.mkString(" ")}"
+        Retry.withBackoff(tries = t)(exec(sql))
+      }
+    }
+  }
+}

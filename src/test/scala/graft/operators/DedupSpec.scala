@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Dedup operator correctness, verified against brute-force computations
+  * of the same definitions (exact Jaccard over shingles, exact Hamming
+  * over the simhash fingerprints).
+  */
+class DedupSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs: DataFrame = {
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+      "theta", "iota", "kappa", "lambda", "mu", "nu", "xi", "omicron", "pi")
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // near-dups: copy of doc i with one word changed, ids 100+i
+    val dups = (0 until 10).map { i =>
+      val words = base(i)._2.split(" ")
+      words(5) = "CHANGED"
+      (100L + i, words.mkString(" "))
+    }
+    (base ++ dups).toDF("doc_id", "text")
+  }
+
+  test("latestByKey keeps the max-version row per key and is idempotent") {
+    val df = Seq(
+      ("a", 1L, "old"), ("a", 3L, "new"), ("a", 2L, "mid"),
+      ("b", 1L, "only")).toDF("k", "version", "payload")
+    val out = Dedup.latestByKey(df, Seq("k"), Seq("version"))
+    assert(out.orderBy("k").as[(String, Long, String)].collect().toSeq ==
+      Seq(("a", 3L, "new"), ("b", 1L, "only")))
+    val again = Dedup.latestByKey(out, Seq("k"), Seq("version"))
+    assert(again.count() == out.count())
+  }
+
+  test("exactGroups collapses whitespace/case variants to one fingerprint") {
+    val df = Seq(
+      (1L, "Hello  World"), (2L, "hello world"), (3L, " HELLO\tworld "),
+      (4L, "different")).toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "text", "doc_id").collect()
+    assert(groups.length == 2)
+    val big = groups.find(_.getAs[Long]("n_docs") == 3).get
+    assert(big.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("shingles produces k-grams") {
+    val out = spark.sql("SELECT 1").select(Dedup.shingles(lit("a b c d"), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(out == Seq("a b c", "b c d"))
+  }
+
+  /** Brute-force pairs with exact Jaccard >= threshold. */
+  private def brutePairs(threshold: Double, k: Int): Set[(Long, Long)] = {
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text"), k).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    val ids = sh.keys.toSeq.sorted
+    (for {
+      a <- ids; b <- ids if a < b
+      ja = sh(a).toSet; jb = sh(b).toSet
+      j = ja.intersect(jb).size.toDouble / ja.union(jb).size.toDouble
+      if j >= threshold
+    } yield (a, b)).toSet
+  }
+
+  test("minHashPairs matches brute-force exact-Jaccard pairs") {
+    val got = Dedup.minHashPairs(docs, "text", "doc_id", threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == brutePairs(0.5, 3))
+    assert(got.size >= 10) // the 10 planted near-dups are all found
+  }
+
+  test("simHashPairs equals all pairs at Hamming <= maxHamming (pigeonhole lossless)") {
+    val fp = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    val ids = fp.keys.toSeq.sorted
+    val brute = (for {
+      a <- ids; b <- ids if a < b
+      h = java.lang.Long.bitCount(fp(a) ^ fp(b))
+      if h <= 3
+    } yield (a, b, h)).toSet
+    val got = Dedup.simHashPairs(docs, "text", "doc_id")
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b, h.toLong) }.toSet
+    assert(got == brute.map { case (a, b, h) => (a, b, h.toLong) })
+    assert(got.nonEmpty) // planted near-dups are within Hamming 3
+  }
+
+  test("minHash candidate generation is bucketed, not quadratic") {
+    val n = docs.count()
+    val cands = Dedup.minHashCandidates(docs, "text", "doc_id").count()
+    assert(cands < n * (n - 1) / 2 / 10, s"candidates $cands vs all pairs ${n * (n - 1) / 2}")
+  }
+}

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class SimilaritySpec extends SparkSuite {
+  import spark.implicits._
+
+  test("dot / cosine on known vectors") {
+    val df = Seq((Seq(1.0f, 2.0f), Seq(2.0f, 1.0f))).toDF("a", "b")
+    val got = df.select(
+      Similarity.dot(col("a"), col("b")).as("d"),
+      Similarity.cosine(col("a"), col("b")).as("c")).as[(Double, Double)].collect()(0)
+    assert(got._1 == 4.0)
+    assert(math.abs(got._2 - 0.8) < 1e-12)
+  }
+
+  private lazy val vectors: DataFrame = {
+    val rnd = new scala.util.Random(11)
+    (0 until 200).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def bruteTop(k: Int): Map[Long, Seq[Long]] = {
+    val vs = vectors.as[(Long, Seq[Float])].collect().toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      dot / (math.sqrt(a.map(x => x.toDouble * x.toDouble).sum) * math.sqrt(b.map(x => x.toDouble * x.toDouble).sum))
+    }
+    (0L until 5L).map { q =>
+      q -> vs.keys.toSeq.sortBy(c => (-cos(vs(q), vs(c)), c)).take(k)
+    }.toMap
+  }
+
+  test("bruteForceTopK matches a driver-side brute force") {
+    val queries = vectors.where(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(vectors, queries, k = 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(got == bruteTop(10))
+  }
+
+  test("lshTopK returns k rows per query with self as rank 1, decent recall") {
+    val queries = vectors.where(col("vec_id") < 5)
+    val rows = Similarity.lshTopK(vectors, queries, k = 10, dim = 16, planes = 5, probes = 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    // self-similarity = 1.0 must always win
+    for ((q, rs) <- byQ) assert(rs.find(_._3 == 1).get._2 == q)
+    // recall@10 vs brute force should be substantial even with 32 buckets
+    val brute = bruteTop(10)
+    val recall = byQ.map { case (q, rs) =>
+      rs.map(_._2).toSet.intersect(brute(q).toSet).size.toDouble / 10.0
+    }.sum / byQ.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+}

@@ -1,0 +1,227 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.schema.{EngineConfig, Schemas}
+import graft.sinks.ParquetSink
+import graft.state.MemoryStateStore
+import graft.transform.IssueTransform
+
+/** End-to-end goldens for the issue pipeline (FIXTURES.md §3): the README
+  * 7-step walkthrough (reference README.md:106-130) plus the named edge
+  * cases — no_changelog, moved_issue, unresolved_closed vs resolved,
+  * dirty_changelog, dedup_rerun, stateful incremental run.
+  */
+class IssuePipelineSpec extends SparkSuite {
+  import spark.implicits._
+
+  // ---- fixture builders (rawIssue schema order) ----
+
+  private def ref1(v: String): Row = Row(v)
+
+  private def variant(s: String = null, n: java.lang.Double = null, r: Row = null,
+                      list: Seq[String] = null, json: String = null): Row =
+    Row(s, n, r, list, json)
+
+  private def refv(key: String = null, email: String = null, name: String = null,
+                   id: String = null): Row = Row(key, email, name, id)
+
+  private def statusField(from: String, to: String): Row =
+    Row(Row("status", "Status"), variant(r = refv(name = from)), variant(r = refv(name = to)))
+
+  private def dtField(from: String, to: String): Row =
+    Row(Row("statusStartTime", "Status start time"), variant(s = from), variant(s = to))
+
+  private def wfEvent(at: String, fields: Seq[Row], transport: String = "front",
+                      byEmail: String = "Dev@Example.com", byName: String = "Dev Name"): Row =
+    Row(at, "IssueWorkflow", transport, Row(byEmail, byName), fields)
+
+  private def t(hhmm: String, day: String = "2024-01-09"): String =
+    s"${day}T$hhmm:00.000+0000"
+
+  private def issue(key: String, status: String, resolution: String = null,
+                    resolvedAt: String = null, updatedAt: String = t("18:00"),
+                    changelog: Seq[Row] = Seq.empty, parent: String = null): Row =
+    Row(
+      key, "Walkthrough😎", ref1("TEST"), ref1("Task"), ref1("Normal"), ref1(status),
+      Option(resolution).map(ref1).orNull,
+      ref1("Dev@Example.com"), ref1("Author@Example.com"), ref1("QA@Example.com"),
+      Option(parent).map(ref1).orNull, null, ref1("MyProject"),
+      Seq(ref1("Sprint 1")), Seq(ref1("backend")), Seq("t1"), null,
+      3.0f, t("10:00"), updatedAt, resolvedAt,
+      "2024-01-09", "2024-01-10", "2024-01-11", changelog)
+
+  private val walkthroughEvents = Seq(
+    wfEvent(t("11:00"), Seq(statusField("Open", "In progress"), dtField(null, t("11:00")))),
+    wfEvent(t("13:00"), Seq(statusField("In progress", "Testing"), dtField(t("11:00"), t("13:00")))),
+    wfEvent(t("14:00"), Seq(statusField("Testing", "In progress"), dtField(t("13:00"), t("14:00")))),
+    wfEvent(t("16:00"), Seq(statusField("In progress", "Testing"), dtField(t("14:00"), t("16:00")))),
+    wfEvent(t("17:00"), Seq(statusField("Testing", "Ready for release"), dtField(t("16:00"), t("17:00")))),
+    wfEvent(t("18:00"), Seq(statusField("Ready for release", "Closed"), dtField(t("17:00"), t("18:00")))))
+
+  private def raw(rows: Row*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows), Schemas.rawIssue)
+
+  private lazy val walkthrough = raw(issue("TEST-1", "Closed", changelog = walkthroughEvents))
+
+  // ---- README 7-step walkthrough goldens ----
+
+  test("walkthrough metrics: from-status attribution, accumulation, final status excluded") {
+    val m = IssueTransform.metrics(IssueTransform.workflowEvents(walkthrough), lit("2024-02-01 00:00:00").cast("timestamp"))
+      .orderBy("status_name")
+      .select("status_name", "status_transitions_count", "duration", "busdays_duration",
+        "human_readable_duration", "last_seen")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getString(4),
+        r.getTimestamp(5).toInstant.toString))
+    assert(m.toSeq == Seq(
+      ("in_progress", 2, 14400L, 14400L, "4h", "2024-01-09T13:00:00Z"),
+      ("open", 1, 3600L, 3600L, "1h", "2024-01-09T11:00:00Z"),
+      ("ready_for_release", 1, 3600L, 3600L, "1h", "2024-01-09T18:00:00Z"),
+      ("testing", 2, 7200L, 7200L, "2h", "2024-01-09T14:00:00Z")))
+  }
+
+  test("walkthrough issue row: projection, derived flags, closed_at from last closing transition") {
+    val r = IssueTransform.issues(walkthrough).collect()(0)
+    assert(r.getAs[String]("issue_key") == "TEST-1")
+    assert(r.getAs[String]("queue") == "TEST")
+    assert(r.getAs[String]("title") == "Walkthrough")
+    assert(r.getAs[String]("issue_type") == "task")
+    assert(r.getAs[String]("priority") == "normal")
+    assert(r.getAs[String]("status") == "closed")
+    assert(r.getAs[String]("resolution") == null)
+    assert(r.getAs[String]("assignee") == "dev@example.com")
+    assert(r.getAs[String]("author") == "author@example.com")
+    assert(r.getAs[String]("qa_engineer") == "qa@example.com")
+    assert(r.getAs[String]("project") == "myproject")
+    assert(r.getAs[scala.collection.Seq[String]]("sprints").toSeq == Seq("Sprint 1"))
+    assert(r.getAs[scala.collection.Seq[String]]("components").toSeq == Seq("backend"))
+    assert(r.getAs[scala.collection.Seq[String]]("aliases").toSeq == Seq.empty)
+    assert(r.getAs[Float]("story_points") == 3.0f)
+    assert(!r.getAs[Boolean]("is_resolved"))
+    assert(r.getAs[Boolean]("is_closed"))
+    assert(!r.getAs[Boolean]("is_subtask"))
+    assert(!r.getAs[Boolean]("was_moved"))
+    assert(r.getAs[java.sql.Timestamp]("closed_at").toInstant.toString == "2024-01-09T18:00:00Z")
+    assert(r.getAs[java.sql.Date]("deadline").toString == "2024-01-11")
+  }
+
+  test("no_changelog: no metric rows, issue row still emitted") {
+    val df = raw(issue("TEST-2", "Open"))
+    val p = IssuePipeline.transform(df)
+    assert(p.issues.count() == 1)
+    assert(p.metrics.count() == 0)
+    assert(p.changelog.count() == 0)
+  }
+
+  test("moved_issue: was_moved / moved_at / moved_by from the last IssueMoved event") {
+    val moved = Row(t("12:00"), "IssueMoved", "api", Row("Mover@Example.com", "Mover"), Seq.empty[Row])
+    val df = raw(issue("TEST-3", "Open", changelog = Seq(moved)))
+    val r = IssueTransform.issues(df).collect()(0)
+    assert(r.getAs[Boolean]("was_moved"))
+    assert(r.getAs[java.sql.Timestamp]("moved_at").toInstant.toString == "2024-01-09T12:00:00Z")
+    assert(r.getAs[String]("moved_by") == "mover@example.com")
+  }
+
+  test("unresolved_closed vs resolved: closed_at precedence") {
+    val closingEvent = Seq(
+      wfEvent(t("18:00"), Seq(statusField("Open", "Closed"), dtField(null, t("18:00")))))
+    val unresolved = issue("TEST-4", "Closed", changelog = closingEvent)
+    val resolved = issue("TEST-5", "Closed", resolution = "Fixed",
+      resolvedAt = t("19:00"), changelog = closingEvent)
+    val notClosedStatus = issue("TEST-6", "Open", changelog = closingEvent)
+    val out = IssueTransform.issues(raw(unresolved, resolved, notClosedStatus))
+      .select("issue_key", "closed_at", "is_resolved").orderBy("issue_key").collect()
+    assert(out(0).getTimestamp(1).toInstant.toString == "2024-01-09T18:00:00Z") // last closing transition
+    assert(out(1).getTimestamp(1).toInstant.toString == "2024-01-09T19:00:00Z") // resolved wins
+    assert(out(2).isNullAt(1)) // current status not closed -> no closed_at
+  }
+
+  test("dirty_changelog: P6-P8 filters and F9 stringification") {
+    val longText = "x" * 150
+    val events = Seq(
+      // <2 fields -> no metric
+      wfEvent(t("11:00"), Seq(statusField("Open", "In progress"))),
+      // non-status workflow field -> no metric
+      wfEvent(t("12:00"), Seq(
+        Row(Row("assignee", "Assignee"), variant(r = refv(email = "A@x.com")), variant(r = refv(email = "B@x.com"))),
+        dtField(t("11:00"), t("12:00")))),
+      // null end datetime -> no metric
+      wfEvent(t("13:00"), Seq(statusField("Open", "Testing"), dtField(t("11:00"), null))),
+      // non-workflow event type: ignored for metrics, kept in changelog
+      Row(t("14:00"), "IssueCommentAdded", "api", Row(null, "Ghost Writer"), Seq(
+        Row(Row("comment", "Comment"), variant(), variant(s = longText)),
+        Row(Row("tags", "Tags"), variant(), variant(list = Seq("a", "b"))),
+        Row(Row("votes", "Votes"), variant(), variant(n = 42.0)),
+        Row(Row("weight", "Weight"), variant(), variant(n = 2.5)),
+        Row(null, variant(), variant(s = "dropped: null field")),
+        Row(Row("empty", "Empty"), variant(), variant()))))
+    val df = raw(issue("TEST-7", "Open", changelog = events))
+    assert(IssueTransform.metrics(IssueTransform.workflowEvents(df), lit(null).cast("timestamp")).count() == 0)
+
+    val ch = IssueTransform.changelog(df)
+      .select("changed_field", "changed_to", "actor", "event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+    // null-field and both-empty rows dropped; 2 status rows + 2 datetime-pair
+    // rows (workflow events) + 5 comment-event rows survive:
+    assert(ch.length == 9)
+    assert(!ch.exists(_._1 == "Empty"))
+    assert(ch.contains(("Comment", "text too long, see history in UI", "ghost writer", "IssueCommentAdded")))
+    assert(ch.contains(("Tags", "a, b", "ghost writer", "IssueCommentAdded")))
+    assert(ch.contains(("Votes", "42", "ghost writer", "IssueCommentAdded")))
+    assert(ch.contains(("Weight", "2.5", "ghost writer", "IssueCommentAdded")))
+    assert(ch.contains(("Assignee", "b@x.com", "dev@example.com", "IssueWorkflow")))
+    // the datetime pair is stringified via the tracker format; the
+    // null-`to` variant normalizes to "" (kept — `from` side is non-empty):
+    assert(ch.contains(("Status start time", "2024-01-09T12:00:00.000", "dev@example.com", "IssueWorkflow")))
+    assert(ch.contains(("Status start time", "", "dev@example.com", "IssueWorkflow")))
+  }
+
+  test("changelog export disabled yields an empty changelog table") {
+    val p = IssuePipeline.transform(walkthrough, EngineConfig(changelogExportEnabled = false))
+    assert(p.changelog.count() == 0)
+  }
+
+  test("dedup_rerun: two exports with different versions collapse to the latest") {
+    val v1 = lit("2024-02-01 00:00:00").cast("timestamp")
+    val v2 = lit("2024-02-02 00:00:00").cast("timestamp")
+    val p1 = IssuePipeline.transform(walkthrough, version = v1)
+    val p2 = IssuePipeline.transform(walkthrough, version = v2)
+    val merged = IssuePipeline.dedup(IssuePipeline.Payload(
+      p1.issues.union(p2.issues), p1.metrics.union(p2.metrics), p1.changelog.union(p2.changelog)))
+    assert(merged.issues.count() == p2.issues.count())
+    assert(merged.metrics.count() == p2.metrics.count())
+    assert(merged.changelog.count() == p2.changelog.count())
+    assert(merged.issues.select("version").distinct().collect()(0).getTimestamp(0).toInstant.toString
+      == "2024-02-02T00:00:00Z")
+  }
+
+  test("stateful run: watermark commit and incremental re-run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
+    val state = new MemoryStateStore
+    val sink = new ParquetSink(dir)
+    val source = raw(
+      issue("TEST-1", "Closed", changelog = walkthroughEvents),
+      issue("TEST-2", "Open", updatedAt = t("12:00")))
+
+    val r1 = IssuePipeline.run(source, sink = sink, state = Some(state),
+      version = lit("2024-02-01 00:00:00").cast("timestamp"))
+    assert(r1.uploaded && r1.issuesProcessed == 2)
+    assert(state.get("last_update_at").contains(t("18:00")))
+    assert(spark.read.parquet(s"$dir/issues").count() == 2)
+    assert(spark.read.parquet(s"$dir/issue_metrics").count() == 4)
+
+    // nothing changed -> early exit, no upload
+    val r2 = IssuePipeline.run(source, sink = sink, state = Some(state))
+    assert(!r2.uploaded && r2.issuesProcessed == 0)
+
+    // one issue touched -> only it is processed
+    val updated = raw(issue("TEST-2", "In progress", updatedAt = t("19:00")))
+    val r3 = IssuePipeline.run(source.union(updated), sink = sink, state = Some(state),
+      version = lit("2024-02-02 00:00:00").cast("timestamp"))
+    assert(r3.uploaded && r3.issuesProcessed == 1)
+    assert(state.get("last_update_at").contains(t("19:00")))
+  }
+}
