@@ -62,6 +62,10 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),
+    // LLM-pipeline: multimodal columns
+    "mm_image_meta" -> (L.mmImageMeta _),
+    "mm_frame_sample" -> (L.mmFrameSample _),
+    "mm_decode_batched" -> (L.mmDecodeBatched _),
     // LLM-pipeline: text analysis
     "text_quality" -> (L.textQuality _),
     "text_langid" -> (L.textLangid _),

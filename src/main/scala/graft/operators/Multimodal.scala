@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column operators: image/audio/video as opaque `binary`
+  * payloads with typed metadata, decoded partition-wise in batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB ([[fakeDecode]]); everything around
+  * it — the binary column plumbing, metadata schema, batch shape, and
+  * partition-wise execution — is real and tested. A deployment swaps
+  * `fakeDecode` for a codec call without touching the plan shape.
+  *
+  * Scale notes: payloads never pass through a Spark shuffle here (all
+  * operators are per-row projections or `mapPartitions`); metadata columns
+  * are the only thing downstream aggregates touch, so column pruning drops
+  * the heavy binary column as soon as it is unused.
+  */
+object Multimodal {
+
+  /** Stand-in payload: testdata has no binary table, so documents' text
+    * bytes act as the opaque payload (UTF-8 encode — same plumbing).
+    */
+  def withBinaryPayload(docs: DataFrame, textCol: String): DataFrame =
+    docs.withColumn("payload", encode(col(textCol), "UTF-8"))
+
+  /** STUB decode: deterministic fake image metadata derived from payload
+    * size — stands in for a codec's header parse. Pure column arithmetic
+    * so the correctness harness can oracle the plumbing end-to-end.
+    */
+  def imageMeta(bin: Column): Column = struct(
+    octet_length(bin).as("n_bytes"),
+    (lit(64) + pmod(octet_length(bin), lit(1217))).as("width"),
+    (lit(64) + pmod(octet_length(bin) * 31, lit(689))).as("height"),
+    element_at(array(lit("jpeg"), lit("png"), lit("webp")), pmod(octet_length(bin), lit(3)) + 1).as("format"))
+
+  /** Evenly-spaced fixed-size byte windows ("frames") of a binary payload,
+    * as uppercase hex strings (hex-domain slicing: 2 chars per byte).
+    * Caller guarantees `octet_length(bin) >= frameBytes`.
+    */
+  def frameSampleHex(bin: Column, frames: Int, frameBytes: Int): Column = {
+    require(frames >= 2, "need at least 2 frames for spacing")
+    val h = hex(bin)
+    val stride = floor((octet_length(bin) - frameBytes) / lit(frames - 1)).cast("int")
+    array((0 until frames).map { i =>
+      h.substr((lit(i) * stride * 2 + 1).cast("int"), lit(frameBytes * 2))
+    }: _*)
+  }
+
+  final case class DecodedMeta(id: Long, nBytes: Int, head: String)
+
+  /** STUB codec: deterministic "decode" of a payload (length + first-bytes
+    * fingerprint). Replace with a real image/audio library call.
+    */
+  def fakeDecode(bytes: Array[Byte]): String =
+    s"decoded:${bytes.length}:${bytes.take(4).map("%02x".format(_)).mkString}"
+
+  /** Partition-wise batched decode — the Scala analog of a `mapInPandas`
+    * batch UDF: each partition's rows are processed in `batchSize` groups
+    * so a real codec can amortize per-batch setup (model load, pinned
+    * buffers) exactly as a Pandas batch would.
+    */
+  def decodeBatched(df: DataFrame, idCol: String, binCol: String,
+                    batchSize: Int = 64,
+                    decode: Array[Byte] => String = fakeDecode): Dataset[DecodedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would go here (codec/model initialization)
+          batch.map { case (id, bytes) => DecodedMeta(id, bytes.length, decode(bytes)) }
+        }
+      }
+  }
+}

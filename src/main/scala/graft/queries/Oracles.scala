@@ -320,6 +320,27 @@ object Oracles {
         |  len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_bpeish_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text))::INTEGER AS n_bytes,
+        |  (64 + octet_length(encode(text)) % 1217)::INTEGER AS width,
+        |  (64 + (octet_length(encode(text)) * 31) % 689)::INTEGER AS height,
+        |  (['jpeg', 'png', 'webp'])[(octet_length(encode(text)) % 3) + 1] AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents WHERE n_chars >= 64),
+        |s AS (SELECT doc_id, upper(hex(p)) AS h, floor((octet_length(p) - 8) / 3)::INTEGER AS st FROM b)
+        |SELECT doc_id, i::INTEGER AS frame_idx, substr(h, (i * st * 2 + 1)::BIGINT, 16) AS frame_hex
+        |FROM s, unnest([0, 1, 2, 3]) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "mm_decode_batched" ->
+      """SELECT doc_id AS id,
+        |  octet_length(encode(text))::INTEGER AS "nBytes",
+        |  'decoded:' || octet_length(encode(text))::VARCHAR || ':' || lower(substr(hex(encode(text)), 1, 8)) AS head
+        |FROM documents ORDER BY id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -90,7 +90,13 @@ object IssueTransform {
     * a closed status when the current status is closed) and
     * was_moved/moved_at/moved_by (issue.py:162-167, last IssueMoved wins).
     */
-  def issues(raw: DataFrame, cfg: EngineConfig = EngineConfig(), version: Column = current_timestamp()): DataFrame = {
+  /** U1 extensibility: extra user columns appended to the projection —
+    * the Spark-first replacement for subclassing `TrackerIssue`
+    * (examples/extended_model/main.py:9-31): each (name, expression over
+    * the raw document) lands as an additional output column.
+    */
+  def issues(raw: DataFrame, cfg: EngineConfig = EngineConfig(), version: Column = current_timestamp(),
+             extraColumns: Seq[(String, Column)] = Nil): DataFrame = {
     val wf = workflowEvents(raw, cfg)
     val closedSeq = cfg.closedStatuses.toSeq.sorted
     val lastClosed = wf
@@ -105,7 +111,8 @@ object IssueTransform {
         max_by(parseDt(col("ev.updatedAt")), col("pos")).as("_moved_at"),
         max_by(low(col("ev.updatedBy.email")), col("pos")).as("_moved_by"))
 
-    val proj = raw.select(
+    val extra = extraColumns.map { case (n, c) => c.as(n) }
+    val proj = raw.select(Seq(
       col("key").as("issue_key"),
       col("queue.key").as("queue"),
       StringFns.stripEmoji(col("summary")).as("title"),
@@ -129,7 +136,7 @@ object IssueTransform {
       coalesce(transform(col("sprint"), s => s.getField("name")), emptyStrArray).as("sprints"),
       col("parent.key").as("parent_issue_key"),
       col("epic.key").as("epic_issue_key"),
-      coalesce(col("aliases"), emptyStrArray).as("aliases"))
+      coalesce(col("aliases"), emptyStrArray).as("aliases")) ++ extra: _*)
 
     proj
       .join(lastClosed, Seq("issue_key"), "left")
@@ -144,7 +151,7 @@ object IssueTransform {
       .withColumn("moved_at", col("_moved_at"))
       .withColumn("moved_by", col("_moved_by"))
       .withColumn("version", version)
-      .select(
+      .select(Seq(
         col("version"), col("queue"), col("title"), col("issue_key"), col("issue_type"),
         col("priority"), col("status"), col("resolution"), col("assignee"), col("author"),
         col("qa_engineer"), col("tags"), col("components"), col("project"), col("created_at"),
@@ -152,6 +159,7 @@ object IssueTransform {
         col("start_date"), col("end_date"), col("is_subtask"), col("is_closed"),
         col("is_resolved"), col("story_points"), col("sprints"), col("parent_issue_key"),
         col("epic_issue_key"), col("aliases"), col("was_moved"), col("moved_at"), col("moved_by"))
+        ++ extraColumns.map { case (n, _) => col(n) }: _*)
   }
 
   /** F9: stringify a heterogeneous changelog value (variant struct) —

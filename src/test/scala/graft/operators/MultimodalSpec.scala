@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class MultimodalSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and keeps on running far away"),
+    (2L, "short but long enough to pass the sixty-four byte minimum filter here ok"),
+    (3L, "tiny")).toDF("doc_id", "text")
+
+  test("withBinaryPayload produces binary with UTF-8 byte length") {
+    val r = Multimodal.withBinaryPayload(docs, "text")
+      .select(col("doc_id"), octet_length(col("payload")).as("n"), length(col("text")).as("c"))
+      .as[(Long, Int, Int)].collect().toMap2
+    assert(r(1L) == ((73, 73))) // pure ASCII: bytes == chars
+  }
+
+  test("imageMeta stub is deterministic and typed") {
+    val m = Multimodal.withBinaryPayload(docs, "text")
+      .select(col("doc_id"), Multimodal.imageMeta(col("payload")).as("m"))
+      .select("doc_id", "m.n_bytes", "m.width", "m.height", "m.format")
+      .where(col("doc_id") === 1).collect()(0)
+    assert(m.getInt(1) == 73)
+    assert(m.getInt(2) == 64 + 73 % 1217)
+    assert(m.getInt(3) == 64 + (73 * 31) % 689)
+    assert(m.getString(4) == Seq("jpeg", "png", "webp")((73 % 3)))
+  }
+
+  test("frameSampleHex: 4 evenly spaced 8-byte frames; first frame is the prefix") {
+    val frames = Multimodal.withBinaryPayload(docs.where(col("doc_id") === 1), "text")
+      .select(Multimodal.frameSampleHex(col("payload"), 4, 8).as("f"))
+      .as[Seq[String]].collect()(0)
+    assert(frames.length == 4)
+    assert(frames.forall(_.length == 16))
+    assert(frames(0) == "the quic".getBytes("UTF-8").map("%02X".format(_)).mkString)
+  }
+
+  test("decodeBatched: partition-wise batches with the stub codec") {
+    val out = Multimodal.decodeBatched(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload", batchSize = 2)
+      .collect().map(m => m.id -> m).toMap
+    assert(out.size == 3)
+    assert(out(3L).nBytes == 4)
+    assert(out(3L).head == "decoded:4:" + "tiny".getBytes.take(4).map("%02x".format(_)).mkString)
+  }
+
+  private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
+    def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
+  }
+}

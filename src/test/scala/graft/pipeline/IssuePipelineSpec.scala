@@ -198,6 +198,16 @@ class IssuePipelineSpec extends SparkSuite {
       == "2024-02-02T00:00:00Z")
   }
 
+  test("U1 extensible projection: user columns appended to the issue row") {
+    val out = IssueTransform.issues(walkthrough,
+      extraColumns = Seq(
+        "summary_len" -> length(col("summary")),
+        "queue_lower" -> lower(col("queue.key"))))
+      .select("issue_key", "summary_len", "queue_lower").collect()(0)
+    assert(out.getInt(1) == 12) // Spark length() counts codepoints (emoji = 1)
+    assert(out.getString(2) == "test")
+  }
+
   test("stateful run: watermark commit and incremental re-run") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val state = new MemoryStateStore
