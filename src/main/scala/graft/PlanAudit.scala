@@ -1,0 +1,30 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Prints condensed physical plans for the headline queries — the
+  * explain-plan audit: filter/projection pushdown reaching the scan,
+  * broadcast joins where a side is small, top-k compiling to
+  * TakeOrderedAndProject, wide whole-stage-codegen spans.
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    val interesting = Seq("s1_scan_pushdown", "o1_sort_limit", "j1_broadcast_join",
+      "q1_pricing_summary", "a4_dedup_latest", "a1_status_metrics", "dedup_exact", "ann_brute")
+    for (name <- interesting) {
+      println(s"===== $name")
+      val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
+      plan.linesIterator
+        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+          l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") || l.contains("TakeOrderedAndProject") ||
+          l.contains("WholeStageCodegen") || l.contains("Exchange") || l.contains("HashAggregate("))
+        .map(_.take(220)).foreach(println)
+    }
+    spark.stop()
+  }
+}

@@ -127,13 +127,17 @@ object Dedup {
     size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b))).cast("double")
 
   /** MinHash near-dup pairs verified with exact shingle Jaccard —
-    * candidates from LSH buckets only.
+    * candidates from LSH buckets only. The verification join carries
+    * xxhash64-hashed shingle arrays (8× smaller shuffle, long-array
+    * intersections); Jaccard is identical absent 64-bit collisions.
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands)
-    val sh = docs.select(col(idCol), shingles(col(textCol), k).as("sh"))
+    val sh = docs.select(
+      col(idCol),
+      transform(shingles(col(textCol), k), x => xxhash64(x)).as("sh"))
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
