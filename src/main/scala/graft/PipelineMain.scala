@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.pipeline.IssuePipeline
-import graft.schema.{EngineConfig, Schemas}
+import graft.schema.EngineConfig
 import graft.sinks.{ConsoleSink, ParquetSink}
 import graft.state.FileStateStore
 
@@ -29,16 +29,22 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // P9: malformed JSON rows go to a bad-record side channel instead of
+    // failing the batch (reference skips-and-logs per issue, etl.py:180-183).
     val raw =
-      if (rawPath.endsWith(".json") || rawPath.endsWith(".ndjson"))
-        spark.read.schema(Schemas.rawIssue).json(rawPath)
-      else spark.read.parquet(rawPath)
+      if (rawPath.endsWith(".json") || rawPath.endsWith(".ndjson")) {
+        val (good, bad) = graft.sources.RawIssueSource.jsonWithBadRecords(spark, rawPath)
+        val nBad = bad.count()
+        if (nBad > 0) System.err.println(s"[pipeline] $nBad malformed source rows skipped")
+        good
+      } else spark.read.parquet(rawPath)
 
     val sink = if (outDir == "console") new ConsoleSink() else new ParquetSink(outDir)
     val state = args.lift(2).map(p => new FileStateStore(p))
     val stats = IssuePipeline.run(raw, EngineConfig(), sink, state)
     println(s"[pipeline] issues=${stats.issuesProcessed} metrics=${stats.metricsRows} " +
-      s"changelog=${stats.changelogRows} watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")
+      s"changelog=${stats.changelogRows} no_metrics=${stats.issuesWithoutMetrics} " +
+      s"watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")
     spark.stop()
   }
 }

@@ -20,10 +20,15 @@ object IssuePipeline {
 
   final case class Payload(issues: DataFrame, metrics: DataFrame, changelog: DataFrame)
 
+  /** Run statistics ≙ A5/P10 (etl.py:155-190): processed counts plus the
+    * count of issues whose changelog yielded no metric rows (they still
+    * load an issue row; reference etl.py:173-177).
+    */
   final case class RunStats(
       issuesProcessed: Long,
       metricsRows: Long,
       changelogRows: Long,
+      issuesWithoutMetrics: Long,
       newWatermark: Option[String],
       uploaded: Boolean)
 
@@ -72,11 +77,13 @@ object IssuePipeline {
 
     // Early exit: nothing to export (etl.py:143-145).
     val nIssues = bounded.count()
-    if (nIssues == 0) return RunStats(0, 0, 0, watermark, uploaded = false)
+    if (nIssues == 0) return RunStats(0, 0, 0, 0, watermark, uploaded = false)
 
     val payload = dedup(transform(bounded, cfg, version))
     val nMetrics = payload.metrics.count()
     val nChangelog = payload.changelog.count()
+    // P10: issues that produced no metric rows (empty/filtered changelog).
+    val nWithoutMetrics = nIssues - payload.metrics.select("issue_key").distinct().count()
 
     sink.write(payload.issues, "issues")
     sink.write(payload.metrics, "issue_metrics")
@@ -87,6 +94,6 @@ object IssuePipeline {
     // collapses the duplicates (exactly the reference's tolerance level).
     val newWm = bounded.agg(max(col("updatedAt"))).collect()(0).getString(0)
     state.foreach(_.set(stateKey, newWm))
-    RunStats(nIssues, nMetrics, nChangelog, Option(newWm), uploaded = true)
+    RunStats(nIssues, nMetrics, nChangelog, nWithoutMetrics, Option(newWm), uploaded = true)
   }
 }

@@ -59,6 +59,11 @@ object Retry {
   * `ceil(rows/batchSize)` inserts, so the sink throughput scales with the
   * cluster instead of the driver's memory (the reference materializes the
   * whole payload in RAM, etl.py:135-137).
+  *
+  * P11 null-date cleanup (`fix_null_dates`, utils/helpers.py:76-87) is
+  * inherited for free: `df.toJSON` omits null fields entirely, so null
+  * date columns are absent from the JSONEachRow payload and ClickHouse
+  * applies its column DEFAULTs — exactly the reference's behavior.
   */
 final class ClickHouseBatchSink(
     execute: String => Unit,

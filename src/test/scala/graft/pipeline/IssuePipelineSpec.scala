@@ -219,6 +219,7 @@ class IssuePipelineSpec extends SparkSuite {
     val r1 = IssuePipeline.run(source, sink = sink, state = Some(state),
       version = lit("2024-02-01 00:00:00").cast("timestamp"))
     assert(r1.uploaded && r1.issuesProcessed == 2)
+    assert(r1.issuesWithoutMetrics == 1) // TEST-2 has no changelog (P10)
     assert(state.get("last_update_at").contains(t("18:00")))
     assert(spark.read.parquet(s"$dir/issues").count() == 2)
     assert(spark.read.parquet(s"$dir/issue_metrics").count() == 4)

@@ -1,0 +1,49 @@
+package graft.sinks
+
+import scala.collection.mutable
+
+import graft.SparkSuite
+
+object SinksSpec {
+  // local-mode executors share the JVM, so a synchronized buffer captures
+  // the per-partition statements the transport would POST
+  val captured: mutable.Buffer[String] = mutable.Buffer.empty[String]
+  def capture(sql: String): Unit = captured.synchronized { captured += sql }
+}
+
+class SinksSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("ClickHouseBatchSink: JSONEachRow batches per partition, null dates omitted (P11)") {
+    SinksSpec.captured.clear()
+    val df = Seq(
+      ("K-1", Some("2024-01-09"), 1),
+      ("K-2", None, 2),
+      ("K-3", None, 3)).toDF("issue_key", "deadline", "n").coalesce(1)
+    new ClickHouseBatchSink(SinksSpec.capture, database = "agile", batchSize = 2)
+      .write(df, "issues")
+    val stmts = SinksSpec.captured.toList
+    assert(stmts.size == 2) // 3 rows, batchSize 2, one partition
+    assert(stmts.forall(_.startsWith("INSERT INTO agile.issues FORMAT JSONEachRow ")))
+    val payload = stmts.mkString(" ")
+    assert(payload.contains(""""deadline":"2024-01-09""""))
+    // fix_null_dates semantics: null fields are absent, CH DEFAULT applies
+    assert(!payload.contains(""""deadline":null"""))
+    assert(payload.contains(""""issue_key":"K-2""""))
+  }
+
+  test("Retry.withBackoff retries then succeeds / exhausts") {
+    var calls = 0
+    val r = Retry.withBackoff(tries = 3, baseDelayMs = 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+      "ok"
+    }
+    assert(r == "ok" && calls == 3)
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Retry.withBackoff(tries = 2, baseDelayMs = 1) { calls2 += 1; throw new RuntimeException("always") }
+    }
+    assert(calls2 == 2)
+  }
+}
