@@ -62,6 +62,7 @@ object SparkEntry {
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),
+    "ann_ivf" -> (L.annIvf _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),
     "mm_frame_sample" -> (L.mmFrameSample _),

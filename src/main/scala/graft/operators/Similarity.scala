@@ -48,6 +48,92 @@ object Similarity {
     Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** Deterministic Lloyd's k-means on a driver-side sample — the coarse
+    * quantizer for [[ivfTopK]]. Training a small codebook on a sample is a
+    * model fit, not a data pass: the full corpus is only ever touched by
+    * the (distributed) assign step.
+    */
+  def trainCentroids(vectors: DataFrame, dim: Int, cells: Int, sampleN: Int = 2000,
+                     iters: Int = 10, seed: Long = 42L,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = vectors.orderBy(col(idCol)).limit(sampleN)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "empty training sample")
+    val rnd = new scala.util.Random(seed)
+    var centroids = Array.fill(cells)(sample(rnd.nextInt(sample.length)).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(cells)(new Array[Double](dim))
+      val counts = new Array[Int](cells)
+      for (v <- sample) {
+        var best = 0; var bestD = Double.MaxValue
+        for (j <- centroids.indices) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = v(i) - centroids(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j }
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        else sums(j).map(_ / counts(j))
+      }.toArray
+    }
+    centroids
+  }
+
+  /** Index of the nearest centroid (L2) as a column expression:
+    * `array_max` over (negated distance, cell) structs — ties break to the
+    * higher cell id, deterministically.
+    */
+  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    array_max(array(centroids.zipWithIndex.map { case (c, j) =>
+      val lit_ = typedLit(c.toSeq)
+      val d2 = aggregate(
+        zip_with(vec.cast("array<double>"), lit_, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct((-d2).as("nd"), lit(j).as("cell"))
+    }: _*)).getField("cell")
+
+  /** The `nprobe` nearest cells of a query vector (ascending L2). */
+  private def probeCells(vec: Column, centroids: Array[Array[Double]], nprobe: Int): Column = {
+    val scored = array(centroids.zipWithIndex.map { case (c, j) =>
+      val lit_ = typedLit(c.toSeq)
+      val d2 = aggregate(
+        zip_with(vec.cast("array<double>"), lit_, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d"), lit(j).as("cell"))
+    }: _*)
+    transform(slice(array_sort(scored), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** IVF approximate top-k: a k-means coarse quantizer partitions the
+    * corpus into `cells`; each query scores only the candidates in its
+    * `nprobe` nearest cells (equi-join on cell id). The standard
+    * alternative scale path to [[lshTopK]] — cells adapt to the data
+    * distribution where hyperplanes are oblivious.
+    */
+  def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              cells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(candidates, dim, cells, seed = seed, idCol = idCol, vecCol = vecCol)
+    val c = candidates.select(
+      col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeCells(col(vecCol), centroids, nprobe)).as("cell")))
+    val scored = q.join(c, "cell")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Sign-of-projection LSH bucket id (one int from `planes` bits). */
   def lshBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column =
     hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>

@@ -44,6 +44,20 @@ class SimilaritySpec extends SparkSuite {
     assert(got == bruteTop(10))
   }
 
+  test("ivfTopK: self as rank 1, decent recall vs brute force") {
+    val queries = vectors.where(col("vec_id") < 5)
+    val rows = Similarity.ivfTopK(vectors, queries, k = 10, dim = 16, cells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    for ((q, rs) <- byQ) assert(rs.find(_._3 == 1).get._2 == q)
+    val brute = bruteTop(10)
+    val recall = byQ.map { case (q, rs) =>
+      rs.map(_._2).toSet.intersect(brute(q).toSet).size.toDouble / 10.0
+    }.sum / byQ.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
   test("lshTopK returns k rows per query with self as rank 1, decent recall") {
     val queries = vectors.where(col("vec_id") < 5)
     val rows = Similarity.lshTopK(vectors, queries, k = 10, dim = 16, planes = 5, probes = 5)
