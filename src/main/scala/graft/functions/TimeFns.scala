@@ -84,6 +84,22 @@ object TimeFns {
       .otherwise(joined)
   }
 
+  /** F11 `bytes_to_human` (helpers.py:301-320): greedy binary-prefix
+    * decomposition, top-`granularity` units, comma-joined. Logging util —
+    * plain Scala, not an operator. The reference returns int 0 for zero
+    * bytes (a type quirk); we return "0B".
+    */
+  def bytesToHuman(bytes: Long, granularity: Int = 2): String = {
+    if (bytes == 0) return "0B"
+    val sizes = Seq("TB" -> (1L << 40), "GB" -> (1L << 30), "MB" -> (1L << 20), "KB" -> 1024L, "B" -> 1L)
+    var rem = bytes
+    val parts = sizes.flatMap { case (name, count) =>
+      val v = rem / count
+      if (v != 0) { rem -= v * count; Some(s"$v$name") } else None
+    }
+    parts.take(granularity).mkString(", ")
+  }
+
   /** `"1mo 1w 1h"` → seconds (helpers.py:219-244). Driver/config-side
     * parsing (search ranges like `1w`), not an operator — plain Scala.
     * Reference quirk preserved: y=365d here (vs 360d in toHumanTime).

@@ -62,4 +62,12 @@ class TimeFnsSpec extends SparkSuite {
   test("fromHumanTime raises on junk") {
     intercept[IllegalArgumentException](TimeFns.fromHumanTime("5x"))
   }
+
+  test("bytesToHuman binary-prefix decomposition") {
+    assert(TimeFns.bytesToHuman(1024L * 1024 * 1024 + 512L * 1024 * 1024) == "1GB, 512MB")
+    assert(TimeFns.bytesToHuman(1536) == "1KB, 512B")
+    assert(TimeFns.bytesToHuman(42) == "42B")
+    assert(TimeFns.bytesToHuman(0) == "0B")
+    assert(TimeFns.bytesToHuman((1L << 40) + (1L << 30) + 5, granularity = 3) == "1TB, 1GB, 5B")
+  }
 }
