@@ -54,6 +54,9 @@ object SparkEntry {
     // §2.9 streaming-equivalent
     "stream_window_counts" -> (C.streamWindowCounts _),
     "incremental_scan" -> (C.incrementalScan _),
+    // the real issue pipeline over the deterministic fixture corpus
+    "pipeline_metrics" -> (graft.queries.PipelineFixture.pipelineMetrics _),
+    "pipeline_issues" -> (graft.queries.PipelineFixture.pipelineIssues _),
     // LLM-pipeline: dedup family
     "dedup_exact" -> (L.dedupExact _),
     "dedup_minhash" -> (L.dedupMinhash _),

@@ -241,6 +241,36 @@ object Oracles {
          |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // The pipeline-fixture corpus is deterministic (PipelineFixture), so
+    // the REAL transform's expected output is a literal VALUES relation —
+    // the driver verifies A1/P1–P5 end-to-end, not just the emulations.
+    "pipeline_metrics" ->
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-09 13:00:00', 'TEST-1', 'in_progress', 2::INTEGER, 14400::BIGINT, '4h', 14400::BIGINT, '4h'),
+        |  (TIMESTAMP '2024-01-09 11:00:00', 'TEST-1', 'open', 1, 3600, '1h', 3600, '1h'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-1', 'ready_for_release', 1, 3600, '1h', 3600, '1h'),
+        |  (TIMESTAMP '2024-01-09 14:00:00', 'TEST-1', 'testing', 2, 7200, '2h', 7200, '2h'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-3', 'open', 1, 28800, '8h', 28800, '8h')
+        |) AS t(last_seen, issue_key, status_name, status_transitions_count, duration,
+        |       human_readable_duration, busdays_duration, human_readable_busdays_duration)
+        |ORDER BY issue_key, status_name""".stripMargin,
+
+    "pipeline_issues" ->
+      """SELECT * FROM (VALUES
+        |  ('TEST-1', 'TEST', 'Walkthrough', 'task', 'normal', 'closed', NULL::VARCHAR,
+        |   'dev@example.com', 'myproject', true, false, false, false, 3.0::FLOAT,
+        |   TIMESTAMP '2024-01-09 10:00:00', TIMESTAMP '2024-01-09 18:00:00', DATE '2024-01-11'),
+        |  ('TEST-2', 'TEST', 'Walkthrough', 'task', 'normal', 'open', NULL,
+        |   'dev@example.com', 'myproject', false, false, false, false, 3.0,
+        |   TIMESTAMP '2024-01-09 10:00:00', NULL::TIMESTAMP, DATE '2024-01-11'),
+        |  ('TEST-3', 'TEST', 'Walkthrough', 'task', 'normal', 'closed', 'fixed',
+        |   'dev@example.com', 'myproject', true, true, false, false, 3.0,
+        |   TIMESTAMP '2024-01-09 10:00:00', TIMESTAMP '2024-01-09 19:00:00', DATE '2024-01-11')
+        |) AS t(issue_key, queue, title, issue_type, priority, status, resolution, assignee,
+        |       project, is_closed, is_resolved, is_subtask, was_moved, story_points,
+        |       created_at, closed_at, deadline)
+        |ORDER BY issue_key""".stripMargin,
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
