@@ -57,6 +57,7 @@ object SparkEntry {
     // the real issue pipeline over the deterministic fixture corpus
     "pipeline_metrics" -> (graft.queries.PipelineFixture.pipelineMetrics _),
     "pipeline_issues" -> (graft.queries.PipelineFixture.pipelineIssues _),
+    "pipeline_scale" -> (graft.queries.PipelineFixture.pipelineScale _),
     // LLM-pipeline: dedup family
     "dedup_exact" -> (L.dedupExact _),
     "dedup_minhash" -> (L.dedupMinhash _),

@@ -271,6 +271,34 @@ object Oracles {
         |       created_at, closed_at, deadline)
         |ORDER BY issue_key""".stripMargin,
 
+    "pipeline_scale" -> {
+      val trunc = "date_trunc('millisecond', %s)"
+      s"""WITH iv AS (
+         |  SELECT user_id, ts, lag(event_type) OVER w AS prev_type, lag(ts) OVER w AS prev_ts
+         |  FROM $EV WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |), f AS (
+         |  SELECT user_id, ${trunc.format("ts")} AS ts, prev_type, ${trunc.format("prev_ts")} AS prev_ts
+         |  FROM iv WHERE prev_type IS NOT NULL
+         |), f2 AS (
+         |  SELECT user_id, ts, prev_type, prev_ts,
+         |    abs((epoch_us(ts) - epoch_us(prev_ts)) // 1000000) AS dur,
+         |    ${busSeconds("f.prev_ts", "f.ts")} AS bus
+         |  FROM f
+         |), g AS (
+         |  SELECT 'U' || user_id::VARCHAR AS issue_key,
+         |    ${snake("lower(prev_type)")} AS status_name,
+         |    count(*)::INTEGER AS status_transitions_count,
+         |    sum(dur)::BIGINT AS duration,
+         |    sum(bus)::BIGINT AS busdays_duration,
+         |    min(ts) AS last_seen
+         |  FROM f2 GROUP BY 1, 2)
+         |SELECT last_seen, issue_key, status_name, status_transitions_count, duration,
+         |  ${humanTime("duration")} AS human_readable_duration,
+         |  busdays_duration,
+         |  ${humanTime("busdays_duration")} AS human_readable_busdays_duration
+         |FROM g ORDER BY issue_key, status_name""".stripMargin
+    },
+
     "dedup_exact" ->
       """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
         |  min(doc_id) AS canonical_id, count(*) AS n_docs

@@ -1,9 +1,11 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.schema.Schemas
+import graft.sources.Tables
 import graft.transform.IssueTransform
 
 /** Deterministic raw-issue fixture (the README 7-step walkthrough +
@@ -61,6 +63,50 @@ object PipelineFixture {
     IssueTransform.metrics(IssueTransform.workflowEvents(raw(s)), lit(null).cast("timestamp"))
       .drop("version")
       .orderBy(col("issue_key"), col("status_name"))
+
+  /** The pipeline at volume: synthesize one nested issue document per
+    * events-table user (its events become workflow status transitions,
+    * assembled into a changelog array via window-ordered collect_list),
+    * then run the REAL workflow-event extraction + metric aggregation.
+    * Exercises the whole nested-document path — struct/array construction,
+    * posexplode, filters, wire-format datetime round trip, business
+    * seconds — on ~100k rows at sf0.1, with a full DuckDB oracle.
+    */
+  def pipelineScale(s: SparkSession, d: String): DataFrame = {
+    val wire = "yyyy-MM-dd'T'HH:mm:ss.SSSXX"
+    def fmt(c: Column): Column = date_format(c, wire)
+    def vS(c: Column): Column =
+      struct(c.as("s"), lit(null).cast("struct<name:string>").as("ref"))
+    def vRef(c: Column): Column =
+      struct(lit(null).cast("string").as("s"), struct(c.as("name")).as("ref"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        lag(col("event_type"), 1).over(w).as("prev_type"),
+        lag(col("ts"), 1).over(w).as("prev_ts"))
+      .where(col("prev_type").isNotNull)
+    val eventStruct = struct(
+      fmt(col("ts")).as("updatedAt"),
+      lit("IssueWorkflow").as("type"),
+      lit("api").as("transport"),
+      array(
+        struct(struct(lit("status").as("id")).as("field"),
+          vRef(col("prev_type")).as("from"), vRef(col("event_type")).as("to")),
+        struct(struct(lit("times").as("id")).as("field"),
+          vS(fmt(col("prev_ts"))).as("from"), vS(fmt(col("ts"))).as("to"))).as("fields"))
+    val raw = ev
+      .groupBy(col("user_id"))
+      .agg(
+        sort_array(collect_list(struct(col("ts"), col("event_id"), eventStruct.as("ev")))).as("evs"),
+        min(col("prev_ts")).as("created"))
+      .select(
+        concat(lit("U"), col("user_id").cast("string")).as("key"),
+        fmt(col("created")).as("createdAt"),
+        transform(col("evs"), x => x.getField("ev")).as("changelog"))
+    IssueTransform.metrics(IssueTransform.workflowEvents(raw), lit(null).cast("timestamp"))
+      .drop("version")
+      .orderBy(col("issue_key"), col("status_name"))
+  }
 
   /** Issue rows (P1–P5 end-to-end, changelog-derived scalars included). */
   def pipelineIssues(s: SparkSession, d: String): DataFrame =
