@@ -313,7 +313,7 @@ object Oracles {
          |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
     "dedup_ngram" ->
-      s"""WITH g AS (${shingleSelect(2, ", lang", " WHERE doc_id % 5 = 0")})
+      s"""WITH g AS (${shingleSelect(2, ", lang", " WHERE doc_id % 2 = 0")})
          |SELECT a, b, jaccard FROM (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
          |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard

@@ -1,0 +1,33 @@
+package graft
+
+/** Contract guards for the driver-facing registry — the failure mode that
+  * zeroed rounds 1–2 was an empty/mismatched registry, so these are
+  * load-bearing assertions, not formalities.
+  */
+class SparkEntrySpec extends SparkSuite {
+
+  test("every oracle key has a registered query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle SQL without a query: $orphans")
+  }
+
+  test("the registry is populated and oracle coverage is near-total") {
+    assert(SparkEntry.queries.size >= 40)
+    val uncovered = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // only PRNG-dependent ANN paths are rows-only
+    assert(uncovered == Set("ann_lsh", "ann_ivf"), s"unexpected rows-only queries: $uncovered")
+  }
+
+  test("entry() flagship returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs and returns rows on sf0.001") {
+    val failures = SparkEntry.queries.flatMap { case (name, fn) =>
+      try {
+        if (fn(spark, "/root/testdata/sf0.001").count() > 0) None else Some(s"$name: 0 rows")
+      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+    }
+    assert(failures.isEmpty, failures.mkString("; "))
+  }
+}
