@@ -43,11 +43,16 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** k-shingles from an already-materialized token-array column. */
+  /** k-shingles from an already-materialized token-array column. Docs with
+    * fewer than k tokens yield an EMPTY array (not `[null]` — a shared
+    * null element would make all short docs mutual 100% "duplicates" once
+    * hashed).
+    */
   def shinglesFromTokens(toks: Column, k: Int): Column =
-    array_distinct(
+    array_distinct(filter(
       transform(sequence(lit(0), greatest(size(toks) - k, lit(0))), i =>
-        when(size(toks) >= k, concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))))
+        when(size(toks) >= k, concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*))),
+      x => x.isNotNull))
 
   /** Word k-shingles of a text column (distinct, order-preserving input).
     *
@@ -122,9 +127,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two pre-distinct string arrays. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") / size(array_distinct(concat(a, b))).cast("double")
+  /** Exact Jaccard similarity of two pre-distinct arrays; null when both
+    * are empty (ANSI mode would otherwise abort the query on 0/0).
+    */
+  def jaccard(a: Column, b: Column): Column = {
+    val union = size(array_distinct(concat(a, b)))
+    when(union > 0, size(array_intersect(a, b)).cast("double") / union.cast("double"))
+  }
 
   /** MinHash near-dup pairs verified with exact shingle Jaccard —
     * candidates from LSH buckets only. The verification join carries
@@ -181,6 +190,8 @@ object Dedup {
     */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    bits: Int = 48, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < chunks,
+      s"pigeonhole candidates are only lossless for maxHamming < chunks (got $maxHamming >= $chunks)")
     // Collapse to DISTINCT fingerprints first: near-dup corpora cluster
     // heavily (many docs share one fingerprint), so the chunk join runs on
     // #distinct-fingerprints rows instead of n, and the id expansion back

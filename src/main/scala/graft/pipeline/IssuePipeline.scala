@@ -3,6 +3,7 @@ package graft.pipeline
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TimeFns
 import graft.operators.Dedup
 import graft.schema.EngineConfig
 import graft.sinks.Sink
@@ -67,33 +68,53 @@ object IssuePipeline {
           sink: Sink,
           state: Option[StateStore] = None,
           stateKey: String = "last_update_at",
-          version: Column = current_timestamp()): RunStats = {
+          version: Column = null): RunStats = {
 
+    // Bind version ONCE driver-side: current_timestamp() is query-constant
+    // but not action-constant, so a per-action default would stamp the
+    // three tables with three different versions within one run.
+    val ver = Option(version).getOrElse(
+      lit(new java.sql.Timestamp(System.currentTimeMillis())).cast("timestamp"))
+
+    // Watermark comparison happens on PARSED timestamps, not wire strings:
+    // ISO-8601 strings with mixed UTC offsets do not sort chronologically
+    // as text ('...16:30+0000' < '...18:00+0300' lexicographically even
+    // though it is the later instant).
     val watermark = state.flatMap(_.get(stateKey))
-    val bounded = watermark match {
-      case Some(w) => source.where(col("updatedAt") > lit(w))
+    val updatedTs = TimeFns.parseTrackerDatetime(col("updatedAt"))
+    val bounded = (watermark match {
+      case Some(w) => source.where(updatedTs > TimeFns.parseTrackerDatetime(lit(w)))
       case None => source
-    }
+    }).cache() // read once: counts, transform, and the watermark agg share it
 
-    // Early exit: nothing to export (etl.py:143-145).
-    val nIssues = bounded.count()
-    if (nIssues == 0) return RunStats(0, 0, 0, 0, watermark, uploaded = false)
+    try {
+      // Early exit: nothing to export (etl.py:143-145).
+      val nIssues = bounded.count()
+      if (nIssues == 0) return RunStats(0, 0, 0, 0, watermark, uploaded = false)
 
-    val payload = dedup(transform(bounded, cfg, version))
-    val nMetrics = payload.metrics.count()
-    val nChangelog = payload.changelog.count()
-    // P10: issues that produced no metric rows (empty/filtered changelog).
-    val nWithoutMetrics = nIssues - payload.metrics.select("issue_key").distinct().count()
+      val payload = dedup(transform(bounded, cfg, ver))
+      val nMetrics = payload.metrics.count()
+      val nChangelog = payload.changelog.count()
+      // P10: distinct issues that produced no metric rows (empty/filtered
+      // changelog) — distinct on both sides so a window holding several
+      // versions of one issue is not overcounted.
+      val nDistinctIssues = bounded.select(col("key")).distinct().count()
+      val nWithoutMetrics = nDistinctIssues - payload.metrics.select("issue_key").distinct().count()
 
-    sink.write(payload.issues, "issues")
-    sink.write(payload.metrics, "issue_metrics")
-    sink.write(payload.changelog, "issues_changelog")
+      sink.write(payload.issues, "issues")
+      sink.write(payload.metrics, "issue_metrics")
+      sink.write(payload.changelog, "issues_changelog")
 
-    // Commit-after-write ordering: the watermark moves only once every
-    // table landed, so a failed run re-reads the same window and dedup
-    // collapses the duplicates (exactly the reference's tolerance level).
-    val newWm = bounded.agg(max(col("updatedAt"))).collect()(0).getString(0)
-    state.foreach(_.set(stateKey, newWm))
-    RunStats(nIssues, nMetrics, nChangelog, nWithoutMetrics, Option(newWm), uploaded = true)
+      // Commit-after-write ordering: the watermark moves only once every
+      // table landed, so a failed run re-reads the same window and dedup
+      // collapses the duplicates (exactly the reference's tolerance level).
+      // The committed value is the wire string of the chronologically max
+      // updatedAt (null-guarded: an all-null window commits nothing).
+      val newWm = bounded
+        .agg(max_by(col("updatedAt"), updatedTs).as("wm"))
+        .collect()(0).getString(0)
+      Option(newWm).foreach(w => state.foreach(_.set(stateKey, w)))
+      RunStats(nIssues, nMetrics, nChangelog, nWithoutMetrics, Option(newWm).orElse(watermark), uploaded = true)
+    } finally bounded.unpersist()
   }
 }

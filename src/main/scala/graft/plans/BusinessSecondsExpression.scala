@@ -15,8 +15,12 @@ import graft.functions.BusinessTime
   * a ScalaUDF node boxes both timestamps into `java.time.Instant`, breaks
   * the whole-stage-codegen span it sits in, and blocks null-intolerant
   * optimizations. This expression stays inside codegen — `doGenCode` emits
-  * a call on the primitive micros longs — and declares its input types so
-  * Catalyst inserts casts instead of failing at runtime.
+  * a call on the primitive micros longs. Inputs must already be
+  * TimestampType (checkInputDataTypes rejects others; no implicit casts).
+  *
+  * Null semantics: standard SQL (null in → null out), unlike the UDF,
+  * which coerces null inputs to 0 — callers that relied on the UDF's 0
+  * must coalesce explicitly.
   */
 final case class BusinessSeconds(left: Expression, right: Expression)
     extends BinaryExpression {

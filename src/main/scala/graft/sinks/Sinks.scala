@@ -27,8 +27,10 @@ final class ConsoleSink(rows: Int = 20) extends Sink {
   */
 object Retry {
   def withBackoff[T](tries: Int = 3, baseDelayMs: Long = 500, factor: Double = 2.5,
-                     jitter: Boolean = true, seed: Long = 42L)(op: => T): T = {
-    val rnd = new scala.util.Random(seed)
+                     jitter: Boolean = true, seed: Option[Long] = None)(op: => T): T = {
+    // unseeded by default — a fixed seed would give every partition the
+    // identical "jitter", defeating its thundering-herd purpose
+    val rnd = seed.map(new scala.util.Random(_)).getOrElse(new scala.util.Random())
     var attempt = 0
     var delay = baseDelayMs.toDouble
     while (true) {

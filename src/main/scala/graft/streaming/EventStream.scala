@@ -32,8 +32,10 @@ object EventStream {
 
   /** Run a stream to completion over the currently-available input
     * (Trigger.AvailableNow) into an in-memory table; returns the result.
-    * The scheduled-interval deployment uses the same writer with
-    * `Trigger.ProcessingTime("30 minutes")`.
+    * NOTE: complete output mode (required by the memory sink for a full
+    * table readback) retains all window state — a resident deployment
+    * (`Trigger.ProcessingTime("30 minutes")`) must use update/append mode
+    * against a real sink so the watermark actually evicts state.
     */
   def runAvailableNow(out: DataFrame, queryName: String, checkpoint: String): Array[Row] = {
     val writer: DataStreamWriter[Row] = out.writeStream

@@ -49,10 +49,29 @@ class DedupSpec extends SparkSuite {
     assert(big.getAs[Long]("canonical_id") == 1L)
   }
 
-  test("shingles produces k-grams") {
+  test("shingles produces k-grams; short docs yield an empty array, not [null]") {
     val out = spark.sql("SELECT 1").select(Dedup.shingles(lit("a b c d"), 3).as("s"))
       .as[Seq[String]].collect()(0)
     assert(out == Seq("a b c", "b c d"))
+    val short = spark.sql("SELECT 1").select(Dedup.shingles(lit("a b"), 3).as("s"))
+      .as[Seq[String]].collect()(0)
+    assert(short == Seq.empty)
+  }
+
+  test("two short docs are NOT reported as hashed-ngram duplicates") {
+    val df = Seq((1L, "one"), (2L, "two"), (3L, "three")).toDF("doc_id", "text")
+    val g = df.select(col("doc_id"), transform(Dedup.wordNgrams(col("text"), 2), x => xxhash64(x)).as("ng"))
+    val l = g.select(col("doc_id").as("a"), col("ng").as("nga"))
+    val r = g.select(col("doc_id").as("b"), col("ng").as("ngb"))
+    val pairs = l.crossJoin(r).where(col("a") < col("b"))
+      .withColumn("j", Dedup.jaccard(col("nga"), col("ngb")))
+      .where(col("j") >= 0.3)
+    assert(pairs.count() == 0)
+  }
+
+  test("simHashPairs rejects maxHamming >= chunks (pigeonhole would lose pairs)") {
+    intercept[IllegalArgumentException](
+      Dedup.simHashPairs(docs, "text", "doc_id", chunks = 4, maxHamming = 4))
   }
 
   /** Brute-force pairs with exact Jaccard >= threshold. */

@@ -208,6 +208,18 @@ class IssuePipelineSpec extends SparkSuite {
     assert(out.getString(2) == "test")
   }
 
+  test("watermark compares instants, not wire strings (mixed UTC offsets)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wm").toString
+    val state = new MemoryStateStore
+    // committed watermark 18:00+0300 == 15:00Z; an issue updated 16:30Z IS
+    // newer even though its wire string sorts lexicographically lower
+    state.set("last_update_at", "2024-01-09T18:00:00.000+0300")
+    val src = raw(issue("TEST-9", "Open", updatedAt = "2024-01-09T16:30:00.000+0000"))
+    val r = IssuePipeline.run(src, sink = new ParquetSink(dir), state = Some(state))
+    assert(r.uploaded && r.issuesProcessed == 1)
+    assert(state.get("last_update_at").contains("2024-01-09T16:30:00.000+0000"))
+  }
+
   test("stateful run: watermark commit and incremental re-run") {
     val dir = java.nio.file.Files.createTempDirectory("graft-sink").toString
     val state = new MemoryStateStore
