@@ -63,6 +63,7 @@ object SparkEntry {
     "dedup_minhash" -> (L.dedupMinhash _),
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),
+    "dedup_embedding" -> (L.dedupEmbedding _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

@@ -229,4 +229,30 @@ object Dedup {
 
   /** Word n-grams as distinct strings (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int): Column = shingles(text, n)
+
+  /** Embedding-cosine near-dup pairs: random-hyperplane LSH buckets
+    * generate candidates (one side multi-probes Hamming-1 buckets to
+    * recover boundary pairs), exact cosine verifies. Bucketed equi-join —
+    * never an all-pairs comparison; near-identical vectors agree on all
+    * hyperplane signs with high probability, so recall concentrates
+    * exactly where near-dup thresholds live (cosine ≥ ~0.95).
+    */
+  def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                           threshold: Double = 0.9, planes: Int = 8, probes: Int = 8,
+                           seed: Long = 42L): DataFrame = {
+    val bucketed = embs.select(
+      col(idCol), col(vecCol),
+      Similarity.lshBucket(col(vecCol), dim, planes, seed).as("b0"))
+    val probeCols = array((lit(0L) +: (0 until math.min(probes, planes)).map(i => lit(1L << i))): _*)
+    val l = bucketed
+      .select(col(idCol).as("a"), col(vecCol).as("va"), col("b0"), explode(probeCols).as("flip"))
+      .withColumn("bucket", col("b0").bitwiseXOR(col("flip")))
+      .drop("flip", "b0")
+    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("b0").as("bucket"))
+    l.join(r, "bucket").where(col("a") < col("b"))
+      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("a"), col("b"), col("cosine"))
+      .distinct()
+  }
 }

@@ -108,6 +108,19 @@ class DedupSpec extends SparkSuite {
     assert(got.nonEmpty) // planted near-dups are within Hamming 3
   }
 
+  test("embeddingCosinePairs finds planted near-identical embeddings") {
+    val rnd = new scala.util.Random(13)
+    val base = (0 until 60).map(i => (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat)))
+    // plant 10 near-dups: tiny perturbation of vectors 0..9 (cosine ~0.9999)
+    val dups = (0 until 10).map { i =>
+      (200L + i, base(i)._2.map(x => x + 0.001f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("vec_id", "embedding")
+    val got = Dedup.embeddingCosinePairs(df, "vec_id", "embedding", dim = 16, threshold = 0.95, planes = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got == (0 until 10).map(i => (i.toLong, 200L + i)).toSet)
+  }
+
   test("minHash candidate generation is bucketed, not quadratic") {
     val n = docs.count()
     val cands = Dedup.minHashCandidates(docs, "text", "doc_id").count()
