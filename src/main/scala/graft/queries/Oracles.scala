@@ -313,11 +313,11 @@ object Oracles {
          |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
     "dedup_ngram" ->
-      s"""WITH g AS (${shingleSelect(2, ", lang", " WHERE doc_id % 2 = 0")})
+      s"""WITH g AS (${shingleSelect(2, ", lang, n_chars", " WHERE doc_id % 2 = 0")})
          |SELECT a, b, jaccard FROM (
          |  SELECT x.doc_id AS a, y.doc_id AS b,
          |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard
-         |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id)
+         |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 50)
          |WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
