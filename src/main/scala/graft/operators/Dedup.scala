@@ -230,25 +230,35 @@ object Dedup {
   /** Word n-grams as distinct strings (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int): Column = shingles(text, n)
 
-  /** Embedding-cosine near-dup pairs: random-hyperplane LSH buckets
-    * generate candidates (one side multi-probes Hamming-1 buckets to
-    * recover boundary pairs), exact cosine verifies. Bucketed equi-join —
-    * never an all-pairs comparison; near-identical vectors agree on all
-    * hyperplane signs with high probability, so recall concentrates
-    * exactly where near-dup thresholds live (cosine ≥ ~0.95).
+  /** Embedding-cosine near-dup pairs: multi-TABLE random-hyperplane LSH
+    * (the classic L-hash-tables construction) generates candidates, exact
+    * cosine verifies. Each of `tables` independent bucketings contributes
+    * (1+probes)/2^planes of the random-pair mass, so candidate volume is
+    * ~n²·tables·(1+probes)/2^(planes+1) — subquadratic at the default
+    * 4×16-plane configuration (÷~1800), while recall for near-identical
+    * vectors (cosine ≥ 0.99, where near-dup thresholds live) stays ≈1
+    * because missing a pair requires a sign flip in every table.
+    *
+    * The bucket self-join recomputes the (narrow, column-pruned) bucket
+    * projection per side — the deliberate trade against collect_set
+    * bucket-local pairing, which materializes whole skewed buckets of
+    * vectors in single rows (clustered embeddings make giant buckets).
     */
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
-                           threshold: Double = 0.9, planes: Int = 8, probes: Int = 8,
-                           seed: Long = 42L): DataFrame = {
-    val bucketed = embs.select(
-      col(idCol), col(vecCol),
-      Similarity.lshBucket(col(vecCol), dim, planes, seed).as("b0"))
-    val probeCols = array((lit(0L) +: (0 until math.min(probes, planes)).map(i => lit(1L << i))): _*)
-    val l = bucketed
-      .select(col(idCol).as("a"), col(vecCol).as("va"), col("b0"), explode(probeCols).as("flip"))
-      .withColumn("bucket", col("b0").bitwiseXOR(col("flip")))
-      .drop("flip", "b0")
-    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("b0").as("bucket"))
+                           threshold: Double = 0.9, planes: Int = 16, probes: Int = 8,
+                           tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val bucketed = (0 until tables).map { t =>
+      embs.select(
+        col(idCol), col(vecCol),
+        // table id in the high bits keeps tables disjoint; Hamming-1 probe
+        // flips stay below 2^planes so they never cross tables
+        (lit(t.toLong * (1L << planes)) +
+          Similarity.lshBucket(col(vecCol), dim, planes, seed + t)).as("bucket"))
+    }.reduce(_ unionByName _)
+    val l = Similarity.multiProbe(
+      bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket")),
+      "bucket", planes, probes)
+    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
     l.join(r, "bucket").where(col("a") < col("b"))
       .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
       .where(col("cosine") >= threshold)

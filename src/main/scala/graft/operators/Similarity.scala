@@ -140,6 +140,17 @@ object Similarity {
       when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Multi-probe expansion: each row lands in its own bucket plus the
+    * first `probes` buckets at Hamming distance 1 (shared by lshTopK and
+    * Dedup.embeddingCosinePairs so probing behavior cannot drift).
+    */
+  def multiProbe(df: DataFrame, bucketCol: String, planes: Int, probes: Int): DataFrame = {
+    val probeCols = array((lit(0L) +: (0 until math.min(probes, planes)).map(i => lit(1L << i))): _*)
+    df.withColumn("_flip", explode(probeCols))
+      .withColumn(bucketCol, col(bucketCol).bitwiseXOR(col("_flip")))
+      .drop("_flip")
+  }
+
   /** LSH-bucketed approximate top-k: queries and candidates are bucketed
     * by hyperplane signs; scoring happens only inside matching buckets
     * (equi-join on bucket id — no cartesian product). Multi-probe: each
@@ -153,14 +164,8 @@ object Similarity {
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshBucket(col(vecCol), dim, planes, seed).as("b0"))
-    // multi-probe: own bucket + flipping each of the first `probes` bits
-    val probeCols = array((lit(0L) +: (0 until math.min(probes, planes)).map(i => lit(1L << i))): _*)
-    val q = broadcast(
-      qBase.select(col("query_id"), col("qv"), col("b0"),
-        explode(probeCols).as("flip"))
-        .withColumn("bucket", col("b0").bitwiseXOR(col("flip")))
-        .drop("flip", "b0"))
+      lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
+    val q = broadcast(multiProbe(qBase, "bucket", planes, probes))
     val scored = q.join(c, "bucket")
       .withColumn("cosine", cosine(col("qv"), col("cv")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))

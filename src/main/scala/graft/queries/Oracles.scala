@@ -327,15 +327,14 @@ object Oracles {
          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
 
-    // all-pairs reference; list_cosine_similarity is safe here because the
-    // max pair cosine in this corpus (≈0.51) is far from the 0.6 threshold,
-    // so last-ulp arithmetic differences cannot flip membership
+    // all-pairs reference with the SAME left-fold double arithmetic as the
+    // Spark side, so any pair both engines emit hash-matches bit-for-bit
     "dedup_embedding" ->
-      """SELECT a, b, cosine FROM (
-        |  SELECT x.vec_id AS a, y.vec_id AS b,
-        |    list_cosine_similarity(x.embedding, y.embedding)::DOUBLE AS cosine
-        |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-        |WHERE cosine >= 0.6 ORDER BY a, b""".stripMargin,
+      s"""SELECT a, b, cosine FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cosine
+         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         |WHERE cosine >= 0.6 ORDER BY a, b""".stripMargin,
 
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -39,7 +39,15 @@ object ClickHouseDDL {
                   orderBy: Seq[String], partitionBy: String = "toYYYYMM(version)"): String = {
     val cols = schema.fields.map { f =>
       val nullable = f.nullable && !orderBy.contains(f.name) && f.name != "version"
-      s"  `${f.name}` ${chType(f.dataType, nullable)}"
+      // nullable dates/timestamps follow the reference DDL exactly
+      // (`Date DEFAULT 0`, migrations 000001:22-29): the sink omits null
+      // fields from JSONEachRow (P11) so the DEFAULT applies; the explicit
+      // clause also protects strict servers (input_format_null_as_default=0)
+      val default = f.dataType match {
+        case DateType | TimestampType | TimestampNTZType if nullable => " DEFAULT 0"
+        case _ => ""
+      }
+      s"  `${f.name}` ${chType(f.dataType, nullable)}$default"
     }.mkString(",\n")
     s"""CREATE TABLE IF NOT EXISTS $database.$table (
        |$cols

@@ -30,7 +30,7 @@ class SparkEntrySpec extends SparkSuite {
       try {
         val n = fn(spark, "/root/testdata/sf0.001").count()
         if (n > 0 || emptyOk(name)) None else Some(s"$name: 0 rows")
-      } catch { case e: Throwable => Some(s"$name: ${e.getMessage.take(100)}") }
+      } catch { case e: Throwable => Some(s"$name: ${String.valueOf(e.getMessage).take(100)}") }
     }
     assert(failures.isEmpty, failures.mkString("; "))
   }
