@@ -48,6 +48,19 @@ object Retry {
   }
 }
 
+/** S6/S7: raw-SQL client ≙ ClickhouseClient (services/clickhouse.py:72-128)
+  * — arbitrary statement execution behind the retry policy, plus the
+  * explicit `OPTIMIZE TABLE ... FINAL` dedup compaction trigger. In this
+  * engine dedup is a first-class operator (Dedup.latestByKey) applied
+  * before the sink, so `deduplicate` exists for wire-compatibility with
+  * deployments that still rely on storage-side collapse.
+  */
+final class ClickHouseClient(transport: String => String, tries: Int = 3) {
+  def execute(sql: String): String = Retry.withBackoff(tries = tries)(transport(sql))
+  def deduplicate(database: String, table: String): String =
+    execute(s"OPTIMIZE TABLE $database.$table FINAL")
+}
+
 /** ClickHouse batch-insert sink ≙ `insert_batch`
   * (services/clickhouse.py:110-123): rows serialized to JSONEachRow, one
   * `INSERT INTO db.table FORMAT JSONEachRow` statement per batch, retried

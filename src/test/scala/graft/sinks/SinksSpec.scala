@@ -32,6 +32,17 @@ class SinksSpec extends SparkSuite {
     assert(payload.contains(""""issue_key":"K-2""""))
   }
 
+  test("ClickHouseClient executes raw SQL with retry and issues OPTIMIZE FINAL") {
+    val seen = mutable.Buffer.empty[String]
+    var failures = 1
+    val client = new ClickHouseClient({ sql =>
+      if (failures > 0) { failures -= 1; throw new RuntimeException("transient") }
+      seen += sql; "ok"
+    })
+    assert(client.deduplicate("agile", "issues") == "ok")
+    assert(seen == Seq("OPTIMIZE TABLE agile.issues FINAL"))
+  }
+
   test("Retry.withBackoff retries then succeeds / exhausts") {
     var calls = 0
     val r = Retry.withBackoff(tries = 3, baseDelayMs = 1) {
