@@ -19,6 +19,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "business_seconds(start, end) takes 2 arguments")
         BusinessSeconds(children.head, children(1))
       }))
+    ext.injectFunction((
+      FunctionIdentifier("snake_case"),
+      SnakeCase.info,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "snake_case(str) takes 1 argument")
+        SnakeCase(children.head)
+      }))
   }
 }
 
@@ -27,8 +34,11 @@ object GraftExtensions {
   def businessSecondsExpr(start: Column, end: Column): Column =
     call_function("business_seconds", start, end)
 
+  /** Column-API form of the native one-pass snake_case. */
+  def snakeCaseExpr(c: Column): Column = call_function("snake_case", c)
+
   /** Register the SQL functions on an already-built session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("business_seconds"),
       BusinessSeconds.info,
@@ -36,4 +46,12 @@ object GraftExtensions {
         require(children.length == 2, "business_seconds(start, end) takes 2 arguments")
         BusinessSeconds(children.head, children(1))
       })
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("snake_case"),
+      SnakeCase.info,
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "snake_case(str) takes 1 argument")
+        SnakeCase(children.head)
+      })
+  }
 }
