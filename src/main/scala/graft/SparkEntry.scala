@@ -44,6 +44,7 @@ object SparkEntry {
     "q1_pricing_summary" -> (C.q1PricingSummary _),
     // §2.8 scalar functions
     "f1_snake_case" -> (C.f1SnakeCase _),
+    "f1_snake_case_native" -> (C.f1SnakeCaseNative _),
     "f2_strip_emoji" -> (C.f2StripEmoji _),
     "f3_datetime_convert" -> (C.f3DatetimeConvert _),
     "f4_timedelta" -> (C.f4Timedelta _),

@@ -194,6 +194,21 @@ object CoreQueries {
         StringFns.snakeCase(col("p_brand")).as("sn_brand"))
       .orderBy(col("p_partkey"))
 
+  /** F1 via the native one-pass Catalyst expression
+    * ([[graft.plans.SnakeCase]]) — same oracle as f1_snake_case, so the
+    * driver verifies the custom expression end-to-end against DuckDB.
+    */
+  def f1SnakeCaseNative(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    Tables.part(s, d)
+      .select(
+        col("p_partkey"),
+        graft.plans.GraftExtensions.snakeCaseExpr(col("p_name")).as("sn_name"),
+        graft.plans.GraftExtensions.snakeCaseExpr(col("p_type")).as("sn_type"),
+        graft.plans.GraftExtensions.snakeCaseExpr(col("p_brand")).as("sn_brand"))
+      .orderBy(col("p_partkey"))
+  }
+
   /** F2: emoji strip (emoji appended then removed — result must equal the
     * plain prefix).
     */

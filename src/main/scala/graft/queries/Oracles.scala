@@ -199,6 +199,10 @@ object Oracles {
       s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
          |FROM part ORDER BY p_partkey""".stripMargin,
 
+    "f1_snake_case_native" ->
+      s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
+         |FROM part ORDER BY p_partkey""".stripMargin,
+
     "f2_strip_emoji" ->
       """SELECT doc_id, regexp_replace(substr(text, 1, 20) || '😎🚀', '[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}\x{1F1E0}-\x{1F1FF}]+', '', 'g') AS clean
         |FROM documents ORDER BY doc_id""".stripMargin,
