@@ -23,17 +23,26 @@ import org.apache.spark.sql.functions.udf
   */
 object BusinessTime extends Serializable {
 
-  /** Default work-window config (reference `config.py:193-195`). */
+  /** Default work-window config (reference `config.py:193-195`).
+    *
+    * `holidayDates` covers recurring fixed-date holidays; `extraHolidays`
+    * takes full `LocalDate`s so a year-specific calendar (weekend
+    * substitutions, decreed non-working days — what `holidays.RU()`
+    * resolves per year in the reference) can be injected as data.
+    */
   final case class Calendar(
       startHour: Int = 9,
       endHour: Int = 22,
       workDays: Set[DayOfWeek] = Set(
         DayOfWeek.MONDAY, DayOfWeek.TUESDAY, DayOfWeek.WEDNESDAY,
         DayOfWeek.THURSDAY, DayOfWeek.FRIDAY),
-      holidayDates: Set[MonthDay] = ruFixedHolidays
+      holidayDates: Set[MonthDay] = ruFixedHolidays,
+      extraHolidays: Set[LocalDate] = Set.empty
   ) extends Serializable {
     def isWorkday(d: LocalDate): Boolean =
-      workDays.contains(d.getDayOfWeek) && !holidayDates.contains(MonthDay.from(d))
+      workDays.contains(d.getDayOfWeek) &&
+        !holidayDates.contains(MonthDay.from(d)) &&
+        !extraHolidays.contains(d)
   }
 
   val ruFixedHolidays: Set[MonthDay] = Set(

@@ -38,6 +38,14 @@ class BusinessTimeSpec extends SparkSuite {
     assert(BusinessTime.businessSeconds(dt("2023-10-16T07:00:00"), dt("2023-10-16T10:00:00")) == 3600L)
   }
 
+  test("year-specific extra holidays (decreed non-working days) are injectable") {
+    // 2024-04-29 was a decreed non-working Monday in RU (May-holiday bridge)
+    val cal = BusinessTime.Calendar(extraHolidays = Set(java.time.LocalDate.of(2024, 4, 29)))
+    assert(BusinessTime.businessSeconds(dt("2024-04-29T10:00:00"), dt("2024-04-29T12:00:00"), cal) == 0L)
+    // same Monday without the injection counts normally
+    assert(BusinessTime.businessSeconds(dt("2024-04-29T10:00:00"), dt("2024-04-29T12:00:00")) == 7200L)
+  }
+
   test("0 <= businessSeconds <= wall-clock seconds (ScalaCheck property)") {
     val anchor = dt("2024-03-01T00:00:00")
     val prop = Prop.forAll(Gen.choose(0L, 60L * 86400), Gen.choose(0L, 60L * 86400)) { (a, b) =>
