@@ -21,6 +21,12 @@ import graft.functions.BusinessTime
   * Null semantics: standard SQL (null in → null out), unlike the UDF,
   * which coerces null inputs to 0 — callers that relied on the UDF's 0
   * must coalesce explicitly.
+  *
+  * Calendar: this SQL function is pinned to the DEFAULT calendar. A
+  * deployment injecting a custom calendar (year-specific holidays,
+  * different hours) must use [[BusinessTime.businessSecondsUdf]], which
+  * takes the calendar as a parameter — mixing the two paths with a
+  * non-default calendar silently diverges.
   */
 final case class BusinessSeconds(left: Expression, right: Expression)
     extends BinaryExpression {

@@ -37,8 +37,11 @@ object GraftExtensions {
   /** Column-API form of the native one-pass snake_case. */
   def snakeCaseExpr(c: Column): Column = call_function("snake_case", c)
 
-  /** Register the SQL functions on an already-built session. */
+  /** Register the SQL functions on an already-built session (idempotent —
+    * repeated calls from query constructors don't re-replace builders).
+    */
   def register(spark: SparkSession): Unit = {
+    if (spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("snake_case"))) return
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("business_seconds"),
       BusinessSeconds.info,

@@ -28,10 +28,10 @@ final case class SnakeCase(child: Expression) extends UnaryExpression {
     else TypeCheckResult.TypeCheckFailure(s"snake_case expects string, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
-    SnakeCase.eval(input.asInstanceOf[UTF8String])
+    SnakeCase.convert(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.plans.SnakeCase.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.plans.SnakeCase.convert($c)")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -49,8 +49,13 @@ object SnakeCase {
   private def isWordCls(c: Int): Boolean =
     isLowerCls(c) || isUpperCls(c) || isDigit(c) || c == '_'
 
-  /** Static entry the generated code calls. */
-  def eval(input: UTF8String): UTF8String = {
+  /** Static entry the generated code calls. Named `convert`, NOT `eval`:
+    * the companion's case class inherits `Expression.eval`, and Scala
+    * suppresses static forwarders whose name collides with a companion
+    * member — a static `eval` would never exist, Janino would fail to
+    * resolve it, and Spark would silently fall back to interpreted mode.
+    */
+  def convert(input: UTF8String): UTF8String = {
     val s = input.toString
     // blank check mirrors Spark's trim(): SPACES only (Java's String.trim
     // also strips tabs/control chars and would diverge — fuzz-caught)

@@ -84,6 +84,10 @@ object Oracles {
        |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
+  private lazy val snakeCaseOracle: String =
+    s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
+       |FROM part ORDER BY p_partkey""".stripMargin
+
   private val intervalsCte =
     s"""SELECT user_id, event_id, ts, event_type,
        |  coalesce(lag(event_type) OVER w, 'created') AS from_status,
@@ -195,13 +199,11 @@ object Oracles {
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    "f1_snake_case" ->
-      s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
-         |FROM part ORDER BY p_partkey""".stripMargin,
+    "f1_snake_case" -> snakeCaseOracle,
 
-    "f1_snake_case_native" ->
-      s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
-         |FROM part ORDER BY p_partkey""".stripMargin,
+    // identical by construction: the native expression is verified against
+    // the very same SQL as the regex chain
+    "f1_snake_case_native" -> snakeCaseOracle,
 
     "f2_strip_emoji" ->
       """SELECT doc_id, regexp_replace(substr(text, 1, 20) || '😎🚀', '[\x{1F600}-\x{1F64F}\x{1F300}-\x{1F5FF}\x{1F680}-\x{1F6FF}\x{1F1E0}-\x{1F1FF}]+', '', 'g') AS clean

@@ -55,8 +55,10 @@ object Retry {
   * before the sink, so `deduplicate` exists for wire-compatibility with
   * deployments that still rely on storage-side collapse.
   */
-final class ClickHouseClient(transport: String => String, tries: Int = 3) {
-  def execute(sql: String): String = Retry.withBackoff(tries = tries)(transport(sql))
+final class ClickHouseClient(transport: String => String, tries: Int = 3,
+                             baseDelayMs: Long = 500) {
+  def execute(sql: String): String =
+    Retry.withBackoff(tries = tries, baseDelayMs = baseDelayMs)(transport(sql))
   def deduplicate(database: String, table: String): String =
     execute(s"OPTIMIZE TABLE $database.$table FINAL")
 }

@@ -15,6 +15,7 @@ class BucketedJoinSpec extends SparkSuite {
   test("issues join metrics over bucketed tables plans no Exchange") {
     // (warehouse dir is a static conf; tables land in ./spark-warehouse
     // and DROP TABLE below removes the managed files)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the non-broadcast path
     try {
       val p = IssuePipeline.transform(PipelineFixture.raw(spark),
@@ -33,7 +34,7 @@ class BucketedJoinSpec extends SparkSuite {
     } finally {
       spark.sql("DROP TABLE IF EXISTS b_issues")
       spark.sql("DROP TABLE IF EXISTS b_metrics")
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", 10485760L)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
     }
   }
 }

@@ -43,6 +43,20 @@ class SnakeCaseExpressionSpec extends SparkSuite {
       assert(r.getString(1) == r.getString(2), s"input '${r.getString(0)}': native=${r.getString(1)} regex=${r.getString(2)}")
   }
 
+  test("generated code actually compiles (no silent interpreted fallback)") {
+    assert(registered)
+    // with fallback disabled, a codegen compile error (e.g. a missing
+    // static forwarder — the eval-name collision this guards against)
+    // would throw instead of silently running interpreted
+    val saved = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val out = graft.sources.Tables.part(spark, "/root/testdata/sf0.001")
+        .select(GraftExtensions.snakeCaseExpr(col("p_name")).as("s"))
+      assert(out.count() > 0)
+    } finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
   test("null passthrough and SQL callability") {
     assert(registered)
     val r = spark.sql("SELECT snake_case('PascalCase') AS a, snake_case(CAST(NULL AS STRING)) AS n").collect()(0)

@@ -38,7 +38,7 @@ class SinksSpec extends SparkSuite {
     val client = new ClickHouseClient({ sql =>
       if (failures > 0) { failures -= 1; throw new RuntimeException("transient") }
       seen += sql; "ok"
-    })
+    }, baseDelayMs = 1)
     assert(client.deduplicate("agile", "issues") == "ok")
     assert(seen == Seq("OPTIMIZE TABLE agile.issues FINAL"))
   }
