@@ -256,7 +256,8 @@ object Oracles {
         |  (TIMESTAMP '2024-01-09 11:00:00', 'TEST-1', 'open', 1, 3600, '1h', 3600, '1h'),
         |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-1', 'ready_for_release', 1, 3600, '1h', 3600, '1h'),
         |  (TIMESTAMP '2024-01-09 14:00:00', 'TEST-1', 'testing', 2, 7200, '2h', 7200, '2h'),
-        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-3', 'open', 1, 28800, '8h', 28800, '8h')
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-3', 'open', 1, 28800, '8h', 28800, '8h'),
+        |  (TIMESTAMP '2024-01-09 12:00:00', 'TEST-4', 'selectedfordev', 1, 7200, '2h', 7200, '2h')
         |) AS t(last_seen, issue_key, status_name, status_transitions_count, duration,
         |       human_readable_duration, busdays_duration, human_readable_busdays_duration)
         |ORDER BY issue_key, status_name""".stripMargin,
@@ -271,7 +272,10 @@ object Oracles {
         |   TIMESTAMP '2024-01-09 10:00:00', NULL::TIMESTAMP, DATE '2024-01-11'),
         |  ('TEST-3', 'TEST', 'Walkthrough', 'task', 'normal', 'closed', 'fixed',
         |   'dev@example.com', 'myproject', true, true, false, false, 3.0,
-        |   TIMESTAMP '2024-01-09 10:00:00', TIMESTAMP '2024-01-09 19:00:00', DATE '2024-01-11')
+        |   TIMESTAMP '2024-01-09 10:00:00', TIMESTAMP '2024-01-09 19:00:00', DATE '2024-01-11'),
+        |  ('TEST-4', 'TEST', 'Walkthrough', 'task', 'normal', 'inprogress', NULL,
+        |   'dev@example.com', 'myproject', false, false, false, false, 3.0,
+        |   TIMESTAMP '2024-01-09 10:00:00', NULL::TIMESTAMP, DATE '2024-01-11')
         |) AS t(issue_key, queue, title, issue_type, priority, status, resolution, assignee,
         |       project, is_closed, is_resolved, is_subtask, was_moved, story_points,
         |       created_at, closed_at, deadline)

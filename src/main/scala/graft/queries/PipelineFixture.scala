@@ -55,7 +55,12 @@ object PipelineFixture {
         issue("TEST-1", "Closed", changelog = walkthroughEvents),
         issue("TEST-2", "Open"),
         issue("TEST-3", "Closed", resolution = "Fixed", resolvedAt = t("19:00"),
-          changelog = Seq(wfEvent(t("18:00"), Seq(statusField("Open", "Closed"), dtField(null, t("18:00")))))))),
+          changelog = Seq(wfEvent(t("18:00"), Seq(statusField("Open", "Closed"), dtField(null, t("18:00")))))),
+        // CamelCase status/type names: the reference lowercases BEFORE
+        // snake_casing ('InProgress' → 'inprogress'), and this row makes
+        // the driver's oracle catch any drift in that composition
+        issue("TEST-4", "InProgress",
+          changelog = Seq(wfEvent(t("12:00"), Seq(statusField("SelectedForDev", "InProgress"), dtField(null, t("12:00")))))))),
       Schemas.rawIssue)
 
   /** Metric rows of the walkthrough corpus (A1 end-to-end). */

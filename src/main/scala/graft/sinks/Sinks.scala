@@ -34,13 +34,25 @@ object Retry {
     var attempt = 0
     var delay = baseDelayMs.toDouble
     while (true) {
+      // Only NonFatal errors are retried: sleeping through an OutOfMemoryError
+      // (or swallowing an InterruptedException — an executor kill signal
+      // inside foreachPartition) would mask conditions retrying cannot fix.
       try return op
       catch {
-        case e: Throwable =>
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw e
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt >= tries) throw e
           val sleep = delay + (if (jitter) rnd.nextDouble() * delay * 0.1 else 0.0)
-          Thread.sleep(sleep.toLong)
+          try Thread.sleep(sleep.toLong)
+          catch {
+            case ie: InterruptedException =>
+              Thread.currentThread().interrupt()
+              ie.addSuppressed(e)
+              throw ie
+          }
           delay *= factor
       }
     }

@@ -15,12 +15,18 @@ trait StateStore {
   def delete(key: String): Unit
 }
 
-/** Flat string-map JSON file via Hadoop FS (atomic-enough single-writer
-  * semantics, same as the reference's whole-document flush,
-  * state/backends.py:101-141).
+/** Flat string-map JSON file via Hadoop FS, written atomically: flush
+  * goes to a sibling temp path and renames over the target, so a crash
+  * mid-write can never leave a truncated document behind (the reference's
+  * whole-document flush, state/backends.py:101-141, has the same
+  * read-modify-write semantics but overwrites in place). A state file
+  * that exists but does not parse as a flat string map raises instead of
+  * silently returning empty — an empty map here would quietly drop the
+  * watermark and trigger a full-corpus rescan.
   */
 final class FileStateStore(uri: String, conf: Configuration = new Configuration()) extends StateStore {
   private val path = new Path(uri)
+  private val tmpPath = new Path(path.getParent, "." + path.getName + ".tmp")
   private def fs: FileSystem = path.getFileSystem(conf)
 
   private def escape(s: String): String = s.flatMap {
@@ -60,6 +66,13 @@ final class FileStateStore(uri: String, conf: Configuration = new Configuration(
     if (!fs.exists(path)) return Map.empty
     val in = fs.open(path)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    // Anything left after removing the recognized pairs must be object
+    // punctuation — otherwise the file is corrupt and we refuse to guess.
+    val leftover = pair.replaceAllIn(text, "").replaceAll("[\\s{},]+", "")
+    if (leftover.nonEmpty || text.trim.isEmpty)
+      throw new IllegalStateException(
+        s"state file $path is not a flat string-map JSON document; " +
+          "refusing to return an empty watermark state from corrupt content")
     pair.findAllMatchIn(text).map(m => unescape(m.group(1)) -> unescape(m.group(2))).toMap
   }
 
@@ -67,8 +80,22 @@ final class FileStateStore(uri: String, conf: Configuration = new Configuration(
     val json = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${escape(k)}": "${escape(v)}"""" }
       .mkString("{", ", ", "}")
-    val out = fs.create(path, true)
+    val out = fs.create(tmpPath, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
+    // rename is atomic on POSIX local FS (overwrites in place) and
+    // consistent under the Hadoop FS contract on object stores — readers
+    // see the old or the new document, never a prefix of the new one. Some
+    // FS impls refuse to rename over an existing target; for those, fall
+    // back to delete+rename (worst crash case: no file = fresh start,
+    // still never a partial document).
+    val renamed =
+      try fs.rename(tmpPath, path)
+      catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
+    if (!renamed) {
+      if (fs.exists(path)) fs.delete(path, false)
+      if (!fs.rename(tmpPath, path))
+        throw new IllegalStateException(s"atomic state flush failed: rename $tmpPath -> $path")
+    }
   }
 
   def get(key: String): Option[String] = load().get(key)

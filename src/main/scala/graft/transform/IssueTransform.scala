@@ -116,10 +116,15 @@ object IssueTransform {
       col("key").as("issue_key"),
       col("queue.key").as("queue"),
       StringFns.stripEmoji(col("summary")).as("title"),
-      StringFns.snakeCase(col("type.name")).as("issue_type"),
+      // lowercase BEFORE snake_casing (validate_resource low=True then
+      // to_snake_case, helpers.py:91-99 + models/issue.py:83-86): the
+      // reference maps 'InProgress' → 'inprogress', not 'in_progress' —
+      // and workflowEvents' to_status uses the same composition, so the
+      // is_closed/closed_at comparisons below see consistent spellings
+      snakeLower(col("type.name")).as("issue_type"),
       low(col("priority.name")).as("priority"),
-      StringFns.snakeCase(col("status.name")).as("status"),
-      StringFns.snakeCase(col("resolution.name")).as("resolution"),
+      snakeLower(col("status.name")).as("status"),
+      snakeLower(col("resolution.name")).as("resolution"),
       low(col("assignee.email")).as("assignee"),
       low(col("createdBy.email")).as("author"),
       low(col("qaEngineer.email")).as("qa_engineer"),

@@ -179,6 +179,19 @@ class IssuePipelineSpec extends SparkSuite {
     assert(ch.contains(("Status start time", "", "dev@example.com", "IssueWorkflow")))
   }
 
+  test("CamelCase names lowercase BEFORE snake_case (reference composition)") {
+    // validate_resource(low=True) then to_snake_case (helpers.py:91-99,
+    // models/issue.py:83-86): 'InProgress' → 'inprogress', NOT 'in_progress'
+    val ev = Seq(wfEvent(t("12:00"), Seq(statusField("SelectedForDev", "InProgress"), dtField(null, t("12:00")))))
+    val df = raw(issue("TEST-8", "InProgress", resolution = "WontFix", changelog = ev))
+    val r = IssueTransform.issues(df).collect()(0)
+    assert(r.getAs[String]("status") == "inprogress")
+    assert(r.getAs[String]("resolution") == "wontfix")
+    val m = IssueTransform.metrics(IssueTransform.workflowEvents(df), lit(null).cast("timestamp"))
+      .select("status_name").collect().map(_.getString(0))
+    assert(m.toSeq == Seq("selectedfordev"))
+  }
+
   test("changelog export disabled yields an empty changelog table") {
     val p = IssuePipeline.transform(walkthrough, EngineConfig(changelogExportEnabled = false))
     assert(p.changelog.count() == 0)

@@ -43,6 +43,20 @@ class SinksSpec extends SparkSuite {
     assert(seen == Seq("OPTIMIZE TABLE agile.issues FINAL"))
   }
 
+  test("Retry.withBackoff does not retry fatal errors or swallow interrupts") {
+    var calls = 0
+    intercept[OutOfMemoryError] {
+      Retry.withBackoff(tries = 3, baseDelayMs = 1) { calls += 1; throw new OutOfMemoryError("boom") }
+    }
+    assert(calls == 1) // fatal: no retry, no backoff sleep
+    var calls2 = 0
+    intercept[InterruptedException] {
+      Retry.withBackoff(tries = 3, baseDelayMs = 1) { calls2 += 1; throw new InterruptedException("killed") }
+    }
+    assert(calls2 == 1)
+    assert(Thread.interrupted()) // interrupt flag restored (and cleared here)
+  }
+
   test("Retry.withBackoff retries then succeeds / exhausts") {
     var calls = 0
     val r = Retry.withBackoff(tries = 3, baseDelayMs = 1) {
