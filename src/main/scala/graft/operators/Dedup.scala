@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
+
+import graft.plans.MinHashSignature
 
 /** Deduplication operators.
   *
@@ -65,26 +68,50 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     flatten(transform(array(split(lower(trim(text)), "\\s+")), toks => shinglesFromTokens(toks, k)))
 
+  private val MinHashP = 2147483659L // prime > 2^31 (the shingle-hash domain)
+  private val MinHashDom = 1L << 31
+
+  /** Deterministic permutation coefficients, drawn below 2^31 so
+    * `x · a + b < 2^62 + 2^31` never wraps a long under ANSI mode.
+    */
+  private def minHashCoefs(numHashes: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val coefs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    (coefs.map(_._1), coefs.map(_._2))
+  }
+
   /** MinHash signature: `numHashes` permutations h_j(x) = (a_j·x + b_j) mod p
-    * over xxhash64 shingle hashes. Built with one explode + one hash
-    * aggregate (numHashes `min` columns) — a single shuffle keyed by doc id,
-    * partial aggregation on the map side.
-    *
-    * Overflow-safe under ANSI mode: shingle hashes and coefficients are both
-    * drawn below 2^31, so `x * a + b < 2^62 + 2^31` never wraps a long.
+    * over xxhash64 shingle hashes — computed per row by the native codegen
+    * expression [[graft.plans.MinHashSignature]], so the signature build is
+    * SHUFFLE-FREE map work (the previous explode + numHashes-min hash
+    * aggregate shuffled n·shingles rows; at corpus scale that exchange was
+    * the whole operator's bottleneck). Docs with no shingles produce a null
+    * signature and are dropped, matching the explode form's no-rows case.
     */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
-    val p = 2147483659L // prime > 2^31 (the shingle-hash domain)
-    val dom = 1L << 31
-    val rnd = new scala.util.Random(42)
-    val coefs = Seq.fill(numHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+    val (a, b) = minHashCoefs(numHashes)
+    val hashes = transform(shingles(col(textCol), k), x => xxhash64(x))
+    docs
+      .select(
+        col(idCol),
+        ExpressionUtils.column(MinHashSignature(
+          ExpressionUtils.expression(hashes), a, b, MinHashP, MinHashDom)).as("signature"))
+      .where(col("signature").isNotNull)
+  }
+
+  /** Reference aggregate form of [[minHashSignatures]] (kept for
+    * equivalence tests: explode + groupBy with `numHashes` min columns).
+    */
+  def minHashSignaturesAgg(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 3, numHashes: Int = 128): DataFrame = {
+    val (as, bs) = minHashCoefs(numHashes)
     val exploded = docs
       .select(col(idCol), explode(shingles(col(textCol), k)).as("shingle"))
       .where(col("shingle").isNotNull)
-      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(dom)).as("x"))
-    val mins = coefs.zipWithIndex.map { case ((a, b), j) =>
-      min(pmod(col("x") * lit(a) + lit(b), lit(p))).as(s"h$j")
+      .select(col(idCol), pmod(xxhash64(col("shingle")), lit(MinHashDom)).as("x"))
+    val mins = as.zip(bs).zipWithIndex.map { case ((a, b), j) =>
+      min(pmod(col("x") * lit(a) + lit(b), lit(MinHashP))).as(s"h$j")
     }
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(j => col(s"h$j")): _*).as("signature"))
@@ -107,24 +134,50 @@ object Dedup {
       transform(slice(ids, i + 2, size(ids)), y =>
         struct(element_at(ids, i + 1).as("a"), y.as("b")))))
 
-  /** Candidate near-dup pairs: ids are grouped per (band, bucket) and
-    * pairs generated bucket-locally — never across the full corpus, and in
-    * ONE pass (a bucket self-join would recompute the whole signature
-    * lineage for each join side). Bucket sizes are bounded by the LSH
-    * collision rate, so the pair expansion per group stays tiny. Returns
-    * distinct (a, b) with a < b.
+  /** Candidate near-dup pairs: distinct SIGNATURES are banded and paired
+    * bucket-locally, then expanded back to doc ids — never an all-pairs
+    * comparison, and in ONE pass (a bucket self-join would recompute the
+    * whole signature lineage for each join side).
+    *
+    * Collapsing to distinct signatures first is the skew defense: an
+    * exact-duplicate cluster (identical shingle sets ⇒ identical
+    * signatures) collides in EVERY band by construction, which would put
+    * the whole cluster in every bucket row and expand its O(m²) pairs once
+    * per band. Collapsed, the cluster is ONE group element per bucket, its
+    * within-cluster pairs are emitted exactly once, and bucket rows scale
+    * with distinct-signature counts (bounded by the LSH collision rate).
+    * `maxBucketGroups` caps the residual risk of a degenerate band
+    * (hostile/boilerplate corpora): buckets with more distinct signatures
+    * are skipped — a recall trade documented at the call site, recoverable
+    * because a true near-dup pair has `bands` other chances to collide.
+    * Returns distinct (a, b) with a < b.
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, numHashes: Int = 128, bands: Int = 32): DataFrame = {
+                        k: Int = 3, numHashes: Int = 128, bands: Int = 32,
+                        maxBucketGroups: Int = 256): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val buckets = lshBuckets(minHashSignatures(docs, textCol, idCol, k, numHashes), idCol, bands, numHashes / bands)
-    buckets
-      .groupBy(col("band"), col("bucket"))
+    val grouped = minHashSignatures(docs, textCol, idCol, k, numHashes)
+      .groupBy(col("signature"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-      .where(size(col("ids")) > 1)
+
+    // identical signatures: all id pairs inside one signature group
+    val within = grouped.where(size(col("ids")) > 1)
       .select(explode(pairsOf(col("ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+
+    // distinct-signature pairs sharing a band bucket, expanded id-group ×
+    // id-group via streaming explodes (groups are disjoint, so no pair is
+    // produced by both paths)
+    val cross = lshBuckets(grouped, "ids", bands, numHashes / bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(element_at(col("ids"), 1).as("m"), col("ids").as("ids")))).as("gs"))
+      .where(size(col("gs")) > 1 && size(col("gs")) <= maxBucketGroups)
+      .select(explode(pairsOf(col("gs"))).as("p"))
+      .select(explode(col("p.a.ids")).as("x"), col("p.b.ids").as("ib"))
+      .select(col("x"), explode(col("ib")).as("y"))
+      .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
+
+    within.unionByName(cross).distinct()
   }
 
   /** Exact Jaccard similarity of two pre-distinct arrays; null when both
@@ -247,14 +300,15 @@ object Dedup {
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                            threshold: Double = 0.9, planes: Int = 16, probes: Int = 8,
                            tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val bucketed = (0 until tables).map { t =>
-      embs.select(
-        col(idCol), col(vecCol),
-        // table id in the high bits keeps tables disjoint; Hamming-1 probe
-        // flips stay below 2^planes so they never cross tables
-        (lit(t.toLong * (1L << planes)) +
-          Similarity.lshBucket(col(vecCol), dim, planes, seed + t)).as("bucket"))
-    }.reduce(_ unionByName _)
+    // all `tables` bucket ids in ONE scan (an explode of a 4-element
+    // array), not a `tables`-way union re-reading the input per table;
+    // table id in the high bits keeps tables disjoint, and Hamming-1
+    // probe flips stay below 2^planes so they never cross tables
+    val bucketed = embs.select(
+      col(idCol), col(vecCol),
+      explode(array((0 until tables).map { t =>
+        lit(t.toLong * (1L << planes)) + Similarity.lshBucket(col(vecCol), dim, planes, seed + t)
+      }: _*)).as("bucket"))
     val l = Similarity.multiProbe(
       bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket")),
       "bucket", planes, probes)

@@ -1,8 +1,11 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.plans.{DotProduct, HyperplaneBucket}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -15,8 +18,19 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<float|double> columns, computed in double. */
+  /** Σ aᵢ·bᵢ over two array<float|double> columns, computed in double —
+    * a native codegen expression ([[graft.plans.DotProduct]]) with the
+    * identical left-fold arithmetic as [[dotHof]], the interpreted
+    * higher-order-function form it replaced (HOFs are CodegenFallback;
+    * the interpretation overhead dominated every scoring operator).
+    */
   def dot(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(
+      ExpressionUtils.expression(a.cast("array<double>")),
+      ExpressionUtils.expression(b.cast("array<double>"))))
+
+  /** Reference HOF form of [[dot]] (kept for equivalence tests). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a.cast("array<double>"), b.cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
@@ -134,10 +148,20 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
-  /** Sign-of-projection LSH bucket id (one int from `planes` bits). */
+  /** Sign-of-projection LSH bucket id (one long from `planes` bits) — a
+    * single codegen'd planes×dim loop ([[graft.plans.HyperplaneBucket]])
+    * instead of `planes` interpreted per-plane dot-folds; bit-for-bit the
+    * same bucket ids as [[lshBucketHof]] (asserted in SimilaritySpec).
+    */
   def lshBucket(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column =
+    ExpressionUtils.column(HyperplaneBucket(
+      ExpressionUtils.expression(vec.cast("array<double>")),
+      hyperplanes(dim, planes, seed).map(_.toSeq)))
+
+  /** Reference composed form of [[lshBucket]] (kept for equivalence tests). */
+  def lshBucketHof(vec: Column, dim: Int, planes: Int = 12, seed: Long = 42L): Column =
     hyperplanes(dim, planes, seed).zipWithIndex.map { case (p, i) =>
-      when(dot(vec, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(dotHof(vec, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** Multi-probe expansion: each row lands in its own bucket plus the

@@ -126,4 +126,25 @@ class DedupSpec extends SparkSuite {
     val cands = Dedup.minHashCandidates(docs, "text", "doc_id").count()
     assert(cands < n * (n - 1) / 2 / 10, s"candidates $cands vs all pairs ${n * (n - 1) / 2}")
   }
+
+  test("native per-row signatures equal the explode+aggregate reference form") {
+    val native = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    val agg = Dedup.minHashSignaturesAgg(docs, "text", "doc_id", numHashes = 32)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(native == agg)
+    assert(native.nonEmpty)
+  }
+
+  test("an exact-duplicate cluster yields each within-pair once, and capped buckets drop it cleanly") {
+    // 30 identical docs + 5 distinct ones: the cluster shares one
+    // signature, so candidates = C(30,2) within-pairs exactly once
+    val cluster = (0 until 30).map(i => (i.toLong, "alpha beta gamma delta epsilon zeta"))
+    val rest = (100 until 105).map(i => (i.toLong, s"totally different document number $i with unique words w$i x$i y$i"))
+    val df = (cluster ++ rest).toDF("doc_id", "text")
+    val cands = Dedup.minHashCandidates(df, "text", "doc_id").select("a", "b").as[(Long, Long)].collect()
+    assert(cands.length == cands.toSet.size) // no duplicate pairs from the 32 bands
+    val withinCluster = cands.filter { case (a, b) => a < 30 && b < 30 }
+    assert(withinCluster.length == 30 * 29 / 2)
+  }
 }

@@ -17,6 +17,30 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(got._2 - 0.8) < 1e-12)
   }
 
+  test("native dot/lshBucket are bit-for-bit the HOF reference forms") {
+    val rnd = new scala.util.Random(7)
+    val df = (0 until 300).map { i =>
+      (i.toLong, Seq.fill(16)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val mismatches = df.select(
+      Similarity.dot(col("embedding"), col("embedding")).as("dn"),
+      Similarity.dotHof(col("embedding"), col("embedding")).as("dh"),
+      Similarity.lshBucket(col("embedding"), 16, 12, seed = 5L).as("bn"),
+      Similarity.lshBucketHof(col("embedding"), 16, 12, seed = 5L).as("bh"))
+      .where(col("dn") =!= col("dh") || col("bn") =!= col("bh"))
+      .count()
+    assert(mismatches == 0)
+  }
+
+  test("native dot null semantics mirror zip_with/aggregate") {
+    val df = Seq(
+      (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch -> null
+      (Seq(1.0, 2.0), null)).toDF("a", "b")
+    val got = df.select(Similarity.dot(col("a"), col("b"))).collect().map(_.isNullAt(0))
+    assert(got.toSeq == Seq(true, true))
+    assert(evalOne(Similarity.dot(typedLit(Seq.empty[Double]), typedLit(Seq.empty[Double]))) == 0.0)
+  }
+
   private lazy val vectors: DataFrame = {
     val rnd = new scala.util.Random(11)
     (0 until 200).map { i =>

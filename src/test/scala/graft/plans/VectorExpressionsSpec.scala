@@ -1,0 +1,61 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Codegen guards for the vector/minhash native expressions — with
+  * `spark.sql.codegen.fallback=false` a generated-code compile error (the
+  * silent-interpreted-fallback failure mode the snake_case expression hit)
+  * throws instead of quietly degrading.
+  */
+class VectorExpressionsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def noFallback[T](body: => T): T = {
+    val saved = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try body finally spark.conf.set("spark.sql.codegen.fallback", saved)
+  }
+
+  test("DotProduct / HyperplaneBucket generated code compiles and runs") {
+    noFallback {
+      val rnd = new scala.util.Random(3)
+      val df = (0 until 50).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+        .toDF("vec_id", "embedding")
+      val out = df.select(
+        Similarity.dot(col("embedding"), col("embedding")).as("d"),
+        Similarity.lshBucket(col("embedding"), 8, 6).as("b"))
+        .where(col("d") > 0)
+      assert(out.count() == 50)
+    }
+  }
+
+  test("MinHashSignature generated code compiles; empty shingles yield null") {
+    noFallback {
+      val df = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog"),
+        (2L, "too short"), // < k tokens -> empty shingle array -> null signature
+        (3L, null.asInstanceOf[String]))
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minHashSignatures(df, "text", "doc_id", k = 3, numHashes = 16)
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(sigs.keySet == Set(1L)) // 2 and 3 dropped like the explode form
+      assert(sigs(1L).length == 16)
+    }
+  }
+
+  test("minHashPairs end-to-end under no-fallback codegen") {
+    noFallback {
+      val df = Seq(
+        (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+        (3L, "completely unrelated words nothing shared here at all"))
+        .toDF("doc_id", "text")
+      val pairs = Dedup.minHashPairs(df, "text", "doc_id", threshold = 0.5)
+        .select("a", "b").as[(Long, Long)].collect().toSet
+      assert(pairs == Set((1L, 2L)))
+    }
+  }
+}
