@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.plans.MinHashSignature
+import graft.plans.{JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Deduplication operators.
   *
@@ -68,6 +68,21 @@ object Dedup {
   def shingles(text: Column, k: Int): Column =
     flatten(transform(array(split(lower(trim(text)), "\\s+")), toks => shinglesFromTokens(toks, k)))
 
+  /** Sorted distinct xxhash64 hashes of the word k-shingles, as ONE
+    * codegen'd pass ([[graft.plans.ShingleHashes]]) — set-equal to
+    * `transform(shingles(text, k), xxhash64)` (asserted in DedupSpec) but
+    * ~an order of magnitude cheaper than the interpreted HOF pipeline,
+    * and sorted so pair verification is a linear merge.
+    */
+  def shingleHashes(text: Column, k: Int): Column =
+    ExpressionUtils.column(ShingleHashes(ExpressionUtils.expression(text), k))
+
+  /** Exact Jaccard of two sorted distinct long arrays (linear merge, no
+    * per-pair set allocation); null when both empty, like [[jaccard]].
+    */
+  def jaccardSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(JaccardSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
   private val MinHashP = 2147483659L // prime > 2^31 (the shingle-hash domain)
   private val MinHashDom = 1L << 31
 
@@ -91,7 +106,7 @@ object Dedup {
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 128): DataFrame = {
     val (a, b) = minHashCoefs(numHashes)
-    val hashes = transform(shingles(col(textCol), k), x => xxhash64(x))
+    val hashes = shingleHashes(col(textCol), k)
     docs
       .select(
         col(idCol),
@@ -197,13 +212,11 @@ object Dedup {
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 128, bands: Int = 32): DataFrame = {
     val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands)
-    val sh = docs.select(
-      col(idCol),
-      transform(shingles(col(textCol), k), x => xxhash64(x)).as("sh"))
+    val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
-      .withColumn("jaccard", jaccard(col("sha"), col("shb")))
+      .withColumn("jaccard", jaccardSorted(col("sha"), col("shb")))
       .where(col("jaccard") >= threshold)
       .select(col("a"), col("b"), col("jaccard"))
   }
@@ -211,15 +224,28 @@ object Dedup {
   /** SimHash fingerprint, `bits` wide (default 48, max 60), from the first
     * `bits/4` hex chars of md5 over distinct whitespace tokens: token hash
     * = the hex prefix parsed as a long, bit j of the fingerprint is the
-    * sign of Σ_tokens (bit_j(tokenHash) ? +1 : −1). Pure built-ins
-    * (md5/conv/shiftright/explode/sum), one explode + one hash aggregate.
+    * sign of Σ_tokens (bit_j(tokenHash) ? +1 : −1). Computed per row by
+    * the native codegen expression [[graft.plans.SimHash64]] — shuffle-free
+    * map work (the aggregate form, kept as [[simHashAgg]], shuffles
+    * n·tokens rows through a `bits`-column hash aggregate).
     *
     * 48 bits (not 16) matters at scale: the pigeonhole candidate join
     * buckets on `bits/chunks`-wide chunk values, so the bucket-key domain
     * is chunks·2^(bits/chunks) — 4·4096 at the default vs the 64 buckets a
     * 16-bit fingerprint gives, which degenerates to ~n²/64 candidate pairs.
     */
-  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
+  def simHash(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame =
+    docs
+      .select(
+        col(idCol),
+        ExpressionUtils.column(SimHash64(ExpressionUtils.expression(col(textCol)), bits)).as("simhash"))
+      .where(col("simhash").isNotNull)
+
+  /** Reference aggregate form of [[simHash]] (kept for equivalence tests:
+    * explode distinct tokens + `bits` sum-aggregates — a full shuffle the
+    * per-row expression avoids).
+    */
+  def simHashAgg(docs: DataFrame, textCol: String, idCol: String, bits: Int = 48): DataFrame = {
     require(bits % 4 == 0 && bits <= 60, "bits must be a multiple of 4, <= 60 (hex-prefix long parse)")
     val toks = docs.select(
       col(idCol),

@@ -127,6 +127,36 @@ class DedupSpec extends SparkSuite {
     assert(cands < n * (n - 1) / 2 / 10, s"candidates $cands vs all pairs ${n * (n - 1) / 2}")
   }
 
+  test("shingleHashes is the sorted set of hashed HOF shingles; jaccardSorted matches jaccard") {
+    val both = docs.select(
+      col("doc_id"),
+      Dedup.shingleHashes(col("text"), 3).as("native"),
+      transform(Dedup.shingles(col("text"), 3), x => xxhash64(x)).as("hof"))
+    val rows = both.as[(Long, Seq[Long], Seq[Long])].collect()
+    assert(rows.nonEmpty)
+    for ((id, native, hof) <- rows) {
+      assert(native == native.distinct.sorted, s"doc $id: not sorted-distinct")
+      assert(native.toSet == hof.toSet, s"doc $id: shingle hash sets differ")
+    }
+    val pairs = both.select(col("native"), col("hof"))
+      .crossJoin(both.select(col("native").as("n2"), col("hof").as("h2")).limit(5))
+    val diff = pairs.where(
+      Dedup.jaccardSorted(col("native"), col("n2")) =!=
+        Dedup.jaccard(col("hof"), col("h2"))).count()
+    assert(diff == 0)
+  }
+
+  test("native simhash equals the explode+aggregate reference form") {
+    val native = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    val agg = Dedup.simHashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(native == agg)
+    assert(native.nonEmpty)
+    // blank text: the empty token still contributes, like the agg form
+    val blank = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+    assert(Dedup.simHash(blank, "text", "doc_id").as[(Long, Long)].collect().toMap
+      == Dedup.simHashAgg(blank, "text", "doc_id").as[(Long, Long)].collect().toMap)
+  }
+
   test("native per-row signatures equal the explode+aggregate reference form") {
     val native = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 32)
       .as[(Long, Seq[Long])].collect().toMap
