@@ -81,8 +81,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted for ann_lsh (seeded Gaussian
-    * hyperplanes are not SQL-expressible) → rows-only check.
+    * the same parquet tables. Omitted only for ann_ivf (the k-means
+    * codebook is a driver-side model fit, not SQL-expressible) → rows-only
+    * check + brute-force recall assertion in ScalaTest; ann_lsh's
+    * LCG-generated hyperplanes ARE SQL-expressible, so its whole
+    * candidate-generation + scoring path is oracle-checked.
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

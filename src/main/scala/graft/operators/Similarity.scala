@@ -5,7 +5,7 @@ import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.plans.{DotProduct, HyperplaneBucket}
+import graft.plans.{DotProduct, HyperplaneBucket, NearestCentroid}
 
 /** Similarity search over embedding columns (`Array[Float]`).
   *
@@ -56,10 +56,24 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
 
-  /** Deterministic random hyperplanes (seeded) as literal array columns. */
+  /** Deterministic hyperplanes from a minstd LCG (Park–Miller,
+    * s ← s·48271 mod 2³¹−1; seed scrambled by a Knuth multiplier + 8
+    * burn-in steps), components uniform in (−1, 1).
+    *
+    * An LCG instead of `Random.nextGaussian` ON PURPOSE: the recurrence is
+    * exact integer arithmetic reproducible in plain SQL, which makes LSH
+    * bucketing — and therefore the whole ann_lsh query — DuckDB-oracle-
+    * checkable end-to-end (the ann_lsh oracle regenerates these exact
+    * planes in a recursive CTE). For sign-of-projection LSH the
+    * cube-vs-sphere direction bias of uniform components is immaterial at
+    * these plane counts; recall is asserted in SimilaritySpec/DedupSpec.
+    */
   private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(planes)(Array.fill(dim)(rnd.nextGaussian()))
+    val m = 2147483647L
+    var state = java.lang.Math.floorMod(seed * 2654435761L, m - 1) + 1
+    def next(): Double = { state = state * 48271 % m; state.toDouble / m * 2.0 - 1.0 }
+    for (_ <- 0 until 8) next() // burn-in decorrelates low-entropy seeds
+    Seq.fill(planes)(Array.fill(dim)(next()))
   }
 
   /** Deterministic Lloyd's k-means on a driver-side sample — the coarse
@@ -98,11 +112,18 @@ object Similarity {
     centroids
   }
 
-  /** Index of the nearest centroid (L2) as a column expression:
-    * `array_max` over (negated distance, cell) structs — ties break to the
-    * higher cell id, deterministically.
+  /** Index of the nearest centroid (L2) — native codegen argmin
+    * ([[graft.plans.NearestCentroid]]); ties break to the higher cell id,
+    * matching [[nearestCellHof]], the composed struct-max form it
+    * replaced (equivalence asserted in SimilaritySpec).
     */
   private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(NearestCentroid(
+      ExpressionUtils.expression(vec.cast("array<double>")),
+      centroids.map(_.toSeq).toSeq))
+
+  /** Reference composed form of [[nearestCell]] (kept for tests). */
+  private[operators] def nearestCellHof(vec: Column, centroids: Array[Array[Double]]): Column =
     array_max(array(centroids.zipWithIndex.map { case (c, j) =>
       val lit_ = typedLit(c.toSeq)
       val d2 = aggregate(

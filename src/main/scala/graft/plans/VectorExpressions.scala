@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType}
 
 /** Native vector arithmetic for the similarity/dedup operators.
   *
@@ -122,6 +122,76 @@ final case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]]) e
     copy(child = newChild)
 
   override def prettyName: String = "hyperplane_bucket"
+}
+
+/** Index of the nearest centroid (squared L2) in one codegen'd
+  * cells × dim loop — replaces the composed
+  * `array_max(array(struct(-d2, cell), ...)).getField("cell")` form whose
+  * per-cell interpreted HOF distance folds dominated the IVF assign step.
+  * Semantics mirror that form exactly: same left-fold d2 arithmetic, ties
+  * break to the HIGHER cell id, and a NaN distance wins like NaN sorts
+  * greatest in Spark struct ordering. Length-mismatched input yields a
+  * null d2 in the composed form, which struct-sorts below every number —
+  * here such cells are simply never selected (cell 0 if all mismatch,
+  * matching the composed form's min-struct fallback).
+  */
+final case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]]) extends UnaryExpression {
+
+  require(centroids.nonEmpty, "at least one centroid")
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"nearest_centroid expects array<double>, got $t")
+  }
+
+  @transient private lazy val centroidsArr: Array[Array[Double]] = centroids.map(_.toArray).toArray
+
+  override protected def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData], centroidsArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centroidsArr, "double[][]")
+    defineCodeGen(ctx, ev, c => s"graft.plans.NearestCentroid.assign($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
+object NearestCentroid {
+
+  def assign(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
+    val n = vec.numElements()
+    var best = 0
+    var bestD2 = Double.PositiveInfinity
+    var taken = false
+    var j = 0
+    while (j < centroids.length) {
+      val c = centroids(j)
+      if (n == c.length) {
+        var d2 = 0.0
+        var i = 0
+        while (i < n) {
+          val t = vec.getDouble(i) - c(i)
+          d2 += t * t
+          i += 1
+        }
+        val curNaN = java.lang.Double.isNaN(d2)
+        val bestNaN = java.lang.Double.isNaN(bestD2)
+        if (!taken || curNaN || (!bestNaN && d2 <= bestD2)) {
+          best = j; bestD2 = d2; taken = true
+        }
+      }
+      j += 1
+    }
+    best
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(classOf[NearestCentroid].getName, "nearest_centroid")
 }
 
 object HyperplaneBucket {

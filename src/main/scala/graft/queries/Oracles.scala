@@ -344,7 +344,48 @@ object Oracles {
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cosine
          |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
-         |WHERE cosine >= 0.6 ORDER BY a, b""".stripMargin,
+         |WHERE cosine >= 0.9 ORDER BY a, b""".stripMargin,
+
+    // full mirror of Similarity.lshTopK(k=10, dim=64, planes=6, probes=6,
+    // seed=42): the recursive CTE regenerates the minstd-LCG hyperplanes
+    // (seed scramble + 8 burn-in steps, values 2·s/m − 1) exactly as
+    // Similarity.hyperplanes does, buckets via the same left-fold dots,
+    // multi-probe = bucket XOR {0, 1<<i}, then distinct + rank like the
+    // Spark plan — so even the LSH candidate generation is oracle-checked
+    "ann_lsh" ->
+      s"""WITH RECURSIVE lcg(k, s) AS (
+         |  SELECT 0, (42 * 2654435761) % 2147483646 + 1
+         |  UNION ALL
+         |  SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < ${8 + 6 * 64}
+         |),
+         |pl AS (
+         |  SELECT (k - 9) // 64 AS i, list(s / 2147483647.0 * 2 - 1 ORDER BY k) AS plane
+         |  FROM lcg WHERE k >= 9 GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, p.i,
+         |      list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y) AS d
+         |    FROM embeddings e CROSS JOIN pl p)
+         |  GROUP BY vec_id
+         |),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+         |qp AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, xor(bucket, f::BIGINT) AS bucket
+         |  FROM eb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+         |  WHERE vec_id < 10
+         |),
+         |cand AS (
+         |  SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS cv
+         |  FROM qp JOIN eb c USING (bucket)
+         |),
+         |sc AS (SELECT query_id, neighbor_id,
+         |  ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+         |FROM cand)
+         |SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

@@ -32,6 +32,22 @@ class SimilaritySpec extends SparkSuite {
     assert(mismatches == 0)
   }
 
+  test("native nearest-centroid argmin equals the struct-max HOF form (incl. tie-break)") {
+    val rnd = new scala.util.Random(23)
+    val cents = Array.fill(8)(Array.fill(8)(rnd.nextGaussian()))
+    // include exact-duplicate centroids so the higher-cell tie-break is hit
+    val centsWithTie = cents :+ cents(3).clone()
+    val df = (0 until 200).map(i => (i.toLong, Seq.fill(8)(rnd.nextGaussian().toFloat)))
+      .toDF("vec_id", "embedding")
+    val diff = df.select(
+      Similarity.nearestCellHof(col("embedding"), centsWithTie).as("hof"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.NearestCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding").cast("array<double>")),
+        centsWithTie.map(_.toSeq).toSeq)).as("native"))
+      .where(col("hof") =!= col("native")).count()
+    assert(diff == 0)
+  }
+
   test("native dot null semantics mirror zip_with/aggregate") {
     val df = Seq(
       (Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch -> null
