@@ -1,9 +1,10 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
-import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
 /** Structured Streaming surface (SURVEY.md §2.9).
   *
@@ -30,6 +31,62 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
 
+  /** One status-interval row: user was in `from_status` for `duration_s`
+    * seconds, ending at `ts` (the streaming analog of the W2 lag window /
+    * A1 transition rows).
+    */
+  final case class StatusInterval(user_id: Long, from_status: String, ts: Timestamp, duration_s: Long)
+
+  final case class UserState(lastType: String, lastTsMs: Long)
+
+  private[streaming] final case class EventRow(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
+
+  /** Str: custom keyed state via `flatMapGroupsWithState` — per-user
+    * last-(status, time) state emitting a duration row on every
+    * transition, exactly the reference's per-issue accumulator
+    * (models/issue.py:196-224) re-expressed as streaming state. Batch
+    * equivalence: the same rows as a `lag` window over a static frame
+    * (asserted in EventStreamSpec). `NoTimeout` keeps state resident —
+    * with a timeout-capable mode the engine schedules extra trigger
+    * cycles to fire timers, which keeps a `Trigger.AvailableNow` run from
+    * ever terminating; a resident production deployment switches to
+    * `ProcessingTimeTimeout` + `state.setTimeoutDuration` to evict idle
+    * users.
+    *
+    * Scale note: state is partitioned by user key in the state store —
+    * per-key memory is O(1) (one status + one timestamp), so state size
+    * is bounded by live-key cardinality, not event volume.
+    */
+  def statusIntervals(events: DataFrame): Dataset[StatusInterval] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), col("ts").cast("timestamp"))
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserState, StatusInterval](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
+          // micro-batches are not ordered within a key: order this batch's
+          // slice by (ts, event_id) like the batch window does
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = Seq.newBuilder[StatusInterval]
+          var st = state.getOption.orNull
+          for (e <- sorted) {
+            if (st != null) {
+              // floor-to-second BEFORE subtracting, matching the batch
+              // form's `cast(ts as long)` epoch-second truncation
+              val sec = Math.floorDiv(e.ts.getTime, 1000L) - Math.floorDiv(st.lastTsMs, 1000L)
+              out += StatusInterval(userId, st.lastType, e.ts, sec)
+            }
+            st = UserState(e.event_type, e.ts.getTime)
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Run a stream to completion over the currently-available input
     * (Trigger.AvailableNow) into an in-memory table; returns the result.
     * NOTE: complete output mode (required by the memory sink for a full
@@ -37,11 +94,12 @@ object EventStream {
     * (`Trigger.ProcessingTime("30 minutes")`) must use update/append mode
     * against a real sink so the watermark actually evicts state.
     */
-  def runAvailableNow(out: DataFrame, queryName: String, checkpoint: String): Array[Row] = {
+  def runAvailableNow(out: DataFrame, queryName: String, checkpoint: String,
+                      outputMode: String = "complete"): Array[Row] = {
     val writer: DataStreamWriter[Row] = out.writeStream
       .format("memory")
       .queryName(queryName)
-      .outputMode("complete")
+      .outputMode(outputMode)
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
     val q = writer.start()
