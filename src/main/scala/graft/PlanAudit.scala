@@ -15,7 +15,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
     val interesting = Seq("s1_scan_pushdown", "o1_sort_limit", "j1_broadcast_join",
-      "q1_pricing_summary", "a4_dedup_latest", "a1_status_metrics", "dedup_exact", "ann_brute")
+      "q1_pricing_summary", "a4_dedup_latest", "a1_status_metrics", "dedup_exact", "ann_brute",
+      "dedup_minhash", "dedup_simhash", "ann_lsh")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

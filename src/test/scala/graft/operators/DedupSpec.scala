@@ -146,6 +146,15 @@ class DedupSpec extends SparkSuite {
     assert(diff == 0)
   }
 
+  test("signature and fingerprint builds are shuffle-free (no Exchange in the plan)") {
+    val sigPlan = Dedup.minHashSignatures(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!sigPlan.contains("Exchange"), s"minhash signatures shuffled:\n$sigPlan")
+    val fpPlan = Dedup.simHash(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!fpPlan.contains("Exchange"), s"simhash fingerprints shuffled:\n$fpPlan")
+  }
+
   test("native simhash equals the explode+aggregate reference form") {
     val native = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     val agg = Dedup.simHashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap

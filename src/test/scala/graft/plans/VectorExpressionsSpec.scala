@@ -46,6 +46,31 @@ class VectorExpressionsSpec extends SparkSuite {
     }
   }
 
+  test("fuzz: ShingleHashes set-equals HOF shingles; SimHash64 equals aggregate form on hostile strings") {
+    // the whitespace/unicode classes that bit snake_case in round 3:
+    // tabs/newlines (split boundaries Spark's trim does NOT strip),
+    // multi-space runs, Cyrillic, emoji (surrogate pairs), leading/
+    // trailing blanks, empty and blank-only strings
+    val charset = "ab zZ \t\n  яЁ 09 😎 ,. \r"
+    val rnd = new scala.util.Random(1234)
+    val cases = (0 until 600).map { i =>
+      val n = rnd.nextInt(40)
+      (i.toLong, (0 until n).map(_ => charset(rnd.nextInt(charset.length))).mkString)
+    } :+ (9000L, "") :+ (9001L, "   ") :+ (9002L, "\t") :+ (9003L, "one two three four")
+    val df = cases.toDF("doc_id", "text")
+    val sh = df.select(
+      col("doc_id"),
+      Dedup.shingleHashes(col("text"), 2).as("native"),
+      transform(Dedup.shingles(col("text"), 2), x => xxhash64(x)).as("hof"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    for ((id, native, hof) <- sh)
+      assert(native.toSet == hof.toSet, s"doc $id: shingle sets differ (native=$native hof=$hof)")
+    val fp = df.select(col("doc_id"), col("text")).where(col("text").isNotNull)
+    val nativeFp = Dedup.simHash(fp, "text", "doc_id").as[(Long, Long)].collect().toMap
+    val aggFp = Dedup.simHashAgg(fp, "text", "doc_id").as[(Long, Long)].collect().toMap
+    assert(nativeFp == aggFp)
+  }
+
   test("minHashPairs end-to-end under no-fallback codegen") {
     noFallback {
       val df = Seq(
