@@ -13,10 +13,17 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb
-    // several seconds of one-time initialization.
+    // several seconds of one-time initialization: one cheap query per
+    // table family (events / documents / embeddings) JIT-compiles the
+    // scan paths and the native kernels' entry points.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
-      SparkEntry.queries.get("a2_count_by_type").foreach(_(spark, sfDir).count())
+      Seq("a2_count_by_type", "text_tokens", "s2_point_lookup").foreach(q =>
+        SparkEntry.queries.get(q).foreach(_(spark, sfDir).count()))
+      spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
+        .select(graft.operators.Similarity.dot(
+          org.apache.spark.sql.functions.col("embedding"),
+          org.apache.spark.sql.functions.col("embedding"))).count()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

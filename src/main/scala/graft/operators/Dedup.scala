@@ -174,18 +174,26 @@ object Dedup {
     val grouped = minHashSignatures(docs, textCol, idCol, k, numHashes)
       .groupBy(col("signature"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    // ONE heavy lineage (signatures → signature groups → band buckets);
+    // both pair kinds branch AFTER this aggregate, so the shared exchange
+    // subtree is computed once (reused), not once per branch
+    val byBucket = lshBuckets(grouped, "ids", bands, numHashes / bands)
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(element_at(col("ids"), 1).as("m"), col("ids").as("ids")))).as("gs"))
 
-    // identical signatures: all id pairs inside one signature group
-    val within = grouped.where(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+    // identical signatures: every distinct signature lands in exactly one
+    // bucket per band, so band 0 holds each id group exactly once —
+    // expand its multi-id groups into their internal pairs
+    val within = byBucket.where(col("band") === 0)
+      .select(explode(col("gs")).as("g"))
+      .where(size(col("g.ids")) > 1)
+      .select(explode(pairsOf(col("g.ids"))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
 
     // distinct-signature pairs sharing a band bucket, expanded id-group ×
     // id-group via streaming explodes (groups are disjoint, so no pair is
     // produced by both paths)
-    val cross = lshBuckets(grouped, "ids", bands, numHashes / bands)
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(element_at(col("ids"), 1).as("m"), col("ids").as("ids")))).as("gs"))
+    val cross = byBucket
       .where(size(col("gs")) > 1 && size(col("gs")) <= maxBucketGroups)
       .select(explode(pairsOf(col("gs"))).as("p"))
       .select(explode(col("p.a.ids")).as("x"), col("p.b.ids").as("ib"))

@@ -11,25 +11,45 @@ import org.apache.spark.sql.functions.call_function
   * [[GraftExtensions.register]] on an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("business_seconds"),
-      BusinessSeconds.info,
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "business_seconds(start, end) takes 2 arguments")
-        BusinessSeconds(children.head, children(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("snake_case"),
-      SnakeCase.info,
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "snake_case(str) takes 1 argument")
-        SnakeCase(children.head)
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
 }
 
 object GraftExtensions {
+
+  private def arity(n: Int, name: String)(f: Seq[Expression] => Expression): Seq[Expression] => Expression = {
+    children =>
+      require(children.length == n, s"$name takes $n argument(s)")
+      f(children)
+  }
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  /** Every native expression of the engine, SQL-callable. Parameterized
+    * kernels (shingle width, simhash bits) take integer literals; the
+    * coefficient/plane-matrix kernels (MinHashSignature, HyperplaneBucket,
+    * NearestCentroid) stay Column-API-only — their constructor parameters
+    * are driver-computed arrays, not SQL values.
+    */
+  private[plans] val builders: Seq[(String, org.apache.spark.sql.catalyst.expressions.ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("business_seconds", BusinessSeconds.info,
+      arity(2, "business_seconds(start, end)")(c => BusinessSeconds(c.head, c(1)))),
+    ("snake_case", SnakeCase.info,
+      arity(1, "snake_case(str)")(c => SnakeCase(c.head))),
+    ("dot_product", DotProduct.info,
+      arity(2, "dot_product(a, b)")(c => DotProduct(c.head, c(1)))),
+    ("jaccard_sorted", JaccardSorted.info,
+      arity(2, "jaccard_sorted(a, b)")(c => JaccardSorted(c.head, c(1)))),
+    ("shingle_hashes", ShingleHashes.info,
+      arity(2, "shingle_hashes(text, k)")(c => ShingleHashes(c.head, intLit(c(1), "k")))),
+    ("simhash64", SimHash64.info,
+      arity(2, "simhash64(text, bits)")(c => SimHash64(c.head, intLit(c(1), "bits")))))
+
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =
     call_function("business_seconds", start, end)
@@ -42,19 +62,8 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     if (spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("snake_case"))) return
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("business_seconds"),
-      BusinessSeconds.info,
-      (children: Seq[Expression]) => {
-        require(children.length == 2, "business_seconds(start, end) takes 2 arguments")
-        BusinessSeconds(children.head, children(1))
-      })
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("snake_case"),
-      SnakeCase.info,
-      (children: Seq[Expression]) => {
-        require(children.length == 1, "snake_case(str) takes 1 argument")
-        SnakeCase(children.head)
-      })
+    builders.foreach { case (name, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), info, builder)
+    }
   }
 }

@@ -71,6 +71,20 @@ class VectorExpressionsSpec extends SparkSuite {
     assert(nativeFp == aggFp)
   }
 
+  test("new kernels are SQL-callable through GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT
+        |  dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp,
+        |  jaccard_sorted(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j,
+        |  size(shingle_hashes('one two three four', 2)) AS nsh,
+        |  simhash64('one two three', 48) AS fp""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 11.0)
+    assert(r.getDouble(1) == 0.5)
+    assert(r.getInt(2) == 3)
+    assert(!r.isNullAt(3))
+  }
+
   test("minHashPairs end-to-end under no-fallback codegen") {
     noFallback {
       val df = Seq(
