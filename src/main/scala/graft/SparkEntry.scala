@@ -81,11 +81,11 @@ object SparkEntry {
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omitted only for ann_ivf (the k-means
-    * codebook is a driver-side model fit, not SQL-expressible) → rows-only
-    * check + brute-force recall assertion in ScalaTest; ann_lsh's
-    * LCG-generated hyperplanes ARE SQL-expressible, so its whole
-    * candidate-generation + scoring path is oracle-checked.
+    * the same parquet tables — EVERY registered query has one, including
+    * both approximate ANN paths: ann_lsh regenerates its LCG hyperplanes
+    * in a recursive CTE, and ann_ivf replays the java.util.Random
+    * centroid draws plus all ten Lloyd iterations in SQL, so even the
+    * "model fit" quantizer is hash-verified bit-for-bit.
     */
   def oracleSql: Map[String, String] = Oracles.sql
 }

@@ -67,6 +67,102 @@ object Oracles {
   private def dot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** Full mirror of Similarity.ivfTopK(k=10, dim=64, cells=16, nprobe=4,
+    * seed=42): the coarse quantizer is a DETERMINISTIC model fit —
+    * java.util.Random(42) centroid draws (the 48-bit LCG recurrence in
+    * HUGEINT with nextInt's rejection rule: rejected draws consume
+    * states, so the accepted draws are simply the first `cells` in-range
+    * states) + 10 unrolled Lloyd iterations with the exact float
+    * semantics of trainCentroids: per-vector argmin with strict-< ties
+    * (first minimal cell), per-cell mean as a SAMPLE-ORDER left fold of
+    * vector sums divided by count, empty cells keeping the previous
+    * centroid. Two structural necessities: every chained CTE is
+    * MATERIALIZED and the recursive LCG lives in a nested sub-WITH —
+    * each iteration references its predecessor twice, so default CTE
+    * inlining (forced globally when the outer WITH is RECURSIVE) makes
+    * the plan 2^iters copies of the chain. Final assignment mirrors
+    * NearestCentroid (ties → higher cell), query probes mirror
+    * probeCells (ties → lower cell), scoring reuses the left-fold
+    * cosine.
+    */
+  private def ivfOracleSql: String = {
+    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
+    val nSub = s"(SELECT least(count(*), $sampleN) FROM embeddings)"
+    def d2(v: String, c: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+    def iterCte(prev: String, cur: String): String =
+      s"""asn_$cur AS MATERIALIZED (
+         |  SELECT rn, v, j FROM (
+         |    SELECT s.rn, s.v, c.j,
+         |      row_number() OVER (PARTITION BY s.rn ORDER BY ${d2("s.v", "c.c")}, c.j) AS pick
+         |    FROM sample s CROSS JOIN $prev c)
+         |  WHERE pick = 1
+         |),
+         |agg_$cur AS MATERIALIZED (
+         |  SELECT j,
+         |    list_transform(
+         |      list_reduce(list(v ORDER BY rn), (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+         |      x -> x / count(*)) AS c
+         |  FROM asn_$cur GROUP BY j
+         |),
+         |$cur AS MATERIALIZED (
+         |  SELECT p.j, coalesce(a.c, p.c) AS c FROM $prev p LEFT JOIN agg_$cur a USING (j)
+         |)""".stripMargin
+    val chain = (1 to iters).map(i => iterCte(s"cent${i - 1}", s"cent$i")).mkString(",\n")
+    s"""WITH sample AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
+       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN
+       |),
+       |init AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY k) - 1 AS j, m FROM (
+       |    WITH RECURSIVE lcg(k, s) AS (
+       |      SELECT 0, CAST(xor(42::HUGEINT, 25214903917::HUGEINT) % 281474976710656 AS BIGINT)
+       |      UNION ALL
+       |      SELECT k + 1, CAST((s::HUGEINT * 25214903917 + 11) % 281474976710656 AS BIGINT)
+       |      FROM lcg WHERE k < 64
+       |    )
+       |    SELECT k, s >> 17 AS r, (s >> 17) % $nSub AS m
+       |    FROM lcg WHERE k >= 1)
+       |  WHERE r - m + $nSub - 1 <= 2147483647
+       |  QUALIFY j < $cells
+       |),
+       |cent0 AS MATERIALIZED (
+       |  SELECT init.j, s.v AS c FROM init JOIN sample s ON s.rn = init.m
+       |),
+       |$chain,
+       |allv AS (
+       |  SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, embedding, j AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, c.j,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c)
+       |  WHERE pick = 1
+       |),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, j AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, c.j,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j ASC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c
+       |    WHERE a.vec_id < 10)
+       |  WHERE pick <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, q.qv, c.vec_id AS neighbor_id, c.embedding AS cv
+       |  FROM qprobe q JOIN cassign c USING (cell)
+       |),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Word k-shingle list (Dedup.shingles) from a pre-split token list. */
   private def shingleSelect(k: Int, extraCols: String = "", where: String = ""): String =
     s"""SELECT doc_id$extraCols, list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
@@ -386,6 +482,8 @@ object Oracles {
          |SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf" -> ivfOracleSql,
 
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

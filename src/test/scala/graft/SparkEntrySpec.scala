@@ -14,9 +14,10 @@ class SparkEntrySpec extends SparkSuite {
   test("the registry is populated and oracle coverage is near-total") {
     assert(SparkEntry.queries.size >= 40)
     val uncovered = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    // only the k-means ANN path is rows-only (driver-side model fit);
-    // ann_lsh's LCG hyperplanes are regenerated inside its DuckDB oracle
-    assert(uncovered == Set("ann_ivf"), s"unexpected rows-only queries: $uncovered")
+    // EVERY query is oracle-covered: ann_lsh regenerates its LCG
+    // hyperplanes in SQL, ann_ivf replays the java.util.Random centroid
+    // draws + Lloyd iterations in SQL
+    assert(uncovered == Set.empty[String], s"unexpected rows-only queries: $uncovered")
   }
 
   test("entry() flagship returns rows on sf0.001") {
