@@ -19,7 +19,25 @@ import graft.transform.IssueTransform
   */
 object IssuePipeline {
 
-  final case class Payload(issues: DataFrame, metrics: DataFrame, changelog: DataFrame)
+  final case class Payload(issues: DataFrame, metrics: DataFrame, changelog: DataFrame) {
+    /** Typed `Dataset[T]` view (by-name conversion: column order is
+      * irrelevant, U1 extension columns are dropped) for consumers that
+      * want compile-time field access over the three tables.
+      */
+    def typed: TypedPayload = {
+      val spark = issues.sparkSession
+      import spark.implicits._
+      TypedPayload(
+        issues.as[graft.schema.IssueRow],
+        metrics.as[graft.schema.MetricRow],
+        changelog.as[graft.schema.ChangelogRow])
+    }
+  }
+
+  final case class TypedPayload(
+      issues: org.apache.spark.sql.Dataset[graft.schema.IssueRow],
+      metrics: org.apache.spark.sql.Dataset[graft.schema.MetricRow],
+      changelog: org.apache.spark.sql.Dataset[graft.schema.ChangelogRow])
 
   /** Run statistics ≙ A5/P10 (etl.py:155-190): processed counts plus the
     * count of issues whose changelog yielded no metric rows (they still

@@ -179,6 +179,19 @@ class IssuePipelineSpec extends SparkSuite {
     assert(ch.contains(("Status start time", "", "dev@example.com", "IssueWorkflow")))
   }
 
+  test("typed Dataset view: compile-time field access over the three tables") {
+    val p = IssuePipeline.transform(walkthrough,
+      version = lit("2024-02-01 00:00:00").cast("timestamp")).typed
+    val issue = p.issues.collect()(0)
+    assert(issue.issue_key == "TEST-1" && issue.is_closed && !issue.is_resolved)
+    assert(issue.closed_at.map(_.toInstant.toString).contains("2024-01-09T18:00:00Z"))
+    assert(issue.components == Seq("backend"))
+    // typed transformations compose: total tracked seconds via a map over MetricRow
+    val total = p.metrics.collect().map(_.duration).sum
+    assert(total == 28800L) // 8h tracked across the walkthrough statuses
+    assert(p.changelog.collect().forall(_.issue_key == "TEST-1"))
+  }
+
   test("CamelCase names lowercase BEFORE snake_case (reference composition)") {
     // validate_resource(low=True) then to_snake_case (helpers.py:91-99,
     // models/issue.py:83-86): 'InProgress' → 'inprogress', NOT 'in_progress'
