@@ -18,12 +18,15 @@ object Bench {
     // scan paths and the native kernels' entry points.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
+      // foreach (not count) so Catalyst cannot column-prune the
+      // projections away — the kernels must actually execute to JIT
       Seq("a2_count_by_type", "text_tokens", "s2_point_lookup").foreach(q =>
-        SparkEntry.queries.get(q).foreach(_(spark, sfDir).count()))
+        SparkEntry.queries.get(q).foreach(_(spark, sfDir).foreach(_ => ())))
       spark.read.parquet(s"$sfDir/embeddings.parquet").limit(50)
         .select(graft.operators.Similarity.dot(
           org.apache.spark.sql.functions.col("embedding"),
-          org.apache.spark.sql.functions.col("embedding"))).count()
+          org.apache.spark.sql.functions.col("embedding")).as("d"))
+        .agg(org.apache.spark.sql.functions.sum("d")).collect()
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

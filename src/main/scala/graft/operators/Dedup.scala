@@ -218,8 +218,9 @@ object Dedup {
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,
-                   numHashes: Int = 128, bands: Int = 32): DataFrame = {
-    val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands)
+                   numHashes: Int = 128, bands: Int = 32,
+                   maxBucketGroups: Int = 256): DataFrame = {
+    val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands, maxBucketGroups)
     val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")

@@ -131,9 +131,9 @@ final case class HyperplaneBucket(child: Expression, planes: Seq[Seq[Double]]) e
   * Semantics mirror that form exactly: same left-fold d2 arithmetic, ties
   * break to the HIGHER cell id, and a NaN distance wins like NaN sorts
   * greatest in Spark struct ordering. Length-mismatched input yields a
-  * null d2 in the composed form, which struct-sorts below every number —
-  * here such cells are simply never selected (cell 0 if all mismatch,
-  * matching the composed form's min-struct fallback).
+  * null d2 in the composed form; nulls compare equal in struct ordering,
+  * so when EVERY cell mismatches the composed form tie-breaks to the
+  * HIGHEST cell — mirrored here by initializing `best` to the last cell.
   */
 final case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]]) extends UnaryExpression {
 
@@ -166,7 +166,7 @@ object NearestCentroid {
 
   def assign(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
-    var best = 0
+    var best = centroids.length - 1 // all-mismatch fallback = highest cell
     var bestD2 = Double.PositiveInfinity
     var taken = false
     var j = 0

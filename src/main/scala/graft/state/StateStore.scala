@@ -27,6 +27,7 @@ trait StateStore {
 final class FileStateStore(uri: String, conf: Configuration = new Configuration()) extends StateStore {
   private val path = new Path(uri)
   private val tmpPath = new Path(path.getParent, "." + path.getName + ".tmp")
+  private val asidePath = new Path(path.getParent, "." + path.getName + ".old")
   private def fs: FileSystem = path.getFileSystem(conf)
 
   private def escape(s: String): String = s.flatMap {
@@ -63,6 +64,12 @@ final class FileStateStore(uri: String, conf: Configuration = new Configuration(
   private val pair = """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
 
   private def load(): Map[String, String] = {
+    // crash recovery for the non-overwriting-rename fallback in flush():
+    // if the main document is missing but the aside copy exists, the
+    // previous flush died between its two renames — the aside IS the
+    // last committed state, so restore it instead of silently starting
+    // fresh (which would drop the watermark)
+    if (!fs.exists(path) && fs.exists(asidePath)) fs.rename(asidePath, path)
     if (!fs.exists(path)) return Map.empty
     val in = fs.open(path)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -84,17 +91,22 @@ final class FileStateStore(uri: String, conf: Configuration = new Configuration(
     try out.write(json.getBytes("UTF-8")) finally out.close()
     // rename is atomic on POSIX local FS (overwrites in place) and
     // consistent under the Hadoop FS contract on object stores — readers
-    // see the old or the new document, never a prefix of the new one. Some
-    // FS impls refuse to rename over an existing target; for those, fall
-    // back to delete+rename (worst crash case: no file = fresh start,
-    // still never a partial document).
+    // see the old or the new document, never a prefix of the new one.
+    // Some FS impls refuse to rename over an existing target; for those,
+    // move the old document ASIDE first (not delete — a crash between the
+    // two renames must not lose the committed watermark; load() restores
+    // the aside copy when the main file is missing), then rename the new
+    // one in and drop the aside copy.
     val renamed =
       try fs.rename(tmpPath, path)
       catch { case _: org.apache.hadoop.fs.FileAlreadyExistsException => false }
     if (!renamed) {
-      if (fs.exists(path)) fs.delete(path, false)
+      if (fs.exists(asidePath)) fs.delete(asidePath, false)
+      if (fs.exists(path) && !fs.rename(path, asidePath))
+        throw new IllegalStateException(s"atomic state flush failed: rename $path -> $asidePath")
       if (!fs.rename(tmpPath, path))
         throw new IllegalStateException(s"atomic state flush failed: rename $tmpPath -> $path")
+      fs.delete(asidePath, false)
     }
   }
 

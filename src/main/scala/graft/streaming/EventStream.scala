@@ -46,12 +46,18 @@ object EventStream {
     * transition, exactly the reference's per-issue accumulator
     * (models/issue.py:196-224) re-expressed as streaming state. Batch
     * equivalence: the same rows as a `lag` window over a static frame
-    * (asserted in EventStreamSpec). `NoTimeout` keeps state resident —
-    * with a timeout-capable mode the engine schedules extra trigger
-    * cycles to fire timers, which keeps a `Trigger.AvailableNow` run from
-    * ever terminating; a resident production deployment switches to
-    * `ProcessingTimeTimeout` + `state.setTimeoutDuration` to evict idle
-    * users.
+    * (asserted in EventStreamSpec) WHEN the source delivers micro-batches
+    * in event-time order (e.g. chronological files). Events are ordered
+    * within each batch; an event older than the committed state timestamp
+    * (late across batches) is DROPPED like a watermark would drop it —
+    * the batch path sorts globally instead, so late cross-batch data is
+    * where the two forms legitimately diverge. Null-timestamp rows are
+    * filtered (the batch lag form emits null durations for them).
+    * `NoTimeout` keeps state resident — a timeout-capable mode schedules
+    * extra trigger cycles to fire timers, which keeps a
+    * `Trigger.AvailableNow` run from ever terminating; a resident
+    * production deployment switches to `ProcessingTimeTimeout` +
+    * `state.setTimeoutDuration` to evict idle users.
     *
     * Scale note: state is partitioned by user key in the state store —
     * per-key memory is O(1) (one status + one timestamp), so state size
@@ -63,24 +69,28 @@ object EventStream {
     events
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("event_type").cast("string"), col("ts").cast("timestamp"))
+      .where(col("ts").isNotNull)
       .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, StatusInterval](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (userId: Long, rows: Iterator[EventRow], state: GroupState[UserState]) =>
-          // micro-batches are not ordered within a key: order this batch's
-          // slice by (ts, event_id) like the batch window does
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          // order this batch's slice by full-precision (ts, event_id),
+          // like the batch window (getTime millis alone would reorder
+          // same-millisecond events with sub-ms timestamps)
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
           val out = Seq.newBuilder[StatusInterval]
           var st = state.getOption.orNull
           for (e <- sorted) {
-            if (st != null) {
-              // floor-to-second BEFORE subtracting, matching the batch
-              // form's `cast(ts as long)` epoch-second truncation
-              val sec = Math.floorDiv(e.ts.getTime, 1000L) - Math.floorDiv(st.lastTsMs, 1000L)
-              out += StatusInterval(userId, st.lastType, e.ts, sec)
-            }
-            st = UserState(e.event_type, e.ts.getTime)
+            if (st == null || e.ts.getTime >= st.lastTsMs) {
+              if (st != null) {
+                // floor-to-second BEFORE subtracting, matching the batch
+                // form's `cast(ts as long)` epoch-second truncation
+                val sec = Math.floorDiv(e.ts.getTime, 1000L) - Math.floorDiv(st.lastTsMs, 1000L)
+                out += StatusInterval(userId, st.lastType, e.ts, sec)
+              }
+              st = UserState(e.event_type, e.ts.getTime)
+            } // else: late beyond committed state -> dropped (see scaladoc)
           }
           if (st != null) state.update(st)
           out.result().iterator

@@ -46,6 +46,16 @@ class SimilaritySpec extends SparkSuite {
         centsWithTie.map(_.toSeq).toSeq)).as("native"))
       .where(col("hof") =!= col("native")).count()
     assert(diff == 0)
+    // length-mismatched vector: every cell's d2 is null in the HOF form,
+    // nulls compare equal in struct ordering -> highest cell wins; the
+    // native form's fallback must agree
+    val bad = Seq((1L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val r = bad.select(
+      Similarity.nearestCellHof(col("embedding"), centsWithTie).as("hof"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.NearestCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding").cast("array<double>")),
+        centsWithTie.map(_.toSeq).toSeq)).as("native")).collect()(0)
+    assert(r.getInt(0) == centsWithTie.length - 1 && r.getInt(1) == centsWithTie.length - 1)
   }
 
   test("native dot null semantics mirror zip_with/aggregate") {

@@ -34,6 +34,18 @@ class StateStoreSpec extends AnyFunSuite {
     assert(!names.exists(_.contains(".tmp")), s"temp residue in $dir: ${names.mkString(",")}")
   }
 
+  test("FileStateStore: aside copy from a crashed two-rename fallback is recovered") {
+    val uri = tmpUri("state.json")
+    val s = new FileStateStore(uri)
+    s.set("last_update_at", "2024-01-09T18:00:00.000+0000")
+    // simulate a crash between the fallback's two renames: the main file
+    // was moved aside and the new one never landed
+    val p = Paths.get(new java.net.URI(uri))
+    Files.move(p, p.getParent.resolve("." + p.getFileName.toString + ".old"))
+    assert(new FileStateStore(uri).get("last_update_at")
+      .contains("2024-01-09T18:00:00.000+0000")) // restored, not reset
+  }
+
   test("FileStateStore: corrupt or truncated state raises instead of silently resetting") {
     val uri = tmpUri("state.json")
     val p = Paths.get(new java.net.URI(uri))

@@ -73,4 +73,43 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("statusIntervals drops cross-batch late events instead of emitting negative durations") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-stream-late")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    val ckpt = tmp.resolve("ckpt").toString
+    def ts(hh: Int) = java.sql.Timestamp.valueOf(f"2024-01-09 $hh%02d:00:00")
+    def write(name: String, rows: Seq[(Long, Long, String, java.sql.Timestamp)]): Unit =
+      rows.toDF("user_id", "event_id", "event_type", "ts")
+        .coalesce(1).write.parquet(inDir.resolve(name).toString)
+    write("b1", Seq((1L, 1L, "open", ts(10)), (1L, 2L, "review", ts(12))))
+
+    val outDir = tmp.resolve("out").toString
+    val schema = spark.read.parquet(inDir.toString + "/*").schema
+    def run(): Set[(Long, String, Long)] = {
+      // memory sink cannot recover a checkpoint; a parquet sink can, so
+      // the second run resumes the SAME stateful query
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString + "/*")
+      val q = EventStream.statusIntervals(stream).toDF().writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("from_status"), r.getAs[Long]("duration_s"))).toSet
+    }
+    assert(run() == Set((1L, "open", 7200L)))
+    // a second batch delivers an event OLDER than the committed state
+    // (ts 11:00 < 12:00) plus a genuinely new one
+    write("b2", Seq((1L, 3L, "stale", ts(11)), (1L, 4L, "closed", ts(15))))
+    val second = run() // cumulative parquet output of both runs
+    // the stale 11:00 event is dropped (no 'review'→'stale' or negative
+    // row); only the genuinely new 12:00→15:00 interval is appended
+    assert(second == Set((1L, "open", 7200L), (1L, "review", 10800L)))
+    assert(second.forall(_._3 >= 0))
+  }
 }
