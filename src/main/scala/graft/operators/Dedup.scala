@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.plans.{JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
+import graft.plans.{BandHashes, JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
 
 /** Deduplication operators.
   *
@@ -133,9 +133,20 @@ object Dedup {
   }
 
   /** LSH band buckets: signature → `bands` keys of `rows` consecutive
-    * minhashes each. Docs sharing any band key are candidates.
+    * minhashes each. Docs sharing any band key are candidates. The band
+    * keys come from one [[graft.plans.BandHashes]] kernel call
+    * (bit-identical to the composed `hash(slice(..))` form, kept as
+    * [[lshBucketsComposed]] for equivalence tests — at bands=32 the
+    * composed column trees dominated the plan's codegen size).
     */
-  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
+  def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame =
+    sigs.select(
+      col(idCol),
+      posexplode(ExpressionUtils.column(
+        BandHashes(ExpressionUtils.expression(col("signature")), bands, rows))).as(Seq("band", "bucket")))
+
+  /** Reference composed form of [[lshBuckets]] (kept for tests). */
+  def lshBucketsComposed(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame = {
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"), hash(slice(col("signature"), b * rows + 1, rows)).as("bucket"))
     }

@@ -71,6 +71,66 @@ final case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
   override def prettyName: String = "minhash_signature"
 }
 
+/** All `bands` LSH band keys of a MinHash signature in one pass:
+  * element b is the Murmur3 hash (seed 42 — Spark's `hash()`) of the
+  * signature slice `[b·rows, b·rows+rows)`, bit-identical to
+  * `hash(slice(signature, b*rows+1, rows))`. Replaces `bands` separate
+  * struct(hash(slice(..))) column trees — at bands=32 that tree
+  * dominated the minhash plan's codegen size and first-run compile time.
+  */
+final case class BandHashes(child: Expression, bands: Int, rows: Int) extends UnaryExpression {
+
+  require(bands >= 1 && rows >= 1, "bands and rows must be >= 1")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"band_hashes expects array<long>, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BandHashes.compute(input.asInstanceOf[ArrayData], bands, rows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.BandHashes.compute($c, $bands, $rows)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "band_hashes"
+}
+
+object BandHashes {
+
+  /** Static entry the generated code calls. Mirrors Spark's Murmur3
+    * array hash exactly: fold h ← hashLong(elem, h) from seed 42 over
+    * the slice elements (nulls skipped, as `hash()` does).
+    */
+  def compute(sig: ArrayData, bands: Int, rows: Int): ArrayData = {
+    val n = sig.numElements()
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      // Murmur3HashFunction.hashLong(l, seed) delegates to
+      // Murmur3_x86_32.hashLong(l, seed.toInt) — same fold, int carry
+      var h = 42
+      var r = b * rows
+      val end = math.min(r + rows, n)
+      while (r < end) {
+        if (!sig.isNullAt(r))
+          h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(sig.getLong(r), h)
+        r += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(classOf[BandHashes].getName, "band_hashes")
+}
+
 object MinHashSignature {
 
   /** Static entry the generated code calls (named `signature`, not `eval`

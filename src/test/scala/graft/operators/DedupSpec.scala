@@ -166,6 +166,16 @@ class DedupSpec extends SparkSuite {
       == Dedup.simHashAgg(blank, "text", "doc_id").as[(Long, Long)].collect().toMap)
   }
 
+  test("native band hashes equal the composed hash(slice(..)) form") {
+    val sigs = Dedup.minHashSignatures(docs, "text", "doc_id")
+    val native = Dedup.lshBuckets(sigs, "doc_id", bands = 32, rows = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    val composed = Dedup.lshBucketsComposed(sigs, "doc_id", bands = 32, rows = 4)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+  }
+
   test("native per-row signatures equal the explode+aggregate reference form") {
     val native = Dedup.minHashSignatures(docs, "text", "doc_id", numHashes = 32)
       .as[(Long, Seq[Long])].collect().toMap
