@@ -135,12 +135,16 @@ object Dedup {
   /** LSH band buckets: signature → `bands` keys of `rows` consecutive
     * minhashes each. Docs sharing any band key are candidates. The band
     * keys come from one [[graft.plans.BandHashes]] kernel call
-    * (bit-identical to the composed `hash(slice(..))` form, kept as
-    * [[lshBucketsComposed]] for equivalence tests — at bands=32 the
-    * composed column trees dominated the plan's codegen size).
+    * (bit-identical to the composed `hash(slice(..))` form on non-null
+    * signatures, kept as [[lshBucketsComposed]] for equivalence tests —
+    * at bands=32 the composed column trees dominated the plan's codegen
+    * size). Null signatures emit NO buckets; the composed form would
+    * bucket them all together under `hash(null)` = the seed, making
+    * null-signature docs mutual candidates of garbage — dropping them is
+    * the deliberate contract, so it is enforced explicitly here.
     */
   def lshBuckets(sigs: DataFrame, idCol: String, bands: Int, rows: Int): DataFrame =
-    sigs.select(
+    sigs.where(col("signature").isNotNull).select(
       col(idCol),
       posexplode(ExpressionUtils.column(
         BandHashes(ExpressionUtils.expression(col("signature")), bands, rows))).as(Seq("band", "bucket")))

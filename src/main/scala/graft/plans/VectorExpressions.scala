@@ -166,6 +166,14 @@ object NearestCentroid {
 
   def assign(vec: ArrayData, centroids: Array[Array[Double]]): Int = {
     val n = vec.numElements()
+    // a null element nulls EVERY cell's d2 in the composed form (each
+    // fold includes it), which tie-breaks to the highest cell — same as
+    // the all-length-mismatch fallback below
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return centroids.length - 1
+      i += 1
+    }
     var best = centroids.length - 1 // all-mismatch fallback = highest cell
     var bestD2 = Double.PositiveInfinity
     var taken = false

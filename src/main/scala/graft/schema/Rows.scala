@@ -57,7 +57,7 @@ final case class MetricRow(
 
 final case class ChangelogRow(
     version: Option[Timestamp],
-    event_time: Timestamp,
+    event_time: Option[Timestamp], // null when the wire datetime is unparseable
     issue_key: String,
     queue: String,
     event_type: String,

@@ -69,7 +69,10 @@ final class FileStateStore(uri: String, conf: Configuration = new Configuration(
     // previous flush died between its two renames — the aside IS the
     // last committed state, so restore it instead of silently starting
     // fresh (which would drop the watermark)
-    if (!fs.exists(path) && fs.exists(asidePath)) fs.rename(asidePath, path)
+    if (!fs.exists(path) && fs.exists(asidePath) && !fs.rename(asidePath, path))
+      throw new IllegalStateException(
+        s"state recovery failed: could not restore $asidePath -> $path; " +
+          "refusing to return an empty watermark state while a committed copy exists")
     if (!fs.exists(path)) return Map.empty
     val in = fs.open(path)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()

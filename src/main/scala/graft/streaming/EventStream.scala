@@ -37,7 +37,14 @@ object EventStream {
     */
   final case class StatusInterval(user_id: Long, from_status: String, ts: Timestamp, duration_s: Long)
 
-  final case class UserState(lastType: String, lastTsMs: Long)
+  /** lastTsUs is MICROsecond precision: the late-event comparison must
+    * see the same resolution the in-batch sort uses, or a sub-millisecond
+    * -late event would slip past a millisecond-truncated state.
+    */
+  final case class UserState(lastType: String, lastTsUs: Long)
+
+  private def micros(ts: Timestamp): Long =
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   private[streaming] final case class EventRow(user_id: Long, event_id: Long, event_type: String, ts: Timestamp)
 
@@ -69,7 +76,7 @@ object EventStream {
     events
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
         col("event_type").cast("string"), col("ts").cast("timestamp"))
-      .where(col("ts").isNotNull)
+      .where(col("ts").isNotNull && col("user_id").isNotNull && col("event_id").isNotNull)
       .as[EventRow]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[UserState, StatusInterval](
@@ -82,14 +89,15 @@ object EventStream {
           val out = Seq.newBuilder[StatusInterval]
           var st = state.getOption.orNull
           for (e <- sorted) {
-            if (st == null || e.ts.getTime >= st.lastTsMs) {
+            val us = micros(e.ts)
+            if (st == null || us >= st.lastTsUs) {
               if (st != null) {
                 // floor-to-second BEFORE subtracting, matching the batch
                 // form's `cast(ts as long)` epoch-second truncation
-                val sec = Math.floorDiv(e.ts.getTime, 1000L) - Math.floorDiv(st.lastTsMs, 1000L)
+                val sec = Math.floorDiv(us, 1000000L) - Math.floorDiv(st.lastTsUs, 1000000L)
                 out += StatusInterval(userId, st.lastType, e.ts, sec)
               }
-              st = UserState(e.event_type, e.ts.getTime)
+              st = UserState(e.event_type, us)
             } // else: late beyond committed state -> dropped (see scaladoc)
           }
           if (st != null) state.update(st)

@@ -58,6 +58,10 @@ object IssueTransform {
         col("issue_key"), col("pos"), col("status_name"), col("to_status"),
         parseDt(col("_start_raw")).as("start_ts"),
         parseDt(col("_end_raw")).as("end_ts"))
+      // an unparseable wire datetime nulls out under try-parse; drop the
+      // event like the reference's per-row error isolation drops it (P9,
+      // etl.py:180-183) — downstream durations/last_seen stay non-null
+      .where(col("start_ts").isNotNull && col("end_ts").isNotNull)
       .withColumn("duration", abs(TimeFns.timedeltaSeconds(col("end_ts"), col("start_ts"))))
       .withColumn("busdays_duration",
         BusinessTime.businessSecondsUdf(cfg.calendar)(col("start_ts"), col("end_ts")))
@@ -147,7 +151,11 @@ object IssueTransform {
       .join(lastClosed, Seq("issue_key"), "left")
       .join(moved, Seq("issue_key"), "left")
       .withColumn("is_resolved", col("resolution").isNotNull)
-      .withColumn("is_closed", col("status").isInCollection(closedSeq) || col("is_resolved"))
+      // coalesce keeps is_closed BOOLEAN-not-null for a null status:
+      // Python's `None in closed` is False, while SQL's `null IN (...)`
+      // is null — the reference semantics are the non-null ones
+      .withColumn("is_closed",
+        coalesce(col("status").isInCollection(closedSeq), lit(false)) || col("is_resolved"))
       .withColumn("is_subtask", col("parent_issue_key").isNotNull && col("parent_issue_key") =!= "")
       .withColumn("closed_at",
         when(col("is_resolved") && col("resolved_at").isNotNull, col("resolved_at"))

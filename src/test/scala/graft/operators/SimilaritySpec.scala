@@ -56,6 +56,15 @@ class SimilaritySpec extends SparkSuite {
         org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding").cast("array<double>")),
         centsWithTie.map(_.toSeq).toSeq)).as("native")).collect()(0)
     assert(r.getInt(0) == centsWithTie.length - 1 && r.getInt(1) == centsWithTie.length - 1)
+    // a null ELEMENT nulls every cell's d2 in the HOF form -> highest cell
+    val withNull = Seq(Tuple1(Seq[java.lang.Double](1.0, null, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0)))
+      .toDF("embedding")
+    val rn = withNull.select(
+      Similarity.nearestCellHof(col("embedding"), centsWithTie).as("hof"),
+      org.apache.spark.sql.graft.ColumnBridge.column(graft.plans.NearestCentroid(
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("embedding").cast("array<double>")),
+        centsWithTie.map(_.toSeq).toSeq)).as("native")).collect()(0)
+    assert(rn.getInt(0) == centsWithTie.length - 1 && rn.getInt(1) == centsWithTie.length - 1)
   }
 
   test("native dot null semantics mirror zip_with/aggregate") {

@@ -192,6 +192,15 @@ class IssuePipelineSpec extends SparkSuite {
     assert(p.changelog.collect().forall(_.issue_key == "TEST-1"))
   }
 
+  test("null status: is_closed is FALSE (Python `None in closed`), typed view survives") {
+    val df = raw(issue("TEST-9", null))
+    val r = IssueTransform.issues(df).collect()(0)
+    assert(!r.getAs[Boolean]("is_closed")) // not null — reference semantics
+    val typed = IssuePipeline.transform(df, version = lit(null).cast("timestamp")).typed
+    val row = typed.issues.collect()(0)
+    assert(row.status.isEmpty && !row.is_closed && !row.is_resolved)
+  }
+
   test("CamelCase names lowercase BEFORE snake_case (reference composition)") {
     // validate_resource(low=True) then to_snake_case (helpers.py:91-99,
     // models/issue.py:83-86): 'InProgress' → 'inprogress', NOT 'in_progress'
