@@ -158,29 +158,42 @@ object Dedup {
       .select(col(idCol), col("bk.band"), col("bk.bucket"))
   }
 
-  /** All ordered pairs (a, b), a < b, of a pre-sorted id array. */
+  /** All ordered pairs (a, b), a < b, of a pre-sorted array. Safe on
+    * empty and singleton arrays (yields an empty array), so callers can
+    * apply it unguarded inside expressions.
+    */
   private def pairsOf(ids: Column): Column =
-    flatten(transform(sequence(lit(0), size(ids) - 2), i =>
-      transform(slice(ids, i + 2, size(ids)), y =>
-        struct(element_at(ids, i + 1).as("a"), y.as("b")))))
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + 2, size(ids) - i - 1), y =>
+        struct(x.as("a"), y.as("b")))))
 
   /** Candidate near-dup pairs: distinct SIGNATURES are banded and paired
     * bucket-locally, then expanded back to doc ids — never an all-pairs
-    * comparison, and in ONE pass (a bucket self-join would recompute the
-    * whole signature lineage for each join side).
+    * comparison, and in ONE pass: both pair kinds (identical-signature
+    * groups and distinct-signature bucket collisions) are emitted as
+    * expansion units from a single consumption of the bucket aggregate,
+    * so the physical plan is one linear pipeline — one signature
+    * aggregate, one band-bucket aggregate. (The previous two-branch union
+    * recomputed the post-shuffle half of the lineage per branch; AQE's
+    * runtime stage cache reused the exchanges, but the duplicated final
+    * aggregates and band stages were real cost, and stage reuse is an
+    * optimization, not a guarantee.)
     *
     * Collapsing to distinct signatures first is the skew defense: an
     * exact-duplicate cluster (identical shingle sets ⇒ identical
     * signatures) collides in EVERY band by construction, which would put
     * the whole cluster in every bucket row and expand its O(m²) pairs once
     * per band. Collapsed, the cluster is ONE group element per bucket, its
-    * within-cluster pairs are emitted exactly once, and bucket rows scale
+    * within-cluster pairs are emitted exactly once (from band 0, where
+    * every signature group appears exactly once), and bucket rows scale
     * with distinct-signature counts (bounded by the LSH collision rate).
-    * `maxBucketGroups` caps the residual risk of a degenerate band
-    * (hostile/boilerplate corpora): buckets with more distinct signatures
-    * are skipped — a recall trade documented at the call site, recoverable
-    * because a true near-dup pair has `bands` other chances to collide.
-    * Returns distinct (a, b) with a < b.
+    * The within-group expansion streams through posexplode + slice, so a
+    * cluster of m exact dups peaks at O(m) per generated row, not an
+    * O(m²) pair array in memory. `maxBucketGroups` caps the residual risk
+    * of a degenerate band (hostile/boilerplate corpora): buckets with more
+    * distinct signatures are skipped — a recall trade documented at the
+    * call site, recoverable because a true near-dup pair has `bands` other
+    * chances to collide. Returns distinct (a, b) with a < b.
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 128, bands: Int = 32,
@@ -189,33 +202,34 @@ object Dedup {
     val grouped = minHashSignatures(docs, textCol, idCol, k, numHashes)
       .groupBy(col("signature"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
-    // ONE heavy lineage (signatures → signature groups → band buckets);
-    // both pair kinds branch AFTER this aggregate, so the shared exchange
-    // subtree is computed once (reused), not once per branch
     val byBucket = lshBuckets(grouped, "ids", bands, numHashes / bands)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(element_at(col("ids"), 1).as("m"), col("ids").as("ids")))).as("gs"))
 
-    // identical signatures: every distinct signature lands in exactly one
-    // bucket per band, so band 0 holds each id group exactly once —
-    // expand its multi-id groups into their internal pairs
-    val within = byBucket.where(col("band") === 0)
-      .select(explode(col("gs")).as("g"))
-      .where(size(col("g.ids")) > 1)
-      .select(explode(pairsOf(col("g.ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // expansion units (ia, ib, self): self units pair ids WITHIN one
+    // signature group (emitted once, from band 0); cross units pair two
+    // distinct-signature groups colliding in a bucket (group id sets are
+    // disjoint, so no pair is produced by both kinds)
+    val withinUnits = transform(
+      filter(col("gs"), g => (col("band") === 0) && (size(g.getField("ids")) > 1)),
+      g => struct(g.getField("ids").as("ia"), g.getField("ids").as("ib"), lit(true).as("self")))
+    val cappedGs = when(size(col("gs")) <= maxBucketGroups, col("gs"))
+      .otherwise(slice(col("gs"), 1, 0))
+    val crossUnits = transform(pairsOf(cappedGs), p =>
+      struct(p.getField("a").getField("ids").as("ia"),
+        p.getField("b").getField("ids").as("ib"), lit(false).as("self")))
 
-    // distinct-signature pairs sharing a band bucket, expanded id-group ×
-    // id-group via streaming explodes (groups are disjoint, so no pair is
-    // produced by both paths)
-    val cross = byBucket
-      .where(size(col("gs")) > 1 && size(col("gs")) <= maxBucketGroups)
-      .select(explode(pairsOf(col("gs"))).as("p"))
-      .select(explode(col("p.a.ids")).as("x"), col("p.b.ids").as("ib"))
-      .select(col("x"), explode(col("ib")).as("y"))
+    byBucket
+      .select(explode(concat(withinUnits, crossUnits)).as("u"))
+      .select(col("u.self").as("self"), col("u.ib").as("ib"),
+        posexplode(col("u.ia")).as(Seq("i", "x")))
+      // self units take only partners AFTER x (ids are sorted, so every
+      // in-group pair appears once); cross units take the whole other group
+      .select(col("x"), explode(when(col("self"),
+        slice(col("ib"), col("i") + 2, size(col("ib")) - col("i") - 1))
+        .otherwise(col("ib"))).as("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"))
-
-    within.unionByName(cross).distinct()
+      .distinct()
   }
 
   /** Exact Jaccard similarity of two pre-distinct arrays; null when both
