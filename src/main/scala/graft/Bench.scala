@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,7 +16,9 @@ object Bench {
     // JVM/codegen warmup so the first measured query doesn't absorb
     // several seconds of one-time initialization: one cheap query per
     // table family (events / documents / embeddings) JIT-compiles the
-    // scan paths and the native kernels' entry points.
+    // scan paths and the native kernels' entry points. A warmup failure
+    // is reported (the same breakage will then fail the measured run
+    // loudly) — never swallowed silently.
     try {
       spark.range(1000000).selectExpr("sum(id)").collect()
       // foreach (not count) so Catalyst cannot column-prune the
@@ -27,16 +30,31 @@ object Bench {
           org.apache.spark.sql.functions.col("embedding"),
           org.apache.spark.sql.functions.col("embedding")).as("d"))
         .agg(org.apache.spark.sql.functions.sum("d")).collect()
-    } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    } catch {
+      case NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    // A broken query must FAIL the bench (non-zero exit), not silently
+    // score -1 and leave the total looking healthy.
+    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).count(); None }
+      catch { case NonFatal(e) => Some(e) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
+    }
+    val failures = results.collect { case (name, _, Some(e)) => (name, e) }
+    failures.foreach { case (name, e) =>
+      System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
+        String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300))
+    }
+    val qs = results.map { case (name, sec, err) =>
+      "\"" + name + "\":" + (if (err.isEmpty) sec else -1.0)
+    }.mkString("{", ",", "}")
+    val total = results.collect { case (_, sec, None) => sec }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failures.nonEmpty) {
+      System.err.println(s"[bench] ${failures.size} of ${results.size} queries failed")
+      sys.exit(1)
+    }
   }
 }

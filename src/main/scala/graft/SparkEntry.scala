@@ -58,6 +58,8 @@ object SparkEntry {
     // the real issue pipeline over the deterministic fixture corpus
     "pipeline_metrics" -> (graft.queries.PipelineFixture.pipelineMetrics _),
     "pipeline_issues" -> (graft.queries.PipelineFixture.pipelineIssues _),
+    "pipeline_changelog" -> (graft.queries.PipelineFixture.pipelineChangelog _),
+    "pipeline_issues_extended" -> (graft.queries.PipelineFixture.pipelineIssuesExtended _),
     "pipeline_scale" -> (graft.queries.PipelineFixture.pipelineScale _),
     // LLM-pipeline: dedup family
     "dedup_exact" -> (L.dedupExact _),

@@ -302,46 +302,85 @@ object Dedup {
 
   /** SimHash near-dup candidates by the pigeonhole trick: split the
     * fingerprint into `chunks` pieces; pairs within Hamming distance
-    * `chunks - 1` must agree on at least one chunk → equi-join per chunk,
-    * then exact Hamming filter. No all-pairs comparison.
+    * `chunks - 1` must agree on at least one chunk → bucket per chunk
+    * value, pair bucket-locally, exact Hamming filter. No all-pairs
+    * comparison — and ONE pass, mirroring [[minHashCandidates]]: the
+    * fingerprint-group aggregate is consumed exactly once (the previous
+    * within/left/right three-branch form rebuilt the whole scan →
+    * fingerprint → collect_set lineage per branch — 3× the operator's
+    * most expensive stage). Both pair kinds are expansion units from one
+    * chunk-bucket aggregate: Hamming-0 pairs within a fingerprint group
+    * come from chunk 0 (where every group appears exactly once), and a
+    * distinct-fingerprint pair is emitted only from its FIRST agreeing
+    * chunk — computable per pair from the XOR of the two fingerprints —
+    * so every output pair is produced exactly once and no terminal
+    * distinct/dropDuplicates shuffle is needed at all.
+    *
+    * Collapsing to distinct fingerprints first is the skew defense (an
+    * exact-dup cluster is ONE group element per bucket, its id pairs
+    * expanded streamingly via posexplode + slice, O(m) per generated
+    * row). `maxBucketGroups` bounds the residual degenerate-bucket risk
+    * like [[minHashCandidates]]: a chunk bucket with more distinct
+    * fingerprints is skipped. The pigeonhole guarantee (output = ALL
+    * pairs at Hamming ≤ maxHamming) holds as long as no bucket trips the
+    * cap; a tripped bucket loses the pairs it would have emitted (those
+    * whose FIRST agreeing chunk it is) — the documented recall trade for
+    * hostile boilerplate corpora where one 12-bit chunk value covers
+    * millions of distinct fingerprints. The 2048 default clears the sf0.1
+    * corpus's worst bucket (797 groups) with 2.5× headroom while still
+    * bounding a degenerate bucket's group-pair scan at ~2M comparisons.
     */
   def simHashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   bits: Int = 48, chunks: Int = 4, maxHamming: Int = 3): DataFrame = {
+                   bits: Int = 48, chunks: Int = 4, maxHamming: Int = 3,
+                   maxBucketGroups: Int = 2048): DataFrame = {
     require(maxHamming < chunks,
       s"pigeonhole candidates are only lossless for maxHamming < chunks (got $maxHamming >= $chunks)")
-    // Collapse to DISTINCT fingerprints first: near-dup corpora cluster
-    // heavily (many docs share one fingerprint), so the chunk join runs on
-    // #distinct-fingerprints rows instead of n, and the id expansion back
-    // to pairs happens via streaming explodes — no skewed giant buckets.
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
     val fpg = simHash(docs, textCol, idCol, bits)
       .groupBy(col("simhash"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    val byChunk = fpg
+      .select(col("simhash"), col("ids"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)).as(Seq("c", "v")))
+      .groupBy(col("c"), col("v"))
+      .agg(sort_array(collect_list(struct(col("simhash").as("fp"), col("ids").as("ids")))).as("gs"))
 
-    // Hamming-0 pairs: all id pairs inside one fingerprint group.
-    val within = fpg.where(size(col("ids")) > 1)
-      .select(explode(pairsOf(col("ids"))).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).as("hamming"))
+    // chunk index of the lowest agreeing (all-zero-XOR) chunk; non-null
+    // for every pair at Hamming <= maxHamming < chunks by pigeonhole
+    def firstAgreeingChunk(x: Column): Column =
+      coalesce((0 until chunks).map(c =>
+        when(shiftright(x, c * chunkBits).bitwiseAND(lit(mask)) === 0, lit(c))): _*)
 
-    // Distinct-fingerprint pairs via the pigeonhole chunk join, then
-    // cross-expand the two id groups (explode × explode streams).
-    val chunkBits = bits / chunks
-    val mask = (1L << chunkBits) - 1
-    val keyed = fpg.select(
-      col("simhash"), col("ids"),
-      explode(array((0 until chunks).map(c =>
-        struct(lit(c).as("c"), (shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))).as("v"))): _*)).as("ck"))
-    val l = keyed.select(col("ck"), col("simhash").as("fa"), col("ids").as("ia"))
-    val r = keyed.select(col("ck"), col("simhash").as("fb"), col("ids").as("ib"))
-    val cross = l.join(r, "ck").where(col("fa") < col("fb"))
-      .select(col("fa"), col("fb"), col("ia"), col("ib"),
-        bit_count(col("fa").bitwiseXOR(col("fb"))).as("hamming"))
-      .where(col("hamming") <= maxHamming)
-      .dropDuplicates("fa", "fb")
-      .select(explode(col("ia")).as("x"), col("ib"), col("hamming"))
-      .select(col("x"), explode(col("ib")).as("y"), col("hamming"))
+    val withinUnits = transform(
+      filter(col("gs"), g => (col("c") === 0) && (size(g.getField("ids")) > 1)),
+      g => struct(g.getField("ids").as("ia"), g.getField("ids").as("ib"),
+        lit(0).as("hamming"), lit(true).as("self")))
+    val cappedGs = when(size(col("gs")) <= maxBucketGroups, col("gs"))
+      .otherwise(slice(col("gs"), 1, 0))
+    // The Hamming + first-chunk filter runs INSIDE the pair generation
+    // (filter over the tail slice, before any struct is built), so the
+    // O(g²) candidate scan materializes only surviving pairs — never a
+    // full g² pair array per bucket row.
+    def xorG(g: Column, h: Column): Column = g.getField("fp").bitwiseXOR(h.getField("fp"))
+    val crossUnits = flatten(transform(cappedGs, (g, i) =>
+      transform(
+        filter(slice(cappedGs, i + 2, size(cappedGs) - i - 1), h =>
+          (bit_count(xorG(g, h)) <= maxHamming) && (firstAgreeingChunk(xorG(g, h)) === col("c"))),
+        h => struct(g.getField("ids").as("ia"), h.getField("ids").as("ib"),
+          bit_count(xorG(g, h)).as("hamming"), lit(false).as("self")))))
+
+    byChunk
+      .select(explode(concat(withinUnits, crossUnits)).as("u"))
+      .select(col("u.self").as("self"), col("u.ib").as("ib"), col("u.hamming").as("hamming"),
+        posexplode(col("u.ia")).as(Seq("i", "x")))
+      // self units take only partners AFTER x (ids are sorted, so every
+      // in-group pair appears once); cross units take the whole other group
+      .select(col("x"), col("hamming"), explode(when(col("self"),
+        slice(col("ib"), col("i") + 2, size(col("ib")) - col("i") - 1))
+        .otherwise(col("ib"))).as("y"))
       .select(least(col("x"), col("y")).as("a"), greatest(col("x"), col("y")).as("b"), col("hamming"))
-
-    within.unionByName(cross)
   }
 
   /** Word n-grams as distinct strings (for n-gram Jaccard dedup). */

@@ -371,10 +371,57 @@ object Oracles {
         |   TIMESTAMP '2024-01-09 10:00:00', TIMESTAMP '2024-01-09 19:00:00', DATE '2024-01-11'),
         |  ('TEST-4', 'TEST', 'Walkthrough', 'task', 'normal', 'inprogress', NULL,
         |   'dev@example.com', 'myproject', false, false, false, false, 3.0,
+        |   TIMESTAMP '2024-01-09 10:00:00', NULL::TIMESTAMP, DATE '2024-01-11'),
+        |  ('TEST-5', 'TEST', 'Walkthrough', 'task', 'normal', 'open', NULL,
+        |   'dev@example.com', 'myproject', false, false, false, false, 3.0,
         |   TIMESTAMP '2024-01-09 10:00:00', NULL::TIMESTAMP, DATE '2024-01-11')
         |) AS t(issue_key, queue, title, issue_type, priority, status, resolution, assignee,
         |       project, is_closed, is_resolved, is_subtask, was_moved, story_points,
         |       created_at, closed_at, deadline)
+        |ORDER BY issue_key""".stripMargin,
+
+    // The changelog transform over the same fixture: every stringifyVariant
+    // arm appears — datetime-reformat + ref-name rows from the walkthrough
+    // workflow events, and TEST-5's IssueUpdated event covering list join,
+    // integral/fractional numbers, all four ref coalesce arms, >100-char
+    // truncation, json passthrough, the id-fallback field name, and the
+    // dropped both-empty / null-field rows.
+    "pipeline_changelog" ->
+      """SELECT * FROM (VALUES
+        |  (TIMESTAMP '2024-01-09 11:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'Open', 'In progress'),
+        |  (TIMESTAMP '2024-01-09 11:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '', '2024-01-09T11:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 13:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'In progress', 'Testing'),
+        |  (TIMESTAMP '2024-01-09 13:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '2024-01-09T11:00:00.000', '2024-01-09T13:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 14:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'Testing', 'In progress'),
+        |  (TIMESTAMP '2024-01-09 14:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '2024-01-09T13:00:00.000', '2024-01-09T14:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 16:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'In progress', 'Testing'),
+        |  (TIMESTAMP '2024-01-09 16:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '2024-01-09T14:00:00.000', '2024-01-09T16:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 17:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'Testing', 'Ready for release'),
+        |  (TIMESTAMP '2024-01-09 17:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '2024-01-09T16:00:00.000', '2024-01-09T17:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'Ready for release', 'Closed'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-1', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '2024-01-09T17:00:00.000', '2024-01-09T18:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-3', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'Open', 'Closed'),
+        |  (TIMESTAMP '2024-01-09 18:00:00', 'TEST-3', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '', '2024-01-09T18:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 12:00:00', 'TEST-4', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status', 'SelectedForDev', 'InProgress'),
+        |  (TIMESTAMP '2024-01-09 12:00:00', 'TEST-4', 'TEST', 'IssueWorkflow', 'front', 'dev@example.com', 'Status start time', '', '2024-01-09T12:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Assignee', 'Ref Name', '42'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Deadline', '', '2024-01-09T12:00:00.000'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Description', 'text too long, see history in UI', 'short text'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Queue', 'OLDQ', 'new@owner.com'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Story Points', '3', '5.5'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'Tags', 'a, b', 'a, b, c'),
+        |  (TIMESTAMP '2024-01-09 12:30:00', 'TEST-5', 'TEST', 'IssueUpdated', 'front', 'robot name', 'meta', '{"k": 1}', '')
+        |) AS t(event_time, issue_key, queue, event_type, transport, actor, changed_field, changed_from, changed_to)
+        |ORDER BY issue_key, event_time, changed_field""".stripMargin,
+
+    "pipeline_issues_extended" ->
+      """SELECT * FROM (VALUES
+        |  ('TEST-1', 'closed', 6::INTEGER, 'NORMAL'),
+        |  ('TEST-2', 'open', 0, 'NORMAL'),
+        |  ('TEST-3', 'closed', 1, 'NORMAL'),
+        |  ('TEST-4', 'inprogress', 1, 'NORMAL'),
+        |  ('TEST-5', 'open', 1, 'NORMAL')
+        |) AS t(issue_key, status, changelog_events, priority_upper)
         |ORDER BY issue_key""".stripMargin,
 
     "pipeline_scale" -> {
@@ -434,12 +481,21 @@ object Oracles {
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
 
     // all-pairs reference with the SAME left-fold double arithmetic as the
-    // Spark side, so any pair both engines emit hash-matches bit-for-bit
+    // Spark side, so any pair both engines emit hash-matches bit-for-bit.
+    // The corpus CTE mirrors the query's planted near-duplicates: an
+    // id-offset copy of each vec_id < 25 scaled by 2.0f (float-exact, so
+    // both engines see bit-identical vectors) — the oracle verifies 25
+    // FOUND pairs, not an empty set.
     "dedup_embedding" ->
-      s"""SELECT a, b, cosine FROM (
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> (x * 2::FLOAT)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 25)
+         |SELECT a, b, cosine FROM (
          |  SELECT x.vec_id AS a, y.vec_id AS b,
          |    ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cosine
-         |  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+         |  FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id)
          |WHERE cosine >= 0.9 ORDER BY a, b""".stripMargin,
 
     // full mirror of Similarity.lshTopK(k=10, dim=64, planes=6, probes=6,

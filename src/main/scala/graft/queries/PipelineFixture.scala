@@ -19,6 +19,20 @@ object PipelineFixture {
   private def variant(s: String = null, r: Row = null): Row = Row(s, null, r, null, null)
   private def refv(name: String): Row = Row(null, null, name, null)
 
+  /** Full variant-struct constructor (s / n / ref / list / json) for the
+    * changelog fixture rows that exercise every stringifyVariant arm.
+    */
+  private def fullVariant(s: String = null, n: java.lang.Double = null, r: Row = null,
+                          list: Seq[String] = null, json: String = null): Row =
+    Row(s, n, r, list, json)
+
+  private def refFull(key: String = null, email: String = null,
+                      name: String = null, id: String = null): Row =
+    Row(key, email, name, id)
+
+  private def chField(id: String, name: String, from: Row, to: Row): Row =
+    Row(Row(id, name), from, to)
+
   private def statusField(from: String, to: String): Row =
     Row(Row("status", "Status"), variant(r = refv(from)), variant(r = refv(to)))
 
@@ -41,6 +55,36 @@ object PipelineFixture {
       3.0f, t("10:00"), t("18:00"), resolvedAt,
       "2024-01-09", "2024-01-10", "2024-01-11", changelog)
 
+  /** One IssueUpdated event whose field changes fire every
+    * stringifyVariant branch (≙ extract_changelog_field,
+    * utils/helpers.py:261-298): list join, integral + fractional number,
+    * all four ref coalesce arms (key / lowered email / name / id),
+    * >100-char truncation, short-string passthrough, wire-datetime
+    * reformat, json passthrough, id-fallback field naming, and the P8
+    * both-sides-empty / null-field drop rules. Actor exercises the
+    * name-fallback arm (updatedBy.email is null).
+    */
+  private val variantShowcaseEvent: Row = Row(
+    t("12:30"), "IssueUpdated", "front", Row(null, "Robot Name"), Seq(
+      chField("tags", "Tags",
+        fullVariant(list = Seq("a", "b")), fullVariant(list = Seq("a", "b", "c"))),
+      chField("storyPoints", "Story Points",
+        fullVariant(n = 3.0), fullVariant(n = 5.5)),
+      chField("queue", "Queue",
+        fullVariant(r = refFull(key = "OLDQ")), fullVariant(r = refFull(email = "New@Owner.com"))),
+      chField("assignee", "Assignee",
+        fullVariant(r = refFull(name = "Ref Name")), fullVariant(r = refFull(id = "42"))),
+      chField("description", "Description",
+        fullVariant(s = "x" * 120), fullVariant(s = "short text")),
+      chField("deadline", "Deadline",
+        fullVariant(), fullVariant(s = t("12:00"))),
+      chField("meta", null,
+        fullVariant(json = """{"k": 1}"""), fullVariant()),
+      // both sides stringify to "" -> row dropped by the P8 filter
+      chField("noop", "Noop", fullVariant(), fullVariant()),
+      // null field struct -> changed_field null -> dropped
+      Row(null, fullVariant(s = "val"), fullVariant())))
+
   private val walkthroughEvents = Seq(
     wfEvent(t("11:00"), Seq(statusField("Open", "In progress"), dtField(null, t("11:00")))),
     wfEvent(t("13:00"), Seq(statusField("In progress", "Testing"), dtField(t("11:00"), t("13:00")))),
@@ -60,7 +104,10 @@ object PipelineFixture {
         // snake_casing ('InProgress' → 'inprogress'), and this row makes
         // the driver's oracle catch any drift in that composition
         issue("TEST-4", "InProgress",
-          changelog = Seq(wfEvent(t("12:00"), Seq(statusField("SelectedForDev", "InProgress"), dtField(null, t("12:00")))))))),
+          changelog = Seq(wfEvent(t("12:00"), Seq(statusField("SelectedForDev", "InProgress"), dtField(null, t("12:00")))))),
+        // non-workflow event with every variant shape (no metric rows —
+        // workflowEvents filters IssueUpdated out; changelog keeps it)
+        issue("TEST-5", "Open", changelog = Seq(variantShowcaseEvent)))),
       Schemas.rawIssue)
 
   /** Metric rows of the walkthrough corpus (A1 end-to-end). */
@@ -121,5 +168,29 @@ object PipelineFixture {
         col("status"), col("resolution"), col("assignee"), col("project"),
         col("is_closed"), col("is_resolved"), col("is_subtask"), col("was_moved"),
         col("story_points"), col("created_at"), col("closed_at"), col("deadline"))
+      .orderBy(col("issue_key"))
+
+  /** Changelog rows (P8 + F9 end-to-end): the REAL changelog transform
+    * over the fixture corpus, whose TEST-5 event fires every
+    * stringifyVariant type-dispatch arm — so the trickiest F9 logic (the
+    * ref/string/number/list/json coalesce order ≙ utils/helpers.py:261-298)
+    * meets the DuckDB oracle, not just the ScalaTest suite.
+    */
+  def pipelineChangelog(s: SparkSession, d: String): DataFrame =
+    IssueTransform.changelog(raw(s), version = lit(null).cast("timestamp"))
+      .drop("version")
+      .orderBy(col("issue_key"), col("event_time"), col("changed_field"))
+
+  /** U1 extensibility end-to-end: issues() with caller-supplied extra
+    * columns over the RAW document (≙ subclassing TrackerIssue,
+    * examples/extended_model/main.py:9-31) — the extension seam itself
+    * gets a driver-oracle row.
+    */
+  def pipelineIssuesExtended(s: SparkSession, d: String): DataFrame =
+    IssueTransform.issues(raw(s), version = lit(null).cast("timestamp"),
+      extraColumns = Seq(
+        "changelog_events" -> size(col("changelog")),
+        "priority_upper" -> upper(col("priority.name"))))
+      .select(col("issue_key"), col("status"), col("changelog_events"), col("priority_upper"))
       .orderBy(col("issue_key"))
 }

@@ -25,19 +25,18 @@ class SparkEntrySpec extends SparkSuite {
   }
 
   test("every query runs and returns rows on sf0.001 — with codegen fallback disabled") {
-    // dedup_embedding is verified-EMPTY by design: the synthetic corpus
-    // contains no near-dup embeddings (max pair cosine ≈0.60 < 0.9).
+    // Every query must return rows — dedup_embedding included, since it
+    // now plants deterministic near-dup copies inside its lineage.
     // fallback=false makes ANY silent interpreted-fallback (a codegen
-    // compile error in a native kernel inside any of the 45 plans) throw
+    // compile error in a native kernel inside any of the plans) throw
     // instead of quietly degrading.
-    val emptyOk = Set("dedup_embedding")
     val saved = spark.conf.get("spark.sql.codegen.fallback")
     spark.conf.set("spark.sql.codegen.fallback", "false")
     try {
       val failures = SparkEntry.queries.flatMap { case (name, fn) =>
         try {
           val n = fn(spark, "/root/testdata/sf0.001").count()
-          if (n > 0 || emptyOk(name)) None else Some(s"$name: 0 rows")
+          if (n > 0) None else Some(s"$name: 0 rows")
         } catch { case e: Throwable => Some(s"$name: ${String.valueOf(e.getMessage).take(100)}") }
       }
       assert(failures.isEmpty, failures.mkString("; "))

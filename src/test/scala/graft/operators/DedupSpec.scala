@@ -155,6 +155,28 @@ class DedupSpec extends SparkSuite {
     assert(!fpPlan.contains("Exchange"), s"simhash fingerprints shuffled:\n$fpPlan")
   }
 
+  test("simHashPairs builds the fingerprint-group aggregate exactly once (single-pass plan)") {
+    // the round-4/5 defect: the within/left/right three-branch form built
+    // the scan → simhash64 → collect_set lineage 3× — at 100 TB that
+    // triples the operator's most expensive stage. The single-pass form
+    // must show exactly ONE partial collect_set (fingerprint groups) and
+    // ONE partial collect_list (chunk buckets) in the physical plan.
+    val plan = Dedup.simHashPairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    def count(needle: String): Int = needle.r.findAllIn(plan).size
+    assert(count("partial_collect_set") == 1, s"fingerprint aggregate built more than once:\n$plan")
+    assert(count("partial_collect_list") == 1, s"bucket aggregate built more than once:\n$plan")
+    assert(count("simhash64") <= 2, s"simhash kernel appears in >1 lineage:\n$plan")
+  }
+
+  test("minHashCandidates builds the signature aggregate exactly once (single-pass plan)") {
+    val plan = Dedup.minHashCandidates(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    def count(needle: String): Int = needle.r.findAllIn(plan).size
+    assert(count("partial_collect_set") == 1, s"signature aggregate built more than once:\n$plan")
+    assert(count("partial_collect_list") == 1, s"band-bucket aggregate built more than once:\n$plan")
+  }
+
   test("native simhash equals the explode+aggregate reference form") {
     val native = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     val agg = Dedup.simHashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
