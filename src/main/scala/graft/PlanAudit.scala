@@ -21,7 +21,8 @@ object PlanAudit {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
       plan.linesIterator
-        .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") || l.contains("ReadSchema") ||
+        .filter(l => l.contains("Scan parquet") || l.contains("Scan ExistingRDD") ||
+          l.contains("PushedFilters") || l.contains("ReadSchema") ||
           l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") || l.contains("TakeOrderedAndProject") ||
           l.contains("WholeStageCodegen") || l.contains("Exchange") || l.contains("HashAggregate("))
         .map(_.take(220)).foreach(println)

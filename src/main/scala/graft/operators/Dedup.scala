@@ -104,14 +104,22 @@ object Dedup {
     * signature and are dropped, matching the explode form's no-rows case.
     */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, numHashes: Int = 128): DataFrame = {
+                        k: Int = 3, numHashes: Int = 128): DataFrame =
+    minHashSignaturesFromHashes(
+      docs.select(col(idCol), shingleHashes(col(textCol), k).as("_sh")), "_sh", idCol, numHashes)
+
+  /** [[minHashSignatures]] from an already-computed sorted-distinct
+    * shingle-hash column — lets [[minHashPairs]] derive signatures and
+    * verification arrays from ONE shared hash projection.
+    */
+  def minHashSignaturesFromHashes(sh: DataFrame, hashCol: String, idCol: String,
+                                  numHashes: Int = 128): DataFrame = {
     val (a, b) = minHashCoefs(numHashes)
-    val hashes = shingleHashes(col(textCol), k)
-    docs
+    sh
       .select(
         col(idCol),
         ExpressionUtils.column(MinHashSignature(
-          ExpressionUtils.expression(hashes), a, b, MinHashP, MinHashDom)).as("signature"))
+          ExpressionUtils.expression(col(hashCol)), a, b, MinHashP, MinHashDom)).as("signature"))
       .where(col("signature").isNotNull)
   }
 
@@ -197,9 +205,18 @@ object Dedup {
     */
   def minHashCandidates(docs: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, numHashes: Int = 128, bands: Int = 32,
-                        maxBucketGroups: Int = 256): DataFrame = {
+                        maxBucketGroups: Int = 256): DataFrame =
+    candidatesFromSignatures(
+      minHashSignatures(docs, textCol, idCol, k, numHashes), idCol, numHashes, bands, maxBucketGroups)
+
+  /** Candidate-pair core of [[minHashCandidates]], from a prebuilt
+    * signature table (so callers can share the signature input's lineage
+    * with other consumers).
+    */
+  private def candidatesFromSignatures(sigs: DataFrame, idCol: String, numHashes: Int,
+                                       bands: Int, maxBucketGroups: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val grouped = minHashSignatures(docs, textCol, idCol, k, numHashes)
+    val grouped = sigs
       .groupBy(col("signature"))
       .agg(sort_array(collect_set(col(idCol))).as("ids"))
     val byBucket = lshBuckets(grouped, "ids", bands, numHashes / bands)
@@ -244,13 +261,29 @@ object Dedup {
     * candidates from LSH buckets only. The verification join carries
     * xxhash64-hashed shingle arrays (8× smaller shuffle, long-array
     * intersections); Jaccard is identical absent 64-bit collisions.
+    *
+    * ONE pass over `docs` for the whole operator: the shingle-hash
+    * projection is lazily `localCheckpoint`ed and feeds the signature/LSH
+    * candidate pipeline AND both sides of the verification join — the
+    * previous form re-scanned the (column-pruned) input and re-ran the
+    * shingle kernel once per consumer, 3× the operator's per-row CPU.
+    * The trade: the hash arrays are materialized once to executor-local
+    * storage (written once, read by three consumers), and a lost executor
+    * fails the job instead of recomputing the lost blocks — the standard
+    * localCheckpoint contract, acceptable for a batch dedup pass where
+    * the kernel recompute dominates. It also pins the row set: a
+    * non-deterministic upstream (e.g. a round-robin repartition) is
+    * materialized once, so candidates and verification provably see the
+    * same rows.
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,
                    numHashes: Int = 128, bands: Int = 32,
                    maxBucketGroups: Int = 256): DataFrame = {
-    val cands = minHashCandidates(docs, textCol, idCol, k, numHashes, bands, maxBucketGroups)
     val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .localCheckpoint(false)
+    val sigs = minHashSignaturesFromHashes(sh, "sh", idCol, numHashes)
+    val cands = candidatesFromSignatures(sigs, idCol, numHashes, bands, maxBucketGroups)
     cands
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")

@@ -132,20 +132,27 @@ object PipelineFixture {
     def vRef(c: Column): Column =
       struct(lit(null).cast("string").as("s"), struct(c.as("name")).as("ref"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // wire-format each timestamp ONCE, before the window: the formatted
+    // string is then reused as this row's "to"/updatedAt AND (via lag)
+    // the next row's "from" — the inline form ran date_format 3× per row
+    // and dominated the query's codegen size
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        fmt(col("ts")).as("ts_w"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"), col("ts_w"),
         lag(col("event_type"), 1).over(w).as("prev_type"),
-        lag(col("ts"), 1).over(w).as("prev_ts"))
+        lag(col("ts"), 1).over(w).as("prev_ts"),
+        lag(col("ts_w"), 1).over(w).as("prev_ts_w"))
       .where(col("prev_type").isNotNull)
     val eventStruct = struct(
-      fmt(col("ts")).as("updatedAt"),
+      col("ts_w").as("updatedAt"),
       lit("IssueWorkflow").as("type"),
       lit("api").as("transport"),
       array(
         struct(struct(lit("status").as("id")).as("field"),
           vRef(col("prev_type")).as("from"), vRef(col("event_type")).as("to")),
         struct(struct(lit("times").as("id")).as("field"),
-          vS(fmt(col("prev_ts"))).as("from"), vS(fmt(col("ts"))).as("to"))).as("fields"))
+          vS(col("prev_ts_w")).as("from"), vS(col("ts_w")).as("to"))).as("fields"))
     val raw = ev
       .groupBy(col("user_id"))
       .agg(

@@ -177,6 +177,18 @@ class DedupSpec extends SparkSuite {
     assert(count("partial_collect_list") == 1, s"band-bucket aggregate built more than once:\n$plan")
   }
 
+  test("minHashPairs runs the shingle kernel once: all consumers read the checkpointed projection") {
+    // the candidate pipeline and both verification join sides must share
+    // the one localCheckpoint'ed (id, shingle-hashes) pass — the kernel
+    // and the input scan appear NOWHERE in the SQL plan (they live inside
+    // the checkpointed RDD, computed once), only RDD scans of it do
+    val plan = Dedup.minHashPairs(docs, "text", "doc_id")
+      .queryExecution.executedPlan.toString
+    def count(needle: String): Int = needle.r.findAllIn(plan).size
+    assert(count("shingle_hashes") == 0, s"shingle kernel recomputed per consumer:\n$plan")
+    assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+  }
+
   test("native simhash equals the explode+aggregate reference form") {
     val native = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     val agg = Dedup.simHashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
