@@ -368,6 +368,8 @@ object Dedup {
                    maxBucketGroups: Int = 2048): DataFrame = {
     require(maxHamming < chunks,
       s"pigeonhole candidates are only lossless for maxHamming < chunks (got $maxHamming >= $chunks)")
+    require(bits % chunks == 0,
+      s"bits must be divisible by chunks or the top bits escape every chunk (got $bits % $chunks)")
     val chunkBits = bits / chunks
     val mask = (1L << chunkBits) - 1
     val fpg = simHash(docs, textCol, idCol, bits)
