@@ -5,16 +5,17 @@ import org.apache.spark.sql.SparkSession
 import graft.pipeline.IssuePipeline
 import graft.schema.EngineConfig
 import graft.sinks.{ConsoleSink, ParquetSink}
-import graft.state.FileStateStore
+import graft.state.StateStore
 
 /** CLI entry ≙ the reference's `tracker-exporter --run-once`
   * (main.py:127-147): one micro-batch of the issue pipeline.
   *
-  * Usage: PipelineMain <rawIssues.(json|parquet)> <outDir> [stateFile]
+  * Usage: PipelineMain <rawIssues.(json|parquet)> <outDir> [stateUri]
   *   - rawIssues: newline-delimited JSON or parquet in the
   *     [[graft.schema.Schemas.rawIssue]] shape
   *   - outDir: parquet sink base dir ("console" → dry-run S9 sink)
-  *   - stateFile: optional watermark KV path → stateful incremental scan
+  *   - stateUri: optional watermark KV → stateful incremental scan;
+  *     a file/S3 path, or `redis://host[:port][/namespace]`
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -40,7 +41,7 @@ object PipelineMain {
       } else spark.read.parquet(rawPath)
 
     val sink = if (outDir == "console") new ConsoleSink() else new ParquetSink(outDir)
-    val state = args.lift(2).map(p => new FileStateStore(p))
+    val state = args.lift(2).map(StateStore.fromUri)
     val stats = IssuePipeline.run(raw, EngineConfig(), sink, state)
     println(s"[pipeline] issues=${stats.issuesProcessed} metrics=${stats.metricsRows} " +
       s"changelog=${stats.changelogRows} no_metrics=${stats.issuesWithoutMetrics} " +

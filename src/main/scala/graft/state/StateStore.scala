@@ -125,3 +125,20 @@ final class MemoryStateStore extends StateStore {
   def set(key: String, value: String): Unit = m += key -> value
   def delete(key: String): Unit = m -= key
 }
+
+/** Backend factory ≙ the reference's `state/factory.py:18-50` (backend
+  * chosen by config): `redis://host[:port][/namespace]` →
+  * [[RedisStateStore]]; any file path or Hadoop FS URI (`file://`,
+  * `s3a://`, bare path) → [[FileStateStore]].
+  */
+object StateStore {
+  private val RedisUri = "^redis://([^:/]+)(?::(\\d+))?(?:/([^/]+))?/?$".r
+
+  def fromUri(uri: String): StateStore = uri match {
+    case RedisUri(host, port, namespace) =>
+      new RedisStateStore(host,
+        Option(port).map(_.toInt).getOrElse(6379),
+        Option(namespace).getOrElse("graft_default"))
+    case _ => new FileStateStore(uri)
+  }
+}

@@ -116,6 +116,16 @@ class RedisStateStoreSpec extends AnyFunSuite {
     }
   }
 
+  test("StateStore.fromUri dispatches redis:// to Redis, everything else to file") {
+    val r = StateStore.fromUri("redis://10.0.0.5:6380/myns")
+    assert(r.isInstanceOf[RedisStateStore])
+    assert(StateStore.fromUri("redis://host").isInstanceOf[RedisStateStore])
+    assert(StateStore.fromUri("redis://host/ns").isInstanceOf[RedisStateStore])
+    assert(StateStore.fromUri("file:///tmp/state.json").isInstanceOf[FileStateStore])
+    assert(StateStore.fromUri("s3a://bucket/state.json").isInstanceOf[FileStateStore])
+    assert(StateStore.fromUri("/tmp/state.json").isInstanceOf[FileStateStore])
+  }
+
   test("execute passthrough returns parsed replies; error replies raise") {
     withStore { (_, store) =>
       store.set("k", "v")
