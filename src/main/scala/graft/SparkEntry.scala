@@ -59,6 +59,7 @@ object SparkEntry {
     "pipeline_metrics" -> (graft.queries.PipelineFixture.pipelineMetrics _),
     "pipeline_issues" -> (graft.queries.PipelineFixture.pipelineIssues _),
     "pipeline_changelog" -> (graft.queries.PipelineFixture.pipelineChangelog _),
+    "pipeline_comments" -> (graft.queries.PipelineFixture.pipelineComments _),
     "pipeline_issues_extended" -> (graft.queries.PipelineFixture.pipelineIssuesExtended _),
     "pipeline_scale" -> (graft.queries.PipelineFixture.pipelineScale _),
     // LLM-pipeline: dedup family

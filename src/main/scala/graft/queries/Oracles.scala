@@ -414,6 +414,17 @@ object Oracles {
         |) AS t(event_time, issue_key, queue, event_type, transport, actor, changed_field, changed_from, changed_to)
         |ORDER BY issue_key, event_time, changed_field""".stripMargin,
 
+    // S3 lookup: TEST-1's two comments (email author; name-fallback author
+    // with null email; null updated_at) — TEST-3's comment excluded
+    "pipeline_comments" ->
+      """SELECT * FROM (VALUES
+        |  ('TEST-1', '1001', 'LGTM, shipping', 'dev@example.com',
+        |   TIMESTAMP '2024-01-09 12:00:00', TIMESTAMP '2024-01-09 12:30:00'),
+        |  ('TEST-1', '1002', 're-opened for QA', 'robot name',
+        |   TIMESTAMP '2024-01-09 15:00:00', NULL::TIMESTAMP)
+        |) AS t(issue_key, comment_id, text, author, created_at, updated_at)
+        |ORDER BY comment_id""".stripMargin,
+
     "pipeline_issues_extended" ->
       """SELECT * FROM (VALUES
         |  ('TEST-1', 'closed', 6::INTEGER, 'NORMAL'),

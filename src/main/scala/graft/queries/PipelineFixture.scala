@@ -44,8 +44,13 @@ object PipelineFixture {
 
   private def t(hhmm: String): String = s"2024-01-09T$hhmm:00.000+0000"
 
+  private def comment(id: String, text: String, email: String, name: String,
+                      at: String, upd: String = null): Row =
+    Row(id, text, Row(email, name), at, upd)
+
   private def issue(key: String, status: String, resolution: String = null,
-                    resolvedAt: String = null, changelog: Seq[Row] = Seq.empty): Row =
+                    resolvedAt: String = null, changelog: Seq[Row] = Seq.empty,
+                    comments: Seq[Row] = null): Row =
     Row(
       key, "Walkthrough😎", ref1("TEST"), ref1("Task"), ref1("Normal"), ref1(status),
       Option(resolution).map(ref1).orNull,
@@ -53,7 +58,7 @@ object PipelineFixture {
       null, null, ref1("MyProject"),
       Seq(ref1("Sprint 1")), Seq(ref1("backend")), Seq("t1"), null,
       3.0f, t("10:00"), t("18:00"), resolvedAt,
-      "2024-01-09", "2024-01-10", "2024-01-11", changelog)
+      "2024-01-09", "2024-01-10", "2024-01-11", changelog, comments)
 
   /** One IssueUpdated event whose field changes fire every
     * stringifyVariant branch (≙ extract_changelog_field,
@@ -96,10 +101,17 @@ object PipelineFixture {
   def raw(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.parallelize(Seq(
-        issue("TEST-1", "Closed", changelog = walkthroughEvents),
+        issue("TEST-1", "Closed", changelog = walkthroughEvents,
+          // S3 fixture: email author, name-fallback author (null email),
+          // and a null updatedAt — the comment-model null paths
+          comments = Seq(
+            comment("1001", "LGTM, shipping", "Dev@Example.com", "Dev Name", t("12:00"), t("12:30")),
+            comment("1002", "re-opened for QA", null, "Robot Name", t("15:00")))),
         issue("TEST-2", "Open"),
         issue("TEST-3", "Closed", resolution = "Fixed", resolvedAt = t("19:00"),
-          changelog = Seq(wfEvent(t("18:00"), Seq(statusField("Open", "Closed"), dtField(null, t("18:00")))))),
+          changelog = Seq(wfEvent(t("18:00"), Seq(statusField("Open", "Closed"), dtField(null, t("18:00"))))),
+          // a comment on ANOTHER issue: the per-issue lookup must exclude it
+          comments = Seq(comment("2001", "unrelated", "Qa@Example.com", "QA", t("17:00")))),
         // CamelCase status/type names: the reference lowercases BEFORE
         // snake_casing ('InProgress' → 'inprogress'), and this row makes
         // the driver's oracle catch any drift in that composition
@@ -187,6 +199,15 @@ object PipelineFixture {
     IssueTransform.changelog(raw(s), version = lit(null).cast("timestamp"))
       .drop("version")
       .orderBy(col("issue_key"), col("event_time"), col("changed_field"))
+
+  /** S3 comments lookup end-to-end ≙ get_comments("TEST-1")
+    * (services/tracker.py:46-48): the flat comment relation filtered to
+    * one issue key — TEST-3's comment must be excluded by the lookup.
+    */
+  def pipelineComments(s: SparkSession, d: String): DataFrame =
+    IssueTransform.comments(raw(s))
+      .where(col("issue_key") === "TEST-1")
+      .orderBy(col("comment_id"))
 
   /** U1 extensibility end-to-end: issues() with caller-supplied extra
     * columns over the RAW document (≙ subclassing TrackerIssue,

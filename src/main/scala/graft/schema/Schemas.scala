@@ -41,6 +41,16 @@ object Schemas {
     field("updatedBy", StructType(Seq(field("email"), field("name")))),
     field("fields", ArrayType(fieldChange))))
 
+  /** Issue comment ≙ the API objects `get_comments` returns
+    * (services/tracker.py:46-48; nested per issue on the wire).
+    */
+  val comment: StructType = StructType(Seq(
+    field("id"),
+    field("text"),
+    field("createdBy", StructType(Seq(field("email"), field("name")))),
+    field("createdAt"),
+    field("updatedAt")))
+
   private def ref(attr: String) = StructType(Seq(field(attr)))
 
   val rawIssue: StructType = StructType(Seq(
@@ -68,7 +78,8 @@ object Schemas {
     field("start"),
     field("end"),
     field("deadline"),
-    field("changelog", ArrayType(changelogEvent))))
+    field("changelog", ArrayType(changelogEvent)),
+    field("comments", ArrayType(comment))))
 }
 
 /** Engine configuration ≙ the reference's Settings relevant to the

@@ -200,6 +200,25 @@ object IssueTransform {
       lit(""))
   }
 
+  /** S3 comments lookup ≙ `get_comments` (services/tracker.py:46-48).
+    * The reference fetches one issue's comments over HTTP and returns the
+    * API objects untransformed; the engine-side analog is the flat
+    * comment relation derived from the nested document — a per-issue
+    * lookup composes as a pushdown-friendly `issue_key` filter on top
+    * (see `pipeline_comments`). Author resolution and null handling
+    * follow the changelog actor rules (email lowered, name fallback).
+    */
+  def comments(raw: DataFrame): DataFrame =
+    raw
+      .select(col("key").as("issue_key"), explode(col("comments")).as("c"))
+      .select(
+        col("issue_key"),
+        col("c.id").as("comment_id"),
+        col("c.text").as("text"),
+        coalesce(low(col("c.createdBy.email")), low(col("c.createdBy.name")), lit("")).as("author"),
+        parseDt(col("c.createdAt")).as("created_at"),
+        parseDt(col("c.updatedAt")).as("updated_at"))
+
   /** Changelog rows ≙ issues_changelog DDL (models/issue.py:126-160):
     * every event × changed field, P8-filtered (non-null field, at least one
     * non-empty side), values stringified per F9.

@@ -51,7 +51,7 @@ class IssuePipelineSpec extends SparkSuite {
       Option(parent).map(ref1).orNull, null, ref1("MyProject"),
       Seq(ref1("Sprint 1")), Seq(ref1("backend")), Seq("t1"), null,
       3.0f, t("10:00"), updatedAt, resolvedAt,
-      "2024-01-09", "2024-01-10", "2024-01-11", changelog)
+      "2024-01-09", "2024-01-10", "2024-01-11", changelog, null)
 
   private val walkthroughEvents = Seq(
     wfEvent(t("11:00"), Seq(statusField("Open", "In progress"), dtField(null, t("11:00")))),
@@ -241,6 +241,17 @@ class IssuePipelineSpec extends SparkSuite {
       .select("issue_key", "summary_len", "queue_lower").collect()(0)
     assert(out.getInt(1) == 12) // Spark length() counts codepoints (emoji = 1)
     assert(out.getString(2) == "test")
+  }
+
+  test("S3 comments relation: flattened per issue, author fallback, absent arrays yield no rows") {
+    val flat = IssueTransform.comments(graft.queries.PipelineFixture.raw(spark))
+    assert(flat.count() == 3) // TEST-1 x2 + TEST-3 x1; null arrays contribute nothing
+    val byId = flat.collect().map(r => r.getAs[String]("comment_id") -> r).toMap
+    assert(byId("1001").getAs[String]("author") == "dev@example.com")
+    assert(byId("1002").getAs[String]("author") == "robot name") // null email -> lowered name
+    assert(byId("1002").isNullAt(byId("1002").fieldIndex("updated_at")))
+    // the per-issue lookup composition (≙ get_comments("TEST-1"))
+    assert(flat.where(col("issue_key") === "TEST-1").count() == 2)
   }
 
   test("watermark compares instants, not wire strings (mixed UTC offsets)") {
