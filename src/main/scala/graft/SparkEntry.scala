@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),
     "dedup_embedding" -> (L.dedupEmbedding _),
+    "dedup_clusters" -> (L.dedupClusters _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

@@ -491,6 +491,29 @@ object Oracles {
          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
 
+    // Connected components by brute-force reachability closure: reach
+    // enumerates every (node, reachable node) pair — exponentially more
+    // work than the Spark side's star contraction, but exact, and the
+    // UNION (not UNION ALL) recursion terminates on the closure fixpoint.
+    // The pair graph is the same all-pairs Hamming≤3 set as the
+    // dedup_simhash oracle.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $simhashFp,
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT comp.id AS doc_id, comp.component, sz.cluster_size,
+         |  comp.id = comp.component AS is_canonical
+         |FROM comp JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
+
     // all-pairs reference with the SAME left-fold double arithmetic as the
     // Spark side, so any pair both engines emit hash-matches bit-for-bit.
     // The corpus CTE mirrors the query's planted near-duplicates: an

@@ -230,4 +230,52 @@ class DedupSpec extends SparkSuite {
     val withinCluster = cands.filter { case (a, b) => a < 30 && b < 30 }
     assert(withinCluster.length == 30 * 29 / 2)
   }
+
+  /** Brute-force union-find reference for connectedComponents. */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // roots are min ids because unions always attach larger to smaller
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents matches union-find on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+    assert(ccOf(edges) == ufComponents(edges))
+  }
+
+  test("connectedComponents resolves a long chain (multi-round convergence)") {
+    // a path graph is the adversarial case for star contraction: diameter
+    // n, so label propagation would need n rounds — this must still
+    // converge within the default maxIter via the O(log² n) alternation
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val got = ccOf(chain)
+    assert(got.keySet == (0L to 63L).toSet)
+    assert(got.values.toSet == Set(0L))
+  }
+
+  test("connectedComponents keeps disjoint components apart and handles empty input") {
+    val edges = Seq((10L, 11L), (11L, 12L), (20L, 21L), (5L, 5L))
+    val got = ccOf(edges)
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(ccOf(Seq.empty[(Long, Long)]).isEmpty)
+  }
+
+  test("connectedComponents is orientation-agnostic and dedups parallel edges") {
+    val got = ccOf(Seq((3L, 1L), (1L, 3L), (3L, 1L), (2L, 3L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
 }
