@@ -421,6 +421,76 @@ object Dedup {
   /** Word n-grams as distinct strings (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int): Column = shingles(text, n)
 
+  /** Distinct-fingerprint near-dup pairs at REPRESENTATIVE level: the
+    * same pigeonhole chunk-bucket pipeline as [[simHashPairs]], but each
+    * fingerprint participates as a single node (its `rep` = the minimum
+    * member id), and no id-level expansion happens at all. Input is the
+    * (simhash, rep) table; output is (ra, rb) — each qualifying
+    * distinct-fingerprint pair exactly once (first-agreeing-chunk rule,
+    * no terminal distinct).
+    */
+  private def simHashRepPairs(fpRep: DataFrame, bits: Int, chunks: Int,
+                              maxHamming: Int, maxBucketGroups: Int): DataFrame = {
+    val chunkBits = bits / chunks
+    val mask = (1L << chunkBits) - 1
+    val byChunk = fpRep
+      .select(col("simhash"), col("rep"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("simhash"), c * chunkBits).bitwiseAND(lit(mask))): _*)).as(Seq("c", "v")))
+      .groupBy(col("c"), col("v"))
+      .agg(sort_array(collect_list(struct(col("simhash").as("fp"), col("rep").as("rep")))).as("gs"))
+    def firstAgreeingChunk(x: Column): Column =
+      coalesce((0 until chunks).map(c =>
+        when(shiftright(x, c * chunkBits).bitwiseAND(lit(mask)) === 0, lit(c))): _*)
+    val cappedGs = when(size(col("gs")) <= maxBucketGroups, col("gs"))
+      .otherwise(slice(col("gs"), 1, 0))
+    def xorG(g: Column, h: Column): Column = g.getField("fp").bitwiseXOR(h.getField("fp"))
+    val units = flatten(transform(cappedGs, (g, i) =>
+      transform(
+        filter(slice(cappedGs, i + 2, size(cappedGs) - i - 1), h =>
+          (bit_count(xorG(g, h)) <= maxHamming) && (firstAgreeingChunk(xorG(g, h)) === col("c"))),
+        h => struct(g.getField("rep").as("ra"), h.getField("rep").as("rb")))))
+    byChunk.select(explode(units).as("u")).select(col("u.ra").as("ra"), col("u.rb").as("rb"))
+  }
+
+  /** Per-document near-dup cluster labels over the SimHash Hamming ≤
+    * `maxHamming` graph: (`idCol`, `component`) with `component` = the
+    * smallest member id of the document's cluster — semantically
+    * identical to [[connectedComponents]] over [[simHashPairs]], but
+    * built the way 100 TB requires: exact-fingerprint cliques are
+    * CONTRACTED before the graph stage. Identical fingerprints are
+    * pairwise Hamming-0, so the doc-level and distinct-fingerprint-level
+    * component structures coincide — yet a corpus with million-member
+    * exact-dup clusters (the motivating case for dedup) would expand
+    * O(m²) doc pairs per clique under the pair-then-contract order,
+    * while this order pays one `min` hash-aggregate per fingerprint
+    * group, runs star-contraction on the tiny representative graph, and
+    * maps labels back through the (simhash → rep) table with equi-joins.
+    * Documents whose text yields no fingerprint (null text) are absent
+    * from the output — callers keep them as singletons via a left join.
+    */
+  def simHashClusters(docs: DataFrame, textCol: String, idCol: String,
+                      bits: Int = 48, chunks: Int = 4, maxHamming: Int = 3,
+                      maxBucketGroups: Int = 2048, maxIter: Int = 20): DataFrame = {
+    require(maxHamming < chunks && bits % chunks == 0,
+      s"pigeonhole clustering needs maxHamming < chunks and chunks | bits (got $maxHamming/$chunks/$bits)")
+    // both eagerly materialized: fp feeds the rep aggregate AND the
+    // label map-back join (without the checkpoint the scan → simhash
+    // kernel pass runs twice), and fpRep feeds the pair builder AND the
+    // join (without it the rep aggregate runs twice)
+    val fp = simHash(docs, textCol, idCol, bits).localCheckpoint(true)
+    val fpRep = fp.groupBy(col("simhash")).agg(min(col(idCol)).as("rep"))
+      .localCheckpoint(true)
+    val comp = connectedComponents(
+      simHashRepPairs(fpRep, bits, chunks, maxHamming, maxBucketGroups), "ra", "rb", maxIter)
+      .withColumnRenamed("id", "rep")
+    // reps never reached by a cross-fingerprint pair label their group
+    // themselves (an exact-dup clique IS its cluster, no CC needed)
+    fp.join(fpRep, "simhash")
+      .join(comp, Seq("rep"), "left")
+      .select(col(idCol), coalesce(col("component"), col("rep")).as("component"))
+  }
+
   /** Connected components of an undirected pair graph — the last stage of
     * a corpus dedup pass: near-dup PAIRS (from [[minHashPairs]] /
     * [[simHashPairs]] / [[embeddingCosinePairs]]) are resolved into
@@ -469,7 +539,17 @@ object Dedup {
       .select(least(col(aCol), col(bCol)).cast("long").as("a"),
               greatest(col(aCol), col(bCol)).cast("long").as("b"))
       .as[(Long, Long)].rdd
-    val part = new HashPartitioner(math.max(init.getNumPartitions, 1))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // AQE-style partition sizing from the measured edge count (the count
+    // also materializes the upstream pair generation exactly once): the
+    // contracted graphs this operator sees are orders of magnitude
+    // smaller than their corpora, and an iterative loop pays per-round
+    // task-scheduling overhead on every empty partition — ~250k edges
+    // (~4 MB of longs) per partition keeps the per-partition HashSets
+    // small while collapsing toy graphs to single-task rounds
+    val nEdges = init.count()
+    val part = new HashPartitioner(
+      math.max(1, math.min(init.getNumPartitions, ((nEdges + 249999) / 250000).toInt)))
     // co-partitioned + per-partition Set = global distinct without a
     // second shuffle (duplicates of a key all land in its partition)
     def dedupByKey(r: RDD[(Long, Long)]): RDD[(Long, Long)] =
@@ -483,8 +563,10 @@ object Dedup {
       .distinct(part.numPartitions).persist(StorageLevel.MEMORY_AND_DISK)
     // materialize now, while the round-0 edge set is still persisted:
     // the final labeling job otherwise re-runs the whole upstream pair
-    // generation just to recover the node set
+    // generation just to recover the node set. This job also fills the
+    // edges cache, after which the raw pair blocks can go.
     nodes.foreachPartition(_ => ())
+    init.unpersist(blocking = false)
 
     var converged = false
     var it = 0

@@ -278,4 +278,26 @@ class DedupSpec extends SparkSuite {
     val got = ccOf(Seq((3L, 1L), (1L, 3L), (3L, 1L), (2L, 3L)))
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("simHashClusters equals connectedComponents over simHashPairs (contract-then-cluster)") {
+    // corpus with exact-dup cliques (identical text → identical
+    // fingerprint) AND cross-fingerprint near-dups: the contracted path
+    // must produce the identical per-doc labeling as pair-then-contract
+    val exactDups = (200 until 230).map(i => (i.toLong, docs.as[(Long, String)].collect()(0)._2))
+    val corpus = docs.as[(Long, String)].collect().toSeq ++ exactDups
+    val df = corpus.toDF("doc_id", "text")
+    val viaPairs = {
+      val pairs = Dedup.simHashPairs(df, "text", "doc_id").select(col("a"), col("b"))
+      val cc = Dedup.connectedComponents(pairs, "a", "b")
+        .as[(Long, Long)].collect().toMap
+      // docs absent from the pair graph are their own singleton cluster
+      corpus.map { case (id, _) => id -> cc.getOrElse(id, id) }.toMap
+    }
+    val viaClusters = Dedup.simHashClusters(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(viaClusters.keySet == corpus.map(_._1).toSet)
+    assert(viaClusters == viaPairs)
+    // the planted exact-dup clique landed in one cluster keyed by doc 0
+    assert((200L until 230L).forall(viaClusters(_) == viaClusters(0L)))
+  }
 }
