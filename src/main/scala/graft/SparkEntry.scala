@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash" -> (L.dedupSimhash _),
     "dedup_embedding" -> (L.dedupEmbedding _),
     "dedup_clusters" -> (L.dedupClusters _),
+    "dedup_decontaminate" -> (L.dedupDecontaminate _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

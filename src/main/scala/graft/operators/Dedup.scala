@@ -292,6 +292,52 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Benchmark decontamination: corpus documents whose shingle Jaccard
+    * against ANY probe document (the eval/benchmark set) reaches
+    * `threshold` — the cross-corpus variant of [[minHashPairs]], the
+    * operation every training pipeline runs before training ("is any
+    * train doc a near-copy of a test doc?"). Returns
+    * (`corpus_id`, `probe_id`, `jaccard`).
+    *
+    * Scale shape: the probe set is orders of magnitude smaller than the
+    * corpus (thousands of benchmark docs vs billions of train docs), so
+    * the band-bucket join broadcasts the probe side; the corpus is never
+    * self-joined and never all-pairs'd. Corpus signatures collapse to
+    * distinct-signature groups first (same skew defense as
+    * [[minHashCandidates]]: an exact-dup army is ONE group element per
+    * band) and candidate dedup happens at GROUP level — a (group, probe)
+    * collision in many bands costs one distinct row, not one per band per
+    * member — before ids expand for verification.
+    */
+  def minHashDecontaminate(corpus: DataFrame, probe: DataFrame,
+                           textCol: String, idCol: String,
+                           threshold: Double = 0.5, k: Int = 3,
+                           numHashes: Int = 128, bands: Int = 32): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val shC = corpus.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .localCheckpoint(false)
+    val shP = probe.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
+      .localCheckpoint(false)
+    val rows = numHashes / bands
+    val grouped = minHashSignaturesFromHashes(shC, "sh", idCol, numHashes)
+      .groupBy(col("signature"))
+      .agg(sort_array(collect_set(col(idCol))).as("ids"))
+    val bC = lshBuckets(grouped, "ids", bands, rows)
+    val bP = lshBuckets(minHashSignaturesFromHashes(shP, "sh", idCol, numHashes),
+      idCol, bands, rows)
+      .select(col("band"), col("bucket"), col(idCol).as("probe_id"))
+    val cands = bC.join(broadcast(bP), Seq("band", "bucket"))
+      .select(col("ids"), col("probe_id"))
+      .distinct()
+      .select(explode(col("ids")).as("corpus_id"), col("probe_id"))
+    cands
+      .join(shC.select(col(idCol).as("corpus_id"), col("sh").as("sha")), "corpus_id")
+      .join(broadcast(shP.select(col(idCol).as("probe_id"), col("sh").as("shb"))), "probe_id")
+      .withColumn("jaccard", jaccardSorted(col("sha"), col("shb")))
+      .where(col("jaccard") >= threshold)
+      .select(col("corpus_id"), col("probe_id"), col("jaccard"))
+  }
+
   /** SimHash fingerprint, `bits` wide (default 48, max 60), from the first
     * `bits/4` hex chars of md5 over distinct whitespace tokens: token hash
     * = the hex prefix parsed as a long, bit j of the fingerprint is the

@@ -476,6 +476,17 @@ object Oracles {
          |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
          |WHERE jaccard >= 0.5 ORDER BY a, b""".stripMargin,
 
+    // exhaustive cross-set reference: every (train, eval) pair's exact
+    // shingle Jaccard — matches the LSH path because this corpus's pair
+    // similarities are bimodal (see dedup_minhash note)
+    "dedup_decontaminate" ->
+      s"""WITH sh AS MATERIALIZED (${shingleSelect(3)})
+         |SELECT corpus_id, probe_id, jaccard FROM (
+         |  SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+         |    len(list_intersect(c.sh, p.sh))::DOUBLE / len(list_distinct(list_concat(c.sh, p.sh)))::DOUBLE AS jaccard
+         |  FROM sh c JOIN sh p ON c.doc_id % 10 <> 7 AND p.doc_id % 10 = 7)
+         |WHERE jaccard >= 0.5 ORDER BY corpus_id, probe_id""".stripMargin,
+
     "dedup_ngram" ->
       s"""WITH g AS (${shingleSelect(2, ", lang, n_chars", " WHERE doc_id % 2 = 0")})
          |SELECT a, b, jaccard FROM (

@@ -279,6 +279,34 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("minHashDecontaminate finds cross-set near-dups and matches brute-force cross Jaccard") {
+    // probe = eval set; corpus holds one near-copy of probe doc 1000, an
+    // exact-dup pair of it (identical signatures → one group), and noise
+    val probe = Seq(
+      (1000L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (1001L, "completely unrelated benchmark question about metallurgy and forges")).toDF("doc_id", "text")
+    val nearCopy = "the quick brown fox jumps over the lazy dog again and again tomorrow"
+    val corpus = (Seq(
+      (1L, nearCopy), (2L, nearCopy),
+      (3L, "noise document with its own vocabulary entirely disjoint from probes")) ++
+      (10L until 40L).map(i => (i, s"filler doc $i with words w$i x$i y$i z$i"))).toDF("doc_id", "text")
+    val got = Dedup.minHashDecontaminate(corpus, probe, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().map { case (c, p, j) => ((c, p), j) }.toMap
+    // brute force: exact Jaccard over the same shingle-hash definition
+    val sh = (df: org.apache.spark.sql.DataFrame) => df
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val (cs, ps) = (sh(corpus), sh(probe))
+    val brute = (for {
+      (c, cv) <- cs.toSeq; (p, pv) <- ps.toSeq
+      inter = cv.toSet.intersect(pv.toSet).size
+      j = inter.toDouble / (cv.toSet ++ pv.toSet).size
+      if j >= 0.5
+    } yield (c, p) -> j).toMap
+    assert(got == brute)
+    assert(got.keySet == Set((1L, 1000L), (2L, 1000L)))
+  }
+
   test("simHashClusters equals connectedComponents over simHashPairs (contract-then-cluster)") {
     // corpus with exact-dup cliques (identical text → identical
     // fingerprint) AND cross-fingerprint near-dups: the contracted path
