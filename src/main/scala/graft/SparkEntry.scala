@@ -82,7 +82,10 @@ object SparkEntry {
     "text_quality" -> (L.textQuality _),
     "text_langid" -> (L.textLangid _),
     "text_tokens" -> (L.textTokens _),
-    "text_fingerprint" -> (L.textFingerprint _)
+    "text_fingerprint" -> (L.textFingerprint _),
+    // LLM-pipeline: training-mix selection
+    "select_token_budget" -> (L.selectTokenBudget _),
+    "sample_stratified" -> (L.sampleStratified _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

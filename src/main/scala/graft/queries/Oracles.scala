@@ -631,6 +631,26 @@ object Oracles {
          |ORDER BY doc_id""".stripMargin
     },
 
+    // mirror order exactly: score desc, doc_id asc; DuckDB's default
+    // RANGE window frame equals Spark's because the (score, doc_id)
+    // ordering is tie-free (doc_id unique)
+    "select_token_budget" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |c AS (SELECT *, sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens FROM b)
+        |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
+    "sample_stratified" ->
+      """SELECT doc_id, lang, sample_rank FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id)::INTEGER AS sample_rank
+        |  FROM documents)
+        |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+'))::INTEGER AS n_ws_tokens,

@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class CorpusSelectionSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    // (id, stratum, score, tokens)
+    (1L, "en", 0.9, 100), (2L, "en", 0.8, 100), (3L, "en", 0.7, 100),
+    (4L, "en", 0.6, 100), (5L, "de", 0.5, 250), (6L, "de", 0.4, 100),
+    (7L, "de", 0.3, 100)
+  ).toDF("doc_id", "lang", "score", "n_sel_tokens")
+
+  test("selectByTokenBudget keeps highest-score docs while the running sum fits") {
+    val out = CorpusSelection
+      .selectByTokenBudget(docs, "lang", col("score"), col("n_sel_tokens"), 300L, "doc_id")
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    // en: 1 (100), 2 (200), 3 (300); 4 would reach 400 — out
+    // de: 5 (250); 6 would reach 350 — out, and so is 7 (450)
+    assert(out == Map(1L -> 100L, 2L -> 200L, 3L -> 300L, 5L -> 250L))
+  }
+
+  test("selectByTokenBudget excludes a single over-budget doc and breaks score ties by id") {
+    val tied = Seq((1L, "x", 1.0, 90), (2L, "x", 1.0, 90), (3L, "x", 1.0, 90),
+      (9L, "y", 1.0, 999)).toDF("doc_id", "lang", "score", "n_sel_tokens")
+    val out = CorpusSelection
+      .selectByTokenBudget(tied, "lang", col("score"), col("n_sel_tokens"), 200L, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L)) // id order under tied scores; 999 > 200 alone
+  }
+
+  test("stratifiedSample is deterministic, bounded per stratum, and a subset of the input") {
+    val corpus = (0L until 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "lang")
+    val s1 = CorpusSelection.stratifiedSample(corpus, "lang", 10, "doc_id")
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Int)].collect().sortBy(_._1)
+    val s2 = CorpusSelection.stratifiedSample(corpus, "lang", 10, "doc_id")
+      .select("doc_id", "lang", "sample_rank").as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(s1.toSeq == s2.toSeq)
+    assert(s1.count(_._2 == "a") == 10 && s1.count(_._2 == "b") == 10)
+    assert(s1.forall { case (id, lang, r) => (if (id % 3 == 0) "a" else "b") == lang && r >= 1 && r <= 10 })
+    // the md5 scramble actually scrambles: the sample is not just the first ids
+    assert(s1.filter(_._2 == "b").map(_._1).toSet != (0L until 200L).filter(_ % 3 != 0).take(10).toSet)
+  }
+}
