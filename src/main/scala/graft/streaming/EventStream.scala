@@ -105,6 +105,38 @@ object EventStream {
       }
   }
 
+  /** Streaming exact dedup — the streaming form of
+    * [[graft.operators.Dedup.exactGroups]], and the ingestion-side answer
+    * to "never train on the same document twice" when the corpus arrives
+    * continuously: keep the FIRST document seen per content fingerprint
+    * across micro-batches. Spark's stateful streaming `dropDuplicates`
+    * holds one state-store entry per distinct fingerprint, partitioned by
+    * key — memory is bounded by distinct-content cardinality, not stream
+    * volume, and survives restarts via the checkpoint.
+    *
+    * State never expires here (a duplicate must be caught however far
+    * apart the copies arrive). When the stream carries an event-time
+    * column and re-delivery has a bounded horizon, use
+    * [[firstSeenWithinWatermark]] to evict state past the watermark.
+    */
+  def firstSeen(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.Dedup.exactFingerprint(col(textCol)))
+      .dropDuplicates("fingerprint")
+
+  /** [[firstSeen]] with watermark-bounded state: duplicates are only
+    * caught within `lateness` of the event-time high-water mark, and
+    * fingerprint state older than that is evicted — the deliberate
+    * state-size/recall trade for unbounded streams with bounded
+    * re-delivery (`dropDuplicatesWithinWatermark` semantics).
+    */
+  def firstSeenWithinWatermark(docs: DataFrame, textCol: String, tsCol: String,
+                               lateness: String): DataFrame =
+    docs
+      .withColumn("fingerprint", graft.operators.Dedup.exactFingerprint(col(textCol)))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
   /** Run a stream to completion over the currently-available input
     * (Trigger.AvailableNow) into an in-memory table; returns the result.
     * NOTE: complete output mode (required by the memory sink for a full

@@ -112,4 +112,40 @@ class EventStreamSpec extends SparkSuite {
     assert(second == Set((1L, "open", 7200L), (1L, "review", 10800L)))
     assert(second.forall(_._3 >= 0))
   }
+
+  test("streaming firstSeen dedup holds fingerprint state across micro-batches and restarts") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-fs")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = tmp.resolve(name + "_stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, inDir.resolve(name + ".parquet"))
+    }
+    write("b1", Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")))
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    def run(): Set[Long] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = EventStream.firstSeen(stream, "text").writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    }
+    assert(run() == Set(1L, 2L))
+    // doc 3 duplicates doc 1's content (differing only in whitespace —
+    // the fingerprint normalizes it); doc 4 is new. The duplicate must be
+    // dropped by state RECOVERED from the checkpoint in a fresh run.
+    write("b2", Seq((3L, "  ALPHA   beta GAMMA "), (4L, "zeta eta")))
+    assert(run() == Set(1L, 2L, 4L))
+  }
 }
