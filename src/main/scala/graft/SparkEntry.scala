@@ -85,7 +85,8 @@ object SparkEntry {
     "text_fingerprint" -> (L.textFingerprint _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
-    "sample_stratified" -> (L.sampleStratified _)
+    "sample_stratified" -> (L.sampleStratified _),
+    "pack_sequences" -> (L.packSequences _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -38,6 +38,37 @@ object CorpusSelection {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** Concat-and-chunk sequence packing — the layout step between a
+    * curated corpus and a pre-training run: documents are laid out in a
+    * deterministic order (`idCol` asc) as one contiguous token stream and
+    * cut every `seqLen` tokens. Emits per document: `start_offset` (its
+    * position in the stream), `seq_id` (the training sequence its first
+    * token lands in), `end_seq_id` (the sequence of its last token —
+    * `> seq_id` means the document straddles a cut, exactly what
+    * concat-and-chunk packing accepts in exchange for zero padding), and
+    * `n_seq_tokens` (its token count).
+    *
+    * One running-sum window over the whole stream. At corpus scale the
+    * single global ordering is the scale risk, same as any global sort:
+    * shard the stream first (pack per source/date bucket — each shard is
+    * an independent stream and the window parallelizes per shard), which
+    * is what production packers do anyway to keep shuffle-read locality.
+    * Pass a `shardCol` to get exactly that: offsets restart per shard and
+    * `seq_id` is per-shard.
+    */
+  def packSequences(docs: DataFrame, tokens: Column, seqLen: Long, idCol: String,
+                    shardCol: Option[String] = None): DataFrame = {
+    val w = shardCol.fold(Window.orderBy(col(idCol)))(s => Window.partitionBy(col(s)).orderBy(col(idCol)))
+    docs
+      .withColumn("n_seq_tokens", tokens)
+      .withColumn("start_offset", (sum(col("n_seq_tokens")).over(w) - col("n_seq_tokens")).cast("long"))
+      // `div` (integer division), not `/` (double division): exact at any
+      // stream length. An empty doc (0 tokens) gets end == start.
+      .withColumn("seq_id", expr(s"start_offset div ${seqLen}L"))
+      .withColumn("end_seq_id",
+        expr(s"greatest(start_offset, start_offset + n_seq_tokens - 1) div ${seqLen}L"))
+  }
+
   /** Deterministic fixed-size sample per stratum: order documents inside
     * each stratum by `md5(id)` (a seedless, engine-portable uniform
     * scrambling — any doc set yields the same sample on every run and

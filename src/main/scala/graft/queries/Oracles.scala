@@ -644,6 +644,19 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    "pack_sequences" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_seq_tokens
+        |  FROM documents),
+        |c AS (SELECT *,
+        |  (sum(n_seq_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_seq_tokens)::BIGINT AS start_offset
+        |FROM b)
+        |SELECT doc_id, lang, n_seq_tokens, start_offset,
+        |  start_offset // 2048 AS seq_id,
+        |  greatest(start_offset, start_offset + n_seq_tokens - 1) // 2048 AS end_seq_id
+        |FROM c ORDER BY lang, doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang, sample_rank FROM (
         |  SELECT doc_id, lang,

@@ -32,6 +32,24 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(out == Set(1L, 2L)) // id order under tied scores; 999 > 200 alone
   }
 
+  test("packSequences lays out a contiguous stream, flags straddlers, and restarts per shard") {
+    val in = Seq(
+      (1L, "x", 1000), (2L, "x", 1000), (3L, "x", 100), (4L, "x", 0), (5L, "x", 50),
+      (6L, "y", 2048), (7L, "y", 1)).toDF("doc_id", "lang", "n_tok")
+    val out = CorpusSelection
+      .packSequences(in, col("n_tok"), 2048L, "doc_id", shardCol = Some("lang"))
+      .select("doc_id", "start_offset", "seq_id", "end_seq_id")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == (0L, 0L, 0L))
+    assert(out(2L) == (1000L, 0L, 0L)) // tokens 1000..1999 end before the 2048 cut
+    assert(out(3L) == (2000L, 0L, 1L)) // tokens 2000..2099 straddle the cut
+    assert(out(4L) == (2100L, 1L, 1L)) // empty doc: end == start
+    assert(out(5L) == (2100L, 1L, 1L))
+    // shard y restarts at offset 0; doc 6 exactly fills sequence 0
+    assert(out(6L) == (0L, 0L, 0L))
+    assert(out(7L) == (2048L, 1L, 1L))
+  }
+
   test("stratifiedSample is deterministic, bounded per stratum, and a subset of the input") {
     val corpus = (0L until 200L).map(i => (i, if (i % 3 == 0) "a" else "b")).toDF("doc_id", "lang")
     val s1 = CorpusSelection.stratifiedSample(corpus, "lang", 10, "doc_id")
