@@ -86,7 +86,8 @@ object SparkEntry {
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),
-    "pack_sequences" -> (L.packSequences _)
+    "pack_sequences" -> (L.packSequences _),
+    "corpus_curation" -> (L.corpusCuration _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

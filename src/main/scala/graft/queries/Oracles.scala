@@ -644,6 +644,26 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    // quality gate -> exact-dedup canonical -> per-language token budget:
+    // each stage mirrors its standalone oracle's expressions exactly
+    "corpus_curation" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
+        |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |    AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0),
+        |k AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS canon
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, lang, score, n_sel_tokens,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM k WHERE doc_id = canon)
+        |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
