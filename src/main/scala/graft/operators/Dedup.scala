@@ -581,9 +581,12 @@ object Dedup {
     import spark.implicits._
 
     val init = pairs
-      .where(col(aCol).isNotNull && col(bCol).isNotNull && col(aCol) =!= col(bCol))
-      .select(least(col(aCol), col(bCol)).cast("long").as("a"),
-              greatest(col(aCol), col(bCol)).cast("long").as("b"))
+      .select(least(col(aCol), col(bCol)).as("_a0"), greatest(col(aCol), col(bCol)).as("_b0"))
+      // try_cast + null-filter AFTER: a non-integral id must drop here —
+      // a plain ANSI cast would abort the job, and filtering before the
+      // cast would NPE in the tuple decode instead
+      .selectExpr("try_cast(_a0 AS LONG) AS a", "try_cast(_b0 AS LONG) AS b")
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .as[(Long, Long)].rdd
       .persist(StorageLevel.MEMORY_AND_DISK)
     // AQE-style partition sizing from the measured edge count (the count

@@ -279,6 +279,13 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("connectedComponents drops null and non-integral ids instead of failing") {
+    val df = Seq((Some("1"), Some("2")), (Some("2"), Some("x")), (None, Some("5")), (Some("7"), Some("8")))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(df, "a", "b").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
   test("minHashDecontaminate finds cross-set near-dups and matches brute-force cross Jaccard") {
     // probe = eval set; corpus holds one near-copy of probe doc 1000, an
     // exact-dup pair of it (identical signatures → one group), and noise
