@@ -16,7 +16,12 @@ object PlanAudit {
     val d = "/root/testdata/sf0.001"
     val interesting = Seq("s1_scan_pushdown", "o1_sort_limit", "j1_broadcast_join",
       "q1_pricing_summary", "a4_dedup_latest", "a1_status_metrics", "dedup_exact", "ann_brute",
-      "dedup_minhash", "dedup_simhash", "ann_lsh")
+      "dedup_minhash", "dedup_simhash", "ann_lsh",
+      // training-pipeline layer: the probe side of decontamination must
+      // broadcast; selection/packing are single-window plans (one
+      // exchange on the stratum key); curation chains two windows
+      "dedup_decontaminate", "select_token_budget", "pack_sequences",
+      "sample_stratified", "corpus_curation")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
