@@ -30,6 +30,20 @@ object Bench {
           org.apache.spark.sql.functions.col("embedding"),
           org.apache.spark.sql.functions.col("embedding")).as("d"))
         .agg(org.apache.spark.sql.functions.sum("d")).collect()
+      // the dedup operators' plan shapes (signature kernels, bucket
+      // aggregates, pair expansion, CC rounds) each cost 1-2 s of
+      // one-time Janino/JIT — compile them on a 64-row synthetic corpus
+      // so the measured sf run pays execution, not compilation
+      locally {
+        import org.apache.spark.sql.functions.{col, concat_ws, lit}
+        import spark.implicits._
+        val tiny = spark.range(64)
+          .select(col("id").as("doc_id"),
+            concat_ws(" ", (0 until 12).map(i => concat_ws("", lit("w"), ((col("id") + i) % 17))): _*).as("text"))
+        graft.operators.Dedup.minHashPairs(tiny, "text", "doc_id").count()
+        graft.operators.Dedup.simHashClusters(tiny, "text", "doc_id").count()
+        ()
+      }
     } catch {
       case NonFatal(e) => System.err.println(s"[bench] warmup failed: $e")
     }
