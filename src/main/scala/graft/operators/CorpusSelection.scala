@@ -38,6 +38,56 @@ object CorpusSelection {
       .where(col("cum_tokens") <= budget)
   }
 
+  /** The skewed-stratum scale path for [[selectByTokenBudget]], result-
+    * identical (asserted in CorpusSelectionSpec): a cheap aggregate pass
+    * estimates each stratum's admission-score threshold, a pushed-down
+    * filter discards the long tail BELOW it, and the exact window runs
+    * on the survivors only.
+    *
+    * Threshold estimation is exact-conservative, not approximate-risky.
+    * Two cheap aggregate passes: `approx_percentile(score, fracs)` picks
+    * a few probe scores per stratum, then the EXACT token mass at or
+    * above each probe (`sum(score >= p ? tokens : 0)`) is measured, and
+    * the HIGHEST probe whose above-mass still covers `budget` becomes
+    * the stratum's admission floor. Every document the exact window can
+    * admit scores at or above that floor — an admitted doc below it
+    * would have the floor's full ≥-budget mass ahead of it in the
+    * ordering, contradicting its own ≤-budget cumulative sum — so no
+    * survivor is lost, regardless of how approximate the percentile
+    * sketch was (safety rests only on the exact mass). A stratum no
+    * probe can cover keeps all its docs (null floor). The sort volume
+    * drops from the stratum size to ~the budget's neighborhood — the
+    * difference between sorting a 10-billion-doc language and sorting
+    * its best few million.
+    */
+  def selectByTokenBudgetApprox(docs: DataFrame, strataCol: String, score: Column,
+                                tokens: Column, budget: Long, idCol: String,
+                                probeFracs: Seq[Double] = Seq(0.5, 0.9, 0.99, 0.999)): DataFrame = {
+    require(probeFracs.nonEmpty, "at least one probe fraction")
+    val fracs = probeFracs.sorted // ascending fracs → ascending probe scores
+    val probed = docs.withColumn("_score", score).withColumn("_tok", tokens)
+    val pcts = probed.groupBy(col(strataCol))
+      .agg(expr(s"approx_percentile(_score, array(${fracs.mkString(",")}))").as("_ps"))
+    // token mass at or above each probe score, per stratum
+    val masses = probed.join(broadcast(pcts), strataCol)
+      .groupBy(col(strataCol))
+      .agg(
+        first(col("_ps")).as("_ps"),
+        array(fracs.indices.map(i =>
+          sum(when(col("_score") >= element_at(col("_ps"), i + 1), col("_tok")).otherwise(lit(0L)))): _*)
+          .as("_mass"))
+      // lowest probe score whose above-mass still covers the budget; null
+      // (keep everything) when no probe's reach is certain
+      .select(col(strataCol),
+        try_element_at(filter(zip_with(col("_ps"), col("_mass"), (p, m) => struct(p.as("p"), m.as("m"))),
+          pm => pm.getField("m") >= budget), lit(-1)).getField("p").as("_thresh"))
+    selectByTokenBudget(
+      probed.join(broadcast(masses), strataCol)
+        .where(col("_thresh").isNull || col("_score") >= col("_thresh")),
+      strataCol, col("_score"), col("_tok"), budget, idCol)
+      .drop("_score", "_tok", "_thresh")
+  }
+
   /** Concat-and-chunk sequence packing — the layout step between a
     * curated corpus and a pre-training run: documents are laid out in a
     * deterministic order (`idCol` asc) as one contiguous token stream and

@@ -32,6 +32,31 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(out == Set(1L, 2L)) // id order under tied scores; 999 > 200 alone
   }
 
+  test("selectByTokenBudgetApprox equals the exact window on a random skewed corpus") {
+    val rnd = new scala.util.Random(13)
+    val corpus = (0 until 3000).map { i =>
+      val lang = Seq("en", "de", "zh")(i % 3)
+      // en is the skewed stratum: 10x the docs of the others
+      (i.toLong, if (i % 30 < 10) "en" else lang, rnd.nextDouble(), 50 + rnd.nextInt(200))
+    }.toDF("doc_id", "lang", "score", "n_sel_tokens")
+    def collect(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "cum_tokens").as[(Long, Long)].collect().toMap
+    val exact = collect(CorpusSelection
+      .selectByTokenBudget(corpus, "lang", col("score"), col("n_sel_tokens"), 3000L, "doc_id"))
+    val approx = collect(CorpusSelection
+      .selectByTokenBudgetApprox(corpus, "lang", col("score"), col("n_sel_tokens"), 3000L, "doc_id"))
+    assert(approx == exact)
+    assert(exact.nonEmpty)
+    // tiny-budget and over-budget regimes too
+    for (b <- Seq(10L, 100L, 100000000L)) {
+      val e = collect(CorpusSelection
+        .selectByTokenBudget(corpus, "lang", col("score"), col("n_sel_tokens"), b, "doc_id"))
+      val a = collect(CorpusSelection
+        .selectByTokenBudgetApprox(corpus, "lang", col("score"), col("n_sel_tokens"), b, "doc_id"))
+      assert(a == e, s"budget $b")
+    }
+  }
+
   test("packSequences lays out a contiguous stream, flags straddlers, and restarts per shard") {
     val in = Seq(
       (1L, "x", 1000), (2L, "x", 1000), (3L, "x", 100), (4L, "x", 0), (5L, "x", 50),
