@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_simhash" -> (L.dedupSimhash _),
     "dedup_embedding" -> (L.dedupEmbedding _),
     "dedup_clusters" -> (L.dedupClusters _),
+    "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),

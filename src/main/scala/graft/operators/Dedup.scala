@@ -292,6 +292,48 @@ object Dedup {
       .select(col("a"), col("b"), col("jaccard"))
   }
 
+  /** Per-document near-dup cluster labels over the MinHash-verified
+    * Jaccard ≥ `threshold` graph — [[simHashClusters]]' contract-then-
+    * cluster design applied to the engine's full-recall scale path:
+    * exact-fingerprint groups (identical normalized text) contract to
+    * their min-id representative BEFORE pair generation, sound because
+    * [[exactFingerprint]] and [[shingles]] share the same normalization
+    * (lower + whitespace collapse), so identical fingerprints mean
+    * identical shingle sets — Jaccard 1 within the group, and every
+    * cross-group pair decision depends only on the representative's
+    * text. [[minHashPairs]] then runs on representatives only (an
+    * exact-dup army costs ONE signature, one LSH row), star-contraction
+    * CC resolves the rep graph, and labels map back through the
+    * (fingerprint → rep) table. Returns (`idCol`, `component`),
+    * component = the cluster's minimum member id; docs with null text
+    * are absent (callers keep them as singletons via a left join).
+    */
+  def minHashClusters(docs: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.5, k: Int = 3,
+                      numHashes: Int = 128, bands: Int = 32,
+                      maxBucketGroups: Int = 256, maxIter: Int = 20): DataFrame = {
+    val keyed = docs
+      .select(col(idCol), col(textCol).as("_text"), exactFingerprint(col(textCol)).as("_fp"))
+      .where(col("_fp").isNotNull)
+    // rep selection is a small aggregate + equi-join, NOT a window over
+    // the corpus: a window would sort-shuffle every text byte, while the
+    // (fingerprint → rep) table is one row per distinct content and the
+    // two keyed scans are pure map work. Checkpointed: consumed by the
+    // reps filter and the label map-back.
+    val repMap = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as("_rep"))
+      .localCheckpoint(true)
+    val reps = keyed.join(repMap, "_fp")
+      .where(col(idCol) === col("_rep"))
+      .select(col(idCol), col("_text"))
+    val pairs = minHashPairs(reps, "_text", idCol, threshold, k, numHashes, bands, maxBucketGroups)
+    val comp = connectedComponents(pairs, "a", "b", maxIter)
+      .withColumnRenamed("id", "_rep")
+    keyed.select(col(idCol), col("_fp"))
+      .join(repMap, "_fp")
+      .join(comp, Seq("_rep"), "left")
+      .select(col(idCol), coalesce(col("component"), col("_rep")).as("component"))
+  }
+
   /** Benchmark decontamination: corpus documents whose shingle Jaccard
     * against ANY probe document (the eval/benchmark set) reaches
     * `threshold` — the cross-corpus variant of [[minHashPairs]], the

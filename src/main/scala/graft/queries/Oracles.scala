@@ -525,6 +525,33 @@ object Oracles {
          |  comp.id = comp.component AS is_canonical
          |FROM comp JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
 
+    // Clusters over the exhaustive Jaccard >= 0.5 graph UNION the
+    // same-normalized-text pairs (identical short docs have no shingles
+    // but still belong to one cluster via the exact-fingerprint
+    // contraction), resolved by the same reachability closure as
+    // dedup_clusters.
+    "dedup_minhash_clusters" ->
+      s"""WITH RECURSIVE sh AS (${shingleSelect(3)}),
+         |jp AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.doc_id AS a, y.doc_id AS b,
+         |      len(list_intersect(x.sh, y.sh))::DOUBLE / len(list_distinct(list_concat(x.sh, y.sh)))::DOUBLE AS jaccard
+         |    FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |ft AS (SELECT doc_id, md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp FROM documents),
+         |fpp AS (SELECT x.doc_id AS a, y.doc_id AS b FROM ft x JOIN ft y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+         |pairs AS (SELECT a, b FROM jp UNION SELECT a, b FROM fpp),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT comp.id AS doc_id, comp.component, sz.cluster_size,
+         |  comp.id = comp.component AS is_canonical
+         |FROM comp JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
+
     // all-pairs reference with the SAME left-fold double arithmetic as the
     // Spark side, so any pair both engines emit hash-matches bit-for-bit.
     // The corpus CTE mirrors the query's planted near-duplicates: an

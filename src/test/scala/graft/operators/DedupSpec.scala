@@ -279,6 +279,30 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("minHashClusters equals CC over doc-level pairs plus exact-fingerprint groups") {
+    // exact-dup clique (incl. whitespace/case variants), a near-dup
+    // bridge, a SHORT identical pair (no shingles — only the fingerprint
+    // contraction can cluster it), and noise
+    val base = docs.as[(Long, String)].collect().toSeq
+    val exacts = Seq((300L, base(0)._2), (301L, "  " + base(0)._2.toUpperCase + "  "))
+    val shorts = Seq((400L, "hi there"), (401L, "hi there"))
+    val corpus = base ++ exacts ++ shorts
+    val df = corpus.toDF("doc_id", "text")
+    val expected = {
+      val mh = Dedup.minHashPairs(df, "text", "doc_id")
+        .select(col("a"), col("b")).as[(Long, Long)].collect().toSeq
+      val byFp = corpus.groupBy { case (_, t) => t.toLowerCase.trim.replaceAll("\\s+", " ") }
+        .values.flatMap(g => g.map(_._1).sorted.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))))
+      val cc = ufComponents(mh ++ byFp)
+      corpus.map { case (id, _) => id -> cc.getOrElse(id, id) }.toMap
+    }
+    val got = Dedup.minHashClusters(df, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    assert(got(301L) == got(0L) && got(300L) == got(0L)) // case/whitespace variants fold in
+    assert(got(401L) == got(400L) && got(400L) == 400L)  // shingle-less pair still clusters
+  }
+
   test("connectedComponents drops null and non-integral ids instead of failing") {
     val df = Seq((Some("1"), Some("2")), (Some("2"), Some("x")), (None, Some("5")), (Some("7"), Some("8")))
       .toDF("a", "b")
