@@ -68,6 +68,7 @@ object SparkEntry {
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),
     "dedup_embedding" -> (L.dedupEmbedding _),
+    "dedup_embedding_clusters" -> (L.dedupEmbeddingClusters _),
     "dedup_clusters" -> (L.dedupClusters _),
     "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),

@@ -552,6 +552,31 @@ object Oracles {
          |  comp.id = comp.component AS is_canonical
          |FROM comp JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
 
+    // clusters over the same planted-corpus cosine >= 0.9 graph, by the
+    // same reachability closure as the other cluster oracles
+    "dedup_embedding_clusters" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> (x * 2::FLOAT)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 25),
+         |pairs AS (
+         |  SELECT a, b FROM (
+         |    SELECT x.vec_id AS a, y.vec_id AS b,
+         |      ${dot("x.embedding", "y.embedding")} / (sqrt(${dot("x.embedding", "x.embedding")}) * sqrt(${dot("y.embedding", "y.embedding")})) AS cosine
+         |    FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id)
+         |  WHERE cosine >= 0.9),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT comp.id AS vec_id, comp.component, sz.cluster_size,
+         |  comp.id = comp.component AS is_canonical
+         |FROM comp JOIN sz USING (component) ORDER BY vec_id""".stripMargin,
+
     // all-pairs reference with the SAME left-fold double arithmetic as the
     // Spark side, so any pair both engines emit hash-matches bit-for-bit.
     // The corpus CTE mirrors the query's planted near-duplicates: an
