@@ -40,8 +40,13 @@ object Bench {
         val tiny = spark.range(64)
           .select(col("id").as("doc_id"),
             concat_ws(" ", (0 until 12).map(i => concat_ws("", lit("w"), ((col("id") + i) % 17))): _*).as("text"))
-        graft.operators.Dedup.minHashPairs(tiny, "text", "doc_id").count()
+        graft.operators.Dedup.minHashClusters(tiny, "text", "doc_id").count()
         graft.operators.Dedup.simHashClusters(tiny, "text", "doc_id").count()
+        val tinyVec = spark.range(32).select(col("id").as("vec_id"),
+          org.apache.spark.sql.functions.transform(
+            org.apache.spark.sql.functions.sequence(lit(1), lit(64)),
+            j => (j + col("id")).cast("float")).as("embedding"))
+        graft.operators.Dedup.embeddingCosinePairs(tinyVec, "vec_id", "embedding", dim = 64).count()
         ()
       }
     } catch {
