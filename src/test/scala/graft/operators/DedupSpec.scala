@@ -250,11 +250,13 @@ class DedupSpec extends SparkSuite {
     Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
 
-  test("connectedComponents matches union-find on a random graph") {
-    val rnd = new scala.util.Random(11)
-    val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
-      .filter { case (a, b) => a != b }
-    assert(ccOf(edges) == ufComponents(edges))
+  test("connectedComponents matches union-find on random graphs across densities") {
+    for ((seed, n, e) <- Seq((11, 120, 300), (23, 500, 180), (37, 40, 600), (41, 1000, 30))) {
+      val rnd = new scala.util.Random(seed)
+      val edges = Seq.fill(e)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      assert(ccOf(edges) == ufComponents(edges), s"seed=$seed n=$n e=$e")
+    }
   }
 
   test("connectedComponents resolves a long chain (multi-round convergence)") {
