@@ -1,7 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
+
+import graft.plans.NgramStats
 
 /** Text-analysis operators for LLM training-data pipelines: token
   * counting, quality scoring, language-ID heuristics, fingerprinting.
@@ -59,6 +62,58 @@ object TextAnalysis {
     langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       lang -> size(filter(toks, x => x.isInCollection(words)))
     }
+  }
+
+  /** Word n-gram occurrence statistics (single-pass native kernel):
+    * struct(n_ngrams, top_count, dup_occurrences), null when the doc has
+    * fewer than n tokens — see [[graft.plans.NgramStats]].
+    */
+  def ngramStats(text: Column, n: Int): Column =
+    ExpressionUtils.column(NgramStats(ExpressionUtils.expression(text), n))
+
+  /** Reference HOF form of [[ngramStats]] (kept for equivalence tests):
+    * builds the n-gram sequence WITH duplicates, then counts each distinct
+    * gram with an O(d·n) filter scan — string-exact counts, so agreement
+    * with the hashed kernel also rules out collisions on the corpus.
+    */
+  def ngramStatsHof(text: Column, n: Int): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    val grams = filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))), i =>
+        when(size(toks) >= n, concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*))),
+      x => x.isNotNull)
+    val counts = transform(array_distinct(grams), g => size(filter(grams, x => x === g)))
+    when(size(grams) > 0, struct(
+      size(grams).as("n_ngrams"),
+      array_max(counts).as("top_count"),
+      aggregate(counts, lit(0), (acc, c) => acc + when(c > 1, c).otherwise(0)).as("dup_occurrences")))
+  }
+
+  /** Gopher-style repetition quality signals (Rae et al. 2021, §A1.1):
+    * per document, the fraction of 2-/3-gram occurrences taken by the
+    * single most frequent n-gram and the fraction belonging to any
+    * repeated n-gram, plus token-level duplication. Pure per-row map work
+    * (two kernel calls), shuffle-free at any scale; documents shorter
+    * than n tokens carry null fractions. The high-`dup_2gram_frac` /
+    * high-`top_3gram_frac` tail is what a training pipeline drops as
+    * boilerplate/spam.
+    */
+  def repetitionMetrics(docs: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    def frac(a: Column, b: Column): Column = a.cast("double") / b.cast("double")
+    docs
+      .withColumn("_g2", ngramStats(t, 2))
+      .withColumn("_g3", ngramStats(t, 3))
+      .withColumn("n_2grams", col("_g2.n_ngrams"))
+      .withColumn("top_2gram_frac", frac(col("_g2.top_count"), col("_g2.n_ngrams")))
+      .withColumn("dup_2gram_frac", frac(col("_g2.dup_occurrences"), col("_g2.n_ngrams")))
+      .withColumn("n_3grams", col("_g3.n_ngrams"))
+      .withColumn("top_3gram_frac", frac(col("_g3.top_count"), col("_g3.n_ngrams")))
+      .withColumn("dup_3gram_frac", frac(col("_g3.dup_occurrences"), col("_g3.n_ngrams")))
+      .withColumn("dup_token_frac",
+        lit(1.0) - frac(size(array_distinct(toks)), size(toks)))
+      .drop("_g2", "_g3")
   }
 
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of

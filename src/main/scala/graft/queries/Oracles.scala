@@ -763,6 +763,32 @@ object Oracles {
         |  'decoded:' || octet_length(encode(text))::VARCHAR || ':' || lower(substr(hex(encode(text)), 1, 8)) AS head
         |FROM documents ORDER BY id""".stripMargin,
 
+    // counts from n-gram STRINGS where the kernel counts xxhash64 hashes:
+    // values agree absent 64-bit collisions (the usual hashed-text
+    // contract), so the hash compare also certifies collision-freeness
+    "text_repetition" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, sum(c) AS total, max(c) AS top,
+        |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c2 GROUP BY doc_id),
+        |c3 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks) - 1)]) AS g
+        |    FROM t WHERE len(toks) >= 3) GROUP BY doc_id, g),
+        |s3 AS (SELECT doc_id, sum(c) AS total, max(c) AS top,
+        |    coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c3 GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  s2.total::INTEGER AS n_2grams,
+        |  s2.top::DOUBLE / s2.total::DOUBLE AS top_2gram_frac,
+        |  s2.dup::DOUBLE / s2.total::DOUBLE AS dup_2gram_frac,
+        |  s3.total::INTEGER AS n_3grams,
+        |  s3.top::DOUBLE / s3.total::DOUBLE AS top_3gram_frac,
+        |  s3.dup::DOUBLE / s3.total::DOUBLE AS dup_3gram_frac,
+        |  1.0 - len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS dup_token_frac
+        |FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
