@@ -86,6 +86,7 @@ object SparkEntry {
     "text_tokens" -> (L.textTokens _),
     "text_fingerprint" -> (L.textFingerprint _),
     "text_repetition" -> (L.textRepetition _),
+    "text_pii" -> (L.textPii _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),

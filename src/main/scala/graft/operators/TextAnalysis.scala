@@ -116,6 +116,37 @@ object TextAnalysis {
       .drop("_g2", "_g3")
   }
 
+  /** PII detection/redaction patterns: (kind, regex, replacement).
+    * Deliberately restricted to constructs with identical semantics in
+    * Java regex (Spark) and RE2 (DuckDB oracle): no lookaround, no
+    * backreferences, ASCII word boundaries, greedy bounded quantifiers.
+    * Replacement tokens contain no digits or '@', so the chain is
+    * order-independent and never re-matches its own output.
+    */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("phone", "\\+\\d{7,15}\\b", "<PHONE>"))
+
+  /** Scrub PII from a text column: one `regexp_replace` per pattern —
+    * per-row codegen'd map work, the shape of every at-scale scrubbing
+    * pass (no UDF, no shuffle).
+    */
+  def redactPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+
+  /** Per-document PII hit counts (`n_<kind>` per pattern) plus the
+    * redacted text — the audit output a compliance pass keeps.
+    */
+  def piiMetrics(docs: DataFrame, textCol: String): DataFrame = {
+    val counted = piiPatterns.foldLeft(docs) { case (df, (kind, pat, _)) =>
+      df.withColumn(s"n_$kind", regexp_count(col(textCol), lit(pat)))
+    }
+    counted.withColumn("redacted", redactPii(col(textCol)))
+  }
+
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of
     * token lengths (mod 1e9+7, overflow-safe).
     */

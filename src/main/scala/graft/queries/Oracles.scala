@@ -789,6 +789,25 @@ object Oracles {
         |FROM t LEFT JOIN s2 USING (doc_id) LEFT JOIN s3 USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
 
+    // planted-PII construction mirrors LlmQueries.textPii exactly; the
+    // patterns avoid every Java-vs-RE2 divergence (no lookaround /
+    // backreferences, ASCII \b, greedy bounded quantifiers)
+    "text_pii" ->
+      """WITH p AS (SELECT doc_id, text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR || '@example.com or admin@test.org'
+        |       WHEN doc_id % 3 = 1 THEN ' from host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+        |       ELSE ' call +1555' || (doc_id % 10000 + 1000000)::VARCHAR END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INTEGER AS n_email,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::INTEGER AS n_ipv4,
+        |  len(regexp_extract_all(t, '\+\d{7,15}\b'))::INTEGER AS n_phone,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}\b', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** PII redaction: pattern hits, multi-kind rows, and non-PII text
+  * passing through untouched.
+  */
+class TextAnalysisSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    evalOne(TextAnalysis.redactPii(lit(s))).asInstanceOf[String]
+
+  test("each pattern redacts its kind") {
+    assert(redact("mail a.b+c@foo-bar.example.COM now") === "mail <EMAIL> now")
+    assert(redact("host 192.168.0.1 down") === "host <IP> down")
+    assert(redact("dial +79161234567 today") === "dial <PHONE> today")
+  }
+
+  test("mixed PII in one document, all kinds redacted") {
+    assert(redact("x@y.io at 10.0.0.7 or +1234567890") === "<EMAIL> at <IP> or <PHONE>")
+  }
+
+  test("clean text and near-misses pass through untouched") {
+    for (s <- Seq(
+      "no pii here at all",
+      "version 1.2.3 is not an ip",      // only three octets
+      "+123 too short for a phone",
+      "at sign @ alone is not an email"))
+      assert(redact(s) === s)
+  }
+
+  test("piiMetrics counts match the redactions") {
+    val df = TextAnalysis.piiMetrics(
+      Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
+    val r = df.orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n_email") === 2)
+    assert(r(0).getAs[Int]("n_ipv4") === 1)
+    assert(r(0).getAs[Int]("n_phone") === 0)
+    assert(r(0).getAs[String]("redacted") === "<EMAIL> <EMAIL> <IP>")
+    assert(r(1).getAs[String]("redacted") === "clean")
+  }
+}
