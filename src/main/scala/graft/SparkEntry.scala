@@ -72,6 +72,7 @@ object SparkEntry {
     "dedup_clusters" -> (L.dedupClusters _),
     "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),
+    "dedup_contaminated_ngrams" -> (L.dedupContaminatedNgrams _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

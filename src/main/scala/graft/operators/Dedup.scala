@@ -380,6 +380,37 @@ object Dedup {
       .select(col("corpus_id"), col("probe_id"), col("jaccard"))
   }
 
+  /** EXACT n-gram decontamination — the complement of the MinHash pass in
+    * [[minHashDecontaminate]]: where that finds near-COPIES of probe docs,
+    * this flags any corpus doc sharing even ONE word n-gram with the
+    * probe/eval set (the GPT-3/Gopher-style "13-gram overlap" hygiene
+    * rule — a single leaked benchmark answer inside an otherwise-unrelated
+    * document is contamination a whole-document similarity test cannot
+    * see). Returns (`corpus_id`, `n_shared_ngrams`) with the count of
+    * DISTINCT contaminated n-grams per flagged doc; clean docs are absent.
+    *
+    * Scale shape: both sides build hashed n-gram SETS with the
+    * shuffle-free [[shingleHashes]] kernel. The probe set (benchmarks:
+    * thousands of docs vs billions in the corpus) is distinct-aggregated
+    * and BROADCAST; the corpus side explodes to one row per n-gram but
+    * consumes them in a map-side broadcast semi-join, so only HIT rows —
+    * rare by construction — reach the one per-doc count aggregate. The
+    * corpus is never shuffled by n-gram, never self-joined.
+    */
+  def ngramContamination(corpus: DataFrame, probe: DataFrame,
+                         textCol: String, idCol: String, n: Int = 13): DataFrame = {
+    val probeGrams = probe
+      .select(explode(shingleHashes(col(textCol), n)).as("g"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("corpus_id"), explode(shingleHashes(col(textCol), n)).as("g"))
+      .join(broadcast(probeGrams), "g")
+      // shingleHashes is distinct-per-doc and probeGrams is globally
+      // distinct, so the plain count IS the distinct shared-gram count
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** SimHash fingerprint, `bits` wide (default 48, max 60), from the first
     * `bits/4` hex chars of md5 over distinct whitespace tokens: token hash
     * = the hex prefix parsed as a long, bit j of the fingerprint is the

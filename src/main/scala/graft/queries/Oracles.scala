@@ -487,6 +487,14 @@ object Oracles {
          |  FROM sh c JOIN sh p ON c.doc_id % 10 <> 7 AND p.doc_id % 10 = 7)
          |WHERE jaccard >= 0.5 ORDER BY corpus_id, probe_id""".stripMargin,
 
+    "dedup_contaminated_ngrams" ->
+      s"""WITH sh AS MATERIALIZED (${shingleSelect(13)}),
+         |probe AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 7),
+         |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 7)
+         |SELECT c.doc_id AS corpus_id, count(*) AS n_shared_ngrams
+         |FROM corp c JOIN probe USING (g)
+         |GROUP BY corpus_id ORDER BY corpus_id""".stripMargin,
+
     "dedup_ngram" ->
       s"""WITH g AS (${shingleSelect(2, ", lang, n_chars", " WHERE doc_id % 2 = 0")})
          |SELECT a, b, jaccard FROM (

@@ -361,4 +361,30 @@ class DedupSpec extends SparkSuite {
     // the planted exact-dup clique landed in one cluster keyed by doc 0
     assert((200L until 230L).forall(viaClusters(_) == viaClusters(0L)))
   }
+
+  test("ngramContamination flags exactly the docs sharing an n-gram, with exact counts") {
+    // probe doc leaks a 5-token span into corpus doc 1 (once) and doc 2
+    // (the same span twice — still ONE distinct shared gram per overlap
+    // window); doc 3 shares 4-token runs only; doc 4 is disjoint
+    val probe = Seq((900L, "secret answer tokens one two three four")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "prefix words then secret answer tokens one two and a tail"),
+      (2L, "secret answer tokens one two filler secret answer tokens one two"),
+      (3L, "answer tokens one two shifted so only four tokens align here"),
+      (4L, "wholly disjoint vocabulary nothing shared with the probe set")).toDF("doc_id", "text")
+    val got = Dedup.ngramContamination(corpus, probe, "text", "doc_id", n = 5)
+      .as[(Long, Long)].collect().toMap
+    // brute force over string n-gram SETS
+    val grams = (t: String) => t.split(" ").sliding(5).map(_.mkString(" ")).toSet
+    val pg = grams("secret answer tokens one two three four")
+    val brute = Seq(
+      1L -> "prefix words then secret answer tokens one two and a tail",
+      2L -> "secret answer tokens one two filler secret answer tokens one two",
+      3L -> "answer tokens one two shifted so only four tokens align here",
+      4L -> "wholly disjoint vocabulary nothing shared with the probe set")
+      .map { case (id, t) => id -> grams(t).intersect(pg).size.toLong }
+      .filter(_._2 > 0).toMap
+    assert(got == brute)
+    assert(got == Map(1L -> 1L, 2L -> 1L))
+  }
 }
