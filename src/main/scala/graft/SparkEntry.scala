@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),
     "dedup_contaminated_ngrams" -> (L.dedupContaminatedNgrams _),
+    "dedup_semantic" -> (L.dedupSemantic _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

@@ -753,6 +753,46 @@ object Dedup {
     * bucket-local pairing, which materializes whole skewed buckets of
     * vectors in single rows (clustered embeddings make giant buckets).
     */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster the embedding space with the IVF coarse quantizer
+    * ([[Similarity.trainCentroids]], a deterministic sample fit), compare
+    * cosines only WITHIN a cluster, and drop every vector that has a
+    * lower-id neighbor at cosine ≥ `threshold` in its cluster — the
+    * paper's keep-one-per-ε-ball rule with min-id as the deterministic
+    * representative. Returns one row per input vector:
+    * (`idCol`, `cell`, `is_kept`).
+    *
+    * Scale shape: the quantizer is a model fit (driver-side sample), the
+    * cell assignment is shuffle-free per-row kernel work, and the only
+    * joins are the within-cell equi-self-join plus the final keep-flag
+    * anti-join — the corpus is never compared across cells. At 100 TB the
+    * operator is run with `cells` sized so each cell holds ~10⁴-10⁵
+    * vectors (SemDeDup uses k in the tens of thousands), bounding the
+    * per-cell quadratic term; the LSH alternative for un-clustered spaces
+    * is [[embeddingCosinePairs]]. The assignment projection is
+    * checkpointed once and feeds both join sides and the output, so the
+    * centroid-distance kernel runs one pass over the corpus.
+    */
+  def semanticDedup(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+                    threshold: Double = 0.9, cells: Int = 16, sampleN: Int = 2000,
+                    iters: Int = 10, seed: Long = 42L): DataFrame = {
+    val centroids = Similarity.trainCentroids(embs, dim, cells, sampleN, iters, seed, idCol, vecCol)
+    val assigned = embs
+      .select(col(idCol), col(vecCol).as("_v"),
+        Similarity.nearestCell(col(vecCol), centroids).as("cell"))
+      .localCheckpoint(false)
+    val l = assigned.select(col("cell"), col(idCol).as("a"), col("_v").as("va"))
+    val r = assigned.select(col("cell"), col(idCol).as("b"), col("_v").as("vb"))
+    val dropped = l.join(r, "cell")
+      .where(col("a") < col("b"))
+      .where(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .select(col("b").as(idCol))
+      .distinct()
+    assigned
+      .join(dropped.withColumn("_drop", lit(true)), Seq(idCol), "left")
+      .select(col(idCol), col("cell"), col("_drop").isNull.as("is_kept"))
+  }
+
   def embeddingCosinePairs(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
                            threshold: Double = 0.9, planes: Int = 16, probes: Int = 8,
                            tables: Int = 4, seed: Long = 42L): DataFrame = {

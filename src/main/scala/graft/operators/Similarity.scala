@@ -117,7 +117,7 @@ object Similarity {
     * matching [[nearestCellHof]], the composed struct-max form it
     * replaced (equivalence asserted in SimilaritySpec).
     */
-  private def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
+  private[operators] def nearestCell(vec: Column, centroids: Array[Array[Double]]): Column =
     ExpressionUtils.column(NearestCentroid(
       ExpressionUtils.expression(vec.cast("array<double>")),
       centroids.map(_.toSeq).toSeq))

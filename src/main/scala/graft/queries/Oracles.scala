@@ -67,29 +67,30 @@ object Oracles {
   private def dot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
-  /** Full mirror of Similarity.ivfTopK(k=10, dim=64, cells=16, nprobe=4,
-    * seed=42): the coarse quantizer is a DETERMINISTIC model fit —
-    * java.util.Random(42) centroid draws (the 48-bit LCG recurrence in
-    * HUGEINT with nextInt's rejection rule: rejected draws consume
-    * states, so the accepted draws are simply the first `cells` in-range
-    * states) + 10 unrolled Lloyd iterations with the exact float
-    * semantics of trainCentroids: per-vector argmin with strict-< ties
-    * (first minimal cell), per-cell mean as a SAMPLE-ORDER left fold of
-    * vector sums divided by count, empty cells keeping the previous
-    * centroid. Two structural necessities: every chained CTE is
-    * MATERIALIZED and the recursive LCG lives in a nested sub-WITH —
-    * each iteration references its predecessor twice, so default CTE
-    * inlining (forced globally when the outer WITH is RECURSIVE) makes
-    * the plan 2^iters copies of the chain. Final assignment mirrors
-    * NearestCentroid (ties → higher cell), query probes mirror
-    * probeCells (ties → lower cell), scoring reuses the left-fold
-    * cosine.
+  /** Squared L2 between two 64-dim double lists (left fold). */
+  private def d2(v: String, c: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+
+  /** The deterministic k-means fit of Similarity.trainCentroids as a CTE
+    * chain over vector relation `src` (vec_id, embedding) — shared by the
+    * ann_ivf and dedup_semantic oracles. Emits `sample`, `init`, `cent0`
+    * .. `cent<iters>`; the final centroid table is `cent<iters>(j, c)`.
+    *
+    * The quantizer is a DETERMINISTIC model fit — java.util.Random(42)
+    * centroid draws (the 48-bit LCG recurrence in HUGEINT with nextInt's
+    * rejection rule: rejected draws consume states, so the accepted draws
+    * are simply the first `cells` in-range states) + `iters` unrolled
+    * Lloyd iterations with the exact float semantics of trainCentroids:
+    * per-vector argmin with strict-< ties (first minimal cell), per-cell
+    * mean as a SAMPLE-ORDER left fold of vector sums divided by count,
+    * empty cells keeping the previous centroid. Two structural
+    * necessities: every chained CTE is MATERIALIZED and the recursive LCG
+    * lives in a nested sub-WITH — each iteration references its
+    * predecessor twice, so default CTE inlining (forced globally when the
+    * outer WITH is RECURSIVE) makes the plan 2^iters copies of the chain.
     */
-  private def ivfOracleSql: String = {
-    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
-    val nSub = s"(SELECT least(count(*), $sampleN) FROM embeddings)"
-    def d2(v: String, c: String): String =
-      s"list_reduce(list_transform(range(1, 65), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+  private def kmeansFitCtes(src: String, iters: Int, cells: Int, sampleN: Int): String = {
+    val nSub = s"(SELECT least(count(*), $sampleN) FROM $src)"
     def iterCte(prev: String, cur: String): String =
       s"""asn_$cur AS MATERIALIZED (
          |  SELECT rn, v, j FROM (
@@ -109,10 +110,10 @@ object Oracles {
          |  SELECT p.j, coalesce(a.c, p.c) AS c FROM $prev p LEFT JOIN agg_$cur a USING (j)
          |)""".stripMargin
     val chain = (1 to iters).map(i => iterCte(s"cent${i - 1}", s"cent$i")).mkString(",\n")
-    s"""WITH sample AS MATERIALIZED (
+    s"""sample AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
        |    list_transform(embedding, x -> x::DOUBLE) AS v
-       |  FROM embeddings ORDER BY vec_id LIMIT $sampleN
+       |  FROM $src ORDER BY vec_id LIMIT $sampleN
        |),
        |init AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY k) - 1 AS j, m FROM (
@@ -130,7 +131,13 @@ object Oracles {
        |cent0 AS MATERIALIZED (
        |  SELECT init.j, s.v AS c FROM init JOIN sample s ON s.rn = init.m
        |),
-       |$chain,
+       |$chain""".stripMargin
+  }
+
+  /** Full mirror of Similarity.ivfTopK over the shared k-means fit. */
+  private def ivfOracleSql: String = {
+    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
+    s"""WITH ${kmeansFitCtes("embeddings", iters, cells, sampleN)},
        |allv AS (
        |  SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
        |),
@@ -161,6 +168,40 @@ object Oracles {
        |SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Full mirror of Dedup.semanticDedup(dim=64, threshold=0.9, cells=16)
+    * over the PLANTED corpus of LlmQueries.dedupSemantic (exact id-offset
+    * copies of vec_id < 25): shared k-means fit, NearestCentroid cell
+    * assignment (ties → higher cell), within-cell lower-id cosine ≥ 0.9
+    * drop rule.
+    */
+  private def semanticOracleSql: String = {
+    val (iters, cells, sampleN) = (10, 16, 2000)
+    s"""WITH corpus AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25
+       |),
+       |${kmeansFitCtes("corpus", iters, cells, sampleN)},
+       |allv AS (
+       |  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM corpus
+       |),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, v, j AS cell FROM (
+       |    SELECT a.vec_id, a.v, c.j,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c)
+       |  WHERE pick = 1
+       |),
+       |dropped AS (
+       |  SELECT DISTINCT r.vec_id
+       |  FROM cassign l JOIN cassign r ON l.cell = r.cell AND l.vec_id < r.vec_id
+       |  WHERE ${dot("l.v", "r.v")} / (sqrt(${dot("l.v", "l.v")}) * sqrt(${dot("r.v", "r.v")})) >= 0.9
+       |)
+       |SELECT c.vec_id, c.cell::INTEGER AS cell, d.vec_id IS NULL AS is_kept
+       |FROM cassign c LEFT JOIN dropped d ON c.vec_id = d.vec_id
+       |ORDER BY c.vec_id""".stripMargin
   }
 
   /** Word k-shingle list (Dedup.shingles) from a pre-split token list. */
@@ -645,6 +686,8 @@ object Oracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    "dedup_semantic" -> semanticOracleSql,
 
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),

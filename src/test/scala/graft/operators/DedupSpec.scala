@@ -387,4 +387,24 @@ class DedupSpec extends SparkSuite {
     assert(got == brute)
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
+
+  test("semanticDedup drops exactly the lower-id within-cell near-dups") {
+    // 40 well-separated random vectors + exact copies of ids 0-4: a copy
+    // has identical centroid distances, so it provably shares its
+    // original's cell and must be dropped; the originals all survive
+    val rnd = new scala.util.Random(11)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(8)(rnd.nextGaussian().toFloat).toSeq))
+    val copies = (0 until 5).map(i => (500L + i, base(i)._2))
+    val df = (base ++ copies).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding", dim = 8,
+      threshold = 0.95, cells = 4, sampleN = 100, iters = 3)
+      .as[(Long, Int, Boolean)].collect()
+    assert(out.length == 45)
+    val kept = out.filter(_._3).map(_._1).toSet
+    assert((0L until 40L).forall(kept.contains), "all originals kept")
+    assert((500L until 505L).forall(id => !kept.contains(id)), "all planted copies dropped")
+    // copies share their original's cell
+    val cellOf = out.map(r => r._1 -> r._2).toMap
+    assert((0 until 5).forall(i => cellOf(500L + i) == cellOf(i.toLong)))
+  }
 }
