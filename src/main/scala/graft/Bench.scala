@@ -47,6 +47,10 @@ object Bench {
             org.apache.spark.sql.functions.sequence(lit(1), lit(64)),
             j => (j + col("id")).cast("float")).as("embedding"))
         graft.operators.Dedup.embeddingCosinePairs(tinyVec, "vec_id", "embedding", dim = 64).count()
+        graft.operators.Dedup.semanticDedup(tinyVec, "vec_id", "embedding", dim = 64,
+          cells = 4, sampleN = 32, iters = 2).count()
+        graft.operators.Dedup.ngramContamination(tiny, tiny.limit(8), "text", "doc_id", n = 3).count()
+        graft.operators.TextAnalysis.repetitionMetrics(tiny, "text").foreach(_ => ())
         ()
       }
     } catch {

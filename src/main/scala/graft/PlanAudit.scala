@@ -21,7 +21,11 @@ object PlanAudit {
       // broadcast; selection/packing are single-window plans (one
       // exchange on the stratum key); curation chains two windows
       "dedup_decontaminate", "select_token_budget", "pack_sequences",
-      "sample_stratified", "corpus_curation")
+      "sample_stratified", "corpus_curation",
+      // round 6: the probe n-gram set broadcasts into a map-side
+      // semi-join; repetition/PII are shuffle-free projections; semantic
+      // dedup is one kernel pass + a within-cell equi-self-join
+      "dedup_contaminated_ngrams", "text_repetition", "text_pii", "dedup_semantic")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

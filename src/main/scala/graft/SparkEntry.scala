@@ -78,6 +78,7 @@ object SparkEntry {
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),
     "ann_ivf" -> (L.annIvf _),
+    "bm25_topk" -> (L.bm25TopK _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),
     "mm_frame_sample" -> (L.mmFrameSample _),

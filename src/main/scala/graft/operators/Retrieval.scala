@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sparse (keyword) retrieval over the document corpus — the text-side
+  * complement of [[Similarity]]'s dense ANN family: BM25 top-k scoring
+  * of a small query set against corpus documents.
+  *
+  * Scale shape (the corpus is the 100 TB side, the query set is
+  * thousands of rows):
+  *   - the corpus is tokenized in one map pass; the query-term set
+  *     BROADCASTS into a map-side semi-join, so only posting rows whose
+  *     term some query mentions — rare by construction — ever reach a
+  *     shuffle (the same hit-rows-only discipline as
+  *     [[Dedup.ngramContamination]]);
+  *   - document length rides along the explode, so no corpus-wide
+  *     doc-stats join is ever needed;
+  *   - per-term document frequencies and the global length stats are
+  *     tiny aggregates, broadcast back into the scoring join;
+  *   - final scoring shuffles only (query, hit-doc) groups and one
+  *     per-query top-k window.
+  */
+object Retrieval {
+
+  /** Okapi BM25 inverse document frequency with the standard +1
+    * saturation (always positive, as in Lucene): ln(1 + (N−df+0.5)/(df+0.5)).
+    */
+  private def idf(nDocs: Column, df: Column): Column =
+    log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+
+  /** BM25 top-`k` corpus documents per query. Returns
+    * (`query_id`, `doc_id`, `score`, `rank`), ties broken by doc id.
+    *
+    * The per-(query, doc) score is folded over the document's matching
+    * terms in TERM-SORTED order rather than `sum`'s partition-dependent
+    * order — scores become bit-reproducible across runs, partitionings,
+    * and engines (the DuckDB oracle replays the same fold); the fold's
+    * extra `sort_array` is bounded by the query length, not the corpus.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75,
+               idCol: String = "doc_id", textCol: String = "text",
+               qidCol: String = "query_id", qtextCol: String = "text"): DataFrame = {
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("term"))
+      .distinct()
+    val qtermSet = qterms.select(col("term")).distinct()
+
+    // one corpus map pass: doc length rides along the explode so tf
+    // groups carry it for free (first() over a constant-per-group value)
+    val toks = TextAnalysis.tokens(col(textCol))
+    val postings = docs
+      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+      .join(broadcast(qtermSet), "term")
+    val tf = postings
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+
+    // postings are distinct per (doc, term) after the aggregate, so the
+    // per-term row count IS the document frequency
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(TextAnalysis.tokens(col(textCol)))).as("sum_dl"))
+    val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+
+    val contrib = idf(col("n_docs").cast("double"), col("df").cast("double")) *
+      (col("tf").cast("double") * (k1 + 1.0)) /
+      (col("tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+
+    val scored = tf
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), contrib.as("contrib"))
+      .join(broadcast(qterms), "term")
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("term"), col("contrib")))),
+        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+}

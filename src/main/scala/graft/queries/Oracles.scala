@@ -689,6 +689,34 @@ object Oracles {
 
     "dedup_semantic" -> semanticOracleSql,
 
+    // BM25 with the Lucene +1-saturated idf; the per-(query,doc) score is
+    // a TERM-SORTED left fold on both sides (not an order-dependent SUM).
+    // The comparison is at FLOAT precision: Math.log vs libm log differ
+    // by 1 ulp on some inputs, so the last double bit is not portable
+    "bm25_topk" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
+        |qset AS MATERIALIZED (SELECT DISTINCT term FROM q),
+        |tf AS MATERIALIZED (
+        |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+        |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t) p
+        |  JOIN qset USING (term) GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+        |contrib AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+        |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+        |sc AS (
+        |  SELECT q.query_id, c.doc_id,
+        |    list_reduce(list_prepend(0.0, list(c.contrib ORDER BY c.term)), (a, x) -> a + x) AS score
+        |  FROM contrib c JOIN q USING (term)
+        |  GROUP BY q.query_id, c.doc_id)
+        |SELECT query_id, doc_id, score::FLOAT AS score, rank::INTEGER AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),

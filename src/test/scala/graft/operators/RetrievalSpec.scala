@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** BM25 vs a plain-Scala brute-force of the same definition. */
+class RetrievalSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("bm25TopK matches brute-force BM25 and ranks the source doc first") {
+    val corpus = Seq(
+      (0L, "apple banana cherry apple"),
+      (1L, "apple apple apple apple apple"),
+      (2L, "banana cherry durian elderberry fig grape"),
+      (3L, "unrelated words entirely disjoint vocabulary here"),
+      (4L, "cherry cherry banana apple durian"))
+    val queries = Seq((100L, "apple banana"), (101L, "durian"))
+    val got = Retrieval.bm25TopK(
+      corpus.toDF("doc_id", "text"), queries.toDF("query_id", "text"), k = 3)
+      .as[(Long, Long, Double, Int)].collect()
+      .map { case (q, d, s, r) => (q, d) -> (s, r) }.toMap
+
+    // brute force, same definition: +1-saturated idf, term-sorted fold
+    val docToks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    def bm25(qTerms: Seq[String], d: Long): Double = {
+      val toks = docToks(d)
+      qTerms.distinct.sorted.foldLeft(0.0) { (acc, term) =>
+        val tf = toks.count(_ == term).toDouble
+        if (tf == 0) acc
+        else {
+          val df = docToks.values.count(_.contains(term)).toDouble
+          val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+          acc + idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.size / avgdl))
+        }
+      }
+    }
+    val brute = (for {
+      (qid, qt) <- queries
+      terms = qt.split(" ").toSeq
+      d <- corpus.map(_._1) if terms.exists(docToks(d).contains)
+    } yield (qid, d) -> bm25(terms, d)).toMap
+    val expected = brute.groupBy(_._1._1).flatMap { case (_, m) =>
+      m.toSeq.sortBy { case ((_, d), s) => (-s, d) }.zipWithIndex.take(3)
+        .map { case (((q, d), s), i) => (q, d) -> (s, i + 1) }
+    }
+    assert(got.keySet === expected.keySet)
+    for ((k, (s, r)) <- expected) {
+      assert(got(k)._2 === r, s"rank mismatch at $k")
+      assert(math.abs(got(k)._1 - s) < 1e-12, s"score mismatch at $k")
+    }
+    // doc 1 is pure apple-spam: highest tf but saturated; doc 0 carries
+    // both query terms and must outrank it for query 100
+    assert(got((100L, 0L))._2 === 1)
+  }
+}
