@@ -90,6 +90,7 @@ object SparkEntry {
     "text_fingerprint" -> (L.textFingerprint _),
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),
+    "corpus_stats" -> (L.corpusStats _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),

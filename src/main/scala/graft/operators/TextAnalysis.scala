@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.NgramStats
@@ -145,6 +146,49 @@ object TextAnalysis {
       df.withColumn(s"n_$kind", regexp_count(col(textCol), lit(pat)))
     }
     counted.withColumn("redacted", redactPii(col(textCol)))
+  }
+
+  /** Per-stratum corpus profile — the first query every pipeline runs
+    * against a new corpus: doc counts, token totals, mean/percentile
+    * lengths, quality fraction, one row per stratum (language, source,
+    * ...).
+    *
+    * Percentiles are exact DISCRETE quantiles (the value at row
+    * ceil(p·n) of the stratum's sorted lengths) computed with one
+    * rank window per stratum and a conditional aggregate — no
+    * `collect_list` of a whole stratum into a single row (a billion-doc
+    * language would OOM it) and no float interpolation (interpolated
+    * quantiles like `percentile`/`quantile_cont` combine the two
+    * straddling values with engine-specific arithmetic; the discrete
+    * rank definition is integer-exact everywhere). The window sort is
+    * the operator's one shuffle and parallelizes per stratum.
+    */
+  def corpusProfile(docs: DataFrame, textCol: String, stratumCol: String,
+                    percentiles: Seq[Double] = Seq(0.5, 0.9)): DataFrame = {
+    val base = qualityMetrics(docs, textCol).select(
+      col(stratumCol).as("stratum"),
+      col("n_tokens").as("n_ws_tokens"),
+      bpeishTokenCount(col(textCol)).as("n_bpeish"),
+      col("n_chars_text"),
+      col("is_quality"))
+    val w = Window.partitionBy(col("stratum"))
+    val ranked = base
+      .withColumn("rn", row_number().over(w.orderBy(col("n_ws_tokens"))))
+      .withColumn("cnt", count(lit(1)).over(w))
+    val pctAggs = percentiles.map { p =>
+      max(when(col("rn") === ceil(col("cnt") * p), col("n_ws_tokens")))
+        .as(s"p${(p * 100).round}_ws_tokens")
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_bpeish")).as("total_bpeish_tokens"),
+      (sum(col("n_ws_tokens")).cast("double") / count(lit(1)).cast("double")).as("mean_ws_tokens"),
+      (sum(col("n_chars_text")).cast("double") / count(lit(1)).cast("double")).as("mean_chars"),
+      (sum(when(col("is_quality"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1)).cast("double")).as("quality_frac")) ++ pctAggs
+    ranked
+      .groupBy(col("stratum"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of

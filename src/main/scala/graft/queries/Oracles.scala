@@ -842,6 +842,32 @@ object Oracles {
         |  'decoded:' || octet_length(encode(text))::VARCHAR || ':' || lower(substr(hex(encode(text)), 1, 8)) AS head
         |FROM documents ORDER BY id""".stripMargin,
 
+    // discrete percentiles via the same rank-window definition (value at
+    // row ceil(p*n) of the stratum's sorted lengths) — integer-exact, no
+    // engine-specific quantile interpolation
+    "corpus_stats" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT lang AS stratum,
+        |    len(toks)::INTEGER AS n_ws_tokens,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_bpeish,
+        |    length(text)::INTEGER AS n_chars_text,
+        |    (len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |      AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0) AS is_quality
+        |  FROM (SELECT lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY stratum ORDER BY n_ws_tokens) AS rn,
+        |    count(*) OVER (PARTITION BY stratum) AS cnt
+        |  FROM b)
+        |SELECT stratum,
+        |  count(*) AS n_docs,
+        |  sum(n_bpeish)::BIGINT AS total_bpeish_tokens,
+        |  sum(n_ws_tokens)::DOUBLE / count(*)::DOUBLE AS mean_ws_tokens,
+        |  sum(n_chars_text)::DOUBLE / count(*)::DOUBLE AS mean_chars,
+        |  sum(CASE WHEN is_quality THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS quality_frac,
+        |  max(CASE WHEN rn = ceil(cnt * 0.5) THEN n_ws_tokens END) AS p50_ws_tokens,
+        |  max(CASE WHEN rn = ceil(cnt * 0.9) THEN n_ws_tokens END) AS p90_ws_tokens
+        |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
+
     // counts from n-gram STRINGS where the kernel counts xxhash64 hashes:
     // values agree absent 64-bit collisions (the usual hashed-text
     // contract), so the hash compare also certifies collision-freeness

@@ -33,6 +33,23 @@ class TextAnalysisSpec extends SparkSuite {
       assert(redact(s) === s)
   }
 
+  test("corpusProfile computes exact discrete percentiles per stratum") {
+    // stratum a: lengths 1..10 tokens; p50 = value at rank ceil(5.0) = 5,
+    // p90 = rank 9; stratum b: single doc
+    val docs = (1 to 10).map(i => ("a", (1 to i).map(j => s"t$j").mkString(" "))) :+
+      ("b", "one two three")
+    val out = TextAnalysis.corpusProfile(docs.toDF("lang", "text"), "text", "lang")
+      .orderBy("stratum").collect()
+    val a = out(0)
+    assert(a.getAs[Long]("n_docs") === 10)
+    assert(a.getAs[Int]("p50_ws_tokens") === 5)
+    assert(a.getAs[Int]("p90_ws_tokens") === 9)
+    assert(a.getAs[Double]("mean_ws_tokens") === (1 to 10).sum.toDouble / 10)
+    val b = out(1)
+    assert(b.getAs[Int]("p50_ws_tokens") === 3)
+    assert(b.getAs[Int]("p90_ws_tokens") === 3)
+  }
+
   test("piiMetrics counts match the redactions") {
     val df = TextAnalysis.piiMetrics(
       Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
