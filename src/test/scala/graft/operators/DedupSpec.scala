@@ -189,6 +189,27 @@ class DedupSpec extends SparkSuite {
     assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
   }
 
+  test("ngramContamination broadcasts the probe side and never sort-merge-joins") {
+    val probe = docs.where(col("doc_id") < 5)
+    val plan = Dedup.ngramContamination(docs, probe, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"probe gram set not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus shuffled by n-gram:\n$plan")
+  }
+
+  test("semanticDedup runs the centroid kernel once: all consumers share the checkpoint") {
+    import spark.implicits._
+    val vecs = (0 until 40)
+      .map(i => (i.toLong, (1 to 8).map(j => (i * j % 7).toFloat)))
+      .toDF("vec_id", "embedding")
+    val plan = Dedup.semanticDedup(vecs, "vec_id", "embedding", dim = 8,
+      cells = 4, sampleN = 40, iters = 2)
+      .queryExecution.executedPlan.toString
+    def count(needle: String): Int = needle.r.findAllIn(plan).size
+    assert(count("nearest_centroid") == 0, s"assignment kernel recomputed per consumer:\n$plan")
+    assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+  }
+
   test("native simhash equals the explode+aggregate reference form") {
     val native = Dedup.simHash(docs, "text", "doc_id").as[(Long, Long)].collect().toMap
     val agg = Dedup.simHashAgg(docs, "text", "doc_id").as[(Long, Long)].collect().toMap

@@ -54,4 +54,13 @@ class RetrievalSpec extends SparkSuite {
     // both query terms and must outrank it for query 100
     assert(got((100L, 0L))._2 === 1)
   }
+
+  test("bm25 joins are all broadcast: the corpus is never sort-merge-joined") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
+    val queries = Seq((1000L, "common x0")).toDF("query_id", "text")
+    val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in bm25 plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joined:\n$plan")
+  }
 }
