@@ -30,14 +30,22 @@ object Retrieval {
   private def idf(nDocs: Column, df: Column): Column =
     log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
 
+  /** Fixed-point score quantum: per-term contributions are floored to
+    * multiples of 2⁻⁴⁰ and summed as LONGS. Long addition is associative,
+    * so the score is deterministic under ANY partitioning/order — which
+    * a double `sum` is not — while keeping ~12 decimal digits (far below
+    * anything ranking can see) and, unlike a sort-and-fold of collected
+    * structs, aggregating with map-side partial combine (a collect_list
+    * ships every (query, doc, term) row to the reducer). No overflow:
+    * contributions are O(10), so Σ over a query's terms is < 2⁴⁸.
+    */
+  private val ScoreScale = 1099511627776.0 // 2^40
+
   /** BM25 top-`k` corpus documents per query. Returns
-    * (`query_id`, `doc_id`, `score`, `rank`), ties broken by doc id.
-    *
-    * The per-(query, doc) score is folded over the document's matching
-    * terms in TERM-SORTED order rather than `sum`'s partition-dependent
-    * order — scores become bit-reproducible across runs, partitionings,
-    * and engines (the DuckDB oracle replays the same fold); the fold's
-    * extra `sort_array` is bounded by the query length, not the corpus.
+    * (`query_id`, `doc_id`, `score`, `rank`), ties broken by doc id;
+    * scores are quantized to 2⁻⁴⁰ (see [[ScoreScale]]) so the reduction
+    * is an associative integer sum — deterministic under any
+    * partitioning, with map-side partial aggregation.
     */
   def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75,
@@ -78,14 +86,15 @@ object Retrieval {
       .select(col("doc_id"), col("term"), contrib.as("contrib"))
       .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(aggregate(
-        sort_array(collect_list(struct(col("term"), col("contrib")))),
-        lit(0.0), (acc, x) => acc + x.getField("contrib")).as("score"))
+      .agg(sum(floor(col("contrib") * ScoreScale)).as("score_fp"))
 
-    val w = Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))
+    // rank on the exact integer score; ties (identical quantized scores)
+    // break by doc id
+    val w = Window.partitionBy(col("query_id")).orderBy(col("score_fp").desc, col("doc_id"))
     scored
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
-      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .select(col("query_id"), col("doc_id"),
+        (col("score_fp").cast("double") / ScoreScale).as("score"), col("rank"))
   }
 }

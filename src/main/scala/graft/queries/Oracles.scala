@@ -689,10 +689,11 @@ object Oracles {
 
     "dedup_semantic" -> semanticOracleSql,
 
-    // BM25 with the Lucene +1-saturated idf; the per-(query,doc) score is
-    // a TERM-SORTED left fold on both sides (not an order-dependent SUM).
-    // The comparison is at FLOAT precision: Math.log vs libm log differ
-    // by 1 ulp on some inputs, so the last double bit is not portable
+    // BM25 with the Lucene +1-saturated idf; per-(query,doc) scores are
+    // 2^-40 fixed-point LONG sums (associative, order-independent — a
+    // double SUM is partition-order-dependent). The comparison is at
+    // FLOAT precision: Math.log vs libm log differ by 1 ulp on some
+    // inputs, so the last quantization step is not portable
     "bm25_topk" ->
       """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
@@ -710,11 +711,11 @@ object Oracles {
         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
         |sc AS (
         |  SELECT q.query_id, c.doc_id,
-        |    list_reduce(list_prepend(0.0, list(c.contrib ORDER BY c.term)), (a, x) -> a + x) AS score
+        |    sum(floor(c.contrib * 1099511627776.0)::BIGINT) AS score_fp
         |  FROM contrib c JOIN q USING (term)
         |  GROUP BY q.query_id, c.doc_id)
-        |SELECT query_id, doc_id, score::FLOAT AS score, rank::INTEGER AS rank FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank FROM sc)
+        |SELECT query_id, doc_id, (score_fp::DOUBLE / 1099511627776.0)::FLOAT AS score, rank::INTEGER AS rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_brute" ->

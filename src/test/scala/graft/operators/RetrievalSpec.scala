@@ -20,21 +20,25 @@ class RetrievalSpec extends SparkSuite {
       .as[(Long, Long, Double, Int)].collect()
       .map { case (q, d, s, r) => (q, d) -> (s, r) }.toMap
 
-    // brute force, same definition: +1-saturated idf, term-sorted fold
+    // brute force, same definition: +1-saturated idf, per-term
+    // contributions floored to the 2^-40 fixed-point grid and summed
     val docToks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
     val n = corpus.size.toDouble
     val avgdl = docToks.values.map(_.size).sum.toDouble / n
+    val scale = 1099511627776.0 // 2^40
     def bm25(qTerms: Seq[String], d: Long): Double = {
       val toks = docToks(d)
-      qTerms.distinct.sorted.foldLeft(0.0) { (acc, term) =>
+      val fp = qTerms.distinct.foldLeft(0L) { (acc, term) =>
         val tf = toks.count(_ == term).toDouble
         if (tf == 0) acc
         else {
           val df = docToks.values.count(_.contains(term)).toDouble
           val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
-          acc + idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.size / avgdl))
+          acc + math.floor(idf * (tf * 2.2) /
+            (tf + 1.2 * (1.0 - 0.75 + 0.75 * toks.size / avgdl)) * scale).toLong
         }
       }
+      fp / scale
     }
     val brute = (for {
       (qid, qt) <- queries
