@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked run's stdout through UNWRAPPED: the default strategy
+// routes it via sbt's logger, prefixing every line with "[info] " —
+// which breaks any consumer parsing graft.Bench's single JSON line
+// (every driver BENCH artifact so far shows parsed: null for exactly
+// this reason).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
