@@ -79,6 +79,7 @@ object SparkEntry {
     "ann_lsh" -> (L.annLsh _),
     "ann_ivf" -> (L.annIvf _),
     "bm25_topk" -> (L.bm25TopK _),
+    "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),
     "mm_frame_sample" -> (L.mmFrameSample _),

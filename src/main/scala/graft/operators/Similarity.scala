@@ -68,7 +68,7 @@ object Similarity {
     * cube-vs-sphere direction bias of uniform components is immaterial at
     * these plane counts; recall is asserted in SimilaritySpec/DedupSpec.
     */
-  private def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
+  private[operators] def hyperplanes(dim: Int, planes: Int, seed: Long): Seq[Array[Double]] = {
     val m = 2147483647L
     var state = java.lang.Math.floorMod(seed * 2654435761L, m - 1) + 1
     def next(): Double = { state = state * 48271 % m; state.toDouble / m * 2.0 - 1.0 }
@@ -167,6 +167,26 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
+  }
+
+  /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
+    * out_j = √(3/outDim) · ⟨v, r_j⟩ with rows r_j drawn from the same
+    * reproducible minstd LCG as [[lshBucket]] (uniform(−1,1) entries
+    * have variance 1/3, so the √(3/outDim) factor preserves expected
+    * squared norm — the standard dense-JL estimator). The projection is
+    * `outDim` codegen'd [[dot]] kernels per row: shuffle-free map work,
+    * the dimensionality-reduction front of an embedding pipeline (e.g.
+    * 64→16 dims before LSH/IVF indexing cuts candidate scoring 4×).
+    * Deterministic integer recurrence ⇒ the DuckDB oracle regenerates
+    * the matrix and replays the fold bit-for-bit.
+    */
+  def randomProject(embs: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(dim, outDim, seed)
+    val scale = math.sqrt(3.0 / outDim)
+    embs.select(
+      col(idCol),
+      array(planes.map(p => dot(col(vecCol), typedLit(p.toSeq)) * scale): _*).as("projected"))
   }
 
   /** Sign-of-projection LSH bucket id (one long from `planes` bits) — a

@@ -689,6 +689,26 @@ object Oracles {
 
     "dedup_semantic" -> semanticOracleSql,
 
+    // JL projection: regenerate the 16x64 LCG matrix exactly as
+    // Similarity.hyperplanes (seed scramble + 8 burn-in, 2s/m - 1),
+    // replay the left-fold dots; sqrt is IEEE-correctly-rounded in both
+    // engines so the scale factor is bit-identical
+    "emb_project" ->
+      s"""WITH RECURSIVE lcg(k, s) AS (
+         |  SELECT 0, (42 * 2654435761) % 2147483646 + 1
+         |  UNION ALL
+         |  SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < ${8 + 16 * 64}
+         |),
+         |pl AS (
+         |  SELECT (k - 9) // 64 AS i, list(s / 2147483647.0 * 2 - 1 ORDER BY k) AS plane
+         |  FROM lcg WHERE k >= 9 GROUP BY 1
+         |)
+         |SELECT e.vec_id,
+         |  list(list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y)
+         |       * sqrt(3.0 / 16.0) ORDER BY p.i) AS projected
+         |FROM embeddings e CROSS JOIN pl p
+         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+
     // BM25 with the Lucene +1-saturated idf; per-(query,doc) scores are
     // 2^-40 fixed-point LONG sums (associative, order-independent — a
     // double SUM is partition-order-dependent). The comparison is at

@@ -132,4 +132,28 @@ class SimilaritySpec extends SparkSuite {
     }.sum / byQ.size
     assert(recall >= 0.5, s"recall $recall")
   }
+
+  test("randomProject matches per-plane dots and roughly preserves norms/distances") {
+    val rnd = new scala.util.Random(5)
+    val df = (0 until 200).map { i =>
+      (i.toLong, Seq.fill(32)(rnd.nextGaussian().toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = Similarity.randomProject(df, "vec_id", "embedding", dim = 32, outDim = 12, seed = 9L)
+      .as[(Long, Seq[Double])].collect().toMap
+    assert(out.values.forall(_.size == 12))
+    // exact check: projected_j == fold-dot with the same LCG plane, scaled
+    val planes = Similarity.hyperplanes(32, 12, 9L)
+    val scale = math.sqrt(3.0 / 12)
+    val vecs = df.as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- vecs.take(20)) {
+      val expect = planes.map(p => v.zip(p).foldLeft(0.0) { case (a, (x, y)) => a + x.toDouble * y } * scale)
+      assert(out(id).zip(expect).forall { case (a, b) => a == b }, s"projection mismatch for $id")
+    }
+    // JL sanity: mean squared-norm ratio near 1 (loose bounds; 12 dims is noisy)
+    val ratios = vecs.toSeq.map { case (id, v) =>
+      out(id).map(x => x * x).sum / v.map(x => x.toDouble * x).sum
+    }
+    val mean = ratios.sum / ratios.size
+    assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
+  }
 }
