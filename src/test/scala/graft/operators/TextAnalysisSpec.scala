@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSuite
 
@@ -31,6 +32,31 @@ class TextAnalysisSpec extends SparkSuite {
       "+123 too short for a phone",
       "at sign @ alone is not an email"))
       assert(redact(s) === s)
+  }
+
+  test("PII patterns: clean text is a fixed point; one injection, one redaction (ScalaCheck)") {
+    // the patterns are plain Java regex in Spark — property-test them at
+    // the JVM level (fast), the Spark/oracle equivalence is covered by
+    // the text_pii driver row
+    import java.util.regex.Pattern
+    def applyAll(s: String): String =
+      TextAnalysis.piiPatterns.foldLeft(s) { case (t, (_, pat, repl)) =>
+        Pattern.compile(pat).matcher(t).replaceAll(repl)
+      }
+    // letters+spaces only: no digit, '@' or '+' can form a PII match
+    val cleanWord = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.alphaChar)).map(_.mkString)
+    val genClean = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, cleanWord)).map(_.mkString(" "))
+    val genPii = Gen.oneOf(
+      Gen.choose(1, 9999).map(i => s"user$i@host$i.com" -> "<EMAIL>"),
+      for (a <- Gen.choose(0, 255); b <- Gen.choose(0, 255)) yield s"10.$a.$b.1" -> "<IP>",
+      Gen.choose(1000000L, 999999999L).map(p => s"+$p" -> "<PHONE>"))
+    val prop = Prop.forAll(genClean, genClean, genPii) { case (pre, post, (pii, token)) =>
+      val cleanFixed = applyAll(s"$pre $post") == s"$pre $post"
+      val injected = applyAll(s"$pre $pii $post") == s"$pre $token $post"
+      cleanFixed && injected
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("corpusProfile computes exact discrete percentiles per stratum") {

@@ -2,6 +2,8 @@ package graft.plans
 
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
 import graft.SparkSuite
 import graft.operators.TextAnalysis
@@ -50,6 +52,31 @@ class NgramStatsSpec extends SparkSuite {
         .count()
       assert(diff === 0, s"kernel vs HOF mismatch for n=$n")
     }
+  }
+
+  test("kernel equals a multiset-count reference on random docs (ScalaCheck)") {
+    // random docs over a small vocab maximize repeated n-grams; the
+    // reference counts n-gram STRINGS, so agreement also rules out hash
+    // collisions across the generated corpus
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "fff", "g")
+    val genDoc = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, Gen.oneOf(vocab)))
+    val genN = Gen.choose(1, 4)
+    val prop = Prop.forAll(genDoc, genN) { (toks, n) =>
+      val text = toks.mkString(" ")
+      val got = NgramStats.compute(UTF8String.fromString(text), n)
+      // split("") yields one empty token, mirroring the kernel/Spark split
+      val effToks = if (toks.isEmpty) Seq("") else toks
+      val grams = effToks.sliding(n).filter(_.size == n).map(_.mkString(" ")).toSeq
+      if (grams.isEmpty) got == null
+      else {
+        val counts = grams.groupBy(identity).values.map(_.size)
+        val (total, top, dup) = (grams.size, counts.max, counts.filter(_ > 1).sum)
+        got != null && got.getInt(0) == total && got.getInt(1) == top && got.getInt(2) == dup &&
+          top <= total && dup <= total && ((dup == 0) == (top == 1))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(300), prop)
+    assert(res.passed, res.status.toString)
   }
 
   test("repetitionMetrics fractions are consistent with the struct fields") {
