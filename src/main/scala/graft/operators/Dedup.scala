@@ -644,9 +644,20 @@ object Dedup {
     * persist MEMORY_AND_DISK with lineage intact, so executor loss
     * recomputes instead of failing (strictly better than the
     * localCheckpoint a DataFrame loop would force).
+    *
+    * Adaptive small-graph path: when the measured edge count (already
+    * computed for partition sizing) is ≤ `driverEdgeLimit`, the edges
+    * collect to the driver and one union-find pass labels them — the
+    * same runtime-statistics-driven plan switch AQE applies to joins. A
+    * contracted dedup graph is usually orders of magnitude smaller than
+    * its corpus, and below the cutoff the RDD loop's per-round job
+    * overhead (3-6 jobs × rounds) dwarfs the actual work; 250k edges is
+    * ~4 MB of longs, far under any driver budget. Results are identical
+    * (union-by-min + path halving yields component minima); graphs
+    * above the cutoff take the distributed loop unchanged.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20, driverEdgeLimit: Long = 250000L): DataFrame = {
     import org.apache.spark.HashPartitioner
     import org.apache.spark.rdd.RDD
     import org.apache.spark.storage.StorageLevel
@@ -670,6 +681,26 @@ object Dedup {
     // (~4 MB of longs) per partition keeps the per-partition HashSets
     // small while collapsing toy graphs to single-task rounds
     val nEdges = init.count()
+    if (nEdges <= driverEdgeLimit) {
+      val collected = init.collect()
+      init.unpersist(blocking = false)
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
+        x
+      }
+      for ((a, b) <- collected) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        // union by MIN: the smaller root wins, so every root is its
+        // component's minimum id by induction
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      return parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "component")
+    }
     val part = new HashPartitioner(
       math.max(1, math.min(init.getNumPartitions, ((nEdges + 249999) / 250000).toInt)))
     // co-partitioned + per-partition Set = global distinct without a

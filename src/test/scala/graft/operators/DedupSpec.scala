@@ -267,9 +267,19 @@ class DedupSpec extends SparkSuite {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH execution paths (driver union-find and the distributed
+    * star-contraction loop, forced via driverEdgeLimit = 0) and asserts
+    * they agree before returning the labels.
+    */
+  private def ccOf(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val viaDriver = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
+    val viaLoop = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+      driverEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(viaDriver == viaLoop, "driver union-find and star-contraction loop disagree")
+    viaDriver
+  }
 
   test("connectedComponents matches union-find on random graphs across densities") {
     for ((seed, n, e) <- Seq((11, 120, 300), (23, 500, 180), (37, 40, 600), (41, 1000, 30))) {
