@@ -25,7 +25,10 @@ object PlanAudit {
       // round 6: the probe n-gram set broadcasts into a map-side
       // semi-join; repetition/PII are shuffle-free projections; semantic
       // dedup is one kernel pass + a within-cell equi-self-join
-      "dedup_contaminated_ngrams", "text_repetition", "text_pii", "dedup_semantic")
+      "dedup_contaminated_ngrams", "text_repetition", "text_pii", "dedup_semantic",
+      // bm25 must broadcast every dimension-table side; profiling is one
+      // window + one aggregate; projection is a pure map
+      "bm25_topk", "corpus_stats", "emb_project")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -63,9 +63,13 @@ object Retrieval {
     val postings = docs
       .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
       .join(broadcast(qtermSet), "term")
+    // checkpointed: consumed by the scoring join AND the df aggregate —
+    // without it Spark rebuilds the corpus explode + semi-join lineage
+    // once per consumer (two full corpus passes at scale)
     val tf = postings
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .localCheckpoint(false)
 
     // postings are distinct per (doc, term) after the aggregate, so the
     // per-term row count IS the document frequency

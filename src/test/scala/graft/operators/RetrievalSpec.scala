@@ -66,5 +66,10 @@ class RetrievalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in bm25 plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joined:\n$plan")
+    // the (doc, term) posting aggregate is checkpointed: both consumers
+    // (scoring join + df aggregate) read it, nobody rebuilds the corpus
+    // explode lineage
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2,
+      s"expected 2 reads of the checkpointed postings:\n$plan")
   }
 }
