@@ -48,7 +48,9 @@ object GraftExtensions {
     ("shingle_hashes", ShingleHashes.info,
       arity(2, "shingle_hashes(text, k)")(c => ShingleHashes(c.head, intLit(c(1), "k")))),
     ("simhash64", SimHash64.info,
-      arity(2, "simhash64(text, bits)")(c => SimHash64(c.head, intLit(c(1), "bits")))))
+      arity(2, "simhash64(text, bits)")(c => SimHash64(c.head, intLit(c(1), "bits")))),
+    ("ngram_stats", NgramStats.info,
+      arity(2, "ngram_stats(text, n)")(c => NgramStats(c.head, intLit(c(1), "n")))))
 
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =

@@ -54,6 +54,12 @@ class NgramStatsSpec extends SparkSuite {
     }
   }
 
+  test("ngram_stats is SQL-callable via GraftExtensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT ngram_stats('a b a b a', 2) AS s").select("s.*").collect()(0)
+    assert(r === Row(4, 2, 4))
+  }
+
   test("kernel equals a multiset-count reference on random docs (ScalaCheck)") {
     // random docs over a small vocab maximize repeated n-grams; the
     // reference counts n-gram STRINGS, so agreement also rules out hash
