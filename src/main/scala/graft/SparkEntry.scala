@@ -84,6 +84,7 @@ object SparkEntry {
     "mm_image_meta" -> (L.mmImageMeta _),
     "mm_frame_sample" -> (L.mmFrameSample _),
     "mm_decode_batched" -> (L.mmDecodeBatched _),
+    "mm_resize" -> (L.mmResize _),
     // LLM-pipeline: text analysis
     "text_quality" -> (L.textQuality _),
     "text_langid" -> (L.textLangid _),

@@ -50,6 +50,35 @@ object Multimodal {
 
   final case class DecodedMeta(id: Long, nBytes: Int, head: String)
 
+  final case class ResizedMeta(id: Long, srcBytes: Int, width: Int, height: Int, resizedMd5: String)
+
+  /** Partition-wise batched STUB resize: the per-image output is a
+    * deterministic md5 fingerprint of (payload, target dims) standing in
+    * for resized bytes — a real deployment swaps the digest for the
+    * codec's scale call; the batch shape, schema, and partition-wise
+    * execution are the real plumbing (per-batch block is where a codec
+    * would pin buffers once). Payloads never shuffle.
+    */
+  def resizeBatched(df: DataFrame, idCol: String, binCol: String,
+                    width: Int, height: Int, batchSize: Int = 64): Dataset[ResizedMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val dims = s"${width}x$height".getBytes("UTF-8")
+    df.select(col(idCol).cast("long"), col(binCol)).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val md = java.security.MessageDigest.getInstance("MD5") // per-batch setup
+          batch.map { case (id, bytes) =>
+            md.reset()
+            md.update(bytes)
+            md.update(dims)
+            ResizedMeta(id, bytes.length, width, height,
+              md.digest().map("%02x".format(_)).mkString)
+          }
+        }
+      }
+  }
+
   /** STUB codec: deterministic "decode" of a payload (length + first-bytes
     * fingerprint). Replace with a real image/audio library call.
     */

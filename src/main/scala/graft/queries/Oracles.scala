@@ -934,6 +934,15 @@ object Oracles {
         |    '\+\d{7,15}\b', '<PHONE>', 'g') AS redacted
         |FROM p ORDER BY doc_id""".stripMargin,
 
+    // DuckDB md5 takes VARCHAR; payload = UTF-8(text), so hashing the
+    // concatenated STRING hashes the same bytes the stub digests
+    "mm_resize" ->
+      """SELECT doc_id AS id,
+        |  octet_length(encode(text))::INTEGER AS "srcBytes",
+        |  64 AS width, 48 AS height,
+        |  md5(text || '64x48') AS "resizedMd5"
+        |FROM documents ORDER BY id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -48,6 +48,21 @@ class MultimodalSpec extends SparkSuite {
     assert(out(3L).head == "decoded:4:" + "tiny".getBytes.take(4).map("%02x".format(_)).mkString)
   }
 
+  test("resizeBatched: deterministic (payload, dims) fingerprint per row") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((7L, "payload-bytes"), (8L, "x")).toDF("id", "text")
+      .withColumn("payload", org.apache.spark.sql.functions.encode(col("text"), "UTF-8"))
+    val out = Multimodal.resizeBatched(df, "id", "payload", width = 64, height = 48)
+      .collect().map(r => r.id -> r).toMap
+    assert(out(7L).srcBytes == 13 && out(7L).width == 64 && out(7L).height == 48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update("payload-bytes".getBytes("UTF-8")); md.update("64x48".getBytes("UTF-8"))
+    assert(out(7L).resizedMd5 == md.digest().map("%02x".format(_)).mkString)
+    // different payloads and dims fingerprint differently
+    assert(out(8L).resizedMd5 != out(7L).resizedMd5)
+  }
+
   private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
   }
