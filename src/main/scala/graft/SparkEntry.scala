@@ -97,7 +97,8 @@ object SparkEntry {
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),
     "pack_sequences" -> (L.packSequences _),
-    "corpus_curation" -> (L.corpusCuration _)
+    "corpus_curation" -> (L.corpusCuration _),
+    "curation_pipeline" -> (L.curationPipeline _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -816,6 +816,34 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    // corpus_curation + the repetition gate: the dup-2-gram fraction is
+    // recomputed from string n-grams (vs the kernel's hashes — the
+    // standard hashed-text contract) and ANDed into the quality gate
+    "curation_pipeline" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, sum(c) AS total, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c2 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM t JOIN s2 USING (doc_id)
+        |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |    AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0
+        |    AND dup::DOUBLE / total::DOUBLE <= 0.1),
+        |k AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS canon
+        |  FROM b),
+        |c AS (
+        |  SELECT doc_id, lang, score, n_sel_tokens,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM k WHERE doc_id = canon)
+        |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
