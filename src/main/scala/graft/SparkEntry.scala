@@ -93,6 +93,7 @@ object SparkEntry {
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),
+    "text_perplexity" -> (L.textPerplexity _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),

@@ -191,6 +191,51 @@ object TextAnalysis {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** CCNet-style language-model quality score: per-document mean
+    * negative log-likelihood under a corpus-trained UNIGRAM model
+    * (log-perplexity; high = unusual token distribution — the filter
+    * signal CCNet computes with a 5-gram KenLM, reduced to the unigram
+    * LM that stays exactly verifiable). Returns
+    * (`idCol`, `n_tokens`, `nll_per_token` FLOAT).
+    *
+    * Model: p(t) = count(t)/total over the corpus, vocabulary capped to
+    * the `topK` most frequent terms (count desc, term asc tie-break);
+    * out-of-vocabulary tokens take a 0.5/total floor. The fit is one
+    * corpus aggregate; per-TERM nll is computed once in the tiny vocab
+    * table, scored back through a broadcast join. Like
+    * [[graft.operators.Retrieval.bm25TopK]], per-token contributions
+    * are floored to a 2⁻⁴⁰ fixed-point grid and summed as longs —
+    * associative, so deterministic under any partitioning, and the
+    * float-precision output absorbs the ulp-level ln() divergence
+    * between engines. Scoring is the second corpus pass — inherent to a
+    * corpus-trained model (production trains once and reuses the vocab
+    * table across runs).
+    */
+  def unigramNll(docs: DataFrame, textCol: String, idCol: String,
+                 topK: Int = 65536): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val toks = tokens(col(textCol))
+    val postings = docs.select(
+      col(idCol), size(toks).as("n_tokens"), explode(toks).as("term"))
+    val counts = postings.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val kept = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
+    val stats = counts.agg(sum(col("cnt")).as("total"))
+    val termNll = kept.crossJoin(broadcast(stats)).select(
+      col("term"),
+      floor(-log(col("cnt").cast("double") / col("total").cast("double")) * scale).as("fp"))
+    val oovNll = floor(-log(lit(0.5) / col("total").cast("double")) * scale)
+    postings
+      .join(broadcast(termNll), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy(col(idCol))
+      .agg(
+        first(col("n_tokens")).as("n_tokens"),
+        sum(coalesce(col("fp"), oovNll)).as("sfp"))
+      .select(col(idCol), col("n_tokens"),
+        ((col("sfp").cast("double") / scale) / col("n_tokens").cast("double"))
+          .cast("float").as("nll_per_token"))
+  }
+
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of
     * token lengths (mod 1e9+7, overflow-safe).
     */

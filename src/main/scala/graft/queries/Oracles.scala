@@ -917,6 +917,26 @@ object Oracles {
         |  max(CASE WHEN rn = ceil(cnt * 0.9) THEN n_ws_tokens END) AS p90_ws_tokens
         |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
 
+    // unigram LM replayed exactly: same vocab cap + OOV floor, per-token
+    // nll on the same 2^-40 fixed-point grid summed as BIGINT, FLOAT
+    // output absorbing ulp-level ln() divergence
+    "text_perplexity" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |sc AS (
+        |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |    sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s))) AS sfp
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id)
+        |SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+        |  ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS nll_per_token
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
     // counts from n-gram STRINGS where the kernel counts xxhash64 hashes:
     // values agree absent 64-bit collisions (the usual hashed-text
     // contract), so the hash compare also certifies collision-freeness

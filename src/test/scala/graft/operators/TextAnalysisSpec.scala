@@ -76,6 +76,21 @@ class TextAnalysisSpec extends SparkSuite {
     assert(b.getAs[Int]("p90_ws_tokens") === 3)
   }
 
+  test("unigramNll matches a hand-computed unigram model with OOV floor") {
+    // corpus: 8 tokens total; "a" x4, "b" x2, "c" x1, "d" x1.
+    // topK = 2 keeps {a, b}; c and d go OOV at p = 0.5/8
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val out = TextAnalysis.unigramNll(docs, "text", "doc_id", topK = 2)
+      .orderBy("doc_id").collect()
+    val scale = 1099511627776.0
+    def fp(p: Double): Long = math.floor(-math.log(p) * scale).toLong
+    val expected = ((2 * fp(4.0 / 8) + fp(2.0 / 8) + fp(0.5 / 8)) / scale / 4).toFloat
+    for (r <- out) {
+      assert(r.getAs[Int]("n_tokens") === 4)
+      assert(r.getAs[Float]("nll_per_token") === expected) // both docs symmetric
+    }
+  }
+
   test("piiMetrics counts match the redactions") {
     val df = TextAnalysis.piiMetrics(
       Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
