@@ -57,15 +57,22 @@ object Retrieval {
       .distinct()
     val qtermSet = qterms.select(col("term")).distinct()
 
-    // one corpus map pass: doc length rides along the explode so tf
-    // groups carry it for free (first() over a constant-per-group value)
-    val toks = TextAnalysis.tokens(col(textCol))
-    val postings = docs
-      .select(col(idCol).as("doc_id"), size(toks).as("dl"), explode(toks).as("term"))
+    // ONE corpus tokenization, checkpointed: the token projection feeds
+    // BOTH the postings semi-join and the global length stats. Without
+    // the checkpoint each consumer re-runs the regex split over the full
+    // corpus (stats needs every doc, hit or not, so no tf-side distinct
+    // can replace it). The materialized projection is ~1x the corpus —
+    // the disk-for-CPU trade minHashPairs already makes; doc length
+    // rides along the explode so tf groups carry it for free.
+    val toksDf = docs
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false)
+    val postings = toksDf
+      .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qtermSet), "term")
     // checkpointed: consumed by the scoring join AND the df aggregate —
-    // without it Spark rebuilds the corpus explode + semi-join lineage
-    // once per consumer (two full corpus passes at scale)
+    // the hit-rows-only aggregate is tiny, so re-deriving it per consumer
+    // would still replay the explode + semi-join over the cached corpus
     val tf = postings
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
@@ -74,9 +81,9 @@ object Retrieval {
     // postings are distinct per (doc, term) after the aggregate, so the
     // per-term row count IS the document frequency
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = docs.agg(
+    val stats = toksDf.agg(
       count(lit(1)).as("n_docs"),
-      sum(size(TextAnalysis.tokens(col(textCol)))).as("sum_dl"))
+      sum(size(col("toks"))).as("sum_dl"))
     val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
 
     val contrib = idf(col("n_docs").cast("double"), col("df").cast("double")) *

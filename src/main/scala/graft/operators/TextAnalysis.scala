@@ -176,7 +176,16 @@ object TextAnalysis {
       .withColumn("rn", row_number().over(w.orderBy(col("n_ws_tokens"))))
       .withColumn("cnt", count(lit(1)).over(w))
     val pctAggs = percentiles.map { p =>
-      max(when(col("rn") === ceil(col("cnt") * p), col("n_ws_tokens")))
+      // ceil(cnt·p) in EXACT integer arithmetic: p as a basis-points
+      // rational num/10000, rank = (cnt·num + 9999) div 10000. The double
+      // form ceil(cnt * p) can round up past the true rational product
+      // for non-default percentiles (e.g. p=0.29 at counts where cnt·p
+      // has no exact binary representation), drifting one rank off the
+      // documented "value at row ceil(p·n)" definition.
+      val num = math.round(p * 10000)
+      require(math.abs(num / 10000.0 - p) < 1e-12,
+        s"percentile $p is not expressible in basis points")
+      max(when(col("rn") === expr(s"(cnt * ${num}L + 9999L) DIV 10000L"), col("n_ws_tokens")))
         .as(s"p${(p * 100).round}_ws_tokens")
     }
     val aggs = Seq(
@@ -207,17 +216,27 @@ object TextAnalysis {
     * are floored to a 2⁻⁴⁰ fixed-point grid and summed as longs —
     * associative, so deterministic under any partitioning, and the
     * float-precision output absorbs the ulp-level ln() divergence
-    * between engines. Scoring is the second corpus pass — inherent to a
-    * corpus-trained model (production trains once and reuses the vocab
-    * table across runs).
+    * between engines.
+    *
+    * The corpus is TOKENIZED ONCE: the token projection is checkpointed
+    * and shared by the model fit and the scoring pass (the same
+    * disk-for-CPU trade as [[graft.operators.Retrieval.bm25TopK]] —
+    * production would train once and reuse the vocab table across runs,
+    * but within one run the regex split must not run twice over 100 TB).
+    * The vocab-sized `counts` aggregate is checkpointed too, so the fit
+    * and the total-count stats share one materialization instead of
+    * re-aggregating the corpus per consumer.
     */
   def unigramNll(docs: DataFrame, textCol: String, idCol: String,
                  topK: Int = 65536): DataFrame = {
     val scale = 1099511627776.0 // 2^40
-    val toks = tokens(col(textCol))
-    val postings = docs.select(
-      col(idCol), size(toks).as("n_tokens"), explode(toks).as("term"))
+    val toksDf = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false)
+    val postings = toksDf.select(
+      col(idCol), size(col("toks")).as("n_tokens"), explode(col("toks")).as("term"))
     val counts = postings.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(false)
     val kept = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
     val stats = counts.agg(sum(col("cnt")).as("total"))
     val termNll = kept.crossJoin(broadcast(stats)).select(

@@ -692,7 +692,9 @@ object Oracles {
     // JL projection: regenerate the 16x64 LCG matrix exactly as
     // Similarity.hyperplanes (seed scramble + 8 burn-in, 2s/m - 1),
     // replay the left-fold dots; sqrt is IEEE-correctly-rounded in both
-    // engines so the scale factor is bit-identical
+    // engines so the scale factor is bit-identical. One (vec_id, dim,
+    // value) row per output dimension — scalar doubles the comparator
+    // can sort, mirroring the Spark side's posexplode.
     "emb_project" ->
       s"""WITH RECURSIVE lcg(k, s) AS (
          |  SELECT 0, (42 * 2654435761) % 2147483646 + 1
@@ -703,11 +705,11 @@ object Oracles {
          |  SELECT (k - 9) // 64 AS i, list(s / 2147483647.0 * 2 - 1 ORDER BY k) AS plane
          |  FROM lcg WHERE k >= 9 GROUP BY 1
          |)
-         |SELECT e.vec_id,
-         |  list(list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y)
-         |       * sqrt(3.0 / 16.0) ORDER BY p.i) AS projected
+         |SELECT e.vec_id, p.i::INTEGER AS dim,
+         |  list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y)
+         |    * sqrt(3.0 / 16.0) AS value
          |FROM embeddings e CROSS JOIN pl p
-         |GROUP BY e.vec_id ORDER BY e.vec_id""".stripMargin,
+         |ORDER BY e.vec_id, dim""".stripMargin,
 
     // BM25 with the Lucene +1-saturated idf; per-(query,doc) scores are
     // 2^-40 fixed-point LONG sums (associative, order-independent — a
@@ -913,8 +915,8 @@ object Oracles {
         |  sum(n_ws_tokens)::DOUBLE / count(*)::DOUBLE AS mean_ws_tokens,
         |  sum(n_chars_text)::DOUBLE / count(*)::DOUBLE AS mean_chars,
         |  sum(CASE WHEN is_quality THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS quality_frac,
-        |  max(CASE WHEN rn = ceil(cnt * 0.5) THEN n_ws_tokens END) AS p50_ws_tokens,
-        |  max(CASE WHEN rn = ceil(cnt * 0.9) THEN n_ws_tokens END) AS p90_ws_tokens
+        |  max(CASE WHEN rn = (cnt * 5000 + 9999) // 10000 THEN n_ws_tokens END) AS p50_ws_tokens,
+        |  max(CASE WHEN rn = (cnt * 9000 + 9999) // 10000 THEN n_ws_tokens END) AS p90_ws_tokens
         |FROM r GROUP BY stratum ORDER BY stratum""".stripMargin,
 
     // unigram LM replayed exactly: same vocab cap + OOV floor, per-token

@@ -66,10 +66,25 @@ class RetrievalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in bm25 plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joined:\n$plan")
-    // the (doc, term) posting aggregate is checkpointed: both consumers
-    // (scoring join + df aggregate) read it, nobody rebuilds the corpus
-    // explode lineage
-    assert("Scan ExistingRDD".r.findAllIn(plan).size == 2,
-      s"expected 2 reads of the checkpointed postings:\n$plan")
+    // two checkpoints: the (doc, term) posting aggregate feeds the
+    // scoring join AND the df aggregate (2 reads), the token projection
+    // feeds the length stats (1 read — its postings consumer lives in
+    // the tf-checkpoint materialization job, not the scoring plan).
+    // Nobody rebuilds corpus lineage.
+    assert("Scan ExistingRDD".r.findAllIn(plan).size == 3,
+      s"expected 3 checkpoint reads in the scoring plan:\n$plan")
+  }
+
+  test("bm25 tokenizes the corpus exactly once (checkpointed projection)") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
+    val queries = Seq((1000L, "common x0")).toDF("query_id", "text")
+    val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
+      .queryExecution.executedPlan.toString
+    // the corpus-side regex split runs ONCE, materializing the token
+    // checkpoint — the scoring plan reads the checkpoint and the only
+    // split left is the (tiny) broadcast query side
+    val splits = "split\\(lower\\(trim\\(text".r.findAllIn(plan).size
+    assert(splits == 1,
+      s"expected exactly 1 split (query side) in the scoring plan, got $splits:\n$plan")
   }
 }
