@@ -16,6 +16,14 @@ import graft.state.StateStore
   *   - outDir: parquet sink base dir ("console" → dry-run S9 sink)
   *   - stateUri: optional watermark KV → stateful incremental scan;
   *     a file/S3 path, or `redis://host[:port][/namespace]`
+  *
+  * Configuration binds from the `EXPORTER_*` environment exactly like
+  * the reference (config.py:246-250; see [[EngineConfig.fromEnv]]), so
+  * the deployment DEFAULT is the reference's sliding 2h window —
+  * `Updated >= now() − 2h` — which exports nothing from an archival
+  * file. Set EXPORTER_TRACKER__SEARCH__RANGE (e.g. `4w`), an explicit
+  * EXPORTER_TRACKER__SEARCH__QUERY (`"true"` scans everything), or pass
+  * a stateUri for watermark mode.
   */
 object PipelineMain {
   def main(args: Array[String]): Unit = {
@@ -42,7 +50,17 @@ object PipelineMain {
 
     val sink = if (outDir == "console") new ConsoleSink() else new ParquetSink(outDir)
     val state = args.lift(2).map(StateStore.fromUri)
-    val stats = IssuePipeline.run(raw, EngineConfig(), sink, state)
+    // a stateUri on the command line IS the stateful opt-in (≙ EXPORTER_STATEFUL)
+    val cfg = {
+      val c = EngineConfig.fromEnv()
+      if (state.isDefined) c.copy(stateful = true) else c
+    }
+    val mode =
+      if (cfg.search.query.isDefined) s"explicit query ${cfg.search.query.get}"
+      else if (cfg.stateful || state.isDefined) s"stateful (initial range ${cfg.statefulInitialRange.getOrElse("-")})"
+      else s"window (queues=${cfg.search.queues.mkString(",")} range=${cfg.search.range.getOrElse("-")})"
+    System.err.println(s"[pipeline] scan mode: $mode")
+    val stats = IssuePipeline.run(raw, cfg, sink, state)
     println(s"[pipeline] issues=${stats.issuesProcessed} metrics=${stats.metricsRows} " +
       s"changelog=${stats.changelogRows} no_metrics=${stats.issuesWithoutMetrics} " +
       s"watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")

@@ -55,6 +55,7 @@ object SparkEntry {
     // §2.9 streaming-equivalent
     "stream_window_counts" -> (C.streamWindowCounts _),
     "incremental_scan" -> (C.incrementalScan _),
+    "window_scan" -> (C.windowScan _),
     // the real issue pipeline over the deterministic fixture corpus
     "pipeline_metrics" -> (graft.queries.PipelineFixture.pipelineMetrics _),
     "pipeline_issues" -> (graft.queries.PipelineFixture.pipelineIssues _),

@@ -76,6 +76,53 @@ object IssuePipeline {
     metrics = Dedup.latestByKey(p.metrics, sortKeys("issue_metrics"), Seq("version")),
     changelog = Dedup.latestByKey(p.changelog, sortKeys("issues_changelog"), Seq("version")))
 
+  /** Compile the scan predicate with the reference's three-way precedence
+    * (etl.py:66-111, `_build_search_query`):
+    *
+    *   1. explicit search query — overrides everything ("Search query
+    *      received, ignoring other filter params");
+    *   2. stateful — `Updated > watermark`; on the FIRST run (no
+    *      committed watermark) fall back to `now − statefulInitialRange`
+    *      (reference default 1w, config.py:187), so a fresh deployment
+    *      backfills a bounded window instead of the whole history. A
+    *      configured queue list also applies in this arm (etl.py:85);
+    *   3. sliding window — queue filter and/or `Updated >= now − range`
+    *      (reference range default 2h, config.py:84).
+    *
+    * Returns None for an unbounded full scan — the library default when
+    * nothing is configured (the reference CLI raises ConfigurationError
+    * instead, etl.py:108-110: a service polling a live API must be
+    * bounded; a library scanning a finite source need not be).
+    *
+    * Comparisons happen on PARSED timestamps, not wire strings — see the
+    * watermark note in [[run]]. The function-of-column predicate
+    * evaluates inside the scan's codegen stage (not as a parquet
+    * PushedFilter); at 100 TB raw documents land date-partitioned and
+    * the same bound prunes partitions via the partition column.
+    */
+  def scanFilter(cfg: EngineConfig, watermark: Option[String],
+                 now: java.time.Instant = java.time.Instant.now()): Option[Column] = {
+    val updatedTs = TimeFns.parseTrackerDatetime(col("updatedAt"))
+    def since(range: String): Column =
+      updatedTs >= lit(java.sql.Timestamp.from(
+        now.minusSeconds(TimeFns.fromHumanTime(range)))).cast("timestamp")
+    val queueFilter: Option[Column] =
+      if (cfg.search.queues.nonEmpty) Some(col("queue.key").isInCollection(cfg.search.queues))
+      else None
+    cfg.search.query match {
+      case Some(q) => Some(expr(q))
+      case None if cfg.stateful || watermark.isDefined =>
+        val bound = watermark match {
+          case Some(w) => Some(updatedTs > TimeFns.parseTrackerDatetime(lit(w)))
+          case None => cfg.statefulInitialRange.map(since)
+        }
+        (queueFilter.toSeq ++ bound.toSeq).reduceOption(_ && _)
+      case None if queueFilter.isDefined || cfg.search.range.isDefined =>
+        (queueFilter.toSeq ++ cfg.search.range.map(since).toSeq).reduceOption(_ && _)
+      case None => None
+    }
+  }
+
   /** One scheduled micro-batch. `source` is the full raw-issue corpus;
     * stateful mode filters it above the committed watermark
     * (etl.py:80-89), transforms, writes the three tables, and commits the
@@ -86,7 +133,8 @@ object IssuePipeline {
           sink: Sink,
           state: Option[StateStore] = None,
           stateKey: String = "last_update_at",
-          version: Column = null): RunStats = {
+          version: Column = null,
+          now: java.time.Instant = java.time.Instant.now()): RunStats = {
 
     // Bind version ONCE driver-side: current_timestamp() is query-constant
     // but not action-constant, so a per-action default would stamp the
@@ -100,10 +148,9 @@ object IssuePipeline {
     // though it is the later instant).
     val watermark = state.flatMap(_.get(stateKey))
     val updatedTs = TimeFns.parseTrackerDatetime(col("updatedAt"))
-    val bounded = (watermark match {
-      case Some(w) => source.where(updatedTs > TimeFns.parseTrackerDatetime(lit(w)))
-      case None => source
-    }).cache() // read once: counts, transform, and the watermark agg share it
+    val bounded = scanFilter(cfg, watermark, now)
+      .map(source.where).getOrElse(source)
+      .cache() // read once: counts, transform, and the watermark agg share it
 
     try {
       // Early exit: nothing to export (etl.py:143-145).

@@ -288,4 +288,31 @@ object CoreQueries {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_watermark"))
       .orderBy(col("event_type"))
+
+  /** §2.9 S4 variant: the sliding-window scan mode — the reference's
+    * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
+    * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.
+    * Events play raw documents: wire-format `updatedAt` plus a queue key,
+    * the window anchored at a PINNED `now` so the relative bound stays
+    * deterministic for the oracle (`2d` through from_human_time, two
+    * queue keys through the IN filter). The parsed-timestamp comparison
+    * evaluates inside the scan's codegen stage (a function-of-column
+    * predicate does not become a parquet PushedFilter); at 100 TB raw
+    * documents land date-partitioned and the same bound prunes
+    * partitions via the partition column.
+    */
+  def windowScan(s: SparkSession, d: String): DataFrame = {
+    val raw = events(s, d).select(
+      col("event_id"), col("event_type"),
+      date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSSXX").as("updatedAt"),
+      struct(upper(col("event_type")).as("key")).as("queue"))
+    val cfg = graft.schema.EngineConfig(search = graft.schema.SearchSettings(
+      queues = Seq("CLICK", "VIEW"), range = Some("2d")))
+    val filter = graft.pipeline.IssuePipeline
+      .scanFilter(cfg, watermark = None, now = java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    raw.where(filter.get)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_recent"), max(col("updatedAt")).as("max_updated"))
+      .orderBy(col("event_type"))
+  }
 }

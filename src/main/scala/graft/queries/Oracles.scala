@@ -384,6 +384,19 @@ object Oracles {
          |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // sliding-window scan: now=2024-01-15T00:00:00Z − 2d, queues CLICK/
+    // VIEW. The engine filters on the PARSED ms-truncated wire string;
+    // filtering raw ts here is equivalent because the bound is
+    // ms-aligned (truncation only moves values down, never across an
+    // aligned bound). Wire format: Java XX prints 'Z' at zero offset,
+    // mirrored as strftime %g milliseconds + literal Z.
+    "window_scan" ->
+      s"""SELECT event_type, count(*) AS n_recent,
+         |  max(strftime(ts, '%Y-%m-%dT%H:%M:%S.%g') || 'Z') AS max_updated
+         |FROM $EV
+         |WHERE ts >= TIMESTAMP '2024-01-13 00:00:00' AND upper(event_type) IN ('CLICK', 'VIEW')
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     // The pipeline-fixture corpus is deterministic (PipelineFixture), so
     // the REAL transform's expected output is a literal VALUES relation —
     // the driver verifies A1/P1–P5 end-to-end, not just the emulations.

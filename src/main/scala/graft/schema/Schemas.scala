@@ -82,11 +82,81 @@ object Schemas {
     field("comments", ArrayType(comment))))
 }
 
+/** Search & export settings ≙ IssuesSearchSettings (config.py:80-100):
+  * the inputs of the three-way scan-mode precedence (etl.py:66-111).
+  * `query` is re-expressed Spark-first as a SQL boolean expression over
+  * the raw document (the reference's is a Yandex Tracker query-language
+  * string bound to the REST API — same role: an explicit scan predicate
+  * that overrides every other filter).
+  */
+final case class SearchSettings(
+    query: Option[String] = None,
+    range: Option[String] = None,
+    queues: Seq[String] = Nil)
+
 /** Engine configuration ≙ the reference's Settings relevant to the
-  * transform (config.py:188-214) + the business calendar
-  * (config.py:193-195).
+  * transform (config.py:188-214), the business calendar
+  * (config.py:193-195), and the scan mode (config.py:80-100, :186-187).
+  *
+  * Plain-constructor defaults keep the engine's library behavior
+  * (unbounded scan, changelog on); [[EngineConfig.fromEnv]] applies the
+  * reference's DEPLOYMENT defaults (sliding 2h window, 1w stateful
+  * initial range) for a drop-in `EXPORTER_*` environment.
   */
 final case class EngineConfig(
     closedStatuses: Set[String] = Set("closed", "rejected", "resolved", "cancelled", "released"),
     changelogExportEnabled: Boolean = true,
-    calendar: BusinessTime.Calendar = BusinessTime.Calendar())
+    calendar: BusinessTime.Calendar = BusinessTime.Calendar(),
+    search: SearchSettings = SearchSettings(),
+    stateful: Boolean = false,
+    statefulInitialRange: Option[String] = None)
+
+object EngineConfig {
+
+  /** Bind the reference's environment surface (`EXPORTER_*`, nested keys
+    * with `__` — config.py:246-250) into an [[EngineConfig]]. Only the
+    * settings the ENGINE consumes are bound; client/deployment settings
+    * (tokens, retries, ClickHouse endpoints, monitoring hosts) belong to
+    * the caller that owns those components. Unset vars take the
+    * reference's defaults (config.py:84, :179-214): search range "2h",
+    * stateful initial range "1w", Mon–Fri 09:00–22:00.
+    *
+    * Deliberate deviation: `changelog_export_enabled` defaults ON here
+    * (the changelog table is a first-class engine output; the reference
+    * defaults it off) — set EXPORTER_CHANGELOG_EXPORT_ENABLED=false for
+    * reference behavior. The reference's timezone knobs are not bound:
+    * this engine carries typed UTC timestamps end-to-end instead of
+    * formatting naive strings per timezone (SURVEY.md §1.2).
+    */
+  def fromEnv(env: Map[String, String] = sys.env): EngineConfig = {
+    def get(k: String): Option[String] = env.get(k).map(_.trim).filter(_.nonEmpty)
+    def bool(k: String, dflt: Boolean): Boolean =
+      get(k).map(v => Set("1", "true", "yes", "on").contains(v.toLowerCase)).getOrElse(dflt)
+    // "9" or "09:00[:00]" → hour (the reference parses datetime.time)
+    def hour(k: String, dflt: Int): Int =
+      get(k).map(_.split(":")(0).toInt).getOrElse(dflt)
+    val base = EngineConfig()
+    val cal = base.calendar.copy(
+      startHour = hour("EXPORTER_BUSINESS_HOURS_START", base.calendar.startHour),
+      endHour = hour("EXPORTER_BUSINESS_HOURS_END", base.calendar.endHour),
+      // reference workdays are Python weekday() ordinals, Monday = 0
+      workDays = get("EXPORTER_WORKDAYS")
+        .map(_.split(",").map(s => java.time.DayOfWeek.of(s.trim.toInt + 1)).toSet)
+        .getOrElse(base.calendar.workDays))
+    EngineConfig(
+      closedStatuses = get("EXPORTER_CLOSED_ISSUE_STATUSES")
+        .map(_.split(",").map(_.trim.toLowerCase).toSet)
+        .getOrElse(base.closedStatuses),
+      changelogExportEnabled = bool("EXPORTER_CHANGELOG_EXPORT_ENABLED", dflt = true),
+      calendar = cal,
+      search = SearchSettings(
+        query = get("EXPORTER_TRACKER__SEARCH__QUERY"),
+        range = get("EXPORTER_TRACKER__SEARCH__RANGE").orElse(Some("2h")),
+        // validate_queues uppercases (config.py:88-97)
+        queues = get("EXPORTER_TRACKER__SEARCH__QUEUES")
+          .map(_.split(",").map(_.trim.toUpperCase).toSeq).getOrElse(Nil)),
+      stateful = bool("EXPORTER_STATEFUL", dflt = false),
+      statefulInitialRange =
+        get("EXPORTER_STATEFUL_INITIAL_RANGE").orElse(Some("1w")))
+  }
+}

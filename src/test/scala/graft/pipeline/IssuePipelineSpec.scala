@@ -293,4 +293,99 @@ class IssuePipelineSpec extends SparkSuite {
     assert(r3.uploaded && r3.issuesProcessed == 1)
     assert(state.get("last_update_at").contains(t("19:00")))
   }
+
+  // ---- scan-mode precedence (≙ _build_search_query, etl.py:66-111) ----
+
+  import graft.schema.SearchSettings
+
+  private def keysKept(src: DataFrame, cfg: EngineConfig, wm: Option[String],
+                       now: String): Set[String] =
+    src.where(IssuePipeline.scanFilter(cfg, wm, java.time.Instant.parse(now)).get)
+      .select("key").as[String].collect().toSet
+
+  test("scan precedence 1: explicit search query overrides stateful and window params") {
+    val cfg = EngineConfig(
+      search = SearchSettings(query = Some("status.name = 'Open'"),
+        range = Some("1m"), queues = Seq("NOPE")),
+      stateful = true, statefulInitialRange = Some("1w"))
+    val src = raw(issue("TEST-1", "Open"), issue("TEST-2", "Closed"))
+    // watermark at 19:00 would exclude everything; the explicit query wins
+    assert(keysKept(src, cfg, Some(t("19:00")), "2024-01-09T20:00:00Z") == Set("TEST-1"))
+  }
+
+  test("scan precedence 2: stateful watermark beats window range; queues still apply") {
+    // range "1m" from now=18:30 would exclude the 18:00 update — the
+    // watermark arm (17:00) must win and keep it
+    val cfg = EngineConfig(stateful = true,
+      search = SearchSettings(range = Some("1m")))
+    val src = raw(
+      issue("TEST-1", "Open", updatedAt = t("16:00")),
+      issue("TEST-2", "Open", updatedAt = t("18:00")))
+    assert(keysKept(src, cfg, Some(t("17:00")), "2024-01-09T18:30:00Z") == Set("TEST-2"))
+    // a configured queue list filters inside the stateful arm (etl.py:85)
+    val cfgQ = cfg.copy(search = SearchSettings(queues = Seq("OTHER")))
+    assert(keysKept(src, cfgQ, Some(t("17:00")), "2024-01-09T18:30:00Z").isEmpty)
+  }
+
+  test("scan precedence 2b: first stateful run bounds by now - statefulInitialRange") {
+    val cfg = EngineConfig(stateful = true, statefulInitialRange = Some("1d"))
+    val src = raw(
+      issue("TEST-OLD", "Open", updatedAt = t("18:00", day = "2024-01-05")),
+      issue("TEST-NEW", "Open", updatedAt = t("18:00")))
+    assert(keysKept(src, cfg, None, "2024-01-10T00:00:00Z") == Set("TEST-NEW"))
+    // without an initial range (library default) the first run scans all
+    assert(IssuePipeline.scanFilter(
+      EngineConfig(stateful = true), None, java.time.Instant.now()).isEmpty)
+  }
+
+  test("scan precedence 3: sliding window Updated >= now - range") {
+    val cfg = EngineConfig(search = SearchSettings(range = Some("2h")))
+    val src = raw(
+      issue("TEST-1", "Open", updatedAt = t("15:59")),
+      issue("TEST-2", "Open", updatedAt = t("16:00")),
+      issue("TEST-3", "Open", updatedAt = t("18:00")))
+    // now 18:00 - 2h = 16:00 inclusive (reference emits Updated: >=)
+    assert(keysKept(src, cfg, None, "2024-01-09T18:00:00Z") == Set("TEST-2", "TEST-3"))
+    // nothing configured -> unbounded library scan
+    assert(IssuePipeline.scanFilter(EngineConfig(), None, java.time.Instant.now()).isEmpty)
+  }
+
+  test("window-mode run end-to-end: only in-range issues are exported") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-win").toString
+    val cfg = EngineConfig(search = SearchSettings(range = Some("2h")))
+    val src = raw(
+      issue("TEST-1", "Open", updatedAt = t("10:00")),
+      issue("TEST-2", "Closed", updatedAt = t("18:00"), changelog = walkthroughEvents))
+    val r = IssuePipeline.run(src, cfg, new ParquetSink(dir),
+      now = java.time.Instant.parse("2024-01-09T19:00:00Z"))
+    assert(r.uploaded && r.issuesProcessed == 1)
+    assert(spark.read.parquet(s"$dir/issues").select("issue_key").as[String].collect().toSeq == Seq("TEST-2"))
+  }
+
+  test("EngineConfig.fromEnv binds the EXPORTER_* surface with reference defaults") {
+    val cfg = EngineConfig.fromEnv(Map(
+      "EXPORTER_STATEFUL" -> "true",
+      "EXPORTER_STATEFUL_INITIAL_RANGE" -> "3d",
+      "EXPORTER_CHANGELOG_EXPORT_ENABLED" -> "false",
+      "EXPORTER_CLOSED_ISSUE_STATUSES" -> "Done,Closed",
+      "EXPORTER_WORKDAYS" -> "0,1,2",
+      "EXPORTER_BUSINESS_HOURS_START" -> "10:00:00",
+      "EXPORTER_BUSINESS_HOURS_END" -> "18",
+      "EXPORTER_TRACKER__SEARCH__QUEUES" -> "test, ops",
+      "EXPORTER_TRACKER__SEARCH__RANGE" -> "4h"))
+    assert(cfg.stateful && cfg.statefulInitialRange.contains("3d"))
+    assert(!cfg.changelogExportEnabled)
+    assert(cfg.closedStatuses == Set("done", "closed"))
+    assert(cfg.calendar.workDays == Set(java.time.DayOfWeek.MONDAY,
+      java.time.DayOfWeek.TUESDAY, java.time.DayOfWeek.WEDNESDAY))
+    assert(cfg.calendar.startHour == 10 && cfg.calendar.endHour == 18)
+    assert(cfg.search.queues == Seq("TEST", "OPS")) // validate_queues uppercases
+    assert(cfg.search.range.contains("4h"))
+
+    // unset env -> the reference deployment defaults (config.py:84, :187)
+    val dflt = EngineConfig.fromEnv(Map.empty)
+    assert(!dflt.stateful && dflt.statefulInitialRange.contains("1w"))
+    assert(dflt.search.range.contains("2h") && dflt.search.queues.isEmpty)
+    assert(dflt.changelogExportEnabled) // documented deviation: engine keeps it on
+  }
 }
