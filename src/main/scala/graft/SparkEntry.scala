@@ -100,7 +100,8 @@ object SparkEntry {
     "sample_stratified" -> (L.sampleStratified _),
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),
-    "curation_pipeline" -> (L.curationPipeline _)
+    "curation_pipeline" -> (L.curationPipeline _),
+    "curation_full" -> (L.curationFull _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -859,6 +859,61 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    // the five-gate chain: curation_pipeline's gates + the unigram-nll
+    // perplexity gate (text_perplexity's model replayed inline) + PII
+    // plant/scrub on the budget survivors (text_pii's expressions)
+    "curation_full" ->
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |nl AS (
+        |  SELECT doc_id,
+        |    ((sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s)))::DOUBLE
+        |      / 1099511627776.0) / any_value(n_tokens)::DOUBLE)::FLOAT AS nll_per_token
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, sum(c) AS total, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c2 GROUP BY doc_id),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens,
+        |    nll_per_token
+        |  FROM t JOIN s2 USING (doc_id) JOIN nl USING (doc_id)
+        |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |    AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0
+        |    AND dup::DOUBLE / total::DOUBLE <= 0.1
+        |    AND nll_per_token <= 5.5),
+        |k AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS canon
+        |  FROM b),
+        |sel AS (
+        |  SELECT doc_id, lang, text, score, n_sel_tokens, nll_per_token,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM k WHERE doc_id = canon),
+        |pii AS (
+        |  SELECT doc_id, lang, score, n_sel_tokens, nll_per_token, cum_tokens, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR || '@example.com or admin@test.org'
+        |         WHEN doc_id % 3 = 1 THEN ' from host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+        |         ELSE ' call +1555' || (doc_id % 10000 + 1000000)::VARCHAR END AS pt
+        |  FROM sel WHERE cum_tokens <= 4000)
+        |SELECT doc_id, lang, score, n_sel_tokens, nll_per_token, cum_tokens,
+        |  (len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(pt, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |   + len(regexp_extract_all(pt, '\+\d{7,15}\b')))::INTEGER AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{7,15}\b', '<PHONE>', 'g') AS redacted
+        |FROM pii ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
