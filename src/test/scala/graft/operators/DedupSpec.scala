@@ -281,6 +281,27 @@ class DedupSpec extends SparkSuite {
     viaDriver
   }
 
+  test("connectedComponents switches paths exactly at the edge cutoff, results identical") {
+    // 5 distinct edges after normalization; duplicates/self-loops are
+    // dropped BEFORE the count that drives the switch
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L), (6L, 7L))
+    def plan(limit: Long) = {
+      val df = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b",
+        driverEdgeLimit = limit)
+      (df, df.queryExecution.executedPlan.toString)
+    }
+    val (atLimit, atPlan) = plan(5) // nEdges == limit → driver union-find
+    val (above, abovePlan) = plan(4) // nEdges > limit → distributed loop
+    // driver path materializes a local relation; the loop path wraps the
+    // final labels RDD (ExternalRDDScan, printed as "Scan[obj…]")
+    assert(atPlan.contains("LocalTableScan") && !atPlan.contains("Scan[obj"),
+      s"expected the driver path at nEdges == limit:\n$atPlan")
+    assert(abovePlan.contains("Scan[obj") && !abovePlan.contains("LocalTableScan"),
+      s"expected the distributed loop at nEdges == limit + 1:\n$abovePlan")
+    assert(atLimit.as[(Long, Long)].collect().toMap == above.as[(Long, Long)].collect().toMap)
+    assert(atLimit.as[(Long, Long)].collect().toMap == ufComponents(edges))
+  }
+
   test("connectedComponents matches union-find on random graphs across densities") {
     for ((seed, n, e) <- Seq((11, 120, 300), (23, 500, 180), (37, 40, 600), (41, 1000, 30))) {
       val rnd = new scala.util.Random(seed)
