@@ -28,7 +28,11 @@ object PlanAudit {
       "dedup_contaminated_ngrams", "text_repetition", "text_pii", "dedup_semantic",
       // bm25 must broadcast every dimension-table side; profiling is one
       // window + one aggregate; projection is a pure map
-      "bm25_topk", "corpus_stats", "emb_project")
+      "bm25_topk", "corpus_stats", "emb_project",
+      // round 7: the window-scan predicate evaluates at the scan; the
+      // five-gate curation keeps per-row gates on the projection, one
+      // doc_id exchange for the perplexity join, two windows after
+      "window_scan", "curation_full")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
