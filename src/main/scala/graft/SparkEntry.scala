@@ -95,6 +95,9 @@ object SparkEntry {
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),
     "text_perplexity" -> (L.textPerplexity _),
+    "text_chunks" -> (L.textChunks _),
+    "text_keywords" -> (L.textKeywords _),
+    "emb_quantize" -> (L.embQuantize _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),

@@ -108,4 +108,44 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         (col("score_fp").cast("double") / ScoreScale).as("score"), col("rank"))
   }
+
+  /** Per-document top-`k` TF-IDF keywords — the term-salience extractor a
+    * training pipeline uses for topic labeling / diversity-aware sampling:
+    * tf·ln(N/df) per (doc, term), top `k` per document (score desc, term
+    * asc tie-break). Returns (`idCol`, `term`, `tf`, `score`, `rank`).
+    *
+    * Unlike [[bm25TopK]] there is no query side, so the FULL postings
+    * aggregate shuffles once on (doc, term) — inherent to corpus-wide
+    * keyword extraction; the df table is vocabulary-sized and broadcasts.
+    * Scores are floored to the 2⁻⁴⁰ grid and ranked on the exact integer
+    * (the bm25 determinism contract); the reported value is FLOAT, which
+    * absorbs the 1-ulp Math.log/libm divergence.
+    */
+  def tfidfTopTerms(docs: DataFrame, k: Int = 5,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    // one tokenize pass: the postings aggregate feeds scoring, N rides as
+    // a broadcast count over the same checkpoint
+    val toksDf = docs
+      .select(col(idCol).as("doc_id"), toks.as("toks"))
+      .localCheckpoint(false)
+    val tf = toksDf
+      .select(col("doc_id"), explode(col("toks")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = toksDf.agg(count(lit(1)).as("n_docs"))
+    val scoreFp = floor(
+      col("tf").cast("double") *
+        log(col("n_docs").cast("double") / col("df").cast("double")) * ScoreScale)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score_fp").desc, col("term"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("term"), col("tf"), scoreFp.as("score_fp"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id").as(idCol), col("term"), col("tf"),
+        (col("score_fp").cast("double") / ScoreScale).cast("float").as("score"), col("rank"))
+  }
 }

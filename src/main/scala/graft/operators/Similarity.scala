@@ -189,6 +189,27 @@ object Similarity {
       array(planes.map(p => dot(col(vecCol), typedLit(p.toSeq)) * scale): _*).as("projected"))
   }
 
+  /** Symmetric per-vector int8 quantization — the memory/bandwidth scale
+    * path for ANN indexes (a 64-dim float vector shrinks 4×; IVF/LSH
+    * candidate scoring then reads int8 with one dequant multiply):
+    * scale = max|vᵢ|/127, qᵢ = floor(vᵢ/scale + 0.5) ∈ [−127, 127].
+    * Emits (`idCol`, `scale`, `q` array<int>); all-zero vectors take
+    * scale = 0 with all-zero codes. `floor(x + 0.5)` instead of round():
+    * floor is exact in both engines, while round() half-case semantics
+    * differ across engines/types — determinism the oracle can replay.
+    * Pure per-row map work (one array_max + one transform), shuffle-free.
+    */
+  def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = array_max(transform(v, x => abs(x))) / 127.0
+    embs.select(
+      col(idCol),
+      scale.as("scale"),
+      when(scale === 0.0, transform(v, _ => lit(0)))
+        .otherwise(transform(v, x => floor(x / scale + 0.5).cast("int")))
+        .as("q"))
+  }
+
   /** Sign-of-projection LSH bucket id (one long from `planes` bits) — a
     * single codegen'd planes×dim loop ([[graft.plans.HyperplaneBucket]])
     * instead of `planes` interpreted per-plane dot-folds; bit-for-bit the

@@ -255,6 +255,38 @@ object TextAnalysis {
           .cast("float").as("nll_per_token"))
   }
 
+  /** Sliding token-window chunking with overlap — the document-prep step
+    * in front of embedding / RAG / long-context training pipelines: each
+    * document becomes ⌈max(0, n−size)/stride⌉+1 chunks of up to `size`
+    * tokens starting every `stride = size − overlap` tokens, so
+    * consecutive chunks share `overlap` tokens and every token is
+    * covered (the last chunk may run short, never empty). Emits
+    * (`idCol`, `chunk_idx`, `n_chunk_tokens`, `chunk_text`).
+    *
+    * Pure map work + a bounded explode (fan-out ≈ n/stride), shuffle-free
+    * at any scale — the chunk count is computed with integer arithmetic
+    * and `slice` clamps the tail, so no per-row UDF and no second
+    * tokenize.
+    */
+  def chunkTokens(docs: DataFrame, textCol: String, idCol: String,
+                  chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "need 0 <= overlap < chunkSize")
+    val stride = chunkSize - overlap
+    // last chunk index = ceil(max(0, n - size) / stride), integer-exact
+    val lastIdx = when(size(col("_toks")) <= chunkSize, lit(0L))
+      .otherwise(expr(s"(size(_toks) - $chunkSize + ${stride - 1}) div $stride"))
+    val start = col("chunk_idx").cast("int") * stride + 1 // slice is 1-based
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx").cast("int").as("chunk_idx"),
+        size(slice(col("_toks"), start, lit(chunkSize))).as("n_chunk_tokens"),
+        array_join(slice(col("_toks"), start, lit(chunkSize)), " ").as("chunk_text"))
+  }
+
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of
     * token lengths (mod 1e9+7, overflow-safe).
     */

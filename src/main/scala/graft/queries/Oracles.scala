@@ -934,6 +934,46 @@ object Oracles {
         |  FROM documents)
         |WHERE sample_rank <= 20 ORDER BY lang, sample_rank""".stripMargin,
 
+    // sliding 32-token window, stride 24: last chunk index is integer
+    // ceil(max(0, n-32)/24); DuckDB list slices are 1-based inclusive
+    // and clamp the tail exactly like Spark's slice(start, length)
+    "text_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks,
+        |  CASE WHEN len(toks) <= 32 THEN 0 ELSE (len(toks) - 32 + 23) // 24 END AS last_idx FROM t),
+        |e AS (SELECT doc_id, toks, unnest(range(0, last_idx + 1)) AS chunk_idx FROM c)
+        |SELECT doc_id, chunk_idx::INTEGER AS chunk_idx,
+        |  len(toks[(chunk_idx * 24 + 1) : (chunk_idx * 24 + 32)])::INTEGER AS n_chunk_tokens,
+        |  array_to_string(toks[(chunk_idx * 24 + 1) : (chunk_idx * 24 + 32)], ' ') AS chunk_text
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // tf·ln(N/df) on the 2^-40 fixed-point grid, ranked on the exact
+    // integer (term asc tie-break), FLOAT output — the bm25 contract
+    "text_keywords" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |tf AS MATERIALIZED (SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM t),
+        |sc AS (
+        |  SELECT doc_id, term, tf,
+        |    floor(tf::DOUBLE * ln(n_docs::DOUBLE / df::DOUBLE) * 1099511627776.0)::BIGINT AS score_fp
+        |  FROM tf JOIN df USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, (score_fp::DOUBLE / 1099511627776.0)::FLOAT AS score, rank::INTEGER AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_fp DESC, term) AS rank FROM sc)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+
+    // scale = max|v|/127 in double; q = floor(v/scale + 0.5) — floor is
+    // exact in both engines where round() half-cases are not. Embedding
+    // dim is fixed 64 (the ann oracle convention)
+    "emb_quantize" ->
+      """WITH b AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale FROM embeddings)
+        |SELECT vec_id, scale, i::INTEGER - 1 AS dim,
+        |  CASE WHEN scale = 0 THEN 0 ELSE floor(embedding[i]::DOUBLE / scale + 0.5)::INTEGER END AS q
+        |FROM b CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |ORDER BY vec_id, dim""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |  len(string_split_regex(lower(trim(text)), '\s+'))::INTEGER AS n_ws_tokens,

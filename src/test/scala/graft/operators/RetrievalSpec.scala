@@ -75,6 +75,35 @@ class RetrievalSpec extends SparkSuite {
       s"expected 3 checkpoint reads in the scoring plan:\n$plan")
   }
 
+  test("tfidfTopTerms matches brute-force tf*ln(N/df) with term tie-break") {
+    val corpus = Seq(
+      (0L, "apple apple banana common"),
+      (1L, "banana cherry common common"),
+      (2L, "cherry cherry cherry common"),
+      (3L, "durian apple common zz"))
+    val got = Retrieval.tfidfTopTerms(corpus.toDF("doc_id", "text"), k = 2)
+      .as[(Long, String, Long, Float, Int)].collect()
+      .map { case (d, t, tf, s, r) => (d, r) -> (t, tf, s) }.toMap
+    val docToks = corpus.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = corpus.size.toDouble
+    val scale = 1099511627776.0
+    val brute = docToks.flatMap { case (d, toks) =>
+      toks.distinct.map { term =>
+        val df = docToks.values.count(_.contains(term)).toDouble
+        val fp = math.floor(toks.count(_ == term) * math.log(n / df) * scale).toLong
+        (d, term, toks.count(_ == term).toLong, fp)
+      }
+    }.groupBy(_._1).flatMap { case (d, ts) =>
+      ts.toSeq.sortBy(t => (-t._4, t._2)).take(2).zipWithIndex.map { case ((_, term, tf, fp), i) =>
+        (d, i + 1) -> (term, tf, (fp / scale).toFloat)
+      }
+    }
+    assert(got == brute)
+    // 'common' is in every doc: idf = ln(1) = 0, so it never outranks a
+    // distinctive term — doc 2's top term must be cherry
+    assert(got((2L, 1))._1 == "cherry")
+  }
+
   test("bm25 tokenizes the corpus exactly once (checkpointed projection)") {
     val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
     val queries = Seq((1000L, "common x0")).toDF("query_id", "text")

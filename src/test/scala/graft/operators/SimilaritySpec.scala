@@ -156,4 +156,30 @@ class SimilaritySpec extends SparkSuite {
     val mean = ratios.sum / ratios.size
     assert(mean > 0.8 && mean < 1.2, s"mean norm ratio $mean")
   }
+
+  test("quantizeInt8: codes bounded, extremes hit ±127, dequant error ≤ scale/2, zero vector safe") {
+    val rnd = new scala.util.Random(7)
+    val df = ((0L until 50L).map { id =>
+      id -> Seq.fill(16)((rnd.nextFloat() * 4 - 2))
+    } :+ (99L -> Seq.fill(16)(0.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.quantizeInt8(df, "vec_id", "embedding")
+      .as[(Long, Double, Seq[Int])].collect()
+      .map { case (id, s, q) => id -> (s, q) }.toMap
+    val vecs = df.as[(Long, Seq[Float])].collect().toMap
+    for ((id, v) <- vecs) {
+      val (scale, q) = out(id)
+      if (id == 99L) {
+        assert(scale == 0.0 && q.forall(_ == 0))
+      } else {
+        assert(scale == v.map(x => math.abs(x.toDouble)).max / 127.0)
+        assert(q.forall(c => c >= -127 && c <= 127))
+        // the max-magnitude component quantizes to exactly ±127
+        assert(q.map(math.abs(_)).max == 127)
+        // symmetric quantization bound: |v - q*scale| ≤ scale/2
+        v.zip(q).foreach { case (x, c) =>
+          assert(math.abs(x.toDouble - c * scale) <= scale / 2 + 1e-12, s"vec $id")
+        }
+      }
+    }
+  }
 }

@@ -91,6 +91,34 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("chunkTokens: coverage, overlap, and boundary sizes") {
+    // n in {1, size-1, size, size+1, size+stride, 2*size} across docs
+    val mk = (id: Long, n: Int) => (id, (0 until n).map(i => s"t$i").mkString(" "))
+    val docs = Seq(mk(0L, 1), mk(1L, 31), mk(2L, 32), mk(3L, 33), mk(4L, 56), mk(5L, 64))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "text", "doc_id", chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, String)].collect().toSeq
+    val byDoc = out.groupBy(_._1).map { case (k, v) => k -> v.sortBy(_._2) }
+    // chunk counts: 1 + ceil(max(0, n-32)/24)
+    assert(byDoc.view.mapValues(_.length).toMap ==
+      Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2, 5L -> 3))
+    for ((id, chunks) <- byDoc) {
+      val n = docs.where(col("doc_id") === id)
+        .select(size(split(col("text"), " "))).as[Int].head()
+      // full coverage: stitching chunks, dropping each successor's
+      // 8-token overlap, reproduces the original token stream
+      val stitched = chunks.head._4.split(" ").toSeq ++
+        chunks.tail.flatMap(_._4.split(" ").drop(8).toSeq)
+      assert(stitched == (0 until n).map(i => s"t$i"), s"doc $id coverage")
+      // consecutive chunks share exactly the 8-token overlap
+      for (Seq(a, b) <- chunks.sliding(2) if chunks.length > 1)
+        assert(a._4.split(" ").takeRight(8).toSeq == b._4.split(" ").take(8).toSeq)
+      // every chunk is at most 32 tokens and reports its true size
+      chunks.foreach(c => assert(c._3 == c._4.split(" ").length && c._3 <= 32))
+    }
+  }
+
   test("piiMetrics counts match the redactions") {
     val df = TextAnalysis.piiMetrics(
       Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
