@@ -101,6 +101,7 @@ object SparkEntry {
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "sample_stratified" -> (L.sampleStratified _),
+    "sample_weighted" -> (L.sampleWeighted _),
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),
     "curation_pipeline" -> (L.curationPipeline _),

@@ -119,6 +119,25 @@ object CorpusSelection {
         expr(s"greatest(start_offset, start_offset + n_seq_tokens - 1) div ${seqLen}L"))
   }
 
+  /** Deterministic weighted (importance) sampling: keep each row with
+    * probability `weight` (a column in [0, 1] — e.g. a quality score, so
+    * better documents survive downsampling more often, the standard
+    * quality-weighted mix move). The coin is seedless and engine-
+    * portable: the first 6 hex digits of `md5(id)` parsed as an integer,
+    * divided by 16⁶ — uniform on [0, 1) with 2⁻²⁴ granularity, exact in
+    * double arithmetic, so any engine replays the exact same keep set
+    * (the property that makes training mixes reproducible). Keep iff
+    * coin < weight; appends `sample_coin` for auditability. Pure per-row
+    * map work, shuffle-free at any scale.
+    */
+  def weightedSample(docs: DataFrame, idCol: String, weight: Column): DataFrame = {
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / math.pow(16, 6)
+    docs
+      .withColumn("sample_coin", coin)
+      .where(col("sample_coin") < weight)
+  }
+
   /** Deterministic fixed-size sample per stratum: order documents inside
     * each stratum by `md5(id)` (a seedless, engine-portable uniform
     * scrambling — any doc set yields the same sample on every run and

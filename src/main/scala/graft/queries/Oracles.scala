@@ -927,6 +927,19 @@ object Oracles {
         |  greatest(start_offset, start_offset + n_seq_tokens - 1) // 2048 AS end_seq_id
         |FROM c ORDER BY lang, doc_id""".stripMargin,
 
+    // md5-coin importance sampling: first 6 md5 hex digits folded to an
+    // integer (exact double division by 16^6), keep iff coin < weight
+    "sample_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS weight,
+        |    list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |      c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::DOUBLE
+        |      / 16777216.0 AS sample_coin
+        |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents))
+        |SELECT doc_id, lang, weight, sample_coin FROM b
+        |WHERE sample_coin < weight ORDER BY doc_id""".stripMargin,
+
     "sample_stratified" ->
       """SELECT doc_id, lang, sample_rank FROM (
         |  SELECT doc_id, lang,

@@ -87,4 +87,23 @@ class CorpusSelectionSpec extends SparkSuite {
     // the md5 scramble actually scrambles: the sample is not just the first ids
     assert(s1.filter(_._2 == "b").map(_._1).toSet != (0L until 200L).filter(_ % 3 != 0).take(10).toSet)
   }
+
+  test("weightedSample: edge weights, keep rate tracks the weight, deterministic") {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val corpus = (0L until 3000L).map(i => (i, i % 3)).toDF("doc_id", "bucket")
+    // weight 0 / 0.5 / 1 by bucket
+    val weight = when(col("bucket") === 0, lit(0.0))
+      .when(col("bucket") === 1, lit(0.5)).otherwise(lit(1.0))
+    val kept = CorpusSelection.weightedSample(corpus, "doc_id", weight)
+      .select("doc_id", "bucket", "sample_coin").as[(Long, Long, Double)].collect()
+    assert(!kept.exists(_._2 == 0), "weight 0 must keep nothing")
+    assert(kept.count(_._2 == 2) == 1000, "weight 1 must keep everything")
+    val half = kept.count(_._2 == 1)
+    assert(half > 400 && half < 600, s"weight 0.5 kept $half of 1000")
+    assert(kept.forall(r => r._3 >= 0.0 && r._3 < 1.0))
+    // same coin on every run (seedless md5)
+    val again = CorpusSelection.weightedSample(corpus, "doc_id", weight)
+      .select("doc_id").as[Long].collect()
+    assert(kept.map(_._1).sorted.toSeq == again.sorted.toSeq)
+  }
 }
