@@ -78,7 +78,16 @@ object Bench {
       "\"" + name + "\":" + (if (err.isEmpty) sec else -1.0)
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, sec, None) => sec }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // machine-contention evidence travels WITH the artifact: a external
+    // load spike inflates totals 2-3x (observed repeatedly), and the
+    // 1-minute load average at finish makes that diagnosable after the
+    // fact instead of a mystery regression
+    val loadAvg = try {
+      val l = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(0)
+      s""","loadavg":$l"""
+    } catch { case NonFatal(_) => "" }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$loadAvg}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} of ${results.size} queries failed")
