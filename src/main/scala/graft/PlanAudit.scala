@@ -31,8 +31,10 @@ object PlanAudit {
       "bm25_topk", "corpus_stats", "emb_project",
       // round 7: the window-scan predicate evaluates at the scan; the
       // five-gate curation keeps per-row gates on the projection, one
-      // doc_id exchange for the perplexity join, two windows after
-      "window_scan", "curation_full")
+      // doc_id exchange for the perplexity join, two windows after; the
+      // as-of join must be union + ONE key exchange + window (no range
+      // join, no cross product)
+      "window_scan", "curation_full", "asof_join", "text_keywords")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -32,6 +32,7 @@ object SparkEntry {
     // §2.3 joins
     "j1_broadcast_join" -> (C.j1BroadcastJoin _),
     "j2_explode" -> (C.j2Explode _),
+    "asof_join" -> (C.asofJoin _),
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     // §2.4 aggregations

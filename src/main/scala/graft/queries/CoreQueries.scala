@@ -301,6 +301,26 @@ object CoreQueries {
     * documents land date-partitioned and the same bound prunes
     * partitions via the partition column.
     */
+  /** As-of (point-in-time) join: each purchase event enriched with the
+    * same user's most recent click at or before it
+    * ([[graft.operators.AsOfJoin]] — union + one key exchange + one
+    * carry-forward window, no range-join explosion). The oracle uses
+    * DuckDB's NATIVE `ASOF LEFT JOIN`, so the union-window re-expression
+    * is verified against an independent first-class implementation of
+    * the operator, not a mirrored query.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"))
+      .withColumn("secs_since_click", TimeFns.timedeltaSeconds(col("ts"), col("asof_ts")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   def windowScan(s: SparkSession, d: String): DataFrame = {
     val raw = events(s, d).select(
       col("event_id"), col("event_type"),

@@ -384,6 +384,18 @@ object Oracles {
          |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // verified against DuckDB's NATIVE ASOF JOIN — an independent
+    // first-class implementation of the operator (inclusive >= bound,
+    // matching the right-before-left tie order of the union-window form)
+    "asof_join" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, p.ts,
+         |  c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_since_click
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     // sliding-window scan: now=2024-01-15T00:00:00Z − 2d, queues CLICK/
     // VIEW. The engine filters on the PARSED ms-truncated wire string;
     // filtering raw ts here is equivalent because the bound is
