@@ -35,6 +35,7 @@ object SparkEntry {
     "asof_join" -> (C.asofJoin _),
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
+    "sessionize" -> (C.sessionize _),
     // §2.4 aggregations
     "a1_status_metrics" -> (C.a1StatusMetrics _),
     "a1_business_metrics" -> (L.a1BusinessMetrics _),

@@ -321,6 +321,23 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** Gap-based sessionization (§2.5 window family,
+    * [[graft.operators.Sessionize]]): 30-minute-inactivity sessions per
+    * user, one row per session with span, volume, and an exact decimal
+    * value sum — the batch form of the streaming session semantics.
+    */
+  def sessionize(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize
+      .assign(events(s, d), Seq("user_id"), "ts", gapSeconds = 1800, tieCols = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        TimeFns.timedeltaSeconds(max(col("ts")), min(col("ts"))).as("duration_s"),
+        sumDbl(col("value")).as("total_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+
   def windowScan(s: SparkSession, d: String): DataFrame = {
     val raw = events(s, d).select(
       col("event_id"), col("event_type"),

@@ -384,6 +384,25 @@ object Oracles {
          |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // gap sessionization: lag marks starts, running sum numbers them;
+    // value sums go through DECIMAL so reduction order cannot matter
+    "sessionize" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, value,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM $EV
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM g)
+         |SELECT user_id, session_seq::BIGINT AS session_seq, count(*) AS n_events,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
+         |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
     // verified against DuckDB's NATIVE ASOF JOIN — an independent
     // first-class implementation of the operator (inclusive >= bound,
     // matching the right-before-left tie order of the union-window form)
