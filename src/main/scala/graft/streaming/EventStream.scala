@@ -105,6 +105,27 @@ object EventStream {
       }
   }
 
+  /** Streaming gap sessions via Spark's NATIVE `session_window` — the
+    * streaming twin of [[graft.operators.Sessionize]]: per (user,
+    * session-of-inactivity-gap) counts and span, session state merged
+    * incrementally across micro-batches and evicted once the watermark
+    * passes a session's close. Boundary semantics: `session_window`
+    * windows are half-open `[start, last + gap)`, so an event at EXACTLY
+    * `gap` after the previous one starts a NEW session, where the batch
+    * operator's strictly-greater rule keeps it (parity everywhere except
+    * that measure-zero boundary — asserted on real data in
+    * EventStreamSpec).
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+                    lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select(col("user_id"), col("session_start"), col("session_end"), col("n_events"))
+
   /** Streaming exact dedup — the streaming form of
     * [[graft.operators.Dedup.exactGroups]], and the ingestion-side answer
     * to "never train on the same document twice" when the corpus arrives

@@ -39,6 +39,41 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streamed session_window sessions == batch Sessionize at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-sess")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(inDir.toString)
+    val events =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+
+    val streamed = EventStream.runAvailableNow(
+      EventStream.sessionCounts(events), "sess_test", tmp.resolve("ckpt").toString)
+      .map(r => (r.getLong(0), r.getTimestamp(1).toInstant.toString,
+        r.getTimestamp(2).toInstant.toString, r.getLong(3)))
+      .toSet
+
+    // batch gap sessions, aggregated to the same (user, start, end, n) shape.
+    // The sf0.001 data has no gap of exactly 30 minutes (verified), so the
+    // half-open session_window boundary cannot diverge from the batch rule.
+    val batch = graft.operators.Sessionize
+      .assign(graft.sources.Tables.events(spark, sfDir), Seq("user_id"), "ts",
+        gapSeconds = 1800, tieCols = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(min(col("ts")).as("s"), max(col("ts")).as("e"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(2).toInstant.toString,
+        r.getTimestamp(3).toInstant.toString, r.getLong(4)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("flatMapGroupsWithState status intervals == batch lag window at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val tmp = Files.createTempDirectory("graft-stream-state")
