@@ -128,20 +128,36 @@ object EngineConfig {
     * this engine carries typed UTC timestamps end-to-end instead of
     * formatting naive strings per timezone (SURVEY.md §1.2).
     */
+  /** Invalid env values fail with the variable NAME in the message (the
+    * reference's ConfigurationError discipline, config.py:216-223) —
+    * a bare NumberFormatException from deployment config is a support
+    * ticket, not an error message.
+    */
+  private def configError(key: String, value: String, want: String): Nothing =
+    throw new IllegalArgumentException(
+      s"invalid $key='$value' — expected $want")
+
   def fromEnv(env: Map[String, String] = sys.env): EngineConfig = {
     def get(k: String): Option[String] = env.get(k).map(_.trim).filter(_.nonEmpty)
     def bool(k: String, dflt: Boolean): Boolean =
       get(k).map(v => Set("1", "true", "yes", "on").contains(v.toLowerCase)).getOrElse(dflt)
     // "9" or "09:00[:00]" → hour (the reference parses datetime.time)
     def hour(k: String, dflt: Int): Int =
-      get(k).map(_.split(":")(0).toInt).getOrElse(dflt)
+      get(k).map { v =>
+        val h = v.split(":")(0).toIntOption.getOrElse(configError(k, v, "an hour like 9 or 09:00"))
+        if (h < 0 || h > 23) configError(k, v, "an hour in 0..23") else h
+      }.getOrElse(dflt)
     val base = EngineConfig()
     val cal = base.calendar.copy(
       startHour = hour("EXPORTER_BUSINESS_HOURS_START", base.calendar.startHour),
       endHour = hour("EXPORTER_BUSINESS_HOURS_END", base.calendar.endHour),
       // reference workdays are Python weekday() ordinals, Monday = 0
       workDays = get("EXPORTER_WORKDAYS")
-        .map(_.split(",").map(s => java.time.DayOfWeek.of(s.trim.toInt + 1)).toSet)
+        .map(v => v.split(",").map { s =>
+          s.trim.toIntOption.filter(d => d >= 0 && d <= 6)
+            .map(d => java.time.DayOfWeek.of(d + 1))
+            .getOrElse(configError("EXPORTER_WORKDAYS", v, "comma-separated weekday ordinals 0-6 (Monday=0)"))
+        }.toSet)
         .getOrElse(base.calendar.workDays))
     EngineConfig(
       closedStatuses = get("EXPORTER_CLOSED_ISSUE_STATUSES")

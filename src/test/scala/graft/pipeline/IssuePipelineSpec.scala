@@ -387,5 +387,16 @@ class IssuePipelineSpec extends SparkSuite {
     assert(!dflt.stateful && dflt.statefulInitialRange.contains("1w"))
     assert(dflt.search.range.contains("2h") && dflt.search.queues.isEmpty)
     assert(dflt.changelogExportEnabled) // documented deviation: engine keeps it on
+
+    // invalid values fail naming the offending variable (ConfigurationError
+    // discipline), not with a bare NumberFormatException
+    for ((k, v) <- Seq(
+        "EXPORTER_WORKDAYS" -> "0,7",
+        "EXPORTER_WORKDAYS" -> "mon",
+        "EXPORTER_BUSINESS_HOURS_START" -> "25",
+        "EXPORTER_BUSINESS_HOURS_END" -> "noon")) {
+      val e = intercept[IllegalArgumentException](EngineConfig.fromEnv(Map(k -> v)))
+      assert(e.getMessage.contains(k) && e.getMessage.contains(v), s"$k=$v -> ${e.getMessage}")
+    }
   }
 }
