@@ -67,6 +67,7 @@ object SparkEntry {
     "pipeline_scale" -> (graft.queries.PipelineFixture.pipelineScale _),
     // LLM-pipeline: dedup family
     "dedup_exact" -> (L.dedupExact _),
+    "dedup_incremental" -> (L.dedupIncremental _),
     "dedup_minhash" -> (L.dedupMinhash _),
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),

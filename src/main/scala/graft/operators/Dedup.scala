@@ -46,6 +46,34 @@ object Dedup {
       .groupBy(col("fingerprint"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_docs"))
 
+  /** Incremental (cross-run) exact dedup — the periodic-refresh shape of
+    * a production corpus: a new batch arrives, everything whose content
+    * fingerprint was already ingested in ANY prior run is dropped, and
+    * within the batch itself only each fingerprint's canonical (min-id)
+    * row survives. `seenFingerprints` is the persisted fingerprint store
+    * (one slim column, written by previous runs).
+    *
+    * Plan shape at 100 TB: one `left_anti` hash join against the store
+    * (fingerprints only — the batch's text never joins) and the one
+    * in-batch window; when the store is small relative to the batch AQE
+    * broadcasts it, otherwise both sides hash-exchange on the
+    * fingerprint — either way no row amplification anywhere. The
+    * streaming twin is [[graft.streaming.EventStream.firstSeen]], which
+    * holds the same store as state-store entries.
+    */
+  def incrementalDedup(batch: DataFrame, seenFingerprints: DataFrame,
+                       textCol: String, idCol: String): DataFrame = {
+    val fp = batch.withColumn("fingerprint", exactFingerprint(col(textCol)))
+    val novel = fp.join(
+      seenFingerprints.select(col("fingerprint")).distinct(),
+      Seq("fingerprint"), "left_anti")
+    novel
+      .withColumn("_canon",
+        min(col(idCol)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))))
+      .where(col(idCol) === col("_canon"))
+      .drop("_canon")
+  }
+
   /** k-shingles from an already-materialized token-array column. Docs with
     * fewer than k tokens yield an EMPTY array (not `[null]` — a shared
     * null element would make all short docs mutual 100% "duplicates" once

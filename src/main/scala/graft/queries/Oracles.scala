@@ -384,6 +384,26 @@ object Oracles {
          |FROM $EV WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
          |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    // cross-run dedup: anti-join against the seen-fingerprint store,
+    // then in-batch canonical (min doc_id) per fingerprint; duplicates
+    // are PLANTED for both arms (the corpus has none of its own)
+    "dedup_incremental" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |store AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |nb AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM nb
+        |  UNION ALL SELECT doc_id + 200000, lang, text FROM store WHERE doc_id < 100
+        |  UNION ALL SELECT doc_id + 300000, lang, text FROM nb WHERE doc_id < 100),
+        |f AS (
+        |  SELECT doc_id, lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM batch),
+        |seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint FROM store),
+        |novel AS (SELECT * FROM f WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)),
+        |c AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canon FROM novel)
+        |SELECT doc_id, lang, fingerprint FROM c WHERE doc_id = canon
+        |ORDER BY doc_id""".stripMargin,
+
     // gap sessionization: lag marks starts, running sum numbers them;
     // value sums go through DECIMAL so reduction order cannot matter
     "sessionize" ->

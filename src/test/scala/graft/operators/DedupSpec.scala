@@ -281,6 +281,20 @@ class DedupSpec extends SparkSuite {
     viaDriver
   }
 
+  test("incrementalDedup drops store-seen fingerprints and in-batch copies, keeps novel canonicals") {
+    val store = Seq("old doc one", "old doc two").toDF("text")
+      .select(Dedup.exactFingerprint(col("text")).as("fingerprint"))
+    val batch = Seq(
+      (1L, "fresh content a"),
+      (2L, "old  doc   one"), // whitespace-normalized copy of a store doc -> dropped
+      (3L, "fresh content a"), // in-batch duplicate of 1 -> canonical rule keeps 1
+      (4L, "fresh content b")
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, store, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("connectedComponents switches paths exactly at the edge cutoff, results identical") {
     // 5 distinct edges after normalization; duplicates/self-loops are
     // dropped BEFORE the count that drives the switch
