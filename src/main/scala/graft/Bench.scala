@@ -88,6 +88,11 @@ object Bench {
       s""","loadavg":$l"""
     } catch { case NonFatal(_) => "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$loadAvg}""")
+    // The per-query line above grows with the registry (75+ queries) and
+    // a bounded tail capture can truncate its head — including the total.
+    // A short trailing summary line guarantees the total (and the load
+    // evidence) always survives tail-of-output capture.
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","n":${results.size},"failed":${failures.size},"sf":"$sfDir"$loadAvg}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} of ${results.size} queries failed")

@@ -36,6 +36,7 @@ object SparkEntry {
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     "sessionize" -> (C.sessionize _),
+    "session_parity" -> (C.sessionParity _),
     // §2.4 aggregations
     "a1_status_metrics" -> (C.a1StatusMetrics _),
     "a1_business_metrics" -> (L.a1BusinessMetrics _),
@@ -68,6 +69,7 @@ object SparkEntry {
     // LLM-pipeline: dedup family
     "dedup_exact" -> (L.dedupExact _),
     "dedup_incremental" -> (L.dedupIncremental _),
+    "dedup_incremental_commit" -> (L.dedupIncrementalCommit _),
     "dedup_minhash" -> (L.dedupMinhash _),
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),
@@ -108,7 +110,9 @@ object SparkEntry {
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),
     "curation_pipeline" -> (L.curationPipeline _),
-    "curation_full" -> (L.curationFull _)
+    "curation_full" -> (L.curationFull _),
+    "curation_decontam" -> (L.curationDecontam _),
+    "url_filter" -> (L.urlFilter _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

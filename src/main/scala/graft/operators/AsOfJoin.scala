@@ -21,43 +21,128 @@ import org.apache.spark.sql.functions._
   * driver oracle uses. The payload travels as a single struct so all its
   * fields come from the SAME right row (per-column carry-forward could
   * stitch different rows when payload fields are null); ties on
-  * (ts, side) break on the payload struct itself, so the result is
-  * deterministic even with duplicate right timestamps.
+  * (ts, side) break on `xxhash64` of the payload struct — a total order
+  * up to 64-bit collision, sorting 8 bytes instead of the whole payload —
+  * so the result is deterministic even with duplicate right timestamps.
+  *
+  * Null timestamps follow the SQL comparison contract the oracle
+  * implements: a null-ts right row matches NOTHING (it is filtered before
+  * the union — carrying it would poison every left row in its key, since
+  * nulls sort first), and a null-ts left row gets a NULL payload (it
+  * sorts, explicitly nulls-first, ahead of every surviving right row, so
+  * the carry-forward window has nothing to fill it with).
   *
   * Scale: one shuffle per side, the window parallelizes per key, no
-  * row-count amplification at any point. A pathologically hot key is the
-  * standard window-skew story: pre-aggregate right to per-(key, bucket)
-  * last rows, carry bucket boundaries forward, then window inside
-  * buckets — composable in front of this operator without changing its
-  * contract.
+  * row-count amplification at any point. A pathologically hot key —
+  * one key holding a large fraction of the right side, serializing its
+  * window into a single task — takes the bucketed path
+  * (`skewBucketSeconds`): per-(key, time-bucket) windows resolve
+  * in-bucket matches in parallel, a per-(key, bucket) `max_by` hash
+  * aggregate (map-side partial, so the hot key combines before the
+  * exchange) reduces the right side to one last-row per bucket, and a
+  * tiny per-key carry window over bucket summaries supplies the
+  * cross-bucket fallback. Same contract, same results (asserted
+  * result-identical in AsOfJoinSpec), parallelism = time-range /
+  * bucket-width per key.
   */
 object AsOfJoin {
 
   /** Left as-of join. Returns every `left` row plus `prefix`-renamed
     * copies of `rightPayload` columns from the latest `right` row with
     * the same `keys` and `right.tsCol <= left.tsCol` (null when no such
-    * row exists).
+    * row exists; null timestamps never match — see object doc).
+    *
+    * @param skewBucketSeconds when set, route through the bucketed
+    *   hot-key path: right history is summarized per
+    *   (key, `skewBucketSeconds`-wide time bucket) so no single task
+    *   ever sorts one key's full history. Result-identical to the
+    *   default merge path; pick a width that puts ~10⁴–10⁶ rows per
+    *   bucket for the hottest key.
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTs: String, rightTs: String,
-           rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+           rightPayload: Seq[String], prefix: String = "asof_",
+           skewBucketSeconds: Option[Long] = None): DataFrame = {
     require(rightPayload.nonEmpty, "rightPayload must name at least one column")
     val r = right.select(
       keys.map(col) ++ Seq(
         col(rightTs).cast("timestamp").as("_t"),
         lit(0).as("_side"),
         struct(rightPayload.map(col): _*).as("_rp")): _*)
+      .where(col("_t").isNotNull) // null right ts matches nothing (object doc)
     val l = left
       .withColumn("_t", col(leftTs).cast("timestamp"))
       .withColumn("_side", lit(1))
-    val unioned = l.unionByName(r, allowMissingColumns = true)
+    skewBucketSeconds match {
+      case None => merged(l, r, left.columns, keys, rightPayload, prefix)
+      case Some(sec) =>
+        require(sec > 0, s"skewBucketSeconds must be positive, got $sec")
+        bucketed(l, r, left.columns, keys, rightPayload, prefix, sec)
+    }
+  }
+
+  /** Default path: one union, one key exchange, one merge window. */
+  private def merged(l: DataFrame, r: DataFrame, leftCols: Seq[String],
+                     keys: Seq[String], rightPayload: Seq[String],
+                     prefix: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_rp"))
+      .orderBy(col("_t").asc_nulls_first, col("_side"), xxhash64(col("_rp")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
+    l.unionByName(r, allowMissingColumns = true)
       .withColumn("_filled", last(col("_rp"), ignoreNulls = true).over(w))
       .where(col("_side") === 1)
-      .select(left.columns.map(col) ++
+      .select(leftCols.map(col) ++
+        rightPayload.map(c => col(s"_filled.$c").as(prefix + c)): _*)
+  }
+
+  /** Hot-key path: per-(key, bucket) in-bucket merge windows + a
+    * per-key carry window over one-row-per-bucket right summaries.
+    * A left row's answer is its in-bucket fill when present, else the
+    * last right payload of any STRICTLY EARLIER bucket (the carry);
+    * both orderings use the same (ts, side, payload-hash) total order
+    * as the merge path, so results are identical.
+    */
+  private def bucketed(l: DataFrame, r: DataFrame, leftCols: Seq[String],
+                       keys: Seq[String], rightPayload: Seq[String],
+                       prefix: String, bucketSeconds: Long): DataFrame = {
+    val bucket = floor(unix_timestamp(col("_t")) / bucketSeconds).as("_b")
+    val lb = l.withColumn("_b", bucket)
+    val rb = r.withColumn("_b", bucket)
+    val keyCols = keys.map(col)
+    val bucketKey = keyCols :+ col("_b")
+
+    // in-bucket resolution: the merge window, partitioned ALSO by bucket
+    // so a hot key's history splits across (time-range / bucketSeconds)
+    // tasks instead of one
+    val wIn = Window.partitionBy(bucketKey: _*)
+      .orderBy(col("_t").asc_nulls_first, col("_side"), xxhash64(col("_rp")))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val inBucket = lb.unionByName(rb, allowMissingColumns = true)
+      .withColumn("_in", last(col("_rp"), ignoreNulls = true).over(wIn))
+      .where(col("_side") === 1)
+
+    // one row per (key, bucket) that has right rows: that bucket's LAST
+    // right payload under the shared total order. Hash aggregate —
+    // map-side partial combine absorbs the hot key before the exchange.
+    val summary = rb.groupBy(bucketKey: _*)
+      .agg(max_by(col("_rp"), struct(col("_t"), xxhash64(col("_rp")))).as("_last_rp"))
+
+    // carry = last right payload of any STRICTLY earlier bucket, for
+    // every (key, bucket) either side touches. Null-ts left rows sit in
+    // a null bucket that the equi-join below never matches — they fall
+    // through to a null payload, same as the merge path.
+    val touched = lb.select(bucketKey: _*).unionByName(rb.select(bucketKey: _*)).distinct()
+    val wCarry = Window.partitionBy(keyCols: _*).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = touched
+      .join(summary, keys :+ "_b", "left")
+      .withColumn("_carry", last(col("_last_rp"), ignoreNulls = true).over(wCarry))
+      .select(bucketKey :+ col("_carry"): _*)
+
+    inBucket
+      .join(carry, keys :+ "_b", "left")
+      .withColumn("_filled", coalesce(col("_in"), col("_carry")))
+      .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_filled.$c").as(prefix + c)): _*)
   }
 }

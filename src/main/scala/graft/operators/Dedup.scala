@@ -74,6 +74,35 @@ object Dedup {
       .drop("_canon")
   }
 
+  /** One full periodic-refresh run of cross-run dedup against the
+    * persisted fingerprint store ([[graft.state.FingerprintStore]]):
+    * load the seen-set, drop the batch's already-ingested and in-batch
+    * duplicate rows ([[incrementalDedup]]), hand the survivors to
+    * `write` (the downstream sink), then — only after the write
+    * returned — COMMIT the survivors' fingerprints to the store. The
+    * ordering is the watermark discipline of
+    * [[graft.pipeline.IssuePipeline]] applied to content identity: a
+    * crash between write and commit re-emits documents on the re-run
+    * (collapsed downstream by [[latestByKey]]-style dedup) instead of
+    * silently losing them forever.
+    *
+    * The survivors are EAGERLY checkpointed before the write, so the
+    * returned frame (and the write itself) is pinned to the store state
+    * observed at load time — without it, lazy re-evaluation after the
+    * commit would anti-join the batch against its OWN fingerprints and
+    * return nothing.
+    */
+  def incrementalDedupRun(batch: DataFrame, storeDir: String,
+                          textCol: String, idCol: String)
+                         (write: DataFrame => Unit): DataFrame = {
+    val spark = batch.sparkSession
+    val seen = graft.state.FingerprintStore.load(spark, storeDir)
+    val novel = incrementalDedup(batch, seen, textCol, idCol).localCheckpoint(true)
+    write(novel)
+    graft.state.FingerprintStore.append(novel.select(col("fingerprint")), storeDir)
+    novel
+  }
+
   /** k-shingles from an already-materialized token-array column. Docs with
     * fewer than k tokens yield an EMPTY array (not `[null]` — a shared
     * null element would make all short docs mutual 100% "duplicates" once

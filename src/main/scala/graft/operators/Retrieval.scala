@@ -116,13 +116,23 @@ object Retrieval {
     *
     * Unlike [[bm25TopK]] there is no query side, so the FULL postings
     * aggregate shuffles once on (doc, term) — inherent to corpus-wide
-    * keyword extraction; the df table is vocabulary-sized and broadcasts.
+    * keyword extraction. The df table is VOCABULARY-sized (one row per
+    * distinct corpus term — 10⁸–10⁹ on web-scale text), so it must NOT
+    * be force-broadcast the way bm25's query-term-filtered df table is:
+    * the tf↔df join carries no hint and AQE picks broadcast only when
+    * the vocabulary actually fits under `autoBroadcastJoinThreshold`,
+    * falling back to a shuffle join on `term` otherwise (both sides
+    * already hash-aggregate by term upstream, so the extra exchange is
+    * one-sided). `minDf` optionally prunes hapax-like terms (df <
+    * minDf) BEFORE the join — on web text df=1 terms are typically
+    * >40% of the vocabulary and can never be meaningful keywords.
     * Scores are floored to the 2⁻⁴⁰ grid and ranked on the exact integer
     * (the bm25 determinism contract); the reported value is FLOAT, which
     * absorbs the 1-ulp Math.log/libm divergence.
     */
   def tfidfTopTerms(docs: DataFrame, k: Int = 5,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                    idCol: String = "doc_id", textCol: String = "text",
+                    minDf: Long = 1L): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // one tokenize pass: the postings aggregate feeds scoring, N rides as
     // a broadcast count over the same checkpoint
@@ -135,12 +145,14 @@ object Retrieval {
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint(false)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
     val nDocs = toksDf.agg(count(lit(1)).as("n_docs"))
     val scoreFp = floor(
       col("tf").cast("double") *
         log(col("n_docs").cast("double") / col("df").cast("double")) * ScoreScale)
     val w = Window.partitionBy(col("doc_id")).orderBy(col("score_fp").desc, col("term"))
-    tf.join(broadcast(dfreq), "term")
+    // no broadcast() hint: dfreq is vocabulary-sized (see Scaladoc)
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(nDocs))
       .select(col("doc_id"), col("term"), col("tf"), scoreFp.as("score_fp"))
       .withColumn("rank", row_number().over(w))

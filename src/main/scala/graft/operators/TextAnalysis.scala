@@ -283,7 +283,8 @@ object TextAnalysis {
       .select(
         col(idCol),
         col("chunk_idx").cast("int").as("chunk_idx"),
-        size(slice(col("_toks"), start, lit(chunkSize))).as("n_chunk_tokens"),
+        // count is pure arithmetic — only chunk_text pays the slice
+        least(lit(chunkSize), size(col("_toks")) - (start - 1)).as("n_chunk_tokens"),
         array_join(slice(col("_toks"), start, lit(chunkSize)), " ").as("chunk_text"))
   }
 

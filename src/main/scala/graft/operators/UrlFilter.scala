@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** URL/domain-level quality filtering — the C4/RefinedWeb-style curation
+  * gate applied before any per-document text analysis: extract each
+  * document's source host and REGISTERED domain (the unit blocklists and
+  * per-domain quotas operate on), then drop documents whose registered
+  * domain appears on a blocklist.
+  *
+  * Registered-domain extraction is the eTLD+1 rule: the last label pair,
+  * or the last THREE labels when the final pair is itself a two-part
+  * public suffix (`co.uk`, `com.au`, …). The embedded suffix set is a
+  * deliberately small, commonly-hit subset of the public-suffix list —
+  * the full PSL is a runtime data file a deployment supplies via
+  * `twoPartSuffixes`; the extraction logic is suffix-set-agnostic.
+  *
+  * Scale shape: extraction is pure per-row projection (codegen'd regex +
+  * array ops, shuffle-free); the blocklist filter is ONE anti-join whose
+  * right side is a domain list — even multi-million-domain lists are tens
+  * of MB, so AQE broadcasts them and the corpus never shuffles. No hint
+  * is forced (the [[Retrieval.tfidfTopTerms]] lesson): a pathological
+  * blocklist beyond the broadcast threshold degrades to a shuffle join
+  * instead of OOMing the driver.
+  */
+object UrlFilter {
+
+  /** Two-part public suffixes recognized by [[registeredDomain]] by
+    * default (PSL subset; see object doc).
+    */
+  val DefaultTwoPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
+    "com.au", "net.au", "org.au", "co.in", "co.za", "com.br", "com.cn",
+    "com.mx", "com.tr", "co.kr", "co.nz")
+
+  /** Lowercased host of a URL: the authority minus any userinfo/port.
+    * Null when the value has no `scheme://host` shape.
+    */
+  def host(url: Column): Column = {
+    val authority = regexp_extract(lower(url), "^[a-z][a-z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = element_at(split(authority, "@"), -1)
+    val noPort = element_at(split(noUser, ":"), 1)
+    when(length(noPort) > 0, noPort)
+  }
+
+  /** Registered domain (eTLD+1) of a URL: last two host labels, or last
+    * three when the trailing pair is a two-part suffix. Null for null /
+    * unparseable URLs.
+    */
+  def registeredDomain(url: Column,
+                       twoPartSuffixes: Seq[String] = DefaultTwoPartSuffixes): Column = {
+    val labels = split(host(url), "\\.")
+    def lastN(n: Int): Column =
+      concat_ws(".", slice(labels, greatest(size(labels) - (n - 1), lit(1)), lit(n)))
+    when(host(url).isNotNull,
+      when(size(labels) >= 3 && lastN(2).isin(twoPartSuffixes: _*), lastN(3))
+        .otherwise(lastN(2)))
+  }
+
+  /** Drop rows whose registered domain is on `blocklist` (a one-column
+    * frame of registered domains, any column name; entries lowercased).
+    * Adds `host` and `registered_domain` columns to the survivors.
+    * Unparseable URLs carry a null domain and SURVIVE — domain hygiene
+    * is a different gate from URL validity.
+    */
+  def filterBlockedDomains(docs: DataFrame, urlCol: String,
+                           blocklist: DataFrame,
+                           twoPartSuffixes: Seq[String] = DefaultTwoPartSuffixes): DataFrame = {
+    val block = blocklist
+      .select(lower(trim(col(blocklist.columns.head))).as("registered_domain"))
+      .distinct()
+    docs
+      .withColumn("host", host(col(urlCol)))
+      .withColumn("registered_domain", registeredDomain(col(urlCol), twoPartSuffixes))
+      .join(block, Seq("registered_domain"), "left_anti")
+  }
+}

@@ -289,18 +289,6 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_new"), max(col("ts")).as("new_watermark"))
       .orderBy(col("event_type"))
 
-  /** §2.9 S4 variant: the sliding-window scan mode — the reference's
-    * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
-    * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.
-    * Events play raw documents: wire-format `updatedAt` plus a queue key,
-    * the window anchored at a PINNED `now` so the relative bound stays
-    * deterministic for the oracle (`2d` through from_human_time, two
-    * queue keys through the IN filter). The parsed-timestamp comparison
-    * evaluates inside the scan's codegen stage (a function-of-column
-    * predicate does not become a parquet PushedFilter); at 100 TB raw
-    * documents land date-partitioned and the same bound prunes
-    * partitions via the partition column.
-    */
   /** As-of (point-in-time) join: each purchase event enriched with the
     * same user's most recent click at or before it
     * ([[graft.operators.AsOfJoin]] — union + one key exchange + one
@@ -337,6 +325,50 @@ object CoreQueries {
         TimeFns.timedeltaSeconds(max(col("ts")), min(col("ts"))).as("duration_s"),
         sumDbl(col("value")).as("total_value"))
       .orderBy(col("user_id"), col("session_seq"))
+
+  /** §2.9 S4 variant: the sliding-window scan mode — the reference's
+    * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
+    * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.
+    * Events play raw documents: wire-format `updatedAt` plus a queue key,
+    * the window anchored at a PINNED `now` so the relative bound stays
+    * deterministic for the oracle (`2d` through from_human_time, two
+    * queue keys through the IN filter). The parsed-timestamp comparison
+    * evaluates inside the scan's codegen stage (a function-of-column
+    * predicate does not become a parquet PushedFilter); at 100 TB raw
+    * documents land date-partitioned and the same bound prunes
+    * partitions via the partition column.
+    */
+  /** Batch/streaming session PARITY, proven in the oracle: the
+    * lag+running-sum batch sessions ([[graft.operators.Sessionize]])
+    * INNER-joined to Spark's native `session_window` aggregation (the
+    * streaming twin's operator, evaluated here in batch mode) on
+    * (user, session start). Any divergence — a session one side
+    * splits/merges differently — either drops the row from the join or
+    * breaks the n_events/n_events_sw equality, failing the driver
+    * compare; so the green row certifies both implementations produce
+    * the same sessions on this corpus (boundary caveat: `session_window`
+    * is half-open, the batch rule strictly-greater — equal-to-gap
+    * silences would diverge by contract; this corpus has none, asserted
+    * in EventStreamSpec).
+    */
+  def sessionParity(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val batch = graft.operators.Sessionize
+      .assign(ev, Seq("user_id"), "ts", gapSeconds = 1800, tieCols = Seq("event_id"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+    val sw = ev
+      .groupBy(session_window(col("ts").cast("timestamp"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events_sw"))
+      .select(col("user_id").as("sw_user"),
+        col("session_window.start").as("sw_start"), col("n_events_sw"))
+    batch
+      .join(sw, col("user_id") === col("sw_user") && col("session_start") === col("sw_start"))
+      .select(col("user_id"), col("session_seq"), col("session_start"),
+        col("session_end"), col("n_events"), col("n_events_sw"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
 
   def windowScan(s: SparkSession, d: String): DataFrame = {
     val raw = events(s, d).select(

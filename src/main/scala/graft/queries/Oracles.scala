@@ -404,6 +404,27 @@ object Oracles {
         |SELECT doc_id, lang, fingerprint FROM c WHERE doc_id = canon
         |ORDER BY doc_id""".stripMargin,
 
+    // store-mediated twin of dedup_incremental: same planted batch, same
+    // expected output — but the engine side routes the seen-set through
+    // the on-disk FingerprintStore (run 1 commit + compaction + run 2
+    // load), so the SQL below is the semantic contract both must meet
+    "dedup_incremental_commit" ->
+      """WITH d AS (SELECT doc_id, lang, text FROM documents),
+        |store AS (SELECT * FROM d WHERE doc_id % 5 = 0),
+        |nb AS (SELECT * FROM d WHERE doc_id % 5 <> 0),
+        |batch AS (
+        |  SELECT doc_id, lang, text FROM nb
+        |  UNION ALL SELECT doc_id + 200000, lang, text FROM store WHERE doc_id < 100
+        |  UNION ALL SELECT doc_id + 300000, lang, text FROM nb WHERE doc_id < 100),
+        |f AS (
+        |  SELECT doc_id, lang, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM batch),
+        |seen AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint FROM store),
+        |novel AS (SELECT * FROM f WHERE fingerprint NOT IN (SELECT fingerprint FROM seen)),
+        |c AS (SELECT *, min(doc_id) OVER (PARTITION BY fingerprint) AS canon FROM novel)
+        |SELECT doc_id, lang, fingerprint FROM c WHERE doc_id = canon
+        |ORDER BY doc_id""".stripMargin,
+
     // gap sessionization: lag marks starts, running sum numbers them;
     // value sums go through DECIMAL so reduction order cannot matter
     "sessionize" ->
@@ -421,6 +442,27 @@ object Oracles {
          |  min(ts) AS session_start, max(ts) AS session_end,
          |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
+         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // batch sessions again (the sessionize oracle's expressions); the
+    // Spark side inner-joins the lag+sum sessions against the native
+    // session_window aggregation, so parity failures break the compare —
+    // the oracle just states what BOTH must equal (n_events twice: one
+    // per implementation on the Spark side)
+    "session_parity" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM $EV
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |s AS (
+         |  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM g)
+         |SELECT user_id, session_seq::BIGINT AS session_seq,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  count(*) AS n_events, count(*) AS n_events_sw
          |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
     // verified against DuckDB's NATIVE ASOF JOIN — an independent
@@ -964,6 +1006,94 @@ object Oracles {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+\d{7,15}\b', '<PHONE>', 'g') AS redacted
         |FROM pii ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
+    // the six-gate chain: curation_full's five gates on the train split
+    // (doc_id % 10 <> 7) + exact 13-gram decontamination against the
+    // eval split (dedup_contaminated_ngrams' expressions) before the
+    // budget window
+    "curation_decontam" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |nl AS (
+        |  SELECT doc_id,
+        |    ((sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s)))::DOUBLE
+        |      / 1099511627776.0) / any_value(n_tokens)::DOUBLE)::FLOAT AS nll_per_token
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, sum(c) AS total, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c2 GROUP BY doc_id),
+        |sh AS MATERIALIZED (${shingleSelect(13)}),
+        |probe AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 7),
+        |contam AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 7) cg JOIN probe USING (g)),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens,
+        |    nll_per_token
+        |  FROM t JOIN s2 USING (doc_id) JOIN nl USING (doc_id)
+        |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |    AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0
+        |    AND dup::DOUBLE / total::DOUBLE <= 0.1
+        |    AND nll_per_token <= 5.5),
+        |k AS (
+        |  SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS canon
+        |  FROM b),
+        |sel AS (
+        |  SELECT doc_id, lang, text, score, n_sel_tokens, nll_per_token,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM k WHERE doc_id = canon AND doc_id NOT IN (SELECT doc_id FROM contam)),
+        |pii AS (
+        |  SELECT doc_id, lang, score, n_sel_tokens, nll_per_token, cum_tokens, text ||
+        |    CASE WHEN doc_id % 3 = 0 THEN ' reach user' || doc_id::VARCHAR || '@example.com or admin@test.org'
+        |         WHEN doc_id % 3 = 1 THEN ' from host 10.0.' || (doc_id % 256)::VARCHAR || '.7'
+        |         ELSE ' call +1555' || (doc_id % 10000 + 1000000)::VARCHAR END AS pt
+        |  FROM sel WHERE cum_tokens <= 4000)
+        |SELECT doc_id, lang, score, n_sel_tokens, nll_per_token, cum_tokens,
+        |  (len(regexp_extract_all(pt, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+        |   + len(regexp_extract_all(pt, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))
+        |   + len(regexp_extract_all(pt, '\\+\\d{7,15}\\b')))::INTEGER AS n_pii,
+        |  regexp_replace(regexp_replace(regexp_replace(pt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |    '\\+\\d{7,15}\\b', '<PHONE>', 'g') AS redacted
+        |FROM pii ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
+    // URL planting mirrored from the Spark side; eTLD+1 = last two host
+    // labels, or three when the trailing pair is a two-part suffix
+    "url_filter" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END || '.' ||
+        |    ['example.com','badsite.io','shop.example.co.uk','spam-tracker.net','news.example.org'][(doc_id % 5 + 1)::INTEGER] ||
+        |    '/p/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, url,
+        |    string_split(string_split(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '@')[-1], ':')[1] AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, lang, url, host, string_split(host, '.') AS labels FROM h),
+        |rd AS (
+        |  SELECT doc_id, lang, url, host,
+        |    CASE WHEN len(labels) >= 3 AND array_to_string(labels[len(labels)-1:], '.') IN
+        |           ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp','com.au','net.au',
+        |            'org.au','co.in','co.za','com.br','com.cn','com.mx','com.tr','co.kr','co.nz')
+        |         THEN array_to_string(labels[len(labels)-2:], '.')
+        |         ELSE array_to_string(labels[greatest(len(labels)-1, 1):], '.') END AS registered_domain
+        |  FROM r)
+        |SELECT doc_id, lang, url, host, registered_domain FROM rd
+        |WHERE registered_domain NOT IN ('badsite.io', 'spam-tracker.net')
+        |ORDER BY doc_id""".stripMargin,
 
     "pack_sequences" ->
       """WITH b AS (

@@ -140,7 +140,12 @@ object EngineConfig {
   def fromEnv(env: Map[String, String] = sys.env): EngineConfig = {
     def get(k: String): Option[String] = env.get(k).map(_.trim).filter(_.nonEmpty)
     def bool(k: String, dflt: Boolean): Boolean =
-      get(k).map(v => Set("1", "true", "yes", "on").contains(v.toLowerCase)).getOrElse(dflt)
+      get(k).map(_.toLowerCase match {
+        case "1" | "true" | "yes" | "on"   => true
+        case "0" | "false" | "no" | "off"  => false
+        // a typo ('ture') must not silently mean false
+        case v => configError(k, v, "a boolean (1/true/yes/on or 0/false/no/off)")
+      }).getOrElse(dflt)
     // "9" or "09:00[:00]" → hour (the reference parses datetime.time)
     def hour(k: String, dflt: Int): Int =
       get(k).map { v =>

@@ -43,17 +43,90 @@ class AsOfJoinSpec extends SparkSuite {
     assert(r.getLong(0) == 2L && r.isNullAt(1))
   }
 
-  test("asOf is deterministic under duplicate right timestamps (payload tiebreak)") {
+  test("asOf is deterministic under duplicate right timestamps (payload-hash tiebreak)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
     val right = Seq(
       (1L, ts("2024-01-01 09:00:00"), 5L),
       (1L, ts("2024-01-01 09:00:00"), 9L)
     ).toDF("user_id", "ts", "rid")
+    // ties order by xxhash64 of the payload struct: the max-hash payload
+    // wins, every run, regardless of input partitioning
+    val expected = right.select(org.apache.spark.sql.functions.col("rid"),
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.struct(org.apache.spark.sql.functions.col("rid"))).as("h"))
+      .as[(Long, Long)].collect().maxBy(_._2)._1
     val runs = (1 to 3).map { _ =>
       AsOfJoin.asOf(left, right.repartition(7), Seq("user_id"), "ts", "ts", Seq("rid"))
         .select("asof_rid").as[Long].collect().toSeq
     }
-    // ties order by the payload struct: the largest payload wins, every run
-    assert(runs.forall(_ == Seq(9L)))
+    assert(runs.forall(_ == Seq(expected)))
+  }
+
+  test("asOf never matches null timestamps: null right ts is ignored, null left ts gets null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, null.asInstanceOf[Timestamp]) // null left ts -> no match
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, null.asInstanceOf[Timestamp], 999L) // null right ts must never carry
+    ).toDF("user_id", "ts", "click_id")
+    for (buckets <- Seq(None, Some(3600L))) {
+      val got = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"),
+          skewBucketSeconds = buckets)
+        .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+      assert(got == Map(10L -> Some(100L), 11L -> None), s"buckets=$buckets")
+    }
+  }
+
+  test("bucketed path is result-identical to the merge path on mixed edge cases") {
+    // covers: match in same bucket, match carried across empty buckets,
+    // no match at all, inclusive equality, other-key isolation
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:05:00")),
+      (1L, 11L, ts("2024-01-01 09:00:00")),
+      (1L, 12L, ts("2024-01-01 08:00:00")),
+      (1L, 13L, ts("2024-01-03 23:59:00")), // carry across many empty buckets
+      (2L, 20L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:30:00"), 101L),
+      (1L, ts("2024-01-01 10:01:00"), 102L),
+      (2L, ts("2024-01-01 11:00:00"), 200L),
+      (3L, ts("2024-01-01 00:00:00"), 300L)
+    ).toDF("user_id", "ts", "click_id")
+    val naive = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("ts", "click_id"))
+      .orderBy("user_id", "event_id").collect().toSeq
+    for (sec <- Seq(60L, 3600L, 86400L)) {
+      val bucketed = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("ts", "click_id"),
+          skewBucketSeconds = Some(sec))
+        .orderBy("user_id", "event_id").collect().toSeq
+      assert(bucketed == naive, s"bucket=$sec s")
+    }
+  }
+
+  test("bucketed path matches the merge path on a pathologically hot key (~1M right rows)") {
+    import org.apache.spark.sql.functions._
+    // ONE key owns a million right rows spread over ~11.5 days; 1000
+    // left probes. The merge path serializes this key into a single
+    // sorted partition; the bucketed path must split it and still agree.
+    val right = spark.range(1000000).select(
+      lit(7L).as("user_id"),
+      (lit(1704067200L) + col("id")).cast("timestamp").as("ts"),
+      col("id").as("click_id"))
+    val left = spark.range(1000).select(
+      lit(7L).as("user_id"),
+      col("id").as("event_id"),
+      (lit(1704067200L) + col("id") * 997 + 1).cast("timestamp").as("ts"))
+    val naive = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .orderBy("event_id").select("asof_click_id").as[Long].collect().toSeq
+    val bucketed = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"),
+        skewBucketSeconds = Some(3600L))
+      .orderBy("event_id").select("asof_click_id").as[Long].collect().toSeq
+    assert(bucketed == naive)
+    // spot-check the semantics themselves: probe at t0 + 997k + 1 sees
+    // click_id = 997k (the most recent click at or before it)
+    assert(naive.head == 1L && naive(3) == 3 * 997L + 1)
   }
 }

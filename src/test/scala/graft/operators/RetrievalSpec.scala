@@ -104,6 +104,31 @@ class RetrievalSpec extends SparkSuite {
     assert(got((2L, 1))._1 == "cherry")
   }
 
+  test("tfidf vocabulary join carries no broadcast hint (only the 1-row stats frame is hinted)") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
+    val analyzed = Retrieval.tfidfTopTerms(corpus, k = 3)
+      .queryExecution.analyzed.toString
+    // exactly ONE broadcast hint: the 1-row n_docs stats frame. The
+    // vocabulary-sized df table must be UNhinted so AQE can fall back to
+    // a shuffle join when the vocabulary exceeds the broadcast threshold
+    // (10^8+ terms on web-scale corpora) instead of OOMing the driver.
+    val hints = "ResolvedHint".r.findAllIn(analyzed).size
+    assert(hints == 1, s"expected exactly 1 broadcast hint (stats frame), got $hints:\n$analyzed")
+  }
+
+  test("tfidf minDf prunes rare terms before the join") {
+    val corpus = Seq(
+      (0L, "apple apple banana rareword"),
+      (1L, "banana cherry common common"),
+      (2L, "cherry cherry apple common"))
+    // minDf=2 drops df=1 terms (rareword) from the keyword space entirely
+    val got = Retrieval.tfidfTopTerms(corpus.toDF("doc_id", "text"), k = 5, minDf = 2L)
+      .as[(Long, String, Long, Float, Int)].collect()
+    assert(!got.exists(_._2 == "rareword"))
+    // surviving terms keep their df-based scores: apple (df=2) still ranks
+    assert(got.exists(r => r._1 == 0L && r._2 == "apple"))
+  }
+
   test("bm25 tokenizes the corpus exactly once (checkpointed projection)") {
     val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
     val queries = Seq((1000L, "common x0")).toDF("query_id", "text")
