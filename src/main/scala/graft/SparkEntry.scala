@@ -112,7 +112,8 @@ object SparkEntry {
     "curation_pipeline" -> (L.curationPipeline _),
     "curation_full" -> (L.curationFull _),
     "curation_decontam" -> (L.curationDecontam _),
-    "url_filter" -> (L.urlFilter _)
+    "url_filter" -> (L.urlFilter _),
+    "url_domain_cap" -> (L.urlDomainCap _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** URL/domain-level quality filtering — the C4/RefinedWeb-style curation
@@ -56,6 +57,40 @@ object UrlFilter {
     when(host(url).isNotNull,
       when(size(labels) >= 3 && lastN(2).isin(twoPartSuffixes: _*), lastN(3))
         .otherwise(lastN(2)))
+  }
+
+  /** RefinedWeb-style per-domain quota: keep at most `maxPerDomain`
+    * documents per registered domain, picked by ascending `tieCol`
+    * (deterministic; typically the doc id or a quality rank). Adds
+    * `registered_domain` and `domain_rank` (1-based within the domain)
+    * to the survivors; unparseable URLs share the null-domain group and
+    * are capped like any other.
+    *
+    * Skew is the whole problem at corpus scale — one mega-domain can
+    * hold 10⁸ documents, and a naive per-domain `row_number` sorts all
+    * of them in ONE task. This runs the standard salted two-phase
+    * top-N instead: phase 1 ranks within (domain, hash(tie) % salt)
+    * partitions — bounding any task at rows/salt — and keeps each
+    * partition's top `maxPerDomain`; phase 2 ranks the ≤ salt·N
+    * survivors per domain. The global top-N is a subset of the union
+    * of partial top-Ns, so the result is identical to the single-phase
+    * window.
+    */
+  def capPerDomain(docs: DataFrame, urlCol: String, maxPerDomain: Int,
+                   tieCol: String, salt: Int = 64,
+                   twoPartSuffixes: Seq[String] = DefaultTwoPartSuffixes): DataFrame = {
+    require(maxPerDomain > 0 && salt > 0, "maxPerDomain and salt must be positive")
+    val w1 = Window
+      .partitionBy(col("registered_domain"), pmod(hash(col(tieCol)), lit(salt)))
+      .orderBy(col(tieCol))
+    val w2 = Window.partitionBy(col("registered_domain")).orderBy(col(tieCol))
+    docs
+      .withColumn("registered_domain", registeredDomain(col(urlCol), twoPartSuffixes))
+      .withColumn("_pr", row_number().over(w1))
+      .where(col("_pr") <= maxPerDomain)
+      .withColumn("domain_rank", row_number().over(w2))
+      .where(col("domain_rank") <= maxPerDomain)
+      .drop("_pr")
   }
 
   /** Drop rows whose registered domain is on `blocklist` (a one-column

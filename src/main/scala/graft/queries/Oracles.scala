@@ -1095,6 +1095,36 @@ object Oracles {
         |WHERE registered_domain NOT IN ('badsite.io', 'spam-tracker.net')
         |ORDER BY doc_id""".stripMargin,
 
+    // per-domain quota over the same planted URLs: the one-window
+    // row_number form — the engine's salted two-phase top-N must be
+    // result-identical to it
+    "url_domain_cap" ->
+      """WITH u AS (
+        |  SELECT doc_id, lang,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END || '.' ||
+        |    ['example.com','badsite.io','shop.example.co.uk','spam-tracker.net','news.example.org'][(doc_id % 5 + 1)::INTEGER] ||
+        |    '/p/' || doc_id::VARCHAR AS url
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang, url,
+        |    string_split(string_split(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '@')[-1], ':')[1] AS host
+        |  FROM u),
+        |r AS (
+        |  SELECT doc_id, lang, url, string_split(host, '.') AS labels FROM h),
+        |rd AS (
+        |  SELECT doc_id, lang, url,
+        |    CASE WHEN len(labels) >= 3 AND array_to_string(labels[len(labels)-1:], '.') IN
+        |           ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp','com.au','net.au',
+        |            'org.au','co.in','co.za','com.br','com.cn','com.mx','com.tr','co.kr','co.nz')
+        |         THEN array_to_string(labels[len(labels)-2:], '.')
+        |         ELSE array_to_string(labels[greatest(len(labels)-1, 1):], '.') END AS registered_domain
+        |  FROM r),
+        |c AS (
+        |  SELECT *, row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id)::INTEGER AS domain_rank
+        |  FROM rd)
+        |SELECT doc_id, lang, url, registered_domain, domain_rank FROM c
+        |WHERE domain_rank <= 60 ORDER BY doc_id""".stripMargin,
+
     "pack_sequences" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

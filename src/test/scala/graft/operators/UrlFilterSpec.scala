@@ -30,6 +30,35 @@ class UrlFilterSpec extends SparkSuite {
     assert(regOf("not a url", "ftp//broken", "") == Seq(None, None, None))
   }
 
+  test("capPerDomain keeps exactly maxPerDomain per registered domain in tie order") {
+    // one hot domain (60 docs), one small (3), plus null-domain rows
+    val docs = ((0 until 60).map(i => (i.toLong, s"https://a$i.hot.example.com/x")) ++
+      Seq((100L, "https://www.small.org/y"), (101L, "https://www.small.org/z"),
+        (102L, "https://cdn.small.org/w"), (200L, "junk"), (201L, "junk2")))
+      .toDF("doc_id", "url")
+    val got = UrlFilter.capPerDomain(docs, "url", maxPerDomain = 5, tieCol = "doc_id", salt = 4)
+      .select("doc_id", "domain_rank").as[(Long, Int)].collect().toMap
+    // hot domain: the 5 LOWEST doc_ids, ranked 1..5
+    assert((0L to 4L).forall(i => got(i) == i + 1))
+    assert(!got.contains(5L) && !got.contains(59L))
+    // small domain under the cap: all kept
+    assert(got(100L) == 1 && got(101L) == 2 && got(102L) == 3)
+    // null-domain group capped like any other (both junk rows fit)
+    assert(got(200L) == 1 && got(201L) == 2)
+  }
+
+  test("salted two-phase cap is result-identical to the one-window form") {
+    val docs = (0 until 500).map(i =>
+      (i.toLong, s"https://s${i % 3}.d${i % 7}.example.com/p$i")).toDF("doc_id", "url")
+    val twoPhase = UrlFilter.capPerDomain(docs, "url", maxPerDomain = 10, tieCol = "doc_id", salt = 8)
+      .select("doc_id", "registered_domain", "domain_rank")
+      .orderBy("doc_id").collect().toSeq
+    val oneWindow = UrlFilter.capPerDomain(docs, "url", maxPerDomain = 10, tieCol = "doc_id", salt = 1)
+      .select("doc_id", "registered_domain", "domain_rank")
+      .orderBy("doc_id").collect().toSeq
+    assert(twoPhase == oneWindow)
+  }
+
   test("filterBlockedDomains drops blocklisted registered domains, keeps null-domain rows") {
     val docs = Seq(
       (1L, "https://www.example.com/a"),
