@@ -105,6 +105,7 @@ object SparkEntry {
     "emb_quantize" -> (L.embQuantize _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
+    "select_mixture" -> (L.selectMixture _),
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
     "pack_sequences" -> (L.packSequences _),

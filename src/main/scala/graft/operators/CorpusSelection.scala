@@ -88,6 +88,40 @@ object CorpusSelection {
       .drop("_score", "_tok", "_thresh")
   }
 
+  /** Data-MIXTURE selection — the "sample to target proportions" step of
+    * assembling a training mix (e.g. 50% English / 20% code / …): each
+    * stratum gets `totalBudget · weight/Σweights` tokens of its
+    * highest-scoring documents. Same one-exchange window shape as
+    * [[selectByTokenBudget]]; the per-stratum budget arrives through a
+    * broadcast of the tiny literal weights table. Strata ABSENT from
+    * `weights` are excluded entirely (an inner join — a mixture is a
+    * whitelist); a stratum with fewer tokens than its budget simply
+    * contributes everything it has (no reallocation — deliberate, so a
+    * run's mixture shortfall is visible in `cum_tokens`, not silently
+    * papered over by other strata). Compose the
+    * [[selectByTokenBudgetApprox]] threshold pre-pass in front for
+    * skewed strata.
+    */
+  def selectByMixture(docs: DataFrame, strataCol: String, score: Column,
+                      tokens: Column, totalBudget: Long,
+                      weights: Map[String, Double], idCol: String): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ >= 0) && weights.values.sum > 0,
+      "weights must be non-negative with a positive sum")
+    val norm = weights.values.sum
+    val budgets = weights.toSeq.map { case (s, wt) =>
+      (s, math.round(wt / norm * totalBudget))
+    }
+    val bdf = docs.sparkSession.createDataFrame(budgets)
+      .toDF(strataCol, "_stratum_budget")
+    val w = Window.partitionBy(col(strataCol)).orderBy(score.desc, col(idCol))
+    docs
+      .join(broadcast(bdf), strataCol)
+      .withColumn("cum_tokens", sum(tokens).over(w).cast("long"))
+      .where(col("cum_tokens") <= col("_stratum_budget"))
+      .drop("_stratum_budget")
+  }
+
   /** Concat-and-chunk sequence packing — the layout step between a
     * curated corpus and a pre-training run: documents are laid out in a
     * deterministic order (`idCol` asc) as one contiguous token stream and

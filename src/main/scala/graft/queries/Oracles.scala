@@ -904,6 +904,23 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    // mixture weights 40/25/15/12/8 of 16000 -> per-language budgets
+    // 6400/4000/2400/1920/1280 (round(w/Σw·total), matching the Scala
+    // side's arithmetic); selection expressions mirror select_token_budget
+    "select_mixture" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |wt AS (SELECT * FROM (VALUES ('en', 6400), ('ru', 4000), ('de', 2400), ('fr', 1920), ('es', 1280)) AS t(lang, stratum_budget)),
+        |c AS (
+        |  SELECT doc_id, lang, score, n_sel_tokens, stratum_budget,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM b JOIN wt USING (lang))
+        |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= stratum_budget ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
     // quality gate -> exact-dedup canonical -> per-language token budget:
     // each stage mirrors its standalone oracle's expressions exactly
     "corpus_curation" ->

@@ -88,6 +88,26 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(s1.filter(_._2 == "b").map(_._1).toSet != (0L until 200L).filter(_ % 3 != 0).take(10).toSet)
   }
 
+  test("selectByMixture: per-stratum budgets from weights, unlisted strata excluded") {
+    import org.apache.spark.sql.functions.col
+    // every doc: 10 tokens, score descending with doc_id so low ids win
+    val corpus = (0L until 30L).map(i =>
+      (i, if (i < 10) "en" else if (i < 20) "ru" else "xx", 100.0 - i, 10L))
+      .toDF("doc_id", "lang", "score", "toks")
+    // weights 0.75/0.25 of 80 tokens -> en 60 (6 docs), ru 20 (2 docs)
+    val got = CorpusSelection.selectByMixture(
+      corpus, "lang", col("score"), col("toks"), 80L,
+      Map("en" -> 0.75, "ru" -> 0.25), "doc_id")
+      .select("doc_id", "lang", "cum_tokens").as[(Long, String, Long)].collect()
+    assert(got.count(_._2 == "en") == 6 && got.count(_._2 == "ru") == 2)
+    // highest-score (lowest-id) docs selected; xx (no weight) fully excluded
+    assert(got.filter(_._2 == "en").map(_._1).sorted.toSeq == (0L to 5L))
+    assert(got.filter(_._2 == "ru").map(_._1).sorted.toSeq == Seq(10L, 11L))
+    assert(!got.exists(_._2 == "xx"))
+    // cum_tokens audits the running sum inside each stratum
+    assert(got.filter(_._2 == "ru").map(_._3).sorted.toSeq == Seq(10L, 20L))
+  }
+
   test("weightedSample: edge weights, keep rate tracks the weight, deterministic") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val corpus = (0L until 3000L).map(i => (i, i % 3)).toDF("doc_id", "bucket")
