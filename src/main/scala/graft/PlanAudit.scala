@@ -34,7 +34,15 @@ object PlanAudit {
       // doc_id exchange for the perplexity join, two windows after; the
       // as-of join must be union + ONE key exchange + window (no range
       // join, no cross product)
-      "window_scan", "curation_full", "asof_join", "text_keywords")
+      "window_scan", "curation_full", "asof_join", "text_keywords",
+      // round 8: tfidf's vocabulary join must NOT be a forced broadcast
+      // (AQE decides); the six-gate chain broadcasts only the eval grams;
+      // the store anti-join reads slim fingerprints; domain ops are
+      // projection + anti-join / two bounded windows; mixture is one
+      // stratum window + a literal broadcast; parity is two session
+      // forms joined
+      "curation_decontam", "dedup_incremental_commit", "url_filter",
+      "url_domain_cap", "select_mixture", "session_parity")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
