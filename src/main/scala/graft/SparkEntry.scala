@@ -106,6 +106,7 @@ object SparkEntry {
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_mixture" -> (L.selectMixture _),
+    "ann_recall" -> (L.annRecall _),
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
     "pack_sequences" -> (L.packSequences _),

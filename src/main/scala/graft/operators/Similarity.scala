@@ -260,4 +260,28 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Recall@k of an approximate ANN result against the exact one — the
+    * evaluation harness every index deployment needs before trusting an
+    * approximate path at scale: per query, the fraction of the EXACT
+    * top-k that the approximate top-k recovered. Both inputs are
+    * (`query_id`, `neighbor_id`, …) frames as produced by
+    * [[bruteForceTopK]] / [[lshTopK]] / [[ivfTopK]]. Integer-exact
+    * output (`n_hits` of `k`, `recall_pct` = 100·n_hits/k floored) so
+    * the row hash-matches any engine.
+    *
+    * One equi-join on (query, neighbor) + one count aggregate — both
+    * sides are top-k lists (|queries|·k rows), tiny relative to the
+    * corpus, so this evaluates in negligible time even when the inputs
+    * were expensive.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame): DataFrame =
+    exact.select(col("query_id"), col("neighbor_id"))
+      .join(approx.select(col("query_id"), col("neighbor_id")).withColumn("_hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("_hit"), lit(0))).cast("int").as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr("(n_hits * 100) div k").cast("int").as("recall_pct"))
 }

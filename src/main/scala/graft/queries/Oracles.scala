@@ -793,6 +793,59 @@ object Oracles {
 
     "ann_ivf" -> ivfOracleSql,
 
+    // recall@10 of the LSH path against brute force: the lsh and brute
+    // CTE chains are the ann_lsh / ann_brute oracles verbatim, joined on
+    // (query, neighbor) and counted — integer-exact (n_hits of 10)
+    "ann_recall" ->
+      s"""WITH RECURSIVE lcg(k, s) AS (
+         |  SELECT 0, (42 * 2654435761) % 2147483646 + 1
+         |  UNION ALL
+         |  SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < ${8 + 6 * 64}
+         |),
+         |pl AS (
+         |  SELECT (k - 9) // 64 AS i, list(s / 2147483647.0 * 2 - 1 ORDER BY k) AS plane
+         |  FROM lcg WHERE k >= 9 GROUP BY 1
+         |),
+         |b AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, p.i,
+         |      list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y) AS d
+         |    FROM embeddings e CROSS JOIN pl p)
+         |  GROUP BY vec_id
+         |),
+         |eb AS (SELECT e.vec_id, e.embedding, b.bucket FROM embeddings e JOIN b USING (vec_id)),
+         |qp AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, xor(bucket, f::BIGINT) AS bucket
+         |  FROM eb CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8, 16, 32]) AS f)
+         |  WHERE vec_id < 10
+         |),
+         |cand AS (
+         |  SELECT DISTINCT query_id, qv, c.vec_id AS neighbor_id, c.embedding AS cv
+         |  FROM qp JOIN eb c USING (bucket)
+         |),
+         |sc AS (SELECT query_id, neighbor_id,
+         |  ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+         |FROM cand),
+         |lsh AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+         |  WHERE rank <= 10),
+         |bq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |bc AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |bs AS (SELECT query_id, neighbor_id,
+         |  ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+         |FROM bq CROSS JOIN bc),
+         |brute AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM bs)
+         |  WHERE rank <= 10)
+         |SELECT b2.query_id, sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_hits,
+         |  ((sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // count(*))::INTEGER AS recall_pct
+         |FROM brute b2 LEFT JOIN lsh l
+         |  ON b2.query_id = l.query_id AND b2.neighbor_id = l.neighbor_id
+         |GROUP BY b2.query_id ORDER BY b2.query_id""".stripMargin,
+
     "dedup_semantic" -> semanticOracleSql,
 
     // JL projection: regenerate the 16x64 LCG matrix exactly as

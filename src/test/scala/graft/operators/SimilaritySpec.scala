@@ -133,6 +133,25 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("recallAtK: exact hit counting, queries with zero overlap still appear") {
+    import org.apache.spark.sql.functions.col
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L)).toDF("query_id", "neighbor_id")
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 99L), (1L, 98L), // 2 of 4 recovered
+      (2L, 90L), (2L, 91L), (2L, 92L), (2L, 93L)  // nothing recovered
+    ).toDF("query_id", "neighbor_id")
+    val got = Similarity.recallAtK(approx, exact)
+      .select("query_id", "n_hits", "recall_pct")
+      .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2, 50), (2L, 0, 0)))
+    // perfect recall reads 100
+    val perfect = Similarity.recallAtK(exact, exact)
+      .select("recall_pct").as[Int].collect().toSeq
+    assert(perfect == Seq(100, 100))
+  }
+
   test("randomProject matches per-plane dots and roughly preserves norms/distances") {
     val rnd = new scala.util.Random(5)
     val df = (0 until 200).map { i =>
