@@ -103,6 +103,30 @@ object Dedup {
     novel
   }
 
+  /** Cross-source duplicate overlap matrix — the "which sources mirror
+    * each other" diagnostic that decides SOURCE-level curation (drop the
+    * mirror, keep the origin) before any per-document pass: for every
+    * unordered source pair, the number of distinct content fingerprints
+    * present in BOTH. Returns (`source_a`, `source_b`, `n_shared`) with
+    * `source_a < source_b`.
+    *
+    * Scale shape: one distinct over slim (fingerprint, source) pairs,
+    * one self-equi-join ON the fingerprint — bucketed by content, so
+    * join fan-out per fingerprint is (sources carrying it)², bounded by
+    * the source count, never corpus-sized — and one count aggregate.
+    * Text never shuffles.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val fs = docs
+      .select(exactFingerprint(col(textCol)).as("fingerprint"), col(sourceCol).as("_src"))
+      .distinct()
+    fs.select(col("fingerprint"), col("_src").as("source_a"))
+      .join(fs.select(col("fingerprint"), col("_src").as("source_b")), "fingerprint")
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** k-shingles from an already-materialized token-array column. Docs with
     * fewer than k tokens yield an EMPTY array (not `[null]` — a shared
     * null element would make all short docs mutual 100% "duplicates" once

@@ -404,6 +404,20 @@ object Oracles {
         |SELECT doc_id, lang, fingerprint FROM c WHERE doc_id = canon
         |ORDER BY doc_id""".stripMargin,
 
+    // planted mirror sources re-host doc_id < 200 keyed on doc_id % 3;
+    // overlap = distinct shared fingerprints per unordered source pair
+    "dedup_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 700000, 'mirror' || (doc_id % 3)::VARCHAR, text
+        |  FROM documents WHERE doc_id < 200),
+        |fs AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint, source
+        |  FROM all_docs)
+        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |FROM fs a JOIN fs b ON a.fingerprint = b.fingerprint AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+
     // store-mediated twin of dedup_incremental: same planted batch, same
     // expected output — but the engine side routes the seen-set through
     // the on-disk FingerprintStore (run 1 commit + compaction + run 2

@@ -49,6 +49,21 @@ class DedupSpec extends SparkSuite {
     assert(big.getAs[Long]("canonical_id") == 1L)
   }
 
+  test("sourceOverlapMatrix counts distinct shared fingerprints per unordered source pair") {
+    val docs = Seq(
+      (1L, "a", "alpha text"), (2L, "a", "beta text"),
+      (3L, "b", "alpha  TEXT"),   // normalizes to the same fingerprint as 1
+      (4L, "b", "Alpha text"),    // same fingerprint AGAIN in b: counted once
+      (5L, "b", "gamma text"),
+      (6L, "c", "beta text"), (7L, "c", "gamma text"),
+      (8L, "c", "delta text")     // unshared content contributes nothing
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.sourceOverlapMatrix(docs, "text", "source")
+      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // a∩b = {alpha}, a∩c = {beta}, b∩c = {gamma}; pairs ordered a < b
+    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+  }
+
   test("shingles produces k-grams; short docs yield an empty array, not [null]") {
     val out = spark.sql("SELECT 1").select(Dedup.shingles(lit("a b c d"), 3).as("s"))
       .as[Seq[String]].collect()(0)
