@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -144,6 +144,47 @@ object EventStream {
     docs
       .withColumn("fingerprint", graft.operators.Dedup.exactFingerprint(col(textCol)))
       .dropDuplicates("fingerprint")
+
+  /** [[firstSeen]] BOOTSTRAPPED from the batch fingerprint store
+    * ([[graft.state.FingerprintStore]]) — the batch→streaming handoff of
+    * the cross-run dedup story: a corpus built by batch runs of
+    * [[graft.operators.Dedup.incrementalDedupRun]] switches to streaming
+    * ingestion WITHOUT re-training on anything the batch era already
+    * ingested. The store's fingerprints arrive as the INITIAL state of a
+    * `flatMapGroupsWithState` keyed by fingerprint (seeding Spark's
+    * state store, so the stream never re-reads the batch store after
+    * startup); per key the first unseen document is emitted and the key
+    * is marked, exactly [[firstSeen]]'s semantics afterwards.
+    *
+    * Initial state applies on the FIRST start only — on restart the
+    * checkpoint's state (a superset) wins, per Spark's initial-state
+    * contract. "First" among same-fingerprint rows inside one
+    * micro-batch follows partition order, the same arbitrary-winner
+    * contract as `dropDuplicates`. State size = distinct fingerprints,
+    * identical to [[firstSeen]]; the bootstrap adds no steady-state
+    * cost.
+    */
+  def firstSeenBootstrapped(docs: DataFrame, textCol: String, storeDir: String): DataFrame = {
+    val spark = docs.sparkSession
+    val fp = docs.withColumn("fingerprint", graft.operators.Dedup.exactFingerprint(col(textCol)))
+    implicit val rowEnc: Encoder[Row] = Encoders.row(fp.schema)
+    implicit val strEnc: Encoder[String] = Encoders.STRING
+    implicit val boolEnc: Encoder[Boolean] = Encoders.scalaBoolean
+    val init = graft.state.FingerprintStore.load(spark, storeDir)
+      .groupByKey(_.getString(0))
+      .mapValues(_ => true)
+    fp.groupByKey(r => r.getString(r.fieldIndex("fingerprint")))
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout, initialState = init) {
+        (_: String, rows: Iterator[Row], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            rows.take(1)
+          }
+      }
+      .toDF(fp.columns: _*)
+  }
 
   /** [[firstSeen]] with watermark-bounded state: duplicates are only
     * caught within `lateness` of the event-time high-water mark, and

@@ -148,6 +148,56 @@ class EventStreamSpec extends SparkSuite {
     assert(second.forall(_._3 >= 0))
   }
 
+  test("firstSeenBootstrapped seeds streaming dedup state from the batch fingerprint store") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft-fsb")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    val storeDir = tmp.resolve("store").toString
+
+    // batch era: incrementalDedupRun ingested these two documents
+    graft.operators.Dedup.incrementalDedupRun(
+      Seq((1L, "alpha beta gamma"), (2L, "delta epsilon")).toDF("doc_id", "text"),
+      storeDir, "text", "doc_id")(_ => ())
+
+    def write(name: String, rows: Seq[(Long, String)]): Unit = {
+      val stage = tmp.resolve(name + "_stage")
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(stage.toString)
+      val part = Files.list(stage).filter(_.toString.endsWith(".parquet")).findFirst().get()
+      Files.move(part, inDir.resolve(name + ".parquet"))
+    }
+    // doc 10 re-delivers batch-era content (normalization variant), doc
+    // 11 is new, docs 12/13 are an in-stream duplicate pair
+    write("b1", Seq(
+      (10L, "  ALPHA   beta GAMMA "), (11L, "zeta eta"),
+      (12L, "theta iota"), (13L, "theta  IOTA")))
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    def run(): Set[Long] = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+      val q = EventStream.firstSeenBootstrapped(stream, "text", storeDir).writeStream
+        .format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(outDir).select("doc_id").as[Long].collect().toSet
+    }
+    val first = run()
+    // 10 dropped by BOOTSTRAPPED state; one of the 12/13 pair survives
+    assert(!first.contains(10L) && first.contains(11L))
+    assert(first.count(Set(12L, 13L)) == 1, s"expected one of the in-stream pair, got $first")
+    // a later batch: another batch-era re-delivery + a dup of the
+    // streaming era + a genuinely new doc — only the new doc lands,
+    // proving checkpointed state carries both eras across a restart
+    write("b2", Seq((20L, "delta   EPSILON"), (21L, "zeta eta"), (22L, "kappa lambda")))
+    val second = run()
+    assert(second == first + 22L)
+  }
+
   test("streaming firstSeen dedup holds fingerprint state across micro-batches and restarts") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-fs")
