@@ -108,6 +108,7 @@ object SparkEntry {
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_mixture" -> (L.selectMixture _),
     "ann_recall" -> (L.annRecall _),
+    "text_boilerplate" -> (L.textBoilerplate _),
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
     "pack_sequences" -> (L.packSequences _),

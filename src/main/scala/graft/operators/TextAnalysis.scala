@@ -288,6 +288,47 @@ object TextAnalysis {
         array_join(slice(col("_toks"), start, lit(chunkSize)), " ").as("chunk_text"))
   }
 
+  /** Cross-document boilerplate metrics — the C4-style corpus-level
+    * repetition signal that per-doc [[repetitionMetrics]] cannot see:
+    * an n-gram is BOILERPLATE when it appears in at least `minDocs`
+    * distinct documents (shared headers/footers/templates), and each
+    * document is scored by the fraction of its distinct n-grams that
+    * are boilerplate. Emits (`idCol`, `n_grams`,
+    * `n_boilerplate_grams`, `boilerplate_frac`); documents with fewer
+    * than `n` tokens have no grams and no row.
+    *
+    * Two passes over one CHECKPOINTED gram projection (the shared-
+    * materialization discipline of bm25/unigramNll): a gram-count
+    * aggregate builds the repeated set, then an unhinted join marks
+    * each doc's grams against it — AQE broadcasts the repeated set
+    * while it is small and shuffle-joins on the gram otherwise (a
+    * web-scale boilerplate set is vocabulary-like; forcing a broadcast
+    * would be the tfidf mistake). Both sides of the join are already
+    * hash-partitioned by gram from the aggregate. The fraction is a
+    * division of two exact integers — deterministic on any engine.
+    */
+  def boilerplateMetrics(docs: DataFrame, textCol: String, idCol: String,
+                         n: Int = 8, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
+    // shingles() is distinct-per-doc, so the per-gram row count below IS
+    // the distinct-document count
+    val grams = docs
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .localCheckpoint(false)
+    val repeated = grams.groupBy(col("_gram"))
+      .agg(count(lit(1)).as("_nd"))
+      .where(col("_nd") >= minDocs)
+      .select(col("_gram"), lit(1).as("_bp"))
+    grams
+      .join(repeated, Seq("_gram"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_grams"),
+        sum(coalesce(col("_bp"), lit(0))).cast("int").as("n_boilerplate_grams"))
+      .withColumn("boilerplate_frac",
+        col("n_boilerplate_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of
     * token lengths (mod 1e9+7, overflow-safe).
     */

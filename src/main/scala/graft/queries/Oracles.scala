@@ -656,6 +656,19 @@ object Oracles {
          |FROM corp c JOIN probe USING (g)
          |GROUP BY corpus_id ORDER BY corpus_id""".stripMargin,
 
+    // 8-grams shared by >= 2 docs are boilerplate; per-doc fraction of
+    // distinct grams that are boilerplate (shingles are per-doc distinct,
+    // so the per-gram row count is the distinct-document count)
+    "text_boilerplate" ->
+      s"""WITH sh AS MATERIALIZED (${shingleSelect(8)}),
+         |g AS MATERIALIZED (SELECT doc_id, unnest(sh) AS gram FROM sh),
+         |r AS (SELECT gram FROM (SELECT gram, count(*) AS c FROM g GROUP BY gram) WHERE c >= 2)
+         |SELECT doc_id, count(*)::INTEGER AS n_grams,
+         |  sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_boilerplate_grams,
+         |  sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS boilerplate_frac
+         |FROM g LEFT JOIN r ON g.gram = r.gram
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_ngram" ->
       s"""WITH g AS (${shingleSelect(2, ", lang, n_chars", " WHERE doc_id % 2 = 0")})
          |SELECT a, b, jaccard FROM (

@@ -119,6 +119,25 @@ class TextAnalysisSpec extends SparkSuite {
     }
   }
 
+  test("boilerplateMetrics marks cross-doc repeated n-grams and scores fractions") {
+    // docs 1 and 2 share the same 3-token header; doc 3 is unique; doc 4
+    // is too short for a 3-gram and must have no row
+    val docs = Seq(
+      (1L, "shared header line unique one alpha"),
+      (2L, "shared header line unique two beta"),
+      (3L, "entirely different content here now"),
+      (4L, "too short")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateMetrics(docs, "text", "doc_id", n = 3, minDocs = 2)
+      .select("doc_id", "n_grams", "n_boilerplate_grams")
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // 6 tokens -> 4 distinct 3-grams each; "shared header line" AND
+    // "header line unique" appear in both docs 1 and 2
+    assert(got(1L) == (4, 2) && got(2L) == (4, 2))
+    assert(got(3L) == (3, 0)) // 5 tokens -> 3 distinct 3-grams, none shared
+    assert(!got.contains(4L))
+  }
+
   test("piiMetrics counts match the redactions") {
     val df = TextAnalysis.piiMetrics(
       Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
