@@ -42,7 +42,11 @@ object PlanAudit {
       // stratum window + a literal broadcast; parity is two session
       // forms joined
       "curation_decontam", "dedup_incremental_commit", "url_filter",
-      "url_domain_cap", "select_mixture", "session_parity")
+      "url_domain_cap", "select_mixture", "session_parity",
+      // round 8b: recall joins two top-k lists (tiny); boilerplate =
+      // checkpointed gram projection + unhinted repeated-set join;
+      // source overlap joins slim (fingerprint, source) pairs only
+      "ann_recall", "text_boilerplate", "dedup_source_overlap")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
