@@ -71,6 +71,7 @@ object SparkEntry {
     "dedup_incremental" -> (L.dedupIncremental _),
     "dedup_incremental_commit" -> (L.dedupIncrementalCommit _),
     "dedup_source_overlap" -> (L.dedupSourceOverlap _),
+    "dedup_cluster_best" -> (L.dedupClusterBest _),
     "dedup_minhash" -> (L.dedupMinhash _),
     "dedup_ngram" -> (L.dedupNgram _),
     "dedup_simhash" -> (L.dedupSimhash _),

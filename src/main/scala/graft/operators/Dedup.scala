@@ -103,6 +103,29 @@ object Dedup {
     novel
   }
 
+  /** Quality-based canonical selection over near-dup clusters — the
+    * "keep the BEST document per cluster" rule (C4 keeps the longest,
+    * quality-filtered pipelines keep the highest-scoring) as opposed to
+    * the arbitrary min-id canonical: for each `component` in
+    * `membership` (`idCol`, `component` — e.g. [[simHashClusters]] /
+    * [[minHashClusters]] output), pick the member with the highest
+    * `scoreCol` (ties to the LOWEST id, so the choice is total).
+    * Returns (`component`, `best_id`, `cluster_size`).
+    *
+    * One equi-join on the id and one map-side-combining `max_by` hash
+    * aggregate — no per-cluster sort, no window, so a pathologically
+    * large cluster costs its row count, not a single-task sort. Numeric
+    * ids only (the tie-break negates the id inside the ordering struct).
+    */
+  def bestPerCluster(membership: DataFrame, scores: DataFrame,
+                     idCol: String, scoreCol: String): DataFrame =
+    membership
+      .join(scores.select(col(idCol), col(scoreCol)), idCol)
+      .groupBy(col("component"))
+      .agg(
+        max_by(col(idCol), struct(col(scoreCol), -col(idCol))).as("best_id"),
+        count(lit(1)).as("cluster_size"))
+
   /** Cross-source duplicate overlap matrix — the "which sources mirror
     * each other" diagnostic that decides SOURCE-level curation (drop the
     * mirror, keep the origin) before any per-document pass: for every

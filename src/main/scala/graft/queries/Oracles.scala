@@ -690,6 +690,32 @@ object Oracles {
     // UNION (not UNION ALL) recursion terminates on the closure fixpoint.
     // The pair graph is the same all-pairs Hamming≤3 set as the
     // dedup_simhash oracle.
+    // dedup_clusters' closure + per-component argmax on (score desc,
+    // doc_id asc) — the quality-canonical rule of bestPerCluster
+    "dedup_cluster_best" ->
+      s"""WITH RECURSIVE $simhashFp,
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |q AS (
+         |  SELECT doc_id, len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score
+         |  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |j AS (SELECT comp.id AS doc_id, comp.component, q.score
+         |      FROM comp JOIN q ON q.doc_id = comp.id),
+         |r2 AS (
+         |  SELECT *, count(*) OVER (PARTITION BY component) AS cluster_size,
+         |    row_number() OVER (PARTITION BY component ORDER BY score DESC, doc_id) AS rn
+         |  FROM j)
+         |SELECT component, doc_id AS best_id, cluster_size::BIGINT AS cluster_size
+         |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
+
     "dedup_clusters" ->
       s"""WITH RECURSIVE $simhashFp,
          |pairs AS (

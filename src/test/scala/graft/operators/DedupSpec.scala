@@ -49,6 +49,21 @@ class DedupSpec extends SparkSuite {
     assert(big.getAs[Long]("canonical_id") == 1L)
   }
 
+  test("bestPerCluster picks the max-score member, ties to lowest id, no per-cluster sort") {
+    val membership = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), // cluster 1
+      (5L, 5L),                     // singleton
+      (7L, 7L), (8L, 7L)            // cluster 7: score tie
+    ).toDF("doc_id", "component")
+    val scores = Seq(
+      (1L, 0.2), (2L, 0.9), (3L, 0.5), (5L, 0.1), (7L, 0.4), (8L, 0.4)
+    ).toDF("doc_id", "score")
+    val got = Dedup.bestPerCluster(membership, scores, "doc_id", "score")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    // cluster 1: doc 2 wins on score; cluster 7: tie -> lowest id (7)
+    assert(got == Seq((1L, 2L, 3L), (5L, 5L, 1L), (7L, 7L, 2L)))
+  }
+
   test("sourceOverlapMatrix counts distinct shared fingerprints per unordered source pair") {
     val docs = Seq(
       (1L, "a", "alpha text"), (2L, "a", "beta text"),
