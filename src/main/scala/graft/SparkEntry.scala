@@ -37,6 +37,7 @@ object SparkEntry {
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     "sessionize" -> (C.sessionize _),
     "session_parity" -> (C.sessionParity _),
+    "quality_gate" -> (C.qualityGate _),
     // §2.4 aggregations
     "a1_status_metrics" -> (C.a1StatusMetrics _),
     "a1_business_metrics" -> (L.a1BusinessMetrics _),

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Row-level data-quality expectations — the batch-gate generalization of
+  * the engine's per-row error isolation
+  * (`/root/reference/app/services/tracker.py` catches and counts per-issue
+  * failures; here the same contract is declarative): each rule is a named
+  * boolean `Column`, a row PASSES a rule only when the predicate is TRUE
+  * (false OR null is a violation — SQL CHECK semantics), and the batch
+  * splits into pass-through rows, quarantined rows, and a per-rule
+  * violation summary.
+  *
+  * All three surfaces are pure map work over one projection plus (for the
+  * summary) a single partial-aggregating global count — no joins, no
+  * windows, no driver state; shuffle volume is one row per partition.
+  */
+object Expectations {
+
+  private def violated(p: Column): Column = !coalesce(p, lit(false))
+
+  /** Appends `failed_rules`: the names of every rule the row violates
+    * (empty array = clean row).
+    */
+  def check(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    df.withColumn("failed_rules",
+      filter(array(rules.map { case (n, p) => when(violated(p), lit(n)) }: _*), _.isNotNull))
+  }
+
+  /** Rows passing every rule (ready for the sink). */
+  def passing(checked: DataFrame): DataFrame =
+    checked.where(size(col("failed_rules")) === 0).drop("failed_rules")
+
+  /** Rows violating at least one rule, with `failed_rules` kept for the
+    * quarantine sink / replay tooling.
+    */
+  def quarantined(checked: DataFrame): DataFrame =
+    checked.where(size(col("failed_rules")) > 0)
+
+  /** Per-rule violation counts over the whole batch: one row per rule —
+    * (`rule`, `n_violations`, `n_rows`, `violation_frac`) — including
+    * rules with zero violations (a monitoring surface must report the
+    * healthy gauges too).
+    */
+  def summary(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aggs = count(lit(1)).as("n_rows") +:
+      rules.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(violated(p), 1L).otherwise(0L)).as(s"_v$i")
+      }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), explode(array(rules.zipWithIndex.map { case ((n, _), i) =>
+        struct(lit(n).as("rule"), col(s"_v$i").as("n_violations"))
+      }: _*)).as("_r"))
+      .select(col("_r.rule").as("rule"), col("_r.n_violations").as("n_violations"),
+        col("n_rows"),
+        (col("_r.n_violations").cast("double") / col("n_rows").cast("double")).as("violation_frac"))
+  }
+}

@@ -338,6 +338,31 @@ object CoreQueries {
     * documents land date-partitioned and the same bound prunes
     * partitions via the partition column.
     */
+  /** Data-quality expectations gate
+    * ([[graft.operators.Expectations]]): per-rule violation counts over
+    * the events batch. The synthetic events are clean, so violations are
+    * PLANTED deterministically (negated values on event_id % 97, an
+    * unknown type on % 101, a nulled user on % 103 — mirrored in the
+    * oracle): the counts verified are real, and the null-predicate arm
+    * (null user fails `has_user` AND `value_nonnegative` stays TRUE) is
+    * exercised.
+    */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val planted = events(s, d).select(
+      col("event_id"),
+      when(pmod(col("event_id"), lit(101)) === 0, lit("unknown_evt"))
+        .otherwise(col("event_type")).as("event_type"),
+      when(pmod(col("event_id"), lit(103)) === 0, lit(null).cast("long"))
+        .otherwise(col("user_id")).as("user_id"),
+      when(pmod(col("event_id"), lit(97)) === 0, -col("value"))
+        .otherwise(col("value")).as("value"))
+    graft.operators.Expectations.summary(planted, Seq(
+      "value_nonnegative" -> (col("value") >= 0),
+      "known_event_type" -> col("event_type").isin("click", "error", "purchase", "signup", "view"),
+      "has_user" -> col("user_id").isNotNull))
+      .orderBy(col("rule"))
+  }
+
   /** Batch/streaming session PARITY, proven in the oracle: the
     * lag+running-sum batch sessions ([[graft.operators.Sessionize]])
     * INNER-joined to Spark's native `session_window` aggregation (the

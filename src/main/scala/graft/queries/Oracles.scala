@@ -458,6 +458,30 @@ object Oracles {
          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
          |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
 
+    // planted violations (negate value on %97, unknown type on %101,
+    // null user on %103); one summary row per rule incl. zero-violation
+    // rules; a rule passes only when its predicate is TRUE
+    "quality_gate" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 101 = 0 THEN 'unknown_evt' ELSE event_type END AS event_type,
+         |    CASE WHEN event_id % 103 = 0 THEN NULL ELSE user_id END AS user_id,
+         |    CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS value
+         |  FROM $EV),
+         |n AS (SELECT count(*) AS n_rows FROM p)
+         |SELECT rule, n_violations, n_rows,
+         |  n_violations::DOUBLE / n_rows::DOUBLE AS violation_frac
+         |FROM (
+         |  SELECT 'value_nonnegative' AS rule,
+         |    count(*) FILTER (WHERE NOT coalesce(value >= 0, FALSE)) AS n_violations FROM p
+         |  UNION ALL
+         |  SELECT 'known_event_type',
+         |    count(*) FILTER (WHERE NOT coalesce(event_type IN ('click','error','purchase','signup','view'), FALSE)) FROM p
+         |  UNION ALL
+         |  SELECT 'has_user',
+         |    count(*) FILTER (WHERE user_id IS NULL) FROM p
+         |) CROSS JOIN n ORDER BY rule""".stripMargin,
+
     // batch sessions again (the sessionize oracle's expressions); the
     // Spark side inner-joins the lag+sum sessions against the native
     // session_window aggregation, so parity failures break the compare —
