@@ -306,14 +306,21 @@ object TextAnalysis {
     * would be the tfidf mistake). Both sides of the join are already
     * hash-partitioned by gram from the aggregate. The fraction is a
     * division of two exact integers — deterministic on any engine.
+    *
+    * Grams travel as xxhash64 values from the [[Dedup.shingleHashes]]
+    * codegen kernel, never as strings — the standard hashed-text
+    * contract of the dedup family (the string-shingle oracle matches
+    * because 64-bit collisions are absent at verification scale): 8
+    * bytes per gram through the exchange instead of a ~50-byte string,
+    * and the shingle build stays shuffle-free kernel map work.
     */
   def boilerplateMetrics(docs: DataFrame, textCol: String, idCol: String,
                          n: Int = 8, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 2, "need n >= 1 and minDocs >= 2")
-    // shingles() is distinct-per-doc, so the per-gram row count below IS
-    // the distinct-document count
+    // shingleHashes is distinct-per-doc, so the per-gram row count below
+    // IS the distinct-document count
     val grams = docs
-      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("_gram"))
+      .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("_gram"))
       .localCheckpoint(false)
     val repeated = grams.groupBy(col("_gram"))
       .agg(count(lit(1)).as("_nd"))
