@@ -38,6 +38,7 @@ object SparkEntry {
     "sessionize" -> (C.sessionize _),
     "session_parity" -> (C.sessionParity _),
     "quality_gate" -> (C.qualityGate _),
+    "mm_audio_windows" -> (L.mmAudioWindows _),
     // §2.4 aggregations
     "a1_status_metrics" -> (C.a1StatusMetrics _),
     "a1_business_metrics" -> (L.a1BusinessMetrics _),

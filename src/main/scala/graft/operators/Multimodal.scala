@@ -48,6 +48,44 @@ object Multimodal {
     }: _*)
   }
 
+  /** Sample-accurate PCM window slicing — the audio-side prep step of a
+    * multimodal pipeline (VAD / feature windows / speech-chunking), and
+    * REAL arithmetic rather than a codec stub: raw PCM needs no decode,
+    * only frame math. Given the stream's PCM layout, each payload
+    * yields windows of `windowMs` every `hopMs`:
+    * (`window_idx`, `start_byte`, `n_bytes`, `window_md5` — the digest
+    * standing in for the feature extractor a deployment plugs in).
+    * Payloads shorter than one window emit nothing.
+    *
+    * Bounded explode (fan-out ≈ payload/hop, the [[TextAnalysis.chunkTokens]]
+    * shape); the digest collapses each slice BEFORE any exchange, so
+    * payload bytes never shuffle. Window parameters must land on whole
+    * samples (asserted) — sample-accuracy is the operator's contract.
+    */
+  def audioWindows(df: DataFrame, idCol: String, binCol: String,
+                   sampleRate: Int, windowMs: Int, hopMs: Int,
+                   bitsPerSample: Int = 16, channels: Int = 1): DataFrame = {
+    require(sampleRate > 0 && windowMs > 0 && hopMs > 0 && channels > 0,
+      "positive sampleRate/windowMs/hopMs/channels")
+    require(bitsPerSample % 8 == 0, "whole-byte sample depth")
+    require(sampleRate.toLong * windowMs % 1000 == 0 && sampleRate.toLong * hopMs % 1000 == 0,
+      s"windowMs/hopMs must be whole samples at $sampleRate Hz")
+    val bytesPerFrame = bitsPerSample / 8 * channels
+    val winBytes = sampleRate * windowMs / 1000 * bytesPerFrame
+    val hopBytes = sampleRate * hopMs / 1000 * bytesPerFrame
+    df.select(col(idCol), upper(hex(col(binCol))).as("_h"),
+        octet_length(col(binCol)).cast("long").as("_nb"))
+      .where(col("_nb") >= winBytes)
+      .select(col(idCol), col("_h"),
+        explode(sequence(lit(0L), expr(s"(_nb - $winBytes) div $hopBytes"))).as("_wi"))
+      .select(col(idCol),
+        col("_wi").cast("int").as("window_idx"),
+        (col("_wi") * hopBytes).cast("long").as("start_byte"),
+        lit(winBytes).as("n_bytes"),
+        md5(col("_h").substr((col("_wi") * hopBytes * 2 + 1).cast("int"), lit(winBytes * 2)))
+          .as("window_md5"))
+  }
+
   final case class DecodedMeta(id: Long, nBytes: Int, head: String)
 
   final case class ResizedMeta(id: Long, srcBytes: Int, width: Int, height: Int, resizedMd5: String)

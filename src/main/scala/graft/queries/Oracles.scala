@@ -1366,6 +1366,17 @@ object Oracles {
         |FROM s, unnest([0, 1, 2, 3]) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // 8 kHz mono 16-bit PCM -> 64-byte windows every 32 bytes; hex-domain
+    // slicing (2 chars/byte), md5 of the hex slice as the window digest
+    "mm_audio_windows" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+        |s AS (SELECT doc_id, upper(hex(p)) AS h, octet_length(p)::BIGINT AS nb FROM b
+        |      WHERE octet_length(p) >= 64),
+        |w AS (SELECT doc_id, h, unnest(range(0, ((nb - 64) // 32) + 1)) AS wi FROM s)
+        |SELECT doc_id, wi::INTEGER AS window_idx, (wi * 32)::BIGINT AS start_byte,
+        |  64::INTEGER AS n_bytes, md5(substr(h, (wi * 64 + 1)::BIGINT, 128)) AS window_md5
+        |FROM w ORDER BY doc_id, window_idx""".stripMargin,
+
     "mm_decode_batched" ->
       """SELECT doc_id AS id,
         |  octet_length(encode(text))::INTEGER AS "nBytes",

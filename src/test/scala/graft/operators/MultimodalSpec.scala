@@ -39,6 +39,27 @@ class MultimodalSpec extends SparkSuite {
     assert(frames(0) == "the quic".getBytes("UTF-8").map("%02X".format(_)).mkString)
   }
 
+  test("audioWindows: sample-accurate offsets, tail below one window dropped") {
+    // payload of 100 'a' bytes; 8kHz mono 16-bit, 4ms window = 64 bytes,
+    // 2ms hop = 32 bytes -> windows at 0 and 32 (64+32=96 <= 100, next
+    // start 64 would need 128 > 100); a 63-byte payload emits nothing
+    val docs = Seq((1L, "a" * 100), (2L, "b" * 63)).toDF("doc_id", "text")
+    val got = Multimodal.audioWindows(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload",
+      sampleRate = 8000, windowMs = 4, hopMs = 2)
+      .select("doc_id", "window_idx", "start_byte", "n_bytes", "window_md5")
+      .as[(Long, Int, Long, Int, String)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == Seq((1L, 0, 0L, 64), (1L, 1, 32L, 64)))
+    // identical bytes -> identical window digests at both offsets
+    assert(got(0)._5 == got(1)._5 && got(0)._5.length == 32)
+    // sub-sample window parameters are rejected (3ms at 8kHz mono is
+    // whole samples, but 1ms at 999Hz is not)
+    intercept[IllegalArgumentException] {
+      Multimodal.audioWindows(docs.toDF("doc_id", "text"), "doc_id", "text",
+        sampleRate = 999, windowMs = 1, hopMs = 1)
+    }
+  }
+
   test("decodeBatched: partition-wise batches with the stub codec") {
     val out = Multimodal.decodeBatched(
       Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload", batchSize = 2)
