@@ -106,6 +106,30 @@ class AsOfJoinSpec extends SparkSuite {
     }
   }
 
+  test("bucketed path equals merge path on seeded random data with nulls and duplicate timestamps") {
+    val rnd = new scala.util.Random(20260813L)
+    def randTs(): Timestamp =
+      if (rnd.nextInt(20) == 0) null
+      else new Timestamp(1700000000000L + rnd.nextInt(500000) * 1000L)
+    val left = (0 until 400).map(i => (rnd.nextInt(8).toLong, i.toLong, randTs()))
+      .toDF("user_id", "event_id", "ts")
+    // duplicate right timestamps on purpose: nextInt(500) at 1s grain collides
+    val right = (0 until 600).map(i =>
+      (rnd.nextInt(8).toLong,
+        if (rnd.nextInt(20) == 0) null
+        else new Timestamp(1700000000000L + rnd.nextInt(500) * 1000L),
+        i.toLong))
+      .toDF("user_id", "ts", "click_id")
+    val naive = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("ts", "click_id"))
+      .orderBy("user_id", "event_id").collect().toSeq
+    for (sec <- Seq(17L, 3600L, 1000000L)) {
+      val bucketed = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts", Seq("ts", "click_id"),
+          skewBucketSeconds = Some(sec))
+        .orderBy("user_id", "event_id").collect().toSeq
+      assert(bucketed == naive, s"bucket=$sec s")
+    }
+  }
+
   test("bucketed path matches the merge path on a pathologically hot key (~1M right rows)") {
     import org.apache.spark.sql.functions._
     // ONE key owns a million right rows spread over ~11.5 days; 1000
