@@ -33,6 +33,7 @@ object SparkEntry {
     "j1_broadcast_join" -> (C.j1BroadcastJoin _),
     "j2_explode" -> (C.j2Explode _),
     "asof_join" -> (C.asofJoin _),
+    "asof_join_bucketed" -> (C.asofJoinBucketed _),
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     "sessionize" -> (C.sessionize _),
@@ -109,6 +110,7 @@ object SparkEntry {
     "emb_quantize" -> (L.embQuantize _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
+    "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),
     "select_mixture" -> (L.selectMixture _),
     "ann_recall" -> (L.annRecall _),
     "text_boilerplate" -> (L.textBoilerplate _),

@@ -309,6 +309,23 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** [[asofJoin]] through the BUCKETED hot-key path (1-hour buckets) —
+    * same rows, same oracle: DuckDB's native ASOF JOIN now certifies
+    * the skew variant directly, not just its suite-asserted equality
+    * with the merge path.
+    */
+  def asofJoinBucketed(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOf(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"), skewBucketSeconds = Some(3600L))
+      .withColumn("secs_since_click", TimeFns.timedeltaSeconds(col("ts"), col("asof_ts")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** Gap-based sessionization (§2.5 window family,
     * [[graft.operators.Sessionize]]): 30-minute-inactivity sessions per
     * user, one row per session with span, volume, and an exact decimal

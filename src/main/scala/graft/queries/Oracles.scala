@@ -515,6 +515,17 @@ object Oracles {
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // the bucketed hot-key variant must produce the SAME rows — DuckDB's
+    // native ASOF certifies the skew path directly
+    "asof_join_bucketed" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, p.ts,
+         |  c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_since_click
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     // sliding-window scan: now=2024-01-15T00:00:00Z − 2d, queues CLICK/
     // VIEW. The engine filters on the PARSED ms-truncated wire string;
     // filtering raw ts here is equivalent because the bound is
@@ -1020,6 +1031,18 @@ object Oracles {
          |FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the approx (percentile-probe admission floor) path must equal the
+    // exact window — same oracle as select_token_budget
+    "select_token_budget_approx" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |c AS (SELECT *, sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens FROM b)
+        |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
     // mirror order exactly: score desc, doc_id asc; DuckDB's default
     // RANGE window frame equals Spark's because the (score, doc_id)
