@@ -39,6 +39,7 @@ object SparkEntry {
     "sessionize" -> (C.sessionize _),
     "session_parity" -> (C.sessionParity _),
     "quality_gate" -> (C.qualityGate _),
+    "quality_quarantine" -> (C.qualityQuarantine _),
     "mm_audio_windows" -> (L.mmAudioWindows _),
     // §2.4 aggregations
     "a1_status_metrics" -> (C.a1StatusMetrics _),

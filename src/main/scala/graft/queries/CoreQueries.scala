@@ -364,8 +364,8 @@ object CoreQueries {
     * (null user fails `has_user` AND `value_nonnegative` stays TRUE) is
     * exercised.
     */
-  def qualityGate(s: SparkSession, d: String): DataFrame = {
-    val planted = events(s, d).select(
+  private def plantedEvents(s: SparkSession, d: String): DataFrame =
+    events(s, d).select(
       col("event_id"),
       when(pmod(col("event_id"), lit(101)) === 0, lit("unknown_evt"))
         .otherwise(col("event_type")).as("event_type"),
@@ -373,12 +373,28 @@ object CoreQueries {
         .otherwise(col("user_id")).as("user_id"),
       when(pmod(col("event_id"), lit(97)) === 0, -col("value"))
         .otherwise(col("value")).as("value"))
-    graft.operators.Expectations.summary(planted, Seq(
-      "value_nonnegative" -> (col("value") >= 0),
-      "known_event_type" -> col("event_type").isin("click", "error", "purchase", "signup", "view"),
-      "has_user" -> col("user_id").isNotNull))
+
+  private val eventRules: Seq[(String, Column)] = Seq(
+    "value_nonnegative" -> (col("value") >= 0),
+    "known_event_type" -> col("event_type").isin("click", "error", "purchase", "signup", "view"),
+    "has_user" -> col("user_id").isNotNull)
+
+  def qualityGate(s: SparkSession, d: String): DataFrame =
+    graft.operators.Expectations.summary(plantedEvents(s, d), eventRules)
       .orderBy(col("rule"))
-  }
+
+  /** The row-level half of the gate: quarantined rows with their failed
+    * rules (CSV'd — the driver comparator needs scalar columns).
+    * Verifies [[graft.operators.Expectations.check]] +
+    * [[graft.operators.Expectations.quarantined]] row-by-row, including
+    * rows violating several rules at once (event_id 0 trips all three
+    * plants).
+    */
+  def qualityQuarantine(s: SparkSession, d: String): DataFrame =
+    graft.operators.Expectations
+      .quarantined(graft.operators.Expectations.check(plantedEvents(s, d), eventRules))
+      .select(col("event_id"), array_join(col("failed_rules"), ",").as("failed_rules_csv"))
+      .orderBy(col("event_id"))
 
   /** Batch/streaming session PARITY, proven in the oracle: the
     * lag+running-sum batch sessions ([[graft.operators.Sessionize]])

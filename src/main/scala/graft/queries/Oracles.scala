@@ -482,6 +482,25 @@ object Oracles {
          |    count(*) FILTER (WHERE user_id IS NULL) FROM p
          |) CROSS JOIN n ORDER BY rule""".stripMargin,
 
+    // row-level half of the gate: failed-rule names in check order,
+    // CSV'd; only rows violating >= 1 rule appear
+    "quality_quarantine" ->
+      s"""WITH p AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 101 = 0 THEN 'unknown_evt' ELSE event_type END AS event_type,
+         |    CASE WHEN event_id % 103 = 0 THEN NULL ELSE user_id END AS user_id,
+         |    CASE WHEN event_id % 97 = 0 THEN -value ELSE value END AS value
+         |  FROM $EV),
+         |f AS (
+         |  SELECT event_id, array_to_string(list_filter([
+         |    CASE WHEN NOT coalesce(value >= 0, FALSE) THEN 'value_nonnegative' END,
+         |    CASE WHEN NOT coalesce(event_type IN ('click','error','purchase','signup','view'), FALSE) THEN 'known_event_type' END,
+         |    CASE WHEN user_id IS NULL THEN 'has_user' END
+         |  ], x -> x IS NOT NULL), ',') AS failed_rules_csv
+         |  FROM p)
+         |SELECT event_id, failed_rules_csv FROM f
+         |WHERE failed_rules_csv <> '' ORDER BY event_id""".stripMargin,
+
     // batch sessions again (the sessionize oracle's expressions); the
     // Spark side inner-joins the lag+sum sessions against the native
     // session_window aggregation, so parity failures break the compare —
