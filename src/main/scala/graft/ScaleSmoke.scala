@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.sources.Tables
+
+/** Local scale-up smoke: times the heavy operator pipelines at 1× and
+  * 10× the sf0.1 corpus and prints the scaling ratio per operator — the
+  * empirical check behind SCALING.md's "survives a scale-up" claims
+  * (a near-linear ratio says the plan's shuffle/skew budget holds; a
+  * superlinear one says some stage is quadratic or collapsing onto few
+  * tasks).
+  *
+  * The 10× corpus is 10 token-renamed copies (token → token_k for copy
+  * k>0): document COUNT and vocabulary scale 10×, per-doc structure is
+  * preserved, and no artificial cross-copy near-dups are planted — the
+  * fair shape for measuring throughput scaling. Events replicate with
+  * shifted ids/users (more keys, not hotter keys).
+  *
+  * Run: `sbt "runMain graft.ScaleSmoke"` (expect a few minutes; never
+  * concurrently with a bench).
+  */
+object ScaleSmoke {
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def docsAt(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { k =>
+      if (k == 0) base
+      else base.select(
+        (col("doc_id") + k * 1000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"), t => concat(t, lit(s"_$k")))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+  private def eventsAt(base: DataFrame, copies: Int): DataFrame =
+    (0 until copies).map { k =>
+      base.select(
+        (col("event_id") + k * 100000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + k * 1000000L).as("user_id"),
+        col("event_type"), col("value"))
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val nPart = spark.sparkContext.defaultParallelism
+    // materialize both corpora once so generation cost never pollutes an
+    // operator's timing, and both scales see the same partition grain
+    val docs1 = docsAt(Tables.documents(spark, d), 1).repartition(nPart).localCheckpoint(true)
+    val docs10 = docsAt(Tables.documents(spark, d), 10).repartition(nPart).localCheckpoint(true)
+    val ev1 = eventsAt(Tables.events(spark, d), 1).repartition(nPart).localCheckpoint(true)
+    val ev10 = eventsAt(Tables.events(spark, d), 10).repartition(nPart).localCheckpoint(true)
+    println(s"[scale] docs ${docs1.count()} -> ${docs10.count()}, events ${ev1.count()} -> ${ev10.count()}")
+
+    def queries(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] = Seq(
+      "exact_groups" -> (() => Dedup.exactGroups(docs, "text", "doc_id").count()),
+      "minhash_clusters" -> (() => Dedup.minHashClusters(docs, "text", "doc_id").count()),
+      "simhash_clusters" -> (() => Dedup.simHashClusters(docs, "text", "doc_id").count()),
+      "boilerplate" -> (() => TextAnalysis.boilerplateMetrics(docs, "text", "doc_id").count()),
+      "unigram_nll" -> (() => TextAnalysis.unigramNll(docs, "text", "doc_id", topK = 24).count()),
+      "bm25" -> (() => {
+        val q = docs.limit(20).select(col("doc_id").as("query_id"), col("text"))
+        Retrieval.bm25TopK(docs, q, k = 10).count()
+      }),
+      "tfidf_keywords" -> (() => Retrieval.tfidfTopTerms(docs, k = 5).count()),
+      "sessionize" -> (() => Sessionize
+        .assign(ev, Seq("user_id"), "ts", 1800, Seq("event_id"))
+        .groupBy("user_id", "session_seq").count().count()),
+      "asof" -> (() => {
+        val p = ev.where(col("event_type") === "purchase").select(col("user_id"), col("event_id"), col("ts"))
+        val c = ev.where(col("event_type") === "click").select(col("user_id"), col("ts"), col("event_id"), col("value"))
+        AsOfJoin.asOf(p, c, Seq("user_id"), "ts", "ts", Seq("event_id")).count()
+      }))
+
+    // warm both data paths + JIT once before any measurement
+    queries(docs1, ev1).foreach { case (_, f) => f() }
+
+    val rows = queries(docs1, ev1).zip(queries(docs10, ev10)).map {
+      case ((name, f1), (_, f10)) =>
+        val t1 = time(f1())
+        val t10 = time(f10())
+        (name, t1, t10, t10 / t1)
+    }
+    println(f"[scale] ${"operator"}%-18s ${"1x"}%8s ${"10x"}%8s ratio")
+    rows.foreach { case (n, t1, t10, r) =>
+      println(f"[scale] $n%-18s $t1%8.2f $t10%8.2f $r%5.1f")
+    }
+    spark.stop()
+  }
+}
