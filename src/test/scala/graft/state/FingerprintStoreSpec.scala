@@ -71,6 +71,22 @@ class FingerprintStoreSpec extends SparkSuite {
     assert(FingerprintStore.load(spark, dir).count() == 2)
   }
 
+  test("a failed downstream write aborts the run BEFORE the commit (crash contract)") {
+    val dir = freshDir()
+    val boom = intercept[RuntimeException] {
+      Dedup.incrementalDedupRun(
+        Seq((1L, "doomed doc")).toDF("doc_id", "text"), dir, "text", "doc_id") { _ =>
+        throw new RuntimeException("sink down")
+      }
+    }
+    assert(boom.getMessage == "sink down")
+    // nothing committed: the re-run sees an empty store and re-emits
+    assert(FingerprintStore.load(spark, dir).count() == 0)
+    val retry = Dedup.incrementalDedupRun(
+      Seq((1L, "doomed doc")).toDF("doc_id", "text"), dir, "text", "doc_id")(_ => ())
+    assert(retry.count() == 1)
+  }
+
   test("returned frame is pinned to load-time state (eager checkpoint), not re-planned post-commit") {
     val dir = freshDir()
     val out = Dedup.incrementalDedupRun(
