@@ -20,7 +20,9 @@ import graft.sources.Tables
   * shifted ids/users (more keys, not hotter keys).
   *
   * Run: `sbt "runMain graft.ScaleSmoke"` (expect a few minutes; never
-  * concurrently with a bench).
+  * concurrently with a bench). `SPARK_GRAFT_SCALE_COPIES` overrides the
+  * 10× default; `SPARK_GRAFT_SCALE_OPS=a,b` restricts to named
+  * operators (the heavier dedup pipelines at 100× take minutes).
   */
 object ScaleSmoke {
 
@@ -60,14 +62,16 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val copies = sys.env.get("SPARK_GRAFT_SCALE_COPIES").map(_.toInt).getOrElse(10)
+    val only = sys.env.get("SPARK_GRAFT_SCALE_OPS").map(_.split(",").map(_.trim).toSet)
     val nPart = spark.sparkContext.defaultParallelism
     // materialize both corpora once so generation cost never pollutes an
     // operator's timing, and both scales see the same partition grain
     val docs1 = docsAt(Tables.documents(spark, d), 1).repartition(nPart).localCheckpoint(true)
-    val docs10 = docsAt(Tables.documents(spark, d), 10).repartition(nPart).localCheckpoint(true)
+    val docs10 = docsAt(Tables.documents(spark, d), copies).repartition(nPart).localCheckpoint(true)
     val ev1 = eventsAt(Tables.events(spark, d), 1).repartition(nPart).localCheckpoint(true)
-    val ev10 = eventsAt(Tables.events(spark, d), 10).repartition(nPart).localCheckpoint(true)
-    println(s"[scale] docs ${docs1.count()} -> ${docs10.count()}, events ${ev1.count()} -> ${ev10.count()}")
+    val ev10 = eventsAt(Tables.events(spark, d), copies).repartition(nPart).localCheckpoint(true)
+    println(s"[scale] ${copies}x: docs ${docs1.count()} -> ${docs10.count()}, events ${ev1.count()} -> ${ev10.count()}")
 
     def queries(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] = Seq(
       "exact_groups" -> (() => Dedup.exactGroups(docs, "text", "doc_id").count()),
@@ -89,10 +93,12 @@ object ScaleSmoke {
         AsOfJoin.asOf(p, c, Seq("user_id"), "ts", "ts", Seq("event_id")).count()
       }))
 
+    def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
+      only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))
     // warm both data paths + JIT once before any measurement
-    queries(docs1, ev1).foreach { case (_, f) => f() }
+    selected(docs1, ev1).foreach { case (_, f) => f() }
 
-    val rows = queries(docs1, ev1).zip(queries(docs10, ev10)).map {
+    val rows = selected(docs1, ev1).zip(selected(docs10, ev10)).map {
       case ((name, f1), (_, f10)) =>
         val t1 = time(f1())
         val t10 = time(f10())
