@@ -117,6 +117,7 @@ object SparkEntry {
     "text_boilerplate" -> (L.textBoilerplate _),
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
+    "split_assign" -> (L.splitAssign _),
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),
     "curation_pipeline" -> (L.curationPipeline _),

@@ -172,6 +172,32 @@ object CorpusSelection {
       .where(col("sample_coin") < weight)
   }
 
+  /** Deterministic train/val/test (or any named) split assignment — the
+    * reproducibility primitive of every dataset release: each row lands
+    * in the first split whose cumulative fraction exceeds its
+    * [[weightedSample]]-style md5 coin, so the assignment is a pure
+    * function of the id — stable across runs, engines, partitionings,
+    * and corpus growth (adding documents never moves existing ones
+    * between splits, the property row-number modulo splitting lacks).
+    * `fractions` must sum to 1 (±1e-9); appends `split`. Shuffle-free
+    * map work.
+    */
+  def assignSplit(docs: DataFrame, idCol: String,
+                  fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_._2 >= 0), "non-negative fractions")
+    require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+      .cast("double") / math.pow(16, 6)
+    val cum = fractions.scanLeft(0.0)(_ + _._2).tail
+    // last arm unconditional: float summation must never leave a row
+    // unassigned at the 1.0 boundary
+    val expr = fractions.zip(cum).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case (((name, _), bound), rest) =>
+        when(coin < bound, lit(name)).otherwise(rest)
+      }
+    docs.withColumn("split", expr)
+  }
+
   /** Deterministic fixed-size sample per stratum: order documents inside
     * each stratum by `md5(id)` (a seedless, engine-portable uniform
     * scrambling — any doc set yields the same sample on every run and

@@ -1329,6 +1329,19 @@ object Oracles {
 
     // md5-coin importance sampling: first 6 md5 hex digits folded to an
     // integer (exact double division by 16^6), keep iff coin < weight
+    // 90/5/5 by the md5 coin; the last arm is unconditional (float-sum
+    // boundary safety), matching the Scala fold
+    "split_assign" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN coin < 0.9 THEN 'train' WHEN coin < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |      c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::DOUBLE
+        |      / 16777216.0 AS coin
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
     "sample_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, lang,

@@ -108,6 +108,26 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(got.filter(_._2 == "ru").map(_._3).sorted.toSeq == Seq(10L, 20L))
   }
 
+  test("assignSplit: total, deterministic, stable under corpus growth, ~fraction-sized") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val small = (0L until 2000L).toDF("doc_id")
+    val a = CorpusSelection.assignSplit(small, "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    // every row assigned; sizes track fractions
+    assert(a.size == 2000)
+    val train = a.values.count(_ == "train")
+    assert(train > 1700 && train < 1890, s"train=$train")
+    assert(a.values.count(_ == "val") + a.values.count(_ == "test") == 2000 - train)
+    // growing the corpus never moves an existing row between splits
+    val grown = CorpusSelection.assignSplit((0L until 4000L).toDF("doc_id"), "doc_id", splits)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(a.forall { case (id, s) => grown(id) == s })
+    // fractions must sum to 1
+    intercept[IllegalArgumentException] {
+      CorpusSelection.assignSplit(small, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("weightedSample: edge weights, keep rate tracks the weight, deterministic") {
     import org.apache.spark.sql.functions.{col, lit, when}
     val corpus = (0L until 3000L).map(i => (i, i % 3)).toDF("doc_id", "bucket")
