@@ -118,6 +118,7 @@ object SparkEntry {
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
     "split_assign" -> (L.splitAssign _),
+    "langid_confusion" -> (L.langidConfusion _),
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),
     "curation_pipeline" -> (L.curationPipeline _),

@@ -143,11 +143,23 @@ object Dedup {
     val fs = docs
       .select(exactFingerprint(col(textCol)).as("fingerprint"), col(sourceCol).as("_src"))
       .distinct()
+      .localCheckpoint(false) // feeds both join sides and the size table
+    // distinct-content size per source: the denominator that turns a raw
+    // shared count into the "is B a mirror of A" fraction
+    val sizes = fs.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
     fs.select(col("fingerprint"), col("_src").as("source_a"))
       .join(fs.select(col("fingerprint"), col("_src").as("source_b")), "fingerprint")
       .where(col("source_a") < col("source_b"))
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("_src").as("source_a"), col("_n").as("n_docs_a")), "source_a")
+      .join(sizes.select(col("_src").as("source_b"), col("_n").as("n_docs_b")), "source_b")
+      // fraction of the SMALLER side's content that is shared — 1.0 means
+      // one source is entirely contained in the other (a mirror)
+      .withColumn("overlap_frac",
+        col("n_shared").cast("double") / least(col("n_docs_a"), col("n_docs_b")).cast("double"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("n_docs_a"), col("n_docs_b"), col("overlap_frac"))
   }
 
   /** k-shingles from an already-materialized token-array column. Docs with

@@ -210,6 +210,29 @@ object Oracles {
        |FROM (SELECT doc_id$extraCols, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents$where)
        |WHERE len(toks) >= $k""".stripMargin
 
+  /** The lang-ID prediction SQL (mirrors TextAnalysis.langIdScores),
+    * shared by the per-doc row and the confusion-matrix row.
+    */
+  private lazy val langidSql: String = {
+    val langWords = Seq(
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+      "en" -> Seq("the", "a", "of", "and", "to", "in"),
+      "es" -> Seq("el", "la", "de", "los", "que", "y"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+      "ru" -> Seq("и", "в", "не", "на", "что", "это"))
+    val scoreCols = langWords.map { case (l, ws) =>
+      s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))::INTEGER AS score_$l"
+    }.mkString(",\n  ")
+    val best = s"greatest(${langWords.map { case (l, _) => s"score_$l" }.mkString(", ")})"
+    val pred = langWords.map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, lang_true, score_de, score_en, score_es, score_fr, score_ru,
+       |  CASE $pred END AS lang_pred
+       |FROM (SELECT doc_id, lang AS lang_true,
+       |  $scoreCols
+       |FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Dedup.simHash 48-bit fingerprint CTEs (tok → th → bits → fp). */
   private def simhashFp: String = {
     val bits = 48
@@ -413,10 +436,16 @@ object Oracles {
         |  SELECT doc_id + 700000, 'mirror' || (doc_id % 3)::VARCHAR, text
         |  FROM documents WHERE doc_id < 200),
         |fs AS (SELECT DISTINCT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint, source
-        |  FROM all_docs)
-        |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
-        |FROM fs a JOIN fs b ON a.fingerprint = b.fingerprint AND a.source < b.source
-        |GROUP BY 1, 2 ORDER BY source_a, source_b""".stripMargin,
+        |  FROM all_docs),
+        |sz AS (SELECT source, count(*) AS n FROM fs GROUP BY source),
+        |m AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM fs a JOIN fs b ON a.fingerprint = b.fingerprint AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT m.source_a, m.source_b, m.n_shared, za.n AS n_docs_a, zb.n AS n_docs_b,
+        |  m.n_shared::DOUBLE / least(za.n, zb.n)::DOUBLE AS overlap_frac
+        |FROM m JOIN sz za ON za.source = m.source_a JOIN sz zb ON zb.source = m.source_b
+        |ORDER BY source_a, source_b""".stripMargin,
 
     // store-mediated twin of dedup_incremental: same planted batch, same
     // expected output — but the engine side routes the seen-set through
@@ -1031,25 +1060,16 @@ object Oracles {
         |FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "text_langid" -> {
-      val langWords = Seq(
-        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
-        "en" -> Seq("the", "a", "of", "and", "to", "in"),
-        "es" -> Seq("el", "la", "de", "los", "que", "y"),
-        "fr" -> Seq("le", "la", "les", "et", "est", "une"),
-        "ru" -> Seq("и", "в", "не", "на", "что", "это"))
-      val scoreCols = langWords.map { case (l, ws) =>
-        s"len(list_filter(toks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))::INTEGER AS score_$l"
-      }.mkString(",\n  ")
-      val best = s"greatest(${langWords.map { case (l, _) => s"score_$l" }.mkString(", ")})"
-      val pred = langWords.map { case (l, _) => s"WHEN score_$l = $best THEN '$l'" }.mkString(" ")
-      s"""SELECT doc_id, lang_true, score_de, score_en, score_es, score_fr, score_ru,
-         |  CASE $pred END AS lang_pred
-         |FROM (SELECT doc_id, lang AS lang_true,
-         |  $scoreCols
-         |FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents))
-         |ORDER BY doc_id""".stripMargin
-    },
+    "text_langid" -> langidSql,
+
+    // confusion matrix over the same prediction SQL: counts per
+    // (true, predicted) pair + the pair's share of the true language
+    "langid_confusion" ->
+      s"""WITH l AS ($langidSql),
+         |g AS (SELECT lang_true, lang_pred, count(*) AS n_docs FROM l GROUP BY 1, 2)
+         |SELECT lang_true, lang_pred, n_docs,
+         |  n_docs::DOUBLE / sum(n_docs) OVER (PARTITION BY lang_true)::DOUBLE AS frac_of_true
+         |FROM g ORDER BY lang_true, lang_pred""".stripMargin,
 
     // the approx (percentile-probe admission floor) path must equal the
     // exact window — same oracle as select_token_budget

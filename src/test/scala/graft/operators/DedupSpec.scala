@@ -74,9 +74,14 @@ class DedupSpec extends SparkSuite {
       (8L, "c", "delta text")     // unshared content contributes nothing
     ).toDF("doc_id", "source", "text")
     val got = Dedup.sourceOverlapMatrix(docs, "text", "source")
-      .as[(String, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
-    // a∩b = {alpha}, a∩c = {beta}, b∩c = {gamma}; pairs ordered a < b
-    assert(got == Seq(("a", "b", 1L), ("a", "c", 1L), ("b", "c", 1L)))
+      .select("source_a", "source_b", "n_shared", "n_docs_a", "n_docs_b", "overlap_frac")
+      .as[(String, String, Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // a∩b = {alpha}, a∩c = {beta}, b∩c = {gamma}; pairs ordered a < b.
+    // Distinct-content sizes: a={alpha,beta}=2, b={alpha,gamma}=2 (the
+    // two alpha variants collapse), c={beta,gamma,delta}=3;
+    // overlap_frac = shared / smaller side
+    assert(got == Seq(
+      ("a", "b", 1L, 2L, 2L, 0.5), ("a", "c", 1L, 2L, 3L, 0.5), ("b", "c", 1L, 2L, 3L, 0.5)))
   }
 
   test("shingles produces k-grams; short docs yield an empty array, not [null]") {
