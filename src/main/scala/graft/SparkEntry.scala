@@ -124,6 +124,7 @@ object SparkEntry {
     "curation_pipeline" -> (L.curationPipeline _),
     "curation_full" -> (L.curationFull _),
     "curation_decontam" -> (L.curationDecontam _),
+    "curation_funnel" -> (L.curationFunnel _),
     "url_filter" -> (L.urlFilter _),
     "url_domain_cap" -> (L.urlDomainCap _)
   )

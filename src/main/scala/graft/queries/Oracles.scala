@@ -1334,6 +1334,63 @@ object Oracles {
         |SELECT doc_id, lang, url, registered_domain, domain_rank FROM c
         |WHERE domain_rank <= 60 ORDER BY doc_id""".stripMargin,
 
+    // per-gate survivor counts of the six-gate chain; every stage is
+    // recomputed independently here, so a count can only match if the
+    // engine's gate population is exactly right at that stage
+    "curation_funnel" ->
+      s"""WITH t AS MATERIALIZED (
+        |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        |  FROM documents WHERE doc_id % 10 <> 7),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |nl AS (
+        |  SELECT doc_id,
+        |    ((sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s)))::DOUBLE
+        |      / 1099511627776.0) / any_value(n_tokens)::DOUBLE)::FLOAT AS nll_per_token
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id),
+        |c2 AS (SELECT doc_id, count(*) AS c FROM (
+        |    SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]) AS g
+        |    FROM t WHERE len(toks) >= 2) GROUP BY doc_id, g),
+        |s2 AS (SELECT doc_id, sum(c) AS total, coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup FROM c2 GROUP BY doc_id),
+        |sh AS MATERIALIZED (${shingleSelect(13)}),
+        |probe AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 7),
+        |contam AS (SELECT DISTINCT doc_id FROM
+        |  (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 7) cg JOIN probe USING (g)),
+        |q1 AS MATERIALIZED (
+        |  SELECT * FROM t
+        |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+        |    AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0),
+        |q2 AS MATERIALIZED (
+        |  SELECT q1.* FROM q1 JOIN s2 USING (doc_id) WHERE dup::DOUBLE / total::DOUBLE <= 0.1),
+        |q3 AS MATERIALIZED (
+        |  SELECT q2.doc_id, q2.lang, q2.text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM q2 JOIN nl USING (doc_id) WHERE nll_per_token <= 5.5),
+        |q4 AS MATERIALIZED (
+        |  SELECT * FROM (
+        |    SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS canon
+        |    FROM q3) WHERE doc_id = canon),
+        |q5 AS MATERIALIZED (SELECT * FROM q4 WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |q6 AS (
+        |  SELECT * FROM (
+        |    SELECT *, sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |    FROM q5) WHERE cum_tokens <= 4000)
+        |SELECT stage, n_docs FROM (
+        |  SELECT '00_input' AS stage, count(*) AS n_docs FROM t
+        |  UNION ALL SELECT '01_quality', count(*) FROM q1
+        |  UNION ALL SELECT '02_repetition', count(*) FROM q2
+        |  UNION ALL SELECT '03_perplexity', count(*) FROM q3
+        |  UNION ALL SELECT '04_dedup', count(*) FROM q4
+        |  UNION ALL SELECT '05_decontam', count(*) FROM q5
+        |  UNION ALL SELECT '06_budget', count(*) FROM q6)
+        |ORDER BY stage""".stripMargin,
+
     "pack_sequences" ->
       """WITH b AS (
         |  SELECT doc_id, lang,
