@@ -85,6 +85,7 @@ object SparkEntry {
     "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),
     "dedup_contaminated_ngrams" -> (L.dedupContaminatedNgrams _),
+    "dedup_contaminated_bloom" -> (L.dedupContaminatedBloom _),
     "dedup_semantic" -> (L.dedupSemantic _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),

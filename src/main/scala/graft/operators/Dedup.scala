@@ -527,6 +527,70 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** [[ngramContamination]] for probe sets too large to broadcast as a
+    * hash relation. The GPT-3-style 13-gram rule assumes the benchmark
+    * gram set is small; once the "probe" side is itself large (every eval
+    * suite + every held-out shard + licensed-content blocklists — easily
+    * 10⁸ grams), a broadcast hash join ships ~16 bytes a gram and blows
+    * the 8 GB broadcast cap. A Bloom filter of the same set is `numBits`
+    * REGARDLESS of cardinality (default 32 Mbit = 4 MB for ~4M grams at
+    * ~1% FPP), so the corpus-side explode is pruned map-side by a
+    * bits-sized sieve instead, and only the rare might-contain survivors
+    * reach an unhinted exact-confirm join that removes Bloom false
+    * positives — the result is row-identical to [[ngramContamination]]
+    * (both query rows share one DuckDB oracle). This is Spark's own
+    * runtime-filter design (SPARK-32268's `BloomFilterAggregate` /
+    * `BloomFilterMightContain`, the internal pair behind
+    * `spark.sql.optimizer.runtimeFilter.bloomFilter`) applied explicitly:
+    * the aggregate builds the filter distributed (partial filters merged
+    * by OR), one bits-sized value returns to the driver, and the probe
+    * predicate is codegen'd into the corpus scan's filter.
+    *
+    * Sizing is the caller's contract: `numBits` ≥ ~8×expected grams keeps
+    * FPP ~2%; undersizing only costs confirm-join traffic, never
+    * correctness.
+    */
+  def ngramContaminationBloom(corpus: DataFrame, probe: DataFrame,
+                              textCol: String, idCol: String, n: Int = 13,
+                              expectedGrams: Long = 4L * 1000 * 1000,
+                              numBits: Long = 32L * 1024 * 1024): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    // checkpointed: consumed by the Bloom build AND the exact confirm —
+    // without it the probe tokenization runs twice
+    val probeGrams = probe
+      .select(explode(shingleHashes(col(textCol), n)).as("g"))
+      .distinct()
+      .localCheckpoint(true)
+    val bfBytes = probeGrams
+      .select(ExpressionUtils.column(
+        new BloomFilterAggregate(
+          ExpressionUtils.expression(col("g")),
+          Literal(expectedGrams), Literal(numBits)).toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    if (bfBytes == null) { // empty probe: nothing can be contaminated
+      val s = corpus.sparkSession
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("corpus_id",
+            corpus.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("n_shared_ngrams",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+    }
+    val mightContain = ExpressionUtils.column(BloomFilterMightContain(
+      Literal(bfBytes, BinaryType), ExpressionUtils.expression(col("g"))))
+    corpus
+      .select(col(idCol).as("corpus_id"), explode(shingleHashes(col(textCol), n)).as("g"))
+      .where(mightContain)
+      // exact confirm, deliberately UNhinted: survivors are rare by
+      // construction, AQE picks the strategy; at probe scales where this
+      // variant matters the probe side must not be forced broadcast
+      .join(probeGrams, "g")
+      .groupBy(col("corpus_id"))
+      .agg(count(lit(1)).as("n_shared_ngrams"))
+  }
+
   /** SimHash fingerprint, `bits` wide (default 48, max 60), from the first
     * `bits/4` hex chars of md5 over distinct whitespace tokens: token hash
     * = the hex prefix parsed as a long, bit j of the fingerprint is the

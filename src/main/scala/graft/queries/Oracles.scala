@@ -739,6 +739,17 @@ object Oracles {
          |FROM corp c JOIN probe USING (g)
          |GROUP BY corpus_id ORDER BY corpus_id""".stripMargin,
 
+    // the Bloom-sieve path must be row-identical to the exact join (the
+    // confirm join removes Bloom false positives), so it reuses the same
+    // exact-gram oracle — DuckDB independently validates the sieve
+    "dedup_contaminated_bloom" ->
+      s"""WITH sh AS MATERIALIZED (${shingleSelect(13)}),
+         |probe AS (SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id % 10 = 7),
+         |corp AS (SELECT doc_id, unnest(sh) AS g FROM sh WHERE doc_id % 10 <> 7)
+         |SELECT c.doc_id AS corpus_id, count(*) AS n_shared_ngrams
+         |FROM corp c JOIN probe USING (g)
+         |GROUP BY corpus_id ORDER BY corpus_id""".stripMargin,
+
     // 8-grams shared by >= 2 docs are boilerplate; per-doc fraction of
     // distinct grams that are boilerplate (shingles are per-doc distinct,
     // so the per-gram row count is the distinct-document count)

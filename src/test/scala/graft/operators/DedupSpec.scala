@@ -489,6 +489,31 @@ class DedupSpec extends SparkSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("ngramContaminationBloom is row-identical to the exact path even when the filter is saturated") {
+    // 64 bits for hundreds of probe grams → the Bloom sieve is saturated
+    // and passes nearly everything; the exact-confirm join must still
+    // reduce the result to precisely the exact path's rows
+    val probe = docs.where($"doc_id" % 4 === 0)
+    val corpus = docs.where($"doc_id" % 4 =!= 0)
+    val exact = Dedup.ngramContamination(corpus, probe, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    val viaSaturated = Dedup.ngramContaminationBloom(corpus, probe, "text", "doc_id", n = 3,
+      expectedGrams = 4, numBits = 64)
+      .as[(Long, Long)].collect().toMap
+    val viaSized = Dedup.ngramContaminationBloom(corpus, probe, "text", "doc_id", n = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(exact.nonEmpty) // the near-dup pairs guarantee shared 3-grams
+    assert(viaSaturated == exact)
+    assert(viaSized == exact)
+  }
+
+  test("ngramContaminationBloom on an empty probe returns an empty frame with the contract schema") {
+    val out = Dedup.ngramContaminationBloom(
+      docs, docs.where($"doc_id" < 0), "text", "doc_id", n = 3)
+    assert(out.columns.toSeq == Seq("corpus_id", "n_shared_ngrams"))
+    assert(out.count() == 0)
+  }
+
   test("semanticDedup drops exactly the lower-id within-cell near-dups") {
     // 40 well-separated random vectors + exact copies of ids 0-4: a copy
     // has identical centroid distances, so it provably shares its
