@@ -46,7 +46,17 @@ object PlanAudit {
       // round 8b: recall joins two top-k lists (tiny); boilerplate =
       // checkpointed gram projection + unhinted repeated-set join;
       // source overlap joins slim (fingerprint, source) pairs only
-      "ann_recall", "text_boilerplate", "dedup_source_overlap")
+      "ann_recall", "text_boilerplate", "dedup_source_overlap",
+      // round 8c: span dedup = bounded explode + ONE gram-count exchange
+      // with the spans→counts join reusing that partitioning; unit dedup
+      // is a shuffle-free higher-order projection; classifier inference
+      // broadcasts the weight table (never shuffles the corpus on the
+      // bucket); centroid scoring broadcasts #labels rows back
+      "dedup_spans", "text_dedup_units", "quality_classifier", "emb_centroid_cos",
+      // the bigram model join must broadcast ONLY the topK kept table
+      // (the backoff side is vocabulary-like, unhinted); scd2 compaction
+      // must plan one key exchange across its three window passes
+      "text_perplexity2", "scd2_compact")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

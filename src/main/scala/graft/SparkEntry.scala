@@ -37,6 +37,7 @@ object SparkEntry {
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     "sessionize" -> (C.sessionize _),
+    "scd2_compact" -> (C.scd2Compact _),
     "session_parity" -> (C.sessionParity _),
     "quality_gate" -> (C.qualityGate _),
     "quality_quarantine" -> (C.qualityQuarantine _),
@@ -87,6 +88,11 @@ object SparkEntry {
     "dedup_contaminated_ngrams" -> (L.dedupContaminatedNgrams _),
     "dedup_contaminated_bloom" -> (L.dedupContaminatedBloom _),
     "dedup_semantic" -> (L.dedupSemantic _),
+    "dedup_spans" -> (L.dedupSpans _),
+    "dedup_span_scrub" -> (L.dedupSpanScrub _),
+    "text_dedup_units" -> (L.textDedupUnits _),
+    "quality_classifier" -> (L.qualityClassifier _),
+    "emb_centroid_cos" -> (L.embCentroidCos _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),
@@ -107,6 +113,7 @@ object SparkEntry {
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),
     "text_perplexity" -> (L.textPerplexity _),
+    "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),
     "text_keywords" -> (L.textKeywords _),
     "emb_quantize" -> (L.embQuantize _),

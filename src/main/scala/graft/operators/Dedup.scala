@@ -1026,4 +1026,110 @@ object Dedup {
       .select(col("a"), col("b"), col("cosine"))
       .distinct()
   }
+
+  /** (doc, pos, spanHash) rows for every k-token sliding window — the
+    * candidate unit of exact SPAN-level dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499: duplicated substrings, not duplicated documents,
+    * are what a whole-doc pass misses). Spans travel as xxhash64 values
+    * (8 bytes through the exchange, codegen'd build) — the hashed-text
+    * contract of [[graft.operators.TextAnalysis.boilerplateMetrics]]:
+    * downstream outputs are counts/text only, so the string-span oracle
+    * verifies them exactly (64-bit collisions absent at verification
+    * scale).
+    */
+  private def spanRows(docs: DataFrame, textCol: String, idCol: String,
+                       k: Int): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    docs
+      .select(col(idCol), toks.as("_toks"))
+      .withColumn("_n", size(col("_toks")))
+      .where(col("_n") >= k)
+      .select(col(idCol), col("_n"),
+        posexplode(transform(sequence(lit(0), col("_n") - k),
+          i => xxhash64(array_join(slice(col("_toks"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "h")))
+  }
+
+  /** Per-document duplicated-span profile: for every k-token sliding
+    * window, count its occurrences CORPUS-WIDE; a span occurring more
+    * than once anywhere is "duplicated", and the union of the token
+    * positions its copies cover is the doc's duplicated surface.
+    * Returns (`idCol`, n_tokens, n_spans, n_dup_spans,
+    * n_covered_tokens, covered_frac).
+    *
+    * Plan at 100 TB: span generation is a bounded explode (one row per
+    * token position — linear, the minhash-shingle cost class); the one
+    * heavy shuffle is the global `groupBy(h)` count, with map-side
+    * partial aggregation collapsing each partition's repeats first. The
+    * spans→counts equi-join re-uses the hash partitioning on `h` (AQE
+    * elides the second exchange), and `_cnt > 1` shrinks the counts
+    * side to the duplicated sliver before the join. Coverage explode
+    * (k×) runs on hit rows only.
+    */
+  def spanProfile(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 6): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val totals = docs.select(
+      col(idCol),
+      size(toks).as("n_tokens"),
+      greatest(size(toks) - (k - 1), lit(0)).as("n_spans"))
+    val spans = spanRows(docs, textCol, idCol, k)
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("_cnt"))
+    // both downstream aggregates read the duplicated sliver — checkpoint
+    // it so the span build + global count run ONCE (the bm25/boilerplate
+    // shared-materialization discipline), not once per consumer
+    val dup = spans.join(counts.where(col("_cnt") > 1), Seq("h"))
+      .localCheckpoint(false)
+    val perDoc = dup.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_dup_spans"))
+    val covered = dup
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("_idx"))
+      .distinct()
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_covered_tokens"))
+    totals
+      .join(perDoc, Seq(idCol), "left")
+      .join(covered, Seq(idCol), "left")
+      .select(
+        col(idCol), col("n_tokens"), col("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"),
+        coalesce(col("n_covered_tokens"), lit(0L)).cast("double")
+          ./(col("n_tokens").cast("double")).as("covered_frac"))
+  }
+
+  /** Span-scrubbed text: every token position covered by ANY
+    * corpus-duplicated k-token span is dropped (all copies — the
+    * aggressive variant of arXiv:2107.06499 §4; keeping one canonical
+    * copy is [[spanProfile]] + a min-(doc,pos) rule, not needed for the
+    * training-set case where the span is boilerplate). Returns
+    * (`idCol`, n_tokens, n_kept, scrubbed_text).
+    *
+    * Same two-shuffle shape as [[spanProfile]]; the per-doc covered-set
+    * `collect_set` is bounded by DOCUMENT length (not corpus size), and
+    * reassembly is a shuffle-free higher-order `filter` over the
+    * original token array.
+    */
+  def spanScrub(docs: DataFrame, textCol: String, idCol: String,
+                k: Int = 6): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs.select(col(idCol), toks.as("_toks"))
+    val spans = spanRows(docs, textCol, idCol, k)
+    val counts = spans.groupBy(col("h")).agg(count(lit(1)).as("_cnt"))
+    val covered = spans.join(counts.where(col("_cnt") > 1), Seq("h"))
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("_idx"))
+      .groupBy(col(idCol))
+      .agg(collect_set(col("_idx")).as("_cov"))
+    base
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol), col("_toks"),
+        coalesce(col("_cov"), array().cast("array<int>")).as("_cov"))
+      .select(col(idCol),
+        size(col("_toks")).as("n_tokens"),
+        filter(col("_toks"), (_, i) => not(array_contains(col("_cov"), i))).as("_kept"))
+      .select(col(idCol), col("n_tokens"),
+        size(col("_kept")).as("n_kept"),
+        array_join(col("_kept"), " ").as("scrubbed_text"))
+  }
 }

@@ -37,4 +37,42 @@ object Sessionize {
         sum(col("_ns")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .drop("_ns")
   }
+
+  /** Event-stream → SCD2 compaction: consecutive events with the same
+    * `valueCol` per key collapse into one validity interval — the
+    * islands-and-gaps rewrite of an event log into a slowly-changing-
+    * dimension history (the batch analog of the reference's "latest
+    * version wins" tables, keeping the FULL history instead of the last
+    * row). Emits one row per run: (`keys`, `run_seq`, `valueCol`,
+    * `valid_from`, `valid_to`, `n_events`, `is_current`), where
+    * `valid_to` = the next run's `valid_from` (null on the current run).
+    *
+    * Three window passes and one aggregate, all over the SAME key
+    * partitioning and time sort, so Catalyst plans ONE hash exchange on
+    * the key: `lag` marks value changes, a running `sum` numbers the
+    * runs, the groupBy collapses them, and `lead` back-fills `valid_to`
+    * — no self-join, no range join. A key's whole history must fit one
+    * partition's sort (the standard SCD2 envelope: histories are
+    * per-entity, bounded, and far smaller than the corpus).
+    */
+  def compactRuns(events: DataFrame, keys: Seq[String], tsCol: String,
+                  valueCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val changed = lag(col(valueCol), 1).over(w).isNull ||
+      lag(col(valueCol), 1).over(w) =!= col(valueCol)
+    val runs = events
+      .withColumn("_chg", when(changed, 1L).otherwise(0L))
+      .withColumn("run_seq",
+        sum(col("_chg")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy((keys.map(col) :+ col("run_seq")): _*)
+      .agg(
+        first(col(valueCol)).as(valueCol),
+        min(col(tsCol)).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val wr = Window.partitionBy(keys.map(col): _*).orderBy(col("run_seq"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

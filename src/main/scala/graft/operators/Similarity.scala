@@ -210,6 +210,54 @@ object Similarity {
         .as("q"))
   }
 
+  /** Per-vector cosine to its group's centroid — the cluster-quality /
+    * outlier-detection pass over a labeled (or cluster-assigned)
+    * embedding table: a vector far from its own label's centroid is a
+    * candidate mislabel or semantic outlier (the SemDeDup §3 pruning
+    * signal, inverted). Emits (`idCol`, `labelCol`, `n_members`,
+    * `centroid_cos`).
+    *
+    * Determinism across engines/partitionings: float means over an
+    * UNORDERED row set depend on reduction order, so components first
+    * snap to a 2^20 integer grid; the centroid is then the componentwise
+    * int64 SUM (associative — and cosine is scale-invariant, so the
+    * un-divided sum IS the centroid direction) and the one float cosine
+    * emerges from exact-int dot products. |x|≤1 embeddings keep every
+    * product far inside int64 (2^20-grid component ≤2^20; 10⁹-member
+    * centroid component ≤2^50 needs care — at that scale shrink the grid
+    * to 2^12, the defense documented in SCALING.md).
+    *
+    * Plan at 100 TB: one posexplode (dim× fan-out) into a partially-
+    * aggregated (label, dim) sum — collapses to #labels×dim rows
+    * map-side; centroids regroup to #labels rows and BROADCAST back; the
+    * scoring pass is shuffle-free map work.
+    */
+  def centroidCosine(embs: DataFrame, idCol: String, labelCol: String,
+                     vecCol: String): DataFrame = {
+    val grid = 1L << 20
+    val vfp = embs.select(
+      col(idCol), col(labelCol),
+      transform(col(vecCol), x => floor(x.cast("double") * grid).cast("long")).as("_v"))
+    val centroids = vfp
+      .select(col(labelCol), posexplode(col("_v")).as(Seq("_dim", "_x")))
+      .groupBy(col(labelCol), col("_dim"))
+      .agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+      .groupBy(col(labelCol))
+      .agg(
+        first(col("_n")).cast("int").as("n_members"),
+        transform(array_sort(collect_list(struct(col("_dim"), col("_s")))),
+          e => e.getField("_s")).as("_c"))
+    val dotLong = (a: Column, b: Column) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    vfp
+      .join(broadcast(centroids), Seq(labelCol))
+      .select(col(idCol), col(labelCol), col("n_members"),
+        (dotLong(col("_v"), col("_c")).cast("double")
+          / (sqrt(dotLong(col("_v"), col("_v")).cast("double"))
+            * sqrt(dotLong(col("_c"), col("_c")).cast("double"))))
+          .as("centroid_cos"))
+  }
+
   /** Sign-of-projection LSH bucket id (one long from `planes` bits) — a
     * single codegen'd planes×dim loop ([[graft.plans.HyperplaneBucket]])
     * instead of `planes` interpreted per-plane dot-folds; bit-for-bit the

@@ -255,6 +255,68 @@ object TextAnalysis {
           .cast("float").as("nll_per_token"))
   }
 
+  /** Bigram language-model quality score with stupid backoff — one rung
+    * up the CCNet ladder from [[unigramNll]] (real pipelines use a
+    * 5-gram KenLM; the bigram form keeps the model exactly verifiable
+    * while exercising the full n-gram-LM plan shape): every position is
+    * a (context, target) bigram — the first token's context is the
+    * `<s>` sentinel — scored as −ln(c(w₁,w₂)/c(w₁)) when the bigram is
+    * in the model, and −ln(0.4·p(w₂)) otherwise (Brants et al. 2007,
+    * "Large Language Models in Machine Translation": unnormalized 0.4
+    * backoff, the web-scale standard). The model is the corpus's own
+    * top-`topK` bigrams, so the backoff path is real, not vacuous.
+    * Returns (`idCol`, n_tokens, n_backoff, nll_per_token FLOAT).
+    *
+    * ONE bigram-count aggregate is the entire model fit — context
+    * counts, target counts and the total all derive from the
+    * checkpointed (w₁,w₂) counts, never from a second corpus pass. The
+    * kept-bigram table is BOUNDED at topK rows and broadcasts; the
+    * backoff table is vocabulary-sized, so its join is UNHINTED (the
+    * tfidf lesson — AQE broadcasts it while small, shuffle-joins at
+    * web scale). Per-position contributions are floored to the 2⁻⁴⁰
+    * fixed-point grid and summed as longs — associative, partitioning-
+    * independent, with the float output absorbing cross-engine ln()
+    * ulps (the bm25/unigram contract).
+    */
+  def bigramNllBackoff(docs: DataFrame, textCol: String, idCol: String,
+                       topK: Int = 512): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val toksDf = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .localCheckpoint(false)
+    val bg = toksDf.select(
+      col(idCol),
+      explode(transform(sequence(lit(0), size(col("toks")) - 1),
+        i => struct(
+          when(i === 0, lit("<s>")).otherwise(element_at(col("toks"), i)).as("w1"),
+          element_at(col("toks"), i + 1).as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("cc"))
+    val kept2 = c2.orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
+      .join(c1, Seq("w1"))
+      .select(col("w1"), col("w2"),
+        floor(-log(col("c").cast("double") / col("cc").cast("double")) * scale).as("fp2"))
+    val total = c2.agg(sum(col("c")).as("t"))
+    val backoff = c2.groupBy(col("w2")).agg(sum(col("c")).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("w2"),
+        floor(-log(lit(0.4) * col("cnt").cast("double") / col("t").cast("double")) * scale)
+          .as("fpbo"))
+    bg
+      .join(broadcast(kept2), Seq("w1", "w2"), "left")
+      .join(backoff, Seq("w2"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        sum(when(col("fp2").isNull, 1).otherwise(0)).cast("int").as("n_backoff"),
+        sum(coalesce(col("fp2"), col("fpbo"))).as("_sfp"))
+      .select(col(idCol), col("n_tokens"), col("n_backoff"),
+        ((col("_sfp").cast("double") / scale) / col("n_tokens").cast("double"))
+          .cast("float").as("nll_per_token"))
+  }
+
   /** Sliding token-window chunking with overlap — the document-prep step
     * in front of embedding / RAG / long-context training pipelines: each
     * document becomes ⌈max(0, n−size)/stride⌉+1 chunks of up to `size`
@@ -334,6 +396,40 @@ object TextAnalysis {
         sum(coalesce(col("_bp"), lit(0))).cast("int").as("n_boilerplate_grams"))
       .withColumn("boilerplate_frac",
         col("n_boilerplate_grams").cast("double") / col("n_grams").cast("double"))
+  }
+
+  /** Intra-document unit dedup — the CCNet/RefinedWeb "drop repeated
+    * lines/paragraphs within a page" cleanup: the document is segmented
+    * into consecutive `unitSize`-token units and only each unit's FIRST
+    * occurrence survives, preserving order. Emits (`idCol`, `n_units`,
+    * `n_kept`, `text_deduped`). On a real corpus the unit is a newline
+    * split; the fixed-token segmentation is the corpus-agnostic fallback
+    * (this synthetic corpus has no line structure).
+    *
+    * Entirely shuffle-free: segmentation, first-occurrence filtering
+    * (`array_position(units, u) == index` — the first index wins) and
+    * reassembly are higher-order functions over one row's arrays, so the
+    * operator is a pure projection at any corpus size. The per-document
+    * quadratic `array_position` scan is bounded by DOCUMENT length —
+    * the same per-row envelope as the repetition kernels.
+    */
+  def dedupUnits(docs: DataFrame, textCol: String, idCol: String,
+                 unitSize: Int = 2): DataFrame = {
+    require(unitSize >= 1, "need unitSize >= 1")
+    val nUnits = ceil(size(col("_toks")).cast("double") / unitSize).cast("int")
+    val units = when(size(col("_toks")) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nUnits - 1),
+        i => array_join(slice(col("_toks"), i * unitSize + 1, lit(unitSize)), " ")))
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), units.as("_units"))
+      .select(col(idCol), col("_units"),
+        filter(col("_units"), (u, i) => array_position(col("_units"), u) === i.cast("long") + 1L)
+          .as("_kept"))
+      .select(col(idCol),
+        size(col("_units")).as("n_units"),
+        size(col("_kept")).as("n_kept"),
+        array_join(col("_kept"), " ").as("text_deduped"))
   }
 
   /** Fingerprints: md5 of normalized text + a polynomial rolling hash of

@@ -343,6 +343,20 @@ object CoreQueries {
         sumDbl(col("value")).as("total_value"))
       .orderBy(col("user_id"), col("session_seq"))
 
+  /** Event-stream → SCD2 history compaction
+    * ([[graft.operators.Sessionize.compactRuns]]): consecutive
+    * same-event_type runs per user collapse into validity intervals
+    * (valid_from/valid_to/is_current) — the full-history generalization
+    * of the reference's latest-version-wins tables, one key exchange.
+    */
+  def scd2Compact(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize
+      .compactRuns(events(s, d), Seq("user_id"), "ts", "event_type",
+        tieCols = Seq("event_id"))
+      .select(col("user_id"), col("run_seq"), col("event_type"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy(col("user_id"), col("run_seq"))
+
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
     * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.

@@ -67,6 +67,32 @@ object Oracles {
   private def dot(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i]::DOUBLE * $b[i]::DOUBLE), (x, y) -> x + y)"
 
+  /** First 24 bits of md5($e) as a BIGINT in [0, 2^24) — the engine-
+    * portable hash of sample_weighted / QualityClassifier.md24.
+    */
+  private def md24(e: String): String =
+    s"""list_reduce(list_transform(string_split(substr(md5($e), 1, 6), ''),
+       |    c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::BIGINT""".stripMargin
+
+  /** Left-fold BIGINT dot product of two 64-dim integer lists
+    * (Similarity.centroidCosine's exact-grid dot).
+    */
+  private def dotL(a: String, b: String): String =
+    s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
+
+  /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
+    * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
+    * engine ships xxhash64 (the boilerplate-oracle contract: only
+    * counts/text cross engines, so hashing is invisible to the compare).
+    */
+  private def spanCtes(k: Int): String =
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |s AS MATERIALIZED (
+       |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + ${k - 1}], ' ') AS span
+       |  FROM t, unnest(range(1, len(toks) - $k + 2)) AS u(i) WHERE len(toks) >= $k),
+       |c AS (SELECT span FROM (SELECT span, count(*) AS n FROM s GROUP BY span) WHERE n > 1),
+       |d AS (SELECT s.doc_id, s.pos FROM s JOIN c USING (span))""".stripMargin
+
   /** Squared L2 between two 64-dim double lists (left fold). */
   private def d2(v: String, c: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
@@ -486,6 +512,29 @@ object Oracles {
          |  (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS duration_s,
          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
          |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+
+    // islands-and-gaps: lag marks event_type changes, running sum
+    // numbers the runs, lead back-fills valid_to from the next run
+    "scd2_compact" ->
+      s"""WITH g AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |    CASE WHEN lag(event_type) OVER w IS NULL
+         |              OR lag(event_type) OVER w <> event_type
+         |         THEN 1 ELSE 0 END AS chg
+         |  FROM $EV
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |r AS (
+         |  SELECT *, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS run_seq
+         |  FROM g),
+         |runs AS (
+         |  SELECT user_id, run_seq::BIGINT AS run_seq, min(event_type) AS event_type,
+         |    min(ts) AS valid_from, count(*) AS n_events
+         |  FROM r GROUP BY user_id, run_seq)
+         |SELECT user_id, run_seq, event_type, valid_from,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) AS valid_to,
+         |  n_events,
+         |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) IS NULL AS is_current
+         |FROM runs ORDER BY user_id, run_seq""".stripMargin,
 
     // planted violations (negate value on %97, unknown type on %101,
     // null user on %103); one summary row per rule incl. zero-violation
@@ -994,6 +1043,91 @@ object Oracles {
          |GROUP BY b2.query_id ORDER BY b2.query_id""".stripMargin,
 
     "dedup_semantic" -> semanticOracleSql,
+
+    // string spans stand in for the engine's xxhash64 span keys (counts
+    // and coverage only cross the compare); 6-token windows, coverage =
+    // union of duplicated-span positions
+    "dedup_spans" ->
+      s"""WITH ${spanCtes(6)},
+         |cov AS (SELECT doc_id, count(DISTINCT pos + j) AS n_cov
+         |        FROM d, unnest(range(0, 6)) AS v(j) GROUP BY doc_id),
+         |nd AS (SELECT doc_id, count(*) AS n_dup FROM d GROUP BY doc_id),
+         |tot AS (SELECT doc_id, len(toks)::INTEGER AS n_tokens,
+         |        greatest(len(toks) - 5, 0)::INTEGER AS n_spans FROM t)
+         |SELECT doc_id, n_tokens, n_spans,
+         |  coalesce(n_dup, 0)::BIGINT AS n_dup_spans,
+         |  coalesce(n_cov, 0)::BIGINT AS n_covered_tokens,
+         |  coalesce(n_cov, 0)::DOUBLE / n_tokens::DOUBLE AS covered_frac
+         |FROM tot LEFT JOIN nd USING (doc_id) LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // every position covered by any duplicated 6-token span is dropped;
+    // reassembly via ordered list aggregation over the surviving tokens
+    "dedup_span_scrub" ->
+      s"""WITH ${spanCtes(6)},
+         |cov AS (SELECT DISTINCT doc_id, pos + j AS idx FROM d, unnest(range(0, 6)) AS v(j)),
+         |u AS (SELECT doc_id, i - 1 AS idx, toks[i] AS tok
+         |      FROM t, unnest(range(1, len(toks) + 1)) AS w(i)),
+         |kept AS (SELECT u.doc_id, u.idx, u.tok FROM u
+         |         LEFT JOIN cov ON u.doc_id = cov.doc_id AND u.idx = cov.idx
+         |         WHERE cov.doc_id IS NULL),
+         |agg AS (SELECT doc_id, count(*) AS n_kept,
+         |        array_to_string(list(tok ORDER BY idx), ' ') AS txt
+         |        FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks)::INTEGER AS n_tokens,
+         |  coalesce(agg.n_kept, 0)::INTEGER AS n_kept,
+         |  coalesce(agg.txt, '') AS scrubbed_text
+         |FROM t LEFT JOIN agg USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // 2-token units, first occurrence (min position) wins, order kept
+    "text_dedup_units" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, ((len(toks) + 1) // 2) AS nu FROM t),
+        |u AS (SELECT doc_id, i, array_to_string(toks[(i - 1) * 2 + 1 : i * 2], ' ') AS unit
+        |      FROM c, unnest(range(1, nu + 1)) AS v(i)),
+        |f AS (SELECT doc_id, i, unit,
+        |      row_number() OVER (PARTITION BY doc_id, unit ORDER BY i) AS rn FROM u)
+        |SELECT c.doc_id, c.nu::INTEGER AS n_units, k.n_kept::INTEGER AS n_kept, k.txt AS text_deduped
+        |FROM c JOIN (SELECT doc_id, count(*) AS n_kept,
+        |             array_to_string(list(unit ORDER BY i), ' ') AS txt
+        |             FROM f WHERE rn = 1 GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+
+    // hash-derived weight table (md5-fixed-point, signed 24-bit), unigram
+    // + bigram features, integer-grid score — sum(w_fp) is associative so
+    // the score is partitioning-independent in both engines
+    "quality_classifier" ->
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT i::INTEGER AS bucket, (${md24("'w:' || i::VARCHAR")} - 8388608)::BIGINT AS w_fp
+         |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+         |t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(toks) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+         |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+         |j AS (SELECT doc_id, w_fp FROM b JOIN w USING (bucket))
+         |SELECT doc_id, count(*)::INTEGER AS n_feats,
+         |  sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score,
+         |  sum(w_fp) > 0 AS label
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // centroid = componentwise int64 sum on the 2^20 grid (scale-
+    // invariant for cosine); per-vector doubles emerge only from exact
+    // integer dots, so the float is engine-identical
+    "emb_centroid_cos" ->
+      s"""WITH fp AS MATERIALIZED (SELECT vec_id, label,
+         |  list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS v FROM embeddings),
+         |cd AS (SELECT label, i AS dim, sum(v[i]) AS s, count(*) AS n
+         |       FROM fp, unnest(range(1, 65)) AS u(i) GROUP BY label, i),
+         |cent AS (SELECT label, max(n)::INTEGER AS n_members, list(s ORDER BY dim) AS c FROM cd GROUP BY label)
+         |SELECT vec_id, label, n_members,
+         |  ${dotL("v", "c")}::DOUBLE
+         |    / (sqrt(${dotL("v", "v")}::DOUBLE) * sqrt(${dotL("c", "c")}::DOUBLE)) AS centroid_cos
+         |FROM fp JOIN cent USING (label)
+         |ORDER BY vec_id""".stripMargin,
 
     // JL projection: regenerate the 16x64 LCG matrix exactly as
     // Similarity.hyperplanes (seed scramble + 8 burn-in, 2s/m - 1),
@@ -1569,6 +1703,39 @@ object Oracles {
         |    sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s))) AS sfp
         |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id)
         |SELECT doc_id, n_tokens::INTEGER AS n_tokens,
+        |  ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS nll_per_token
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    // stupid-backoff bigram LM: every position is a (context, target)
+    // bigram with a <s> sentinel context at position 1; model = top-512
+    // bigrams of the corpus itself, backoff = -ln(0.4 * p(target)); all
+    // counts derive from ONE bigram aggregate (context counts = c2
+    // grouped by w1, target counts by w2, total = all positions)
+    "text_perplexity2" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1, toks[i] AS w2
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, sum(c) AS cc FROM c2 GROUP BY w1),
+        |kept AS (SELECT w1, w2, c FROM c2 ORDER BY c DESC, w1, w2 LIMIT 512),
+        |k2 AS MATERIALIZED (
+        |  SELECT k.w1, k.w2, floor(-ln(k.c::DOUBLE / c1.cc::DOUBLE) * 1099511627776.0)::BIGINT AS fp2
+        |  FROM kept k JOIN c1 USING (w1)),
+        |tot AS MATERIALIZED (SELECT sum(c)::BIGINT AS t FROM c2),
+        |bo AS MATERIALIZED (
+        |  SELECT w2, floor(-ln(0.4 * sum(c)::DOUBLE / (SELECT t FROM tot)::DOUBLE) * 1099511627776.0)::BIGINT AS fpbo
+        |  FROM c2 GROUP BY w2),
+        |sc AS (
+        |  SELECT bg.doc_id,
+        |    count(*) AS n_tokens,
+        |    sum(CASE WHEN k2.fp2 IS NULL THEN 1 ELSE 0 END) AS n_backoff,
+        |    sum(coalesce(k2.fp2, bo.fpbo)) AS sfp
+        |  FROM bg
+        |  LEFT JOIN k2 ON bg.w1 = k2.w1 AND bg.w2 = k2.w2
+        |  JOIN bo ON bg.w2 = bo.w2
+        |  GROUP BY bg.doc_id)
+        |SELECT doc_id, n_tokens::INTEGER AS n_tokens, n_backoff::INTEGER AS n_backoff,
         |  ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS nll_per_token
         |FROM sc ORDER BY doc_id""".stripMargin,
 

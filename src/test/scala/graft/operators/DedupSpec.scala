@@ -533,4 +533,63 @@ class DedupSpec extends SparkSuite {
     val cellOf = out.map(r => r._1 -> r._2).toMap
     assert((0 until 5).forall(i => cellOf(500L + i) == cellOf(i.toLong)))
   }
+
+  test("spanProfile counts corpus-duplicated k-spans and their covered positions") {
+    // doc 1 and doc 2 share tokens 0..5 ("a b c d e f") exactly once
+    // each; doc 3 is clean; doc 4 repeats its own 0..5 at 4..9
+    val df = Seq(
+      (1L, "a b c d e f p q r s"),
+      (2L, "a b c d e f x y z w"),
+      (3L, "m n o u v k h g t j"),
+      (4L, "i1 i2 i3 i4 i1 i2 i3 i4 i1 i2 i3 i4")).toDF("doc_id", "text")
+    val got = Dedup.spanProfile(df, "text", "doc_id", k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_tokens"), r.getAs[Int]("n_spans"),
+          r.getAs[Long]("n_dup_spans"), r.getAs[Long]("n_covered_tokens")))).toMap
+    // docs 1/2: 10 tokens, 5 spans, one shared span at pos 0 covering 0..5
+    assert(got(1L) == ((10, 5, 1L, 6L)))
+    assert(got(2L) == ((10, 5, 1L, 6L)))
+    assert(got(3L) == ((10, 5, 0L, 0L)))
+    // doc 4: period-4 repetition -> spans at pos 0..4 all duplicated
+    // within the doc (e.g. pos0 == pos4), full 12-token coverage
+    val (n4, s4, d4, c4) = got(4L)
+    assert(n4 == 12 && s4 == 7 && d4 > 0 && c4 == 12L)
+  }
+
+  test("spanScrub drops exactly the covered positions, keeps clean docs verbatim") {
+    val df = Seq(
+      (1L, "a b c d e f p q r s"),
+      (2L, "a b c d e f x y z w"),
+      (3L, "m n o u v k h g t j")).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(df, "text", "doc_id", k = 6)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_kept"),
+        r.getAs[String]("scrubbed_text")))
+    assert(got(0) == ((10, 4, "p q r s")))
+    assert(got(1) == ((10, 4, "x y z w")))
+    assert(got(2) == ((10, 10, "m n o u v k h g t j")))
+  }
+
+  test("spanScrub can scrub a document to empty") {
+    val df = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f")).toDF("doc_id", "text")
+    val got = Dedup.spanScrub(df, "text", "doc_id", k = 6)
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("n_kept") == 0)
+      assert(r.getAs[String]("scrubbed_text") == "")
+    }
+  }
+
+  test("spanProfile ignores docs shorter than k (no spans, zero coverage)") {
+    val df = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = Dedup.spanProfile(df, "text", "doc_id", k = 6).orderBy("doc_id").collect()
+    got.foreach { r =>
+      assert(r.getAs[Int]("n_spans") == 0)
+      assert(r.getAs[Long]("n_dup_spans") == 0L)
+      assert(r.getAs[Double]("covered_frac") == 0.0)
+    }
+  }
 }

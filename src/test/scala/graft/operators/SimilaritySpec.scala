@@ -201,4 +201,39 @@ class SimilaritySpec extends SparkSuite {
       }
     }
   }
+
+  test("centroidCosine: aligned members score ~1, the outlier scores lowest") {
+    import spark.implicits._
+    // label 0: three near-identical vectors + one orthogonal outlier;
+    // label 1: a singleton (centroid == itself -> cos ~ 1)
+    val df = Seq(
+      (1L, 0, Seq(1f, 0f, 0f, 0f)),
+      (2L, 0, Seq(0.99f, 0.01f, 0f, 0f)),
+      (3L, 0, Seq(0.98f, 0.02f, 0f, 0f)),
+      (4L, 0, Seq(0f, 0f, 1f, 0f)),
+      (9L, 1, Seq(0f, 0.5f, 0f, 0.5f))).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidCosine(df, "vec_id", "label", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Int]("n_members"), r.getAs[Double]("centroid_cos")))).toMap
+    assert(got(1L)._1 == 4 && got(9L)._1 == 1)
+    assert(got(9L)._2 > 0.999999)
+    assert(Seq(1L, 2L, 3L).forall(id => got(id)._2 > 0.9))
+    assert(got(4L)._2 < 0.5)
+    assert(got(4L)._2 == got.values.map(_._2).min)
+  }
+
+  test("centroidCosine is exact-grid deterministic under repartitioning") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 60).map(i =>
+      (i.toLong, i % 4, Seq.fill(8)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "label", "embedding")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Similarity.centroidCosine(d, "vec_id", "label", "embedding")
+        .orderBy("vec_id").as[(Long, Int, Int, Double)].collect().toSeq
+    // bit-identical cosines regardless of partitioning: the centroid sum
+    // is int64, so reduction order cannot perturb it
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+  }
 }

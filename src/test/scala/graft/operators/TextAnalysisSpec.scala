@@ -138,6 +138,58 @@ class TextAnalysisSpec extends SparkSuite {
     assert(!got.contains(4L))
   }
 
+  test("bigramNllBackoff matches a hand-computed stupid-backoff model") {
+    // corpus: doc1 "a b a b", doc2 "a b c"
+    // bigrams (with <s>): (<s>,a):2 (a,b):3 (b,a):1 (b,c):1; total 7
+    // contexts: <s>:2 a:3 b:2; targets: a:3 b:3 c:1
+    // topK=3 keeps (a,b),( <s>,a),(b,a) — (b,a) beats (b,c) on the
+    // (w1,w2) tie-break — so only (b,c) backs off
+    val df = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bigramNllBackoff(df, "text", "doc_id", topK = 3)
+      .orderBy("doc_id").collect()
+    val d1 = got(0); val d2 = got(1)
+    assert(d1.getAs[Int]("n_tokens") == 4 && d1.getAs[Int]("n_backoff") == 0)
+    assert(d2.getAs[Int]("n_tokens") == 3 && d2.getAs[Int]("n_backoff") == 1)
+    // doc1: -ln(2/2) - ln(3/3) - ln(1/2) - ln(3/3) = ln 2, /4 tokens
+    assert(math.abs(d1.getAs[Float]("nll_per_token") - math.log(2.0) / 4) < 1e-6)
+    // doc2: 0 + 0 + -ln(0.4 * 1/7) = ln 17.5, /3 tokens
+    assert(math.abs(d2.getAs[Float]("nll_per_token") - math.log(17.5) / 3) < 1e-6)
+  }
+
+  test("bigramNllBackoff is deterministic under repartitioning (int64 grid)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("u", "v", "w", "x", "y")
+    val df = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(15)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bigramNllBackoff(d, "text", "doc_id", topK = 10)
+        .orderBy("doc_id").as[(Long, Int, Int, Float)].collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(8)))
+  }
+
+  test("dedupUnits keeps each unit's first occurrence in order") {
+    val df = Seq(
+      (1L, "a b c d a b e f"),  // "a b" repeats at units 0 and 2
+      (2L, "x y x y x y"),      // all three units identical
+      (3L, "p q r s t")         // odd tail: last unit is the single "t"
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.dedupUnits(df, "text", "doc_id", unitSize = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_units"), r.getAs[Int]("n_kept"),
+        r.getAs[String]("text_deduped")))
+    assert(got(0) == ((4, 3, "a b c d e f")))
+    assert(got(1) == ((3, 1, "x y")))
+    assert(got(2) == ((3, 3, "p q r s t")))
+  }
+
+  test("dedupUnits at unitSize=1 is token-level first-occurrence dedup") {
+    val df = Seq((1L, "b a b c a")).toDF("doc_id", "text")
+    val r = TextAnalysis.dedupUnits(df, "text", "doc_id", unitSize = 1).collect()(0)
+    assert(r.getAs[String]("text_deduped") == "b a c")
+    assert(r.getAs[Int]("n_kept") == 3)
+  }
+
   test("piiMetrics counts match the redactions") {
     val df = TextAnalysis.piiMetrics(
       Seq((1L, "a@b.co c@d.org 10.1.2.3"), (2L, "clean")).toDF("doc_id", "text"), "text")
