@@ -56,7 +56,10 @@ object PlanAudit {
       // the bigram model join must broadcast ONLY the topK kept table
       // (the backoff side is vocabulary-like, unhinted); scd2 compaction
       // must plan one key exchange across its three window passes
-      "text_perplexity2", "scd2_compact")
+      "text_perplexity2", "scd2_compact",
+      // the funnel chain must be one key exchange (windows chained in
+      // one sort), not a stepwise join ladder
+      "funnel_steps")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -38,6 +38,7 @@ object SparkEntry {
     "w2_lag_intervals" -> (C.w2LagIntervals _),
     "sessionize" -> (C.sessionize _),
     "scd2_compact" -> (C.scd2Compact _),
+    "funnel_steps" -> (C.funnelSteps _),
     "session_parity" -> (C.sessionParity _),
     "quality_gate" -> (C.qualityGate _),
     "quality_quarantine" -> (C.qualityQuarantine _),

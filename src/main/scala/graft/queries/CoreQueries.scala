@@ -357,6 +357,22 @@ object CoreQueries {
         col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
       .orderBy(col("user_id"), col("run_seq"))
 
+  /** First-touch funnel ([[graft.operators.Funnel.steps]], the engine
+    * analog of ClickHouse `windowFunnel` over the reference's event
+    * tables): view → click → purchase within 24 h of the first view,
+    * one row per user who entered the funnel.
+    */
+  def funnelSteps(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.steps(
+      events(s, d), "user_id", "ts",
+      stages = Seq(col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase"),
+      windowSeconds = 86400L)
+      .where(col("funnel_level") >= 1)
+      .select(col("user_id"), col("funnel_level"), col("t1"), col("t2"), col("t3"))
+      .orderBy(col("user_id"))
+
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
     * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.

@@ -536,6 +536,25 @@ object Oracles {
          |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) IS NULL AS is_current
          |FROM runs ORDER BY user_id, run_seq""".stripMargin,
 
+    // first-touch funnel: each stage matches its earliest eligible event
+    // (min over the key), chain bounded to 24h of the stage-1 anchor —
+    // the stepwise-join form is the closed form of the engine's chained
+    // window mins
+    "funnel_steps" ->
+      s"""WITH e AS (SELECT user_id, ts, event_type FROM $EV),
+         |s1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (SELECT e.user_id, max(t1) AS t1, min(ts) AS t2 FROM e JOIN s1 USING (user_id)
+         |       WHERE event_type = 'click' AND ts >= t1
+         |         AND epoch_us(ts) <= epoch_us(t1) + 86400000000 GROUP BY e.user_id),
+         |s3 AS (SELECT e.user_id, min(ts) AS t3 FROM e JOIN s2 USING (user_id)
+         |       WHERE event_type = 'purchase' AND ts >= t2
+         |         AND epoch_us(ts) <= epoch_us(s2.t1) + 86400000000 GROUP BY e.user_id)
+         |SELECT s1.user_id,
+         |  (CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END)::INTEGER AS funnel_level,
+         |  s1.t1, t2, t3
+         |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+         |ORDER BY s1.user_id""".stripMargin,
+
     // planted violations (negate value on %97, unknown type on %101,
     // null user on %103); one summary row per rule incl. zero-violation
     // rules; a rule passes only when its predicate is TRUE
