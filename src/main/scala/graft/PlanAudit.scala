@@ -58,8 +58,9 @@ object PlanAudit {
       // must plan one key exchange across its three window passes
       "text_perplexity2", "scd2_compact",
       // the funnel chain must be one key exchange (windows chained in
-      // one sort), not a stepwise join ladder
-      "funnel_steps")
+      // one sort), not a stepwise join ladder; the DSv2 scan must show
+      // its claimed filters + pruned schema in the scan description
+      "funnel_steps", "dsv2_scan_pushdown")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -91,7 +91,16 @@ object ScaleSmoke {
         val p = ev.where(col("event_type") === "purchase").select(col("user_id"), col("event_id"), col("ts"))
         val c = ev.where(col("event_type") === "click").select(col("user_id"), col("ts"), col("event_id"), col("value"))
         AsOfJoin.asOf(p, c, Seq("user_id"), "ts", "ts", Seq("event_id")).count()
-      }))
+      }),
+      // round 8c
+      "span_profile" -> (() => Dedup.spanProfile(docs, "text", "doc_id", k = 6).count()),
+      "classifier" -> (() => QualityClassifier.scoreHashModel(docs, "text", "doc_id").count()),
+      "bigram_nll" -> (() => TextAnalysis.bigramNllBackoff(docs, "text", "doc_id", topK = 512).count()),
+      "funnel" -> (() => Funnel.steps(ev, "user_id", "ts",
+        Seq(col("event_type") === "view", col("event_type") === "click",
+          col("event_type") === "purchase"), 86400L).count()),
+      "scd2_compact" -> (() => Sessionize.compactRuns(ev, Seq("user_id"), "ts",
+        "event_type", Seq("event_id")).count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

@@ -39,6 +39,7 @@ object SparkEntry {
     "sessionize" -> (C.sessionize _),
     "scd2_compact" -> (C.scd2Compact _),
     "funnel_steps" -> (C.funnelSteps _),
+    "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_gate" -> (C.qualityGate _),
     "quality_quarantine" -> (C.qualityQuarantine _),

@@ -357,6 +357,33 @@ object CoreQueries {
         col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
       .orderBy(col("user_id"), col("run_seq"))
 
+  /** S1's DataSource V2 form end-to-end
+    * ([[graft.sources.v2.TrackerSource]]): the events relation is dumped
+    * to TSV "API pages" once, then read back through the connector with
+    * a watermark predicate + event-type filter + projection — all three
+    * CLAIMED by the source (the reference's server-side Tracker-QL
+    * compilation, `etl.py:66-111`, as Catalyst pushdown; asserted in
+    * Dsv2SourceSpec and visible in PlanAudit's scan description).
+    */
+  def dsv2ScanPushdown(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dir = new java.io.File(
+      sys.props("java.io.tmpdir"),
+      s"graft-pages-${Integer.toHexString(d.hashCode)}").getPath
+    events(s, d)
+      .select(col("event_id"), unix_micros(col("ts")).as("tsu"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .as[(Long, Long, Long, String, Double, String)]
+      .map { case (e, t, u, ty, v, p) => graft.sources.v2.TrackerSource.encodeLine(e, t, u, ty, v, p) }
+      .repartition(8)
+      .write.mode("overwrite").text(dir)
+    s.read.format("graft.sources.v2.TrackerSource").option("path", dir).load()
+      .where(col("event_type") === "purchase" &&
+        col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(col("event_id"), col("ts"), col("user_id"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
   /** First-touch funnel ([[graft.operators.Funnel.steps]], the engine
     * analog of ClickHouse `windowFunnel` over the reference's event
     * tables): view → click → purchase within 24 h of the first view,

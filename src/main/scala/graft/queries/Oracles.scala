@@ -536,6 +536,14 @@ object Oracles {
          |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY run_seq) IS NULL AS is_current
          |FROM runs ORDER BY user_id, run_seq""".stripMargin,
 
+    // the DSv2 connector round-trips events through TSV pages with the
+    // value as raw IEEE bits, so the filtered/projected result is
+    // bit-identical to filtering the parquet directly
+    "dsv2_scan_pushdown" ->
+      s"""SELECT event_id, ts, user_id, value FROM $EV
+         |WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-15 00:00:00'
+         |ORDER BY event_id""".stripMargin,
+
     // first-touch funnel: each stage matches its earliest eligible event
     // (min over the key), chain bounded to 24h of the stage-1 anchor —
     // the stepwise-join form is the closed form of the engine's chained
