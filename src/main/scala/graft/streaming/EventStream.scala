@@ -105,6 +105,74 @@ object EventStream {
       }
   }
 
+  /** Per-user funnel progress: deepest stage reached so far, the chain's
+    * anchor timestamp and the deepest stage's matched timestamp.
+    */
+  final case class FunnelProgress(user_id: Long, funnel_level: Int,
+                                  t1: Timestamp, t_level: Timestamp)
+
+  /** matched(i) = micros of the stage-(i+1) match, ascending. */
+  final case class FunnelState(matched: Seq[Long])
+
+  /** Streaming first-touch funnel — the resident form of
+    * [[graft.operators.Funnel.steps]]: per-user state holds the matched
+    * stage timestamps; a stage-(k+1) event extends the chain when it is
+    * at/after the stage-k match and within `windowSeconds` of the
+    * anchor, and a row is emitted whenever a user's level ADVANCES (a
+    * funnel dashboard updating per micro-batch).
+    *
+    * Batch equivalence (asserted in EventStreamSpec): greedy in-arrival
+    * matching equals the batch form's per-stage `min` WHEN micro-batches
+    * deliver in event-time order — the statusIntervals contract. Out of
+    * order, the anchor is STICKY: a later-arriving earlier stage-1 event
+    * does not retroactively re-anchor the chain (the batch form,
+    * re-run over the full log, would) — same divergence class as the
+    * watermark dropping late rows.
+    *
+    * Scale note: state is O(stages) per live user — bounded by key
+    * cardinality; an idle-user eviction policy is the same
+    * ProcessingTimeTimeout switch documented on [[statusIntervals]].
+    */
+  def funnelProgress(events: DataFrame, stageTypes: Seq[String],
+                     windowSeconds: Long): Dataset[FunnelProgress] = {
+    require(stageTypes.size >= 2, "need at least 2 funnel stages")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val n = stageTypes.size
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("event_type").cast("string"), col("ts").cast("timestamp"))
+      .where(col("ts").isNotNull && col("user_id").isNotNull)
+      .as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[FunnelState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
+          var m = state.getOption.map(_.matched).getOrElse(Seq.empty)
+          val before = m.size
+          for (e <- sorted) {
+            val lvl = m.size
+            if (lvl < n && e.event_type == stageTypes(lvl)) {
+              val us = micros(e.ts)
+              val eligible =
+                if (lvl == 0) true
+                else us >= m.last && us <= m.head + windowSeconds * 1000000L
+              if (eligible) m = m :+ us
+            }
+          }
+          if (m.size > before) {
+            state.update(FunnelState(m))
+            val toTs = (us: Long) => {
+              val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+              t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+              t
+            }
+            Iterator.single(FunnelProgress(userId, m.size, toTs(m.head), toTs(m.last)))
+          } else Iterator.empty
+      }
+  }
+
   /** Streaming gap sessions via Spark's NATIVE `session_window` — the
     * streaming twin of [[graft.operators.Sessionize]]: per (user,
     * session-of-inactivity-gap) counts and span, session state merged

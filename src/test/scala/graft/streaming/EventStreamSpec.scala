@@ -109,6 +109,46 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming funnelProgress final rows == batch Funnel.steps at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-funnel")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(inDir.toString)
+    val events =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val stages = Seq("view", "click", "purchase")
+    // one AvailableNow batch delivers in event-time order after the
+    // per-group sort, so greedy matching == the batch per-stage min;
+    // the LAST row per user is the final funnel state
+    val streamed = EventStream.runAvailableNow(
+      EventStream.funnelProgress(events, stages, 86400L).toDF(), "funnel_test",
+      tmp.resolve("ckpt").toString, outputMode = "append")
+      .map(r => (r.getLong(0), r.getInt(1), r.getTimestamp(2).toInstant.toString,
+        r.getTimestamp(3).toInstant.toString))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._2) }
+      .toSet
+
+    val batch = graft.operators.Funnel.steps(
+      graft.sources.Tables.events(spark, sfDir), "user_id", "ts",
+      stages.map(t => col("event_type") === t), 86400L)
+      .where(col("funnel_level") >= 1)
+      .collect()
+      .map { r =>
+        val lvl = r.getAs[Int]("funnel_level")
+        (r.getAs[Long]("user_id"), lvl,
+          r.getAs[java.sql.Timestamp]("t1").toInstant.toString,
+          r.getAs[java.sql.Timestamp](s"t$lvl").toInstant.toString)
+      }
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("statusIntervals drops cross-batch late events instead of emitting negative durations") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft-stream-late")
