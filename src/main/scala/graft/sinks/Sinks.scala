@@ -13,6 +13,29 @@ final class ParquetSink(baseDir: String) extends Sink {
     df.write.mode("overwrite").parquet(s"$baseDir/$table")
 }
 
+/** Bucketed parquet sink — the co-location story of SCALING.md made
+  * executable: the pipeline's three tables share `issue_key`-family
+  * keys, and writing them bucketed on that key (hive-bucketed parquet
+  * via `bucketBy` + `saveAsTable`) lets every downstream equi-join and
+  * re-export dedup read both sides pre-partitioned — Catalyst plans the
+  * join with ZERO Exchange operators (asserted in SinksSpec). At 100 TB
+  * that deletes the dominant shuffle of every issues⋈metrics /
+  * issues⋈changelog readback; the write itself costs one clustering
+  * pass, amortized across every consumer.
+  *
+  * Both sides must agree on bucket COUNT and key (the Spark bucketing
+  * contract); `spark.sql.sources.bucketing.enabled` (default true) and
+  * AQE leave bucketed scans un-coalesced.
+  */
+final class BucketedTableSink(buckets: Int, keys: Seq[String]) extends Sink {
+  def write(df: DataFrame, table: String): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+}
+
 /** S9 console sink (dry run, etl.py:260-264). */
 final class ConsoleSink(rows: Int = 20) extends Sink {
   def write(df: DataFrame, table: String): Unit = {

@@ -71,4 +71,39 @@ class SinksSpec extends SparkSuite {
     }
     assert(calls2 == 2)
   }
+
+  test("BucketedTableSink: joins between co-bucketed tables plan ZERO exchanges") {
+    import spark.implicits._
+    val issues = (0 until 200).map(i => (s"K-$i", s"queue${i % 5}", i.toLong))
+      .toDF("issue_key", "queue", "version")
+    val metrics = (0 until 200).flatMap(i =>
+      Seq("open", "closed").map(st => (s"K-$i", st, i * 10L)))
+      .toDF("issue_key", "status", "duration")
+    val sink = new BucketedTableSink(buckets = 8, keys = Seq("issue_key"))
+    sink.write(issues, "sink_spec_issues")
+    sink.write(metrics, "sink_spec_metrics")
+    // tables this small take the broadcast path (which ignores
+    // bucketing); disable it so the plan is the sort-merge join a
+    // 100 TB issues⋈metrics would use — THAT is the exchange-free claim
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("sink_spec_issues")
+      val b = spark.table("sink_spec_metrics")
+      val joined = a.join(b, Seq("issue_key"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 400)
+      // the dedup readback (A4 latest-version) also rides the bucketing:
+      // its aggregate needs no exchange either
+      val dedup = graft.operators.Dedup.latestByKey(a, Seq("issue_key"), Seq("version"))
+      assert(!dedup.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"))
+      assert(dedup.count() == 200)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS sink_spec_issues")
+      spark.sql("DROP TABLE IF EXISTS sink_spec_metrics")
+    }
+  }
 }
