@@ -60,7 +60,13 @@ object PlanAudit {
       // the funnel chain must be one key exchange (windows chained in
       // one sort), not a stepwise join ladder; the DSv2 scan must show
       // its claimed filters + pruned schema in the scan description
-      "funnel_steps", "dsv2_scan_pushdown")
+      "funnel_steps", "dsv2_scan_pushdown",
+      // the hash featurizer must have NO vocabulary join anywhere —
+      // one explode, one (id,bucket) aggregate, one window; the
+      // classifier curation chain broadcasts only the 4096-row weight
+      // table, keeps span counting to one gram exchange, one budget
+      // window at the end
+      "text_embed_hash", "curation_classifier")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

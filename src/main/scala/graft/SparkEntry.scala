@@ -95,6 +95,9 @@ object SparkEntry {
     "text_dedup_units" -> (L.textDedupUnits _),
     "quality_classifier" -> (L.qualityClassifier _),
     "emb_centroid_cos" -> (L.embCentroidCos _),
+    "text_embed_hash" -> (L.textEmbedHash _),
+    "bpe_merges" -> (L.bpeMerges _),
+    "curation_classifier" -> (L.curationClassifier _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge induction — learning a tokenizer's merge
+  * table FROM the corpus (Sennrich et al. 2016, "Neural Machine
+  * Translation of Rare Words with Subword Units"): start from
+  * characters, repeatedly count adjacent symbol pairs across the
+  * (frequency-weighted) vocabulary and merge the most frequent pair.
+  * The training-data side of tokenization — everything else in this
+  * engine CONSUMES a tokenizer; this builds one.
+  *
+  * Merge application is leftmost non-overlapping STRING REWRITING of
+  * the space-joined symbol sequence (`replace(s, ' a b ', ' ab ')`) —
+  * deterministic and byte-identical across engines, which is what the
+  * oracle replays. For a run of immediately repeating pairs the rewrite
+  * consumes the shared separator (" a b a b " rewrites one pair, the
+  * second pair's leading space was consumed), a documented divergence
+  * from the per-symbol greedy fold on that degenerate case only. Ties
+  * on pair count break (left, right) ascending — a total order.
+  *
+  * Scale shape: the corpus is touched ONCE (the token-frequency
+  * aggregate); every merge round then runs over the VOCABULARY table
+  * (pair explode → pair-count aggregate → 1-row argmax → rewrite), so
+  * k merges cost k vocabulary-sized jobs, not k corpus passes. The
+  * 1-row-per-round `collect` is the watermark-commit class of driver
+  * action (sanctioned); the vocabulary is checkpointed each round to
+  * keep the lineage flat. BPE's sequential-merge dependency is
+  * inherent — parallelism lives INSIDE each round's aggregate.
+  */
+object Bpe {
+
+  /** Learn up to `k` merges. Returns (step, merge_left, merge_right,
+    * pair_count) — fewer than `k` rows when the vocabulary runs dry.
+    */
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+
+    var vocab = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .select(col("freq"),
+        concat(lit(" "), array_join(split(col("token"), ""), " "), lit(" ")).as("s"))
+      .localCheckpoint(false)
+
+    val found = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var dry = false
+    while (step <= k && !dry) {
+      val pairs = vocab
+        .select(col("freq"), split(trim(col("s")), " ").as("l"))
+        .where(size(col("l")) >= 2)
+        .select(col("freq"), explode(transform(sequence(lit(0), size(col("l")) - 2),
+          i => struct(element_at(col("l"), i + 1).as("a"),
+            element_at(col("l"), i + 2).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("c"))
+      val best: Array[Row] = pairs.orderBy(col("c").desc, col("a"), col("b")).limit(1).collect()
+      if (best.isEmpty) dry = true
+      else {
+        val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        found += ((step, a, b, c))
+        vocab = vocab
+          .withColumn("s", call_function("replace",
+            col("s"), lit(s" $a $b "), lit(s" $a$b ")))
+          .localCheckpoint(false)
+        step += 1
+      }
+    }
+    found.result().toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+}

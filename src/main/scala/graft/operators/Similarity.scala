@@ -210,6 +210,36 @@ object Similarity {
         .as("q"))
   }
 
+  /** Hashing-trick text featurizer — text → dense-ish embedding with no
+    * model (the HashingTF / feature-hashing construction, Weinberger et
+    * al. 2009): each token hashes to one of `dim` buckets, the vector is
+    * the L2-normalized bucket-count histogram. The cheap featurization
+    * that backs dedup/ANN/clustering when no learned embedder is in the
+    * loop — and the engine-side shape of one (tokenize → feature map →
+    * normalize) with the hash standing in for model inference. Emits
+    * SPARSE rows (`idCol`, dim, weight), zero buckets absent.
+    *
+    * One bounded explode + ONE (id, bucket) hash aggregate; the L2 norm
+    * rides a same-partitioning window (sum of squared counts — exact
+    * int64, so the single float division is engine-identical). No
+    * vocabulary table exists at all — the hash IS the vocabulary, which
+    * is the point at 100 TB (nothing to broadcast, nothing to fit).
+    */
+  def hashEmbed(docs: DataFrame, textCol: String, idCol: String,
+                dim: Int = 64): DataFrame = {
+    val bucket = (conv(substring(md5(col("_term")), 1, 6), 16, 10).cast("long") % dim)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("_term"))
+      .select(col(idCol), bucket.as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("_cnt"))
+      .withColumn("_n2", sum(col("_cnt") * col("_cnt")).over(w))
+      .select(col(idCol), col("dim"),
+        (col("_cnt").cast("double") / sqrt(col("_n2").cast("double"))).as("weight"))
+  }
+
   /** Per-vector cosine to its group's centroid — the cluster-quality /
     * outlier-detection pass over a labeled (or cluster-assigned)
     * embedding table: a vector far from its own label's centroid is a

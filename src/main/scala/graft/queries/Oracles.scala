@@ -80,6 +80,40 @@ object Oracles {
   private def dotL(a: String, b: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> $a[i] * $b[i]), (x, y) -> x + y)"
 
+  /** Bpe.merges unrolled to k rounds of CTEs (the kmeansFitCtes
+    * discipline: every reused CTE MATERIALIZED so inlining cannot go
+    * exponential): v0 = the char-split frequency vocabulary; each round
+    * counts adjacent pairs, takes the (count desc, a, b) argmax, and
+    * applies the same leftmost non-overlapping string rewrite the engine
+    * uses — so the learned merge table matches byte-for-byte. A dry
+    * vocabulary empties b_r and every later round, matching the
+    * engine's early stop.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq)::BIGINT AS c
+         |  FROM (SELECT string_split(trim(s), ' ') AS l, freq FROM v${r - 1}),
+         |       unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY a, b),
+         |b$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s, freq
+         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS step, a AS merge_left, b AS merge_right, c AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH v0 AS MATERIALIZED (
+       |  SELECT ' ' || array_to_string(string_split(token, ''), ' ') || ' ' AS s, freq
+       |  FROM (SELECT token, count(*)::BIGINT AS freq FROM (
+       |          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
+       |          FROM documents) GROUP BY token)),
+       |$rounds
+       |$union
+       |ORDER BY step""".stripMargin
+  }
+
   /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
     * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
     * engine ships xxhash64 (the boilerplate-oracle contract: only
@@ -1140,6 +1174,63 @@ object Oracles {
          |  sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score,
          |  sum(w_fp) > 0 AS label
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "bpe_merges" -> bpeOracleSql(8),
+
+    // quality gate -> classifier (score > 0) -> span coverage <= 0.5
+    // (FULL-corpus spans) -> exact canonical -> per-lang budget ranked
+    // by classifier score; composes the quality_classifier and
+    // dedup_spans CTEs with the corpus_curation gate expressions
+    "curation_classifier" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |s AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 5], ' ') AS span
+         |  FROM t, unnest(range(1, len(toks) - 6 + 2)) AS u(i) WHERE len(toks) >= 6),
+         |cdup AS (SELECT span FROM (SELECT span, count(*) AS n FROM s GROUP BY span) WHERE n > 1),
+         |d AS (SELECT s.doc_id, s.pos FROM s JOIN cdup USING (span)),
+         |cov AS (SELECT doc_id, count(DISTINCT pos + j) AS ncov
+         |        FROM d, unnest(range(0, 6)) AS v(j) GROUP BY doc_id),
+         |covf AS (SELECT t.doc_id, coalesce(ncov, 0)::DOUBLE / len(t.toks)::DOUBLE AS covered_frac
+         |         FROM t LEFT JOIN cov USING (doc_id)),
+         |q AS MATERIALIZED (
+         |  SELECT doc_id, lang, text, toks FROM t
+         |  WHERE len(toks) >= 10 AND len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE > 0.2
+         |    AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0),
+         |w AS MATERIALIZED (
+         |  SELECT i::INTEGER AS bucket, (${md24("'w:' || i::VARCHAR")} - 8388608)::BIGINT AS w_fp
+         |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+         |feats AS (
+         |  SELECT doc_id, unnest(toks) AS f FROM q
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+         |  FROM q, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+         |bk AS (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+         |cls AS (SELECT doc_id, sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score,
+         |               sum(w_fp) > 0 AS lbl
+         |        FROM bk JOIN w USING (bucket) GROUP BY doc_id),
+         |g AS (SELECT q.doc_id, q.lang, q.text, cls.score, covf.covered_frac,
+         |        len(regexp_extract_all(q.text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+         |      FROM q JOIN cls USING (doc_id) JOIN covf USING (doc_id)
+         |      WHERE cls.lbl AND covf.covered_frac <= 0.5),
+         |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))) AS canon FROM g),
+         |sel AS (SELECT doc_id, lang, score, covered_frac, n_sel_tokens,
+         |          sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+         |        FROM k WHERE doc_id = canon)
+         |SELECT doc_id, lang, score, covered_frac, n_sel_tokens, cum_tokens
+         |FROM sel WHERE cum_tokens <= 4000
+         |ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
+    // bucket-count histogram over md24(term) % 64, L2-normalized — the
+    // squared-count sum is exact int64, so the one division matches
+    "text_embed_hash" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents),
+         |b AS (SELECT doc_id, (${md24("term")} % 64)::INTEGER AS dim, count(*) AS cnt
+         |      FROM t GROUP BY doc_id, dim),
+         |n AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM b GROUP BY doc_id)
+         |SELECT doc_id, dim, cnt::DOUBLE / sqrt(n2::DOUBLE) AS weight
+         |FROM b JOIN n USING (doc_id)
+         |ORDER BY doc_id, dim""".stripMargin,
 
     // centroid = componentwise int64 sum on the 2^20 grid (scale-
     // invariant for cosine); per-vector doubles emerge only from exact

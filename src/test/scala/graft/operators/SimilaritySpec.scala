@@ -202,6 +202,27 @@ class SimilaritySpec extends SparkSuite {
     }
   }
 
+  test("hashEmbed rows are L2-normalized sparse histograms") {
+    import spark.implicits._
+    val df = Seq((1L, "a b a c"), (2L, "solo")).toDF("doc_id", "text")
+    val rows = Similarity.hashEmbed(df, "text", "doc_id", dim = 16)
+      .as[(Long, Int, Double)].collect()
+    val byDoc = rows.groupBy(_._1)
+    // unit norm per doc
+    byDoc.values.foreach { rs =>
+      assert(math.abs(rs.map(r => r._3 * r._3).sum - 1.0) < 1e-12)
+    }
+    // doc 2 is one token -> exactly one bucket at weight 1.0
+    assert(byDoc(2L).toSeq == Seq((2L, byDoc(2L).head._2, 1.0)))
+    // doc 1: "a" (count 2) outweighs "b"/"c" unless they collide
+    val w1 = byDoc(1L).map(_._3).max
+    assert(w1 >= 2.0 / math.sqrt(6.0) - 1e-12)
+    // deterministic across partitionings
+    val again = Similarity.hashEmbed(df.repartition(5), "text", "doc_id", dim = 16)
+      .as[(Long, Int, Double)].collect().toSet
+    assert(again == rows.toSet)
+  }
+
   test("centroidCosine: aligned members score ~1, the outlier scores lowest") {
     import spark.implicits._
     // label 0: three near-identical vectors + one orthogonal outlier;
