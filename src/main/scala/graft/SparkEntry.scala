@@ -97,6 +97,8 @@ object SparkEntry {
     "emb_centroid_cos" -> (L.embCentroidCos _),
     "text_embed_hash" -> (L.textEmbedHash _),
     "bpe_merges" -> (L.bpeMerges _),
+    "bpe_tokenize" -> (L.bpeTokenize _),
+    "ann_hash_embed" -> (L.annHashEmbed _),
     "curation_classifier" -> (L.curationClassifier _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),

@@ -31,18 +31,16 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Learn up to `k` merges. Returns (step, merge_left, merge_right,
-    * pair_count) — fewer than `k` rows when the vocabulary runs dry.
+  /** The training loop: returns the merge list and the final vocabulary
+    * (token, freq, s) with all merges applied to `s`.
     */
-  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+  private def train(docs: DataFrame, textCol: String,
+                    k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(k >= 1, "need k >= 1")
-    val spark = docs.sparkSession
-    import spark.implicits._
-
     var vocab = docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("token"), col("freq"),
         concat(lit(" "), array_join(split(col("token"), ""), " "), lit(" ")).as("s"))
       .localCheckpoint(false)
 
@@ -70,6 +68,36 @@ object Bpe {
         step += 1
       }
     }
-    found.result().toDF("step", "merge_left", "merge_right", "pair_count")
+    (found.result(), vocab)
+  }
+
+  /** Learn up to `k` merges. Returns (step, merge_left, merge_right,
+    * pair_count) — fewer than `k` rows when the vocabulary runs dry.
+    */
+  def merges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    train(docs, textCol, k)._1.toDF("step", "merge_left", "merge_right", "pair_count")
+  }
+
+  /** Apply the learned tokenizer back to the corpus — the ENCODE half of
+    * BPE: per document, the whitespace token count and the subword count
+    * after `k` merges (the sequence-length statistic that drives context
+    * budgeting and packing). The encoding runs on the VOCABULARY (each
+    * distinct token encoded once); documents join their tokens to the
+    * tiny encoded-vocab table — the corpus is never re-tokenized per
+    * merge. Emits (`idCol`, n_ws_tokens, n_bpe_tokens).
+    */
+  def encodeCounts(docs: DataFrame, textCol: String, idCol: String,
+                   k: Int): DataFrame = {
+    val (_, vocab) = train(docs, textCol, k)
+    val enc = vocab.select(col("token"),
+      size(split(trim(col("s")), " ")).as("_nsym"))
+    docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .join(enc, Seq("token"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
+        sum(col("_nsym")).cast("int").as("n_bpe_tokens"))
   }
 }

@@ -240,6 +240,62 @@ object Similarity {
         (col("_cnt").cast("double") / sqrt(col("_n2").cast("double"))).as("weight"))
   }
 
+  /** Count-form hash features: (`idCol`, dim, cnt, n2) where cnt is the
+    * bucket count and n2 the doc's squared norm — the integer-exact
+    * backbone of [[hashEmbed]] (weight = cnt/√n2).
+    */
+  private def hashCounts(docs: DataFrame, textCol: String, idCol: String,
+                         dim: Int): DataFrame = {
+    val bucket = (conv(substring(md5(col("_term")), 1, 6), 16, 10).cast("long") % dim)
+      .cast("int")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("_term"))
+      .select(col(idCol), bucket.as("dim"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("n2", sum(col("cnt") * col("cnt")).over(w))
+  }
+
+  /** Text-to-text similarity top-k over the hash features — the sparse
+    * INVERTED-INDEX strategy next to the dense ANN family: sparse rows
+    * join on the feature dimension (a posting-list intersection), dot
+    * products accumulate on exact int64 counts, and the single float
+    * cosine emerges at the end (so ranking is reduction-order-proof,
+    * unlike a float-weight sparse dot). Emits (query_id, neighbor_id,
+    * rank, cosine), self-matches excluded.
+    *
+    * Scale shape: the query side is bounded (the ANN-brute contract) and
+    * BROADCASTS, so the posting-list join is map-side against the
+    * candidate stream — no shuffle touches the corpus until the per-pair
+    * aggregate on (query, neighbor), which partial-aggregates map-side.
+    * `dim` keys are few (64) and hot by construction; broadcasting the
+    * small side is exactly what neutralizes that skew.
+    */
+  def hashEmbedTopK(candidates: DataFrame, queries: DataFrame, k: Int,
+                    textCol: String = "text", idCol: String = "doc_id",
+                    dim: Int = 64): DataFrame = {
+    val c = hashCounts(candidates, textCol, idCol, dim)
+      .select(col(idCol).as("neighbor_id"), col("dim"),
+        col("cnt").as("_ccnt"), col("n2").as("_cn2"))
+    val q = hashCounts(queries, textCol, idCol, dim)
+      .select(col(idCol).as("query_id"), col("dim"),
+        col("cnt").as("_qcnt"), col("n2").as("_qn2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    broadcast(q).join(c, Seq("dim"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_qcnt") * col("_ccnt")).as("_dot"),
+        max(col("_qn2")).as("_qn2"), max(col("_cn2")).as("_cn2"))
+      .withColumn("cosine",
+        col("_dot").cast("double")
+          / (sqrt(col("_qn2").cast("double")) * sqrt(col("_cn2").cast("double"))))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+
   /** Per-vector cosine to its group's centroid — the cluster-quality /
     * outlier-detection pass over a labeled (or cluster-assigned)
     * embedding table: a vector far from its own label's centroid is a

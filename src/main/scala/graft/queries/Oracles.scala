@@ -89,7 +89,11 @@ object Oracles {
     * vocabulary empties b_r and every later round, matching the
     * engine's early stop.
     */
-  private def bpeOracleSql(k: Int): String = {
+  /** Shared CTE prefix: `v0` = the (token, freq, char-split s)
+    * vocabulary; `p_r`/`b_r`/`v_r` per round — v_k carries every merge
+    * applied, so the encode oracle reads symbol counts straight off it.
+    */
+  private def bpeCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT l[i] AS a, l[i + 1] AS b, sum(freq)::BIGINT AS c
@@ -98,21 +102,33 @@ object Oracles {
          |  GROUP BY a, b),
          |b$r AS MATERIALIZED (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
          |v$r AS MATERIALIZED (
-         |  SELECT replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s, freq
+         |  SELECT token, replace(s, ' ' || a || ' ' || b || ' ', ' ' || a || b || ' ') AS s, freq
          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k).map(r =>
-      s"SELECT $r AS step, a AS merge_left, b AS merge_right, c AS pair_count FROM b$r")
-      .mkString("\nUNION ALL ")
-    s"""WITH v0 AS MATERIALIZED (
-       |  SELECT ' ' || array_to_string(string_split(token, ''), ' ') || ' ' AS s, freq
+    s"""v0 AS MATERIALIZED (
+       |  SELECT token, ' ' || array_to_string(string_split(token, ''), ' ') || ' ' AS s, freq
        |  FROM (SELECT token, count(*)::BIGINT AS freq FROM (
        |          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token
        |          FROM documents) GROUP BY token)),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val union = (1 to k).map(r =>
+      s"SELECT $r AS step, a AS merge_left, b AS merge_right, c AS pair_count FROM b$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH ${bpeCtes(k)}
        |$union
        |ORDER BY step""".stripMargin
   }
+
+  private def bpeTokenizeOracleSql(k: Int): String =
+    s"""WITH ${bpeCtes(k)},
+       |enc AS (SELECT token, len(string_split(trim(s), ' ')) AS nsym FROM v$k),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS token FROM documents)
+       |SELECT doc_id, count(*)::INTEGER AS n_ws_tokens, sum(nsym)::INTEGER AS n_bpe_tokens
+       |FROM tok JOIN enc USING (token)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
     * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
@@ -1176,6 +1192,31 @@ object Oracles {
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "bpe_merges" -> bpeOracleSql(8),
+    "bpe_tokenize" -> bpeTokenizeOracleSql(8),
+
+    // posting-list intersection over md24(term)%64 buckets; dots are
+    // exact int64 count products, the float cosine appears only in the
+    // final projection, so top-k ranking is reduction-order-proof
+    "ann_hash_embed" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term FROM documents),
+         |b AS MATERIALIZED (SELECT doc_id, (${md24("term")} % 64)::INTEGER AS dim, count(*)::BIGINT AS cnt
+         |      FROM t GROUP BY doc_id, dim),
+         |n AS MATERIALIZED (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM b GROUP BY doc_id),
+         |q AS (SELECT doc_id AS query_id, dim, cnt AS qcnt FROM b WHERE doc_id < 10),
+         |pairs AS (
+         |  SELECT query_id, b.doc_id AS neighbor_id, sum(qcnt * cnt)::BIGINT AS dot
+         |  FROM q JOIN b USING (dim) WHERE b.doc_id <> query_id
+         |  GROUP BY query_id, neighbor_id),
+         |sc AS (
+         |  SELECT query_id, neighbor_id,
+         |    dot::DOUBLE / (sqrt(nq.n2::DOUBLE) * sqrt(nc.n2::DOUBLE)) AS cosine
+         |  FROM pairs
+         |  JOIN n nq ON nq.doc_id = query_id
+         |  JOIN n nc ON nc.doc_id = neighbor_id)
+         |SELECT query_id, neighbor_id, rank::INTEGER AS rank, cosine FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sc)
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // quality gate -> classifier (score > 0) -> span coverage <= 0.5
     // (FULL-corpus spans) -> exact canonical -> per-lang budget ranked

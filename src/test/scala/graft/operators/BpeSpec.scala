@@ -48,6 +48,27 @@ class BpeSpec extends SparkSuite {
     assert(got.exists(m => m._2 == "es" || m._3 == "es"))
   }
 
+  test("encodeCounts applies every merge: classic corpus subword counts") {
+    val freq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val docs = freq.toSeq.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "text")
+    // independent recomputation: run referenceMerges' rewrite chain on
+    // each word and count symbols
+    val ms = referenceMerges(freq, 6)
+    def encode(w: String): Int = {
+      var s = s" ${w.split("").mkString(" ")} "
+      ms.foreach { case (_, a, b, _) => s = s.replace(s" $a $b ", s" $a$b ") }
+      s.trim.split(" ").length
+    }
+    val got = Bpe.encodeCounts(docs, "text", "doc_id", k = 6)
+      .as[(Long, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val words = freq.toSeq.flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+    words.zipWithIndex.foreach { case (w, i) =>
+      assert(got(i.toLong) == ((1, encode(w))), s"doc $i word $w")
+    }
+  }
+
   test("stops early when the vocabulary runs dry") {
     val docs = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     // only 2 distinct pairs exist: (a,b) and (c,d); asking for 10 yields 2

@@ -223,6 +223,32 @@ class SimilaritySpec extends SparkSuite {
     assert(again == rows.toSet)
   }
 
+  test("hashEmbedTopK: near-identical docs retrieve each other first") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "plum", "gold", "jade")
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // docs 100+q are near-copies of queries 0..4 (one word appended)
+    val copies = (0 until 5).map(q => (100L + q, base(q)._2 + " extra"))
+    val docs = (base ++ copies).toDF("doc_id", "text")
+    val out = Similarity.hashEmbedTopK(docs, docs.where($"doc_id" < 5), k = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine")))
+    (0 until 5).foreach { q =>
+      val top = out.filter(t => t._1 == q && t._2 == 1).head
+      assert(top._3 == 100L + q, s"query $q top hit ${top._3}")
+      assert(top._4 > 0.95)
+    }
+    // ranks are dense 1..3 per query and cosines non-increasing
+    out.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == Seq(1, 2, 3))
+      assert(sorted.sliding(2).forall { case Array(a, b) => a._4 >= b._4 })
+    }
+  }
+
   test("centroidCosine: aligned members score ~1, the outlier scores lowest") {
     import spark.implicits._
     // label 0: three near-identical vectors + one orthogonal outlier;
