@@ -67,7 +67,15 @@ object Bench {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None }
       catch { case NonFatal(e) => Some(e) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Operators persist() intermediates (graft.Materialize); the
+      // cache manager pins those blocks for the JVM's lifetime unless
+      // dropped. 100+ queries in one process would otherwise accumulate
+      // cached blocks and the later queries would pay the GC pressure —
+      // the leading suspect for round-8's unexplained curation_full
+      // 1.5→10.5 s drift. Cleanup runs OUTSIDE the timed section.
+      try spark.catalog.clearCache() catch { case NonFatal(_) => () }
+      (name, sec, err)
     }
     val failures = results.collect { case (name, _, Some(e)) => (name, e) }
     failures.foreach { case (name, e) =>
@@ -88,8 +96,18 @@ object Bench {
       s""","loadavg":$l"""
     } catch { case NonFatal(_) => "" }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$loadAvg}""")
-    // The per-query line above grows with the registry (75+ queries) and
-    // a bounded tail capture can truncate its head — including the total.
+    // The named per-query line above is ~3.5 KB for 108 queries; the
+    // driver's artifact keeps only the LAST 2000 bytes of output, so its
+    // head truncates (round 8 captured 63/108 names). The query NAMES
+    // alone are 1.6 KB, so no named encoding can ever fit — instead emit
+    // a compact values-only line: seconds (3 decimals, -1.0 = failed)
+    // for the registry keys sorted lexicographically. A consumer
+    // reconstructs names by sorting SparkEntry.queries.keys (the same
+    // names CORRECTNESS_r*.json lists); documented in SCALING.md.
+    val byName = results.map { case (n, s, e) => n -> (if (e.isEmpty) s else -1.0) }.toMap
+    val vAlpha = byName.keys.toSeq.sorted
+      .map(n => f"${byName(n)}%.3f").mkString("[", ",", "]")
+    println(s"""{"metric":"queries_alpha","unit":"sec","order":"keys-sorted","n":${results.size},"v":$vAlpha}""")
     // A short trailing summary line guarantees the total (and the load
     // evidence) always survives tail-of-output capture.
     println(s"""{"metric":"total_only","value":$total,"unit":"sec","n":${results.size},"failed":${failures.size},"sf":"$sfDir"$loadAvg}""")

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import Materialize.MatOps
+
 /** Sparse (keyword) retrieval over the document corpus — the text-side
   * complement of [[Similarity]]'s dense ANN family: BM25 top-k scoring
   * of a small query set against corpus documents.
@@ -66,7 +68,7 @@ object Retrieval {
     // rides along the explode so tf groups carry it for free.
     val toksDf = docs
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("toks"))
-      .localCheckpoint(false)
+      .materialized
     val postings = toksDf
       .select(col("doc_id"), size(col("toks")).as("dl"), explode(col("toks")).as("term"))
       .join(broadcast(qtermSet), "term")
@@ -76,7 +78,7 @@ object Retrieval {
     val tf = postings
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
-      .localCheckpoint(false)
+      .materialized
 
     // postings are distinct per (doc, term) after the aggregate, so the
     // per-term row count IS the document frequency
@@ -138,12 +140,12 @@ object Retrieval {
     // a broadcast count over the same checkpoint
     val toksDf = docs
       .select(col(idCol).as("doc_id"), toks.as("toks"))
-      .localCheckpoint(false)
+      .materialized
     val tf = toksDf
       .select(col("doc_id"), explode(col("toks")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+      .materialized
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
     val nDocs = toksDf.agg(count(lit(1)).as("n_docs"))

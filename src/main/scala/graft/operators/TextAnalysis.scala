@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.NgramStats
+import Materialize.MatOps
 
 /** Text-analysis operators for LLM training-data pipelines: token
   * counting, quality scoring, language-ID heuristics, fingerprinting.
@@ -232,11 +233,11 @@ object TextAnalysis {
     val scale = 1099511627776.0 // 2^40
     val toksDf = docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .localCheckpoint(false)
+      .materialized
     val postings = toksDf.select(
       col(idCol), size(col("toks")).as("n_tokens"), explode(col("toks")).as("term"))
     val counts = postings.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .localCheckpoint(false)
+      .materialized
     val kept = counts.orderBy(col("cnt").desc, col("term")).limit(topK)
     val stats = counts.agg(sum(col("cnt")).as("total"))
     val termNll = kept.crossJoin(broadcast(stats)).select(
@@ -283,7 +284,7 @@ object TextAnalysis {
     val scale = 1099511627776.0 // 2^40
     val toksDf = docs
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-      .localCheckpoint(false)
+      .materialized
     val bg = toksDf.select(
       col(idCol),
       explode(transform(sequence(lit(0), size(col("toks")) - 1),
@@ -292,7 +293,7 @@ object TextAnalysis {
           element_at(col("toks"), i + 1).as("w2")))).as("_b"))
       .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
     val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .materialized
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c")).as("cc"))
     val kept2 = c2.orderBy(col("c").desc, col("w1"), col("w2")).limit(topK)
       .join(c1, Seq("w1"))
@@ -383,7 +384,7 @@ object TextAnalysis {
     // IS the distinct-document count
     val grams = docs
       .select(col(idCol), explode(Dedup.shingleHashes(col(textCol), n)).as("_gram"))
-      .localCheckpoint(false)
+      .materialized
     val repeated = grams.groupBy(col("_gram"))
       .agg(count(lit(1)).as("_nd"))
       .where(col("_nd") >= minDocs)
