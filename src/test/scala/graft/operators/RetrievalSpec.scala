@@ -66,13 +66,18 @@ class RetrievalSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join in bm25 plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus sort-merge-joined:\n$plan")
-    // two checkpoints: the (doc, term) posting aggregate feeds the
-    // scoring join AND the df aggregate (2 reads), the token projection
-    // feeds the length stats (1 read — its postings consumer lives in
-    // the tf-checkpoint materialization job, not the scoring plan).
-    // Nobody rebuilds corpus lineage.
-    assert("Scan ExistingRDD".r.findAllIn(plan).size == 3,
-      s"expected 3 checkpoint reads in the scoring plan:\n$plan")
+    // three reuse-point reads: the (doc, term) posting aggregate feeds
+    // the scoring join AND the df aggregate (2 reads), the token
+    // projection feeds the length stats (1 read — its postings consumer
+    // lives in the cut's materialization job, not the scoring plan).
+    // Nobody rebuilds corpus lineage. How a reuse point prints depends
+    // on the spark.graft.materialize knob: persist (default) reads show
+    // as InMemoryTableScan, localCheckpoint reads as Scan ExistingRDD —
+    // count both so the assertion survives either policy.
+    val reuseReads = "InMemoryTableScan".r.findAllIn(plan).size +
+      "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(reuseReads == 3,
+      s"expected 3 materialized-reuse reads in the scoring plan, got $reuseReads:\n$plan")
   }
 
   test("tfidfTopTerms matches brute-force tf*ln(N/df) with term tie-break") {
@@ -129,16 +134,39 @@ class RetrievalSpec extends SparkSuite {
     assert(got.exists(r => r._1 == 0L && r._2 == "apple"))
   }
 
-  test("bm25 tokenizes the corpus exactly once (checkpointed projection)") {
+  test("bm25 tokenizes the corpus exactly once (materialized projection)") {
     val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
     val queries = Seq((1000L, "common x0")).toDF("query_id", "text")
-    val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
-      .queryExecution.executedPlan.toString
-    // the corpus-side regex split runs ONCE, materializing the token
-    // checkpoint — the scoring plan reads the checkpoint and the only
-    // split left is the (tiny) broadcast query side
-    val splits = "split\\(lower\\(trim\\(text".r.findAllIn(plan).size
-    assert(splits == 1,
-      s"expected exactly 1 split (query side) in the scoring plan, got $splits:\n$plan")
+    // Pin the localCheckpoint policy: its plan truncates lineage at the
+    // cut, so "the corpus split appears exactly once" is directly
+    // countable. Under persist the InMemoryRelation keeps its child plan
+    // visible in the string (the split prints per reuse read even though
+    // it executes once), so the occurrence count is not a compute count.
+    spark.conf.set("spark.graft.materialize", "localCheckpoint")
+    try {
+      val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
+        .queryExecution.executedPlan.toString
+      // the corpus-side regex split runs ONCE, materializing the token
+      // cut — the scoring plan reads the cut and the only split left is
+      // the (tiny) broadcast query side
+      val splits = "split\\(lower\\(trim\\(text".r.findAllIn(plan).size
+      assert(splits == 1,
+        s"expected exactly 1 split (query side) in the scoring plan, got $splits:\n$plan")
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
+
+  test("bm25 under the default persist policy reads the cut, not fresh lineage") {
+    val corpus = (0 until 50).map(i => (i.toLong, s"w$i common x${i % 5} y${i % 3}")).toDF("doc_id", "text")
+    val queries = Seq((1000L, "common x0")).toDF("query_id", "text")
+    try {
+      val plan = Retrieval.bm25TopK(corpus, queries, k = 5)
+        .queryExecution.executedPlan.toString
+      // every reuse point surfaces as an InMemoryTableScan: the three
+      // cut reads of the broadcast test, with no checkpoint RDD scans
+      assert("InMemoryTableScan".r.findAllIn(plan).size == 3,
+        s"expected 3 InMemoryTableScan reuse reads under persist:\n$plan")
+      assert(!plan.contains("Scan ExistingRDD"),
+        s"unexpected checkpoint read under persist policy:\n$plan")
+    } finally spark.sparkContext.cancelAllJobs()
   }
 }
