@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import graft.operators.Materialize.MatOps
 
 /** Byte-pair-encoding merge induction — learning a tokenizer's merge
   * table FROM the corpus (Sennrich et al. 2016, "Neural Machine
@@ -42,7 +43,7 @@ object Bpe {
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .select(col("token"), col("freq"),
         concat(lit(" "), array_join(split(col("token"), ""), " "), lit(" ")).as("s"))
-      .localCheckpoint(false)
+      .materialized
 
     val found = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
@@ -64,7 +65,7 @@ object Bpe {
         vocab = vocab
           .withColumn("s", call_function("replace",
             col("s"), lit(s" $a $b "), lit(s" $a$b ")))
-          .localCheckpoint(false)
+          .materialized
         step += 1
       }
     }

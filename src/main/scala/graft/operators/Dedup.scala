@@ -5,6 +5,7 @@ import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
 import graft.plans.{BandHashes, JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
+import graft.operators.Materialize.MatOps
 
 /** Deduplication operators.
   *
@@ -97,7 +98,7 @@ object Dedup {
                          (write: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     val seen = graft.state.FingerprintStore.load(spark, storeDir)
-    val novel = incrementalDedup(batch, seen, textCol, idCol).localCheckpoint(true)
+    val novel = incrementalDedup(batch, seen, textCol, idCol).materializedEager
     write(novel)
     graft.state.FingerprintStore.append(novel.select(col("fingerprint")), storeDir)
     novel
@@ -143,7 +144,7 @@ object Dedup {
     val fs = docs
       .select(exactFingerprint(col(textCol)).as("fingerprint"), col(sourceCol).as("_src"))
       .distinct()
-      .localCheckpoint(false) // feeds both join sides and the size table
+      .materialized // feeds both join sides and the size table
     // distinct-content size per source: the denominator that turns a raw
     // shared count into the "is B a mirror of A" fraction
     val sizes = fs.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
@@ -379,15 +380,14 @@ object Dedup {
     * intersections); Jaccard is identical absent 64-bit collisions.
     *
     * ONE pass over `docs` for the whole operator: the shingle-hash
-    * projection is lazily `localCheckpoint`ed and feeds the signature/LSH
+    * projection is cut via [[Materialize]] and feeds the signature/LSH
     * candidate pipeline AND both sides of the verification join — the
     * previous form re-scanned the (column-pruned) input and re-ran the
     * shingle kernel once per consumer, 3× the operator's per-row CPU.
-    * The trade: the hash arrays are materialized once to executor-local
-    * storage (written once, read by three consumers), and a lost executor
-    * fails the job instead of recomputing the lost blocks — the standard
-    * localCheckpoint contract, acceptable for a batch dedup pass where
-    * the kernel recompute dominates. It also pins the row set: a
+    * Under the default `persist(MEMORY_AND_DISK)` policy the hash arrays
+    * are materialized once (written once, read by three consumers) with
+    * lineage intact, so a lost executor recomputes the lost blocks
+    * instead of failing the job. It also pins the row set: a
     * non-deterministic upstream (e.g. a round-robin repartition) is
     * materialized once, so candidates and verification provably see the
     * same rows.
@@ -397,7 +397,7 @@ object Dedup {
                    numHashes: Int = 128, bands: Int = 32,
                    maxBucketGroups: Int = 256): DataFrame = {
     val sh = docs.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .localCheckpoint(false)
+      .materialized
     val sigs = minHashSignaturesFromHashes(sh, "sh", idCol, numHashes)
     val cands = candidatesFromSignatures(sigs, idCol, numHashes, bands, maxBucketGroups)
     cands
@@ -437,7 +437,7 @@ object Dedup {
     // two keyed scans are pure map work. Checkpointed: consumed by the
     // reps filter and the label map-back.
     val repMap = keyed.groupBy(col("_fp")).agg(min(col(idCol)).as("_rep"))
-      .localCheckpoint(true)
+      .materializedEager
     val reps = keyed.join(repMap, "_fp")
       .where(col(idCol) === col("_rep"))
       .select(col(idCol), col("_text"))
@@ -473,9 +473,9 @@ object Dedup {
                            numHashes: Int = 128, bands: Int = 32): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val shC = corpus.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .localCheckpoint(false)
+      .materialized
     val shP = probe.select(col(idCol), shingleHashes(col(textCol), k).as("sh"))
-      .localCheckpoint(false)
+      .materialized
     val rows = numHashes / bands
     val grouped = minHashSignaturesFromHashes(shC, "sh", idCol, numHashes)
       .groupBy(col("signature"))
@@ -562,7 +562,7 @@ object Dedup {
     val probeGrams = probe
       .select(explode(shingleHashes(col(textCol), n)).as("g"))
       .distinct()
-      .localCheckpoint(true)
+      .materializedEager
     val bfBytes = probeGrams
       .select(ExpressionUtils.column(
         new BloomFilterAggregate(
@@ -777,9 +777,9 @@ object Dedup {
     // label map-back join (without the checkpoint the scan → simhash
     // kernel pass runs twice), and fpRep feeds the pair builder AND the
     // join (without it the rep aggregate runs twice)
-    val fp = simHash(docs, textCol, idCol, bits).localCheckpoint(true)
+    val fp = simHash(docs, textCol, idCol, bits).materializedEager
     val fpRep = fp.groupBy(col("simhash")).agg(min(col(idCol)).as("rep"))
-      .localCheckpoint(true)
+      .materializedEager
     val comp = connectedComponents(
       simHashRepPairs(fpRep, bits, chunks, maxHamming, maxBucketGroups), "ra", "rb", maxIter)
       .withColumnRenamed("id", "rep")
@@ -991,7 +991,7 @@ object Dedup {
     val assigned = embs
       .select(col(idCol), col(vecCol).as("_v"),
         Similarity.nearestCell(col(vecCol), centroids).as("cell"))
-      .localCheckpoint(false)
+      .materialized
     val l = assigned.select(col("cell"), col(idCol).as("a"), col("_v").as("va"))
     val r = assigned.select(col("cell"), col(idCol).as("b"), col("_v").as("vb"))
     val dropped = l.join(r, "cell")
@@ -1080,7 +1080,7 @@ object Dedup {
     // it so the span build + global count run ONCE (the bm25/boilerplate
     // shared-materialization discipline), not once per consumer
     val dup = spans.join(counts.where(col("_cnt") > 1), Seq("h"))
-      .localCheckpoint(false)
+      .materialized
     val perDoc = dup.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_dup_spans"))
     val covered = dup

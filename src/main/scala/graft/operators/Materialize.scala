@@ -30,15 +30,43 @@ import org.apache.spark.storage.StorageLevel
   * clear between queries so a 100-query run does not accumulate blocks.
   */
 object Materialize {
+  private def policy(df: DataFrame): String = {
+    val v = df.sparkSession.conf.get("spark.graft.materialize", "persist")
+    v match {
+      case "persist" | "localCheckpoint" | "none" => v
+      // fail loudly: a typo ("localcheckpoint") silently mapping to the
+      // default would make misconfiguration invisible
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.materialize=$other (expected persist|localCheckpoint|none)")
+    }
+  }
+
   def cut(df: DataFrame): DataFrame =
-    df.sparkSession.conf.get("spark.graft.materialize", "persist") match {
+    policy(df) match {
       case "localCheckpoint" => df.localCheckpoint(eager = false)
       case "none"            => df
       case _                 => df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Eager cut — where `.localCheckpoint(true)` used to be: the caller
+    * needs the blocks computed NOW (e.g. a bounded probe about to be
+    * collected, or a loop iteration whose lineage must not stack).
+    * Under the default persist policy that is `persist` + a `count()`
+    * action to force population; lineage survives executor loss.
+    */
+  def cutEager(df: DataFrame): DataFrame =
+    policy(df) match {
+      case "localCheckpoint" => df.localCheckpoint(eager = true)
+      case "none"            => df
+      case _ =>
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        p
+    }
+
   /** `.materialized` chains where `.localCheckpoint(false)` used to. */
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize.cut(df)
+    def materializedEager: DataFrame = Materialize.cutEager(df)
   }
 }

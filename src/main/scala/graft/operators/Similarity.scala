@@ -201,13 +201,22 @@ object Similarity {
     */
   def quantizeInt8(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
-    val scale = array_max(transform(v, x => abs(x))) / 127.0
-    embs.select(
-      col(idCol),
-      scale.as("scale"),
-      when(scale === 0.0, transform(v, _ => lit(0)))
-        .otherwise(transform(v, x => floor(x / scale + 0.5).cast("int")))
-        .as("q"))
+    // Two projections on purpose: `scale` must be a materialized column
+    // BEFORE the quantize lambda references it. Higher-order functions
+    // defeat codegen subexpression elimination, so inlining the
+    // array_max(transform(v, abs)) subtree into the per-element lambda
+    // re-evaluates it per element — O(dim²) per row (measured 42× slower
+    // than the identical-shape randomProject at sf0.1). CollapseProject
+    // keeps the split: `scale` is non-cheap and referenced three times.
+    embs
+      .select(col(idCol), v.as("_v"),
+        (array_max(transform(v, x => abs(x))) / 127.0).as("scale"))
+      .select(
+        col(idCol),
+        col("scale"),
+        when(col("scale") === 0.0, transform(col("_v"), _ => lit(0)))
+          .otherwise(transform(col("_v"), x => floor(x / col("scale") + 0.5).cast("int")))
+          .as("q"))
   }
 
   /** Hashing-trick text featurizer — text → dense-ish embedding with no
