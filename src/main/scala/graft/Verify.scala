@@ -37,6 +37,12 @@ object Verify {
         ntz.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      } finally {
+        // Operator-internal persist cuts pin MEMORY_AND_DISK blocks in
+        // the session's cache manager; across 100+ queries in one JVM
+        // they would accumulate for the process lifetime (mirrors
+        // Bench's per-query clear).
+        spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import graft.operators.Materialize.MatOps
 
 /** Byte-pair-encoding merge induction — learning a tokenizer's merge
   * table FROM the corpus (Sennrich et al. 2016, "Neural Machine
@@ -26,9 +25,15 @@ import graft.operators.Materialize.MatOps
   * (pair explode → pair-count aggregate → 1-row argmax → rewrite), so
   * k merges cost k vocabulary-sized jobs, not k corpus passes. The
   * 1-row-per-round `collect` is the watermark-commit class of driver
-  * action (sanctioned); the vocabulary is checkpointed each round to
-  * keep the lineage flat. BPE's sequential-merge dependency is
-  * inherent — parallelism lives INSIDE each round's aggregate.
+  * action (sanctioned); each round's vocabulary goes through
+  * [[Materialize.cutLoop]] — an eager TRUNCATING checkpoint under every
+  * materialization policy, releasing the previous generation's blocks —
+  * so round k's plan is always one rewrite deep and exactly one
+  * generation of vocab storage is live (the persist policy's
+  * lineage-retaining cut would nest k plans and pin k generations: a
+  * driver OOM at real merge counts, not a slowdown). BPE's
+  * sequential-merge dependency is inherent — parallelism lives INSIDE
+  * each round's aggregate.
   */
 object Bpe {
 
@@ -38,12 +43,12 @@ object Bpe {
   private def train(docs: DataFrame, textCol: String,
                     k: Int): (Seq[(Int, String, String, Long)], DataFrame) = {
     require(k >= 1, "need k >= 1")
-    var vocab = docs
+    var vocab = Materialize.cutLoop(docs
       .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
       .select(col("token"), col("freq"),
-        concat(lit(" "), array_join(split(col("token"), ""), " "), lit(" ")).as("s"))
-      .materialized
+        concat(lit(" "), array_join(split(col("token"), ""), " "), lit(" ")).as("s")),
+      previous = None)
 
     val found = Seq.newBuilder[(Int, String, String, Long)]
     var step = 1
@@ -62,10 +67,10 @@ object Bpe {
       else {
         val (a, b, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
         found += ((step, a, b, c))
-        vocab = vocab
+        vocab = Materialize.cutLoop(vocab
           .withColumn("s", call_function("replace",
-            col("s"), lit(s" $a $b "), lit(s" $a$b ")))
-          .materialized
+            col("s"), lit(s" $a $b "), lit(s" $a$b "))),
+          previous = Some(vocab))
         step += 1
       }
     }

@@ -87,18 +87,24 @@ object Dedup {
     * (collapsed downstream by [[latestByKey]]-style dedup) instead of
     * silently losing them forever.
     *
-    * The survivors are EAGERLY checkpointed before the write, so the
-    * returned frame (and the write itself) is pinned to the store state
-    * observed at load time — without it, lazy re-evaluation after the
-    * commit would anti-join the batch against its OWN fingerprints and
-    * return nothing.
+    * The survivors are pinned with [[Materialize.cutPinned]] — an eager
+    * `localCheckpoint` under EVERY materialization policy, the one site
+    * where the persist default is FORBIDDEN: the survivors' plan scans
+    * the store parquet at `storeDir`, and the commit below writes to
+    * that same path, so a persist cut (lineage retained) would trigger
+    * `CacheManager.recacheByPath` on the append and recompute the
+    * cached survivors against the just-updated store — every batch
+    * fingerprint is then "seen" and the returned frame collapses to 0
+    * rows. Only true lineage truncation removes the store scan from the
+    * plan; resilience-via-recompute is precisely the hazard in a
+    * read-modify-the-thing-you-read cycle.
     */
   def incrementalDedupRun(batch: DataFrame, storeDir: String,
                           textCol: String, idCol: String)
                          (write: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     val seen = graft.state.FingerprintStore.load(spark, storeDir)
-    val novel = incrementalDedup(batch, seen, textCol, idCol).materializedEager
+    val novel = Materialize.cutPinned(incrementalDedup(batch, seen, textCol, idCol))
     write(novel)
     graft.state.FingerprintStore.append(novel.select(col("fingerprint")), storeDir)
     novel
@@ -387,10 +393,15 @@ object Dedup {
     * Under the default `persist(MEMORY_AND_DISK)` policy the hash arrays
     * are materialized once (written once, read by three consumers) with
     * lineage intact, so a lost executor recomputes the lost blocks
-    * instead of failing the job. It also pins the row set: a
-    * non-deterministic upstream (e.g. a round-robin repartition) is
-    * materialized once, so candidates and verification provably see the
-    * same rows.
+    * instead of failing the job. Note the weaker row-identity guarantee
+    * that buys: recomputation replays lineage, so a NON-deterministic
+    * upstream (e.g. a round-robin repartition) can hand different rows
+    * to the candidate pipeline vs the verification join after an
+    * executor loss. Deterministic inputs (any pure projection of a
+    * source read — every call site in this engine) are unaffected;
+    * feed a non-deterministic upstream through
+    * [[Materialize.cutPinned]] first, or run under the
+    * `localCheckpoint` policy, to get the strong same-rows pin back.
     */
   def minHashPairs(docs: DataFrame, textCol: String, idCol: String,
                    threshold: Double = 0.5, k: Int = 3,

@@ -26,8 +26,11 @@ import org.apache.spark.storage.StorageLevel
   *     subtrees re-execute per consumer).
   *
   * Persisted blocks are pinned by the session's cache manager until
-  * `spark.catalog.clearCache()` or `unpersist()`; `Bench` and `Verify`
-  * clear between queries so a 100-query run does not accumulate blocks.
+  * `spark.catalog.clearCache()` or `unpersist()`. `Bench` and `Verify`
+  * both clear the cache after every query so a 100-query run does not
+  * accumulate blocks; any other long-lived session embedding these
+  * operators owns the same contract (clear, or [[release]] cuts it
+  * obtained).
   */
 object Materialize {
   private def policy(df: DataFrame): String = {
@@ -64,9 +67,54 @@ object Materialize {
         p
     }
 
+  /** Pinned cut — an eager `localCheckpoint` under EVERY policy,
+    * including the persist default. Use it when the operator is about to
+    * WRITE to a path its own plan READS (a read-modify-commit cycle such
+    * as [[graft.operators.Dedup.incrementalDedupRun]]): under `persist`
+    * the cached plan keeps its lineage, so the commit write triggers
+    * `CacheManager.recacheByPath` on the store path and the cached
+    * result is recomputed against the just-mutated store — the
+    * operator's own commit invalidates its own output (observed as
+    * 0-row results). Only a true lineage truncation removes the store
+    * scan from the plan; resilience-via-lineage is exactly the property
+    * that makes persist WRONG here, so this method ignores the policy
+    * knob on purpose.
+    */
+  def cutPinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
+
+  /** Loop-iteration cut — eager, truncating under EVERY policy, and
+    * frees the PREVIOUS generation's blocks. Iterative refinement
+    * (`Bpe.train`'s merge rounds, k-means passes) must not stack
+    * lineage: under the persist default each `.materialized` keeps the
+    * full plan, so round k nests k `InMemoryRelation`s (quadratic
+    * analyzer work, eventual StackOverflow) and pins k generations of
+    * cache with no unpersist. Mirrors the RDD persist/unpersist
+    * discipline of the connected-components fixpoint
+    * ([[graft.operators.Dedup.connectedComponents]]): checkpoint the new
+    * generation, then release the old one — its blocks are dead the
+    * moment the new generation is materialized.
+    */
+  def cutLoop(df: DataFrame, previous: Option[DataFrame]): DataFrame = {
+    val cp = df.localCheckpoint(eager = true)
+    previous.foreach(release)
+    cp
+  }
+
+  /** Free a cut's storage. A persist cut unpersists through the cache
+    * manager; a localCheckpoint cut unpersists the checkpointed RDD
+    * directly (its blocks otherwise live until the RDD is GC'd).
+    */
+  def release(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => df.unpersist(blocking = false)
+    }
+
   /** `.materialized` chains where `.localCheckpoint(false)` used to. */
   implicit class MatOps(private val df: DataFrame) extends AnyVal {
     def materialized: DataFrame = Materialize.cut(df)
     def materializedEager: DataFrame = Materialize.cutEager(df)
+    def materializedPinned: DataFrame = Materialize.cutPinned(df)
   }
 }

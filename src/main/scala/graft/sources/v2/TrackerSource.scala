@@ -4,7 +4,7 @@ import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -24,13 +24,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * evaluated before rows reach Spark, and column pruning reaches the
   * reader, so `.explain` shows the pushdown exactly like a parquet scan.
   *
-  * The backing "API" is a directory of TSV page files (one file = one
-  * search page — the reference's `per_page` cursor made durable;
-  * zero-egress container, so no live HTTP). The transport is the ONLY
-  * stub: partition planning (one InputPartition per page — pages fetch
-  * in parallel on executors, unlike the reference's sequential driver
-  * cursor), filter compilation, and row decoding are the real engine
-  * path a production endpoint would reuse.
+  * The backing "API" is pluggable per path scheme
+  * ([[PageTransport.forPath]]): a directory of TSV page files (one file
+  * = one search page — the reference's `per_page` cursor made durable),
+  * or a live `http(s)://` endpoint speaking the same page protocol —
+  * the planner GETs `<base>/index` for the page list (≙ the reference's
+  * `count_only=True` pre-flight, services/tracker.py:59) and each
+  * executor task GETs its own `<base>/<page>` (the paginated
+  * `per_page` fetch of services/tracker.py:50-67, parallelized instead
+  * of the reference's sequential driver cursor). Partition planning,
+  * filter compilation, and row decoding are the engine path a
+  * production endpoint reuses unchanged; only the byte source differs.
   *
   * Usage: `spark.read.format("graft.sources.v2.TrackerSource")
   * .option("path", dir).load()` — Spark resolves the class name as the
@@ -109,16 +113,12 @@ final class TrackerScan(path: String, pushed: Array[Filter], required: StructTyp
     s"TrackerScan PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  /** One partition per page file — the paged search parallelized. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = new Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.listStatus(p).iterator
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
-      .map(s => TrackerPage(s.getPath.toString): InputPartition)
+  /** One partition per page — the paged search parallelized. */
+  override def planInputPartitions(): Array[InputPartition] =
+    PageTransport.forPath(path).listPages(path)
+      .sorted
+      .map(p => TrackerPage(p): InputPartition)
       .toArray
-      .sortBy(_.asInstanceOf[TrackerPage].file)
-  }
   override def createReaderFactory(): PartitionReaderFactory =
     new TrackerReaderFactory(pushed, required)
 }
@@ -131,6 +131,71 @@ final class TrackerReaderFactory(pushed: Array[Filter], required: StructType)
     new TrackerPageReader(partition.asInstanceOf[TrackerPage].file, pushed, required)
 }
 
+/** Byte source behind the page seam: where the page list comes from and
+  * how one page's bytes open. Chosen per path scheme so the SAME scan /
+  * pushdown / decode path runs against durable fixture files or a live
+  * HTTP endpoint.
+  */
+sealed trait PageTransport extends Serializable {
+  /** Absolute page identifiers under `path` (each becomes one
+    * InputPartition → one executor task).
+    */
+  def listPages(path: String): Seq[String]
+  def open(page: String): java.io.InputStream
+}
+
+object PageTransport {
+  def forPath(path: String): PageTransport =
+    if (path.startsWith("http://") || path.startsWith("https://")) new HttpPageTransport
+    else new FsPageTransport
+}
+
+/** Durable pages: one TSV file per page in a (local/HDFS/S3A) directory. */
+final class FsPageTransport extends PageTransport {
+  def listPages(path: String): Seq[String] = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(p).iterator
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+      .map(_.getPath.toString)
+      .toSeq
+  }
+  def open(page: String): java.io.InputStream = {
+    val p = new Path(page)
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration()).open(p)
+  }
+}
+
+/** Live pages over HTTP: `GET <base>/index` returns one page name per
+  * line (the reference's `count_only=True` pre-flight that sizes the
+  * scan, services/tracker.py:59); `GET <base>/<name>` streams that
+  * page's TSV. The index GET runs once on the driver at planning time;
+  * page GETs run on executors, one per task — page concurrency scales
+  * with the cluster, bounded only by what the service tolerates.
+  */
+final class HttpPageTransport(connectTimeoutMs: Int = 10000,
+                              readTimeoutMs: Int = 30000) extends PageTransport {
+  def listPages(path: String): Seq[String] = {
+    val base = path.stripSuffix("/")
+    val in = openUrl(s"$base/index")
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .map(_.trim).filter(_.nonEmpty).map(n => s"$base/$n").toList
+    finally in.close()
+  }
+  def open(page: String): java.io.InputStream = openUrl(page)
+
+  private def openUrl(url: String): java.io.InputStream = {
+    val conn = java.net.URI.create(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(connectTimeoutMs)
+    conn.setReadTimeout(readTimeoutMs)
+    val code = conn.getResponseCode
+    if (code < 200 || code >= 300)
+      throw new java.io.IOException(s"tracker page GET $url -> HTTP $code")
+    conn.getInputStream
+  }
+}
+
 /** Decodes one page file; pushed filters run HERE (the "server side" of
   * the seam) before rows are handed to Spark, and only the pruned
   * columns are materialized into the output row.
@@ -141,12 +206,8 @@ final class TrackerPageReader(file: String, pushed: Array[Filter], required: Str
   private val fieldIndex = TrackerSource.schema.fieldNames.zipWithIndex.toMap
   private val outFields = required.fieldNames.map(fieldIndex)
 
-  private val fs = {
-    val p = new Path(file)
-    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-  }
   private val lines = new java.io.BufferedReader(
-    new java.io.InputStreamReader(fs.open(new Path(file)), "UTF-8"))
+    new java.io.InputStreamReader(PageTransport.forPath(file).open(file), "UTF-8"))
   private var row: InternalRow = _
 
   override def next(): Boolean = {

@@ -212,16 +212,24 @@ class DedupSpec extends SparkSuite {
     assert(count("partial_collect_list") == 1, s"band-bucket aggregate built more than once:\n$plan")
   }
 
-  test("minHashPairs runs the shingle kernel once: all consumers read the checkpointed projection") {
+  test("minHashPairs runs the shingle kernel once: all consumers read the shared cut") {
     // the candidate pipeline and both verification join sides must share
-    // the one localCheckpoint'ed (id, shingle-hashes) pass — the kernel
-    // and the input scan appear NOWHERE in the SQL plan (they live inside
-    // the checkpointed RDD, computed once), only RDD scans of it do
-    val plan = Dedup.minHashPairs(docs, "text", "doc_id")
-      .queryExecution.executedPlan.toString
-    def count(needle: String): Int = needle.r.findAllIn(plan).size
-    assert(count("shingle_hashes") == 0, s"shingle kernel recomputed per consumer:\n$plan")
-    assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+    // the one materialized (id, shingle-hashes) pass. Pin the
+    // localCheckpoint policy so the count is a COMPUTE count: the cut
+    // truncates lineage, so the kernel appears NOWHERE in the plan (it
+    // lives inside the checkpointed RDD, computed once) and each reuse
+    // read prints as a Scan ExistingRDD. Under the persist default the
+    // InMemoryRelation keeps its child plan visible in the string (the
+    // kernel prints per reuse read even though it executes once), so
+    // occurrence counts would not measure computation.
+    spark.conf.set("spark.graft.materialize", "localCheckpoint")
+    try {
+      val plan = Dedup.minHashPairs(docs, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      def count(needle: String): Int = needle.r.findAllIn(plan).size
+      assert(count("shingle_hashes") == 0, s"shingle kernel recomputed per consumer:\n$plan")
+      assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+    } finally spark.conf.unset("spark.graft.materialize")
   }
 
   test("ngramContamination broadcasts the probe side and never sort-merge-joins") {
@@ -232,17 +240,23 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), s"corpus shuffled by n-gram:\n$plan")
   }
 
-  test("semanticDedup runs the centroid kernel once: all consumers share the checkpoint") {
+  test("semanticDedup runs the centroid kernel once: all consumers share the cut") {
     import spark.implicits._
     val vecs = (0 until 40)
       .map(i => (i.toLong, (1 to 8).map(j => (i * j % 7).toFloat)))
       .toDF("vec_id", "embedding")
-    val plan = Dedup.semanticDedup(vecs, "vec_id", "embedding", dim = 8,
-      cells = 4, sampleN = 40, iters = 2)
-      .queryExecution.executedPlan.toString
-    def count(needle: String): Int = needle.r.findAllIn(plan).size
-    assert(count("nearest_centroid") == 0, s"assignment kernel recomputed per consumer:\n$plan")
-    assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+    // localCheckpoint policy pinned for the same reason as the
+    // minHashPairs test above: only a truncating cut makes occurrence
+    // counts equal compute counts.
+    spark.conf.set("spark.graft.materialize", "localCheckpoint")
+    try {
+      val plan = Dedup.semanticDedup(vecs, "vec_id", "embedding", dim = 8,
+        cells = 4, sampleN = 40, iters = 2)
+        .queryExecution.executedPlan.toString
+      def count(needle: String): Int = needle.r.findAllIn(plan).size
+      assert(count("nearest_centroid") == 0, s"assignment kernel recomputed per consumer:\n$plan")
+      assert(count("Scan ExistingRDD") == 3, s"expected 3 reads of the shared checkpoint:\n$plan")
+    } finally spark.conf.unset("spark.graft.materialize")
   }
 
   test("native simhash equals the explode+aggregate reference form") {
