@@ -100,7 +100,13 @@ object ScaleSmoke {
         Seq(col("event_type") === "view", col("event_type") === "click",
           col("event_type") === "purchase"), 86400L).count()),
       "scd2_compact" -> (() => Sessionize.compactRuns(ev, Seq("user_id"), "ts",
-        "event_type", Seq("event_id")).count()))
+        "event_type", Seq("event_id")).count()),
+      // round 11: the large-probe decontamination path — corpus AND probe
+      // scale together here (an upper bound; real eval sets are fixed-size)
+      "bloom_decontam" -> (() => Dedup.ngramContaminationBloom(
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        "text", "doc_id", n = 13).count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

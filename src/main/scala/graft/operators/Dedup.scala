@@ -568,12 +568,20 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.types.BinaryType
-    // checkpointed: consumed by the Bloom build AND the exact confirm —
-    // without it the probe tokenization runs twice
-    val probeGrams = probe
+    // Pinned eager checkpoint (NOT the policy default): consumed by the
+    // Bloom build AND the exact confirm — without a cut the probe
+    // tokenization runs twice. cutPinned rather than cutEager because
+    // the persist form measured a reproducible >=2x premium on this
+    // whole operator at sf0.1 (median 5.9 s vs 2.6 s, 3-run isolated
+    // A/B, round 11) — the slim gram set pays columnar cache encode +
+    // an extra count() action, and the unhinted confirm join loses its
+    // size estimate. Resilience cost is acceptable here: the operator
+    // is already driver-synchronous (the filter returns to the driver
+    // as one 4 MB value in the same breath), so re-running it after an
+    // executor loss replays idempotent read-only lineage.
+    val probeGrams = Materialize.cutPinned(probe
       .select(explode(shingleHashes(col(textCol), n)).as("g"))
-      .distinct()
-      .materializedEager
+      .distinct())
     val bfBytes = probeGrams
       .select(ExpressionUtils.column(
         new BloomFilterAggregate(
