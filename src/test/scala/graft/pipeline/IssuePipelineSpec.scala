@@ -294,6 +294,44 @@ class IssuePipelineSpec extends SparkSuite {
     assert(state.get("last_update_at").contains(t("19:00")))
   }
 
+  test("daemon ticks drive incremental stateful runs (scheduler thread + watermark)") {
+    // the --interval mode end-to-end: IntervalScheduler fires the batch
+    // on its worker thread (Spark actions off the main thread), the
+    // watermark advances between ticks, and tick 2 exports only the
+    // delta — the reference's scheduled-incremental loop
+    // (main.py:138-146 + etl.py watermark commit) in one test
+    val dir = java.nio.file.Files.createTempDirectory("graft-daemon").toString
+    val state = new MemoryStateStore
+    val sink = new ParquetSink(dir)
+    @volatile var source = raw(
+      issue("TEST-1", "Closed", changelog = walkthroughEvents),
+      issue("TEST-2", "Open", updatedAt = t("12:00")))
+    val stats = scala.collection.mutable.Buffer[IssuePipeline.RunStats]()
+    val sched = new IntervalScheduler(() => {
+      stats.synchronized {
+        stats += IssuePipeline.run(source, sink = sink, state = Some(state),
+          version = lit("2024-02-01 00:00:00").cast("timestamp"))
+      }
+      ()
+    })
+    def awaitCompleted(n: Long): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (sched.completed < n && System.nanoTime() < deadline) Thread.sleep(10)
+      assert(sched.completed >= n, s"tick $n never completed")
+    }
+    assert(sched.tick())
+    awaitCompleted(1)
+    assert(stats.head.uploaded && stats.head.issuesProcessed == 2)
+    assert(state.get("last_update_at").contains(t("18:00")))
+    // new data lands between ticks; the next tick exports ONLY the delta
+    source = source.union(raw(issue("TEST-2", "In progress", updatedAt = t("19:00"))))
+    assert(sched.tick())
+    awaitCompleted(2)
+    assert(stats(1).uploaded && stats(1).issuesProcessed == 1)
+    assert(state.get("last_update_at").contains(t("19:00")))
+    assert(sched.suppressed == 0)
+  }
+
   // ---- scan-mode precedence (≙ _build_search_query, etl.py:66-111) ----
 
   import graft.schema.SearchSettings
