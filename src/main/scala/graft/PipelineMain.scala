@@ -13,7 +13,7 @@ import graft.state.StateStore
   * run-once by default, scheduled daemon with `--interval`.
   *
   * Usage: PipelineMain <rawIssues.(json|parquet)> <outDir> [stateUri]
-  *          [--env-file <path>] [--interval <minutes>]
+  *          [--env-file <path>] [--run-once | --daemon | --interval <minutes>]
   *   - rawIssues: newline-delimited JSON or parquet in the
   *     [[graft.schema.Schemas.rawIssue]] shape
   *   - outDir: parquet sink base dir ("console" → dry-run S9 sink)
@@ -21,10 +21,15 @@ import graft.state.StateStore
   *     a file/S3 path, or `redis://host[:port][/namespace]`
   *   - --env-file: dotenv file loaded UNDER the process environment
   *     (≙ `load_dotenv(args.env_file)`, main.py:30-33)
-  *   - --interval: daemon mode — the batch re-runs every N minutes with
-  *     `max_instances=1` overlap suppression (≙ the APScheduler job of
-  *     main.py:138-146) until SIGTERM/SIGINT; without it, one batch and
-  *     exit (≙ `--run-once`)
+  *   - --run-once: one batch and exit (≙ the reference flag,
+  *     main.py:26,131 — also this CLI's default, so the flag is
+  *     drop-in parity rather than a behavior switch)
+  *   - --daemon: scheduled mode at the configured cadence
+  *     (`EXPORTER_ETL_INTERVAL_MINUTES`, default 30 — config.py:200),
+  *     with `max_instances=1` overlap suppression (≙ the APScheduler
+  *     job of main.py:138-146) until SIGTERM/SIGINT
+  *   - --interval: daemon mode with an explicit cadence in minutes
+  *     (overrides the env cadence)
   *
   * Configuration binds from the `EXPORTER_*` environment exactly like
   * the reference (config.py:246-250; see [[EngineConfig.fromEnv]]), so
@@ -48,13 +53,19 @@ object PipelineMain {
           case f @ ("--env-file" | "--interval") =>
             require(i + 1 < args.length, s"$f needs a value")
             flags(f) = args(i + 1); i += 2
+          case f @ ("--run-once" | "--daemon") =>
+            flags(f) = "true"; i += 1
           case other => pos += other; i += 1
         }
       }
       (flags.toMap, pos.toSeq)
     }
     require(positional.length >= 2,
-      "usage: PipelineMain <rawIssues> <outDir> [stateUri] [--env-file <path>] [--interval <minutes>]")
+      "usage: PipelineMain <rawIssues> <outDir> [stateUri] [--env-file <path>] " +
+        "[--run-once | --daemon | --interval <minutes>]")
+    require(!(flagParts.contains("--run-once") &&
+      (flagParts.contains("--daemon") || flagParts.contains("--interval"))),
+      "--run-once conflicts with --daemon/--interval")
     val Seq(rawPath, outDir) = positional.take(2)
     val env = flagParts.get("--env-file").map(EnvFile.overlay(_)).getOrElse(sys.env)
 
@@ -87,11 +98,14 @@ object PipelineMain {
         s"watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")
     }
 
-    flagParts.get("--interval") match {
+    val intervalMinutes: Option[Double] =
+      flagParts.get("--interval").map(_.toDouble)
+        .orElse(if (flagParts.contains("--daemon")) Some(cfg.etlIntervalMinutes.toDouble) else None)
+    intervalMinutes match {
       case None =>
         runBatch()
       case Some(minutes) =>
-        val intervalMs = (minutes.toDouble * 60000L).toLong
+        val intervalMs = (minutes * 60000L).toLong
         System.err.println(s"[pipeline] daemon mode: every $minutes min (max_instances=1)")
         val stop = new AtomicBoolean(false)
         val sched = new IntervalScheduler(() => runBatch(),

@@ -74,7 +74,11 @@ object PlanAudit {
         .filter(l => l.contains("Scan parquet") || l.contains("Scan ExistingRDD") ||
           l.contains("PushedFilters") || l.contains("ReadSchema") ||
           l.contains("BroadcastHashJoin") || l.contains("SortMergeJoin") || l.contains("TakeOrderedAndProject") ||
-          l.contains("WholeStageCodegen") || l.contains("Exchange") || l.contains("HashAggregate("))
+          l.contains("WholeStageCodegen") || l.contains("Exchange") || l.contains("HashAggregate(") ||
+          // cache reuse reads (the persist-policy cut points); note the
+          // InMemoryRelation line prints its cached CHILD plan inline, so
+          // scan lines below one are the cut's content, not extra scans
+          l.contains("InMemoryTableScan") || l.contains("InMemoryRelation"))
         .map(_.take(220)).foreach(println)
     }
     spark.stop()

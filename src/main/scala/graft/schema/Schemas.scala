@@ -109,7 +109,8 @@ final case class EngineConfig(
     calendar: BusinessTime.Calendar = BusinessTime.Calendar(),
     search: SearchSettings = SearchSettings(),
     stateful: Boolean = false,
-    statefulInitialRange: Option[String] = None)
+    statefulInitialRange: Option[String] = None,
+    etlIntervalMinutes: Int = 30)
 
 object EngineConfig {
 
@@ -178,6 +179,11 @@ object EngineConfig {
           .map(_.split(",").map(_.trim.toUpperCase).toSeq).getOrElse(Nil)),
       stateful = bool("EXPORTER_STATEFUL", dflt = false),
       statefulInitialRange =
-        get("EXPORTER_STATEFUL_INITIAL_RANGE").orElse(Some("1w")))
+        get("EXPORTER_STATEFUL_INITIAL_RANGE").orElse(Some("1w")),
+      // the scheduled-daemon cadence (config.py:200, default 30 min)
+      etlIntervalMinutes = get("EXPORTER_ETL_INTERVAL_MINUTES")
+        .map(v => v.toIntOption.filter(_ > 0)
+          .getOrElse(configError("EXPORTER_ETL_INTERVAL_MINUTES", v, "a positive integer of minutes")))
+        .getOrElse(30))
   }
 }

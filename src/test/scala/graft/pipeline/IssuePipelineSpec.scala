@@ -410,7 +410,8 @@ class IssuePipelineSpec extends SparkSuite {
       "EXPORTER_BUSINESS_HOURS_START" -> "10:00:00",
       "EXPORTER_BUSINESS_HOURS_END" -> "18",
       "EXPORTER_TRACKER__SEARCH__QUEUES" -> "test, ops",
-      "EXPORTER_TRACKER__SEARCH__RANGE" -> "4h"))
+      "EXPORTER_TRACKER__SEARCH__RANGE" -> "4h",
+      "EXPORTER_ETL_INTERVAL_MINUTES" -> "15"))
     assert(cfg.stateful && cfg.statefulInitialRange.contains("3d"))
     assert(!cfg.changelogExportEnabled)
     assert(cfg.closedStatuses == Set("done", "closed"))
@@ -419,12 +420,14 @@ class IssuePipelineSpec extends SparkSuite {
     assert(cfg.calendar.startHour == 10 && cfg.calendar.endHour == 18)
     assert(cfg.search.queues == Seq("TEST", "OPS")) // validate_queues uppercases
     assert(cfg.search.range.contains("4h"))
+    assert(cfg.etlIntervalMinutes == 15)
 
     // unset env -> the reference deployment defaults (config.py:84, :187)
     val dflt = EngineConfig.fromEnv(Map.empty)
     assert(!dflt.stateful && dflt.statefulInitialRange.contains("1w"))
     assert(dflt.search.range.contains("2h") && dflt.search.queues.isEmpty)
     assert(dflt.changelogExportEnabled) // documented deviation: engine keeps it on
+    assert(dflt.etlIntervalMinutes == 30) // daemon cadence (config.py:200)
 
     // invalid values fail naming the offending variable (ConfigurationError
     // discipline), not with a bare NumberFormatException
@@ -432,7 +435,9 @@ class IssuePipelineSpec extends SparkSuite {
         "EXPORTER_WORKDAYS" -> "0,7",
         "EXPORTER_WORKDAYS" -> "mon",
         "EXPORTER_BUSINESS_HOURS_START" -> "25",
-        "EXPORTER_BUSINESS_HOURS_END" -> "noon")) {
+        "EXPORTER_BUSINESS_HOURS_END" -> "noon",
+        "EXPORTER_ETL_INTERVAL_MINUTES" -> "0",
+        "EXPORTER_ETL_INTERVAL_MINUTES" -> "half-hour")) {
       val e = intercept[IllegalArgumentException](EngineConfig.fromEnv(Map(k -> v)))
       assert(e.getMessage.contains(k) && e.getMessage.contains(v), s"$k=$v -> ${e.getMessage}")
     }
