@@ -18,6 +18,14 @@ import java.nio.charset.StandardCharsets
   * inside `foreachPartition`, so every partition POSTs its own batches
   * — sink throughput scales with the cluster, and each executor keeps
   * its own connection (HttpURLConnection pools keep-alive per JVM).
+  *
+  * Deliberate deviation from the reference's retry scope: its
+  * `@backoff` catches only ConnectionError/Timeout, so a 5xx response
+  * raises `ClickhouseError` un-retried (services/clickhouse.py:72-83);
+  * here a non-2xx ALSO flows into [[Retry.withBackoff]] (which retries
+  * any NonFatal), because a load-shedding ClickHouse answers 503 and
+  * retrying it is the difference between a nightly batch surviving a
+  * rolling restart and paging someone.
   */
 final class ClickHouseHttpTransport(
     url: String,

@@ -172,6 +172,14 @@ final class FsPageTransport extends PageTransport {
   * page's TSV. The index GET runs once on the driver at planning time;
   * page GETs run on executors, one per task — page concurrency scales
   * with the cluster, bounded only by what the service tolerates.
+  *
+  * Transient-failure policy: a failed page GET throws, which fails the
+  * TASK — on a cluster Spark re-schedules it up to
+  * `spark.task.maxFailures` (default 4) times, which IS the retry story
+  * for a partition-aligned source (a transport-level sleep loop inside
+  * the reader would hide the failure from the scheduler's blacklisting
+  * and speculative execution). `local[n]` masters default to 1 task
+  * attempt, so tests see the error immediately and verbatim.
   */
 final class HttpPageTransport(connectTimeoutMs: Int = 10000,
                               readTimeoutMs: Int = 30000) extends PageTransport {

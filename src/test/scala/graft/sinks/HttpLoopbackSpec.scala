@@ -121,4 +121,19 @@ class HttpLoopbackSpec extends SparkSuite {
         s"each page must be fetched exactly once, got $paths")
     }
   }
+
+  test("TrackerSource surfaces a missing HTTP page as a task failure naming the URL") {
+    // a page listed by the index but 404ing at fetch time must fail the
+    // read VERBATIM (local masters run 1 task attempt; a cluster would
+    // re-schedule per spark.task.maxFailures before surfacing this)
+    withServer()(Map("/pages/index" -> "gone.tsv\n")) { (url, _) =>
+      val e = intercept[org.apache.spark.SparkException] {
+        spark.read.format("graft.sources.v2.TrackerSource")
+          .option("path", s"$url/pages").load().count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("gone.tsv") && msgs.contains("404"), msgs)
+    }
+  }
 }
