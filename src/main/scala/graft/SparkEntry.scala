@@ -81,6 +81,7 @@ object SparkEntry {
     "dedup_cluster_best" -> (L.dedupClusterBest _),
     "dedup_minhash" -> (L.dedupMinhash _),
     "dedup_ngram" -> (L.dedupNgram _),
+    "dedup_containment" -> (L.dedupContainment _),
     "dedup_simhash" -> (L.dedupSimhash _),
     "dedup_embedding" -> (L.dedupEmbedding _),
     "dedup_embedding_clusters" -> (L.dedupEmbeddingClusters _),
@@ -105,6 +106,7 @@ object SparkEntry {
     "ann_lsh" -> (L.annLsh _),
     "ann_ivf" -> (L.annIvf _),
     "bm25_topk" -> (L.bm25TopK _),
+    "retrieval_rrf" -> (L.retrievalRrf _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "mm_resize" -> (L.mmResize _),
     // LLM-pipeline: text analysis
     "text_quality" -> (L.textQuality _),
+    "text_entropy" -> (L.textEntropy _),
     "text_langid" -> (L.textLangid _),
     "text_tokens" -> (L.textTokens _),
     "text_fingerprint" -> (L.textFingerprint _),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.plans.{BandHashes, JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
+import graft.plans.{BandHashes, ContainmentSorted, JaccardSorted, MinHashSignature, ShingleHashes, SimHash64}
 import graft.operators.Materialize.MatOps
 
 /** Deduplication operators.
@@ -205,6 +205,51 @@ object Dedup {
     */
   def jaccardSorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Asymmetric containment |a∩b| / |a| of two sorted distinct long
+    * arrays (same linear merge as [[jaccardSorted]]); null when `a` is
+    * empty. See [[graft.plans.ContainmentSorted]].
+    */
+  def containmentSorted(a: Column, b: Column): Column =
+    ExpressionUtils.column(ContainmentSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Directed near-CONTAINMENT pairs — the doc-in-doc detector Jaccard
+    * near-dup misses by construction (Broder 1997's containment vs
+    * resemblance): a short document quoted wholesale inside a long one
+    * has Jaccard ≈ |A|/|B| ≈ 0 but containment |A∩B|/|A| ≈ 1. Emits
+    * (`a`, `b`, `containment`) where `a` is the CONTAINED candidate —
+    * the smaller shingle set (ties directed by id) — and
+    * `containment >= threshold`.
+    *
+    * Blocking mirrors [[graft.queries.LlmQueries]]'s exhaustive n-gram
+    * baseline: in-block all-pairs on `blockCol` with the size-order
+    * direction cutting the pair count in half and a `minShingles` floor
+    * dropping trivia whose containment is noise. This is the in-block
+    * exact baseline; at corpus scale the candidate generator is the
+    * MinHash/LSH family ([[minHashPairs]] buckets), whose signatures
+    * estimate containment as J·(|A|+|B|)/((1+J)·|A|) from the same
+    * sketch — the verification join below then computes the exact value
+    * on the hashed shingle arrays, so nothing here ever all-pairs the
+    * corpus.
+    */
+  def containmentPairs(docs: DataFrame, textCol: String, idCol: String,
+                       blockCol: String, k: Int = 2, threshold: Double = 0.8,
+                       minShingles: Int = 5): DataFrame = {
+    val g = docs.select(
+      col(blockCol).as("_block"), col(idCol),
+      shingleHashes(col(textCol), k).as("sh"))
+      .where(size(col("sh")) >= minShingles)
+      .materialized
+    val l = g.select(col("_block"), col(idCol).as("a"), col("sh").as("sha"))
+    val r = g.select(col("_block"), col(idCol).as("b"), col("sh").as("shb"))
+    l.join(r, "_block")
+      .where(col("a") =!= col("b"))
+      .where(size(col("sha")) < size(col("shb")) ||
+        (size(col("sha")) === size(col("shb")) && col("a") < col("b")))
+      .withColumn("containment", containmentSorted(col("sha"), col("shb")))
+      .where(col("containment") >= threshold)
+      .select(col("a"), col("b"), col("containment"))
+  }
 
   private val MinHashP = 2147483659L // prime > 2^31 (the shingle-hash domain)
   private val MinHashDom = 1L << 31

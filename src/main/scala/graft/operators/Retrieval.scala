@@ -162,4 +162,44 @@ object Retrieval {
       .select(col("doc_id").as(idCol), col("term"), col("tf"),
         (col("score_fp").cast("double") / ScoreScale).cast("float").as("score"), col("rank"))
   }
+
+  /** Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009) of any
+    * number of per-query ranked lists — the standard score-free hybrid
+    * of sparse ([[bm25TopK]]) and dense
+    * ([[Similarity.hashEmbedTopK]] / ANN) retrieval: each list
+    * contributes 1/(`k0`+rank) for every (query, doc) it ranks, the
+    * contributions sum, and the fused top-`k` re-ranks on the sum. Rank
+    * positions — not raw scores — carry the signal, so the legs need no
+    * score calibration against each other.
+    *
+    * Every input must expose (`query_id`, `docCol`, `rank`). The fused
+    * contribution is quantized to the engine's 2⁻⁴⁰ fixed-point quantum
+    * (see [[bm25TopK]]'s ScoreScale note) purely so the cross-list SUM
+    * is an associative long reduction — deterministic under any
+    * partitioning and list count; 1/(60+r) ≈ 1.6e-2 sits twelve decimal
+    * digits above the quantum, so ranking cannot see the floor.
+    *
+    * Scale shape: the inputs are already per-query top-N (bounded —
+    * N·#queries rows each, never corpus-sized), so the union + one
+    * (query, doc) hash aggregate + per-query top-k window all run on
+    * retrieval-result cardinality. The corpus-heavy work stays inside
+    * the legs, which keep their own broadcast/inverted-index
+    * disciplines.
+    */
+  def rrfFuse(lists: Seq[DataFrame], k: Int = 10, k0: Int = 60,
+              docCol: String = "doc_id"): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    val contribs = lists.map(_.select(
+      col("query_id"), col(docCol).as("doc_id"),
+      floor(lit(ScoreScale) / (lit(k0.toDouble) + col("rank").cast("double"))).cast("long").as("_c")))
+    val fusedFp = contribs.reduce(_ unionAll _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("_c")).as("_rrf_fp"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("_rrf_fp").desc, col("doc_id"))
+    fusedFp
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("doc_id"),
+        (col("_rrf_fp").cast("double") / ScoreScale).as("rrf_score"), col("rank"))
+  }
 }

@@ -440,4 +440,46 @@ object TextAnalysis {
 
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, x) => pmod(acc * lit(31L) + length(x), lit(1000000007L)))
+
+  /** Per-document token-distribution Shannon entropy — the
+    * repetitiveness signal of the quality-filter family that
+    * [[repetitionMetrics]]'s fixed n-gram ratios approximate: a
+    * templated/spammy document reuses few distinct tokens and lands far
+    * below the entropy of natural prose of the same length. Emits
+    * (`idCol`, `n_tokens`, `n_distinct_tokens`, `entropy` in bits,
+    * `norm_entropy` = entropy / log₂(n_tokens) ∈ [0,1], defined 0 for
+    * single-token docs).
+    *
+    * Entropy over counts c of n tokens is computed as
+    * ln(n) − Σ c·ln(c) / n (one pass over the count table — never a
+    * p·ln(p) per-row division). Plan: explode → (doc, token) count with
+    * map-side partial combine — the same shuffle shape as every token
+    * aggregate here — then one per-doc hash aggregate. The Σ c·ln(c)
+    * double sum is reduction-order-sensitive in the last ulps, so
+    * consumers comparing across engines cast to float (the
+    * [[Retrieval.bm25TopK]] discipline); ranking-grade exactness is not
+    * needed because nothing ranks on raw entropy.
+    */
+  def tokenEntropy(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val counts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("_term"))
+      .groupBy(col(idCol), col("_term"))
+      .agg(count(lit(1)).as("_cnt"))
+    counts
+      .groupBy(col(idCol))
+      .agg(
+        sum(col("_cnt")).as("_n"),
+        count(lit(1)).as("_nd"),
+        sum(col("_cnt").cast("double") * log(col("_cnt").cast("double"))).as("_h"))
+      .select(
+        col(idCol),
+        col("_n").cast("int").as("n_tokens"),
+        col("_nd").cast("int").as("n_distinct_tokens"),
+        ((log(col("_n").cast("double")) - col("_h") / col("_n").cast("double")) / math.log(2.0))
+          .as("entropy"),
+        when(col("_n") > 1,
+          (log(col("_n").cast("double")) - col("_h") / col("_n").cast("double"))
+            / log(col("_n").cast("double")))
+          .otherwise(lit(0.0)).as("norm_entropy"))
+  }
 }

@@ -45,6 +45,8 @@ object GraftExtensions {
       arity(2, "dot_product(a, b)")(c => DotProduct(c.head, c(1)))),
     ("jaccard_sorted", JaccardSorted.info,
       arity(2, "jaccard_sorted(a, b)")(c => JaccardSorted(c.head, c(1)))),
+    ("containment_sorted", ContainmentSorted.info,
+      arity(2, "containment_sorted(a, b)")(c => ContainmentSorted(c.head, c(1)))),
     ("shingle_hashes", ShingleHashes.info,
       arity(2, "shingle_hashes(text, k)")(c => ShingleHashes(c.head, intLit(c(1), "k")))),
     ("simhash64", SimHash64.info,

@@ -165,3 +165,76 @@ object JaccardSorted {
 
   val info: ExpressionInfo = new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted")
 }
+
+/** ASYMMETRIC set containment C(A ⊆ B) = |A∩B| / |A| of two SORTED
+  * distinct long arrays — the doc-in-doc signal Jaccard structurally
+  * cannot give (a short document fully quoted inside a long one has
+  * tiny Jaccard but containment 1.0; Broder 1997 distinguishes
+  * "resemblance" from exactly this "containment"). Same allocation-free
+  * linear merge as [[JaccardSorted]]; null when the LEFT (contained
+  * candidate) side is empty — 0/0 has no meaning and ANSI mode must not
+  * see the division.
+  */
+final case class ContainmentSorted(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"containment_sorted expects two array<long>, got ($l, $r)")
+  }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val l = left.eval(input)
+    if (l == null) return null
+    val r = right.eval(input)
+    if (r == null) return null
+    ContainmentSorted.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val boxed = ctx.freshName("cont")
+    val code =
+      code"""
+        ${leftGen.code}
+        ${rightGen.code}
+        boolean ${ev.isNull} = true;
+        double ${ev.value} = 0.0;
+        if (!${leftGen.isNull} && !${rightGen.isNull}) {
+          java.lang.Double $boxed = graft.plans.ContainmentSorted.compute(${leftGen.value}, ${rightGen.value});
+          if ($boxed != null) { ${ev.isNull} = false; ${ev.value} = $boxed.doubleValue(); }
+        }
+      """
+    ev.copy(code = code)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "containment_sorted"
+}
+
+object ContainmentSorted {
+
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val la = a.numElements()
+    if (la == 0) return null
+    val lb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < la && j < lb) {
+      val va = a.getLong(i)
+      val vb = b.getLong(j)
+      if (va == vb) { inter += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    java.lang.Double.valueOf(inter.toDouble / la.toDouble)
+  }
+
+  val info: ExpressionInfo = new ExpressionInfo(classOf[ContainmentSorted].getName, "containment_sorted")
+}

@@ -897,6 +897,21 @@ object Oracles {
          |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 50)
          |WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
 
+    // directed containment of the smaller shingle set in the larger:
+    // lang-blocked, shingle floor 5 on the contained side (the size
+    // direction makes the container's floor implied), string shingles
+    // standing in for the engine's xxhash64 shingles (dedup_ngram's
+    // collision caveat)
+    "dedup_containment" ->
+      s"""WITH g AS (${shingleSelect(2, ", lang", " WHERE doc_id % 2 = 1")})
+         |SELECT a, b, containment FROM (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.sh, y.sh))::DOUBLE / len(x.sh)::DOUBLE AS containment
+         |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id <> y.doc_id
+         |    AND (len(x.sh) < len(y.sh) OR (len(x.sh) = len(y.sh) AND x.doc_id < y.doc_id))
+         |  WHERE len(x.sh) >= 5)
+         |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
+
     "dedup_simhash" ->
       s"""WITH $simhashFp
          |SELECT a, b, hamming FROM (
@@ -1339,6 +1354,56 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // RRF hybrid: the bm25_topk CTEs at k=20 + the ann_hash_embed CTEs
+    // with the QUERY side hashed from the same 6-token truncation, fused
+    // on sum(floor(2^40/(60+rank))) — an associative long sum, so the
+    // fused score needs no float cast (exact int / power of two)
+    "retrieval_rrf" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
+         |qset AS MATERIALIZED (SELECT DISTINCT term FROM q),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t) p
+         |  JOIN qset USING (term) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+         |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (
+         |  SELECT q.query_id, c.doc_id, sum(floor(c.contrib * 1099511627776.0)::BIGINT) AS score_fp
+         |  FROM contrib c JOIN q USING (term) GROUP BY q.query_id, c.doc_id),
+         |sparse AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |b AS MATERIALIZED (SELECT doc_id, (${md24("term")} % 64)::INTEGER AS dim, count(*)::BIGINT AS cnt
+         |  FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY doc_id, dim),
+         |n AS MATERIALIZED (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM b GROUP BY doc_id),
+         |qb AS MATERIALIZED (SELECT query_id, (${md24("term")} % 64)::INTEGER AS dim, count(*)::BIGINT AS cnt
+         |  FROM (SELECT doc_id AS query_id, unnest(toks[1:6]) AS term FROM t WHERE doc_id < 5) GROUP BY query_id, dim),
+         |qn AS (SELECT query_id, sum(cnt * cnt)::BIGINT AS n2 FROM qb GROUP BY query_id),
+         |pairs AS (
+         |  SELECT query_id, b.doc_id AS doc_id, sum(qb.cnt * b.cnt)::BIGINT AS dot
+         |  FROM qb JOIN b USING (dim) WHERE b.doc_id <> query_id GROUP BY query_id, doc_id),
+         |dsc AS (
+         |  SELECT query_id, pairs.doc_id AS doc_id,
+         |    dot::DOUBLE / (sqrt(qn.n2::DOUBLE) * sqrt(nc.n2::DOUBLE)) AS cosine
+         |  FROM pairs JOIN qn USING (query_id) JOIN n nc ON nc.doc_id = pairs.doc_id),
+         |dense AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, doc_id) AS rank FROM dsc)
+         |  WHERE rank <= 20),
+         |fused AS (
+         |  SELECT query_id, doc_id, sum(floor(1099511627776.0 / (60.0 + rank::DOUBLE))::BIGINT) AS rrf_fp
+         |  FROM (SELECT * FROM sparse UNION ALL SELECT * FROM dense) GROUP BY query_id, doc_id)
+         |SELECT query_id, doc_id, (rrf_fp::DOUBLE / 1099511627776.0) AS rrf_score, rank::INTEGER AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_fp DESC, doc_id) AS rank FROM fused)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     "ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
@@ -1363,6 +1428,23 @@ object Oracles {
         |   AND length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE < 15.0) AS is_quality
         |FROM (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // token-distribution Shannon entropy: ln(n) − Σ c·ln(c)/n over the
+    // per-doc token counts; FLOAT on the entropies (order-sensitive
+    // double sum + Math.log vs libm ln ulps — the bm25 discipline)
+    "text_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id, term, count(*) AS cnt
+        |  FROM (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |a AS (
+        |  SELECT doc_id, sum(cnt)::BIGINT AS n, count(*)::INTEGER AS nd,
+        |    sum(cnt::DOUBLE * ln(cnt::DOUBLE)) AS h
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n::INTEGER AS n_tokens, nd AS n_distinct_tokens,
+        |  ((ln(n::DOUBLE) - h / n::DOUBLE) / ln(2.0))::FLOAT AS entropy,
+        |  (CASE WHEN n > 1 THEN (ln(n::DOUBLE) - h / n::DOUBLE) / ln(n::DOUBLE) ELSE 0.0 END)::FLOAT AS norm_entropy
+        |FROM a ORDER BY doc_id""".stripMargin,
 
     "text_langid" -> langidSql,
 

@@ -606,4 +606,46 @@ class DedupSpec extends SparkSuite {
       assert(r.getAs[Double]("covered_frac") == 0.0)
     }
   }
+
+  test("containmentSorted: subset is 1.0, disjoint is 0.0, empty left is null") {
+    val sub = evalOne(Dedup.containmentSorted(
+      Dedup.shingleHashes(lit("a b c"), 1), Dedup.shingleHashes(lit("a b c d e"), 1)))
+    assert(sub == 1.0)
+    val dis = evalOne(Dedup.containmentSorted(
+      Dedup.shingleHashes(lit("a b"), 1), Dedup.shingleHashes(lit("x y"), 1)))
+    assert(dis == 0.0)
+    // left side shorter than k shingles -> empty array -> null, not 0/0
+    assert(evalOne(Dedup.containmentSorted(
+      Dedup.shingleHashes(lit("a"), 2), Dedup.shingleHashes(lit("a b c"), 2))) == null)
+  }
+
+  test("containmentPairs finds doc-in-doc the Jaccard baseline misses, directed small-into-large") {
+    // doc 1 is wholly quoted inside doc 2 (plus much more): containment
+    // of 1-in-2 is 1.0 while Jaccard is far below any useful threshold
+    val contained = "alpha beta gamma delta epsilon zeta"
+    val container = contained + " one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+    val df = Seq(
+      (1L, contained, "en"),
+      (2L, container, "en"),
+      (3L, "completely different tokens nothing shared here at all", "en"),
+      (4L, contained, "de") // same text, other block: must NOT pair cross-block
+    ).toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", blockCol = "lang",
+      k = 2, threshold = 0.8, minShingles = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+    // the same pair is invisible to the symmetric Jaccard baseline
+    val j = Dedup.jaccardSorted(
+      Dedup.shingleHashes(lit(contained), 2), Dedup.shingleHashes(lit(container), 2))
+    assert(evalOne(j).asInstanceOf[Double] < 0.3)
+  }
+
+  test("containmentPairs equal-size sets emit one direction only (id-ordered)") {
+    val text = "one two three four five six seven"
+    val df = Seq((5L, text, "en"), (9L, text, "en")).toDF("doc_id", "text", "lang")
+    val got = Dedup.containmentPairs(df, "text", "doc_id", blockCol = "lang")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((5L, 9L, 1.0)))
+  }
 }

@@ -167,4 +167,32 @@ class RetrievalSpec extends SparkSuite {
     assert(!plan.contains("Scan ExistingRDD"),
       s"unexpected checkpoint read under persist policy:\n$plan")
   }
+
+  test("rrfFuse matches hand-computed reciprocal rank fusion, docs in one list only included") {
+    import org.apache.spark.sql.functions.col
+    // query 7: doc 10 is rank 1 sparse / rank 3 dense; doc 20 rank 2/1;
+    // doc 30 sparse-only rank 3; doc 40 dense-only rank 2
+    val sparse = Seq((7L, 10L, 1), (7L, 20L, 2), (7L, 30L, 3)).toDF("query_id", "doc_id", "rank")
+    val dense = Seq((7L, 20L, 1), (7L, 40L, 2), (7L, 10L, 3)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(sparse, dense), k = 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val scale = 1099511627776.0
+    def rrf(ranks: Int*): Double =
+      ranks.map(r => math.floor(scale / (60.0 + r)).toLong).sum / scale
+    // doc 20: 1/62+1/61 > doc 10: 1/61+1/63 > doc 40: 1/62 > doc 30: 1/63
+    assert(got.map(_._1).toSeq == Seq(20L, 10L, 40L, 30L))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3, 4))
+    assert(got.map(_._2).toSeq == Seq(rrf(2, 1), rrf(1, 3), rrf(2), rrf(3)))
+  }
+
+  test("rrfFuse ties on fused score break by doc id; top-k truncates") {
+    // two docs each ranked 1 in exactly one list -> identical fused
+    // scores; k=1 keeps only the lower id
+    val a = Seq((1L, 100L, 1)).toDF("query_id", "doc_id", "rank")
+    val b = Seq((1L, 50L, 1)).toDF("query_id", "doc_id", "rank")
+    val got = Retrieval.rrfFuse(Seq(a, b), k = 1)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(got.toSeq == Seq((50L, 1)))
+  }
 }

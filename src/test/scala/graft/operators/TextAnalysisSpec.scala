@@ -200,4 +200,36 @@ class TextAnalysisSpec extends SparkSuite {
     assert(r(0).getAs[String]("redacted") === "<EMAIL> <EMAIL> <IP>")
     assert(r(1).getAs[String]("redacted") === "clean")
   }
+
+  test("tokenEntropy: uniform = log2(n), constant = 0, skewed matches hand computation") {
+    val df = Seq(
+      (1L, "a b c d"),        // 4 distinct of 4 -> exactly 2 bits, norm 1
+      (2L, "spam spam spam"), // one token repeated -> 0 bits, norm 0
+      (3L, "x"),              // single token -> 0 bits, norm defined 0
+      (4L, "a a b c")         // counts (2,1,1) of n=4
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tokenEntropy(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Int]("n_tokens"), r.getAs[Int]("n_distinct_tokens"),
+        r.getAs[Double]("entropy"), r.getAs[Double]("norm_entropy")))
+    assert(got(0)._1 == 4 && got(0)._2 == 4)
+    assert(math.abs(got(0)._3 - 2.0) < 1e-12 && math.abs(got(0)._4 - 1.0) < 1e-12)
+    assert(got(1) == ((3, 1, 0.0, 0.0)))
+    assert(got(2) == ((1, 1, 0.0, 0.0)))
+    // H = ln(4) - (2 ln 2 + 0 + 0)/4, in bits
+    val h4 = (math.log(4) - 2 * math.log(2) / 4) / math.log(2)
+    assert(math.abs(got(3)._3 - h4) < 1e-12)
+    assert(math.abs(got(3)._4 - h4 / 2.0) < 1e-12)
+  }
+
+  test("tokenEntropy is invariant under token order and repartitioning") {
+    val a = Seq((1L, "a a b c d d d e")).toDF("doc_id", "text")
+    val b = Seq((1L, "d e d a c b d a")).toDF("doc_id", "text")
+    val ra = TextAnalysis.tokenEntropy(a.repartition(7), "text", "doc_id").collect()(0)
+    val rb = TextAnalysis.tokenEntropy(b, "text", "doc_id").collect()(0)
+    assert(ra.getAs[Int]("n_tokens") == 8 && ra.getAs[Int]("n_distinct_tokens") == 5)
+    // float-level agreement is the cross-engine contract; here the count
+    // multisets are identical so doubles should agree to last-ulp noise
+    assert(math.abs(ra.getAs[Double]("entropy") - rb.getAs[Double]("entropy")) < 1e-12)
+  }
 }
