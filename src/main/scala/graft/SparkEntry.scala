@@ -122,6 +122,7 @@ object SparkEntry {
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),
+    "corpus_drift" -> (L.corpusDrift _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),
@@ -131,11 +132,13 @@ object SparkEntry {
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),
     "select_mixture" -> (L.selectMixture _),
+    "mixture_weights" -> (L.mixtureWeights _),
     "ann_recall" -> (L.annRecall _),
     "text_boilerplate" -> (L.textBoilerplate _),
     "sample_stratified" -> (L.sampleStratified _),
     "sample_weighted" -> (L.sampleWeighted _),
     "split_assign" -> (L.splitAssign _),
+    "split_leakage" -> (L.splitLeakage _),
     "langid_confusion" -> (L.langidConfusion _),
     "pack_sequences" -> (L.packSequences _),
     "corpus_curation" -> (L.corpusCuration _),

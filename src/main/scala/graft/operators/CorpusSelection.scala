@@ -212,4 +212,68 @@ object CorpusSelection {
       .withColumn("sample_rank", row_number().over(w))
       .where(col("sample_rank") <= n)
   }
+
+  /** Per-stratum RESAMPLING weights toward a target mixture — the
+    * DoReMi-style reweighting report that precedes any weighted-sampling
+    * run ([[weightedSample]] consumes the `weight` column): for each
+    * stratum, its observed token share, its target share, and
+    * `weight = min(cap, target/observed)` — the factor a sampler
+    * multiplies into per-document probabilities to move the mix toward
+    * the target. Strata absent from `targets` get `target_frac = 0`,
+    * `weight = 0` (a mixture is a whitelist — the [[selectByMixture]]
+    * contract); `cap` bounds the up-sampling of tiny strata so one
+    * rare-language sliver cannot be told to repeat 1000×.
+    *
+    * One corpus aggregate to (stratum, n_docs, n_tokens) — map-side
+    * combining, #strata output rows — then broadcast joins against the
+    * 1-row total and the literal target table. Nothing after the first
+    * aggregate scales with the corpus.
+    */
+  def mixtureWeights(docs: DataFrame, strataCol: String, tokens: Column,
+                     targets: Map[String, Double], cap: Double = 10.0): DataFrame = {
+    require(targets.nonEmpty, "targets must be non-empty")
+    require(targets.values.forall(_ >= 0) && targets.values.sum > 0,
+      "targets must be non-negative with a positive sum")
+    val norm = targets.values.sum
+    val tdf = docs.sparkSession
+      .createDataFrame(targets.toSeq.map { case (k, v) => (k, v / norm) })
+      .toDF(strataCol, "target_frac")
+    val agg = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("int").as("n_docs"), sum(tokens).cast("long").as("n_tokens"))
+    val tot = agg.agg(sum(col("n_tokens")).cast("long").as("_tot"))
+    val currentFrac = col("n_tokens").cast("double") / col("_tot").cast("double")
+    agg
+      .crossJoin(broadcast(tot))
+      .join(broadcast(tdf), Seq(strataCol), "left")
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        currentFrac.as("current_frac"),
+        coalesce(col("target_frac"), lit(0.0)).as("target_frac"),
+        when(col("target_frac").isNull, lit(0.0))
+          .otherwise(least(lit(cap), col("target_frac") / currentFrac)).as("weight"))
+  }
+
+  /** Cross-split LEAKAGE audit — the check every dataset release runs
+    * after [[assignSplit]]: near-duplicate pairs whose members landed in
+    * DIFFERENT splits (a test document with a train near-twin is
+    * evaluation contamination; Lee et al. 2022 measure exactly this
+    * between C4's train and validation). `pairs` is any pair table
+    * carrying (`a`, `b`) ids — [[Dedup.simHashPairs]],
+    * [[Dedup.minHashPairs]], exact-fingerprint pairs — and `assignment`
+    * maps `idCol` to `splitCol`. Keeps only pairs whose two splits
+    * differ, appending `split_a` / `split_b`; all other pair columns
+    * (hamming, jaccard, …) ride through.
+    *
+    * Scale: the pair table is candidate-generation-bounded (never
+    * all-pairs — the upstream dedup discipline), and the two joins key
+    * on the id; with a corpus-sized assignment both are plain hash
+    * joins, and AQE broadcasts the pair side when a run's pair count is
+    * small. No stage scales worse than the dedup that produced the
+    * pairs.
+    */
+  def splitLeakage(pairs: DataFrame, assignment: DataFrame,
+                   idCol: String = "doc_id", splitCol: String = "split"): DataFrame =
+    pairs
+      .join(assignment.select(col(idCol).as("a"), col(splitCol).as("split_a")), "a")
+      .join(assignment.select(col(idCol).as("b"), col(splitCol).as("split_b")), "b")
+      .where(col("split_a") =!= col("split_b"))
 }

@@ -482,4 +482,50 @@ object TextAnalysis {
             / log(col("_n").cast("double")))
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
+
+  /** Per-stratum token-DISTRIBUTION drift between a reference corpus
+    * and a current one — the data-drift monitor a production ingest runs
+    * before retraining on a new crawl: Jensen-Shannon divergence (in
+    * bits, ∈ [0,1]) between the two unigram distributions, per stratum.
+    * Emits (`strataCol`, `n_ref_tokens`, `n_cur_tokens`, `n_terms` =
+    * union vocabulary size, `js_divergence`). Strata present on only one
+    * side are dropped (JS against an empty distribution is the constant
+    * 1 — noise, not signal).
+    *
+    * Plan: the two sides union with a side flag BEFORE the (stratum,
+    * term) count, so one shuffle builds both distributions (two separate
+    * groupBys would shuffle the token stream twice); per-stratum totals
+    * are #strata rows and broadcast back; the contribution pass is
+    * map-local and the final per-stratum aggregate is tiny. Token volume
+    * bounds everything, exactly like [[tokenEntropy]]. The double sums
+    * are order-sensitive in the last ulps — consumers compare at float
+    * (the bm25 discipline).
+    */
+  def tokenDrift(ref: DataFrame, cur: DataFrame, textCol: String,
+                 strataCol: String): DataFrame = {
+    def side(df: DataFrame, isRef: Int): DataFrame =
+      df.select(col(strataCol).as("_s"),
+        explode(tokens(col(textCol))).as("_term"), lit(isRef).as("_ref"))
+    val c = side(ref, 1).unionAll(side(cur, 0))
+      .groupBy(col("_s"), col("_term"))
+      .agg(
+        sum(when(col("_ref") === 1, lit(1L)).otherwise(lit(0L))).as("cref"),
+        sum(when(col("_ref") === 1, lit(0L)).otherwise(lit(1L))).as("ccur"))
+    val n = c.groupBy(col("_s"))
+      .agg(sum(col("cref")).as("nref"), sum(col("ccur")).as("ncur"))
+      .where(col("nref") > 0 && col("ncur") > 0)
+    val p = col("cref").cast("double") / col("nref").cast("double")
+    val q = col("ccur").cast("double") / col("ncur").cast("double")
+    val m = (p + q) / lit(2.0)
+    c.join(broadcast(n), "_s")
+      .groupBy(col("_s"), col("nref"), col("ncur"))
+      .agg(
+        count(lit(1)).cast("int").as("n_terms"),
+        sum(when(col("cref") > 0, p * log(p / m)).otherwise(lit(0.0))).as("_kl_ref"),
+        sum(when(col("ccur") > 0, q * log(q / m)).otherwise(lit(0.0))).as("_kl_cur"))
+      .select(col("_s").as(strataCol),
+        col("nref").as("n_ref_tokens"), col("ncur").as("n_cur_tokens"),
+        col("n_terms"),
+        (((col("_kl_ref") + col("_kl_cur")) * lit(0.5)) / math.log(2.0)).as("js_divergence"))
+  }
 }

@@ -1446,6 +1446,32 @@ object Oracles {
         |  (CASE WHEN n > 1 THEN (ln(n::DOUBLE) - h / n::DOUBLE) / ln(n::DOUBLE) ELSE 0.0 END)::FLOAT AS norm_entropy
         |FROM a ORDER BY doc_id""".stripMargin,
 
+    // Jensen-Shannon drift between even-id (reference) and odd-id
+    // (current) unigram distributions per lang; FLOAT on the divergence
+    // (order-sensitive double sums — the bm25 discipline)
+    "corpus_drift" ->
+      """WITH tk AS (
+        |  SELECT lang AS s, doc_id % 2 = 0 AS is_ref,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT s, term,
+        |    sum(CASE WHEN is_ref THEN 1 ELSE 0 END)::BIGINT AS cref,
+        |    sum(CASE WHEN is_ref THEN 0 ELSE 1 END)::BIGINT AS ccur
+        |  FROM tk GROUP BY s, term),
+        |n AS (
+        |  SELECT s, sum(cref)::BIGINT AS nref, sum(ccur)::BIGINT AS ncur
+        |  FROM c GROUP BY s HAVING sum(cref) > 0 AND sum(ccur) > 0),
+        |d AS (
+        |  SELECT c.s, cref, ccur, nref, ncur,
+        |    cref::DOUBLE / nref::DOUBLE AS p, ccur::DOUBLE / ncur::DOUBLE AS q,
+        |    (cref::DOUBLE / nref::DOUBLE + ccur::DOUBLE / ncur::DOUBLE) / 2.0 AS mm
+        |  FROM c JOIN n USING (s))
+        |SELECT s AS lang, nref AS n_ref_tokens, ncur AS n_cur_tokens, count(*)::INTEGER AS n_terms,
+        |  (((sum(CASE WHEN cref > 0 THEN p * ln(p / mm) ELSE 0.0 END)
+        |    + sum(CASE WHEN ccur > 0 THEN q * ln(q / mm) ELSE 0.0 END)) * 0.5) / ln(2.0))::FLOAT AS js_divergence
+        |FROM d GROUP BY s, nref, ncur ORDER BY lang""".stripMargin,
+
     "text_langid" -> langidSql,
 
     // confusion matrix over the same prediction SQL: counts per
@@ -1794,6 +1820,43 @@ object Oracles {
     // integer (exact double division by 16^6), keep iff coin < weight
     // 90/5/5 by the md5 coin; the last arm is unconditional (float-sum
     // boundary safety), matching the Scala fold
+    // DoReMi-lite reweighting: targets are exact binary fractions
+    // summing to 1, so the (target/observed) division operates on
+    // identical doubles in both engines; es absent -> weight 0
+    "mixture_weights" ->
+      """WITH a AS (
+        |  SELECT lang, count(*)::INTEGER AS n_docs,
+        |    sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS tot FROM a),
+        |t AS (SELECT lang, tf::DOUBLE AS target_frac FROM (VALUES ('en', 0.5), ('ru', 0.25), ('de', 0.125), ('fr', 0.125)) AS v(lang, tf))
+        |SELECT a.lang, n_docs, n_tokens,
+        |  n_tokens::DOUBLE / tot::DOUBLE AS current_frac,
+        |  coalesce(target_frac, 0.0) AS target_frac,
+        |  CASE WHEN target_frac IS NULL THEN 0.0
+        |       ELSE least(10.0, target_frac / (n_tokens::DOUBLE / tot::DOUBLE)) END AS weight
+        |FROM a CROSS JOIN tot LEFT JOIN t USING (lang) ORDER BY lang""".stripMargin,
+
+    // cross-split leakage: the dedup_simhash pair set x the split_assign
+    // md5 coin — pairs whose members landed in different splits
+    "split_leakage" ->
+      s"""WITH $simhashFp,
+         |sp AS (
+         |  SELECT doc_id, CASE WHEN coin < 0.9 THEN 'train' WHEN coin < 0.95 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |      list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+         |        c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::DOUBLE
+         |        / 16777216.0 AS coin
+         |    FROM documents)),
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
+         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3)
+         |SELECT a, b, sa.split AS split_a, sb.split AS split_b, hamming
+         |FROM pairs JOIN sp sa ON sa.doc_id = a JOIN sp sb ON sb.doc_id = b
+         |WHERE sa.split <> sb.split ORDER BY a, b""".stripMargin,
+
     "split_assign" ->
       """SELECT doc_id, lang,
         |  CASE WHEN coin < 0.9 THEN 'train' WHEN coin < 0.95 THEN 'val' ELSE 'test' END AS split

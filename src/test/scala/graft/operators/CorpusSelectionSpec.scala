@@ -146,4 +146,42 @@ class CorpusSelectionSpec extends SparkSuite {
       .select("doc_id").as[Long].collect()
     assert(kept.map(_._1).sorted.toSeq == again.sorted.toSeq)
   }
+
+  test("mixtureWeights: weight = target/observed capped, absent stratum zeroed") {
+    // en: 60 of 100 tokens, ru: 30, de: 10; targets en .5 / ru .25 / de .25
+    val docs = Seq(
+      ("en", 40L), ("en", 20L), ("ru", 30L), ("de", 10L)
+    ).toDF("lang", "n_tok")
+    val got = CorpusSelection.mixtureWeights(docs, "lang", col("n_tok"),
+      Map("en" -> 0.5, "ru" -> 0.25, "de" -> 0.25), cap = 10.0)
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.map(_._1).toSeq == Seq("de", "en", "ru"))
+    val Seq(de, en, ru) = got.toSeq
+    assert(en == (("en", 2, 60L, 0.6, 0.5, 0.5 / 0.6)))
+    assert(ru == (("ru", 1, 30L, 0.3, 0.25, 0.25 / 0.3)))
+    assert(de == (("de", 1, 10L, 0.1, 0.25, 0.25 / 0.1))) // up-sample, under cap
+    // cap binds when the stratum is tiny relative to its target
+    val capped = CorpusSelection.mixtureWeights(docs, "lang", col("n_tok"),
+      Map("en" -> 0.5, "ru" -> 0.25, "de" -> 0.25), cap = 2.0)
+      .where(col("lang") === "de").collect()(0).getDouble(5)
+    assert(capped == 2.0)
+    // absent stratum: zero target, zero weight, still reported
+    val zeroed = CorpusSelection.mixtureWeights(docs, "lang", col("n_tok"),
+      Map("en" -> 1.0), cap = 10.0)
+      .where(col("lang") === "de").collect()(0)
+    assert(zeroed.getDouble(4) == 0.0 && zeroed.getDouble(5) == 0.0)
+  }
+
+  test("splitLeakage keeps only cross-split pairs, pair columns ride through") {
+    val pairs = Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)).toDF("a", "b", "hamming")
+    val assign = Seq((1L, "train"), (2L, "train"), (3L, "test")).toDF("doc_id", "split")
+    val got = CorpusSelection.splitLeakage(pairs, assign)
+      .select("a", "b", "split_a", "split_b", "hamming")
+      .orderBy("a", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3), r.getInt(4)))
+    assert(got.toSeq == Seq(
+      (1L, 3L, "train", "test", 2),
+      (2L, 3L, "train", "test", 3)))
+  }
 }

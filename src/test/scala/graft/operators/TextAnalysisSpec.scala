@@ -222,6 +222,33 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(got(3)._4 - h4 / 2.0) < 1e-12)
   }
 
+  test("tokenDrift: identical distributions give JS 0, disjoint give 1, one-sided strata drop") {
+    val ref = Seq(
+      ("en", "a a b c"), ("de", "x y"), ("only_ref", "zz zz")
+    ).toDF("lang", "text")
+    val cur = Seq(
+      ("en", "c a b a"),   // same multiset as ref's en -> identical dist
+      ("de", "p q")        // disjoint vocabulary -> maximal divergence
+    ).toDF("lang", "text")
+    val got = TextAnalysis.tokenDrift(ref, cur, "text", "lang")
+      .orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+    assert(got.map(_._1).toSeq == Seq("de", "en")) // only_ref dropped
+    val de = got(0); val en = got(1)
+    assert(en._2 == 4 && en._3 == 4 && en._4 == 3)
+    assert(math.abs(en._5) < 1e-12, s"identical distributions must have JS 0, got ${en._5}")
+    assert(de._4 == 4)
+    assert(math.abs(de._5 - 1.0) < 1e-12, s"disjoint vocabularies must have JS 1 bit, got ${de._5}")
+  }
+
+  test("tokenDrift detects a planted shift and is bounded by [0, 1]") {
+    val ref = Seq(("en", "a b c d e f g h")).toDF("lang", "text")
+    val cur = Seq(("en", "a b c d a b c d")).toDF("lang", "text")
+    val js = TextAnalysis.tokenDrift(ref, cur, "text", "lang")
+      .collect()(0).getDouble(4)
+    assert(js > 0.1 && js < 1.0, s"shifted distribution should land strictly inside (0,1): $js")
+  }
+
   test("tokenEntropy is invariant under token order and repartitioning") {
     val a = Seq((1L, "a a b c d d d e")).toDF("doc_id", "text")
     val b = Seq((1L, "d e d a c b d a")).toDF("doc_id", "text")
