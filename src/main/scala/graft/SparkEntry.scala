@@ -33,6 +33,7 @@ object SparkEntry {
     "j1_broadcast_join" -> (C.j1BroadcastJoin _),
     "j2_explode" -> (C.j2Explode _),
     "asof_join" -> (C.asofJoin _),
+    "asof_tolerance" -> (C.asofTolerance _),
     "asof_join_bucketed" -> (C.asofJoinBucketed _),
     // §2.5 windows
     "w2_lag_intervals" -> (C.w2LagIntervals _),
@@ -41,6 +42,7 @@ object SparkEntry {
     "funnel_steps" -> (C.funnelSteps _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
+    "quality_percentile_gate" -> (L.qualityPercentileGate _),
     "quality_gate" -> (C.qualityGate _),
     "quality_quarantine" -> (C.qualityQuarantine _),
     "mm_audio_windows" -> (L.mmAudioWindows _),
@@ -128,6 +130,7 @@ object SparkEntry {
     "text_chunks" -> (L.textChunks _),
     "text_keywords" -> (L.textKeywords _),
     "emb_quantize" -> (L.embQuantize _),
+    "emb_norms" -> (L.embNorms _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),

@@ -81,6 +81,33 @@ object AsOfJoin {
     }
   }
 
+  /** [[asOf]] with a STALENESS bound — pandas `merge_asof(tolerance=…)`:
+    * a match older than `toleranceSeconds` before the left timestamp is
+    * discarded (every `prefix`-payload column nulled), because a
+    * feature-store value from last month is usually worse than no value
+    * at all. `rightTs` must be in `rightPayload` (the carried timestamp
+    * is what the bound is checked against — re-deriving it would re-sort
+    * the history). The mask is a pure row-local projection over the
+    * standard as-of output: exact integer microsecond arithmetic, no
+    * extra shuffle, same plan shape and skew story as [[asOf]].
+    */
+  def asOfWithTolerance(left: DataFrame, right: DataFrame, keys: Seq[String],
+                        leftTs: String, rightTs: String,
+                        rightPayload: Seq[String], toleranceSeconds: Long,
+                        prefix: String = "asof_",
+                        skewBucketSeconds: Option[Long] = None): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be non-negative, got $toleranceSeconds")
+    require(rightPayload.contains(rightTs),
+      s"rightPayload must carry the right timestamp '$rightTs' for the staleness check")
+    val joined = asOf(left, right, keys, leftTs, rightTs, rightPayload, prefix, skewBucketSeconds)
+    val fresh = col(prefix + rightTs).isNotNull &&
+      (unix_micros(col(leftTs).cast("timestamp")) - unix_micros(col(prefix + rightTs).cast("timestamp"))
+        <= toleranceSeconds * 1000000L)
+    rightPayload.foldLeft(joined) { (df, c) =>
+      df.withColumn(prefix + c, when(fresh, col(prefix + c)))
+    }
+  }
+
   /** Default path: one union, one key exchange, one merge window. */
   private def merged(l: DataFrame, r: DataFrame, leftCols: Seq[String],
                      keys: Seq[String], rightPayload: Seq[String],

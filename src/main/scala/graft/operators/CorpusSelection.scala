@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MatOps
+
 /** Training-corpus selection operators: the step AFTER scoring and dedup
   * in an LLM data pipeline — decide WHICH documents actually enter the
   * training mix.
@@ -276,4 +278,37 @@ object CorpusSelection {
       .join(assignment.select(col(idCol).as("a"), col(splitCol).as("split_a")), "a")
       .join(assignment.select(col(idCol).as("b"), col(splitCol).as("split_b")), "b")
       .where(col("split_a") =!= col("split_b"))
+
+  /** ADAPTIVE per-stratum quality admission — keep documents whose
+    * `score` is at or above their OWN stratum's p-th percentile, instead
+    * of one global cutoff that over-admits the easy language and
+    * guts the hard one (per-language threshold calibration, the CCNet
+    * practice). The percentile is the exact DISCRETE quantile of
+    * [[TextAnalysis.corpusProfile]] — the value at sorted row
+    * ceil(p·n), `p` given in basis points so the rank arithmetic is
+    * integer-exact in every engine. Appends `threshold_score`.
+    *
+    * Plan: score projection cut once; one per-stratum rank window
+    * (the operator's only corpus shuffle, parallel per stratum) reduces
+    * to #strata threshold rows, which BROADCAST back into a map-side
+    * admission filter. Same shape as `selectByTokenBudgetApprox`'s
+    * probe — nothing after the window scales with the corpus.
+    */
+  def percentileGate(docs: DataFrame, strataCol: String, score: Column,
+                     pBasisPoints: Int): DataFrame = {
+    require(pBasisPoints > 0 && pBasisPoints <= 10000,
+      s"percentile must be in (0, 10000] basis points, got $pBasisPoints")
+    val scored = docs.withColumn("_score", score).materialized
+    val w = Window.partitionBy(col(strataCol))
+    val thresh = scored
+      .withColumn("_rn", row_number().over(w.orderBy(col("_score"))))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .groupBy(col(strataCol))
+      .agg(max(when(col("_rn") === expr(s"(_cnt * ${pBasisPoints}L + 9999L) DIV 10000L"),
+        col("_score"))).as("threshold_score"))
+    scored
+      .join(broadcast(thresh), strataCol)
+      .where(col("_score") >= col("threshold_score"))
+      .drop("_score")
+  }
 }

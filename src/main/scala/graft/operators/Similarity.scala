@@ -427,4 +427,27 @@ object Similarity {
         sum(coalesce(col("_hit"), lit(0))).cast("int").as("n_hits"))
       .select(col("query_id"), col("n_hits"),
         expr("(n_hits * 100) div k").cast("int").as("recall_pct"))
+
+  /** Embedding-table HEALTH profile — the sanity pass a pipeline runs
+    * before building any index over a vendor's vectors: per vector, its
+    * dimensionality, L2 norm, zero-component count, max |component|, and
+    * a zero-vector flag (a zero vector has no cosine direction and
+    * silently poisons normalized dot products with NaN downstream).
+    * Pure map-side projection — no shuffle, no state; norms come from a
+    * left-fold over the array (same element order in every engine, so
+    * the double sum is reproducible bit-for-bit, the `dot` discipline
+    * of [[bruteForceTopK]]).
+    */
+  def embeddingNorms(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val sumsq = aggregate(v, lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double"))
+    embs.select(
+      col(idCol),
+      size(v).as("dim"),
+      sqrt(sumsq).as("l2_norm"),
+      size(filter(v, x => x === lit(0.0f))).as("n_zero"),
+      array_max(transform(v, x => abs(x))).as("max_abs"),
+      (sumsq === lit(0.0)).as("is_zero"))
+  }
 }

@@ -309,6 +309,24 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** [[asofJoin]] with a 6-hour staleness bound
+    * ([[graft.operators.AsOfJoin.asOfWithTolerance]], pandas
+    * `merge_asof(tolerance=…)`): matches older than the bound are
+    * masked to null — a state older than the tolerance is treated as no
+    * state. Exact integer microsecond arithmetic on both sides.
+    */
+  def asofTolerance(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOfWithTolerance(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"), toleranceSeconds = 21600L)
+      .withColumn("secs_since_click", TimeFns.timedeltaSeconds(col("ts"), col("asof_ts")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** [[asofJoin]] through the BUCKETED hot-key path (1-hour buckets) —
     * same rows, same oracle: DuckDB's native ASOF JOIN now certifies
     * the skew variant directly, not just its suite-asserted equality

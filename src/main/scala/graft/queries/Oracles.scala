@@ -689,6 +689,19 @@ object Oracles {
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // merge_asof(tolerance): matches staler than 6 h are masked to null
+    // on every carried column — exact integer microsecond arithmetic
+    "asof_tolerance" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, p.ts,
+         |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000::BIGINT THEN c.ts END AS asof_ts,
+         |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000::BIGINT THEN c.event_id END AS asof_event_id,
+         |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000::BIGINT THEN c.value END AS asof_value,
+         |  CASE WHEN c.ts IS NOT NULL AND epoch_us(p.ts) - epoch_us(c.ts) <= 21600000000::BIGINT THEN (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 END AS secs_since_click
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     // the bucketed hot-key variant must produce the SAME rows — DuckDB's
     // native ASOF certifies the skew path directly
     "asof_join_bucketed" ->
@@ -1820,6 +1833,31 @@ object Oracles {
     // integer (exact double division by 16^6), keep iff coin < weight
     // 90/5/5 by the md5 coin; the last arm is unconditional (float-sum
     // boundary safety), matching the Scala fold
+    // adaptive per-language admission at the exact discrete p75 (the
+    // corpus_stats rank rule: value at row ceil(p*n), integer-exact)
+    "quality_percentile_gate" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, lang, len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score
+        |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM b),
+        |t AS (SELECT lang, max(CASE WHEN rn = (cnt * 7500 + 9999) // 10000 THEN score END) AS threshold_score
+        |  FROM r GROUP BY lang)
+        |SELECT doc_id, lang, score, threshold_score FROM b JOIN t USING (lang)
+        |WHERE score >= threshold_score ORDER BY doc_id""".stripMargin,
+
+    // embedding health: left-fold sum of squares (the dot discipline:
+    // same element order in both engines, bit-identical doubles)
+    "emb_norms" ->
+      """SELECT vec_id, len(embedding)::INTEGER AS dim,
+        |  sqrt(list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y)) AS l2_norm,
+        |  len(list_filter(embedding, x -> x = 0.0))::INTEGER AS n_zero,
+        |  list_max(list_transform(embedding, x -> abs(x))) AS max_abs,
+        |  (list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) = 0.0) AS is_zero
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+
     // DoReMi-lite reweighting: targets are exact binary fractions
     // summing to 1, so the (target/observed) division operates on
     // identical doubles in both engines; es absent -> weight 0

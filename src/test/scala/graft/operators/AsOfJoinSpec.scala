@@ -153,4 +153,33 @@ class AsOfJoinSpec extends SparkSuite {
     // click_id = 997k (the most recent click at or before it)
     assert(naive.head == 1L && naive(3) == 3 * 997L + 1)
   }
+
+  test("asOfWithTolerance masks stale matches, keeps fresh ones, leaves no-match null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")), // click at 09:30 -> 30 min old, fresh
+      (1L, 11L, ts("2024-01-01 13:00:00")), // latest click 09:30 -> 3.5 h old, STALE
+      (1L, 12L, ts("2024-01-01 08:00:00"))  // no click at or before -> null
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:30:00"), 101L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsOfJoin.asOfWithTolerance(left, right, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "click_id"), toleranceSeconds = 3600L)
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> Some(101L), 11L -> None, 12L -> None))
+    // boundary is inclusive: exactly tolerance-old still matches
+    val edge = AsOfJoin.asOfWithTolerance(
+      Seq((1L, 1L, ts("2024-01-01 10:30:00"))).toDF("user_id", "event_id", "ts"),
+      right, Seq("user_id"), "ts", "ts", Seq("ts", "click_id"), toleranceSeconds = 3600L)
+      .select("asof_click_id").as[Option[Long]].collect()(0)
+    assert(edge == Some(101L))
+  }
+
+  test("asOfWithTolerance rejects a payload without the right timestamp") {
+    val df = Seq((1L, ts("2024-01-01 10:00:00"), 1L)).toDF("user_id", "ts", "click_id")
+    intercept[IllegalArgumentException](
+      AsOfJoin.asOfWithTolerance(df, df, Seq("user_id"), "ts", "ts",
+        rightPayload = Seq("click_id"), toleranceSeconds = 60L))
+  }
 }

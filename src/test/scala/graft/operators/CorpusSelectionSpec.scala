@@ -173,6 +173,20 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(zeroed.getDouble(4) == 0.0 && zeroed.getDouble(5) == 0.0)
   }
 
+  test("percentileGate admits per-stratum top scores at the exact discrete percentile") {
+    // en: scores 1..8 -> p75 rank ceil(0.75*8)=6 -> threshold 6.0, keeps 6,7,8
+    // de: scores 10,20 -> p75 rank ceil(1.5)=2 -> threshold 20.0, keeps 20
+    val docs = ((1 to 8).map(i => ("en", i.toLong, i.toDouble)) ++
+      Seq(("de", 101L, 10.0), ("de", 102L, 20.0))).toDF("lang", "doc_id", "s")
+    val got = CorpusSelection.percentileGate(docs, "lang", col("s"), 7500)
+      .select("lang", "doc_id", "threshold_score")
+      .orderBy("lang", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("de", 102L, 20.0),
+      ("en", 6L, 6.0), ("en", 7L, 6.0), ("en", 8L, 6.0)))
+  }
+
   test("splitLeakage keeps only cross-split pairs, pair columns ride through") {
     val pairs = Seq((1L, 2L, 1), (1L, 3L, 2), (2L, 3L, 3)).toDF("a", "b", "hamming")
     val assign = Seq((1L, "train"), (2L, "train"), (3L, "test")).toDF("doc_id", "split")

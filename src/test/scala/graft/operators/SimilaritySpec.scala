@@ -283,4 +283,18 @@ class SimilaritySpec extends SparkSuite {
     // is int64, so reduction order cannot perturb it
     assert(run(df.repartition(1)) == run(df.repartition(7)))
   }
+
+  test("embeddingNorms: unit vector, zero vector, and zero-component counts") {
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // unit: norm 1, two zeros... three zeros
+      (2L, Seq(0.0f, 0.0f, 0.0f, 0.0f)),  // zero vector
+      (3L, Seq(3.0f, -4.0f, 0.0f, 0.0f))  // 3-4-5 triangle: norm 5, max_abs 4
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.embeddingNorms(df, "vec_id", "embedding")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getInt(3), r.getFloat(4), r.getBoolean(5)))
+    assert(got(0) == ((1L, 4, 1.0, 3, 1.0f, false)))
+    assert(got(1) == ((2L, 4, 0.0, 4, 0.0f, true)))
+    assert(got(2) == ((3L, 4, 5.0, 2, 4.0f, false)))
+  }
 }
