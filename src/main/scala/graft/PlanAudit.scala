@@ -66,7 +66,16 @@ object PlanAudit {
       // classifier curation chain broadcasts only the 4096-row weight
       // table, keeps span counting to one gram exchange, one budget
       // window at the end
-      "text_embed_hash", "curation_classifier")
+      "text_embed_hash", "curation_classifier",
+      // round 11: RRF's legs keep their own disciplines and the fusion
+      // aggregates retrieval-result cardinality only; containment is the
+      // in-block exact baseline (one shingle cut read by both join
+      // sides); drift is ONE token shuffle + broadcast totals; leakage
+      // joins the pair table twice on the id; the percentile gate
+      // broadcasts #strata thresholds back; tolerance as-of must keep
+      // the one-exchange merge shape with a pure projection mask
+      "retrieval_rrf", "dedup_containment", "corpus_drift",
+      "split_leakage", "quality_percentile_gate", "asof_tolerance")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -106,7 +106,22 @@ object ScaleSmoke {
       "bloom_decontam" -> (() => Dedup.ngramContaminationBloom(
         docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
         docs.where(pmod(col("doc_id"), lit(10)) === 7),
-        "text", "doc_id", n = 13).count()))
+        "text", "doc_id", n = 13).count()),
+      // round 11b: drift is token-volume-bound (one shuffle builds both
+      // distributions); rrf's legs are corpus-bound, the fusion itself
+      // retrieval-result-bound (fixed query count at every scale)
+      "drift" -> (() => TextAnalysis.tokenDrift(
+        docs.where(pmod(col("doc_id"), lit(2)) === 0),
+        docs.where(pmod(col("doc_id"), lit(2)) === 1),
+        "text", "lang").count()),
+      "rrf" -> (() => {
+        val q = docs.limit(20).select(col("doc_id").as("query_id"), col("text"))
+        val sparse = Retrieval.bm25TopK(docs, q, k = 20)
+          .select(col("query_id"), col("doc_id"), col("rank"))
+        val dense = Similarity.hashEmbedTopK(docs, q.withColumnRenamed("query_id", "doc_id"), k = 20)
+          .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+        Retrieval.rrfFuse(Seq(sparse, dense), k = 10).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

@@ -103,6 +103,7 @@ object SparkEntry {
     "bpe_tokenize" -> (L.bpeTokenize _),
     "ann_hash_embed" -> (L.annHashEmbed _),
     "curation_classifier" -> (L.curationClassifier _),
+    "curation_adaptive" -> (L.curationAdaptive _),
     // LLM-pipeline: similarity search
     "ann_brute" -> (L.annBrute _),
     "ann_lsh" -> (L.annLsh _),

@@ -1558,6 +1558,29 @@ object Oracles {
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
 
+    // adaptive-threshold curation: the quality_percentile_gate CTEs (p60)
+    // feeding corpus_curation's canonical-dedup + budget-window stages
+    "curation_adaptive" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, lang, text,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score,
+        |    len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))::INTEGER AS n_sel_tokens
+        |  FROM (SELECT doc_id, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM b),
+        |t AS (SELECT lang, max(CASE WHEN rn = (cnt * 6000 + 9999) // 10000 THEN score END) AS threshold_score
+        |  FROM r GROUP BY lang),
+        |g AS (SELECT b.*, threshold_score FROM b JOIN t USING (lang) WHERE score >= threshold_score),
+        |k AS (SELECT *, min(doc_id) OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))) AS canon
+        |  FROM g),
+        |c AS (SELECT doc_id, lang, score, threshold_score, n_sel_tokens,
+        |    sum(n_sel_tokens) OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS cum_tokens
+        |  FROM k WHERE doc_id = canon)
+        |SELECT doc_id, lang, score, threshold_score, n_sel_tokens, cum_tokens FROM c
+        |WHERE cum_tokens <= 4000 ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
     // corpus_curation + the repetition gate: the dup-2-gram fraction is
     // recomputed from string n-grams (vs the kernel's hashes — the
     // standard hashed-text contract) and ANDed into the quality gate

@@ -641,6 +641,15 @@ class DedupSpec extends SparkSuite {
     assert(evalOne(j).asInstanceOf[Double] < 0.3)
   }
 
+  test("containmentPairs runs the shingle kernel once: both join sides read the cut") {
+    val df = (0 until 40).map(i => (i.toLong, s"tok$i common words ${"x " * (i % 7)}shared tail here", "en"))
+      .toDF("doc_id", "text", "lang")
+    val out = Dedup.containmentPairs(df, "text", "doc_id", blockCol = "lang")
+    assert(reuseReads(out) == 2,
+      s"expected the materialized shingle projection read twice, got ${reuseReads(out)}:\n" +
+        out.queryExecution.executedPlan)
+  }
+
   test("containmentPairs equal-size sets emit one direction only (id-ordered)") {
     val text = "one two three four five six seven"
     val df = Seq((5L, text, "en"), (9L, text, "en")).toDF("doc_id", "text", "lang")
