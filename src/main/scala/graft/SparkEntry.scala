@@ -132,6 +132,8 @@ object SparkEntry {
     "text_keywords" -> (L.textKeywords _),
     "emb_quantize" -> (L.embQuantize _),
     "emb_norms" -> (L.embNorms _),
+    "emb_pq" -> (L.embPq _),
+    "ann_pq" -> (L.annPq _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),

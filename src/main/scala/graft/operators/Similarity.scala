@@ -428,6 +428,100 @@ object Similarity {
       .select(col("query_id"), col("n_hits"),
         expr("(n_hits * 100) div k").cast("int").as("recall_pct"))
 
+  /** PRODUCT-QUANTIZATION encoding (Jégou et al. 2011 — the FAISS `PQm`
+    * building block): the vector splits into `m` contiguous sub-vectors,
+    * each sub-space gets its own `cells`-centroid k-means codebook
+    * (the [[trainCentroids]] fit — deterministic seeded draws + Lloyd
+    * iterations on a bounded driver-side sample, the IVF contract), and
+    * each vector is encoded as `m` small codes. Emits one row per
+    * (`idCol`, `sub_idx`, `code`) — dim·32 bits of float become
+    * m·log₂(cells) bits, the memory step that makes billion-vector
+    * indexes fit at all. Sub-space assignment ties break to the HIGHER
+    * cell, matching [[nearestCell]]/IVF.
+    *
+    * Scale shape: the m fits collect one bounded sample each (driver
+    * work, corpus-independent); encoding is a pure map projection — m
+    * codegen'd argmin kernels over broadcast-literal codebooks, no
+    * shuffle anywhere. Downstream ADC search joins codes against
+    * per-query lookup tables of m·cells entries.
+    */
+  def pqEncode(embs: DataFrame, idCol: String, vecCol: String, dim: Int,
+               m: Int = 4, cells: Int = 16, sampleN: Int = 2000,
+               iters: Int = 10, seed: Long = 42L): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val codes = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * subDim + 1, subDim)
+      val cents = trainCentroids(
+        embs.select(col(idCol), sub.as("_sub")), subDim, cells, sampleN, iters, seed, idCol, "_sub")
+      struct(lit(s).as("sub_idx"), nearestCell(sub, cents).as("code"))
+    }
+    embs
+      .select(col(idCol), explode(array(codes: _*)).as("_pq"))
+      .select(col(idCol), col("_pq.sub_idx").as("sub_idx"), col("_pq.code").as("code"))
+  }
+
+  private val PqScale = 1099511627776.0 // 2^40 — the engine's fixed-point quantum
+
+  /** PQ ASYMMETRIC-DISTANCE top-k (the ADC search of Jégou et al. 2011):
+    * candidates are [[pqEncode]]-compressed to m codes; each query
+    * builds an m×`cells` LOOKUP TABLE of exact sub-space distances to
+    * every codeword, and a candidate's distance estimate is the sum of
+    * its m looked-up entries — m additions per candidate instead of a
+    * `dim`-wide float dot, against codes 50× smaller than the vectors.
+    * Emits (`query_id`, `neighbor_id`, `rank`, `adc_dist`), nearest
+    * first, ties to the lower neighbor id.
+    *
+    * Scale shape: codebooks fit driver-side on a bounded sample (the
+    * IVF contract) and ship as literals; encoding is a shuffle-free map;
+    * the LUT side is #queries·m rows and BROADCASTS, so the scoring join
+    * is map-side against the code stream and only (query, neighbor)
+    * partial aggregates shuffle. Per-entry distances are floored to the
+    * 2⁻⁴⁰ grid so the m-way sum is an associative long reduction —
+    * rank-deterministic under any partitioning.
+    */
+  def pqTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+             m: Int = 4, cells: Int = 16, sampleN: Int = 2000, iters: Int = 10,
+             seed: Long = 42L, idCol: String = "vec_id",
+             vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cents = (0 until m).map { s =>
+      trainCentroids(
+        candidates.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+        subDim, cells, sampleN, iters, seed, idCol, "_sub")
+    }
+    val codes = candidates
+      .select(col(idCol).as("neighbor_id"),
+        explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub_idx"),
+            nearestCell(slice(col(vecCol), s * subDim + 1, subDim), cents(s)).as("code"))
+        }: _*)).as("_pq"))
+      .select(col("neighbor_id"), col("_pq.sub_idx").as("sub_idx"), col("_pq.code").as("code"))
+    val lutCols = (0 until m).map { s =>
+      val sub = slice(col(vecCol), s * subDim + 1, subDim).cast("array<double>")
+      struct(lit(s).as("sub_idx"), array((0 until cells).map { j =>
+        val cLit = typedLit(cents(s)(j).toSeq)
+        aggregate(zip_with(sub, cLit, (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+      }: _*).as("dists"))
+    }
+    val luts = queries
+      .select(col(idCol).as("query_id"), explode(array(lutCols: _*)).as("_l"))
+      .select(col("query_id"), col("_l.sub_idx").as("sub_idx"), col("_l.dists").as("dists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_adc_fp").asc, col("neighbor_id"))
+    codes
+      .join(broadcast(luts), "sub_idx")
+      .select(col("query_id"), col("neighbor_id"),
+        floor(element_at(col("dists"), col("code") + 1) * lit(PqScale)).cast("long").as("_d_fp"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("_d_fp")).as("_adc_fp"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
+  }
+
   /** Embedding-table HEALTH profile — the sanity pass a pipeline runs
     * before building any index over a vendor's vectors: per vector, its
     * dimensionality, L2 norm, zero-component count, max |component|, and

@@ -165,33 +165,37 @@ object Oracles {
     * predecessor twice, so default CTE inlining (forced globally when the
     * outer WITH is RECURSIVE) makes the plan 2^iters copies of the chain.
     */
-  private def kmeansFitCtes(src: String, iters: Int, cells: Int, sampleN: Int): String = {
+  private def kmeansFitCtes(src: String, iters: Int, cells: Int, sampleN: Int,
+                            dim: Int = 64, pfx: String = "",
+                            vecExpr: String = "embedding"): String = {
     val nSub = s"(SELECT least(count(*), $sampleN) FROM $src)"
+    val d2d = (v: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${dim + 1}), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
     def iterCte(prev: String, cur: String): String =
       s"""asn_$cur AS MATERIALIZED (
          |  SELECT rn, v, j FROM (
          |    SELECT s.rn, s.v, c.j,
-         |      row_number() OVER (PARTITION BY s.rn ORDER BY ${d2("s.v", "c.c")}, c.j) AS pick
-         |    FROM sample s CROSS JOIN $prev c)
+         |      row_number() OVER (PARTITION BY s.rn ORDER BY ${d2d("s.v", "c.c")}, c.j) AS pick
+         |    FROM ${pfx}sample s CROSS JOIN $prev c)
          |  WHERE pick = 1
          |),
          |agg_$cur AS MATERIALIZED (
          |  SELECT j,
          |    list_transform(
-         |      list_reduce(list(v ORDER BY rn), (a, b) -> list_transform(range(1, 65), i -> a[i] + b[i])),
+         |      list_reduce(list(v ORDER BY rn), (a, b) -> list_transform(range(1, ${dim + 1}), i -> a[i] + b[i])),
          |      x -> x / count(*)) AS c
          |  FROM asn_$cur GROUP BY j
          |),
          |$cur AS MATERIALIZED (
          |  SELECT p.j, coalesce(a.c, p.c) AS c FROM $prev p LEFT JOIN agg_$cur a USING (j)
          |)""".stripMargin
-    val chain = (1 to iters).map(i => iterCte(s"cent${i - 1}", s"cent$i")).mkString(",\n")
-    s"""sample AS MATERIALIZED (
+    val chain = (1 to iters).map(i => iterCte(s"${pfx}cent${i - 1}", s"${pfx}cent$i")).mkString(",\n")
+    s"""${pfx}sample AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS rn,
-       |    list_transform(embedding, x -> x::DOUBLE) AS v
+       |    list_transform($vecExpr, x -> x::DOUBLE) AS v
        |  FROM $src ORDER BY vec_id LIMIT $sampleN
        |),
-       |init AS MATERIALIZED (
+       |${pfx}init AS MATERIALIZED (
        |  SELECT row_number() OVER (ORDER BY k) - 1 AS j, m FROM (
        |    WITH RECURSIVE lcg(k, s) AS (
        |      SELECT 0, CAST(xor(42::HUGEINT, 25214903917::HUGEINT) % 281474976710656 AS BIGINT)
@@ -204,10 +208,92 @@ object Oracles {
        |  WHERE r - m + $nSub - 1 <= 2147483647
        |  QUALIFY j < $cells
        |),
-       |cent0 AS MATERIALIZED (
-       |  SELECT init.j, s.v AS c FROM init JOIN sample s ON s.rn = init.m
+       |${pfx}cent0 AS MATERIALIZED (
+       |  SELECT ${pfx}init.j, s.v AS c FROM ${pfx}init JOIN ${pfx}sample s ON s.rn = ${pfx}init.m
        |),
        |$chain""".stripMargin
+  }
+
+  /** Mirror of Similarity.pqEncode (PQ4×16, dim 64): four prefixed
+    * k-means fit chains over the contiguous sub-vector slices, then the
+    * IVF assignment rule (ties → higher cell) per sub-space.
+    */
+  private def pqOracleSql: String = {
+    val (m, subDim, cells, iters, sampleN) = (4, 16, 16, 10, 2000)
+    val d2s = (v: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"sub$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val fits = (0 until m)
+      .map(s => kmeansFitCtes(s"sub$s", iters, cells, sampleN, subDim, s"p${s}_"))
+      .mkString(",\n")
+    val asn = (0 until m).map { s =>
+      s"""a$s AS (
+         |  SELECT vec_id, $s AS sub_idx, j AS code FROM (
+         |    SELECT t.vec_id, c.j,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2s("t.v", "c.c")} ASC, c.j DESC) AS pick
+         |    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM sub$s) t
+         |    CROSS JOIN p${s}_cent$iters c)
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM a$s").mkString(" UNION ALL ")
+    s"""WITH $subs,
+       |$fits,
+       |$asn
+       |SELECT vec_id, sub_idx::INTEGER AS sub_idx, code::INTEGER AS code
+       |FROM ($union)
+       |ORDER BY vec_id, sub_idx""".stripMargin
+  }
+
+  /** Mirror of Similarity.pqTopK (ADC over the PQ4×16 codes): the same
+    * four fit chains + code assignments as [[pqOracleSql]], plus a
+    * per-query lookup table per sub-space and the fixed-point long sum.
+    */
+  private def pqAdcOracleSql: String = {
+    val (m, subDim, cells, iters, sampleN, k) = (4, 16, 16, 10, 2000, 10)
+    val d2s = (v: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+    val subs = (0 until m).map { s =>
+      val lo = s * subDim + 1
+      val hi = (s + 1) * subDim
+      s"sub$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM embeddings)"
+    }.mkString(",\n")
+    val fits = (0 until m)
+      .map(s => kmeansFitCtes(s"sub$s", iters, cells, sampleN, subDim, s"p${s}_"))
+      .mkString(",\n")
+    val asn = (0 until m).map { s =>
+      s"""a$s AS MATERIALIZED (
+         |  SELECT vec_id, j AS code FROM (
+         |    SELECT t.vec_id, c.j,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2s("t.v", "c.c")} ASC, c.j DESC) AS pick
+         |    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM sub$s) t
+         |    CROSS JOIN p${s}_cent$iters c)
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      s"""lut$s AS (
+         |  SELECT t.vec_id AS query_id, c.j AS code, ${d2s("t.v", "c.c")} AS d
+         |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM sub$s WHERE vec_id < 10) t
+         |  CROSS JOIN p${s}_cent$iters c)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (0 until m).map { s =>
+      s"""c$s AS (
+         |  SELECT l.query_id, a.vec_id AS neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
+         |  FROM a$s a JOIN lut$s l USING (code))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
+    s"""WITH $subs,
+       |$fits,
+       |$asn,
+       |$luts,
+       |$contribs,
+       |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rank::INTEGER AS rank, (adc_fp::DOUBLE / 1099511627776.0) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   /** Full mirror of Similarity.ivfTopK over the shared k-means fit. */
@@ -1093,6 +1179,10 @@ object Oracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    "emb_pq" -> pqOracleSql,
+
+    "ann_pq" -> pqAdcOracleSql,
 
     // recall@10 of the LSH path against brute force: the lsh and brute
     // CTE chains are the ann_lsh / ann_brute oracles verbatim, joined on

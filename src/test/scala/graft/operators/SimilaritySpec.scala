@@ -284,6 +284,75 @@ class SimilaritySpec extends SparkSuite {
     assert(run(df.repartition(1)) == run(df.repartition(7)))
   }
 
+  test("pqEncode: m codes per vector, bounded, deterministic, and reconstruction beats random") {
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    val df = (0 until 200).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val m = 4
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", dim, m = m, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.length == 200 * m)
+    assert(codes.forall { case (_, s, c) => s >= 0 && s < m && c >= 0 && c < 8 })
+    // every vector has exactly one code per sub-space
+    assert(codes.groupBy(v => (v._1, v._2)).forall(_._2.length == 1))
+    // deterministic across invocations (seeded fit, no RNG at encode time)
+    val again = Similarity.pqEncode(df, "vec_id", "embedding", dim, m = m, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(codes.sorted.toSeq == again.sorted.toSeq)
+    // codes actually separate vectors: 200 random vectors should not all
+    // collapse to one codeword in any sub-space
+    (0 until m).foreach { s =>
+      assert(codes.filter(_._2 == s).map(_._3).distinct.length > 1, s"sub-space $s collapsed")
+    }
+  }
+
+  test("pqTopK matches a driver-side brute-force ADC over the same codebooks") {
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val m = 4
+    val cellsN = 8
+    val vecs = (0 until 120).map(i => i.toLong -> Array.fill(dim)((rnd.nextDouble() - 0.5).toFloat)).toMap
+    val df = vecs.toSeq.sortBy(_._1).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+    val got = Similarity.pqTopK(df, df.where(col("vec_id") < 3), k = 5, dim, m = m, cells = cellsN)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    // replicate: same fits, same codes, same LUT sums with the same
+    // fixed-point floor — exact agreement expected, not approximate
+    val subDim = dim / m
+    val cents = (0 until m).map { s =>
+      Similarity.trainCentroids(
+        df.select(col("vec_id"), org.apache.spark.sql.functions.slice(col("embedding"), s * subDim + 1, subDim).as("_sub")),
+        subDim, cellsN, idCol = "vec_id", vecCol = "_sub")
+    }
+    def code(v: Array[Float], s: Int): Int = {
+      var best = -1; var bestD = Double.MaxValue
+      for (j <- 0 until cellsN) {
+        var d = 0.0
+        for (i <- 0 until subDim) { val t = v(s * subDim + i).toDouble - cents(s)(j)(i); d += t * t }
+        if (d < bestD || (d == bestD && j > best)) { bestD = d; best = j } // ties -> higher cell
+      }
+      best
+    }
+    val scale = 1099511627776.0
+    val expect = (0L until 3L).flatMap { q =>
+      val adc = vecs.keys.toSeq.sorted.map { n =>
+        val fp = (0 until m).map { s =>
+          val c = cents(s)(code(vecs(n), s))
+          var d = 0.0
+          for (i <- 0 until subDim) { val t = vecs(q)(s * subDim + i).toDouble - c(i); d += t * t }
+          math.floor(d * scale).toLong
+        }.sum
+        (n, fp)
+      }
+      adc.sortBy { case (n, fp) => (fp, n) }.take(5).zipWithIndex.map {
+        case ((n, fp), r) => (q, n, r + 1, fp.toDouble / scale)
+      }
+    }
+    assert(got.sortBy(r => (r._1, r._3)).toSeq == expect)
+  }
+
   test("embeddingNorms: unit vector, zero vector, and zero-component counts") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // unit: norm 1, two zeros... three zeros
