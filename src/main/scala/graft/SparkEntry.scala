@@ -134,6 +134,7 @@ object SparkEntry {
     "emb_norms" -> (L.embNorms _),
     "emb_pq" -> (L.embPq _),
     "ann_pq" -> (L.annPq _),
+    "ann_ivfpq" -> (L.annIvfPq _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),

@@ -522,6 +522,67 @@ object Similarity {
         (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
   }
 
+  /** The full modern ANN compose — IVF coarse pruning × PQ compressed
+    * scoring (FAISS `IVFx,PQm` minus the residual step, documented
+    * simplification: codebooks quantize RAW vectors, so they are shared
+    * verbatim with [[pqEncode]]): queries probe their `nprobe` nearest
+    * coarse cells, and candidates inside those cells are ranked by ADC
+    * lookup sums instead of full-width float dots. Emits (`query_id`,
+    * `neighbor_id`, `rank`, `adc_dist`).
+    *
+    * Plan: the candidate side is ONE map projection (coarse cell + m
+    * codes — all argmin kernels over broadcast literals); the query side
+    * (probed cells + the m×`pqCells` lookup table) is bounded and
+    * BROADCASTS; the join on `cell` yields at most one row per
+    * (query, candidate) because a candidate lives in exactly one cell,
+    * so the per-row fixed-point ADC sum needs NO aggregate at all — the
+    * only shuffle is the final per-query top-k window over probed-cell
+    * candidates. This is the 100 TB search shape: prune with IVF, score
+    * from codes 50× smaller than the vectors.
+    */
+  def ivfPqTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                cells: Int = 16, nprobe: Int = 4, m: Int = 4, pqCells: Int = 16,
+                sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L,
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val coarse = trainCentroids(candidates, dim, cells, sampleN, iters, seed, idCol, vecCol)
+    val cents = (0 until m).map { s =>
+      trainCentroids(
+        candidates.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("_sub")),
+        subDim, pqCells, sampleN, iters, seed, idCol, "_sub")
+    }
+    val codesArr = array((0 until m).map { s =>
+      nearestCell(slice(col(vecCol), s * subDim + 1, subDim), cents(s))
+    }: _*)
+    val cass = candidates.select(
+      col(idCol).as("neighbor_id"),
+      nearestCell(col(vecCol), coarse).as("cell"),
+      codesArr.as("codes"))
+    val lutArr = array((0 until m).map { s =>
+      val sub = slice(col(vecCol), s * subDim + 1, subDim).cast("array<double>")
+      array((0 until pqCells).map { j =>
+        aggregate(zip_with(sub, typedLit(cents(s)(j).toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }: _*)
+    }: _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), lutArr.as("luts"),
+        explode(probeCells(col(vecCol), coarse, nprobe)).as("cell")))
+    val adcFp = (0 until m).map { s =>
+      floor(element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1)
+        * lit(PqScale)).cast("long")
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_adc_fp").asc, col("neighbor_id"))
+    q.join(cass, "cell")
+      .select(col("query_id"), col("neighbor_id"), adcFp.as("_adc_fp"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
+  }
+
   /** Embedding-table HEALTH profile — the sanity pass a pipeline runs
     * before building any index over a vendor's vectors: per vector, its
     * dimensionality, L2 norm, zero-component count, max |component|, and

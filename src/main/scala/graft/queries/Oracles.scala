@@ -248,12 +248,13 @@ object Oracles {
        |ORDER BY vec_id, sub_idx""".stripMargin
   }
 
-  /** Mirror of Similarity.pqTopK (ADC over the PQ4×16 codes): the same
-    * four fit chains + code assignments as [[pqOracleSql]], plus a
-    * per-query lookup table per sub-space and the fixed-point long sum.
+  /** Shared PQ4×16 CTE block: sub-vector slices, the four prefixed fit
+    * chains, per-sub-space code assignments `a0..a3(vec_id, code)`
+    * (ties → higher cell, the [[pqOracleSql]]/IVF rule), and per-query
+    * lookup tables `lut0..lut3(query_id, code, d)`.
     */
-  private def pqAdcOracleSql: String = {
-    val (m, subDim, cells, iters, sampleN, k) = (4, 16, 16, 10, 2000, 10)
+  private def pqCommonCtes(m: Int, subDim: Int, cells: Int, iters: Int,
+                           sampleN: Int): String = {
     val d2s = (v: String, c: String) =>
       s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
     val subs = (0 until m).map { s =>
@@ -279,16 +280,59 @@ object Oracles {
          |  FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM sub$s WHERE vec_id < 10) t
          |  CROSS JOIN p${s}_cent$iters c)""".stripMargin
     }.mkString(",\n")
+    s"$subs,\n$fits,\n$asn,\n$luts"
+  }
+
+  /** Mirror of Similarity.pqTopK (ADC over the PQ4×16 codes): the shared
+    * PQ CTE block plus the fixed-point long sum over all candidates.
+    */
+  private def pqAdcOracleSql: String = {
+    val (m, subDim, cells, iters, sampleN, k) = (4, 16, 16, 10, 2000, 10)
     val contribs = (0 until m).map { s =>
       s"""c$s AS (
          |  SELECT l.query_id, a.vec_id AS neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
          |  FROM a$s a JOIN lut$s l USING (code))""".stripMargin
     }.mkString(",\n")
     val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
-    s"""WITH $subs,
-       |$fits,
-       |$asn,
-       |$luts,
+    s"""WITH ${pqCommonCtes(m, subDim, cells, iters, sampleN)},
+       |$contribs,
+       |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rank::INTEGER AS rank, (adc_fp::DOUBLE / 1099511627776.0) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** Mirror of Similarity.ivfPqTopK: the ann_ivf coarse fit + probe CTEs
+    * restrict the candidate pairs, the shared PQ block scores them.
+    */
+  private def ivfPqOracleSql: String = {
+    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
+    val (m, subDim, pqCells) = (4, 16, 16)
+    val contribs = (0 until m).map { s =>
+      s"""c$s AS (
+         |  SELECT d.query_id, d.neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
+         |  FROM cand d
+         |  JOIN a$s a ON a.vec_id = d.neighbor_id
+         |  JOIN lut$s l ON l.query_id = d.query_id AND l.code = a.code)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
+    s"""WITH ${kmeansFitCtes("embeddings", iters, cells, sampleN)},
+       |allv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, c.j AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c)
+       |  WHERE pick = 1),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, cell FROM (
+       |    SELECT a.vec_id, c.j AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j ASC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c
+       |    WHERE a.vec_id < 10)
+       |  WHERE pick <= $nprobe),
+       |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id FROM qprobe q JOIN cassign c USING (cell)),
+       |${pqCommonCtes(m, subDim, pqCells, iters, sampleN)},
        |$contribs,
        |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id)
        |SELECT query_id, neighbor_id, rank::INTEGER AS rank, (adc_fp::DOUBLE / 1099511627776.0) AS adc_dist FROM (
@@ -1183,6 +1227,8 @@ object Oracles {
     "emb_pq" -> pqOracleSql,
 
     "ann_pq" -> pqAdcOracleSql,
+
+    "ann_ivfpq" -> ivfPqOracleSql,
 
     // recall@10 of the LSH path against brute force: the lsh and brute
     // CTE chains are the ann_lsh / ann_brute oracles verbatim, joined on

@@ -353,6 +353,30 @@ class SimilaritySpec extends SparkSuite {
     assert(got.sortBy(r => (r._1, r._3)).toSeq == expect)
   }
 
+  test("ivfPqTopK distances agree exactly with pqTopK; ranks are distance-monotone") {
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val df = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(dim)((rnd.nextDouble() - 0.5).toFloat)))
+      .toDF("vec_id", "embedding")
+    val q = df.where(col("vec_id") < 3)
+    // same codebooks (same seed/sample), so any (query, neighbor) pair
+    // present in both must carry the bit-identical ADC distance
+    val full = Similarity.pqTopK(df, q, k = 150, dim, m = 4, cells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val ivfpq = Similarity.ivfPqTopK(df, q, k = 10, dim, cells = 4, nprobe = 2, m = 4, pqCells = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    assert(ivfpq.nonEmpty)
+    ivfpq.foreach { case (qid, n, _, d) =>
+      assert(full((qid, n)) == d, s"ADC disagreement for ($qid, $n)")
+    }
+    ivfpq.groupBy(_._1).values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._3).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._4).toSeq == sorted.map(_._4).sorted.toSeq, "distances not monotone in rank")
+    }
+  }
+
   test("embeddingNorms: unit vector, zero vector, and zero-component counts") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),  // unit: norm 1, two zeros... three zeros
