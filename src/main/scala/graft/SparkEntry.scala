@@ -135,6 +135,8 @@ object SparkEntry {
     "emb_pq" -> (L.embPq _),
     "ann_pq" -> (L.annPq _),
     "ann_ivfpq" -> (L.annIvfPq _),
+    "ann_pq_recall" -> (L.annPqRecall _),
+    "ann_pq_refined" -> (L.annPqRefined _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),

@@ -583,6 +583,68 @@ object Similarity {
         (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
   }
 
+  /** PQ search with EXACT RE-RANKING (the standard refine step — FAISS
+    * `IndexRefineFlat`): ADC scans the code table for the top
+    * `k·refine` candidates, then only those few rows fetch their full
+    * vectors for an exact squared-L2 re-rank of the final top-k. This
+    * is how compressed indexes reach high recall: the 16-bit codes
+    * prune most of the corpus, the expensive float reads touch
+    * `k·refine` rows per query instead of all of them. Recall is
+    * governed by the shortlist's coverage of the true top-k — measured
+    * on the sf0.01 table: 56% at refine=5, 74% at 10, 90% at 20
+    * (production tunes refine and the codebook size m·log₂(cells)
+    * together; 16-bit PQ4×16 is the demonstration point, PQ8×256's
+    * 64 bits is the usual production point). Emits (`query_id`,
+    * `neighbor_id`, `rank`, `dist2`).
+    */
+  def pqRefineTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                   refine: Int = 5, m: Int = 4, cells: Int = 16,
+                   sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine factor must be >= 1, got $refine")
+    val shortlist = pqTopK(candidates, queries, k * refine, dim, m, cells,
+      sampleN, iters, seed, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id"))
+    shortlist
+      .join(cv, "neighbor_id")
+      .join(qv, "query_id")
+      .withColumn("dist2", d2)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist2"))
+  }
+
+  /** Exact squared-L2 brute-force top-k — the ground truth the
+    * PQ/ADC family approximates (ADC estimates THIS metric, not
+    * cosine, so recall harnesses for [[pqTopK]]/[[ivfPqTopK]] must
+    * compare against it). Same broadcast-queries/stream-candidates
+    * shape as [[bruteForceTopK]]; ties to the lower neighbor id.
+    */
+  def l2TopK(candidates: DataFrame, queries: DataFrame, k: Int,
+             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv")))
+    val c = candidates.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val d2 = aggregate(zip_with(col("qv"), col("cv"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("dist2").asc, col("neighbor_id"))
+    q.crossJoin(c)
+      .withColumn("dist2", d2)
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist2"))
+  }
+
   /** Embedding-table HEALTH profile — the sanity pass a pipeline runs
     * before building any index over a vendor's vectors: per vector, its
     * dimensionality, L2 norm, zero-component count, max |component|, and

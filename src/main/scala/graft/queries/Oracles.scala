@@ -302,6 +302,67 @@ object Oracles {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Mirror of LlmQueries.annPqRecall: the ADC top-10 (shared PQ block)
+    * measured against the exact squared-L2 brute top-10, per query —
+    * the ann_recall harness shape on the L2 metric ADC estimates.
+    */
+  private def pqRecallOracleSql: String = {
+    val (m, subDim, cells, iters, sampleN, k) = (4, 16, 16, 10, 2000, 10)
+    val contribs = (0 until m).map { s =>
+      s"""c$s AS (
+         |  SELECT l.query_id, a.vec_id AS neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
+         |  FROM a$s a JOIN lut$s l USING (code))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
+    s"""WITH ${pqCommonCtes(m, subDim, cells, iters, sampleN)},
+       |$contribs,
+       |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+       |  WHERE rank <= $k),
+       |allv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |bs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${d2("q.v", "c.v")} AS dist2
+       |  FROM allv q CROSS JOIN allv c WHERE q.vec_id < 10),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank FROM bs)
+       |  WHERE rank <= $k)
+       |SELECT e.query_id, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_hits,
+       |  ((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // count(*))::INTEGER AS recall_pct
+       |FROM ex e LEFT JOIN ap a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
+  /** Mirror of Similarity.pqRefineTopK: the ADC top-(k·refine)
+    * shortlist re-ranked by exact squared L2.
+    */
+  private def pqRefineOracleSql: String = {
+    val (m, subDim, cells, iters, sampleN, k, refine) = (4, 16, 16, 10, 2000, 10, 5)
+    val contribs = (0 until m).map { s =>
+      s"""c$s AS (
+         |  SELECT l.query_id, a.vec_id AS neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
+         |  FROM a$s a JOIN lut$s l USING (code))""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
+    s"""WITH ${pqCommonCtes(m, subDim, cells, iters, sampleN)},
+       |$contribs,
+       |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id),
+       |ap AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+       |  WHERE rank <= ${k * refine}),
+       |allv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |re AS (
+       |  SELECT ap.query_id, ap.neighbor_id, ${d2("q.v", "c.v")} AS dist2
+       |  FROM ap JOIN allv q ON q.vec_id = ap.query_id JOIN allv c ON c.vec_id = ap.neighbor_id)
+       |SELECT query_id, neighbor_id, rank::INTEGER AS rank, dist2 FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank FROM re)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfPqTopK: the ann_ivf coarse fit + probe CTEs
     * restrict the candidate pairs, the shared PQ block scores them.
     */
@@ -1229,6 +1290,10 @@ object Oracles {
     "ann_pq" -> pqAdcOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+
+    "ann_pq_recall" -> pqRecallOracleSql,
+
+    "ann_pq_refined" -> pqRefineOracleSql,
 
     // recall@10 of the LSH path against brute force: the lsh and brute
     // CTE chains are the ann_lsh / ann_brute oracles verbatim, joined on
