@@ -126,6 +126,7 @@ object SparkEntry {
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),
     "corpus_drift" -> (L.corpusDrift _),
+    "text_top_terms" -> (L.textTopTerms _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

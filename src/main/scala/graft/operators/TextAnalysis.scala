@@ -483,6 +483,63 @@ object TextAnalysis {
           .otherwise(lit(0.0)).as("norm_entropy"))
   }
 
+  /** Exact corpus-level top-`k` terms — the vocabulary-head profile
+    * (Zipf audit, stopword discovery, tokenizer sanity). One
+    * map-side-combining (term) count aggregate, then a single top-k
+    * window over VOCABULARY-sized input (ties → term asc). At 100 TB
+    * the aggregate output is vocabulary-sized, not corpus-sized; when
+    * even the vocabulary is too wide for one sort task, prefilter with
+    * [[topTermsSketch]] — every true heavy hitter is in the sketch's
+    * candidate set, so exact counting only the candidates preserves
+    * exactness for the head.
+    */
+  def topTerms(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
+      .where(col("rank") <= k)
+
+  /** MISRA–GRIES heavy-hitter sketch over the token stream — the
+    * bounded-memory path when the vocabulary itself cannot be assumed
+    * to fit (web-scale multilingual corpora): each partition keeps at
+    * most `capacity` counters (the classic decrement-all step evicts
+    * on overflow), and the per-term SUM of partition summaries is a
+    * valid merged summary (Agarwal et al., mergeable summaries):
+    * `est ≤ true ≤ est + N/capacity` for every term, and any term with
+    * true frequency > N/capacity is guaranteed present. Emits the
+    * candidate set (`term`, `est_cnt`) — at most capacity·#partitions
+    * rows regardless of corpus or vocabulary size.
+    *
+    * The candidate SET depends on partition layout (like any streaming
+    * summary), so this is a suite-verified operator, not an oracle row;
+    * the error bound above is what the suite asserts. Compose with
+    * [[topTerms]] restricted to the candidates for exact head counts.
+    */
+  def topTermsSketch(docs: DataFrame, textCol: String, capacity: Int): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(explode(tokens(col(textCol))).as("term")).as[String]
+      .mapPartitions { it =>
+        val counters = scala.collection.mutable.HashMap.empty[String, Long]
+        it.foreach { t =>
+          counters.get(t) match {
+            case Some(c) => counters(t) = c + 1
+            case None if counters.size < capacity => counters(t) = 1L
+            case None =>
+              // decrement-all: one shared "charge" against every counter
+              val dead = counters.iterator.collect { case (k, 1L) => k }.toList
+              counters.mapValuesInPlace((_, c) => c - 1)
+              dead.foreach(counters.remove)
+          }
+        }
+        counters.iterator
+      }
+      .toDF("term", "est_cnt")
+      .groupBy(col("term")).agg(sum(col("est_cnt")).as("est_cnt"))
+  }
+
   /** Per-stratum token-DISTRIBUTION drift between a reference corpus
     * and a current one — the data-drift monitor a production ingest runs
     * before retraining on a new crawl: Jensen-Shannon divergence (in

@@ -1660,6 +1660,15 @@ object Oracles {
         |  (CASE WHEN n > 1 THEN (ln(n::DOUBLE) - h / n::DOUBLE) / ln(n::DOUBLE) ELSE 0.0 END)::FLOAT AS norm_entropy
         |FROM a ORDER BY doc_id""".stripMargin,
 
+    // vocabulary head: exact top-50 terms by corpus count, ties term asc
+    "text_top_terms" ->
+      """SELECT term, cnt, rank::INTEGER AS rank FROM (
+        |  SELECT term, count(*)::BIGINT AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+        |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
+        |  GROUP BY term)
+        |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
     // Jensen-Shannon drift between even-id (reference) and odd-id
     // (current) unigram distributions per lang; FLOAT on the divergence
     // (order-sensitive double sums — the bm25 discipline)

@@ -249,6 +249,44 @@ class TextAnalysisSpec extends SparkSuite {
     assert(js > 0.1 && js < 1.0, s"shifted distribution should land strictly inside (0,1): $js")
   }
 
+  test("topTerms ranks the exact vocabulary head with term-asc ties") {
+    val df = Seq((1L, "b b b a a c"), (2L, "a z z z z")).toDF("doc_id", "text")
+    val got = TextAnalysis.topTerms(df, "text", 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // z:4, a:3, b:3 (a before b on the tie), c:1 cut off
+    assert(got.toSeq == Seq(("z", 4L, 1), ("a", 3L, 2), ("b", 3L, 3)))
+  }
+
+  test("topTermsSketch: Misra-Gries bounds hold and every heavy hitter is present") {
+    val rnd = new scala.util.Random(5)
+    // skewed stream: a few heavy terms over a long tail of singletons
+    val heavy = Seq.fill(400)("the") ++ Seq.fill(200)("of") ++ Seq.fill(120)("and")
+    val tail = (0 until 500).map(i => s"rare$i")
+    val words = rnd.shuffle(heavy ++ tail)
+    val docs = words.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text").repartition(7)
+    val n = words.size
+    val cap = 25
+    val est = TextAnalysis.topTermsSketch(docs, "text", cap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+    // candidate set bounded by capacity x partitions
+    assert(est.size <= cap * 7)
+    // underestimate, within N/capacity of truth
+    est.foreach { case (t, e) =>
+      assert(e <= exact(t), s"$t overestimated: $e > ${exact(t)}")
+      assert(exact(t) - e <= n / cap, s"$t error beyond the MG bound")
+    }
+    // guarantee: every term with true freq > N/capacity survives
+    exact.filter(_._2 > n / cap).keys.foreach { t =>
+      assert(est.contains(t), s"heavy hitter $t missing from the sketch")
+    }
+    // and the actual head is correctly identified by estimate order
+    assert(est.toSeq.sortBy(-_._2).take(3).map(_._1).toSet == Set("the", "of", "and"))
+  }
+
   test("tokenEntropy is invariant under token order and repartitioning") {
     val a = Seq((1L, "a a b c d d d e")).toDF("doc_id", "text")
     val b = Seq((1L, "d e d a c b d a")).toDF("doc_id", "text")
