@@ -138,6 +138,7 @@ object SparkEntry {
     "ann_ivfpq" -> (L.annIvfPq _),
     "ann_pq_recall" -> (L.annPqRecall _),
     "ann_pq_refined" -> (L.annPqRefined _),
+    "ann_ivfpq_recall" -> (L.annIvfPqRecall _),
     // LLM-pipeline: training-mix selection
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),

@@ -363,6 +363,28 @@ object Oracles {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Mirror of LlmQueries.annIvfPqRecall: the IVF×PQ top-10 measured
+    * against the exact-L2 brute top-10 — quantization AND pruning loss
+    * in one number per query.
+    */
+  private def ivfPqRecallOracleSql: String = {
+    val k = 10
+    s"""WITH ap AS (SELECT query_id, neighbor_id FROM (${ivfPqOracleSql.replace("ORDER BY query_id, rank", "")})),
+       |lv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |bs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${d2("q.v", "c.v")} AS dist2
+       |  FROM lv q CROSS JOIN lv c WHERE q.vec_id < 10),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank FROM bs)
+       |  WHERE rank <= $k)
+       |SELECT e.query_id, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_hits,
+       |  ((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // count(*))::INTEGER AS recall_pct
+       |FROM ex e LEFT JOIN ap a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   /** Mirror of Similarity.ivfPqTopK: the ann_ivf coarse fit + probe CTEs
     * restrict the candidate pairs, the shared PQ block scores them.
     */
@@ -1290,6 +1312,8 @@ object Oracles {
     "ann_pq" -> pqAdcOracleSql,
 
     "ann_ivfpq" -> ivfPqOracleSql,
+
+    "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
 
     "ann_pq_recall" -> pqRecallOracleSql,
 
