@@ -43,6 +43,7 @@ object SparkEntry {
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),
+    "quality_outliers" -> (L.qualityOutliers _),
     "quality_gate" -> (C.qualityGate _),
     "quality_quarantine" -> (C.qualityQuarantine _),
     "mm_audio_windows" -> (L.mmAudioWindows _),

@@ -58,4 +58,37 @@ object Expectations {
         col("n_rows"),
         (col("_r.n_violations").cast("double") / col("n_rows").cast("double")).as("violation_frac"))
   }
+
+  /** Per-stratum Tukey-fence OUTLIER detection over an integer metric —
+    * the distribution-level expectation the row rules above cannot
+    * express (a 40,000-token document is not wrong in itself; it is
+    * wrong relative to its language's length distribution). Quartiles
+    * are the engine's exact DISCRETE rank quantiles (value at row
+    * ceil(p·n), integer rank arithmetic — the
+    * [[TextAnalysis.corpusProfile]] rule, engine-portable), fences the
+    * classic q1 − 1.5·IQR / q3 + 1.5·IQR (exact: ints scaled by 1.5 are
+    * halves). Emits only the outliers: input columns + `q1`, `q3`,
+    * `side` ('low'/'high').
+    *
+    * One per-stratum rank window (the only corpus shuffle) reduces to
+    * #strata fence rows that broadcast back into a map-side filter —
+    * the [[CorpusSelection.percentileGate]] shape.
+    */
+  def iqrOutliers(df: DataFrame, strataCol: String, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    def atRank(bp: Int) =
+      max(when(col("_rn") === expr(s"(_cnt * ${bp}L + 9999L) DIV 10000L"), col(valueCol)))
+    val fences = df
+      .withColumn("_rn", row_number().over(w.orderBy(col(valueCol))))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .groupBy(col(strataCol))
+      .agg(atRank(2500).as("q1"), atRank(7500).as("q3"))
+    df.join(broadcast(fences), strataCol)
+      .withColumn("_iqr", (col("q3") - col("q1")).cast("double"))
+      .withColumn("side",
+        when(col(valueCol).cast("double") < col("q1").cast("double") - lit(1.5) * col("_iqr"), lit("low"))
+          .when(col(valueCol).cast("double") > col("q3").cast("double") + lit(1.5) * col("_iqr"), lit("high")))
+      .where(col("side").isNotNull)
+      .drop("_iqr")
+  }
 }

@@ -2090,6 +2090,29 @@ object Oracles {
     // integer (exact double division by 16^6), keep iff coin < weight
     // 90/5/5 by the md5 coin; the last arm is unconditional (float-sum
     // boundary safety), matching the Scala fold
+    // Tukey fences on exact discrete per-lang quartiles of token count;
+    // outliers only, with the fences and the violated side
+    "quality_outliers" ->
+      """WITH b AS MATERIALIZED (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score
+        |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM b),
+        |f AS (SELECT lang,
+        |    max(CASE WHEN rn = (cnt * 2500 + 9999) // 10000 THEN score END) AS q1,
+        |    max(CASE WHEN rn = (cnt * 7500 + 9999) // 10000 THEN score END) AS q3
+        |  FROM r GROUP BY lang)
+        |SELECT doc_id, lang, score, q1, q3,
+        |  CASE WHEN score < q1 - 1.5 * (q3 - q1) THEN 'low'
+        |       WHEN score > q3 + 1.5 * (q3 - q1) THEN 'high' END AS side
+        |FROM b JOIN f USING (lang)
+        |WHERE score < q1 - 1.5 * (q3 - q1)
+        |   OR score > q3 + 1.5 * (q3 - q1)
+        |ORDER BY doc_id""".stripMargin,
+
     // adaptive per-language admission at the exact discrete p75 (the
     // corpus_stats rank rule: value at row ceil(p*n), integer-exact)
     "quality_percentile_gate" ->

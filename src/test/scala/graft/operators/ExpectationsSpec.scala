@@ -46,4 +46,21 @@ class ExpectationsSpec extends SparkSuite {
     assert(got("named") == (2L, 4L))
     assert(got("id_positive") == (0L, 4L))
   }
+
+  test("iqrOutliers flags only values beyond the per-stratum Tukey fences, with side") {
+    // en: 1,2,3,4,5,6,7,100 -> q1 = value at ceil(8*.25)=rank 2 = 2, q3 = rank 6 = 6,
+    // fences [2-6, 6+6] = [-4, 12]: only 100 is out (high)
+    // de: tight cluster, no outliers
+    val df = (Seq(1, 2, 3, 4, 5, 6, 7, 100).map(v => ("en", v.toLong)) ++
+      Seq(("de", 10L), ("de", 11L), ("de", 12L))).toDF("lang", "v")
+    val got = Expectations.iqrOutliers(df, "lang", "v")
+      .select("lang", "v", "q1", "q3", "side").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+    assert(got.toSeq == Seq(("en", 100L, 2L, 6L, "high")))
+    // a low outlier is flagged on the other side
+    val low = Seq(50, 51, 52, 53, 54, 55, 56, 1).map(v => ("en", v.toLong)).toDF("lang", "v")
+    val got2 = Expectations.iqrOutliers(low, "lang", "v").select("v", "side").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(got2.toSeq == Seq((1L, "low")))
+  }
 }
