@@ -145,6 +145,7 @@ object SparkEntry {
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),
     "select_mixture" -> (L.selectMixture _),
     "mixture_weights" -> (L.mixtureWeights _),
+    "sample_temperature" -> (L.sampleTemperature _),
     "ann_recall" -> (L.annRecall _),
     "text_boilerplate" -> (L.textBoilerplate _),
     "sample_stratified" -> (L.sampleStratified _),

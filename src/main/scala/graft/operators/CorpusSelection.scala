@@ -254,6 +254,34 @@ object CorpusSelection {
           .otherwise(least(lit(cap), col("target_frac") / currentFrac)).as("weight"))
   }
 
+  /** TEMPERATURE-scaled sampling probabilities — the multilingual
+    * α-sampling of mBERT/XLM-R/mT5 (p_l ∝ n_l^α, α < 1 flattens the
+    * language distribution so low-resource languages are not drowned by
+    * the head): per stratum, the raw token share, the α-scaled share,
+    * and `boost = p_alpha / p_raw` (the factor a sampler applies —
+    * > 1 up-samples the tail, < 1 down-samples the head). Unlike
+    * [[mixtureWeights]] there is no explicit target: the corpus's own
+    * distribution, reshaped by one exponent, IS the target.
+    *
+    * Same scale shape as [[mixtureWeights]]: one map-side-combining
+    * corpus aggregate to #strata rows, one 1-row total, broadcast
+    * arithmetic after. The Σ n^α denominator is a #strata-sized double
+    * sum (reduction-order ulps) and `pow` is not correctly rounded
+    * across libms — consumers compare at float.
+    */
+  def temperatureWeights(docs: DataFrame, strataCol: String, tokens: Column,
+                         alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    val agg = docs.groupBy(col(strataCol)).agg(sum(tokens).cast("long").as("n_tokens"))
+    val powT = pow(col("n_tokens").cast("double"), alpha)
+    val tot = agg.agg(sum(col("n_tokens")).cast("long").as("_tot"), sum(powT).as("_powsum"))
+    val pRaw = col("n_tokens").cast("double") / col("_tot").cast("double")
+    val pAlpha = powT / col("_powsum")
+    agg.crossJoin(broadcast(tot))
+      .select(col(strataCol), col("n_tokens"),
+        pRaw.as("p_raw"), pAlpha.as("p_alpha"), (pAlpha / pRaw).as("boost"))
+  }
+
   /** Cross-split LEAKAGE audit — the check every dataset release runs
     * after [[assignSplit]]: near-duplicate pairs whose members landed in
     * DIFFERENT splits (a test document with a train near-twin is

@@ -2138,6 +2138,19 @@ object Oracles {
         |  (list_reduce(list_transform(embedding, x -> x::DOUBLE * x::DOUBLE), (x, y) -> x + y) = 0.0) AS is_zero
         |FROM embeddings ORDER BY vec_id""".stripMargin,
 
+    // alpha-sampling at 0.3: probabilities at FLOAT (pow libm ulps +
+    // the #strata-sized double denominator sum)
+    "sample_temperature" ->
+      """WITH a AS (
+        |  SELECT lang, sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT AS n_tokens
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT sum(n_tokens)::BIGINT AS tot, sum(pow(n_tokens::DOUBLE, 0.3)) AS powsum FROM a)
+        |SELECT lang, n_tokens,
+        |  (n_tokens::DOUBLE / tot::DOUBLE)::FLOAT AS p_raw,
+        |  (pow(n_tokens::DOUBLE, 0.3) / powsum)::FLOAT AS p_alpha,
+        |  ((pow(n_tokens::DOUBLE, 0.3) / powsum) / (n_tokens::DOUBLE / tot::DOUBLE))::FLOAT AS boost
+        |FROM a CROSS JOIN t ORDER BY lang""".stripMargin,
+
     // DoReMi-lite reweighting: targets are exact binary fractions
     // summing to 1, so the (target/observed) division operates on
     // identical doubles in both engines; es absent -> weight 0

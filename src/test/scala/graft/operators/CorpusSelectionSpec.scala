@@ -173,6 +173,24 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(zeroed.getDouble(4) == 0.0 && zeroed.getDouble(5) == 0.0)
   }
 
+  test("temperatureWeights: alpha=1 is the identity, alpha<1 boosts the tail and damps the head") {
+    val docs = Seq(("en", 900L), ("de", 90L), ("fr", 10L)).toDF("lang", "n_tok")
+    val id = CorpusSelection.temperatureWeights(docs, "lang", col("n_tok"), alpha = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    id.foreach { case (l, (raw, a, boost)) =>
+      assert(math.abs(raw - a) < 1e-12 && math.abs(boost - 1.0) < 1e-12, s"alpha=1 must be identity for $l")
+    }
+    val flat = CorpusSelection.temperatureWeights(docs, "lang", col("n_tok"), alpha = 0.3)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(flat("en")._3 < 1.0, "head language must be down-sampled")
+    assert(flat("fr")._3 > 1.0, "tail language must be up-sampled")
+    // probabilities still sum to 1
+    assert(math.abs(flat.values.map(_._2).sum - 1.0) < 1e-12)
+    // flattening is monotone: order of shares is preserved, ratios shrink
+    assert(flat("en")._2 > flat("de")._2 && flat("de")._2 > flat("fr")._2)
+    assert(flat("en")._2 / flat("fr")._2 < id("en")._2 / id("fr")._2)
+  }
+
   test("percentileGate admits per-stratum top scores at the exact discrete percentile") {
     // en: scores 1..8 -> p75 rank ceil(0.75*8)=6 -> threshold 6.0, keeps 6,7,8
     // de: scores 10,20 -> p75 rank ceil(1.5)=2 -> threshold 20.0, keeps 20

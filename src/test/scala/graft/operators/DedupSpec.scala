@@ -650,6 +650,21 @@ class DedupSpec extends SparkSuite {
         out.queryExecution.executedPlan)
   }
 
+  test("containmentSorted equals the set-based reference on random texts (randomized property)") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    (0 until 30).foreach { _ =>
+      val ta = Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val tb = Seq.fill(2 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val got = evalOne(Dedup.containmentSorted(
+        Dedup.shingleHashes(lit(ta), 2), Dedup.shingleHashes(lit(tb), 2)))
+      def sh(t: String) = t.split(" ").sliding(2).map(_.mkString(" ")).toSet
+      val (sa, sb) = (sh(ta), sh(tb))
+      val want = if (sa.isEmpty) null else sa.intersect(sb).size.toDouble / sa.size
+      assert(got == want, s"'$ta' in '$tb': got $got want $want")
+    }
+  }
+
   test("containmentPairs equal-size sets emit one direction only (id-ordered)") {
     val text = "one two three four five six seven"
     val df = Seq((5L, text, "en"), (9L, text, "en")).toDF("doc_id", "text", "lang")
