@@ -128,6 +128,11 @@ object SparkEntry {
     "corpus_stats" -> (L.corpusStats _),
     "corpus_drift" -> (L.corpusDrift _),
     "text_top_terms" -> (L.textTopTerms _),
+    "sketch_distinct" -> (L.sketchDistinct _),
+    "minhash_accuracy" -> (L.minhashAccuracy _),
+    "shard_balance" -> (L.shardBalance _),
+    "snapshot_diff" -> (L.snapshotDiff _),
+    "skew_join" -> (L.skewJoin _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

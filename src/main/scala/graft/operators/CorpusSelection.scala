@@ -339,4 +339,41 @@ object CorpusSelection {
       .where(col("_score") >= col("threshold_score"))
       .drop("_score")
   }
+
+  /** Deterministic output sharding — the LAST stage of a corpus build:
+    * route each document to one of `numShards` output shards by the
+    * [[weightedSample]]-style md5 coin (a pure function of the id, so a
+    * re-run or a different engine reproduces the same file layout —
+    * the property `row_number() % n` sharding lacks, since it moves
+    * every document when any upstream row changes). Appends `shard`.
+    * Shuffle-free map work; the physical write is
+    * `repartition(numShards, col("shard")).write` so each task owns
+    * one shard, and the coin's uniformity is what bounds task skew —
+    * audit it with [[shardBalance]] before committing the layout.
+    */
+  def assignShards(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
+    require(numShards > 0, s"numShards must be positive, got $numShards")
+    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long")
+    docs.withColumn("shard", pmod(coin, lit(numShards.toLong)).cast("int"))
+  }
+
+  /** Per-shard balance audit for [[assignShards]]: doc count, token
+    * sum, each shard's share of the total token stream, and its ratio
+    * over the ideal equal share (`skew` = 1.0 is perfect balance; the
+    * writer gates on `max(skew)` before committing a layout). One
+    * partial aggregate to `numShards` rows; the share arithmetic runs
+    * on the aggregated integers (sums exact, single divisions), never
+    * per row.
+    */
+  def shardBalance(docs: DataFrame, idCol: String, tokens: Column, numShards: Int): DataFrame = {
+    val perShard = assignShards(docs, idCol, numShards)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+    val w = Window.partitionBy()
+    perShard
+      .withColumn("token_share",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(w).cast("double"))
+      .withColumn("skew",
+        col("token_share") * lit(numShards.toDouble))
+  }
 }

@@ -110,6 +110,31 @@ object Dedup {
     novel
   }
 
+  /** Content diff between two corpus snapshots — the ingest-monitoring
+    * query every scheduled pipeline runs after a crawl refresh: per id,
+    * whether the document was `added` (only in `current`), `removed`
+    * (only in `previous`), `changed` (both, different content
+    * fingerprint), or `unchanged`. Joins SLIM (id, fingerprint)
+    * projections — at 100 TB the text never moves, only a 16-byte md5
+    * per document — with a single full outer equi-join on the id (both
+    * sides hash-partition on the same key; no broadcast needed and
+    * none possible, both sides are corpus-sized). Downstream: `added ∪
+    * changed` is exactly the incremental work set to re-embed /
+    * re-score, `removed` the tombstone set to propagate.
+    */
+  def snapshotDiff(previous: DataFrame, current: DataFrame,
+                   textCol: String, idCol: String): DataFrame = {
+    def slim(df: DataFrame, fp: String) =
+      df.select(col(idCol), exactFingerprint(col(textCol)).as(fp))
+    slim(previous, "fp_prev")
+      .join(slim(current, "fp_cur"), Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("fp_prev").isNull, lit("added"))
+          .when(col("fp_cur").isNull, lit("removed"))
+          .when(col("fp_prev") =!= col("fp_cur"), lit("changed"))
+          .otherwise(lit("unchanged")))
+  }
+
   /** Quality-based canonical selection over near-dup clusters — the
     * "keep the BEST document per cluster" rule (C4 keeps the longest,
     * quality-filtered pipelines keep the highest-scoring) as opposed to
@@ -205,6 +230,18 @@ object Dedup {
     */
   def jaccardSorted(a: Column, b: Column): Column =
     ExpressionUtils.column(JaccardSorted(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** [[graft.plans.MinHashSignature]] over an arbitrary positive-hash
+    * array column with CALLER-supplied permutation coefficients — the
+    * evaluation-harness entry ([[graft.queries.LlmQueries.minhashAccuracy]])
+    * that replays engine-portable md5 coins and LCG-generated
+    * coefficients so a SQL oracle can regenerate the signature
+    * bit-for-bit; the production path stays [[minHashSignatures]] with
+    * its fixed xxhash64/seed-42 parameters.
+    */
+  def minHashSignatureExpr(hashes: Column, a: Seq[Long], b: Seq[Long],
+                           p: Long, dom: Long): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), a, b, p, dom))
 
   /** Asymmetric containment |a∩b| / |a| of two sorted distinct long
     * arrays (same linear merge as [[jaccardSorted]]); null when `a` is

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Salted equi-join for skewed fact keys against an UNBROADCASTABLE
+  * dimension — the manual fallback when both of Spark's first-line
+  * answers are unavailable: `broadcast()` needs the dim to fit an
+  * executor, and AQE's `OptimizeSkewedJoin` only splits a skewed
+  * partition when the join is a plain sort-merge whose runtime stats it
+  * can see (it cannot help a join keyed so hot that ONE key exceeds a
+  * partition — splitting a partition cannot split a key).
+  *
+  * The classic remedy: append `salt = hash(tie) mod factor` to the fact
+  * side (a deterministic spread of each key's rows over `factor`
+  * sub-keys — any per-row column works as the tie; a unique id gives
+  * the most uniform spread), replicate the dimension `factor`× with
+  * every salt value, and join on `(keys…, salt)`. The hottest key's
+  * rows now land in `factor` different reducer tasks instead of one.
+  * Cost: the dim side shuffles `factor`× its size — which is why
+  * `factor` should be sized to the worst key's excess, not maxed out.
+  * Result set is EXACTLY the plain inner join's (asserted in
+  * SkewJoinSpec and by the driver's `skew_join` oracle): salting only
+  * refines the partitioning key, every (fact row, dim row) match pair
+  * still meets in exactly one (key, salt) bucket.
+  */
+object SkewJoin {
+
+  /** Inner-join `fact` to `dim` on `keys`, spreading each fact key's
+    * rows over `factor` salt buckets keyed by `hash(tie) mod factor`.
+    * `dim` must be unique per `keys` combination in the usual
+    * dimensional sense (the operator does not require it, but the
+    * replication multiplies duplicates like the plain join would).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+                 tie: org.apache.spark.sql.Column, factor: Int): DataFrame = {
+    require(keys.nonEmpty, "at least one join key")
+    require(factor >= 1, s"salt factor must be >= 1, got $factor")
+    val salted = fact.withColumn("_salt", pmod(hash(tie), lit(factor)))
+    val replicated = dim.withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
+  }
+}

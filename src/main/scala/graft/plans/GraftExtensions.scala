@@ -52,7 +52,9 @@ object GraftExtensions {
     ("simhash64", SimHash64.info,
       arity(2, "simhash64(text, bits)")(c => SimHash64(c.head, intLit(c(1), "bits")))),
     ("ngram_stats", NgramStats.info,
-      arity(2, "ngram_stats(text, n)")(c => NgramStats(c.head, intLit(c(1), "n")))))
+      arity(2, "ngram_stats(text, n)")(c => NgramStats(c.head, intLit(c(1), "n")))),
+    ("kmv_min_k", KmvMinK.info,
+      arity(2, "kmv_min_k(hash, k)")(c => KmvMinK(c.head, intLit(c(1), "k")))))
 
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =

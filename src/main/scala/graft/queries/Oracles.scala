@@ -1693,6 +1693,117 @@ object Oracles {
         |  GROUP BY term)
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // md5-coin sharding replay + integer-exact balance arithmetic
+    // (byte sums are exact, the share divisions single IEEE ops)
+    "shard_balance" ->
+      """WITH s AS (
+        |  SELECT (list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |      c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::BIGINT % 16)::INTEGER AS shard,
+        |    n_chars FROM documents),
+        |g AS (SELECT shard, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS n_tokens
+        |      FROM s GROUP BY shard)
+        |SELECT shard, n_docs, n_tokens,
+        |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE AS token_share,
+        |  n_tokens::DOUBLE / (sum(n_tokens) OVER ())::DOUBLE * 16.0 AS skew
+        |FROM g ORDER BY shard""".stripMargin,
+
+    // snapshot diff: previous = % 10 <> 9, current = % 10 <> 4 with an
+    // edit marker on % 10 = 6 — every status arm planted
+    "snapshot_diff" ->
+      """WITH p AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp_prev
+        |  FROM documents WHERE doc_id % 10 <> 9),
+        |c AS (SELECT doc_id,
+        |    md5(lower(trim(regexp_replace(
+        |      CASE WHEN doc_id % 10 = 6 THEN text || ' rev2' ELSE text END,
+        |      '\s+', ' ', 'g')))) AS fp_cur
+        |  FROM documents WHERE doc_id % 10 <> 4)
+        |SELECT coalesce(p.doc_id, c.doc_id) AS doc_id,
+        |  CASE WHEN p.fp_prev IS NULL THEN 'added'
+        |       WHEN c.fp_cur IS NULL THEN 'removed'
+        |       WHEN p.fp_prev <> c.fp_cur THEN 'changed'
+        |       ELSE 'unchanged' END AS status,
+        |  p.fp_prev, c.fp_cur
+        |FROM p FULL OUTER JOIN c ON p.doc_id = c.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // the UNSALTED join — the salted plan must be result-identical
+    "skew_join" ->
+      """WITH dim AS (SELECT user_id, count(*)::BIGINT AS n_user_events
+        |             FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, e.event_type, d.n_user_events
+        |FROM events e JOIN dim d USING (user_id)
+        |ORDER BY e.event_id""".stripMargin,
+
+    // MinHash calibration harness: regenerates the minstd-LCG
+    // permutation coefficients (the ann_lsh replay discipline), the
+    // md5-coin shingle sets, the 128 (a·x+b) mod (2^31−1) signature
+    // mins, the per-pair match counts, and the exact-Jaccard binning —
+    // all integer arithmetic, so the compare is bit-for-bit. The
+    // recursion nests inside ab (a WITH RECURSIVE outer scope would
+    // disable the AS MATERIALIZED the twice-referenced sg needs).
+    "minhash_accuracy" ->
+      s"""WITH ab AS MATERIALIZED (
+         |  WITH RECURSIVE lcg(k, s) AS (
+         |    SELECT 0, (42 * 2654435761) % 2147483646 + 1
+         |    UNION ALL SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < 264)
+         |  SELECT list([a, b] ORDER BY j) AS abl FROM (
+         |    SELECT (k - 9) // 2 AS j,
+         |      max(CASE WHEN (k - 9) % 2 = 0 THEN s END) AS a,
+         |      max(CASE WHEN (k - 9) % 2 = 1 THEN s END) AS b
+         |    FROM lcg WHERE k >= 9 GROUP BY 1)
+         |),
+         |g AS (${shingleSelect(3, ", lang", " WHERE doc_id < 1000")}),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    list_sort(list_distinct(list_transform(sh, x ->
+         |      list_reduce(list_transform(string_split(substr(md5(x), 1, 6), ''),
+         |        ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT))) AS coins
+         |  FROM g WHERE len(sh) > 0
+         |),
+         |sg AS MATERIALIZED (
+         |  SELECT doc_id, lang, coins,
+         |    list_transform(abl, p ->
+         |      list_min(list_transform(coins, x -> (x * p[1] + p[2]) % 2147483647))) AS sig
+         |  FROM c CROSS JOIN ab
+         |),
+         |pr AS (
+         |  SELECT
+         |    len(list_filter(range(1, 129), j -> x.sig[j] = y.sig[j]))::INTEGER AS n_match,
+         |    len(list_intersect(x.coins, y.coins))::DOUBLE
+         |      / len(list_distinct(list_concat(x.coins, y.coins)))::DOUBLE AS exact_j
+         |  FROM sg x JOIN sg y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |)
+         |SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n_pairs, sum(n_match)::BIGINT AS total_matches,
+         |  sum(n_match)::DOUBLE / (count(*) * 128)::DOUBLE AS mean_est,
+         |  min(n_match)::DOUBLE / 128.0 AS min_est,
+         |  max(n_match)::DOUBLE / 128.0 AS max_est
+         |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, n_match FROM pr)
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // KMV(64) distinct-shingle sketch replay: the k-th smallest
+    // md5-prefix coin per lang reproduces the engine's TreeSet-of-64
+    // aggregate exactly (min-k of a set is order-independent), and the
+    // (k-1)/h_k estimate is bit-identical because the 2^24 coin-space
+    // division is exact in binary floating point
+    "sketch_distinct" ->
+      s"""WITH g AS (${shingleSelect(3, ", lang")}),
+         |c AS (SELECT DISTINCT lang,
+         |    list_reduce(list_transform(string_split(substr(md5(sh), 1, 6), ''),
+         |      ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT AS coin
+         |  FROM (SELECT lang, unnest(sh) AS sh FROM g)),
+         |r AS (SELECT lang, coin,
+         |    row_number() OVER (PARTITION BY lang ORDER BY coin) AS rk,
+         |    count(*) OVER (PARTITION BY lang) AS n_exact FROM c),
+         |e AS (SELECT lang, max(n_exact)::BIGINT AS exact_distinct,
+         |    CASE WHEN max(n_exact) < 64 THEN max(n_exact)::DOUBLE
+         |         ELSE 63.0 / ((max(CASE WHEN rk = 64 THEN coin END) + 1)::DOUBLE / 16777216.0)
+         |    END AS est_distinct
+         |  FROM r GROUP BY lang)
+         |SELECT lang, exact_distinct, est_distinct,
+         |  (abs(est_distinct - exact_distinct::DOUBLE) / exact_distinct::DOUBLE)::FLOAT AS rel_err
+         |FROM e ORDER BY lang""".stripMargin,
+
     // Jensen-Shannon drift between even-id (reference) and odd-id
     // (current) unigram distributions per lang; FLOAT on the divergence
     // (order-sensitive double sums — the bm25 discipline)

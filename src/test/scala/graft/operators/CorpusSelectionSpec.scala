@@ -216,4 +216,33 @@ class CorpusSelectionSpec extends SparkSuite {
       (1L, 3L, "train", "test", 2),
       (2L, 3L, "train", "test", 3)))
   }
+
+  test("assignShards is a pure function of the id and covers all shards") {
+    val corpus = (0 until 2000).map(i => (i.toLong, 10 + i % 90)).toDF("doc_id", "n_chars")
+    val a = CorpusSelection.assignShards(corpus, "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    // stable under repartitioning / re-run
+    val b = CorpusSelection.assignShards(corpus.repartition(13), "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSet == (0 until 16).toSet)
+    // growth stability: adding docs never moves existing ones
+    val grown = CorpusSelection
+      .assignShards((0 until 3000).map(i => (i.toLong, 1)).toDF("doc_id", "n_chars"), "doc_id", 16)
+      .select("doc_id", "shard").as[(Long, Int)].collect().toMap
+    assert(a.forall { case (id, sh) => grown(id) == sh })
+  }
+
+  test("shardBalance shares sum to 1 and skew stays near 1 on a uniform corpus") {
+    val corpus = (0 until 5000).map(i => (i.toLong, 100)).toDF("doc_id", "n_chars")
+    val rows = CorpusSelection.shardBalance(corpus, "doc_id", col("n_chars"), 8)
+      .select("shard", "n_docs", "token_share", "skew")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.length == 8)
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-9)
+    // md5 uniformity: no shard more than 25% off the ideal eighth
+    rows.foreach { case (sh, _, _, skew) =>
+      assert(skew > 0.75 && skew < 1.25, s"shard $sh skew $skew")
+    }
+  }
 }

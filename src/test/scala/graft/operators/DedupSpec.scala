@@ -672,4 +672,18 @@ class DedupSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((5L, 9L, 1.0)))
   }
+
+  test("snapshotDiff classifies added, removed, changed, and unchanged") {
+    val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
+    val cur = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
+    val got = Dedup.snapshotDiff(prev, cur, "text", "doc_id")
+      .select("doc_id", "status").as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed", 4L -> "added"))
+    // normalization-insensitive: whitespace-only edits are NOT changes
+    val ws = Dedup.snapshotDiff(
+      Seq((7L, "a  b")).toDF("doc_id", "text"),
+      Seq((7L, " a b ")).toDF("doc_id", "text"), "text", "doc_id")
+      .select("status").as[String].head()
+    assert(ws == "unchanged")
+  }
 }
