@@ -133,6 +133,8 @@ object SparkEntry {
     "shard_balance" -> (L.shardBalance _),
     "snapshot_diff" -> (L.snapshotDiff _),
     "skew_join" -> (L.skewJoin _),
+    "quantile_sketch" -> (L.quantileSketch _),
+    "text_normalize" -> (L.textNormalize _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

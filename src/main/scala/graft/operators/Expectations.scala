@@ -91,4 +91,46 @@ object Expectations {
       .where(col("side").isNotNull)
       .drop("_iqr")
   }
+
+  /** Fixed-width-histogram percentile ESTIMATE — the bounded scale path
+    * next to the exact rank windows ([[iqrOutliers]],
+    * [[CorpusSelection.percentileGate]]): an exact per-stratum
+    * percentile costs a full per-stratum sort (the window exchange
+    * carries every row), where the histogram costs one map-side-
+    * combining `(stratum, bin)` count — at most #strata × #bins rows
+    * ever shuffle, constant in corpus size like the KMV sketch. The
+    * estimate for percentile `p` is the UPPER bound of the first bin
+    * whose cumulative count reaches rank `ceil(p·n)`; error is bounded
+    * by `binWidth − 1` by construction — integer arithmetic end to
+    * end, so the driver oracle replays it exactly (rank rule identical
+    * to [[iqrOutliers]]'s `(cnt·p + 9999) DIV 10000`).
+    *
+    * Emits (`strataCol`, `p_bp`, `n_rows`, `est_value`) for each
+    * requested basis-point percentile. Values must be non-negative
+    * integers (lengths, counts, byte sizes — the histogram domain).
+    */
+  def histogramQuantiles(df: DataFrame, strataCol: String, value: Column, binWidth: Long,
+                         pBasisPoints: Seq[Int]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(pBasisPoints.nonEmpty && pBasisPoints.forall(p => p > 0 && p <= 10000),
+      "percentiles must be in (0, 10000] basis points")
+    val counts = df
+      .select(col(strataCol), value.cast("long").as("_v"))
+      .withColumn("_bin", expr(s"_v div ${binWidth}L"))
+      .groupBy(col(strataCol), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val cum = counts
+      .withColumn("_cum", sum(col("_c")).over(
+        w.orderBy(col("_bin")).rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("_n", sum(col("_c")).over(w))
+    val ps = explode(array(pBasisPoints.map(p => lit(p)): _*)).as("p_bp")
+    cum
+      .select(col(strataCol), col("_bin"), col("_cum"), col("_n"), ps)
+      .where(col("_cum") >= expr("(_n * p_bp + 9999L) DIV 10000L"))
+      .groupBy(col(strataCol), col("p_bp"))
+      .agg(
+        max(col("_n")).as("n_rows"),
+        (min(col("_bin")) * lit(binWidth) + lit(binWidth - 1)).as("est_value"))
+  }
 }

@@ -54,7 +54,9 @@ object GraftExtensions {
     ("ngram_stats", NgramStats.info,
       arity(2, "ngram_stats(text, n)")(c => NgramStats(c.head, intLit(c(1), "n")))),
     ("kmv_min_k", KmvMinK.info,
-      arity(2, "kmv_min_k(hash, k)")(c => KmvMinK(c.head, intLit(c(1), "k")))))
+      arity(2, "kmv_min_k(hash, k)")(c => KmvMinK(c.head, intLit(c(1), "k")))),
+    ("nfc_clean", NfcClean.info,
+      arity(1, "nfc_clean(str)")(c => NfcClean(c.head))))
 
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =

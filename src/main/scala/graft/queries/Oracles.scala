@@ -1693,6 +1693,43 @@ object Oracles {
         |  GROUP BY term)
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // width-16 histogram percentile estimate vs exact discrete rank —
+    // integer arithmetic end to end (HUGEINT window sums cast back)
+    "quantile_sketch" ->
+      """WITH v AS (SELECT lang, n_chars::BIGINT AS v FROM documents),
+        |c AS (SELECT lang, v // 16 AS bin, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+        |cu AS (SELECT lang, bin,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bin)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY lang)::BIGINT AS n FROM c),
+        |p AS (SELECT unnest([5000, 9000, 9900]) AS p_bp),
+        |est AS (SELECT lang, p_bp, max(n)::BIGINT AS n_rows,
+        |    (min(bin) * 16 + 15)::BIGINT AS est_value
+        |  FROM cu CROSS JOIN p WHERE cum >= (n * p_bp + 9999) // 10000
+        |  GROUP BY lang, p_bp),
+        |r AS (SELECT lang, v, row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt FROM v),
+        |ex AS (SELECT lang, p_bp,
+        |    max(CASE WHEN rn = (cnt * p_bp + 9999) // 10000 THEN v END)::BIGINT AS exact_value
+        |  FROM r CROSS JOIN p GROUP BY lang, p_bp)
+        |SELECT est.lang, est.p_bp::INTEGER AS p_bp, est.n_rows, ex.exact_value,
+        |  est.est_value, est.est_value - ex.exact_value AS err
+        |FROM est JOIN ex ON est.lang = ex.lang AND est.p_bp = ex.p_bp
+        |ORDER BY est.lang, est.p_bp""".stripMargin,
+
+    // NFC + control-strip replay: utf8proc's nfc_normalize and Java's
+    // Normalizer implement the same UAX #15 composition, so the
+    // planted decomposed suffix (combining acute, Angstrom sign, BEL)
+    // canonicalizes to identical bytes
+    "text_normalize" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491) || chr(7) || 'end'),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g') AS text_norm,
+        |  length(regexp_replace(
+        |    nfc_normalize(text || ' cafe' || chr(769) || ' ' || chr(8491) || chr(7) || 'end'),
+        |    '[\x00-\x08\x0B-\x1F\x7F]', '', 'g'))::INTEGER AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // md5-coin sharding replay + integer-exact balance arithmetic
     // (byte sums are exact, the share divisions single IEEE ops)
     "shard_balance" ->

@@ -63,4 +63,30 @@ class ExpectationsSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(got2.toSeq == Seq((1L, "low")))
   }
+
+  test("histogramQuantiles upper-bounds the exact percentile within binWidth") {
+    val rnd = new scala.util.Random(31)
+    val data = (0 until 4000).map { i =>
+      (if (i % 3 == 0) "en" else "de", rnd.nextInt(500).toLong)
+    }
+    val w = 16L
+    val est = Expectations.histogramQuantiles(data.toDF("lang", "v"), "lang", col("v"), w, Seq(5000, 9900))
+      .select("lang", "p_bp", "est_value").as[(String, Int, Long)].collect()
+      .map { case (l, p, e) => (l, p) -> e }.toMap
+    // exact discrete percentile, computed independently on the driver
+    val groups = data.groupBy(_._1).map { case (l, vs) => l -> vs.map(_._2).sorted }
+    for (l <- Seq("en", "de"); p <- Seq(5000, 9900)) {
+      val vs = groups(l)
+      val exact = vs(((vs.size * p + 9999) / 10000 - 1).toInt)
+      val e = est((l, p))
+      assert(e >= exact && e - exact < w, s"$l p$p: est $e exact $exact")
+    }
+  }
+
+  test("histogramQuantiles is partitioning-invariant and hits the exact value when binWidth is 1") {
+    val df = (1 to 100).map(v => ("x", v.toLong)).toDF("lang", "v")
+    val got = Expectations.histogramQuantiles(df.repartition(7), "lang", col("v"), 1L, Seq(5000, 9000))
+      .select("p_bp", "est_value").as[(Int, Long)].collect().toMap
+    assert(got == Map(5000 -> 50L, 9000 -> 90L))
+  }
 }
