@@ -135,6 +135,8 @@ object SparkEntry {
     "skew_join" -> (L.skewJoin _),
     "quantile_sketch" -> (L.quantileSketch _),
     "text_normalize" -> (L.textNormalize _),
+    "event_anomaly" -> (L.eventAnomaly _),
+    "emb_pool" -> (L.embPool _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

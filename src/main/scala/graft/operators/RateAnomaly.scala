@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-rate anomaly detection — the ingest monitor that pages before a
+  * bad crawl poisons a corpus: bucket the event stream per key into
+  * fixed windows, then flag buckets whose count deviates from the
+  * trailing baseline by more than `zThreshold` standard deviations
+  * (the classic rolling z-score; the trailing frame EXCLUDES the
+  * current bucket so a spike cannot mask itself).
+  *
+  * Plan: one map-side-combining `(key, bucket)` count aggregate — the
+  * only corpus-sized exchange, same budget as any windowed count —
+  * then a per-key ordered window over BUCKET rows (#keys × #buckets,
+  * not #events; a year of minutes is ~0.5M rows per key, driver-safe
+  * and parallel per key). The baseline statistics are integer window
+  * sums (`Σc`, `Σc²` — exact) with single-division float arithmetic,
+  * so the driver oracle replays the z-scores bit-for-bit.
+  *
+  * Buckets with no events simply don't exist as rows (the frame is
+  * ROWS-based over observed buckets): a silent-gap detector is a
+  * different query (generate_series anti-join); this one answers
+  * "is this bucket's RATE abnormal vs the recent past".
+  */
+object RateAnomaly {
+
+  /** Per (`keyCol`, bucket) z-scores against the trailing `history`
+    * buckets; rows with fewer than `history` predecessors are dropped
+    * (no baseline to judge against). Emits `bucket` (epoch-bucket
+    * index, a long), `n_events`, `mean_prev`, `std_prev`, `z`
+    * (null when the baseline is flat), `is_anomaly`.
+    */
+  def detect(events: DataFrame, keyCol: String, tsCol: String,
+             bucketSeconds: Long = 60, history: Int = 10,
+             zThreshold: Double = 3.0): DataFrame = {
+    require(bucketSeconds > 0 && history > 0, "bucketSeconds and history must be positive")
+    val counts = events
+      .select(col(keyCol), expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}L").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-history, -1)
+    val h = history.toDouble
+    counts
+      .withColumn("_n_prev", count(lit(1)).over(w))
+      .withColumn("_sum_prev", sum(col("n_events")).over(w))
+      .withColumn("_sum2_prev", sum(col("n_events") * col("n_events")).over(w))
+      .where(col("_n_prev") === history)
+      .withColumn("mean_prev", col("_sum_prev").cast("double") / lit(h))
+      .withColumn("std_prev",
+        sqrt(greatest(
+          (col("_sum2_prev").cast("double")
+            - col("_sum_prev").cast("double") * col("_sum_prev").cast("double") / lit(h)) / lit(h),
+          lit(0.0))))
+      .withColumn("z",
+        when(col("std_prev") > 0,
+          (col("n_events").cast("double") - col("mean_prev")) / col("std_prev")))
+      .withColumn("is_anomaly", coalesce(col("z") > lit(zThreshold), lit(false)))
+      .drop("_n_prev", "_sum_prev", "_sum2_prev")
+  }
+}

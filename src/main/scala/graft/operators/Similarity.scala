@@ -353,6 +353,32 @@ object Similarity {
           .as("centroid_cos"))
   }
 
+  /** Chunk→document mean pooling on the [[centroidCosine]] integer
+    * grid — the aggregation step of every long-document embedding
+    * pipeline (documents are embedded as chunks; retrieval wants one
+    * vector per document, and mean pooling is the standard reduction).
+    * Components snap to the 2^20 grid so the per-dimension sum is an
+    * associative long reduction (order- and partitioning-independent,
+    * hence oracle-replayable bit-for-bit); the mean is ONE float
+    * division from two exact integers per dimension.
+    *
+    * Emits scalar rows (`group_id`, `dim`, `n_chunks`, `sum_grid`,
+    * `mean_grid`) — the [[projectJl]] posexplode discipline. The
+    * (group, dim) partial aggregate combines map-side, so the exchange
+    * carries at most #groups × dim rows.
+    */
+  def meanPoolGrid(embs: DataFrame, groupExpr: Column, vecCol: String): DataFrame = {
+    val grid = 1L << 20
+    embs
+      .select(groupExpr.as("group_id"),
+        posexplode(transform(col(vecCol), x => floor(x.cast("double") * grid).cast("long")))
+          .as(Seq("dim", "_x")))
+      .groupBy(col("group_id"), col("dim"))
+      .agg(count(lit(1)).cast("int").as("n_chunks"), sum(col("_x")).as("sum_grid"))
+      .withColumn("mean_grid",
+        col("sum_grid").cast("double") / col("n_chunks").cast("double"))
+  }
+
   /** Sign-of-projection LSH bucket id (one long from `planes` bits) — a
     * single codegen'd planes×dim loop ([[graft.plans.HyperplaneBucket]])
     * instead of `planes` interpreted per-plane dot-folds; bit-for-bit the

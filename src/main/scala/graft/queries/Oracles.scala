@@ -1693,6 +1693,42 @@ object Oracles {
         |  GROUP BY term)
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // rolling z-score replay: integer (key, minute) counts, trailing
+    // 10-bucket Σc/Σc² window sums (exact), single-division floats
+    "event_anomaly" ->
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 60000000 AS bucket, count(*)::BIGINT AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, bucket, n_events,
+        |    count(*) OVER fr AS n_prev,
+        |    sum(n_events) OVER fr AS sum_prev,
+        |    sum(n_events * n_events) OVER fr AS sum2_prev
+        |  FROM c WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+        |                       ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |s AS (
+        |  SELECT event_type, bucket::BIGINT AS bucket, n_events,
+        |    sum_prev::DOUBLE / 10.0 AS mean_prev,
+        |    sqrt(greatest((sum2_prev::DOUBLE - sum_prev::DOUBLE * sum_prev::DOUBLE / 10.0) / 10.0, 0.0)) AS std_prev
+        |  FROM w WHERE n_prev = 10)
+        |SELECT event_type, bucket, n_events, mean_prev, std_prev,
+        |  CASE WHEN std_prev > 0 THEN (n_events::DOUBLE - mean_prev) / std_prev END AS z,
+        |  coalesce(CASE WHEN std_prev > 0 THEN (n_events::DOUBLE - mean_prev) / std_prev END > 3.0,
+        |    FALSE) AS is_anomaly
+        |FROM s ORDER BY event_type, bucket""".stripMargin,
+
+    // chunk->doc mean pooling on the 2^20 grid: per-dimension long
+    // sums are associative (exact), the mean one float division
+    "emb_pool" ->
+      """WITH v AS (SELECT vec_id // 4 AS group_id,
+        |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS g
+        |  FROM embeddings)
+        |SELECT group_id, i::INTEGER - 1 AS dim, count(*)::INTEGER AS n_chunks,
+        |  sum(g[i])::BIGINT AS sum_grid,
+        |  sum(g[i])::DOUBLE / count(*)::DOUBLE AS mean_grid
+        |FROM v CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |GROUP BY group_id, i ORDER BY group_id, dim""".stripMargin,
+
     // width-16 histogram percentile estimate vs exact discrete rank —
     // integer arithmetic end to end (HUGEINT window sums cast back)
     "quantile_sketch" ->

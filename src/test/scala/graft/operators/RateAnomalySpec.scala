@@ -1,0 +1,48 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSuite
+
+class RateAnomalySpec extends SparkSuite {
+  import spark.implicits._
+
+  // one event per (minute, i) — minute m gets `perMinute(m)` events
+  private def stream(perMinute: Seq[Int]): org.apache.spark.sql.DataFrame =
+    perMinute.zipWithIndex.flatMap { case (n, m) =>
+      (0 until n).map(i => ("click", new Timestamp(m * 60000L + i)))
+    }.toDF("event_type", "ts")
+
+  test("flags a spike against a flat baseline and not the baseline itself") {
+    // 10 flat minutes of 5, then a minute of 50: std of a flat baseline
+    // is 0 -> z is null -> NOT anomalous by the flat-baseline rule...
+    val flat = stream(Seq.fill(10)(5) ++ Seq(50))
+    val flatOut = RateAnomaly.detect(flat, "event_type", "ts", history = 10)
+      .select("bucket", "n_events", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(flatOut.map(_._1) == Seq(10L))
+    assert(flatOut.head._3.isEmpty && !flatOut.head._4)
+    // ...so give the baseline variance: alternating 4/6 (mean 5, std 1)
+    val varied = stream((0 until 10).map(m => if (m % 2 == 0) 4 else 6) ++ Seq(50, 5))
+    val out = RateAnomaly.detect(varied, "event_type", "ts", history = 10)
+      .select("bucket", "n_events", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect().sortBy(_._1)
+    // bucket 10: count 50 vs mean 5, std 1 -> z = 45 -> anomalous
+    val spike = out.find(_._1 == 10L).get
+    assert(spike._4 && spike._3.exists(_ > 40))
+    // bucket 11: count 5 against a baseline that now CONTAINS the spike
+    // (mean 9.4...) -> negative z, not anomalous
+    val after = out.find(_._1 == 11L).get
+    assert(!after._4 && after._3.exists(_ < 0))
+  }
+
+  test("warmup buckets without a full baseline are dropped; keys are independent") {
+    val df = stream(Seq.fill(12)(3))
+      .union(Seq(("view", new Timestamp(0L))).toDF("event_type", "ts"))
+    val out = RateAnomaly.detect(df, "event_type", "ts", history = 10)
+      .select("event_type", "bucket").as[(String, Long)].collect().toSeq
+    // click minutes 0-9 are warmup; only 10 and 11 emit. view has 1
+    // bucket -> never a full baseline -> nothing.
+    assert(out.sorted == Seq(("click", 10L), ("click", 11L)))
+  }
+}

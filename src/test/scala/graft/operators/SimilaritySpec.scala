@@ -390,4 +390,26 @@ class SimilaritySpec extends SparkSuite {
     assert(got(1) == ((2L, 4, 0.0, 4, 0.0f, true)))
     assert(got(2) == ((3L, 4, 5.0, 2, 4.0f, false)))
   }
+
+  test("meanPoolGrid averages chunk vectors per group on the integer grid") {
+    import org.apache.spark.sql.functions.expr
+    // group 0: chunks [1,0] and [0,1] -> grid sums [2^20, 2^20], mean 2^19
+    // group 1: single chunk [-0.5, 0.25] -> floor snapping
+    val df = Seq(
+      (0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (2L, Seq(-0.5f, 0.25f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.meanPoolGrid(df, expr("vec_id div 2"), "embedding")
+      .orderBy("group_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    val g = 1L << 20
+    assert(got.toSeq == Seq(
+      (0L, 0, 2, g, g / 2.0), (0L, 1, 2, g, g / 2.0),
+      (1L, 0, 1, -g / 2, -g / 2.0), (1L, 1, 1, g / 4, g / 4.0)))
+    // partitioning-invariant (associative long sums)
+    val rep = Similarity.meanPoolGrid(df.repartition(5), expr("vec_id div 2"), "embedding")
+      .orderBy("group_id", "dim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
+    assert(rep.toSeq == got.toSeq)
+  }
 }
