@@ -137,6 +137,7 @@ object SparkEntry {
     "text_normalize" -> (L.textNormalize _),
     "event_anomaly" -> (L.eventAnomaly _),
     "emb_pool" -> (L.embPool _),
+    "ann_ivf_append" -> (L.annIvfAppend _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

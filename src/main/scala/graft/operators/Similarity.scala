@@ -152,8 +152,18 @@ object Similarity {
     */
   def ivfTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
               cells: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(candidates, dim, cells, seed = seed, idCol = idCol, vecCol = vecCol)
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              fitCorpus: Option[DataFrame] = None): DataFrame = {
+    // fitCorpus decouples coarse-quantizer training from the candidate
+    // set — the add-after-train index lifecycle: a production IVF index
+    // freezes its centroids at build time and ASSIGNS each appended
+    // batch to the frozen cells (no refit, no re-shuffle of the
+    // existing index; the assignment is per-row map work). Recall on
+    // the appended vectors degrades only as far as the batch drifts
+    // from the training distribution — the ann_ivf_append oracle row
+    // measures exactly that.
+    val centroids = trainCentroids(fitCorpus.getOrElse(candidates), dim, cells,
+      seed = seed, idCol = idCol, vecCol = vecCol)
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), centroids).as("cell"))

@@ -459,6 +459,51 @@ object Oracles {
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Mirror of LlmQueries.annIvfAppend: the k-means fit runs on the
+    * EVEN-id half only (the index as built), every vector — base and
+    * appended odd-id batch alike — is assigned to the frozen centroids,
+    * and queries probe the full index. Identical tie-breaks to
+    * [[ivfOracleSql]] (assignment ties → higher cell, probe order →
+    * lower cell).
+    */
+  private def ivfAppendOracleSql: String = {
+    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
+    s"""WITH base AS MATERIALIZED (
+       |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0
+       |),
+       |${kmeansFitCtes("base", iters, cells, sampleN)},
+       |allv AS (
+       |  SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+       |),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, embedding, j AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, c.j,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c)
+       |  WHERE pick = 1
+       |),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, embedding AS qv, j AS cell FROM (
+       |    SELECT a.vec_id, a.embedding, c.j,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j ASC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c
+       |    WHERE a.vec_id < 10)
+       |  WHERE pick <= $nprobe
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, q.qv, c.vec_id AS neighbor_id, c.embedding AS cv
+       |  FROM qprobe q JOIN cassign c USING (cell)
+       |),
+       |sc AS (
+       |  SELECT query_id, neighbor_id,
+       |    ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+       |  FROM cand
+       |)
+       |SELECT query_id, neighbor_id, cosine, rank::INTEGER AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Full mirror of Dedup.semanticDedup(dim=64, threshold=0.9, cells=16)
     * over the PLANTED corpus of LlmQueries.dedupSemantic (exact id-offset
     * copies of vec_id < 25): shared k-means fit, NearestCentroid cell
@@ -1306,6 +1351,8 @@ object Oracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    "ann_ivf_append" -> ivfAppendOracleSql,
 
     "emb_pq" -> pqOracleSql,
 

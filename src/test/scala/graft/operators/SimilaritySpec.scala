@@ -117,6 +117,26 @@ class SimilaritySpec extends SparkSuite {
     assert(recall >= 0.5, s"recall $recall")
   }
 
+  test("ivfTopK add-after-train: appended vectors are indexed and findable") {
+    val queries = vectors.where(col("vec_id") < 5)
+    val base = vectors.where(col("vec_id") % 2 === 0)
+    val rows = Similarity.ivfTopK(vectors, queries, k = 10, dim = 16, cells = 8, nprobe = 4,
+      fitCorpus = Some(base))
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = rows.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    // self-hit survives the frozen-centroid assignment
+    for ((q, rs) <- byQ) assert(rs.find(_._3 == 1).get._2 == q)
+    // appended (odd-id) vectors appear among neighbors — the index
+    // actually absorbed the batch rather than only re-serving the base
+    assert(rows.exists(_._2 % 2 == 1))
+    val brute = bruteTop(10)
+    val recall = byQ.map { case (q, rs) =>
+      rs.map(_._2).toSet.intersect(brute(q).toSet).size.toDouble / 10.0
+    }.sum / byQ.size
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
   test("lshTopK returns k rows per query with self as rank 1, decent recall") {
     val queries = vectors.where(col("vec_id") < 5)
     val rows = Similarity.lshTopK(vectors, queries, k = 10, dim = 16, planes = 5, probes = 5)
