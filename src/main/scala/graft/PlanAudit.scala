@@ -75,7 +75,17 @@ object PlanAudit {
       // broadcasts #strata thresholds back; tolerance as-of must keep
       // the one-exchange merge shape with a pure projection mask
       "retrieval_rrf", "dedup_containment", "corpus_drift",
-      "split_leakage", "quality_percentile_gate", "asof_tolerance")
+      "split_leakage", "quality_percentile_gate", "asof_tolerance",
+      // round 11c: the KMV row must show ONE hash aggregate carrying
+      // both the sketch and the exact side (no second scan); the
+      // histogram sketch one (lang,bin) partial agg + a bucket-row
+      // window, never a corpus sort; the salted join spreads the fact
+      // side and replicates the dim 8x with no broadcast of the fact;
+      // snapshot diff joins two SLIM fingerprint projections; the
+      // anomaly monitor is one (type,bucket) count + a bucket-row
+      // window
+      "sketch_distinct", "quantile_sketch", "skew_join",
+      "snapshot_diff", "event_anomaly")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -121,7 +121,24 @@ object ScaleSmoke {
         val dense = Similarity.hashEmbedTopK(docs, q.withColumnRenamed("query_id", "doc_id"), k = 20)
           .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
         Retrieval.rrfFuse(Seq(sparse, dense), k = 10).count()
-      }))
+      }),
+      // round 11c: both sketch paths must scale as ONE corpus-bound
+      // aggregate each — KMV state is 64 longs per group regardless of
+      // cardinality; the histogram shuffles #strata x #bins rows only
+      "kmv_distinct" -> (() => {
+        graft.plans.GraftExtensions.register(docs.sparkSession)
+        docs
+          .select(col("lang"), explode(Dedup.shingles(col("text"), 3)).as("sh"))
+          .select(col("lang"),
+            conv(substring(md5(col("sh")), 1, 6), 16, 10).cast("long").as("coin"))
+          .groupBy(col("lang"))
+          .agg(call_function("kmv_min_k", col("coin"), lit(64)).as("mink"))
+          .count()
+      }),
+      "hist_quantiles" -> (() => graft.operators.Expectations
+        .histogramQuantiles(docs, "lang", col("n_chars"), 16L, Seq(5000, 9900)).count()),
+      "rate_anomaly" -> (() => graft.operators.RateAnomaly
+        .detect(ev.withColumn("ts", col("ts").cast("timestamp")), "event_type", "ts").count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

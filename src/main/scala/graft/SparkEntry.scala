@@ -138,6 +138,8 @@ object SparkEntry {
     "event_anomaly" -> (L.eventAnomaly _),
     "emb_pool" -> (L.embPool _),
     "ann_ivf_append" -> (L.annIvfAppend _),
+    "quality_histogram_gate" -> (L.qualityHistogramGate _),
+    "dedup_exact_nfc" -> (L.dedupExactNfc _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

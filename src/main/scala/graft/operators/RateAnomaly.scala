@@ -35,11 +35,27 @@ object RateAnomaly {
   def detect(events: DataFrame, keyCol: String, tsCol: String,
              bucketSeconds: Long = 60, history: Int = 10,
              zThreshold: Double = 3.0): DataFrame = {
-    require(bucketSeconds > 0 && history > 0, "bucketSeconds and history must be positive")
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
     val counts = events
       .select(col(keyCol), expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}L").as("bucket"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(count(lit(1)).as("n_events"))
+    detectFromCounts(counts, keyCol, history, zThreshold)
+  }
+
+  /** [[detect]] from a PRE-BUCKETED count table (`keyCol`, `bucket`,
+    * `n_events`) — the streaming handoff: a Structured Streaming
+    * windowed count maintains the bucket table incrementally
+    * ([[graft.streaming.EventStream.minuteCounts]]), and each trigger
+    * runs this ordered-window pass over the (tiny) bucket table as a
+    * batch query. The z-score window needs total order over a key's
+    * buckets, which a streaming state operator cannot see — splitting
+    * at the count table is the honest boundary, and the batch/stream
+    * parity is suite-pinned in EventStreamSpec.
+    */
+  def detectFromCounts(counts: DataFrame, keyCol: String,
+                       history: Int = 10, zThreshold: Double = 3.0): DataFrame = {
+    require(history > 0, "history must be positive")
     val w = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
       .rowsBetween(-history, -1)
     val h = history.toDouble

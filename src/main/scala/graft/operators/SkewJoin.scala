@@ -40,4 +40,28 @@ object SkewJoin {
     val replicated = dim.withColumn("_salt", explode(sequence(lit(0), lit(factor - 1))))
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
+
+  /** Stats-driven join strategy — the decision a planner-aware pipeline
+    * makes EXPLICITLY instead of trusting defaults at 100 TB: broadcast
+    * the dim when Catalyst's size estimate fits the given budget
+    * (`broadcast()` hint — no shuffle of the fact side at all); when it
+    * doesn't fit AND a skew spec is supplied, run the salted join (AQE
+    * cannot split a single hot KEY, only a hot partition); otherwise a
+    * plain shuffle join, where AQE's runtime re-plan still applies.
+    * The estimate is `optimizedPlan.stats.sizeInBytes` — the same
+    * number `spark.sql.autoBroadcastJoinThreshold` consults, read here
+    * so the choice is visible, testable, and overridable per call
+    * rather than buried in a session-global conf.
+    */
+  def autoJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
+               broadcastBytes: Long = 10L << 20,
+               skew: Option[(org.apache.spark.sql.Column, Int)] = None): DataFrame = {
+    require(keys.nonEmpty, "at least one join key")
+    val dimBytes = dim.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (dimBytes <= broadcastBytes) fact.join(broadcast(dim), keys)
+    else skew match {
+      case Some((tie, factor)) => saltedJoin(fact, dim, keys, tie, factor)
+      case None                => fact.join(dim, keys)
+    }
+  }
 }

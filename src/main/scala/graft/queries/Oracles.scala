@@ -1740,6 +1740,37 @@ object Oracles {
         |  GROUP BY term)
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
 
+    // the histogram sketch as an admission threshold: score in basis
+    // points (integer domain), width-64 bins, est p25 floor per lang
+    "quality_histogram_gate" ->
+      """WITH sc AS (
+        |  SELECT doc_id, lang,
+        |    floor(len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE * 10000)::BIGINT AS score_bp
+        |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |c AS (SELECT lang, score_bp // 64 AS bin, count(*)::BIGINT AS c FROM sc GROUP BY 1, 2),
+        |cu AS (SELECT lang, bin,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY bin)::BIGINT AS cum,
+        |    sum(c) OVER (PARTITION BY lang)::BIGINT AS n FROM c),
+        |th AS (SELECT lang, (min(bin) * 64 + 63)::BIGINT AS threshold_bp
+        |  FROM cu WHERE cum >= (n * 2500 + 9999) // 10000 GROUP BY lang)
+        |SELECT sc.doc_id, sc.lang, sc.score_bp, th.threshold_bp
+        |FROM sc JOIN th ON sc.lang = th.lang
+        |WHERE sc.score_bp >= th.threshold_bp
+        |ORDER BY sc.doc_id""".stripMargin,
+
+    // NFC folded into exact dedup: each doc planted twice (precomposed
+    // vs decomposed suffix); after nfc_normalize every pair is one
+    // group of exactly 2
+    "dedup_exact_nfc" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text || ' caf' || chr(233) AS text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, text || ' cafe' || chr(769) AS text FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(text) AS text FROM corpus)
+        |SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint,
+        |  min(doc_id) AS canonical_id, count(*) AS n_docs
+        |FROM n GROUP BY 1 ORDER BY fingerprint""".stripMargin,
+
     // rolling z-score replay: integer (key, minute) counts, trailing
     // 10-bucket Σc/Σc² window sums (exact), single-division floats
     "event_anomaly" ->

@@ -31,6 +31,23 @@ object EventStream {
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
 
+  /** Per-(event_type, minute-bucket) counts as a stream — the
+    * incremental half of the rate-anomaly monitor: the stream maintains
+    * the bucket table, and each trigger runs
+    * [[graft.operators.RateAnomaly.detectFromCounts]] over it as a
+    * (tiny, #keys × #buckets) batch query. Bucket ids match the batch
+    * operator's `unix_micros div 60e6` exactly, so parity is row-level
+    * (suite-pinned in EventStreamSpec).
+    */
+  def minuteCounts(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 minute"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("event_type"),
+        expr("unix_micros(window.start) div 60000000L").as("bucket"), col("n_events"))
+
   /** One status-interval row: user was in `from_status` for `duration_s`
     * seconds, ending at `ts` (the streaming analog of the W2 lag window /
     * A1 transition rows).

@@ -37,4 +37,23 @@ class SkewJoinSpec extends SparkSuite {
     assert(out.count() == 100) // orphan user 42 has no dim row
     assert(!out.columns.contains("_salt"))
   }
+
+  test("autoJoin picks broadcast under the budget, salted above it, same result set") {
+    def results(df: org.apache.spark.sql.DataFrame) =
+      df.select("event_id", "user_id", "tag").as[(Long, Long, String)].collect().sorted.toSeq
+    val want = results(fact.join(dim, "user_id"))
+
+    val bhj = SkewJoin.autoJoin(fact, dim, Seq("user_id"))
+    bhj.collect()
+    assert(bhj.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "small dim under the default budget must broadcast")
+    assert(results(bhj) == want)
+
+    val salted = SkewJoin.autoJoin(fact, dim, Seq("user_id"),
+      broadcastBytes = 0L, skew = Some((col("event_id"), 8)))
+    assert(results(salted) == want)
+
+    val plain = SkewJoin.autoJoin(fact, dim, Seq("user_id"), broadcastBytes = 0L)
+    assert(results(plain) == want)
+  }
 }

@@ -273,4 +273,35 @@ class EventStreamSpec extends SparkSuite {
     write("b2", Seq((3L, "  ALPHA   beta GAMMA "), (4L, "zeta eta")))
     assert(run() == Set(1L, 2L, 4L))
   }
+
+  test("streamed minute counts -> detectFromCounts == batch RateAnomaly.detect at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-anom")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(inDir.toString)
+    val events =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+
+    val streamedCounts = EventStream.runAvailableNow(
+      EventStream.minuteCounts(events), "anom_test", tmp.resolve("ckpt").toString)
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    import spark.implicits._
+    val countsDf = streamedCounts.toSeq.toDF("event_type", "bucket", "n_events")
+    val streamed = graft.operators.RateAnomaly.detectFromCounts(countsDf, "event_type")
+      .select("event_type", "bucket", "n_events", "z", "is_anomaly")
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSet
+
+    val batchEvents = graft.sources.Tables.events(spark, sfDir)
+    val batch = graft.operators.RateAnomaly.detect(batchEvents, "event_type", "ts")
+      .select("event_type", "bucket", "n_events", "z", "is_anomaly")
+      .as[(String, Long, Long, Option[Double], Boolean)].collect().toSet
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
