@@ -140,6 +140,7 @@ object SparkEntry {
     "ann_ivf_append" -> (L.annIvfAppend _),
     "quality_histogram_gate" -> (L.qualityHistogramGate _),
     "dedup_exact_nfc" -> (L.dedupExactNfc _),
+    "url_canonical" -> (L.urlCanonical _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

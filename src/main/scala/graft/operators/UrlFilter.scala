@@ -110,4 +110,48 @@ object UrlFilter {
       .withColumn("registered_domain", registeredDomain(col(urlCol), twoPartSuffixes))
       .join(block, Seq("registered_domain"), "left_anti")
   }
+
+  /** Tracking query parameters stripped by [[canonicalizeUrl]] — the
+    * common redirect/analytics noise that makes one page crawl as many
+    * URLs (utm_* campaign tags, Facebook/Google click ids, bare ref).
+    */
+  private val TrackingParamPattern = "^(utm_[^=]*|fbclid|gclid|ref)="
+
+  /** URL canonicalization — the crawl-frontier dedup rule: the same
+    * page arrives under byte-different URLs (case-shifted scheme/host,
+    * explicit default port, trailing slash, tracking parameters,
+    * fragments, shuffled query order), and fetching each variant wastes
+    * crawl budget while near-dup dedup later pays to re-discover the
+    * duplication. Normalizes, in order: drop the `#fragment`; lowercase
+    * scheme+host and strip an explicit `:80`/`:443`; strip one trailing
+    * slash from the path; drop tracking parameters
+    * ([[TrackingParamPattern]]) and sort the survivors byte-wise.
+    * Everything is regex/array arithmetic identical in the driver
+    * oracle — no `parse_url` (whose edge-case semantics the oracle
+    * engine cannot replay). Shuffle-free per-row map work.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*", "")
+    val prefix = regexp_extract(noFrag, "^[^/]*://[^/?]*", 0)
+    val prefixNorm = regexp_replace(lower(prefix), ":(80|443)$", "")
+    val rest = noFrag.substr(length(prefix) + lit(1), length(noFrag))
+    val path = regexp_replace(regexp_extract(rest, "^[^?]*", 0), "/$", "")
+    val q = regexp_extract(rest, "^[^?]*\\?(.*)", 1)
+    val kept = filter(split(q, "&"),
+      p => !(p.rlike(TrackingParamPattern) || p === lit("")))
+    val qNorm = array_join(array_sort(kept), "&")
+    concat(prefixNorm, path,
+      when(qNorm === "", lit("")).otherwise(concat(lit("?"), qNorm)))
+  }
+
+  /** Group-by-canonical dedup over [[canonicalizeUrl]]: one hash
+    * aggregate on the canonical string (min-id canonical row, variant
+    * count) — the [[graft.operators.Dedup.exactGroups]] shape applied
+    * to the URL axis.
+    */
+  def canonicalGroups(docs: DataFrame, urlCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_urls"))
 }

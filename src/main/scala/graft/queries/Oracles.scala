@@ -2223,6 +2223,43 @@ object Oracles {
 
     // URL planting mirrored from the Spark side; eTLD+1 = last two host
     // labels, or three when the trailing pair is a two-part suffix
+    // canonicalization replay: same regex/array arithmetic as
+    // UrlFilter.canonicalizeUrl — fragment drop, scheme+host lowercase,
+    // default-port strip, trailing-slash strip, tracking-param filter,
+    // byte-wise query sort; planted clean/messy pairs must all land in
+    // groups of exactly 2
+    "url_canonical" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END || '.' ||
+        |    ['example.com','badsite.io','shop.example.co.uk','spam-tracker.net','news.example.org'][(doc_id % 5 + 1)::INTEGER] ||
+        |    '/p/' || doc_id::VARCHAR || '?a=1&b=2' AS url
+        |  FROM documents),
+        |corpus AS (
+        |  SELECT doc_id, url FROM u
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id,
+        |    upper(regexp_extract(url, '^[^/]*://[^/?]*')) || ':443' ||
+        |    regexp_extract(url, '^[^/]*://[^/?]*([^?]*)', 1) || '/' ||
+        |    '?b=2&utm_source=x&a=1#frag' AS url
+        |  FROM u),
+        |c1 AS (SELECT doc_id, regexp_replace(url, '#.*', '') AS nf FROM corpus),
+        |c2 AS (SELECT doc_id, nf, regexp_extract(nf, '^[^/]*://[^/?]*') AS pre FROM c1),
+        |c3 AS (SELECT doc_id,
+        |    regexp_replace(lower(pre), ':(80|443)$', '') AS pren,
+        |    substr(nf, length(pre) + 1) AS rest FROM c2),
+        |c4 AS (SELECT doc_id, pren,
+        |    regexp_replace(regexp_extract(rest, '^[^?]*'), '/$', '') AS path,
+        |    regexp_extract(rest, '^[^?]*\?(.*)', 1) AS q FROM c3),
+        |c5 AS (SELECT doc_id, pren || path ||
+        |    CASE WHEN qn = '' THEN '' ELSE '?' || qn END AS canonical_url FROM (
+        |      SELECT doc_id, pren, path,
+        |        array_to_string(list_sort(list_filter(string_split(q, '&'),
+        |          p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=') AND p <> '')), '&') AS qn
+        |      FROM c4))
+        |SELECT canonical_url, min(doc_id) AS canonical_id, count(*) AS n_urls
+        |FROM c5 GROUP BY 1 ORDER BY canonical_url""".stripMargin,
+
     "url_filter" ->
       """WITH u AS (
         |  SELECT doc_id, lang,

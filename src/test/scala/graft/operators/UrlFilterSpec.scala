@@ -72,4 +72,34 @@ class UrlFilterSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 3L, 5L))
   }
+
+  test("canonicalizeUrl normalizes case, port, slash, fragment, tracking params, query order") {
+    def canon(u: String): String =
+      Seq(u).toDF("url").select(UrlFilter.canonicalizeUrl(col("url"))).as[String].head()
+    assert(canon("HTTPS://WWW.Example.COM:443/p/1/?b=2&utm_source=x&a=1#frag")
+      == "https://www.example.com/p/1?a=1&b=2")
+    assert(canon("http://a.com:80/x") == "http://a.com/x")
+    // non-default port survives; path case is preserved
+    assert(canon("https://a.com:8080/Path") == "https://a.com:8080/Path")
+    // no query, no fragment: unchanged apart from the trailing slash
+    assert(canon("https://a.com/x/") == "https://a.com/x")
+    // only tracking params -> query disappears entirely
+    assert(canon("https://a.com/x?utm_campaign=c&fbclid=1&gclid=2&ref=r") == "https://a.com/x")
+    // empty path
+    assert(canon("https://a.com/") == "https://a.com")
+  }
+
+  test("canonicalGroups collapses variants of one page to one group") {
+    val urls = Seq(
+      (1L, "https://a.com/x?a=1&b=2"),
+      (2L, "HTTPS://A.COM:443/x/?b=2&a=1&utm_source=s#top"),
+      (3L, "https://a.com/y")
+    ).toDF("doc_id", "url")
+    val got = UrlFilter.canonicalGroups(urls, "url", "doc_id")
+      .select("canonical_url", "canonical_id", "n_urls")
+      .as[(String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("https://a.com/x?a=1&b=2", 1L, 2L),
+      ("https://a.com/y", 3L, 1L)))
+  }
 }
