@@ -141,6 +141,7 @@ object SparkEntry {
     "quality_histogram_gate" -> (L.qualityHistogramGate _),
     "dedup_exact_nfc" -> (L.dedupExactNfc _),
     "url_canonical" -> (L.urlCanonical _),
+    "zorder_code" -> (L.zorderCode _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

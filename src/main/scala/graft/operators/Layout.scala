@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.sql.functions._
+
+import graft.plans.MortonCode
+
+/** Physical-layout operators — the write-side levers that decide how
+  * much a 100 TB table costs to READ later: a scan's price is the
+  * files (and row groups) whose min/max statistics cannot rule the
+  * predicate out, and min/max quality is purely a function of how rows
+  * were clustered at write time.
+  *
+  *   - Lexicographic sort on column A: perfect pruning on A, none on B
+  *     (every file spans B's whole range).
+  *   - [[zorderLayout]] (Morton / Z-order): both dimensions stay
+  *     locally clustered, so predicates on EITHER column prune —
+  *     the `ZORDER BY` of Delta/Iceberg, expressed as plain
+  *     `repartitionByRange + sortWithinPartitions` on the interleaved
+  *     code ([[graft.plans.MortonCode]]).
+  *
+  * [[fileRanges]] + [[prunableFraction]] measure the claim instead of
+  * asserting it: per-file min/max audit → the fraction of files a
+  * range predicate could skip. LayoutSpec pins z-order strictly
+  * beating the single-column sort on the second dimension.
+  */
+object Layout {
+
+  /** Morton code column — see [[graft.plans.MortonCode]]. Both inputs
+    * must already fit `bits` (bucket or hash wider domains first).
+    */
+  def mortonCode(a: Column, b: Column, bits: Int): Column =
+    ExpressionUtils.column(MortonCode(
+      ExpressionUtils.expression(a.cast("long")),
+      ExpressionUtils.expression(b.cast("long")), bits))
+
+  /** Cluster `df` into `numFiles` range partitions of the Morton code
+    * of (`a`, `b`), sorted within each — written as-is, every output
+    * file covers a compact Z-curve segment, i.e. a small rectangle (or
+    * union of few) in (a, b) space. The range partitioning samples the
+    * code distribution, so skewed dimensions still yield balanced
+    * files.
+    */
+  def zorderLayout(df: DataFrame, a: String, b: String, bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_z", mortonCode(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions(col("_z"))
+      .drop("_z")
+  }
+
+  /** Per-file min/max audit of a written directory — the statistics a
+    * scan's file-skipping consults, surfaced as a query: one row per
+    * file with `min_<c>`/`max_<c>` for each audited column. (Reads
+    * the data once; production systems get the same numbers free from
+    * parquet footers.)
+    */
+  def fileRanges(spark: SparkSession, dir: String, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c")))
+    spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Fraction of files a range predicate `lo <= c <= hi` can SKIP
+    * given a [[fileRanges]] audit: a file is prunable when its
+    * [min, max] misses the query interval entirely.
+    */
+  def prunableFraction(ranges: DataFrame, c: String, lo: Long, hi: Long): Double = {
+    val total = ranges.count()
+    require(total > 0, "empty file-range audit")
+    val hit = ranges
+      .where(col(s"max_$c") >= lo && col(s"min_$c") <= hi)
+      .count()
+    (total - hit).toDouble / total.toDouble
+  }
+}

@@ -56,7 +56,9 @@ object GraftExtensions {
     ("kmv_min_k", KmvMinK.info,
       arity(2, "kmv_min_k(hash, k)")(c => KmvMinK(c.head, intLit(c(1), "k")))),
     ("nfc_clean", NfcClean.info,
-      arity(1, "nfc_clean(str)")(c => NfcClean(c.head))))
+      arity(1, "nfc_clean(str)")(c => NfcClean(c.head))),
+    ("morton_code", MortonCode.info,
+      arity(3, "morton_code(a, b, bits)")(c => MortonCode(c.head, c(1), intLit(c(2), "bits")))))
 
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =

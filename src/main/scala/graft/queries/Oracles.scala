@@ -1771,6 +1771,19 @@ object Oracles {
         |  min(doc_id) AS canonical_id, count(*) AS n_docs
         |FROM n GROUP BY 1 ORDER BY fingerprint""".stripMargin,
 
+    // Morton interleave replay: 16 shift/mask terms per dimension,
+    // disjoint bit positions so addition == bitwise-or
+    "zorder_code" ->
+      """WITH c AS (
+        |  SELECT doc_id, n_chars::BIGINT AS a,
+        |    (list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |       ch -> strpos('0123456789abcdef', ch) - 1), (x, y) -> x * 16 + y)::BIGINT % 65536) AS dim_b
+        |  FROM documents)
+        |SELECT doc_id, a AS n_chars, dim_b,
+        |  list_sum(list_transform(range(0, 16), i ->
+        |    ((((a >> i) & 1) << (2 * i)) + (((dim_b >> i) & 1) << (2 * i + 1)))))::BIGINT AS zcode
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     // rolling z-score replay: integer (key, minute) counts, trailing
     // 10-bucket Σc/Σc² window sums (exact), single-division floats
     "event_anomaly" ->

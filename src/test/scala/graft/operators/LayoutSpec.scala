@@ -1,0 +1,55 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+class LayoutSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("mortonCode interleaves bits (known values, symmetry, monotone blocks)") {
+    def m(a: Long, b: Long): Long = graft.plans.MortonCode.interleave(a, b, 16)
+    assert(m(0, 0) == 0L)
+    assert(m(1, 0) == 1L)   // a on even bit positions
+    assert(m(0, 1) == 2L)   // b on odd
+    assert(m(3, 0) == 5L)   // 0b11 -> 0b101
+    assert(m(0, 3) == 10L)  // 0b11 -> 0b1010
+    assert(m(0xFFFF, 0xFFFF) == 0xFFFFFFFFL)
+    // column form agrees with the static form
+    val got = Seq((5L, 9L)).toDF("a", "b")
+      .select(Layout.mortonCode(col("a"), col("b"), 16)).as[Long].head()
+    assert(got == m(5, 9))
+  }
+
+  test("z-order layout prunes on BOTH dimensions where a single-column sort prunes on one") {
+    val rnd = new scala.util.Random(53)
+    val rows = (0 until 4000).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))
+      .toDF("a", "b")
+    val tmp = Files.createTempDirectory("graft-layout")
+    val aDir = tmp.resolve("asort").toString
+    val zDir = tmp.resolve("zorder").toString
+    rows.repartitionByRange(8, col("a")).sortWithinPartitions(col("a"))
+      .write.parquet(aDir)
+    Layout.zorderLayout(rows, "a", "b", bits = 8, numFiles = 8)
+      .write.parquet(zDir)
+
+    val aRanges = Layout.fileRanges(spark, aDir, Seq("a", "b"))
+    val zRanges = Layout.fileRanges(spark, zDir, Seq("a", "b"))
+
+    // predicate on the SECOND dimension: b in [0, 31]
+    val aPruneB = Layout.prunableFraction(aRanges, "b", 0, 31)
+    val zPruneB = Layout.prunableFraction(zRanges, "b", 0, 31)
+    // the a-sorted layout cannot skip anything for a b predicate;
+    // the z-order layout skips a substantial fraction
+    assert(aPruneB == 0.0, s"a-sorted layout unexpectedly prunable on b: $aPruneB")
+    assert(zPruneB >= 0.3, s"z-order layout should prune on b, got $zPruneB")
+
+    // predicate on the FIRST dimension: z-order still prunes there too
+    val zPruneA = Layout.prunableFraction(zRanges, "a", 0, 31)
+    assert(zPruneA >= 0.3, s"z-order layout should prune on a, got $zPruneA")
+    // (the a-sorted layout is near-perfect on a, as expected)
+    assert(Layout.prunableFraction(aRanges, "a", 0, 31) >= 0.5)
+  }
+}
