@@ -99,11 +99,60 @@ object Bpe {
     val (_, vocab) = train(docs, textCol, k)
     val enc = vocab.select(col("token"),
       size(split(trim(col("s")), " ")).as("_nsym"))
+    encodeWithVocab(docs, textCol, idCol, enc)
+  }
+
+  /** Encode against a PERSISTED merges artifact — the tokenizer
+    * lifecycle [[encodeCounts]] lacks: train once, save the
+    * [[merges]] table, encode ANY corpus later (including tokens the
+    * training corpus never saw) without retraining. The merge rules
+    * are applied per distinct token in `step` order with the EXACT
+    * string-rewrite semantics of the training loop (literal
+    * non-overlapping left-to-right `" a b " → " ab "` replace on the
+    * space-separated symbol string), so re-encoding the training
+    * corpus reproduces [[encodeCounts]] bit-for-bit (BpeSpec pins the
+    * round-trip through parquet).
+    *
+    * Plan shape matches [[encodeCounts]]: the imperative merge replay
+    * runs over the DISTINCT-token vocabulary only (mapPartitions — the
+    * sanctioned per-partition imperative case: k sequential rewrites
+    * per token have no declarative form), with the merge list as one
+    * small broadcast; the corpus itself only explodes and joins the
+    * tiny encoded vocab.
+    */
+  def encodeCountsWith(docs: DataFrame, textCol: String, idCol: String,
+                       merges: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val mergeList: Array[(String, String)] = merges.orderBy(col("step"))
+      .select(col("merge_left"), col("merge_right")).as[(String, String)].collect()
+    val bc = spark.sparkContext.broadcast(mergeList)
+    val enc = docs
+      .select(explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
+      .distinct().as[String]
+      .mapPartitions { it =>
+        val ms = bc.value
+        it.map { tok =>
+          var s = " " + tok.split("").mkString(" ") + " "
+          var i = 0
+          while (i < ms.length) {
+            val (l, r) = ms(i)
+            s = s.replace(" " + l + " " + r + " ", " " + l + r + " ")
+            i += 1
+          }
+          (tok, s.trim.split(" ").length)
+        }
+      }
+      .toDF("token", "_nsym")
+    encodeWithVocab(docs, textCol, idCol, enc)
+  }
+
+  private def encodeWithVocab(docs: DataFrame, textCol: String, idCol: String,
+                              enc: DataFrame): DataFrame =
     docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("token"))
       .join(enc, Seq("token"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
         sum(col("_nsym")).cast("int").as("n_bpe_tokens"))
-  }
 }

@@ -63,6 +63,29 @@ object Layout {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Small-file compaction — the OPTIMIZE half of the layout story: a
+    * streaming or per-batch writer leaves a directory of tiny files,
+    * and every later scan pays per-file open/footer/scheduling costs
+    * (the classic small-files problem; at 100 TB it is the difference
+    * between thousands and millions of tasks). Rewrites `inDir` to
+    * `outDir` in `ceil(actualBytes / targetBytes)` files — the size
+    * estimate is EXACT because the input already exists on disk (no
+    * compression-ratio guessing; Delta's OPTIMIZE uses the same
+    * post-hoc file-size arithmetic). Returns the file count written.
+    */
+  def compact(spark: SparkSession, inDir: String, outDir: String, targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val path = new org.apache.hadoop.fs.Path(inDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val total = fs.listStatus(path)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    require(total > 0, s"no parquet bytes under $inDir")
+    val n = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inDir).repartition(n).write.mode("overwrite").parquet(outDir)
+    n
+  }
+
   /** Fraction of files a range predicate `lo <= c <= hi` can SKIP
     * given a [[fileRanges]] audit: a file is prunable when its
     * [min, max] misses the query interval entirely.

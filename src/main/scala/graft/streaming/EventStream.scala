@@ -48,6 +48,42 @@ object EventStream {
       .select(col("event_type"),
         expr("unix_micros(window.start) div 60000000L").as("bucket"), col("n_events"))
 
+  /** Streaming KMV distinct-count sketch — the batch aggregate
+    * ([[graft.plans.KmvMinK]]) carried as mapGroupsWithState state: per
+    * key, the k smallest distinct coins ever seen (an `Array[Long]`,
+    * the same mergeable summary), each trigger emitting the key's
+    * current retained set. Because min-k of a set is
+    * order-independent, the streaming result after any prefix of the
+    * stream equals the batch aggregate over that prefix — the parity
+    * EventStreamSpec pins against `kmv_min_k`. This is the "how many
+    * distinct users/urls/fingerprints so far" monitor at a state cost
+    * of k longs per key, where exact streaming distinct state grows
+    * with the true cardinality.
+    */
+  def kmvDistinct(rows: DataFrame, keyCol: String, coinCol: String,
+                  k: Int): Dataset[(String, Seq[Long])] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(keyCol).cast("string"), col(coinCol).cast("long")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Seq[Long])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          val set = new java.util.TreeSet[java.lang.Long]()
+          state.getOption.foreach(_.foreach(v => set.add(v)))
+          it.foreach { case (_, c) =>
+            if (set.size >= k) {
+              if (c < set.last()) { set.add(c); if (set.size > k) set.pollLast() }
+            } else set.add(c)
+          }
+          val arr = new Array[Long](set.size)
+          val iter = set.iterator(); var i = 0
+          while (iter.hasNext) { arr(i) = iter.next(); i += 1 }
+          state.update(arr)
+          (key, arr.toSeq)
+      }
+  }
+
   /** One status-interval row: user was in `from_status` for `duration_s`
     * seconds, ending at `ts` (the streaming analog of the W2 lag window /
     * A1 transition rows).

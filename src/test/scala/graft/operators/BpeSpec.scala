@@ -84,4 +84,25 @@ class BpeSpec extends SparkSuite {
       .as[(Int, String, String, Long)].collect()(0)
     assert((got._2, got._3, got._4) == (("a", "b", 2L)))
   }
+
+  test("encodeCountsWith round-trips the merges artifact through parquet") {
+    val docs = Seq(
+      (1L, "banana band bandana"), (2L, "ana band banana"),
+      (3L, "sandbank bandana ana")).toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "n_ws_tokens", "n_bpe_tokens")
+        .as[(Long, Int, Int)].collect().sortBy(_._1).toSeq
+    val direct = rows(Bpe.encodeCounts(docs, "text", "doc_id", k = 6))
+    // train once, persist the artifact, reload, encode with it
+    val tmp = java.nio.file.Files.createTempDirectory("graft-bpe").resolve("merges").toString
+    Bpe.merges(docs, "text", k = 6).write.parquet(tmp)
+    val reloaded = spark.read.parquet(tmp)
+    assert(rows(Bpe.encodeCountsWith(docs, "text", "doc_id", reloaded)) == direct)
+    assert(direct.nonEmpty)
+    // unseen corpus: tokens the training never saw still encode
+    // (merge rules apply where they can, chars remain elsewhere)
+    val unseen = Seq((9L, "banal panda")).toDF("doc_id", "text")
+    val enc = rows(Bpe.encodeCountsWith(unseen, "text", "doc_id", reloaded))
+    assert(enc.length == 1 && enc.head._2 == 2 && enc.head._3 >= 2)
+  }
 }

@@ -52,4 +52,27 @@ class LayoutSpec extends SparkSuite {
     // (the a-sorted layout is near-perfect on a, as expected)
     assert(Layout.prunableFraction(aRanges, "a", 0, 31) >= 0.5)
   }
+
+  test("compact rewrites a small-files directory to the size-targeted file count") {
+    val rows = (0 until 4000).map(i => (i.toLong, s"payload_$i")).toDF("id", "payload")
+    val tmp = Files.createTempDirectory("graft-compact")
+    val smallDir = tmp.resolve("small").toString
+    val outDir = tmp.resolve("compacted").toString
+    rows.repartition(64).write.parquet(smallDir)
+
+    def parquetFiles(dir: String) =
+      Files.list(java.nio.file.Paths.get(dir)).filter(_.toString.endsWith(".parquet")).count()
+    assert(parquetFiles(smallDir) == 64)
+    val totalBytes = Files.list(java.nio.file.Paths.get(smallDir))
+      .filter(_.toString.endsWith(".parquet"))
+      .mapToLong(p => java.nio.file.Files.size(p)).sum()
+
+    // target a quarter of the actual bytes -> exactly 4 output files
+    val n = Layout.compact(spark, smallDir, outDir, targetBytes = (totalBytes + 3) / 4)
+    assert(n == 4, s"expected 4 target files, got $n")
+    assert(parquetFiles(outDir) == 4)
+    // content survives the rewrite
+    val got = spark.read.parquet(outDir).as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == (0 until 4000).map(i => (i.toLong, s"payload_$i")))
+  }
 }

@@ -304,4 +304,32 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+
+  test("streaming KMV distinct state == batch kmv_min_k over the same prefix") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-kmv")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    val coin = conv(substring(md5(col("user_id").cast("string")), 1, 6), 16, 10).cast("long")
+
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      .select(col("event_type"), coin.as("coin"))
+    val streamed = EventStream.runAvailableNow(
+      EventStream.kmvDistinct(stream, "event_type", "coin", k = 32).toDF("key", "mink"),
+      "kmv_test", tmp.resolve("ckpt").toString, outputMode = "update")
+      .map(r => (r.getString(0), r.getSeq[Long](1))).toMap
+
+    val batch = spark.read.parquet(inDir.toString)
+      .select(col("event_type"), coin.as("coin"))
+      .groupBy(col("event_type"))
+      .agg(call_function("kmv_min_k", col("coin"), lit(32)).as("mink"))
+      .as[(String, Seq[Long])].collect().toMap
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.forall(_.size <= 32))
+  }
 }
