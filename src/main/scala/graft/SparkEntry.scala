@@ -142,6 +142,8 @@ object SparkEntry {
     "dedup_exact_nfc" -> (L.dedupExactNfc _),
     "url_canonical" -> (L.urlCanonical _),
     "zorder_code" -> (L.zorderCode _),
+    "sketch_countmin" -> (L.sketchCountMin _),
+    "corpus_manifest" -> (L.corpusManifest _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

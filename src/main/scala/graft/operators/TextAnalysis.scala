@@ -500,6 +500,59 @@ object TextAnalysis {
         Window.orderBy(col("cnt").desc, col("term"))).cast("int"))
       .where(col("rank") <= k)
 
+  /** COUNT-MIN sketch over the token stream — bounded-memory frequency
+    * ESTIMATION, the third leg of the sketch family (KMV answers "how
+    * many distinct", Misra–Gries "which are heavy", count-min "how
+    * often is THIS one", for terms no candidate list anticipated):
+    * `depth` hash rows × `width` counters; a term's estimate is the
+    * MIN of its counters, which can only OVER-count (collisions add,
+    * never subtract): `exact ≤ est ≤ exact + N·depth⁻¹ᵉˣᵖ…` — the
+    * classic `e/width` additive bound w.h.p. (Cormode & Muthukrishnan
+    * 2005). The sketch build is one map-side-combining
+    * `(row, bucket)` count over `depth`× the token stream — at most
+    * `depth · width` rows ever shuffle, constant in corpus size.
+    *
+    * Hashes are the engine-portable md5 coin of `"<row>:<term>"`, so
+    * the driver oracle replays the whole matrix AND the estimates
+    * bit-for-bit — unlike library sketches with private hash layouts
+    * (the [[graft.plans.KmvMinK]] replayability argument).
+    *
+    * [[countMinSketch]] returns the matrix; [[countMinLookup]] joins a
+    * probe-term table against it (each probe expands to `depth`
+    * bucket keys; the lookup is a broadcast-sized equi-join).
+    */
+  def countMinSketch(docs: DataFrame, textCol: String,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1 && width >= 1, "depth and width must be positive")
+    docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("term"))
+      .select(col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("term"))), 1, 6),
+          16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+      .groupBy(col("row"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates from a [[countMinSketch]] matrix for `probes`
+    * (a one-column `term` table): emits (`term`, `est_cnt` = min over
+    * the depth counters; missing counters read 0 — a term the corpus
+    * never hashed into a bucket row estimates from an untouched
+    * counter).
+    */
+  def countMinLookup(sketch: DataFrame, probes: DataFrame,
+                     depth: Int = 4, width: Int = 1024): DataFrame = {
+    val keyed = probes
+      .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
+      .select(col("term"), col("row"),
+        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("term"))), 1, 6),
+          16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+    keyed
+      .join(sketch, Seq("row", "bucket"), "left")
+      .groupBy(col("term"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+
   /** MISRA–GRIES heavy-hitter sketch over the token stream — the
     * bounded-memory path when the vocabulary itself cannot be assumed
     * to fit (web-scale multilingual corpora): each partition keeps at

@@ -1945,6 +1945,68 @@ object Oracles {
          |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, n_match FROM pr)
          |GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // the release-manifest composition: gate -> planted-dup canonical
+    // dedup -> md5-coin split -> md5-coin shard -> totals, each stage
+    // the same SQL its own row uses
+    "corpus_manifest" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, lang, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000000 AS doc_id, lang, text FROM documents WHERE doc_id % 7 = 0),
+        |b AS (
+        |  SELECT doc_id, lang, text,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS n_toks,
+        |    len(list_distinct(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE
+        |      / len(string_split_regex(lower(trim(text)), '\s+'))::DOUBLE AS score
+        |  FROM corpus),
+        |g AS (SELECT * FROM b WHERE score >= 0.5),
+        |k AS (SELECT doc_id, lang, n_toks FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+        |    ORDER BY doc_id) AS rn FROM g) WHERE rn = 1),
+        |sp AS (
+        |  SELECT doc_id, lang, n_toks,
+        |    CASE WHEN cl::DOUBLE / 16777216.0 < 0.9 THEN 'train'
+        |         WHEN cl::DOUBLE / 16777216.0 < 0.95 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    (cl % 8)::INTEGER AS shard
+        |  FROM (SELECT *,
+        |      list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |        c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::BIGINT AS cl
+        |    FROM k))
+        |SELECT split, shard, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |  count(DISTINCT lang)::BIGINT AS n_langs
+        |FROM sp GROUP BY 1, 2 ORDER BY split, shard""".stripMargin,
+
+    // count-min replay: the full 4x1024 counter matrix from md5
+    // "row:term" coins, probe keys the same way, min over depth —
+    // integer counts end to end
+    "sketch_countmin" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |top AS (SELECT term, cnt, rank FROM (
+        |  SELECT term, count(*)::BIGINT AS cnt,
+        |    row_number() OVER (ORDER BY count(*) DESC, term) AS rank
+        |  FROM tok GROUP BY term) WHERE rank <= 20),
+        |rows_ AS (SELECT unnest(range(0, 4)) AS row),
+        |sk AS (
+        |  SELECT row,
+        |    list_reduce(list_transform(string_split(substr(md5(row::VARCHAR || ':' || term), 1, 6), ''),
+        |      ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT % 1024 AS bucket,
+        |    count(*)::BIGINT AS cnt
+        |  FROM tok CROSS JOIN rows_ GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT term, row,
+        |    list_reduce(list_transform(string_split(substr(md5(row::VARCHAR || ':' || term), 1, 6), ''),
+        |      ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT % 1024 AS bucket
+        |  FROM top CROSS JOIN rows_),
+        |est AS (
+        |  SELECT term, min(coalesce(sk.cnt, 0))::BIGINT AS est_cnt
+        |  FROM pk LEFT JOIN sk USING (row, bucket) GROUP BY term)
+        |SELECT t.rank::INTEGER AS rank, t.term, t.cnt AS exact_cnt, e.est_cnt,
+        |  e.est_cnt - t.cnt AS overest
+        |FROM top t JOIN est e USING (term) ORDER BY rank""".stripMargin,
+
     // KMV(64) distinct-shingle sketch replay: the k-th smallest
     // md5-prefix coin per lang reproduces the engine's TreeSet-of-64
     // aggregate exactly (min-k of a set is order-independent), and the

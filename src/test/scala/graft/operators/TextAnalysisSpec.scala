@@ -297,4 +297,34 @@ class TextAnalysisSpec extends SparkSuite {
     // multisets are identical so doubles should agree to last-ulp noise
     assert(math.abs(ra.getAs[Double]("entropy") - rb.getAs[Double]("entropy")) < 1e-12)
   }
+
+  test("countMin estimates never undercount and are exact absent collisions (randomized)") {
+    val rnd = new scala.util.Random(61)
+    // ~60-word vocab over 400 docs: tiny vs 1024 buckets, so most
+    // terms see no collision and the min-of-depth-4 recovers exactly
+    val vocab = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val exact = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("term").count()
+      .as[(String, Long)].collect().toMap
+    val sketch = TextAnalysis.countMinSketch(docs, "text")
+    val probes = exact.keys.toSeq.toDF("term")
+    val est = TextAnalysis.countMinLookup(sketch, probes)
+      .as[(String, Long)].collect().toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t undercounted: ${est(t)} < $c")
+    }
+    // the overwhelming majority must be collision-free (exact)
+    val exactHits = exact.count { case (t, c) => est(t) == c }
+    assert(exactHits >= (exact.size * 0.9).toInt, s"only $exactHits/${exact.size} exact")
+    // partitioning invariance (map-side combine is associative)
+    val est2 = TextAnalysis.countMinLookup(
+      TextAnalysis.countMinSketch(docs.repartition(13), "text"), probes)
+      .as[(String, Long)].collect().toMap
+    assert(est2 == est)
+  }
 }
