@@ -130,6 +130,7 @@ object SparkEntry {
     "text_top_terms" -> (L.textTopTerms _),
     "sketch_distinct" -> (L.sketchDistinct _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
+    "minhash_banding" -> (L.minhashBanding _),
     "shard_balance" -> (L.shardBalance _),
     "snapshot_diff" -> (L.snapshotDiff _),
     "skew_join" -> (L.skewJoin _),

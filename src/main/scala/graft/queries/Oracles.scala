@@ -539,6 +539,39 @@ object Oracles {
   }
 
   /** Word k-shingle list (Dedup.shingles) from a pre-split token list. */
+  /** Shared replay prefix of the two minhash harnesses
+    * (`minhash_accuracy`, `minhash_banding`): the minstd-LCG
+    * permutation coefficients (recursion nested so the twice-read
+    * `sg` keeps its AS MATERIALIZED), the md5-coin shingle sets over
+    * the `doc_id < 1000` probe window, and the 128-permutation
+    * signatures.
+    */
+  private lazy val minhashReplayCtes: String =
+    s"""ab AS MATERIALIZED (
+       |  WITH RECURSIVE lcg(k, s) AS (
+       |    SELECT 0, (42 * 2654435761) % 2147483646 + 1
+       |    UNION ALL SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < 264)
+       |  SELECT list([a, b] ORDER BY j) AS abl FROM (
+       |    SELECT (k - 9) // 2 AS j,
+       |      max(CASE WHEN (k - 9) % 2 = 0 THEN s END) AS a,
+       |      max(CASE WHEN (k - 9) % 2 = 1 THEN s END) AS b
+       |    FROM lcg WHERE k >= 9 GROUP BY 1)
+       |),
+       |g AS (${shingleSelect(3, ", lang", " WHERE doc_id < 1000")}),
+       |c AS (
+       |  SELECT doc_id, lang,
+       |    list_sort(list_distinct(list_transform(sh, x ->
+       |      list_reduce(list_transform(string_split(substr(md5(x), 1, 6), ''),
+       |        ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT))) AS coins
+       |  FROM g WHERE len(sh) > 0
+       |),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id, lang, coins,
+       |    list_transform(abl, p ->
+       |      list_min(list_transform(coins, x -> (x * p[1] + p[2]) % 2147483647))) AS sig
+       |  FROM c CROSS JOIN ab
+       |)""".stripMargin
+
   private def shingleSelect(k: Int, extraCols: String = "", where: String = ""): String =
     s"""SELECT doc_id$extraCols, list_distinct([array_to_string(toks[i:i+${k - 1}], ' ') for i in range(1, len(toks) - ${k - 2})]) AS sh
        |FROM (SELECT doc_id$extraCols, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents$where)
@@ -1907,30 +1940,7 @@ object Oracles {
     // recursion nests inside ab (a WITH RECURSIVE outer scope would
     // disable the AS MATERIALIZED the twice-referenced sg needs).
     "minhash_accuracy" ->
-      s"""WITH ab AS MATERIALIZED (
-         |  WITH RECURSIVE lcg(k, s) AS (
-         |    SELECT 0, (42 * 2654435761) % 2147483646 + 1
-         |    UNION ALL SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < 264)
-         |  SELECT list([a, b] ORDER BY j) AS abl FROM (
-         |    SELECT (k - 9) // 2 AS j,
-         |      max(CASE WHEN (k - 9) % 2 = 0 THEN s END) AS a,
-         |      max(CASE WHEN (k - 9) % 2 = 1 THEN s END) AS b
-         |    FROM lcg WHERE k >= 9 GROUP BY 1)
-         |),
-         |g AS (${shingleSelect(3, ", lang", " WHERE doc_id < 1000")}),
-         |c AS (
-         |  SELECT doc_id, lang,
-         |    list_sort(list_distinct(list_transform(sh, x ->
-         |      list_reduce(list_transform(string_split(substr(md5(x), 1, 6), ''),
-         |        ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT))) AS coins
-         |  FROM g WHERE len(sh) > 0
-         |),
-         |sg AS MATERIALIZED (
-         |  SELECT doc_id, lang, coins,
-         |    list_transform(abl, p ->
-         |      list_min(list_transform(coins, x -> (x * p[1] + p[2]) % 2147483647))) AS sig
-         |  FROM c CROSS JOIN ab
-         |),
+      s"""WITH $minhashReplayCtes,
          |pr AS (
          |  SELECT
          |    len(list_filter(range(1, 129), j -> x.sig[j] = y.sig[j]))::INTEGER AS n_match,
@@ -2006,6 +2016,32 @@ object Oracles {
         |SELECT t.rank::INTEGER AS rank, t.term, t.cnt AS exact_cnt, e.est_cnt,
         |  e.est_cnt - t.cnt AS overest
         |FROM top t JOIN est e USING (term) ORDER BY rank""".stripMargin,
+
+    // banding S-curve: candidates from raw signature-slice band keys
+    // (no engine-private hash), per exact-J bin the candidate fraction
+    "minhash_banding" ->
+      s"""WITH $minhashReplayCtes,
+         |bd AS MATERIALIZED (
+         |  SELECT lang, doc_id, b AS band,
+         |    array_to_string(sig[(b * 4 + 1):(b * 4 + 4)], ',') AS key
+         |  FROM sg CROSS JOIN (SELECT unnest(range(0, 32)) AS b)),
+         |cd AS (
+         |  SELECT DISTINCT x.lang, x.doc_id AS a_id, y.doc_id AS b_id
+         |  FROM bd x JOIN bd y ON x.lang = y.lang AND x.band = y.band
+         |    AND x.key = y.key AND x.doc_id < y.doc_id),
+         |pr AS (
+         |  SELECT x.lang, x.doc_id AS a_id, y.doc_id AS b_id,
+         |    len(list_intersect(x.coins, y.coins))::DOUBLE
+         |      / len(list_distinct(list_concat(x.coins, y.coins)))::DOUBLE AS exact_j
+         |  FROM sg x JOIN sg y ON x.lang = y.lang AND x.doc_id < y.doc_id),
+         |jd AS (
+         |  SELECT least(floor(p.exact_j * 10)::INTEGER, 9) AS bin,
+         |    CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS is_cand
+         |  FROM pr p LEFT JOIN cd c
+         |    ON p.lang = c.lang AND p.a_id = c.a_id AND p.b_id = c.b_id)
+         |SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n_pairs, sum(is_cand)::BIGINT AS n_candidates,
+         |  sum(is_cand)::DOUBLE / count(*)::DOUBLE AS candidate_rate
+         |FROM jd GROUP BY bin ORDER BY bin""".stripMargin,
 
     // KMV(64) distinct-shingle sketch replay: the k-th smallest
     // md5-prefix coin per lang reproduces the engine's TreeSet-of-64
