@@ -145,6 +145,7 @@ object SparkEntry {
     "zorder_code" -> (L.zorderCode _),
     "sketch_countmin" -> (L.sketchCountMin _),
     "corpus_manifest" -> (L.corpusManifest _),
+    "quality_gopher" -> (L.qualityGopher _),
     "text_perplexity" -> (L.textPerplexity _),
     "text_perplexity2" -> (L.textPerplexity2 _),
     "text_chunks" -> (L.textChunks _),

@@ -47,6 +47,46 @@ object TextAnalysis {
         col("n_tokens") >= 10 && col("distinct_ratio") > 0.2 && col("avg_token_len") < 15.0)
   }
 
+  /** Gopher-style rule battery (Rae et al. 2021, §A1.1 — the named
+    * filter set most production corpora start from), adapted to the
+    * word-level rules that apply to whitespace text (the line-level
+    * bullet/ellipsis rules need line structure this corpus lacks):
+    * word count in [`minWords`, `maxWords`], mean word length in
+    * [3, 10], symbol-to-word ratio (`#`/`…`) ≤ 0.1, ≥ 80% of words
+    * containing an alphabetic character, ≥ 2 stopword hits. Emits one
+    * boolean per rule plus the conjunction `gopher_pass` — per-rule
+    * visibility is the point (a corpus failing 95% on ONE rule is a
+    * tokenizer bug, not a quality cliff; the aggregate alone cannot
+    * tell). Pure codegen'd per-row map work, shuffle-free.
+    */
+  def gopherRules(docs: DataFrame, textCol: String,
+                  minWords: Int = 5, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val stop = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+    docs
+      .withColumn("n_words", nTok)
+      .withColumn("mean_word_len",
+        length(regexp_replace(t, "\\s+", "")).cast("double") / nTok.cast("double"))
+      .withColumn("symbol_ratio",
+        regexp_count(t, lit("[#…]")).cast("double") / nTok.cast("double"))
+      .withColumn("alpha_word_frac",
+        // Latin a-z + Cyrillic U+0430-044F/U+0451 (the corpus is
+        // already lowercased by tokens())
+        size(filter(toks, x => x.rlike("[a-zа-яё]")))
+          .cast("double") / nTok.cast("double"))
+      .withColumn("stop_hits", size(filter(toks, x => x.isInCollection(stop))))
+      .withColumn("r_word_count", col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("r_word_len", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("r_symbols", col("symbol_ratio") <= 0.1)
+      .withColumn("r_alpha", col("alpha_word_frac") >= 0.8)
+      .withColumn("r_stopwords", col("stop_hits") >= 2)
+      .withColumn("gopher_pass",
+        col("r_word_count") && col("r_word_len") && col("r_symbols") &&
+          col("r_alpha") && col("r_stopwords"))
+  }
+
   /** Stopword-hit language-ID heuristic: count hits against small
     * per-language function-word lists, pick the argmax (deterministic
     * tie-break by fixed language order).

@@ -1955,6 +1955,35 @@ object Oracles {
          |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, n_match FROM pr)
          |GROUP BY bin ORDER BY bin""".stripMargin,
 
+    // Gopher rule replay: same planted failure classes, same regex and
+    // threshold arithmetic per rule
+    "quality_gopher" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE doc_id % 10
+        |    WHEN 1 THEN 'x1 x2'
+        |    WHEN 2 THEN text || ' # # # # # # # # # #'
+        |    WHEN 3 THEN text || ' 111 222 333 444 555 666 777 888 999 000'
+        |    WHEN 4 THEN 'abcdefghijklmnop qrstuvwxyzabcdefgh ijklmnopqrstuvwx yzabcdefghijklmn'
+        |    ELSE text END AS text
+        |  FROM documents),
+        |t AS (SELECT doc_id, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM p),
+        |m AS (SELECT doc_id,
+        |    len(toks)::INTEGER AS n_words,
+        |    length(regexp_replace(text, '\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE AS mwl,
+        |    len(regexp_extract_all(text, '[#…]'))::DOUBLE / len(toks)::DOUBLE AS symr,
+        |    len(list_filter(toks, x -> regexp_matches(x, '[a-zа-яё]')))::DOUBLE / len(toks)::DOUBLE AS af,
+        |    len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::INTEGER AS sh
+        |  FROM t)
+        |SELECT doc_id, n_words,
+        |  (n_words >= 5 AND n_words <= 100000) AS r_word_count,
+        |  (mwl >= 3.0 AND mwl <= 10.0) AS r_word_len,
+        |  (symr <= 0.1) AS r_symbols,
+        |  (af >= 0.8) AS r_alpha,
+        |  (sh >= 2) AS r_stopwords,
+        |  (n_words >= 5 AND n_words <= 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        |    AND symr <= 0.1 AND af >= 0.8 AND sh >= 2) AS gopher_pass
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     // the release-manifest composition: gate -> planted-dup canonical
     // dedup -> md5-coin split -> md5-coin shard -> totals, each stage
     // the same SQL its own row uses

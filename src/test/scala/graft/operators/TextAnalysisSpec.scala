@@ -298,6 +298,28 @@ class TextAnalysisSpec extends SparkSuite {
     assert(math.abs(ra.getAs[Double]("entropy") - rb.getAs[Double]("entropy")) < 1e-12)
   }
 
+  test("gopherRules: each rule rejects its own failure mode and clean text passes") {
+    val docs = Seq(
+      (1L, "the quick cat sat down on a warm mat and it is fine here today"), // clean
+      (2L, "one two"),                                        // word count
+      (3L, "the cat # # # # # # a is"),                       // symbols
+      (4L, "the a 111 222 333 444 555 666 777 888"),          // alpha frac
+      (5L, "the a of supercalifragilistic expialidocious anthropomorphization " +
+        "internationalization institutionalization characteristically " +
+        "incomprehensibilities")                              // mean word len
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs, "text")
+      .select("doc_id", "r_word_count", "r_word_len", "r_symbols", "r_alpha",
+        "r_stopwords", "gopher_pass")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean, Boolean, Boolean)]
+      .collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, true, true, true, true, true, true)))
+    assert(!got(1)._2 && !got(1)._7)            // too short
+    assert(!got(2)._4 && !got(2)._7)            // symbol-flooded
+    assert(!got(3)._5 && !got(3)._7)            // number-flooded
+    assert(!got(4)._3 && !got(4)._7)            // long tokens
+  }
+
   test("countMin estimates never undercount and are exact absent collisions (randomized)") {
     val rnd = new scala.util.Random(61)
     // ~60-word vocab over 400 docs: tiny vs 1024 buckets, so most
