@@ -131,6 +131,7 @@ object SparkEntry {
     "sketch_distinct" -> (L.sketchDistinct _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
     "minhash_banding" -> (L.minhashBanding _),
+    "simhash_accuracy" -> (L.simhashAccuracy _),
     "shard_balance" -> (L.shardBalance _),
     "snapshot_diff" -> (L.snapshotDiff _),
     "skew_join" -> (L.skewJoin _),

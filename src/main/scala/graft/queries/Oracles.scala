@@ -601,11 +601,11 @@ object Oracles {
   }
 
   /** Dedup.simHash 48-bit fingerprint CTEs (tok → th → bits → fp). */
-  private def simhashFp: String = {
+  private def simhashFp(where: String = ""): String = {
     val bits = 48
     val sums = (0 until bits).map(j => s"sum(CASE WHEN ((th >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
     val fp = (0 until bits).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)::BIGINT").mkString(" + ")
-    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok FROM documents$where),
        |th AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, ${bits / 4}))::BIGINT AS th FROM tok),
        |bits AS (SELECT doc_id, $sums FROM th GROUP BY doc_id),
        |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
@@ -1217,7 +1217,7 @@ object Oracles {
          |WHERE containment >= 0.8 ORDER BY a, b""".stripMargin,
 
     "dedup_simhash" ->
-      s"""WITH $simhashFp
+      s"""WITH ${simhashFp()}
          |SELECT a, b, hamming FROM (
          |  SELECT x.doc_id AS a, y.doc_id AS b, bit_count(xor(x.simhash, y.simhash))::INTEGER AS hamming
          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id)
@@ -1232,7 +1232,7 @@ object Oracles {
     // dedup_clusters' closure + per-component argmax on (score desc,
     // doc_id asc) — the quality-canonical rule of bestPerCluster
     "dedup_cluster_best" ->
-      s"""WITH RECURSIVE $simhashFp,
+      s"""WITH RECURSIVE ${simhashFp()},
          |pairs AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
@@ -1256,7 +1256,7 @@ object Oracles {
          |FROM r2 WHERE rn = 1 ORDER BY component""".stripMargin,
 
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $simhashFp,
+      s"""WITH RECURSIVE ${simhashFp()},
          |pairs AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b
          |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
@@ -2046,6 +2046,34 @@ object Oracles {
         |  e.est_cnt - t.cnt AS overest
         |FROM top t JOIN est e USING (term) ORDER BY rank""".stripMargin,
 
+    // simhash fidelity curve: 48-bit md5-token simhash hamming vs
+    // exact shingle Jaccard over the same probe window — integer
+    // hammings, one division per bin
+    "simhash_accuracy" ->
+      s"""WITH ${simhashFp(" WHERE doc_id < 1000")},
+         |g AS (${shingleSelect(3, ", lang", " WHERE doc_id < 1000")}),
+         |c AS (
+         |  SELECT doc_id, lang,
+         |    list_sort(list_distinct(list_transform(sh, x ->
+         |      list_reduce(list_transform(string_split(substr(md5(x), 1, 6), ''),
+         |        ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT))) AS coins
+         |  FROM g WHERE len(sh) > 0
+         |),
+         |pr AS (
+         |  SELECT
+         |    bit_count(xor(fa.simhash, fb.simhash))::INTEGER AS hamming,
+         |    len(list_intersect(x.coins, y.coins))::DOUBLE
+         |      / len(list_distinct(list_concat(x.coins, y.coins)))::DOUBLE AS exact_j
+         |  FROM c x JOIN c y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |  JOIN fp fa ON fa.doc_id = x.doc_id
+         |  JOIN fp fb ON fb.doc_id = y.doc_id)
+         |SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n_pairs,
+         |  sum(hamming)::BIGINT AS total_hamming,
+         |  sum(hamming)::DOUBLE / count(*)::DOUBLE AS mean_hamming,
+         |  min(hamming)::INTEGER AS min_hamming, max(hamming)::INTEGER AS max_hamming
+         |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, hamming FROM pr)
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
     // banding S-curve: candidates from raw signature-slice band keys
     // (no engine-private hash), per exact-J bin the candidate fraction
     "minhash_banding" ->
@@ -2610,7 +2638,7 @@ object Oracles {
     // cross-split leakage: the dedup_simhash pair set x the split_assign
     // md5 coin — pairs whose members landed in different splits
     "split_leakage" ->
-      s"""WITH $simhashFp,
+      s"""WITH ${simhashFp()},
          |sp AS (
          |  SELECT doc_id, CASE WHEN coin < 0.9 THEN 'train' WHEN coin < 0.95 THEN 'val' ELSE 'test' END AS split
          |  FROM (
