@@ -33,6 +33,7 @@ object SparkEntry {
     "j1_broadcast_join" -> (C.j1BroadcastJoin _),
     "j2_explode" -> (C.j2Explode _),
     "asof_join" -> (C.asofJoin _),
+    "asof_forward" -> (C.asofForward _),
     "asof_tolerance" -> (C.asofTolerance _),
     "asof_join_bucketed" -> (C.asofJoinBucketed _),
     // §2.5 windows

@@ -81,6 +81,41 @@ object AsOfJoin {
     }
   }
 
+  /** FORWARD as-of join — pandas `merge_asof(direction="forward")`: for
+    * every left row, the EARLIEST right row with the same `keys` and
+    * `right.tsCol >= left.tsCol` (inclusive; null when the key's
+    * history ends before the left timestamp). The
+    * "next-touch" question — next click after a purchase, next
+    * deploy after an alert — where [[asOf]] answers "most recent
+    * state". Same merge shape mirrored: one union, one key exchange,
+    * one `first(ignoreNulls)` window over the FOLLOWING frame; right
+    * rows sort after left rows at an equal timestamp so the inclusive
+    * match stays inside the frame. Ties among equal right timestamps
+    * break by the same payload-hash total order as [[asOf]].
+    */
+  def asOfForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast("timestamp").as("_t"),
+        lit(2).as("_side"), // AFTER left (side 1) at equal ts — inclusive >=
+        struct(rightPayload.map(col): _*).as("_rp")): _*)
+      .where(col("_t").isNotNull)
+    val l = left
+      .withColumn("_t", col(leftTs).cast("timestamp"))
+      .withColumn("_side", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t").asc_nulls_last, col("_side"), xxhash64(col("_rp")))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_filled", first(col("_rp"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(left.columns.map(col).toSeq ++
+        rightPayload.map(c => col(s"_filled.$c").as(prefix + c)): _*)
+  }
+
   /** [[asOf]] with a STALENESS bound — pandas `merge_asof(tolerance=…)`:
     * a match older than `toleranceSeconds` before the left timestamp is
     * discarded (every `prefix`-payload column nulled), because a

@@ -309,6 +309,26 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** FORWARD as-of ([[graft.operators.AsOfJoin.asOfForward]], pandas
+    * `merge_asof(direction="forward")`): each purchase annotated with
+    * the NEXT click — the "did the user come back" question, where
+    * [[asofJoin]] asks what led to the purchase. Oracle: DuckDB's
+    * native `ASOF LEFT JOIN` with the comparison reversed
+    * (`p.ts <= c.ts`), so the mirrored-window re-expression is again
+    * verified against an independent first-class implementation.
+    */
+  def asofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOfForward(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"))
+      .withColumn("secs_until_click", TimeFns.timedeltaSeconds(col("asof_ts"), col("ts")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** [[asofJoin]] with a 6-hour staleness bound
     * ([[graft.operators.AsOfJoin.asOfWithTolerance]], pandas
     * `merge_asof(tolerance=…)`): matches older than the bound are

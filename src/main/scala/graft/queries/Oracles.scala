@@ -980,6 +980,16 @@ object Oracles {
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // forward as-of: DuckDB native ASOF with the comparison reversed
+    "asof_forward" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, p.ts,
+         |  c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+         |  (epoch_us(c.ts) - epoch_us(p.ts)) // 1000000 AS secs_until_click
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
     // merge_asof(tolerance): matches staler than 6 h are masked to null
     // on every carried column — exact integer microsecond arithmetic
     "asof_tolerance" ->

@@ -29,6 +29,24 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == Map(10L -> Some(101L), 11L -> Some(100L), 12L -> None, 20L -> Some(200L)))
   }
 
+  test("asOfForward picks the earliest right row at or after each left row, null when none") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 08:00:00")), // before both clicks -> earliest (09:00)
+      (1L, 11L, ts("2024-01-01 09:30:00")), // exactly at a click -> inclusive
+      (1L, 12L, ts("2024-01-01 10:00:00")), // after the history ends -> null
+      (2L, 20L, ts("2024-01-01 10:00:00"))  // other key: only its own rows
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:30:00"), 101L),
+      (2L, ts("2024-01-01 11:00:00"), 200L),
+      (3L, ts("2024-01-01 23:00:00"), 300L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsOfJoin.asOfForward(left, right, Seq("user_id"), "ts", "ts", Seq("click_id"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> Some(100L), 11L -> Some(101L), 12L -> None, 20L -> Some(200L)))
+  }
+
   test("asOf payload fields all come from the SAME right row (struct carry, not per-column)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
     // the newer right row has a null tag: per-column carry-forward would
