@@ -34,6 +34,7 @@ object SparkEntry {
     "j2_explode" -> (C.j2Explode _),
     "asof_join" -> (C.asofJoin _),
     "asof_forward" -> (C.asofForward _),
+    "asof_nearest" -> (C.asofNearest _),
     "asof_tolerance" -> (C.asofTolerance _),
     "asof_join_bucketed" -> (C.asofJoinBucketed _),
     // §2.5 windows

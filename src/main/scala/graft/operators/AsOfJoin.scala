@@ -116,6 +116,37 @@ object AsOfJoin {
         rightPayload.map(c => col(s"_filled.$c").as(prefix + c)): _*)
   }
 
+  /** NEAREST as-of join — pandas `merge_asof(direction="nearest")`:
+    * whichever of the backward ([[asOf]]) and forward ([[asOfForward]])
+    * matches is closer in time wins; an exact time-distance TIE goes
+    * BACKWARD (the already-observed state — the deterministic choice a
+    * point-in-time semantics wants; pandas leaves the tie unspecified).
+    * Implemented as both direction passes joined back on the left key
+    * set — two merge windows instead of one, the honest cost of
+    * needing both candidates; the pick itself is a row-local integer
+    * microsecond comparison. `rightTs` must be in `rightPayload` (the
+    * carried timestamp is what distances are measured against).
+    */
+  def asOfNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  leftTs: String, rightTs: String,
+                  rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightPayload.contains(rightTs),
+      s"rightPayload must carry the right timestamp '$rightTs' for the distance compare")
+    val back = asOf(left, right, keys, leftTs, rightTs, rightPayload, "_b_")
+    val fwdCols = keys ++ Seq(leftTs) // join the forward pass back by the left identity
+    require(left.columns.toSeq.intersect(fwdCols).size == fwdCols.size, "left must carry keys + ts")
+    val fwd = asOfForward(left, right, keys, leftTs, rightTs, rightPayload, "_f_")
+    val joined = back.join(fwd, left.columns.toSeq)
+    val dBack = unix_micros(col(leftTs).cast("timestamp")) - unix_micros(col("_b_" + rightTs).cast("timestamp"))
+    val dFwd = unix_micros(col("_f_" + rightTs).cast("timestamp")) - unix_micros(col(leftTs).cast("timestamp"))
+    // backward wins on tie, on forward-missing, and when strictly closer
+    val pickBack = col("_b_" + rightTs).isNotNull &&
+      (col("_f_" + rightTs).isNull || dBack <= dFwd)
+    rightPayload.foldLeft(joined) { (df, c) =>
+      df.withColumn(prefix + c, when(pickBack, col("_b_" + c)).otherwise(col("_f_" + c)))
+    }.select(left.columns.map(col).toSeq ++ rightPayload.map(c => col(prefix + c)): _*)
+  }
+
   /** [[asOf]] with a STALENESS bound — pandas `merge_asof(tolerance=…)`:
     * a match older than `toleranceSeconds` before the left timestamp is
     * discarded (every `prefix`-payload column nulled), because a

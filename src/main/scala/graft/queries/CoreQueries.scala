@@ -329,6 +329,26 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** NEAREST as-of ([[graft.operators.AsOfJoin.asOfNearest]]): each
+    * purchase annotated with the time-CLOSEST click in either
+    * direction, ties to the backward (already-observed) match. Oracle:
+    * both native DuckDB ASOF directions joined with the identical
+    * pick rule.
+    */
+  def asofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOfNearest(purchases, clicks, Seq("user_id"), "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"))
+      .withColumn("secs_to_click",
+        (abs(unix_micros(col("ts").cast("timestamp"))
+          - unix_micros(col("asof_ts").cast("timestamp"))) / lit(1000000L)).cast("long"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** [[asofJoin]] with a 6-hour staleness bound
     * ([[graft.operators.AsOfJoin.asOfWithTolerance]], pandas
     * `merge_asof(tolerance=…)`): matches older than the bound are

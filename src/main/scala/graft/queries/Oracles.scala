@@ -990,6 +990,28 @@ object Oracles {
          |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
          |ORDER BY p.user_id, p.event_id""".stripMargin,
 
+    // nearest as-of: both native ASOF directions + the identical
+    // backward-on-tie pick rule (integer microsecond distances)
+    "asof_nearest" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click'),
+         |b AS (SELECT p.user_id, p.event_id, p.ts, c.ts AS bts, c.event_id AS bid, c.value AS bv
+         |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+         |f AS (SELECT p.user_id, p.event_id, c.ts AS fts, c.event_id AS fid, c.value AS fv
+         |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts),
+         |n AS (
+         |  SELECT b.user_id, b.event_id, b.ts,
+         |    (bts IS NOT NULL AND (fts IS NULL
+         |       OR (epoch_us(b.ts) - epoch_us(bts)) <= (epoch_us(fts) - epoch_us(b.ts)))) AS pb,
+         |    bts, bid, bv, fts, fid, fv
+         |  FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id)
+         |SELECT user_id, event_id, ts,
+         |  CASE WHEN pb THEN bts ELSE fts END AS asof_ts,
+         |  CASE WHEN pb THEN bid ELSE fid END AS asof_event_id,
+         |  CASE WHEN pb THEN bv ELSE fv END AS asof_value,
+         |  abs(epoch_us(CASE WHEN pb THEN bts ELSE fts END) - epoch_us(ts)) // 1000000 AS secs_to_click
+         |FROM n ORDER BY user_id, event_id""".stripMargin,
+
     // merge_asof(tolerance): matches staler than 6 h are masked to null
     // on every carried column — exact integer microsecond arithmetic
     "asof_tolerance" ->

@@ -47,6 +47,26 @@ class AsOfJoinSpec extends SparkSuite {
     assert(got == Map(10L -> Some(100L), 11L -> Some(101L), 12L -> None, 20L -> Some(200L)))
   }
 
+  test("asOfNearest picks the closer direction, backward on tie, survives one-sided nulls") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 09:10:00")), // back 09:00 (10m) vs fwd 09:40 (30m) -> back
+      (1L, 11L, ts("2024-01-01 09:35:00")), // back 09:00 (35m) vs fwd 09:40 (5m) -> fwd
+      (1L, 12L, ts("2024-01-01 09:20:00")), // exact 20m tie -> backward
+      (1L, 13L, ts("2024-01-01 08:00:00")), // nothing before -> forward only
+      (2L, 20L, ts("2024-01-01 12:00:00"))  // nothing after -> backward only
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:40:00"), 101L),
+      (2L, ts("2024-01-01 11:00:00"), 200L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsOfJoin.asOfNearest(left, right, Seq("user_id"), "ts", "ts",
+      Seq("ts", "click_id"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> Some(100L), 11L -> Some(101L), 12L -> Some(100L),
+      13L -> Some(100L), 20L -> Some(200L)))
+  }
+
   test("asOf payload fields all come from the SAME right row (struct carry, not per-column)") {
     val left = Seq((1L, ts("2024-01-01 10:00:00"))).toDF("user_id", "ts")
     // the newer right row has a null tag: per-column carry-forward would
