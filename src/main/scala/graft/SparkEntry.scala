@@ -133,6 +133,7 @@ object SparkEntry {
     "sketch_distinct" -> (L.sketchDistinct _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
     "minhash_banding" -> (L.minhashBanding _),
+    "dedup_incremental_minhash" -> (L.dedupIncrementalMinhash _),
     "simhash_accuracy" -> (L.simhashAccuracy _),
     "shard_balance" -> (L.shardBalance _),
     "snapshot_diff" -> (L.snapshotDiff _),

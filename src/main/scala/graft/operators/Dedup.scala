@@ -135,6 +135,50 @@ object Dedup {
           .otherwise(lit("unchanged")))
   }
 
+  /** Cross-run NEAR-dup — [[incrementalDedup]]'s exact-fingerprint
+    * anti-join misses a re-crawl that changed one sentence; this is the
+    * minhash analog: flag each batch document whose best stored
+    * near-match clears `threshold`, returning (`batch_id`, `store_id`,
+    * `jaccard`) with the deterministic best-match rule (highest
+    * Jaccard, ties to the lowest store id). The store side is whatever
+    * prior runs persisted — at scale a signature/shingle table, not
+    * re-tokenized text.
+    *
+    * Plan: both sides build shingle hashes ONCE (cut; the hash array
+    * feeds the signature kernel AND the verification merge), banding
+    * buckets join ACROSS sides only (batch×store — no in-batch or
+    * in-store pairs, which is what makes this incremental rather than
+    * a corpus self-dedup), candidates verify with the
+    * [[graft.plans.JaccardSorted]] linear merge, and the best match is
+    * one `max(struct)` hash aggregate — no window sort. Banding recall
+    * at the threshold follows the (bands, rows) S-curve measured by
+    * `minhash_banding`.
+    */
+  def incrementalNearDup(batch: DataFrame, store: DataFrame, textCol: String, idCol: String,
+                         threshold: Double = 0.5, k: Int = 3, numHashes: Int = 128,
+                         bands: Int = 32): DataFrame = {
+    def prep(df: DataFrame) = Materialize.cut(
+      df.select(col(idCol), shingleHashes(col(textCol), k).as("_sh"))
+        .where(size(col("_sh")) > 0))
+    val b = prep(batch)
+    val st = prep(store)
+    def buckets(df: DataFrame, idAs: String) =
+      lshBuckets(minHashSignaturesFromHashes(df, "_sh", idCol, numHashes), idCol,
+        bands, numHashes / bands)
+        .select(col(idCol).as(idAs), col("band"), col("bucket"))
+    val cand = buckets(b, "_bid").join(buckets(st, "_sid"), Seq("band", "bucket"))
+      .select(col("_bid"), col("_sid")).distinct()
+    cand
+      .join(b.select(col(idCol).as("_bid"), col("_sh").as("_bsh")), Seq("_bid"))
+      .join(st.select(col(idCol).as("_sid"), col("_sh").as("_ssh")), Seq("_sid"))
+      .withColumn("jaccard", jaccardSorted(col("_bsh"), col("_ssh")))
+      .where(col("jaccard") >= threshold)
+      .groupBy(col("_bid").as("batch_id"))
+      .agg(max(struct(col("jaccard").as("j"), (-col("_sid")).as("negid"),
+        col("_sid").as("sid"))).as("m"))
+      .select(col("batch_id"), col("m.sid").as("store_id"), col("m.j").as("jaccard"))
+  }
+
   /** Quality-based canonical selection over near-dup clusters — the
     * "keep the BEST document per cluster" rule (C4 keeps the longest,
     * quality-filtered pipelines keep the highest-scoring) as opposed to

@@ -2078,6 +2078,22 @@ object Oracles {
         |  e.est_cnt - t.cnt AS overest
         |FROM top t JOIN est e USING (term) ORDER BY rank""".stripMargin,
 
+    // cross-run near-dup: exhaustive batch x store shingle Jaccard,
+    // best match per batch doc (J desc, store id asc) at J >= 0.5
+    "dedup_incremental_minhash" ->
+      s"""WITH sh AS MATERIALIZED (${shingleSelect(3)}),
+         |st AS (SELECT * FROM sh WHERE doc_id % 2 = 0),
+         |bt AS (SELECT * FROM sh WHERE doc_id % 2 <> 0),
+         |pairs AS (
+         |  SELECT b.doc_id AS batch_id, s.doc_id AS store_id,
+         |    len(list_intersect(b.sh, s.sh))::DOUBLE
+         |      / len(list_distinct(list_concat(b.sh, s.sh)))::DOUBLE AS jaccard
+         |  FROM bt b CROSS JOIN st s)
+         |SELECT batch_id, store_id, jaccard FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY batch_id ORDER BY jaccard DESC, store_id) AS rn
+         |  FROM pairs WHERE jaccard >= 0.5)
+         |WHERE rn = 1 ORDER BY batch_id""".stripMargin,
+
     // simhash fidelity curve: 48-bit md5-token simhash hamming vs
     // exact shingle Jaccard over the same probe window — integer
     // hammings, one division per bin

@@ -673,6 +673,28 @@ class DedupSpec extends SparkSuite {
     assert(got.toSeq == Seq((5L, 9L, 1.0)))
   }
 
+  test("incrementalNearDup flags cross-run near-matches only, best match deterministic") {
+    val store = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (4L, "entirely different content about database engines and query plans"),
+      (6L, "the quick brown fox jumps over the lazy dog again and again tonight")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      // near-dup of BOTH store docs 2 and 6; 2 ties lower on equal J? J differs:
+      // vs 2 shares more shingles than vs 6? both differ by one trailing word ->
+      // same J; best-match rule must pick the LOWER store id
+      (1L, "the quick brown fox jumps over the lazy dog again and again tomorrow"),
+      (3L, "totally unrelated text with no overlap whatsoever in any shingles here"),
+      // in-batch copy of doc 3: must NOT be flagged (no in-batch pairs)
+      (5L, "totally unrelated text with no overlap whatsoever in any shingles here")
+    ).toDF("doc_id", "text")
+    val full = Dedup.incrementalNearDup(batch, store, "text", "doc_id")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(full.map(_._1).toSeq == Seq(1L))      // only the true near-dup
+    assert(full.head._2 == 2L)                   // tie on J -> lower store id
+    assert(full.head._3 >= 0.5)
+  }
+
   test("snapshotDiff classifies added, removed, changed, and unchanged") {
     val prev = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")).toDF("doc_id", "text")
     val cur = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta")).toDF("doc_id", "text")
