@@ -42,6 +42,7 @@ object SparkEntry {
     "sessionize" -> (C.sessionize _),
     "scd2_compact" -> (C.scd2Compact _),
     "funnel_steps" -> (C.funnelSteps _),
+    "graph_pagerank" -> (C.graphPagerank _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),
@@ -166,6 +167,7 @@ object SparkEntry {
     "select_token_budget" -> (L.selectTokenBudget _),
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),
     "select_mixture" -> (L.selectMixture _),
+    "select_dsir" -> (L.selectDsir _),
     "mixture_weights" -> (L.mixtureWeights _),
     "sample_temperature" -> (L.sampleTemperature _),
     "ann_recall" -> (L.annRecall _),

@@ -376,4 +376,80 @@ object CorpusSelection {
       .withColumn("skew",
         col("token_share") * lit(numShards.toDouble))
   }
+
+  /** DSIR importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): score every raw
+    * document by how much its hashed-n-gram profile looks like a small
+    * TARGET corpus (Wikipedia/books in the paper) rather than the raw
+    * pool itself. Per bucket b of the
+    * [[QualityClassifier]] unigram+bigram feature hash, the model is a
+    * add-one-smoothed bag-of-buckets likelihood ratio
+    * `ln(p_target(b)) − ln(p_raw(b))`; a document's weight is the MEAN
+    * log ratio over its features (length-normalized, as the paper's
+    * per-example importance weight is before resampling). Emits
+    * (`idCol`, n_feats, weight FLOAT).
+    *
+    * Determinism on the 2⁻⁴⁰ grid: the per-bucket log ratio is floored
+    * to fixed point once in the `buckets`-row model table (the
+    * [[TextAnalysis.unigramNll]] discipline), so per-doc sums are
+    * integer-associative and identical under any partitioning or
+    * engine; the only floats are the final two exact divisions.
+    *
+    * Plan at 100 TB: the raw corpus is featurized ONCE (the projection
+    * is materialized and shared by the raw-distribution fit and the
+    * scoring pass); both distribution fits are partial-aggregated
+    * counts to at most `buckets` rows; the model join BROADCASTs the
+    * `buckets`-row ratio table. Two exchanges total over the big side —
+    * the bucket-count aggregate and the per-doc score aggregate — both
+    * map-side combined. The target corpus is small by construction
+    * (the paper uses ~1% of the pool) and never shuffles the raw side.
+    */
+  def dsirScores(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+                 buckets: Int = 4096): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    def bucketed(df: DataFrame): DataFrame = df
+      .select(col(idCol), explode(QualityClassifier.features(col(textCol))).as("_f"))
+      .select(col(idCol), (QualityClassifier.md24(col("_f")) % buckets).cast("int").as("bucket"))
+    val rawFeats = bucketed(raw).materialized // shared: raw fit + scoring
+    val tgtCounts = bucketed(target).groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+    val rawCounts = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+    val totals = tgtCounts.agg(sum(col("tc")).as("tt"))
+      .crossJoin(rawCounts.agg(sum(col("rc")).as("rt")))
+    val grid = raw.sparkSession.range(buckets)
+      .select(col("id").cast("int").as("bucket"))
+      .join(tgtCounts, Seq("bucket"), "left")
+      .join(rawCounts, Seq("bucket"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        floor((
+          log((coalesce(col("tc"), lit(0L)) + 1L).cast("double") / (col("tt").cast("double") + buckets.toDouble))
+            - log((coalesce(col("rc"), lit(0L)) + 1L).cast("double") / (col("rt").cast("double") + buckets.toDouble))
+          ) * scale).cast("long").as("fp"))
+    rawFeats
+      .join(broadcast(grid), Seq("bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_feats"), sum(col("fp")).as("_sfp"))
+      .select(col(idCol), col("n_feats"),
+        (col("_sfp").cast("double") / lit(scale) / col("n_feats").cast("double"))
+          .cast("float").as("weight"))
+  }
+
+  /** Top-`k` DSIR selection: the highest-importance-weight documents
+    * from the raw pool (the deterministic hard-threshold variant of the
+    * paper's Gumbel resampling — same ranking statistic, reproducible
+    * output). Ranking compares the float32 weight (itself derived from
+    * the integer fixed-point sum by two exact IEEE divisions, so
+    * engine-independent) with `idCol` ascending as the tiebreak. The global top-k
+    * compiles to TakeOrderedAndProject (per-partition heaps, k rows to
+    * the driver-side merge — no global sort); the rank column is a
+    * window over the k survivors only.
+    */
+  def selectByDsir(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+                   k: Int, buckets: Int = 4096): DataFrame = {
+    val top = dsirScores(raw, target, textCol, idCol, buckets)
+      .orderBy(col("weight").desc, col(idCol))
+      .limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("weight").desc, col(idCol))).cast("int"))
+  }
 }

@@ -34,7 +34,7 @@ object QualityClassifier {
   val WeightScale: Long = 1L << 23
 
   /** First 24 bits of md5 as a long in [0, 2^24). */
-  private def md24(c: Column): Column =
+  private[operators] def md24(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
   /** The hash-derived weight table: (bucket, w_fp). Deterministic in
@@ -47,7 +47,7 @@ object QualityClassifier {
       (md24(concat(lit("w:"), col("id").cast("string"))) - WeightScale).as("w_fp"))
 
   /** Unigrams ++ bigrams of the whitespace-lowered token array. */
-  private def features(text: Column): Column = {
+  private[operators] def features(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),

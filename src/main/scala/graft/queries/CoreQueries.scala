@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{StringFns, TimeFns}
@@ -457,6 +458,24 @@ object CoreQueries {
       .where(col("funnel_level") >= 1)
       .select(col("user_id"), col("funnel_level"), col("t1"), col("t2"), col("t3"))
       .orderBy(col("user_id"))
+
+  /** Navigation-graph PageRank ([[graft.operators.Graph.pageRank]]):
+    * per-user event streams become item-to-item transition edges
+    * (`props.k` is the item id; consecutive events link), and five
+    * damped power iterations on the integer rank grid produce the
+    * crawl-prioritization authority score. Top 50 items by rank.
+    */
+  def graphPagerank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.pageRank(edges, "src", "dst", iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(50)
+  }
 
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by

@@ -130,6 +130,39 @@ object Oracles {
        |FROM tok JOIN enc USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Damped PageRank (Graph.pageRank) unrolled to `iters` power
+    * iterations: integer fixed-point ranks (2^-40 grid), per-edge
+    * contribution `r // outdeg`, damping `(85*s) // 100` — all-integer,
+    * so the compare is exact. `//` (floor) matches Spark's `div`
+    * (truncation) because every operand is nonnegative.
+    */
+  private def pageRankOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""inc$i AS (SELECT dst AS node, sum(r // outdeg)::BIGINT AS s
+         |  FROM ew JOIN $prev ON $prev.node = ew.src GROUP BY dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node, (nn.base + (85 * coalesce(inc$i.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN inc$i ON inc$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS n,
+       |  (1099511627776 // count(*))::BIGINT AS init,
+       |  (((1099511627776 // count(*)) * 15) // 100)::BIGINT AS base FROM nodes),
+       |ew AS MATERIALIZED (SELECT src, dst, outdeg FROM edges
+       |  JOIN (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src) USING (src)),
+       |r0 AS MATERIALIZED (SELECT node, nn.init AS r FROM nodes, nn),
+       |$iterCtes
+       |SELECT node, r AS rank_fp, (r::DOUBLE / 1099511627776.0) AS rank FROM r$iters
+       |ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
+  }
+
   /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
     * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
     * engine ships xxhash64 (the boilerplate-oracle contract: only
@@ -837,6 +870,8 @@ object Oracles {
 
     // gap sessionization: lag marks starts, running sum numbers them;
     // value sums go through DECIMAL so reduction order cannot matter
+    "graph_pagerank" -> pageRankOracleSql(5),
+
     "sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,
@@ -2249,6 +2284,43 @@ object Oracles {
         |  FROM b JOIN wt USING (lang))
         |SELECT doc_id, lang, score, n_sel_tokens, cum_tokens FROM c
         |WHERE cum_tokens <= stratum_budget ORDER BY lang, cum_tokens, doc_id""".stripMargin,
+
+    // DSIR importance resampling: add-one-smoothed hashed-n-gram bucket
+    // distributions for target (source = src0) vs the raw pool, per-
+    // bucket log ratio floored once to the 2^-40 grid in the 4096-row
+    // model table (so per-doc sums are integer-associative), top-100 by
+    // the float32 mean ratio with doc_id tiebreak
+    "select_dsir" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(toks) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+         |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+         |fb AS MATERIALIZED (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+         |tgt AS MATERIALIZED (
+         |  SELECT bucket, count(*)::BIGINT AS tc FROM fb
+         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY bucket),
+         |rawc AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS rc FROM fb GROUP BY bucket),
+         |tot AS MATERIALIZED (SELECT
+         |  (SELECT sum(tc) FROM tgt)::DOUBLE AS tt,
+         |  (SELECT sum(rc) FROM rawc)::DOUBLE AS rt),
+         |grid AS MATERIALIZED (
+         |  SELECT g.i::INTEGER AS bucket,
+         |    floor((ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 4096.0))
+         |         - ln((coalesce(rc, 0) + 1)::DOUBLE / (rt + 4096.0))) * 1099511627776.0)::BIGINT AS fp
+         |  FROM (SELECT unnest(range(0, 4096)) AS i) g
+         |  LEFT JOIN tgt ON tgt.bucket = g.i LEFT JOIN rawc ON rawc.bucket = g.i, tot),
+         |sc AS (
+         |  SELECT doc_id, count(*)::INTEGER AS n_feats, sum(fp)::BIGINT AS sfp
+         |  FROM fb JOIN grid USING (bucket) GROUP BY doc_id),
+         |w AS (
+         |  SELECT doc_id, n_feats,
+         |    (sfp::DOUBLE / 1099511627776.0 / n_feats::DOUBLE)::FLOAT AS weight
+         |  FROM sc)
+         |SELECT doc_id, n_feats, weight,
+         |  row_number() OVER (ORDER BY weight DESC, doc_id)::INTEGER AS rank
+         |FROM w QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
 
     // quality gate -> exact-dedup canonical -> per-language token budget:
     // each stage mirrors its standalone oracle's expressions exactly

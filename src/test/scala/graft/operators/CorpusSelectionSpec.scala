@@ -245,4 +245,57 @@ class CorpusSelectionSpec extends SparkSuite {
       assert(skew > 0.75 && skew < 1.25, s"shard $sh skew $skew")
     }
   }
+
+  // ---- DSIR importance resampling ----
+
+  // Two disjoint vocabularies: the target speaks "wiki" words, most of
+  // the raw pool speaks "web" words, and two pool docs speak wiki.
+  private def dsirCorpus = {
+    val wiki = "alpha beta gamma delta epsilon zeta"
+    val web = "click buy cheap deal offer spam"
+    val raw = Seq(
+      (1L, wiki), (2L, wiki + " eta"), // target-like
+      (3L, web), (4L, web + " now"), (5L, web), (6L, web + " today")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, wiki), (101L, wiki + " theta")).toDF("doc_id", "text")
+    (raw, target)
+  }
+
+  test("dsirScores weights target-vocabulary docs above pool-typical ones") {
+    val (raw, target) = dsirCorpus
+    val w = CorpusSelection.dsirScores(raw, target, "text", "doc_id")
+      .select("doc_id", "n_feats", "weight")
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getFloat(2)))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // unigrams + bigrams: 6 tokens -> 11 features
+    assert(w(1L)._1 == 11)
+    val wikiMin = math.min(w(1L)._2, w(2L)._2)
+    val webMax = Seq(3L, 4L, 5L, 6L).map(w(_)._2).max
+    assert(wikiMin > webMax,
+      s"target-like docs must outrank pool-typical: $wikiMin vs $webMax")
+    // doc 1 is pure target vocabulary -> positive mean log ratio; the
+    // web docs' buckets are unseen in the target -> strongly negative
+    // (doc 2 dips just below zero: its "eta" features pay the add-one
+    // smoothing penalty — ranking, not sign, is the contract)
+    assert(w(1L)._2 > 0f && webMax < 0f)
+  }
+
+  test("selectByDsir returns the top-k ranked with deterministic id tiebreak") {
+    val (raw, target) = dsirCorpus
+    val out = CorpusSelection.selectByDsir(raw, target, "text", "doc_id", k = 3)
+      .select("rank", "doc_id", "weight")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getFloat(2)))
+    assert(out.map(_._1).toSeq == Seq(1, 2, 3))
+    assert(out.map(_._2).take(2).toSet == Set(1L, 2L)) // the wiki-vocab docs lead
+    assert(out.sliding(2).forall { case Array(a, b) =>
+      a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
+  }
+
+  test("dsir weights are partitioning-independent (integer fixed-point grid)") {
+    val (raw, target) = dsirCorpus
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusSelection.dsirScores(df, target, "text", "doc_id")
+        .select("doc_id", "weight").as[(Long, Float)].collect().toMap
+    assert(run(raw) == run(raw.repartition(7)))
+  }
 }

@@ -1,0 +1,65 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class GraphSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** Pure-Scala mirror of the integer power iteration — same grid, same
+    * truncating divisions, computed single-threaded. Exact-equality
+    * oracle for the distributed loop.
+    */
+  private def refPageRank(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val init = Graph.RankScale / n
+    val base = (init * 15L) / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(_ -> init).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inc(d) += r(s) / outdeg(s)
+      r = nodes.map(v => v -> (base + (85L * inc(v)) / 100L)).toMap
+    }
+    r
+  }
+
+  private def run(edges: Seq[(Long, Long)], iters: Int = 5): Map[Long, Long] =
+    Graph.pageRank(edges.toDF("src", "dst"), "src", "dst", iters)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+
+  test("pageRank matches the single-threaded integer reference exactly") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    assert(run(edges) == refPageRank(edges, 5))
+  }
+
+  test("a hub everyone links to outranks its spokes; symmetric cycle ties") {
+    val star = (1L to 9L).map(i => (i, 0L))
+    val ranks = run(star)
+    assert(ranks(0L) > ranks(1L))
+    assert((1L to 9L).map(ranks).toSet.size == 1) // spokes identical
+    val cycle = Seq((1L, 2L), (2L, 1L))
+    val c = run(cycle)
+    assert(c(1L) == c(2L))
+  }
+
+  test("multi-edges weight the surfer: a doubled link draws more rank") {
+    // 1 links twice to 2 and once to 3
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (2L, 1L), (3L, 1L))
+    val ranks = run(edges)
+    assert(ranks(2L) > ranks(3L))
+    assert(ranks == refPageRank(edges, 5))
+  }
+
+  test("rank_fp is partitioning-independent (all-integer arithmetic)") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    val df = edges.toDF("src", "dst")
+    val a = Graph.pageRank(df, "src", "dst", 5)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    val b = Graph.pageRank(df.repartition(13), "src", "dst", 5)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+}
