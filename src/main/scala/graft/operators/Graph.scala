@@ -44,7 +44,12 @@ object Graph {
                iters: Int = 5, dampingPct: Int = 85): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampingPct > 0 && dampingPct < 100, s"dampingPct in (0,100), got $dampingPct")
+    // One cut up front: the caller's edge derivation (often a window
+    // over a raw event log) is consumed FOUR times below — the two node
+    // projections, the degree aggregate, and the degree join — and must
+    // compute once, not once per consumer.
     val slim = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .materialized
     val nodes = slim.select(col("src").as("node"))
       .union(slim.select(col("dst").as("node")))
       .distinct()
@@ -61,13 +66,18 @@ object Graph {
     var ranks = nodes.select(col("node"), lit(initFp).as("r"))
     var prev: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // shuffle_hash, not sort-merge: the cached edge side would
+      // otherwise re-SORT its full volume every iteration; hash-joining
+      // with the rank table as build side pays only the N-row rank
+      // shuffle per round (the unavoidable per-iteration exchange — the
+      // checkpoint erases partitioning) and streams the edges from cache
       val inc = degreed
-        .join(ranks, degreed("src") === ranks("node"))
+        .join(ranks.hint("shuffle_hash"), degreed("src") === ranks("node"))
         .select(col("dst"), expr("r div outdeg").as("c"))
         .groupBy(col("dst"))
         .agg(sum(col("c")).as("s"))
       val next = nodes
-        .join(inc, nodes("node") === inc("dst"), "left")
+        .join(inc.hint("shuffle_hash"), nodes("node") === inc("dst"), "left")
         .select(nodes("node"),
           (lit(baseFp) + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
       ranks = Materialize.cutLoop(next, prev)
