@@ -126,6 +126,8 @@ object SparkEntry {
     "text_langid" -> (L.textLangid _),
     "text_tokens" -> (L.textTokens _),
     "text_fingerprint" -> (L.textFingerprint _),
+    "text_winnow" -> (L.textWinnow _),
+    "dedup_winnow" -> (L.dedupWinnow _),
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),

@@ -176,6 +176,29 @@ object Oracles {
        |c AS (SELECT span FROM (SELECT span, count(*) AS n FROM s GROUP BY span) WHERE n > 1),
        |d AS (SELECT s.doc_id, s.pos FROM s JOIN c USING (span))""".stripMargin
 
+  /** Winnowing (Winnow.fingerprints, k=4 w=4) as CTEs ending in
+    * `sel(doc_id, n_kgrams, fp, fpos)`. The k-gram hash is md24 (the
+    * portable hash is REQUIRED here — selection depends on hash order);
+    * rightmost-min tiebreak rides the `h·2^24 + (2^24−1−pos)` key, and
+    * `//`(floor) matches Spark's `div` because the key is nonnegative.
+    */
+  private def winnowCtes: String =
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |g AS MATERIALIZED (
+       |  SELECT doc_id, (len(toks) - 3)::INTEGER AS n_kgrams, i - 1 AS pos,
+       |    ${md24("array_to_string(toks[i : i + 3], ' ')")} AS h
+       |  FROM t, unnest(range(1, len(toks) - 4 + 2)) AS u(i) WHERE len(toks) >= 4),
+       |k AS (
+       |  SELECT doc_id, n_kgrams, pos,
+       |    min(h * 16777216 + (16777215 - pos))
+       |      OVER (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS selkey
+       |  FROM g),
+       |sel AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, n_kgrams,
+       |    (selkey // 16777216)::BIGINT AS fp,
+       |    (16777215 - (selkey % 16777216))::BIGINT AS fpos
+       |  FROM k WHERE pos <= n_kgrams - 4)""".stripMargin
+
   /** Squared L2 between two 64-dim double lists (left fold). */
   private def d2(v: String, c: String): String =
     s"list_reduce(list_transform(range(1, 65), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
@@ -3014,6 +3037,24 @@ object Oracles {
         |  64 AS width, 48 AS height,
         |  md5(text || '64x48') AS "resizedMd5"
         |FROM documents ORDER BY id""".stripMargin,
+
+    "text_winnow" ->
+      s"""WITH $winnowCtes
+         |SELECT doc_id, any_value(n_kgrams) AS n_kgrams, count(*)::INTEGER AS n_fps,
+         |  count(*)::DOUBLE / any_value(n_kgrams)::DOUBLE AS density
+         |FROM sel GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_winnow" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+         |ok AS (SELECT fp FROM (SELECT fp, count(*) AS d FROM fps GROUP BY fp)
+         |       WHERE d BETWEEN 2 AND 50),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::INTEGER AS n_shared
+         |  FROM fps a JOIN ok USING (fp) JOIN fps b USING (fp)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.SparkSuite
+
+class WinnowSpec extends SparkSuite {
+  import spark.implicits._
+
+  /** First 24 bits of md5 — the JVM mirror of QualityClassifier.md24. */
+  private def md24(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 16) | ((d(1) & 0xffL) << 8) | (d(2) & 0xffL)
+  }
+
+  /** Single-threaded robust winnowing: (fpos, fp) set per text. */
+  private def refFps(text: String, k: Int, w: Int): Set[(Long, Long)] = {
+    val toks = text.toLowerCase.trim.split("\\s+").toVector
+    if (toks.size < k + w - 1) Set.empty
+    else {
+      val hs = toks.sliding(k).map(g => md24(g.mkString(" "))).toVector
+      (0 to hs.size - w).map { p =>
+        val sel = (p until p + w).minBy(q => (hs(q), -q))
+        (sel.toLong, hs(sel))
+      }.toSet
+    }
+  }
+
+  private val rnd = new scala.util.Random(23)
+  private def randText(n: Int, vocab: Int): String =
+    Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" ")
+
+  test("fingerprints match the single-threaded reference exactly (small vocab forces ties)") {
+    val docs = (1L to 20L).map(i => (i, randText(60, 7))) // heavy hash ties
+    val out = Winnow.fingerprints(docs.toDF("doc_id", "text"), "text", "doc_id", k = 4, w = 4)
+      .select("doc_id", "fpos", "fp").as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => (r._2, r._3)).toSet).toMap
+    docs.foreach { case (id, text) =>
+      assert(out.getOrElse(id, Set.empty) == refFps(text, 4, 4), s"doc $id")
+    }
+  }
+
+  test("density sits near the theoretical 2/(w+1) on random text") {
+    val docs = (1L to 30L).map(i => (i, randText(300, 5000))).toDF("doc_id", "text")
+    val density = Winnow.profile(docs, "text", "doc_id")
+      .agg(org.apache.spark.sql.functions.avg("density")).as[Double].head()
+    assert(density > 0.3 && density < 0.5, s"density $density vs expected 0.4")
+  }
+
+  test("the winnowing guarantee: a shared w+k-1 token run yields a shared fingerprint") {
+    val shared = randText(16, 100000) // 16 >= k+w-1 = 7
+    val docs = Seq(
+      (1L, randText(50, 100000) + " " + shared + " " + randText(50, 100000)),
+      (2L, randText(40, 100000) + " " + shared + " " + randText(60, 100000)),
+      (3L, randText(120, 100000))).toDF("doc_id", "text")
+    val pairs = Winnow.pairs(docs, "text", "doc_id", minShared = 1)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("the df cap drops template fingerprints before pairing") {
+    val template = randText(12, 100000)
+    // every doc carries the template; no other overlap
+    val docs = (1L to 10L).map(i => (i, template + " " + randText(80, 100000)))
+      .toDF("doc_id", "text")
+    val pairs = Winnow.pairs(docs, "text", "doc_id", minShared = 1, maxDf = 5)
+    assert(pairs.count() == 0) // template df=10 > 5 -> guarded out
+  }
+}
