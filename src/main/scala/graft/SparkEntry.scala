@@ -127,6 +127,7 @@ object SparkEntry {
     "text_tokens" -> (L.textTokens _),
     "text_fingerprint" -> (L.textFingerprint _),
     "text_winnow" -> (L.textWinnow _),
+    "quality_blend" -> (L.qualityBlend _),
     "dedup_winnow" -> (L.dedupWinnow _),
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),

@@ -377,6 +377,43 @@ object CorpusSelection {
         col("token_share") * lit(numShards.toDouble))
   }
 
+  /** Per-stratum quantile normalization + blending of quality signals —
+    * the FineWeb-style multi-signal mix: raw quality signals live on
+    * incomparable scales (a diversity ratio, a fingerprint density, a
+    * classifier score), so each is mapped to its per-stratum
+    * `percent_rank` and the blended score is the MEAN of the quantiles.
+    * Returns the input id/stratum/signal columns plus `pr_<signal>` per
+    * signal and `blend`.
+    *
+    * Determinism contract: callers must pass signals that are exact
+    * (integer ratios, fixed-point-derived doubles) — `percent_rank`
+    * ORDERS by the signal, so an order-dependent float (e.g. a
+    * doc-entropy double summed in shuffle order) would make ranks
+    * engine-dependent. `percent_rank` itself is `(rank−1)/(n−1)` with
+    * standard tie handling — exact given exact inputs.
+    *
+    * Plan: one exchange on the stratum key; all signal windows sort
+    * within the same partitioning (Spark reuses the exchange, one sort
+    * per signal). Same stratum-skew story as the budget selectors: a
+    * mega-stratum serializes its sort — compose the approximate
+    * threshold pre-pass in front at that scale.
+    */
+  def quantileBlend(docs: DataFrame, strataCol: String, idCol: String,
+                    signals: Seq[(String, Column)]): DataFrame = {
+    require(signals.nonEmpty, "at least one signal required")
+    val named = docs.select(
+      (col(idCol) +: col(strataCol) +: signals.map { case (n, c) => c.as(n) }): _*)
+    val prs = signals.map { case (n, _) =>
+      percent_rank()
+        .over(Window.partitionBy(col(strataCol)).orderBy(col(n)))
+        .as(s"pr_$n")
+    }
+    named
+      .select((named.columns.map(col).toSeq ++ prs): _*)
+      .withColumn("blend",
+        signals.map(s => col(s"pr_${s._1}")).reduce(_ + _) / lit(signals.size.toDouble))
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-n-gram profile looks like a small

@@ -3056,6 +3056,28 @@ object Oracles {
          |SELECT doc_a, doc_b, n_shared FROM p WHERE n_shared >= 2
          |ORDER BY doc_a, doc_b""".stripMargin,
 
+    // quantile-normalized signal blend: percent_rank is (rank-1)/(n-1)
+    // in both engines, and both signals are exact integer ratios, so
+    // ranks and the blend compare exactly
+    "quality_blend" ->
+      s"""WITH $winnowCtes,
+         |wd AS (SELECT doc_id, count(*)::DOUBLE / any_value(n_kgrams)::DOUBLE AS wdensity
+         |       FROM sel GROUP BY doc_id),
+         |b AS (SELECT doc_id, lang,
+         |        len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS diversity
+         |      FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents)),
+         |j AS (SELECT b.doc_id, lang, diversity, wdensity FROM b JOIN wd USING (doc_id)),
+         |p AS (SELECT doc_id, lang, diversity, wdensity,
+         |        percent_rank() OVER (PARTITION BY lang ORDER BY diversity) AS pr_diversity,
+         |        percent_rank() OVER (PARTITION BY lang ORDER BY wdensity) AS pr_wdensity
+         |      FROM j),
+         |q AS (SELECT *, (pr_diversity + pr_wdensity) / 2.0 AS blend,
+         |        row_number() OVER (PARTITION BY lang
+         |          ORDER BY (pr_diversity + pr_wdensity) / 2.0 DESC, doc_id)::INTEGER AS rk
+         |      FROM p)
+         |SELECT doc_id, lang, diversity, wdensity, pr_diversity, pr_wdensity, blend, rk
+         |FROM q WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

@@ -246,6 +246,23 @@ class CorpusSelectionSpec extends SparkSuite {
     }
   }
 
+  test("quantileBlend: per-stratum percent_rank with ties, blend is the signal-quantile mean") {
+    val in = Seq(
+      // stratum x: scores 1,2,2,4 -> pr 0, 1/3, 1/3, 1; aux all distinct
+      (1L, "x", 1.0, 10.0), (2L, "x", 2.0, 20.0), (3L, "x", 2.0, 30.0), (4L, "x", 4.0, 40.0),
+      // stratum y: single row -> percent_rank 0
+      (5L, "y", 9.0, 9.0)
+    ).toDF("doc_id", "lang", "s1", "s2")
+    val out = CorpusSelection.quantileBlend(in, "lang", "doc_id",
+      Seq("s1" -> col("s1"), "s2" -> col("s2")))
+      .select("doc_id", "pr_s1", "pr_s2", "blend")
+      .collect().map(r => (r.getLong(0), (r.getDouble(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out(1L)._1 == 0.0 && out(4L)._1 == 1.0)
+    assert(out(2L)._1 == out(3L)._1 && math.abs(out(2L)._1 - 1.0 / 3) < 1e-15)
+    assert(out(5L) == ((0.0, 0.0, 0.0)))
+    out.values.foreach { case (a, b, bl) => assert(bl == (a + b) / 2.0) }
+  }
+
   // ---- DSIR importance resampling ----
 
   // Two disjoint vocabularies: the target speaks "wiki" words, most of
