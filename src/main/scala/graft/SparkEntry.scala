@@ -114,6 +114,7 @@ object SparkEntry {
     "ann_ivf" -> (L.annIvf _),
     "bm25_topk" -> (L.bm25TopK _),
     "retrieval_rrf" -> (L.retrievalRrf _),
+    "retrieval_rerank" -> (L.retrievalRerank _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),

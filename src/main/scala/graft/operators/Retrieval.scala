@@ -202,4 +202,61 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"),
         (col("_rrf_fp").cast("double") / ScoreScale).as("rrf_score"), col("rank"))
   }
+
+  /** Two-stage retrieval: a cheap first stage ([[bm25TopK]] at
+    * `kCandidates`) proposes, an exact token-set-Jaccard second stage
+    * re-ranks — the retrieve-then-rerank architecture every production
+    * search/RAG stack runs (the reranker here is lexical so it stays
+    * exactly verifiable; a cross-encoder swaps into the same plan).
+    *
+    * THE scale property is the candidate semi-join: the reranker's text
+    * fetch and term explode touch only `kCandidates × |queries|` rows,
+    * never the corpus — reranking cost is independent of corpus size.
+    * The Jaccard is computed relationally (shared-term count via a join
+    * on the term column, |A∪B| = nd_q + nd_doc − shared), so long
+    * documents never materialize arrays; every score is a ratio of
+    * exact integers. Final order: Jaccard desc, first-stage rank asc
+    * (the tiebreak keeps the bm25 prior), doc id asc. Returns
+    * (`query_id`, `doc_id`, bm25_rank, jaccard, rank).
+    */
+  def rerankJaccard(docs: DataFrame, queries: DataFrame,
+                    kCandidates: Int = 20, k: Int = 10,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    qidCol: String = "query_id", qtextCol: String = "text"): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val cands = bm25TopK(docs, queries, kCandidates,
+      idCol = idCol, textCol = textCol, qidCol = qidCol, qtextCol = qtextCol)
+      .select(col("query_id"), col("doc_id"), col("rank").as("bm25_rank"))
+      .materialized // consumed by the doc semi-join, the pair join, and the output
+    val qterms = queries
+      .select(col(qidCol).as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col(qtextCol)))).as("term"))
+      .distinct()
+    val qsize = qterms.groupBy(col("query_id")).agg(count(lit(1)).as("nd_q"))
+    // candidate-only fetch: the corpus is pruned to the candidate ids
+    // BEFORE any tokenization — reranking never scans the corpus
+    val dterms = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("_text"))
+      .join(cands.select(col("doc_id")).distinct(), Seq("doc_id"))
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("_text")))).as("term"))
+      .distinct()
+      .materialized // consumed by the size aggregate and the shared-term join
+    val dsize = dterms.groupBy(col("doc_id")).agg(count(lit(1)).as("nd_d"))
+    val shared = qterms.join(dterms, Seq("term"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("jaccard").desc, col("bm25_rank"), col("doc_id"))
+    cands
+      .join(shared, Seq("query_id", "doc_id"), "left")
+      .join(broadcast(qsize), Seq("query_id"))
+      .join(dsize, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"), col("bm25_rank"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double")
+          / (col("nd_q") + col("nd_d") - coalesce(col("n_shared"), lit(0L))).cast("double"))
+          .as("jaccard"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
 }

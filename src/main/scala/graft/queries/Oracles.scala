@@ -1762,6 +1762,52 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // retrieve-then-rerank: the bm25_topk CTEs at k=20 propose, exact
+    // token-set Jaccard re-ranks (shared-term counts via a relational
+    // join — every score a ratio of exact integers, no float drift)
+    "retrieval_rerank" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
+         |qset AS MATERIALIZED (SELECT DISTINCT term FROM q),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t) p
+         |  JOIN qset USING (term) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+         |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (
+         |  SELECT q.query_id, c.doc_id,
+         |    sum(floor(c.contrib * 1099511627776.0)::BIGINT) AS score_fp
+         |  FROM contrib c JOIN q USING (term)
+         |  GROUP BY q.query_id, c.doc_id),
+         |cand AS MATERIALIZED (
+         |  SELECT query_id, doc_id, rank AS bm25_rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 20),
+         |qd AS (SELECT query_id, count(*)::BIGINT AS nd_q FROM q GROUP BY query_id),
+         |dd AS MATERIALIZED (
+         |  SELECT doc_id, unnest(list_distinct(toks)) AS term
+         |  FROM t JOIN (SELECT DISTINCT doc_id FROM cand) USING (doc_id)),
+         |ds AS (SELECT doc_id, count(*)::BIGINT AS nd_d FROM dd GROUP BY doc_id),
+         |sh AS (SELECT q.query_id, dd.doc_id, count(*)::BIGINT AS n_shared
+         |       FROM q JOIN dd USING (term) GROUP BY 1, 2),
+         |j AS (
+         |  SELECT cand.query_id, cand.doc_id, bm25_rank::INTEGER AS bm25_rank,
+         |    coalesce(n_shared, 0)::DOUBLE
+         |      / (nd_q + nd_d - coalesce(n_shared, 0))::DOUBLE AS jaccard
+         |  FROM cand
+         |  LEFT JOIN sh ON sh.query_id = cand.query_id AND sh.doc_id = cand.doc_id
+         |  JOIN qd ON qd.query_id = cand.query_id
+         |  JOIN ds ON ds.doc_id = cand.doc_id)
+         |SELECT query_id, doc_id, bm25_rank, jaccard, rank::INTEGER AS rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY jaccard DESC, bm25_rank, doc_id) AS rank FROM j)
+         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
     // RRF hybrid: the bm25_topk CTEs at k=20 + the ann_hash_embed CTEs
     // with the QUERY side hashed from the same 6-token truncation, fused
     // on sum(floor(2^40/(60+rank))) — an associative long sum, so the

@@ -195,4 +195,40 @@ class RetrievalSpec extends SparkSuite {
       .collect().map(r => (r.getLong(1), r.getInt(3)))
     assert(got.toSeq == Seq((50L, 1)))
   }
+
+  test("rerankJaccard: exact-duplicate doc takes rank 1 with jaccard 1, scores are exact set ratios") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (10L, "alpha beta gamma"),            // exact dup of the query
+      (11L, "alpha beta delta epsilon"),    // shared 2, union 5 -> 0.4
+      (12L, "alpha zeta eta theta"),        // shared 1, union 6 -> 1/6
+      (13L, "iota kappa lambda")            // no overlap -> dropped by bm25
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta gamma")).toDF("query_id", "text")
+    val got = Retrieval.rerankJaccard(docs, queries, kCandidates = 10, k = 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getDouble(3), r.getInt(4)))
+    assert(got.map(_._1).toSeq == Seq(10L, 11L, 12L))
+    assert(got.map(_._2).toSeq == Seq(1.0, 2.0 / 5.0, 1.0 / 6.0))
+    assert(got.map(_._3).toSeq == Seq(1, 2, 3))
+  }
+
+  test("rerankJaccard can promote a doc the first stage underranked, within the candidate set") {
+    import org.apache.spark.sql.functions.col
+    // doc 21 repeats the query terms (high bm25 tf) but is long and
+    // diluted; doc 22 is a tight paraphrase-length match -> higher
+    // jaccard despite a worse bm25 rank
+    val docs = Seq(
+      (21L, ("alpha beta " * 10 + "x1 x2 x3 x4 x5 x6 x7 x8").trim),
+      (22L, "alpha beta gamma x9"),
+      (23L, "y1 y2 y3")
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta gamma")).toDF("query_id", "text")
+    val out = Retrieval.rerankJaccard(docs, queries, kCandidates = 10, k = 10)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(4)))
+    // (doc, bm25_rank, rerank): 22 must lead the reranked list
+    assert(out.head._1 == 22L)
+    assert(out.map(_._1).toSet == Set(21L, 22L))
+  }
 }
