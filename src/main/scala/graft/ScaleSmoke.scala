@@ -47,7 +47,7 @@ object ScaleSmoke {
         (col("event_id") + k * 100000000L).as("event_id"),
         col("ts"),
         (col("user_id") + k * 1000000L).as("user_id"),
-        col("event_type"), col("value"))
+        col("event_type"), col("value"), col("props"))
     }.reduce(_ unionByName _)
 
   def main(args: Array[String]): Unit = {
@@ -138,7 +138,29 @@ object ScaleSmoke {
       "hist_quantiles" -> (() => graft.operators.Expectations
         .histogramQuantiles(docs, "lang", col("n_chars"), 16L, Seq(5000, 9900)).count()),
       "rate_anomaly" -> (() => graft.operators.RateAnomaly
-        .detect(ev.withColumn("ts", col("ts").cast("timestamp")), "event_type", "ts").count()))
+        .detect(ev.withColumn("ts", col("ts").cast("timestamp")), "event_type", "ts").count()),
+      // round 11e: pagerank's node set is the fixed item-id space, so a
+      // 10x event load means denser edges per node (the web-graph
+      // shape); winnow/dsir are corpus-bound map work + bucketed joins;
+      // rerank's second stage is candidate-bound (fixed query count) —
+      // only its bm25 leg should scale with the corpus
+      "pagerank" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+        Graph.pageRank(edges, "src", "dst", 5).count()
+      }),
+      "winnow_pairs" -> (() => Winnow.pairs(docs, "text", "doc_id").count()),
+      "dsir" -> (() => CorpusSelection.selectByDsir(
+        docs, docs.where(col("source") === "src0"), "text", "doc_id", 100).count()),
+      "rerank" -> (() => {
+        val q = docs.limit(20).select(col("doc_id").as("query_id"), col("text"))
+        Retrieval.rerankJaccard(docs, q, kCandidates = 20, k = 10).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

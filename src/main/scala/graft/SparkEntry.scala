@@ -115,6 +115,7 @@ object SparkEntry {
     "bm25_topk" -> (L.bm25TopK _),
     "retrieval_rrf" -> (L.retrievalRrf _),
     "retrieval_rerank" -> (L.retrievalRerank _),
+    "retrieval_negatives" -> (L.retrievalNegatives _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),

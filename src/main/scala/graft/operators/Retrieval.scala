@@ -203,6 +203,34 @@ object Retrieval {
         (col("_rrf_fp").cast("double") / ScoreScale).as("rrf_score"), col("rank"))
   }
 
+  /** Hard-negative mining for contrastive retriever training (the
+    * DPR/sentence-transformers recipe): for each training query, the
+    * top BM25 hits that are NOT labeled positives become the hard
+    * negatives — lexically confusable, semantically wrong, exactly the
+    * pairs a dual encoder must learn to separate. `positives` is the
+    * labeled (query_id, doc_id) relation; it anti-joins the candidate
+    * list (training labels are queries-sized, so the anti-join rides
+    * the candidate rows, not the corpus). Returns
+    * (`query_id`, negative_id, bm25_rank, neg_rank ≤ `nNeg`). Cost is
+    * the first stage; the mining itself is candidate-bound.
+    */
+  def hardNegatives(docs: DataFrame, queries: DataFrame, positives: DataFrame,
+                    nNeg: Int = 5, kCandidates: Int = 10,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    qidCol: String = "query_id", qtextCol: String = "text"): DataFrame = {
+    val cands = bm25TopK(docs, queries, kCandidates,
+      idCol = idCol, textCol = textCol, qidCol = qidCol, qtextCol = qtextCol)
+    val negs = cands.join(
+      positives.select(col("query_id"), col("doc_id")),
+      Seq("query_id", "doc_id"), "left_anti")
+    val w = Window.partitionBy(col("query_id")).orderBy(col("rank"))
+    negs
+      .withColumn("neg_rank", row_number().over(w).cast("int"))
+      .where(col("neg_rank") <= nNeg)
+      .select(col("query_id"), col("doc_id").as("negative_id"),
+        col("rank").as("bm25_rank"), col("neg_rank"))
+  }
+
   /** Two-stage retrieval: a cheap first stage ([[bm25TopK]] at
     * `kCandidates`) proposes, an exact token-set-Jaccard second stage
     * re-ranks — the retrieve-then-rerank architecture every production

@@ -1762,6 +1762,37 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // hard-negative mining: bm25_topk CTEs at k=10, the (q,q) positive
+    // pair removed, top-5 remaining candidates re-ranked
+    "retrieval_negatives" ->
+      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
+         |qset AS MATERIALIZED (SELECT DISTINCT term FROM q),
+         |tf AS MATERIALIZED (
+         |  SELECT doc_id, term, count(*) AS tf, any_value(dl) AS dl FROM (
+         |    SELECT doc_id, len(toks) AS dl, unnest(toks) AS term FROM t) p
+         |  JOIN qset USING (term) GROUP BY doc_id, term),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |stats AS (SELECT count(*) AS n_docs, sum(len(toks)) AS sum_dl FROM t),
+         |contrib AS (
+         |  SELECT tf.doc_id, tf.term,
+         |    ln((n_docs::DOUBLE - df::DOUBLE + 0.5) / (df::DOUBLE + 0.5) + 1.0) *
+         |    (tf::DOUBLE * 2.2) / (tf::DOUBLE + 1.2 * (1.0 - 0.75 + 0.75 * dl::DOUBLE / (sum_dl::DOUBLE / n_docs::DOUBLE))) AS contrib
+         |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats),
+         |sc AS (
+         |  SELECT q.query_id, c.doc_id,
+         |    sum(floor(c.contrib * 1099511627776.0)::BIGINT) AS score_fp
+         |  FROM contrib c JOIN q USING (term)
+         |  GROUP BY q.query_id, c.doc_id),
+         |cand AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
+         |  WHERE rank <= 10)
+         |SELECT query_id, doc_id AS negative_id, rank::INTEGER AS bm25_rank, neg_rank::INTEGER AS neg_rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS neg_rank
+         |  FROM cand WHERE doc_id <> query_id)
+         |WHERE neg_rank <= 5 ORDER BY query_id, neg_rank""".stripMargin,
+
     // retrieve-then-rerank: the bm25_topk CTEs at k=20 propose, exact
     // token-set Jaccard re-ranks (shared-term counts via a relational
     // join — every score a ratio of exact integers, no float drift)

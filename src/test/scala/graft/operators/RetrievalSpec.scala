@@ -196,6 +196,24 @@ class RetrievalSpec extends SparkSuite {
     assert(got.toSeq == Seq((50L, 1)))
   }
 
+  test("hardNegatives excludes labeled positives and re-ranks the remainder densely") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "alpha beta gamma"),        // the positive (exact match)
+      (2L, "alpha beta delta"),        // hard negative
+      (3L, "alpha epsilon zeta"),      // hard negative
+      (4L, "eta theta iota")           // no overlap
+    ).toDF("doc_id", "text")
+    val queries = Seq((1L, "alpha beta gamma")).toDF("query_id", "text")
+    val positives = Seq((1L, 1L)).toDF("query_id", "doc_id")
+    val got = Retrieval.hardNegatives(docs, queries, positives, nNeg = 5, kCandidates = 10)
+      .orderBy(col("neg_rank"))
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(!got.map(_._1).contains(1L)) // positive never mined as a negative
+    assert(got.map(_._2).toSeq == (1 to got.length).toSeq) // dense neg_rank
+    assert(got.map(_._1).toSet == Set(2L, 3L)) // doc 4 never enters bm25 hits
+  }
+
   test("rerankJaccard: exact-duplicate doc takes rank 1 with jaccard 1, scores are exact set ratios") {
     import org.apache.spark.sql.functions.col
     val docs = Seq(
