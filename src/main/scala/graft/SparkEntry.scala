@@ -116,6 +116,7 @@ object SparkEntry {
     "retrieval_rrf" -> (L.retrievalRrf _),
     "retrieval_rerank" -> (L.retrievalRerank _),
     "retrieval_negatives" -> (L.retrievalNegatives _),
+    "curriculum_order" -> (L.curriculumOrder _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),

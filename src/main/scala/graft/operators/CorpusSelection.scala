@@ -414,6 +414,39 @@ object CorpusSelection {
         signals.map(s => col(s"pr_${s._1}")).reduce(_ + _) / lit(signals.size.toDouble))
   }
 
+  /** Curriculum ordering: emit a deterministic global training position
+    * for every document such that (a) within each stratum documents
+    * appear easiest-first by `difficulty` asc (`idCol` tie-break) and
+    * (b) strata interleave round-robin — the standard
+    * curriculum + anti-clumping layout for a training stream.
+    *
+    * The position is CLOSED-FORM, not a global sort:
+    * `pos = within_rank · n_strata + stratum_index`, where
+    * `stratum_index` comes from a tiny sorted stratum dimension
+    * (broadcast). One exchange on the stratum key for the within-rank
+    * window; the global order materializes only when a writer sorts by
+    * `pos` — and a writer that shards by `pos div shard_size` needs no
+    * sort at all. Positions are strictly increasing within every
+    * stratum and collision-free across strata (distinct residues mod
+    * `n_strata`); a finished (smaller) stratum simply leaves gaps,
+    * which a training loader skips for free.
+    */
+  def curriculumOrder(docs: DataFrame, strataCol: String, difficulty: Column,
+                      idCol: String): DataFrame = {
+    val strata = docs.select(col(strataCol)).distinct()
+      .withColumn("_sidx",
+        (row_number().over(Window.orderBy(col(strataCol))) - 1).cast("long"))
+    val nStrata = strata.count()
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(difficulty.asc, col(idCol))
+    docs
+      .withColumn("difficulty", difficulty)
+      .withColumn("within_rank", (row_number().over(w) - 1).cast("long"))
+      .join(broadcast(strata), Seq(strataCol))
+      .withColumn("pos", col("within_rank") * lit(nStrata) + col("_sidx"))
+      .drop("_sidx")
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-n-gram profile looks like a small

@@ -1762,6 +1762,23 @@ object Oracles {
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
+    // curriculum interleave: closed-form pos = within_rank * n_strata +
+    // stratum_index (all integers, no global sort on either engine)
+    "curriculum_order" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::INTEGER AS difficulty
+        |  FROM documents),
+        |s AS (SELECT lang, (row_number() OVER (ORDER BY lang) - 1)::BIGINT AS sidx
+        |      FROM (SELECT DISTINCT lang FROM t)),
+        |n AS (SELECT count(*)::BIGINT AS ns FROM s),
+        |r AS (SELECT doc_id, lang, difficulty,
+        |        (row_number() OVER (PARTITION BY lang ORDER BY difficulty, doc_id) - 1)::BIGINT AS within_rank
+        |      FROM t)
+        |SELECT doc_id, lang, difficulty, within_rank,
+        |  (within_rank * ns + sidx)::BIGINT AS pos
+        |FROM r JOIN s USING (lang) CROSS JOIN n ORDER BY pos""".stripMargin,
+
     // hard-negative mining: bm25_topk CTEs at k=10, the (q,q) positive
     // pair removed, top-5 remaining candidates re-ranked
     "retrieval_negatives" ->

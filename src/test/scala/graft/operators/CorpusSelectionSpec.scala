@@ -263,6 +263,19 @@ class CorpusSelectionSpec extends SparkSuite {
     out.values.foreach { case (a, b, bl) => assert(bl == (a + b) / 2.0) }
   }
 
+  test("curriculumOrder: easiest-first per stratum, round-robin interleave, collision-free positions") {
+    val in = Seq(
+      (1L, "en", 5), (2L, "en", 3), (3L, "en", 9),
+      (4L, "de", 2), (5L, "de", 7),
+      (6L, "zh", 1)
+    ).toDF("doc_id", "lang", "diff")
+    val out = CorpusSelection.curriculumOrder(in, "lang", col("diff"), "doc_id")
+      .select("doc_id", "pos").as[(Long, Long)].collect().toMap
+    // sidx: de=0, en=1, zh=2; within: en 2<1<3, de 4<5, zh 6
+    assert(out == Map(4L -> 0L, 2L -> 1L, 6L -> 2L, 5L -> 3L, 1L -> 4L, 3L -> 7L))
+    assert(out.values.toSeq.distinct.size == out.size) // no collisions
+  }
+
   // ---- DSIR importance resampling ----
 
   // Two disjoint vocabularies: the target speaks "wiki" words, most of
