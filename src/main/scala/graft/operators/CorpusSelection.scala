@@ -480,9 +480,19 @@ object CorpusSelection {
     def bucketed(df: DataFrame): DataFrame = df
       .select(col(idCol), explode(QualityClassifier.features(col(textCol))).as("_f"))
       .select(col(idCol), (QualityClassifier.md24(col("_f")) % buckets).cast("int").as("bucket"))
-    val rawFeats = bucketed(raw).materialized // shared: raw fit + scoring
+    // Materialize the ≤`buckets`-row COUNT aggregates, not the exploded
+    // feature relation: each count table is consumed twice (grid join +
+    // totals), and caching 4096 rows is free — whereas caching the
+    // 2n−1-features-per-doc relation writes a >2×-corpus intermediate
+    // (measured 2× slower than simply featurizing the corpus twice:
+    // once for the distribution fit, once for scoring — both pure
+    // map+partial-agg passes). The same trade holds on a cluster: two
+    // scans of the source beat write+read of a corpus-sized cache.
+    val rawFeats = bucketed(raw)
     val tgtCounts = bucketed(target).groupBy(col("bucket")).agg(count(lit(1)).as("tc"))
+      .materializedEager
     val rawCounts = rawFeats.groupBy(col("bucket")).agg(count(lit(1)).as("rc"))
+      .materializedEager
     val totals = tgtCounts.agg(sum(col("tc")).as("tt"))
       .crossJoin(rawCounts.agg(sum(col("rc")).as("rt")))
     val grid = raw.sparkSession.range(buckets)
