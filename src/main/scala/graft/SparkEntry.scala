@@ -117,6 +117,7 @@ object SparkEntry {
     "retrieval_rerank" -> (L.retrievalRerank _),
     "retrieval_negatives" -> (L.retrievalNegatives _),
     "curriculum_order" -> (L.curriculumOrder _),
+    "rag_index" -> (L.ragIndex _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),

@@ -667,6 +667,29 @@ object Oracles {
        |fp AS (SELECT doc_id, $fp AS simhash FROM bits)""".stripMargin
   }
 
+  /** rag_index: the text_chunks grid (32 tokens, stride 24) simhashed
+    * per chunk (the simhashFp recurrence keyed by chunk_key =
+    * doc_id·4096 + chunk_idx), bucketed by the top 16 of 48 bits.
+    */
+  private def ragIndexOracleSql: String = {
+    val bits = 48
+    val sums = (0 until bits).map(j => s"sum(CASE WHEN ((th >> $j) & 1) = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val fp = (0 until bits).map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)::BIGINT").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |c AS (SELECT doc_id, toks, CASE WHEN len(toks) <= 32 THEN 0 ELSE (len(toks) - 32 + 23) // 24 END AS last_idx FROM t),
+       |ch AS MATERIALIZED (
+       |  SELECT doc_id * 4096 + chunk_idx AS chunk_key,
+       |    array_to_string(toks[(chunk_idx * 24 + 1) : (chunk_idx * 24 + 32)], ' ') AS chunk_text
+       |  FROM (SELECT doc_id, toks, unnest(range(0, last_idx + 1)) AS chunk_idx FROM c)),
+       |tok AS (SELECT chunk_key, unnest(list_distinct(string_split_regex(lower(trim(chunk_text)), '\\s+'))) AS tok FROM ch),
+       |th AS (SELECT chunk_key, ('0x' || substr(md5(tok), 1, ${bits / 4}))::BIGINT AS th FROM tok),
+       |bits AS (SELECT chunk_key, $sums FROM th GROUP BY chunk_key),
+       |fp AS (SELECT chunk_key, $fp AS simhash FROM bits)
+       |SELECT (simhash >> 32)::BIGINT AS bucket, count(*)::INTEGER AS n_chunks,
+       |  count(DISTINCT chunk_key // 4096)::INTEGER AS n_docs
+       |FROM fp GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   private lazy val snakeCaseOracle: String =
     s"""SELECT p_partkey, ${snake("p_name")} AS sn_name, ${snake("p_type")} AS sn_type, ${snake("p_brand")} AS sn_brand
        |FROM part ORDER BY p_partkey""".stripMargin
@@ -1761,6 +1784,8 @@ object Oracles {
         |SELECT query_id, doc_id, (score_fp::DOUBLE / 1099511627776.0)::FLOAT AS score, rank::INTEGER AS rank FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id) AS rank FROM sc)
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+
+    "rag_index" -> ragIndexOracleSql,
 
     // curriculum interleave: closed-form pos = within_rank * n_strata +
     // stratum_index (all integers, no global sort on either engine)
