@@ -118,6 +118,7 @@ object SparkEntry {
     "retrieval_negatives" -> (L.retrievalNegatives _),
     "curriculum_order" -> (L.curriculumOrder _),
     "rag_index" -> (L.ragIndex _),
+    "preference_pairs" -> (L.preferencePairs _),
     "emb_project" -> (L.embProject _),
     // LLM-pipeline: multimodal columns
     "mm_image_meta" -> (L.mmImageMeta _),

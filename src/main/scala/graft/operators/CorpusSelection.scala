@@ -447,6 +447,43 @@ object CorpusSelection {
       .drop("_sidx")
   }
 
+  /** Synthetic preference-pair assembly — the reward-model /
+    * DPO-training data layout built from a scalar quality signal when
+    * no human labels exist (the "weak supervision" recipe): within each
+    * stratum, rank documents by `score` desc and pair rank i (chosen)
+    * with rank n+1−i (rejected) — top-vs-bottom, each document in at
+    * most one pair, the widest-margin pairing that needs no O(n²)
+    * enumeration. Pairs below `minMargin` are dropped (near-equal
+    * quality teaches nothing). Returns (`strataCol`, chosen_id,
+    * rejected_id, chosen_score, rejected_score, margin).
+    *
+    * Plan: one exchange on the stratum key for the rank window, then a
+    * self-join on the computed (stratum, rank) key — co-partitioned by
+    * construction, no skew beyond the stratum's own size. Scores must
+    * be exact (the [[quantileBlend]] contract) so ranks are
+    * engine-independent.
+    */
+  def preferencePairs(docs: DataFrame, strataCol: String, score: Column,
+                      idCol: String, minMargin: Double = 0.0): DataFrame = {
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("_score").desc, col(idCol))
+    val ranked = docs
+      .select(col(strataCol), col(idCol), score.as("_score"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col(strataCol))).cast("long"))
+    val top = ranked.select(col(strataCol), col("_rn"), col("_n"),
+      col(idCol).as("chosen_id"), col("_score").as("chosen_score"))
+    val bottom = ranked.select(col(strataCol),
+      (col("_n") - col("_rn") + 1L).as("_rn"),
+      col(idCol).as("rejected_id"), col("_score").as("rejected_score"))
+    top
+      .join(bottom, Seq(strataCol, "_rn"))
+      .where(col("_rn") * 2 < col("_n") + 1) // strict top half; middle element unpaired
+      .select(col(strataCol), col("chosen_id"), col("rejected_id"),
+        col("chosen_score"), col("rejected_score"),
+        (col("chosen_score") - col("rejected_score")).as("margin"))
+      .where(col("margin") >= minMargin)
+  }
+
   /** DSIR importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): score every raw
     * document by how much its hashed-n-gram profile looks like a small

@@ -1787,6 +1787,25 @@ object Oracles {
 
     "rag_index" -> ragIndexOracleSql,
 
+    // top-vs-bottom preference pairing on the exact diversity ratio;
+    // rank i pairs with n+1-i, strict top half, margin floor 0.05
+    "preference_pairs" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE AS score
+        |  FROM (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |r AS (
+        |  SELECT doc_id, lang, score,
+        |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id)::BIGINT AS rn,
+        |    count(*) OVER (PARTITION BY lang)::BIGINT AS n
+        |  FROM b)
+        |SELECT t.lang AS lang, t.doc_id AS chosen_id, u.doc_id AS rejected_id,
+        |  t.score AS chosen_score, u.score AS rejected_score,
+        |  t.score - u.score AS margin
+        |FROM r t JOIN r u ON t.lang = u.lang AND u.rn = t.n - t.rn + 1
+        |WHERE t.rn * 2 < t.n + 1 AND t.score - u.score >= 0.05
+        |ORDER BY 1, 2""".stripMargin,
+
     // curriculum interleave: closed-form pos = within_rank * n_strata +
     // stratum_index (all integers, no global sort on either engine)
     "curriculum_order" ->

@@ -276,6 +276,22 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(out.values.toSeq.distinct.size == out.size) // no collisions
   }
 
+  test("preferencePairs: top-vs-bottom, each doc at most once, middle unpaired, margin floor") {
+    val in = Seq(
+      // lang x, scores 0.9 .. 0.1 (5 docs -> pairs (1,5),(2,4); 3 unpaired)
+      (1L, "x", 0.9), (2L, "x", 0.7), (3L, "x", 0.5), (4L, "x", 0.3), (5L, "x", 0.1),
+      // lang y: two near-equal docs -> margin 0.01 < floor, dropped
+      (6L, "y", 0.51), (7L, "y", 0.50)
+    ).toDF("doc_id", "lang", "score")
+    val got = CorpusSelection.preferencePairs(in, "lang", col("score"), "doc_id", minMargin = 0.05)
+      .select("chosen_id", "rejected_id", "margin")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 5L), (2L, 4L)))
+    assert(got.map(_._3).toSeq == Seq(0.9 - 0.1, 0.7 - 0.3))
+    val used = got.flatMap(p => Seq(p._1, p._2))
+    assert(used.distinct.length == used.length) // no doc reused
+  }
+
   // ---- DSIR importance resampling ----
 
   // Two disjoint vocabularies: the target speaks "wiki" words, most of

@@ -52,6 +52,22 @@ class GraphSpec extends SparkSuite {
     assert(ranks == refPageRank(edges, 5))
   }
 
+  test("mass is conserved up to leakage: base·N <= sum(rank) <= RankScale, on random graphs") {
+    val rnd = new scala.util.Random(31)
+    for (seed <- 1 to 3) {
+      val n = 10 + seed * 13
+      val edges = Seq.fill(n * 8)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val ranks = run(edges)
+      val nodes = ranks.size.toLong
+      val base = (Graph.RankScale / nodes * 15L) / 100L
+      val total = ranks.values.sum
+      // every node holds at least the teleport floor; truncating
+      // divisions and dangling nodes only ever LOSE mass
+      assert(ranks.values.forall(_ >= base))
+      assert(total <= Graph.RankScale && total >= base * nodes)
+    }
+  }
+
   test("rank_fp is partitioning-independent (all-integer arithmetic)") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
