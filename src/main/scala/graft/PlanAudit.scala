@@ -85,7 +85,16 @@ object PlanAudit {
       // anomaly monitor is one (type,bucket) count + a bucket-row
       // window
       "sketch_distinct", "quantile_sketch", "skew_join",
-      "snapshot_diff", "event_anomaly")
+      "snapshot_diff", "event_anomaly",
+      // round 11e: DSIR must broadcast only the 4096-row ratio grid and
+      // top-k as TakeOrderedAndProject; winnowing is one doc-key window
+      // + a fingerprint-bucket pair join (no cross join); the rerank's
+      // second stage must semi-join the corpus down to candidates before
+      // tokenizing; the curriculum position is a stratum window + a
+      // broadcast stratum dim (NO global sort anywhere in the plan);
+      // preference pairs self-join on the computed (stratum, rank) key
+      "select_dsir", "dedup_winnow", "retrieval_rerank",
+      "curriculum_order", "preference_pairs", "quality_blend")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
