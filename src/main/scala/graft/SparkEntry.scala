@@ -176,6 +176,7 @@ object SparkEntry {
     "select_token_budget_approx" -> (L.selectTokenBudgetApprox _),
     "select_mixture" -> (L.selectMixture _),
     "select_dsir" -> (L.selectDsir _),
+    "select_dsir_sample" -> (L.selectDsirSample _),
     "mixture_weights" -> (L.mixtureWeights _),
     "sample_temperature" -> (L.sampleTemperature _),
     "ann_recall" -> (L.annRecall _),

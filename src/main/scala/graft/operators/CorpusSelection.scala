@@ -551,6 +551,30 @@ object CorpusSelection {
           .cast("float").as("weight"))
   }
 
+  /** DSIR Gumbel-top-k resampling — the paper's ACTUAL sampling rule
+    * (sample ∝ importance weight, without replacement) where
+    * [[selectByDsir]] is the deterministic hard-threshold variant: each
+    * document draws Gumbel noise `g = −ln(−ln(u))` from an md5 coin of
+    * its id (so the "randomness" is a pure function of the id —
+    * reproducible across runs, engines, and partitionings) and the
+    * top-k by `weight + g` is the exact Gumbel-max sample. The noise is
+    * floored to the 2⁻⁴⁰ grid before the add, so the sort key is a sum
+    * of two exact doubles — no ulp-order hazards. Same plan as
+    * [[selectByDsir]]: scoring + TakeOrderedAndProject.
+    */
+  def sampleByDsir(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+                   k: Int, buckets: Int = 4096): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val u = (QualityClassifier.md24(concat(lit("g:"), col(idCol).cast("string"))) + lit(1L))
+      .cast("double") / lit(16777217.0) // (0,1) exclusive
+    val noisy = dsirScores(raw, target, textCol, idCol, buckets)
+      .withColumn("gumbel", floor(-log(-log(u)) * scale) / lit(scale))
+      .withColumn("sample_key", col("weight").cast("double") + col("gumbel"))
+    val top = noisy.orderBy(col("sample_key").desc, col(idCol)).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("sample_key").desc, col(idCol))).cast("int"))
+  }
+
   /** Top-`k` DSIR selection: the highest-importance-weight documents
     * from the raw pool (the deterministic hard-threshold variant of the
     * paper's Gumbel resampling — same ranking statistic, reproducible

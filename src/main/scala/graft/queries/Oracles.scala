@@ -163,6 +163,38 @@ object Oracles {
        |ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** DSIR scoring (CorpusSelection.dsirScores, target = src0) as CTEs
+    * ending in `w(doc_id, n_feats, weight)`.
+    */
+  private def dsirCtes: String =
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |feats AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+       |fb AS MATERIALIZED (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+       |tgt AS MATERIALIZED (
+       |  SELECT bucket, count(*)::BIGINT AS tc FROM fb
+       |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY bucket),
+       |rawc AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS rc FROM fb GROUP BY bucket),
+       |tot AS MATERIALIZED (SELECT
+       |  (SELECT sum(tc) FROM tgt)::DOUBLE AS tt,
+       |  (SELECT sum(rc) FROM rawc)::DOUBLE AS rt),
+       |grid AS MATERIALIZED (
+       |  SELECT g.i::INTEGER AS bucket,
+       |    floor((ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 4096.0))
+       |         - ln((coalesce(rc, 0) + 1)::DOUBLE / (rt + 4096.0))) * 1099511627776.0)::BIGINT AS fp
+       |  FROM (SELECT unnest(range(0, 4096)) AS i) g
+       |  LEFT JOIN tgt ON tgt.bucket = g.i LEFT JOIN rawc ON rawc.bucket = g.i, tot),
+       |sc AS (
+       |  SELECT doc_id, count(*)::INTEGER AS n_feats, sum(fp)::BIGINT AS sfp
+       |  FROM fb JOIN grid USING (bucket) GROUP BY doc_id),
+       |w AS MATERIALIZED (
+       |  SELECT doc_id, n_feats,
+       |    (sfp::DOUBLE / 1099511627776.0 / n_feats::DOUBLE)::FLOAT AS weight
+       |  FROM sc)""".stripMargin
+
   /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
     * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
     * engine ships xxhash64 (the boilerplate-oracle contract: only
@@ -2452,36 +2484,25 @@ object Oracles {
     // model table (so per-doc sums are integer-associative), top-100 by
     // the float32 mean ratio with doc_id tiebreak
     "select_dsir" ->
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
-         |feats AS (
-         |  SELECT doc_id, unnest(toks) AS f FROM t
-         |  UNION ALL
-         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
-         |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
-         |fb AS MATERIALIZED (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
-         |tgt AS MATERIALIZED (
-         |  SELECT bucket, count(*)::BIGINT AS tc FROM fb
-         |  JOIN documents USING (doc_id) WHERE source = 'src0' GROUP BY bucket),
-         |rawc AS MATERIALIZED (SELECT bucket, count(*)::BIGINT AS rc FROM fb GROUP BY bucket),
-         |tot AS MATERIALIZED (SELECT
-         |  (SELECT sum(tc) FROM tgt)::DOUBLE AS tt,
-         |  (SELECT sum(rc) FROM rawc)::DOUBLE AS rt),
-         |grid AS MATERIALIZED (
-         |  SELECT g.i::INTEGER AS bucket,
-         |    floor((ln((coalesce(tc, 0) + 1)::DOUBLE / (tt + 4096.0))
-         |         - ln((coalesce(rc, 0) + 1)::DOUBLE / (rt + 4096.0))) * 1099511627776.0)::BIGINT AS fp
-         |  FROM (SELECT unnest(range(0, 4096)) AS i) g
-         |  LEFT JOIN tgt ON tgt.bucket = g.i LEFT JOIN rawc ON rawc.bucket = g.i, tot),
-         |sc AS (
-         |  SELECT doc_id, count(*)::INTEGER AS n_feats, sum(fp)::BIGINT AS sfp
-         |  FROM fb JOIN grid USING (bucket) GROUP BY doc_id),
-         |w AS (
-         |  SELECT doc_id, n_feats,
-         |    (sfp::DOUBLE / 1099511627776.0 / n_feats::DOUBLE)::FLOAT AS weight
-         |  FROM sc)
+      s"""WITH $dsirCtes
          |SELECT doc_id, n_feats, weight,
          |  row_number() OVER (ORDER BY weight DESC, doc_id)::INTEGER AS rank
          |FROM w QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
+
+    // Gumbel-top-k resampling: id-derived md5 coin -> -ln(-ln(u)) noise
+    // floored to the 2^-40 grid; sort key = exact double sum
+    "select_dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |g AS (
+         |  SELECT doc_id, n_feats, weight,
+         |    floor(-ln(-ln((${md24("'g:' || doc_id::VARCHAR")} + 1)::DOUBLE / 16777217.0))
+         |      * 1099511627776.0) / 1099511627776.0 AS gumbel
+         |  FROM w),
+         |s AS (SELECT doc_id, n_feats, weight, gumbel,
+         |        weight::DOUBLE + gumbel AS sample_key FROM g)
+         |SELECT doc_id, n_feats, weight, gumbel, sample_key,
+         |  row_number() OVER (ORDER BY sample_key DESC, doc_id)::INTEGER AS rank
+         |FROM s QUALIFY rank <= 100 ORDER BY rank""".stripMargin,
 
     // quality gate -> exact-dedup canonical -> per-language token budget:
     // each stage mirrors its standalone oracle's expressions exactly

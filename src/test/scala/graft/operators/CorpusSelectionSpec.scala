@@ -337,6 +337,21 @@ class CorpusSelectionSpec extends SparkSuite {
       a._3 > b._3 || (a._3 == b._3 && a._2 < b._2) })
   }
 
+  test("sampleByDsir: id-derived Gumbel noise makes the sample a pure function of the data") {
+    val (raw, target) = dsirCorpus
+    def run(df: org.apache.spark.sql.DataFrame) =
+      CorpusSelection.sampleByDsir(df, target, "text", "doc_id", k = 3)
+        .select("doc_id", "rank").as[(Long, Int)].collect().toSeq.sorted
+    val a = run(raw)
+    assert(a == run(raw.repartition(5))) // reproducible under partitioning
+    assert(a.map(_._2).sorted == Seq(1, 2, 3))
+    // the noise actually perturbs the hard ranking OR preserves it —
+    // either way the noisy key must differ from the raw weight
+    val g = CorpusSelection.sampleByDsir(raw, target, "text", "doc_id", k = 6)
+      .select("weight", "gumbel").collect()
+    assert(g.forall(r => r.getDouble(1) != 0.0))
+  }
+
   test("dsir weights are partitioning-independent (integer fixed-point grid)") {
     val (raw, target) = dsirCorpus
     def run(df: org.apache.spark.sql.DataFrame) =
