@@ -43,6 +43,7 @@ object SparkEntry {
     "scd2_compact" -> (C.scd2Compact _),
     "funnel_steps" -> (C.funnelSteps _),
     "graph_pagerank" -> (C.graphPagerank _),
+    "graph_ppr_expand" -> (C.graphPprExpand _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),

@@ -86,4 +86,60 @@ object Graph {
     ranks.select(col("node"), col("r").as("rank_fp"),
       (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
   }
+
+  /** Personalized PageRank: the teleport mass returns to the SEED set
+    * instead of spreading uniformly — the seed-expansion tool (grow a
+    * curated list of high-quality domains into the neighborhood the
+    * random surfer actually reaches from them; the crawl-frontier
+    * prioritizer's second stage). Same integer grid, same loop
+    * discipline as [[pageRank]]; the only structural change is the
+    * teleport term `base·[node ∈ seeds]`, carried as a boolean on the
+    * node table (one broadcast-joined flag, fixed for the whole run).
+    * Nodes the surfer cannot reach stay at rank 0 and are dropped from
+    * the output. Returns (node, is_seed, rank_fp, rank).
+    */
+  def personalizedPageRank(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String = "node",
+                           iters: Int = 5, dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val slim = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .materialized
+    val seedSet = seeds.select(col(seedCol).cast("long").as("node")).distinct()
+    val nodes = slim.select(col("src").as("node"))
+      .union(slim.select(col("dst").as("node")))
+      .union(seedSet)
+      .distinct()
+      .join(seedSet.withColumn("_s", lit(true)), Seq("node"), "left")
+      .select(col("node"), coalesce(col("_s"), lit(false)).as("is_seed"))
+      .materialized // flag fixed for the run; consumed every iteration
+    val s = nodes.where(col("is_seed")).count()
+    require(s > 0, "personalizedPageRank needs a non-empty seed set")
+    val initFp = RankScale / s
+    val baseFp = (initFp * (100L - dampingPct)) / 100L
+    val degreed = slim
+      .join(slim.groupBy(col("src")).agg(count(lit(1)).as("outdeg")), Seq("src"))
+      .repartition(col("src"))
+      .materialized
+    var ranks = nodes.select(col("node"),
+      when(col("is_seed"), lit(initFp)).otherwise(lit(0L)).as("r"))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      val inc = degreed
+        .join(ranks.hint("shuffle_hash"), degreed("src") === ranks("node"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy(col("dst"))
+        .agg(sum(col("c")).as("s"))
+      val next = nodes
+        .join(inc.hint("shuffle_hash"), nodes("node") === inc("dst"), "left")
+        .select(nodes("node"),
+          (when(col("is_seed"), lit(baseFp)).otherwise(lit(0L))
+            + expr(s"($dampingPct * coalesce(s, 0L)) div 100")).as("r"))
+      ranks = Materialize.cutLoop(next, prev)
+      prev = Some(ranks)
+    }
+    nodes.join(ranks, Seq("node"))
+      .where(col("r") > 0)
+      .select(col("node"), col("is_seed"), col("r").as("rank_fp"),
+        (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
+  }
 }

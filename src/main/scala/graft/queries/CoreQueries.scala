@@ -477,6 +477,27 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** Seed-expansion via personalized PageRank
+    * ([[graft.operators.Graph.personalizedPageRank]]): items 0–9 are
+    * the curated seed list; five damped iterations with seed-only
+    * teleport rank the neighborhood the surfer actually reaches from
+    * them — the crawl-frontier growth step. Top 50 reached items.
+    */
+  def graphPprExpand(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val edges = ev
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val seeds = ev.where(col("k").isNotNull && col("k") < 10)
+      .select(col("k").as("node")).distinct()
+    graft.operators.Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5)
+      .orderBy(col("rank_fp").desc, col("node"))
+      .limit(50)
+  }
+
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
     * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.

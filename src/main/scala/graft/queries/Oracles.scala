@@ -195,6 +195,47 @@ object Oracles {
        |    (sfp::DOUBLE / 1099511627776.0 / n_feats::DOUBLE)::FLOAT AS weight
        |  FROM sc)""".stripMargin
 
+  /** Personalized PageRank (Graph.personalizedPageRank, seeds = items
+    * 0–9) unrolled: seed-only teleport `base·[is_seed]`, otherwise the
+    * pageRankOracleSql recurrence; unreachable nodes stay 0 and drop.
+    */
+  private def pprOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prev = s"r${i - 1}"
+      s"""inc$i AS (SELECT dst AS node, sum(r // outdeg)::BIGINT AS s
+         |  FROM ew JOIN $prev ON $prev.node = ew.src GROUP BY dst),
+         |r$i AS MATERIALIZED (
+         |  SELECT nodes.node,
+         |    ((CASE WHEN nodes.is_seed THEN nn.base ELSE 0 END)
+         |      + (85 * coalesce(inc$i.s, 0)) // 100)::BIGINT AS r
+         |  FROM nodes CROSS JOIN nn LEFT JOIN inc$i ON inc$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |seeds AS MATERIALIZED (SELECT DISTINCT k AS node FROM ev WHERE k IS NOT NULL AND k < 10),
+       |nodes AS MATERIALIZED (
+       |  SELECT n.node, s.node IS NOT NULL AS is_seed FROM (
+       |    SELECT DISTINCT node FROM (
+       |      SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+       |      UNION ALL SELECT node FROM seeds)) n
+       |  LEFT JOIN seeds s ON s.node = n.node),
+       |nn AS MATERIALIZED (SELECT count(*)::BIGINT AS ns,
+       |  (1099511627776 // count(*))::BIGINT AS init,
+       |  (((1099511627776 // count(*)) * 15) // 100)::BIGINT AS base FROM seeds),
+       |ew AS MATERIALIZED (SELECT src, dst, outdeg FROM edges
+       |  JOIN (SELECT src, count(*)::BIGINT AS outdeg FROM edges GROUP BY src) USING (src)),
+       |r0 AS MATERIALIZED (
+       |  SELECT node, (CASE WHEN is_seed THEN nn.init ELSE 0 END)::BIGINT AS r
+       |  FROM nodes, nn),
+       |$iterCtes
+       |SELECT n.node, n.is_seed, r AS rank_fp, (r::DOUBLE / 1099511627776.0) AS rank
+       |FROM r$iters f JOIN nodes n ON n.node = f.node
+       |WHERE r > 0 ORDER BY rank_fp DESC, n.node LIMIT 50""".stripMargin
+  }
+
   /** The k-token sliding-window span relation of Dedup.spanRows as CTEs
     * `t(doc_id, toks)` / `s(doc_id, pos, span)` — string spans where the
     * engine ships xxhash64 (the boilerplate-oracle contract: only
@@ -949,6 +990,7 @@ object Oracles {
     // gap sessionization: lag marks starts, running sum numbers them;
     // value sums go through DECIMAL so reduction order cannot matter
     "graph_pagerank" -> pageRankOracleSql(5),
+    "graph_ppr_expand" -> pprOracleSql(5),
 
     "sessionize" ->
       s"""WITH g AS (

@@ -68,6 +68,34 @@ class GraphSpec extends SparkSuite {
     }
   }
 
+  private def refPpr(edges: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val nodes = ((edges.map(_._1) ++ edges.map(_._2)) ++ seeds).distinct
+    val init = Graph.RankScale / seeds.size
+    val base = (init * 15L) / 100L
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r = nodes.map(v => v -> (if (seeds(v)) init else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val inc = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) inc(d) += r(s) / outdeg(s)
+      r = nodes.map(v => v -> ((if (seeds(v)) base else 0L) + (85L * inc(v)) / 100L)).toMap
+    }
+    r.filter(_._2 > 0)
+  }
+
+  test("personalizedPageRank matches the reference; unreached nodes drop; seeds dominate nearby") {
+    val rnd = new scala.util.Random(17)
+    val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)) ++
+      Seq((100L, 101L), (101L, 100L)) // an island unreachable from the seeds
+    val seeds = Set(0L, 1L, 2L)
+    val got = Graph.personalizedPageRank(
+      edges.toDF("src", "dst"), "src", "dst",
+      seeds.toSeq.toDF("node"), iters = 5)
+      .select("node", "rank_fp").as[(Long, Long)].collect().toMap
+    assert(got == refPpr(edges, seeds, 5))
+    assert(!got.contains(100L) && !got.contains(101L)) // island never reached
+    assert(seeds.forall(s => got.getOrElse(s, 0L) > 0L))
+  }
+
   test("rank_fp is partitioning-independent (all-integer arithmetic)") {
     val rnd = new scala.util.Random(11)
     val edges = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
