@@ -140,6 +140,7 @@ object SparkEntry {
     "corpus_stats" -> (L.corpusStats _),
     "corpus_drift" -> (L.corpusDrift _),
     "text_top_terms" -> (L.textTopTerms _),
+    "sketch_overlap" -> (L.sketchOverlap _),
     "sketch_distinct" -> (L.sketchDistinct _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
     "minhash_banding" -> (L.minhashBanding _),

@@ -238,6 +238,87 @@ object Dedup {
         col("n_docs_a"), col("n_docs_b"), col("overlap_frac"))
   }
 
+  /** KMV-sketch cross-source overlap ESTIMATION — the bounded-memory
+    * path [[sourceOverlapMatrix]]'s exact join cannot take at 100 TB
+    * (the exact matrix moves every distinct (fingerprint, source) pair;
+    * at petabyte scale each source's content set is billions of rows). A
+    * theta-sketch-style estimate needs only `k` coins per source: the
+    * union sketch of a pair is the k smallest of the two sketches'
+    * coins (valid because each sketch holds its source's k smallest),
+    * and |A∩B| follows by inclusion–exclusion, floored at 0. All
+    * cardinalities live in the 24-bit coin space (md24 of the content
+    * fingerprint; collisions are negligible below ~2²⁰ distinct docs
+    * and the exact column uses the same space, so the harness compares
+    * like with like). `exact_*` columns make every row its own
+    * accuracy measurement — the estimator error is 1/√(k−1)-scale.
+    *
+    * Returns one row per source pair (source_a < source_b):
+    * (source_a, source_b, exact_a, exact_b, exact_inter,
+    * est_a, est_b, est_union, est_inter).
+    *
+    * Plan: one distinct over slim (source, coin) pairs, one window per
+    * source (k rows kept each), then everything downstream is
+    * sketch-sized (sources × k rows). The exact columns exist for the
+    * harness; a production run at scale drops them and with them the
+    * only corpus-sized join.
+    */
+  def sourceOverlapSketch(docs: DataFrame, textCol: String, sourceCol: String,
+                          k: Int = 16): DataFrame = {
+    require(k >= 2, s"k >= 2 required (the estimator divides by k-1), got $k")
+    import org.apache.spark.sql.expressions.Window
+    val coins = docs
+      .select(col(sourceCol).as("source"),
+        conv(substring(exactFingerprint(col(textCol)), 1, 6), 16, 10).cast("long").as("coin"))
+      .distinct()
+      .materialized // feeds the per-source window AND the exact-intersection join
+    def estCol(n: Column, kth: Column): Column =
+      when(n < k, n.cast("double"))
+        .otherwise(lit((k - 1).toDouble) / ((kth + 1L).cast("double") / lit(16777216.0)))
+    val ranked = coins
+      .withColumn("rk", row_number().over(Window.partitionBy(col("source")).orderBy(col("coin"))))
+      .withColumn("n_exact", count(lit(1)).over(Window.partitionBy(col("source"))))
+    val perSource = ranked
+      .groupBy(col("source"))
+      .agg(max(col("n_exact")).as("n_exact"), max(when(col("rk") === k, col("coin"))).as("_kth"))
+      .select(col("source"), col("n_exact"), estCol(col("n_exact"), col("_kth")).as("est"))
+      .materializedEager // sources rows; consumed by the pair list twice
+    val sketch = ranked.where(col("rk") <= k).select(col("source"), col("coin"))
+      .materializedEager // sources x k rows; consumed by both union sides
+    val pairList = perSource
+      .select(col("source").as("source_a"), col("n_exact").as("exact_a"), col("est").as("est_a"))
+      .crossJoin(perSource
+        .select(col("source").as("source_b"), col("n_exact").as("exact_b"), col("est").as("est_b")))
+      .where(col("source_a") < col("source_b"))
+    val slimPairs = pairList.select(col("source_a"), col("source_b"))
+    val unionCoins = slimPairs
+      .join(sketch.withColumnRenamed("source", "source_a"), Seq("source_a"))
+      .select(col("source_a"), col("source_b"), col("coin"))
+      .union(slimPairs
+        .join(sketch.withColumnRenamed("source", "source_b"), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("coin")))
+      .distinct()
+    val wP = Window.partitionBy(col("source_a"), col("source_b")).orderBy(col("coin"))
+    val unionEst = unionCoins
+      .withColumn("rk", row_number().over(wP))
+      .withColumn("nu", count(lit(1)).over(Window.partitionBy(col("source_a"), col("source_b"))))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(max(col("nu")).as("_nu"), max(when(col("rk") === k, col("coin"))).as("_kthu"))
+      .select(col("source_a"), col("source_b"), estCol(col("_nu"), col("_kthu")).as("est_union"))
+    val exactInter = coins.select(col("coin"), col("source").as("source_a"))
+      .join(coins.select(col("coin"), col("source").as("source_b")), Seq("coin"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    pairList
+      .join(unionEst, Seq("source_a", "source_b"))
+      .join(exactInter, Seq("source_a", "source_b"), "left")
+      .select(col("source_a"), col("source_b"),
+        col("exact_a"), col("exact_b"),
+        coalesce(col("exact_inter"), lit(0L)).as("exact_inter"),
+        col("est_a"), col("est_b"), col("est_union"),
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")).as("est_inter"))
+  }
+
   /** k-shingles from an already-materialized token-array column. Docs with
     * fewer than k tokens yield an EMPTY array (not `[null]` — a shared
     * null element would make all short docs mutual 100% "duplicates" once

@@ -2423,6 +2423,54 @@ object Oracles {
     // aggregate exactly (min-k of a set is order-independent), and the
     // (k-1)/h_k estimate is bit-identical because the 2^24 coin-space
     // division is exact in binary floating point
+    // KMV pairwise set operations over the planted-mirror corpus:
+    // per-source 16-min sketch, pair union = 16 smallest of the merged
+    // sketches, intersection by inclusion-exclusion floored at 0; the
+    // estimator expressions mirror sketch_distinct's replay exactly
+    "sketch_overlap" ->
+      s"""WITH all_docs AS (
+         |  SELECT doc_id, source, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 700000, 'mirror' || (doc_id % 3)::VARCHAR, text
+         |  FROM documents WHERE doc_id < 200),
+         |coins AS MATERIALIZED (
+         |  SELECT DISTINCT source, ${md24("lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))")} AS coin
+         |  FROM all_docs),
+         |r AS (SELECT source, coin,
+         |    row_number() OVER (PARTITION BY source ORDER BY coin) AS rk,
+         |    count(*) OVER (PARTITION BY source) AS n FROM coins),
+         |ps AS MATERIALIZED (
+         |  SELECT source, max(n)::BIGINT AS n_exact,
+         |    CASE WHEN max(n) < 16 THEN max(n)::DOUBLE
+         |         ELSE 15.0 / ((max(CASE WHEN rk = 16 THEN coin END) + 1)::DOUBLE / 16777216.0) END AS est
+         |  FROM r GROUP BY source),
+         |sk AS MATERIALIZED (SELECT source, coin FROM r WHERE rk <= 16),
+         |pl AS MATERIALIZED (
+         |  SELECT a.source AS source_a, a.n_exact AS exact_a, a.est AS est_a,
+         |         b.source AS source_b, b.n_exact AS exact_b, b.est AS est_b
+         |  FROM ps a, ps b WHERE a.source < b.source),
+         |uc AS (
+         |  SELECT DISTINCT source_a, source_b, coin FROM (
+         |    SELECT pl.source_a, pl.source_b, sk.coin FROM pl JOIN sk ON sk.source = pl.source_a
+         |    UNION ALL
+         |    SELECT pl.source_a, pl.source_b, sk.coin FROM pl JOIN sk ON sk.source = pl.source_b)),
+         |ur AS (SELECT source_a, source_b, coin,
+         |    row_number() OVER (PARTITION BY source_a, source_b ORDER BY coin) AS rk,
+         |    count(*) OVER (PARTITION BY source_a, source_b) AS nu FROM uc),
+         |ue AS (SELECT source_a, source_b,
+         |    CASE WHEN max(nu) < 16 THEN max(nu)::DOUBLE
+         |         ELSE 15.0 / ((max(CASE WHEN rk = 16 THEN coin END) + 1)::DOUBLE / 16777216.0) END AS est_union
+         |  FROM ur GROUP BY 1, 2),
+         |xi AS (SELECT a.source AS source_a, b.source AS source_b, count(*)::BIGINT AS exact_inter
+         |  FROM coins a JOIN coins b ON a.coin = b.coin AND a.source < b.source GROUP BY 1, 2)
+         |SELECT pl.source_a AS source_a, pl.source_b AS source_b, exact_a, exact_b,
+         |  coalesce(xi.exact_inter, 0)::BIGINT AS exact_inter,
+         |  est_a, est_b, ue.est_union AS est_union,
+         |  greatest(0.0, est_a + est_b - ue.est_union) AS est_inter
+         |FROM pl JOIN ue USING (source_a, source_b)
+         |LEFT JOIN xi ON xi.source_a = pl.source_a AND xi.source_b = pl.source_b
+         |ORDER BY 1, 2""".stripMargin,
+
     "sketch_distinct" ->
       s"""WITH g AS (${shingleSelect(3, ", lang")}),
          |c AS (SELECT DISTINCT lang,

@@ -708,4 +708,23 @@ class DedupSpec extends SparkSuite {
       .select("status").as[String].head()
     assert(ws == "unchanged")
   }
+
+  test("sourceOverlapSketch: sub-k sketches are exact; k=64 estimates land near a planted 50% overlap") {
+    import org.apache.spark.sql.functions.col
+    // tiny sources (< k): everything exact, est_inter == exact_inter
+    val tiny = (1 to 10).map(i => (s"t$i", "A")) ++ (6 to 15).map(i => (s"t$i", "B"))
+    val tdf = tiny.toDF("text", "source")
+    val trow = Dedup.sourceOverlapSketch(tdf, "text", "source", k = 16).collect().head
+    assert(trow.getAs[Long]("exact_inter") == 5L)
+    assert(trow.getAs[Double]("est_inter") == 5.0)
+    assert(trow.getAs[Double]("est_union") == 15.0)
+    // 400-element sources with 200 shared: k=64 estimator within 40%
+    val big = (1 to 400).map(i => (s"doc $i", "A")) ++ (201 to 600).map(i => (s"doc $i", "B"))
+    val row = Dedup.sourceOverlapSketch(big.toDF("text", "source"), "text", "source", k = 64)
+      .collect().head
+    val estInter = row.getAs[Double]("est_inter")
+    assert(row.getAs[Long]("exact_inter") == 200L)
+    assert(estInter > 120.0 && estInter < 280.0, s"est_inter $estInter vs 200")
+    assert(math.abs(row.getAs[Double]("est_a") - 400.0) / 400.0 < 0.4)
+  }
 }
