@@ -160,6 +160,30 @@ object ScaleSmoke {
       "rerank" -> (() => {
         val q = docs.limit(20).select(col("doc_id").as("query_id"), col("text"))
         Retrieval.rerankJaccard(docs, q, kCandidates = 20, k = 10).count()
+      }),
+      // round 11e (late): ppr = the pagerank loop + a seed flag; the
+      // overlap sketch must stay sketch-sized after its one distinct +
+      // window; rag chain = bounded explode + map-local simhash + one
+      // bucket aggregate
+      "ppr" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val kcol = get_json_object(col("props"), "$.k").cast("long")
+        val base = ev.select(col("user_id"), col("ts"), col("event_id"), kcol.as("k"))
+        val edges = base
+          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+        val seeds = base.where(col("k").isNotNull && col("k") < 10)
+          .select(col("k").as("node")).distinct()
+        Graph.personalizedPageRank(edges, "src", "dst", seeds, iters = 5).count()
+      }),
+      "overlap_sketch" -> (() => Dedup.sourceOverlapSketch(docs, "text", "source", k = 16).count()),
+      "rag_chain" -> (() => {
+        val chunks = TextAnalysis.chunkTokens(docs, "text", "doc_id", 32, 8)
+          .select((col("doc_id") * 4096 + col("chunk_idx")).as("chunk_key"), col("chunk_text"))
+        Dedup.simHash(chunks, "chunk_text", "chunk_key")
+          .select(col("chunk_key"), org.apache.spark.sql.functions.shiftright(col("simhash"), 32).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("n")).count()
       }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
