@@ -44,6 +44,7 @@ object SparkEntry {
     "funnel_steps" -> (C.funnelSteps _),
     "graph_pagerank" -> (C.graphPagerank _),
     "graph_ppr_expand" -> (C.graphPprExpand _),
+    "watermark_audit" -> (C.watermarkAudit _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),

@@ -76,4 +76,37 @@ object RateAnomaly {
       .withColumn("is_anomaly", coalesce(col("z") > lit(zThreshold), lit(false)))
       .drop("_n_prev", "_sum_prev", "_sum2_prev")
   }
+
+  /** Watermark-lateness audit: measure from the BATCH history how
+    * out-of-order the stream actually is, so the streaming job's
+    * `withWatermark` delay is chosen from data instead of folklore.
+    * `arrivalCol` (a monotone ingestion id) proxies arrival order; per
+    * key, the running max of event time along arrival order is the
+    * high watermark, and a row's lateness is how far its event time
+    * trails it. For each candidate delay the audit reports how many
+    * rows a watermark of that delay would have dropped — the
+    * loss-vs-state-size trade made explicit. Returns one row per
+    * candidate: (delay_s, n_late, n_total, late_frac).
+    *
+    * Plan: one exchange on the key for the running-max window, then a
+    * bounded explode (|delays| rows per event) into one
+    * map-side-combined aggregate of |delays| rows. Integer lateness
+    * (µs difference, floor-divided to seconds), exact fractions.
+    */
+  def latenessAudit(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                    arrivalCol: String, delaysSeconds: Seq[Long]): DataFrame = {
+    require(delaysSeconds.nonEmpty, "at least one candidate delay required")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(arrivalCol))
+    events
+      .withColumn("_hw", max(col(tsCol)).over(w))
+      .withColumn("lateness_s",
+        expr(s"(unix_micros(_hw) - unix_micros($tsCol)) div 1000000"))
+      .select(explode(array(delaysSeconds.map(lit): _*)).as("delay_s"), col("lateness_s"))
+      .groupBy(col("delay_s"))
+      .agg(
+        sum(when(col("lateness_s") > col("delay_s"), 1L).otherwise(0L)).as("n_late"),
+        count(lit(1)).as("n_total"))
+      .withColumn("late_frac", col("n_late").cast("double") / col("n_total").cast("double"))
+  }
 }

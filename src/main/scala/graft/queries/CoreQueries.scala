@@ -498,6 +498,24 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** Watermark-lateness audit
+    * ([[graft.operators.RateAnomaly.latenessAudit]]): how many events
+    * would a `withWatermark` delay of 0 s / 1 h / 12 h / 24 h / 48 h
+    * have dropped — the data-driven way to pick the allowed-lateness
+    * knob. The sf event log arrives in order, so delivery delay is
+    * PLANTED deterministically (every 10th event arrives 500 ids late,
+    * every 7th 30 ids late — the planted-fixture style of the mirror
+    * sources), exactly mirrored by the oracle.
+    */
+  def watermarkAudit(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.latenessAudit(
+      events(s, d).withColumn("arrival",
+        col("event_id") + when(pmod(col("event_id"), lit(10)) === 0, 500L)
+          .when(pmod(col("event_id"), lit(7)) === 0, 30L).otherwise(0L)),
+      Seq("user_id"), "ts", "arrival",
+      delaysSeconds = Seq(0L, 3600L, 43200L, 86400L, 172800L))
+      .orderBy(col("delay_s"))
+
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
     * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.

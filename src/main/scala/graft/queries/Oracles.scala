@@ -992,6 +992,24 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // planted delivery delay (every 10th event +500 arrival ids, every
+    // 7th +30), per-user running-max high watermark along arrival
+    // order, integer-second lateness, per-candidate drop counts
+    "watermark_audit" ->
+      """WITH e AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |    event_id + CASE WHEN event_id % 10 = 0 THEN 500
+        |                    WHEN event_id % 7 = 0 THEN 30 ELSE 0 END AS arrival
+        |  FROM events),
+        |h AS (SELECT ts, max(ts) OVER (PARTITION BY user_id ORDER BY arrival) AS hw FROM e),
+        |l AS (SELECT (epoch_us(hw) - epoch_us(ts)) // 1000000 AS lateness_s FROM h),
+        |d AS (SELECT unnest([0, 3600, 43200, 86400, 172800]::BIGINT[]) AS delay_s)
+        |SELECT delay_s,
+        |  sum(CASE WHEN lateness_s > delay_s THEN 1 ELSE 0 END)::BIGINT AS n_late,
+        |  count(*)::BIGINT AS n_total,
+        |  sum(CASE WHEN lateness_s > delay_s THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS late_frac
+        |FROM d CROSS JOIN l GROUP BY delay_s ORDER BY delay_s""".stripMargin,
+
     "sessionize" ->
       s"""WITH g AS (
          |  SELECT user_id, event_id, ts, value,

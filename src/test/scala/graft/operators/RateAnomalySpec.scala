@@ -45,4 +45,21 @@ class RateAnomalySpec extends SparkSuite {
     // bucket -> never a full baseline -> nothing.
     assert(out.sorted == Seq(("click", 10L), ("click", 11L)))
   }
+
+  test("latenessAudit: hand-computed lateness per key, per-delay drop counts") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // user 1 arrival order: t=0, t=100, t=10 (90s late), t=200
+    // user 2 arrival order: t=50, t=40 (10s late)
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(100)), (1L, 3L, ts(10)), (1L, 4L, ts(200)),
+      (2L, 5L, ts(50)), (2L, 6L, ts(40))
+    ).toDF("user_id", "arrival", "ts")
+    val out = RateAnomaly.latenessAudit(df, Seq("user_id"), "ts", "arrival",
+      delaysSeconds = Seq(0L, 30L, 120L))
+      .select("delay_s", "n_late", "n_total")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // lateness: 90s (u1 row3), 10s (u2 row6), rest 0
+    assert(out.toSeq == Seq((0L, 2L, 6L), (30L, 1L, 6L), (120L, 0L, 6L)))
+  }
 }
