@@ -136,6 +136,7 @@ object SparkEntry {
     "text_winnow" -> (L.textWinnow _),
     "quality_blend" -> (L.qualityBlend _),
     "dedup_winnow" -> (L.dedupWinnow _),
+    "dedup_winnow_clusters" -> (L.dedupWinnowClusters _),
     "text_repetition" -> (L.textRepetition _),
     "text_pii" -> (L.textPii _),
     "corpus_stats" -> (L.corpusStats _),

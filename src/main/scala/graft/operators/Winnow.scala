@@ -90,6 +90,29 @@ object Winnow {
     * same df cap as the n-gram decontamination family). Returns
     * (doc_a, doc_b, n_shared), doc_a < doc_b.
     */
+  /** Cluster resolution over [[pairs]] — the same star-contraction
+    * connected components every near-dup family resolves with
+    * ([[Dedup.connectedComponents]]): docs sharing ≥`minShared`
+    * fingerprints transitively collapse into one cluster; unpaired
+    * docs are their own singleton. Returns (`idCol`, component,
+    * cluster_size, is_canonical) — min-id canonical, the
+    * `dedup_clusters` contract.
+    */
+  def clusters(docs: DataFrame, textCol: String, idCol: String,
+               k: Int = 4, w: Int = 4, minShared: Int = 2, maxDf: Int = 50,
+               maxIter: Int = 20): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      pairs(docs, textCol, idCol, k, w, minShared, maxDf), "doc_a", "doc_b", maxIter)
+    val labeled = docs.select(col(idCol))
+      .join(comp.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+    labeled
+      .join(labeled.groupBy(col("component")).agg(count(lit(1)).as("cluster_size")),
+        Seq("component"))
+      .select(col(idCol), col("component"), col("cluster_size"),
+        (col(idCol) === col("component")).as("is_canonical"))
+  }
+
   def pairs(docs: DataFrame, textCol: String, idCol: String,
             k: Int = 4, w: Int = 4, minShared: Int = 2, maxDf: Int = 50): DataFrame = {
     import graft.operators.Materialize.MatOps

@@ -3345,6 +3345,32 @@ object Oracles {
          |SELECT doc_id, lang, diversity, wdensity, pr_diversity, pr_wdensity, blend, rk
          |FROM q WHERE rk <= 20 ORDER BY lang, rk""".stripMargin,
 
+    // winnow pair graph -> reachability closure (nested WITH RECURSIVE
+    // so the outer MATERIALIZED CTEs stay materialized), min-id
+    // canonical, singleton docs label themselves
+    "dedup_winnow_clusters" ->
+      s"""WITH $winnowCtes,
+         |fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM sel),
+         |ok AS (SELECT fp FROM (SELECT fp, count(*) AS d FROM fps GROUP BY fp)
+         |       WHERE d BETWEEN 2 AND 50),
+         |p AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+         |  FROM fps a JOIN ok USING (fp) JOIN fps b USING (fp)
+         |  WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+         |prs AS (SELECT a, b FROM p WHERE n_shared >= 2),
+         |sym AS MATERIALIZED (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+         |comp AS (
+         |  SELECT id, min(r) AS component FROM (
+         |    WITH RECURSIVE reach(id, r) AS (
+         |      SELECT doc_id, doc_id FROM documents
+         |      UNION
+         |      SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r)
+         |    SELECT id, r FROM reach) GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT comp.id AS doc_id, comp.component, sz.cluster_size,
+         |  comp.id = comp.component AS is_canonical
+         |FROM comp JOIN sz USING (component) ORDER BY doc_id""".stripMargin,
+
     "text_fingerprint" ->
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,

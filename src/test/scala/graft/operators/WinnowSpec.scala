@@ -57,10 +57,29 @@ class WinnowSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
   }
 
+  test("clusters: transitive shared runs collapse, unpaired docs are singletons") {
+    val shared1 = randText(20, 100000)
+    val shared2 = randText(20, 100000)
+    // 1-2 share run1, 2-3 share run2 -> {1,2,3}; 4 alone
+    val docs = Seq(
+      (1L, shared1 + " " + randText(40, 100000)),
+      (2L, shared1 + " " + randText(10, 100000) + " " + shared2),
+      (3L, shared2 + " " + randText(40, 100000)),
+      (4L, randText(80, 100000))).toDF("doc_id", "text")
+    val out = Winnow.clusters(docs, "text", "doc_id", minShared = 1)
+      .select("doc_id", "component", "cluster_size", "is_canonical")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)) && out(3L) == ((1L, 3L, false)))
+    assert(out(4L) == ((4L, 1L, true)))
+  }
+
   test("the df cap drops template fingerprints before pairing") {
-    val template = randText(12, 100000)
-    // every doc carries the template; no other overlap
-    val docs = (1L to 10L).map(i => (i, template + " " + randText(80, 100000)))
+    // deterministic: every doc carries the same 12-token template, and
+    // each tail is namespaced per doc so no cross-doc k-gram exists
+    val template = (1 to 12).map(j => s"t$j").mkString(" ")
+    val docs = (1L to 10L).map(i =>
+      (i, template + " " + (1 to 80).map(j => s"d${i}w$j").mkString(" ")))
       .toDF("doc_id", "text")
     val pairs = Winnow.pairs(docs, "text", "doc_id", minShared = 1, maxDf = 5)
     assert(pairs.count() == 0) // template df=10 > 5 -> guarded out
