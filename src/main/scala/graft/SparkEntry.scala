@@ -143,6 +143,7 @@ object SparkEntry {
     "corpus_drift" -> (L.corpusDrift _),
     "text_top_terms" -> (L.textTopTerms _),
     "sketch_overlap" -> (L.sketchOverlap _),
+    "corpus_card" -> (L.corpusCard _),
     "sketch_distinct" -> (L.sketchDistinct _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
     "minhash_banding" -> (L.minhashBanding _),

@@ -2441,6 +2441,33 @@ object Oracles {
     // aggregate exactly (min-k of a set is order-independent), and the
     // (k-1)/h_k estimate is bit-identical because the 2^24 coin-space
     // division is exact in binary floating point
+    // per-source dataset card: counts exact, diversity mean on the
+    // 2^-40 integer grid, language mode with (count desc, lang) tiebreak
+    "corpus_card" ->
+      """WITH b AS (
+        |  SELECT source, lang,
+        |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |    len(toks)::INTEGER AS n_toks,
+        |    floor((len(list_distinct(toks))::DOUBLE / len(toks)::DOUBLE) * 1099511627776.0)::BIGINT AS div_fp
+        |  FROM (SELECT source, lang, text, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents)),
+        |ps AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs, sum(n_toks)::BIGINT AS n_tokens,
+        |    count(DISTINCT fp)::BIGINT AS n_distinct, sum(div_fp)::BIGINT AS sdiv
+        |  FROM b GROUP BY source),
+        |tl AS (
+        |  SELECT source, lang AS top_lang, n_lang_docs FROM (
+        |    SELECT source, lang, count(*)::BIGINT AS n_lang_docs,
+        |      row_number() OVER (PARTITION BY source ORDER BY count(*) DESC, lang) AS rn
+        |    FROM b GROUP BY source, lang)
+        |  WHERE rn = 1)
+        |SELECT ps.source AS source, n_docs, n_tokens, n_distinct,
+        |  1.0 - n_distinct::DOUBLE / n_docs::DOUBLE AS dup_frac,
+        |  (sdiv::DOUBLE / 1099511627776.0) / n_docs::DOUBLE AS mean_diversity,
+        |  top_lang, n_lang_docs AS top_lang_docs,
+        |  n_lang_docs::DOUBLE / n_docs::DOUBLE AS top_lang_share
+        |FROM ps JOIN tl ON tl.source = ps.source
+        |ORDER BY 1""".stripMargin,
+
     // KMV pairwise set operations over the planted-mirror corpus:
     // per-source 16-min sketch, pair union = 16 smallest of the merged
     // sketches, intersection by inclusion-exclusion floored at 0; the
