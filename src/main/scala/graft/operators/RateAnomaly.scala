@@ -77,6 +77,44 @@ object RateAnomaly {
       .drop("_n_prev", "_sum_prev", "_sum2_prev")
   }
 
+  /** Silent-gap detector — the companion the z-score monitor's Scaladoc
+    * promises: [[detect]] answers "is this bucket's rate abnormal", this
+    * answers "which buckets are MISSING entirely" (a dead sensor emits
+    * nothing, so no observed-bucket statistic can flag it). Per key, the
+    * expected bucket grid spans [first, last] observed bucket; absent
+    * buckets anti-join out and consecutive runs compact to one gap
+    * interval via the islands trick (`bucket − row_number` is constant
+    * within a run). Returns (`keyCol`, gap_start, gap_end, n_missing) —
+    * `gap_end` exclusive.
+    *
+    * Plan: the grid is bounded by time-span/bucket (never by data
+    * volume); the only per-row work is the bucket projection and one
+    * distinct; the islands window runs over MISSING buckets only.
+    */
+  def silentGaps(events: DataFrame, keyCol: String, tsCol: String,
+                 bucketSeconds: Long = 3600L): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.Materialize.MatOps
+    val us = bucketSeconds * 1000000L
+    val obs = events
+      .select(col(keyCol).as("_key"), expr(s"unix_micros($tsCol) div $us").as("b"))
+      .distinct()
+      .materialized // consumed by the span aggregate AND the anti-join
+    val grid = obs.groupBy(col("_key")).agg(min(col("b")).as("_b0"), max(col("b")).as("_b1"))
+      .select(col("_key"), explode(sequence(col("_b0"), col("_b1"))).as("b"))
+    val missing = grid.join(obs, Seq("_key", "b"), "left_anti")
+    missing
+      .withColumn("_grp", col("b") - row_number().over(
+        Window.partitionBy(col("_key")).orderBy(col("b"))))
+      .groupBy(col("_key"), col("_grp"))
+      .agg(min(col("b")).as("_gs"), max(col("b")).as("_ge"), count(lit(1)).cast("int").as("n_missing"))
+      .select(col("_key").as(keyCol),
+        timestamp_seconds(col("_gs") * bucketSeconds).as("gap_start"),
+        timestamp_seconds((col("_ge") + 1L) * bucketSeconds).as("gap_end"),
+        col("n_missing"))
+  }
+
   /** Watermark-lateness audit: measure from the BATCH history how
     * out-of-order the stream actually is, so the streaming job's
     * `withWatermark` delay is chosen from data instead of folklore.

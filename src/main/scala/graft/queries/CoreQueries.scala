@@ -516,6 +516,16 @@ object CoreQueries {
       delaysSeconds = Seq(0L, 3600L, 43200L, 86400L, 172800L))
       .orderBy(col("delay_s"))
 
+  /** Silent-gap detection ([[graft.operators.RateAnomaly.silentGaps]]):
+    * the hour buckets in each event type's span where NOTHING arrived,
+    * compacted to gap intervals — the dead-sensor monitor the rolling
+    * z-score cannot express (no rows, no statistic).
+    */
+  def eventGaps(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly
+      .silentGaps(events(s, d), "event_type", "ts", bucketSeconds = 3600L)
+      .orderBy(col("event_type"), col("gap_start"))
+
   /** §2.9 S4 variant: the sliding-window scan mode — the reference's
     * queues + `Updated >= now() − range` arm (etl.py:93-98) compiled by
     * the REAL [[graft.pipeline.IssuePipeline.scanFilter]] precedence.

@@ -992,6 +992,23 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // hour buckets missing from each type's [first, last] span, runs
+    // compacted by the islands trick (b - row_number constant per run)
+    "event_gaps" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |obs AS (SELECT DISTINCT event_type AS key, epoch_us(ts) // 3600000000 AS b FROM e),
+        |rng AS (SELECT key, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY key),
+        |grid AS (SELECT key, unnest(range(b0, b1 + 1)) AS b FROM rng),
+        |miss AS (SELECT g.key, g.b FROM grid g
+        |         LEFT JOIN obs o ON o.key = g.key AND o.b = g.b WHERE o.b IS NULL),
+        |i AS (SELECT key, b,
+        |        b - row_number() OVER (PARTITION BY key ORDER BY b) AS grp FROM miss)
+        |SELECT key AS event_type,
+        |  make_timestamp(min(b) * 3600000000) AS gap_start,
+        |  make_timestamp((max(b) + 1) * 3600000000) AS gap_end,
+        |  count(*)::INTEGER AS n_missing
+        |FROM i GROUP BY key, grp ORDER BY 1, 2""".stripMargin,
+
     // planted delivery delay (every 10th event +500 arrival ids, every
     // 7th +30), per-user running-max high watermark along arrival
     // order, integer-second lateness, per-candidate drop counts

@@ -62,4 +62,17 @@ class RateAnomalySpec extends SparkSuite {
     // lateness: 90s (u1 row3), 10s (u2 row6), rest 0
     assert(out.toSeq == Seq((0L, 2L, 6L), (30L, 1L, 6L), (120L, 0L, 6L)))
   }
+
+  test("silentGaps: consecutive missing buckets compact to one interval; full keys emit none") {
+    import java.sql.Timestamp
+    def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
+    // key a: hours 0,1,4,5,9 -> gaps [2,4) (2 missing) and [6,9) (3)
+    // key b: hours 0,1,2 -> no gap
+    val df = (Seq(0L, 1L, 4L, 5L, 9L).map(h => ("a", ts(h))) ++
+      Seq(0L, 1L, 2L).map(h => ("b", ts(h)))).toDF("event_type", "ts")
+    val out = RateAnomaly.silentGaps(df, "event_type", "ts", bucketSeconds = 3600L)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime / 3600000L,
+        r.getTimestamp(2).getTime / 3600000L, r.getInt(3))).sortBy(x => (x._1, x._2))
+    assert(out.toSeq == Seq(("a", 2L, 4L, 2), ("a", 6L, 9L, 3)))
+  }
 }
