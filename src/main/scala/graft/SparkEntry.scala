@@ -46,6 +46,7 @@ object SparkEntry {
     "graph_ppr_expand" -> (C.graphPprExpand _),
     "watermark_audit" -> (C.watermarkAudit _),
     "event_gaps" -> (C.eventGaps _),
+    "value_psi" -> (C.valuePsi _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),

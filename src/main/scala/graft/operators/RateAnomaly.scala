@@ -77,6 +77,68 @@ object RateAnomaly {
       .drop("_n_prev", "_sum_prev", "_sum2_prev")
   }
 
+  /** Population Stability Index — the standard numeric-drift alarm
+    * (credit-scoring heritage, now the default ML-ops monitor): bin the
+    * REFERENCE side's value range into `bins` equal-width buckets
+    * (edges frozen from the reference, the PSI convention), histogram
+    * both sides with add-one smoothing, and report
+    * `Σ (p−q)·ln(p/q)` per key. Values outside the reference range
+    * clamp into the edge bins (that mass moving outward is exactly the
+    * drift PSI should see). Per-bin terms are floored to the 2⁻⁴⁰
+    * fixed-point grid so the sum is an associative integer sum
+    * (engine- and partitioning-independent); the conventional alert
+    * thresholds are 0.1 (drifting) / 0.2 (act).
+    * Returns (`keyCol`, n_ref, n_cur, psi FLOAT, alert).
+    *
+    * Plan: one (key, side, bin) partial-aggregated count — bins-sized,
+    * never value-sized — joined to the keys-row edge table; everything
+    * after the two corpus passes is `keys × bins` rows.
+    */
+  def psi(reference: DataFrame, current: DataFrame, keyCol: String, valueCol: String,
+          bins: Int = 16, alertAt: Double = 0.2): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    import graft.operators.Materialize.MatOps
+    val scale = 1099511627776.0 // 2^40
+    val edges = reference
+      .groupBy(col(keyCol).as("_key"))
+      .agg(min(col(valueCol).cast("double")).as("_mn"), max(col(valueCol).cast("double")).as("_mx"))
+      .materializedEager // keys rows; consumed by both binning passes
+    def binned(df: DataFrame, side: String): DataFrame = df
+      .select(col(keyCol).as("_key"), col(valueCol).cast("double").as("_v"))
+      .join(broadcast(edges), Seq("_key"))
+      .select(col("_key"), lit(side).as("_side"),
+        when(col("_mx") === col("_mn"), lit(0))
+          .otherwise(greatest(lit(0), least(lit(bins - 1),
+            floor((col("_v") - col("_mn")) / ((col("_mx") - col("_mn")) / bins)).cast("int"))))
+          .as("_bin"))
+    val counts = binned(reference, "ref").union(binned(current, "cur"))
+      .groupBy(col("_key"), col("_side"), col("_bin"))
+      .agg(count(lit(1)).as("_c"))
+    val grid = edges.select(col("_key"))
+      .crossJoin(reference.sparkSession.range(bins).select(col("id").cast("int").as("_bin")))
+    val wide = grid
+      .join(counts.where(col("_side") === "ref").select(col("_key"), col("_bin"), col("_c").as("_cr")),
+        Seq("_key", "_bin"), "left")
+      .join(counts.where(col("_side") === "cur").select(col("_key"), col("_bin"), col("_c").as("_cc")),
+        Seq("_key", "_bin"), "left")
+      .select(col("_key"), coalesce(col("_cr"), lit(0L)).as("_cr"), coalesce(col("_cc"), lit(0L)).as("_cc"))
+    val totals = wide.groupBy(col("_key"))
+      .agg(sum(col("_cr")).as("_nr"), sum(col("_cc")).as("_nc"))
+    wide.join(broadcast(totals), Seq("_key"))
+      .select(col("_key"), col("_nr"), col("_nc"),
+        floor((((col("_cr") + 1L).cast("double") / (col("_nr").cast("double") + bins.toDouble))
+          - ((col("_cc") + 1L).cast("double") / (col("_nc").cast("double") + bins.toDouble)))
+          * log(((col("_cr") + 1L).cast("double") / (col("_nr").cast("double") + bins.toDouble))
+            / ((col("_cc") + 1L).cast("double") / (col("_nc").cast("double") + bins.toDouble)))
+          * scale).cast("long").as("_term_fp"))
+      .groupBy(col("_key"))
+      .agg(first(col("_nr")).as("n_ref"), first(col("_nc")).as("n_cur"),
+        sum(col("_term_fp")).as("_sfp"))
+      .select(col("_key").as(keyCol), col("n_ref"), col("n_cur"),
+        (col("_sfp").cast("double") / lit(scale)).cast("float").as("psi"))
+      .withColumn("alert", col("psi") > lit(alertAt))
+  }
+
   /** Silent-gap detector — the companion the z-score monitor's Scaladoc
     * promises: [[detect]] answers "is this bucket's rate abnormal", this
     * answers "which buckets are MISSING entirely" (a dead sensor emits

@@ -516,6 +516,22 @@ object CoreQueries {
       delaysSeconds = Seq(0L, 3600L, 43200L, 86400L, 172800L))
       .orderBy(col("delay_s"))
 
+  /** PSI numeric-drift monitor ([[graft.operators.RateAnomaly.psi]]):
+    * even-id events are the frozen reference window, odd-id the current
+    * one, and the `error` type's current values are deterministically
+    * shifted ×1.5 — that type must alert (PSI > 0.2), the untouched
+    * types must not.
+    */
+  def valuePsi(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
+    val cur = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("value",
+        when(col("event_type") === "error", col("value") * 1.5).otherwise(col("value")))
+    graft.operators.RateAnomaly.psi(ref, cur, "event_type", "value")
+      .orderBy(col("event_type"))
+  }
+
   /** Silent-gap detection ([[graft.operators.RateAnomaly.silentGaps]]):
     * the hour buckets in each event type's span where NOTHING arrived,
     * compacted to gap intervals — the dead-sensor monitor the rolling

@@ -992,6 +992,44 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // PSI with reference-frozen equal-width bins, add-one smoothing,
+    // per-bin terms floored to the 2^-40 grid (associative long sum);
+    // the 'error' type's current window is planted *1.5
+    "value_psi" ->
+      """WITH ev AS (SELECT event_type, event_id, value FROM events),
+        |ref AS (SELECT event_type, value::DOUBLE AS v FROM ev WHERE event_id % 2 = 0),
+        |cur AS (SELECT event_type,
+        |          (CASE WHEN event_type = 'error' THEN value * 1.5 ELSE value END)::DOUBLE AS v
+        |        FROM ev WHERE event_id % 2 = 1),
+        |ed AS MATERIALIZED (SELECT event_type AS key, min(v) AS mn, max(v) AS mx FROM ref GROUP BY 1),
+        |rb AS (SELECT r.event_type AS key,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE greatest(0, least(15, floor((v - mn) / ((mx - mn) / 16))::INTEGER)) END AS bin
+        |       FROM ref r JOIN ed ON ed.key = r.event_type),
+        |cb AS (SELECT c.event_type AS key,
+        |         CASE WHEN mx = mn THEN 0
+        |              ELSE greatest(0, least(15, floor((v - mn) / ((mx - mn) / 16))::INTEGER)) END AS bin
+        |       FROM cur c JOIN ed ON ed.key = c.event_type),
+        |rc AS (SELECT key, bin, count(*)::BIGINT AS c FROM rb GROUP BY 1, 2),
+        |cc AS (SELECT key, bin, count(*)::BIGINT AS c FROM cb GROUP BY 1, 2),
+        |grid AS (SELECT ed.key, i::INTEGER AS bin FROM ed, (SELECT unnest(range(0, 16)) AS i)),
+        |wide AS (
+        |  SELECT g.key, g.bin, coalesce(rc.c, 0) AS cr, coalesce(cc.c, 0) AS cn
+        |  FROM grid g
+        |  LEFT JOIN rc ON rc.key = g.key AND rc.bin = g.bin
+        |  LEFT JOIN cc ON cc.key = g.key AND cc.bin = g.bin),
+        |tot AS (SELECT key, sum(cr)::BIGINT AS nr, sum(cn)::BIGINT AS nc FROM wide GROUP BY key),
+        |t AS (
+        |  SELECT w.key, nr, nc,
+        |    floor(((cr + 1)::DOUBLE / (nr::DOUBLE + 16.0) - (cn + 1)::DOUBLE / (nc::DOUBLE + 16.0))
+        |      * ln(((cr + 1)::DOUBLE / (nr::DOUBLE + 16.0)) / ((cn + 1)::DOUBLE / (nc::DOUBLE + 16.0)))
+        |      * 1099511627776.0)::BIGINT AS fp
+        |  FROM wide w JOIN tot USING (key))
+        |SELECT key AS event_type, max(nr)::BIGINT AS n_ref, max(nc)::BIGINT AS n_cur,
+        |  (sum(fp)::DOUBLE / 1099511627776.0)::FLOAT AS psi,
+        |  (sum(fp)::DOUBLE / 1099511627776.0)::FLOAT > 0.2 AS alert
+        |FROM t GROUP BY key ORDER BY 1""".stripMargin,
+
     // hour buckets missing from each type's [first, last] span, runs
     // compacted by the islands trick (b - row_number constant per run)
     "event_gaps" ->

@@ -63,6 +63,18 @@ class RateAnomalySpec extends SparkSuite {
     assert(out.toSeq == Seq((0L, 2L, 6L), (30L, 1L, 6L), (120L, 0L, 6L)))
   }
 
+  test("psi: identical windows score ~0, a shifted window alerts, clamping catches out-of-range mass") {
+    val ref = (1 to 400).map(i => ("a", (i % 100).toDouble)) ++
+      (1 to 400).map(i => ("b", (i % 100).toDouble))
+    // a: identical distribution; b: shifted far out of the reference range
+    val cur = (1 to 400).map(i => ("a", (i % 100).toDouble)) ++
+      (1 to 400).map(i => ("b", (i % 100).toDouble + 1000.0))
+    val out = RateAnomaly.psi(ref.toDF("k", "v"), cur.toDF("k", "v"), "k", "v")
+      .collect().map(r => (r.getString(0), (r.getFloat(3), r.getBoolean(4)))).toMap
+    assert(math.abs(out("a")._1) < 0.01 && !out("a")._2)
+    assert(out("b")._1 > 0.2 && out("b")._2) // all mass clamps into the top bin
+  }
+
   test("silentGaps: consecutive missing buckets compact to one interval; full keys emit none") {
     import java.sql.Timestamp
     def ts(h: Long) = new Timestamp(h * 3600L * 1000L)
