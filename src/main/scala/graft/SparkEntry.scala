@@ -47,6 +47,7 @@ object SparkEntry {
     "watermark_audit" -> (C.watermarkAudit _),
     "event_gaps" -> (C.eventGaps _),
     "value_psi" -> (C.valuePsi _),
+    "cohort_retention" -> (C.cohortRetention _),
     "dsv2_scan_pushdown" -> (C.dsv2ScanPushdown _),
     "session_parity" -> (C.sessionParity _),
     "quality_percentile_gate" -> (L.qualityPercentileGate _),

@@ -516,6 +516,33 @@ object CoreQueries {
       delaysSeconds = Seq(0L, 3600L, 43200L, 86400L, 172800L))
       .orderBy(col("delay_s"))
 
+  /** Cohort retention matrix — the classic product-analytics table over
+    * the reference's event log: users cohorted by first-active month,
+    * each cohort's share still active at month offset 0, 1, 2, …
+    * The plan is three bounded aggregates over the distinct
+    * (user, month) projection (activity dedup → per-user cohort min →
+    * (cohort, offset) counts); nothing is ever user×month dense.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val ua = events(s, d)
+      .select(col("user_id"), date_trunc("month", col("ts")).as("m"))
+      .distinct()
+      .materialized // consumed by the cohort min AND the offset join
+    val cohort = ua.groupBy(col("user_id")).agg(min(col("m")).as("cohort_month"))
+    val counts = ua.join(cohort, Seq("user_id"))
+      .select(col("cohort_month"),
+        months_between(col("m"), col("cohort_month")).cast("int").as("offset_m"))
+      .groupBy(col("cohort_month"), col("offset_m"))
+      .agg(count(lit(1)).as("n_users"))
+    counts
+      .join(cohort.groupBy(col("cohort_month")).agg(count(lit(1)).as("cohort_size")),
+        Seq("cohort_month"))
+      .withColumn("retention_frac",
+        col("n_users").cast("double") / col("cohort_size").cast("double"))
+      .orderBy(col("cohort_month"), col("offset_m"))
+  }
+
   /** PSI numeric-drift monitor ([[graft.operators.RateAnomaly.psi]]):
     * even-id events are the frozen reference window, odd-id the current
     * one, and the `error` type's current values are deterministically

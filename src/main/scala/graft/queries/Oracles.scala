@@ -992,6 +992,23 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // cohort = first-active month; offset counts over the distinct
+    // (user, month) projection; month arithmetic exact on truncated
+    // first-of-month values in both engines
+    "cohort_retention" ->
+      """WITH ua AS (
+        |  SELECT DISTINCT user_id, date_trunc('month', CAST(ts AS TIMESTAMP)) AS m FROM events),
+        |c AS (SELECT user_id, min(m) AS cohort_month FROM ua GROUP BY user_id),
+        |o AS (
+        |  SELECT c.cohort_month, date_diff('month', c.cohort_month, ua.m)::INTEGER AS offset_m
+        |  FROM ua JOIN c USING (user_id)),
+        |n AS (SELECT cohort_month, offset_m, count(*)::BIGINT AS n_users FROM o GROUP BY 1, 2),
+        |sz AS (SELECT cohort_month, count(*)::BIGINT AS cohort_size FROM c GROUP BY 1)
+        |SELECT n.cohort_month AS cohort_month, offset_m, n_users, cohort_size,
+        |  n_users::DOUBLE / cohort_size::DOUBLE AS retention_frac
+        |FROM n JOIN sz USING (cohort_month)
+        |ORDER BY 1, 2""".stripMargin,
+
     // PSI with reference-frozen equal-width bins, add-one smoothing,
     // per-bin terms floored to the 2^-40 grid (associative long sum);
     // the 'error' type's current window is planted *1.5
