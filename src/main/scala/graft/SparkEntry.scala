@@ -201,7 +201,16 @@ object SparkEntry {
     "curation_decontam" -> (L.curationDecontam _),
     "curation_funnel" -> (L.curationFunnel _),
     "url_filter" -> (L.urlFilter _),
-    "url_domain_cap" -> (L.urlDomainCap _)
+    "url_domain_cap" -> (L.urlDomainCap _),
+    // LLM-pipeline: privacy / release compliance
+    "kanon_suppress" -> (L.kanonSuppress _),
+    "deletion_audit" -> (L.deletionAudit _),
+    "dp_counts" -> (L.dpCounts _),
+    // LLM-pipeline: CDC chunking, record linkage, coverage audits
+    "chunk_cdc" -> (L.chunkCdc _),
+    "fuzzy_match" -> (L.fuzzyMatch _),
+    "emb_coverage" -> (L.embCoverage _),
+    "vocab_oov" -> (L.vocabOov _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy operators for corpus release — the compliance pass a
+  * training-data pipeline runs between curation and publication:
+  * k-anonymity generalization over quasi-identifier columns,
+  * right-to-be-forgotten deletion audits, and differentially-private
+  * count release. All three are aggregate-shaped (group-by on tiny key
+  * domains + broadcast joins back), so they ride the ingest scan at any
+  * corpus size.
+  */
+object Privacy {
+
+  /** k-anonymity via a fixed generalization ladder over two
+    * quasi-identifier columns (Sweeney 2002): a row releases its exact
+    * `(q1, q2)` pair only if at least `k` corpus rows share it;
+    * otherwise `q2` generalizes to `"*"` (level 1), and if the corpus
+    * still holds fewer than `k` rows of that `q1`, both suppress to
+    * `"*"` (level 2, the full-suppression floor — the domain-level
+    * anonymity set, which is the corpus itself). Anonymity sets are
+    * measured against the FULL corpus at each ladder level (the
+    * domain-generalization-hierarchy convention), so the released level
+    * is monotone in the combo's frequency and every released group has
+    * ≥ k members (level 2 trivially, assuming the corpus has ≥ k rows).
+    *
+    * Emits every input column plus (`anon_q1`, `anon_q2`, `anon_level`,
+    * `anon_set_size`).
+    *
+    * Plan: ONE group-by count over the quasi-identifier pair domain
+    * (tiny — languages × sources, not rows); the coarser ladder levels
+    * roll up from it, and all three broadcast back onto the corpus.
+    * Zero corpus-keyed shuffles: at 100 TB the cost is the scan and the
+    * ladder is a projection.
+    */
+  def kAnonymize(df: DataFrame, q1: String, q2: String, k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import Materialize.MatOps
+    // ONE corpus aggregate; the ladder's coarser levels roll up from the
+    // pair counts (domain-sized), so the corpus is scanned once for all
+    // three anonymity-set sizes
+    val pairCnt = df
+      .select(col(q1).cast("string").as("_q1"), col(q2).cast("string").as("_q2"))
+      .groupBy(col("_q1"), col("_q2")).agg(count(lit(1)).as("_c0"))
+      .materialized
+    val q1Cnt = pairCnt.groupBy(col("_q1")).agg(sum(col("_c0")).as("_c1"))
+    val total = pairCnt.agg(sum(col("_c0")).as("_c2"))
+    df.withColumn("_q1", col(q1).cast("string"))
+      .withColumn("_q2", col(q2).cast("string"))
+      .join(broadcast(pairCnt), Seq("_q1", "_q2"), "left")
+      .join(broadcast(q1Cnt), Seq("_q1"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("anon_level",
+        when(col("_c0") >= k, lit(0))
+          .when(col("_c1") >= k, lit(1))
+          .otherwise(lit(2)))
+      .withColumn("anon_q1", when(col("anon_level") === 2, lit("*")).otherwise(col("_q1")))
+      .withColumn("anon_q2", when(col("anon_level") === 0, col("_q2")).otherwise(lit("*")))
+      .withColumn("anon_set_size",
+        when(col("anon_level") === 0, col("_c0"))
+          .when(col("anon_level") === 1, col("_c1"))
+          .otherwise(col("_c2")))
+      .drop("_q1", "_q2", "_c0", "_c1", "_c2")
+  }
+
+  /** Right-to-be-forgotten deletion audit: given the tombstone list
+    * `deleteKeys` (one column, same name as `keyCol`), report per
+    * `groupCol` how many rows the deletion pass removes — the
+    * verification artifact a GDPR/CCPA erasure run files next to the
+    * rewritten partitions. Emits (`groupCol`, n_before, n_deleted,
+    * n_after).
+    *
+    * Plan: the tombstone list broadcasts (erasure batches are small
+    * next to the corpus — thousands of subjects vs billions of rows);
+    * one left-join flag projection feeds one map-side-combined
+    * aggregate, so the audit costs exactly one corpus scan. When the
+    * list outgrows broadcast, put [[Dedup.contaminatedByBloom]]'s sieve
+    * in front — same shape, same story.
+    */
+  def deletionAudit(df: DataFrame, keyCol: String, deleteKeys: DataFrame,
+                    groupCol: String): DataFrame = {
+    val tomb = deleteKeys.select(col(keyCol)).distinct()
+      .withColumn("_dead", lit(true))
+    df.select(col(groupCol), col(keyCol))
+      .join(broadcast(tomb), Seq(keyCol), "left")
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_before"),
+        sum(when(col("_dead"), 1L).otherwise(0L)).as("n_deleted"))
+      .withColumn("n_after", col("n_before") - col("n_deleted"))
+  }
+
+  /** ε-differentially-private count release per group: exact counts get
+    * Laplace(b = sensitivity/ε = 1/ε) noise via inverse-CDF sampling,
+    * `noise = −b · sign(u) · ln(1 − 2|u|)` for `u ∈ (−½, ½)`. The
+    * uniform draw is DERIVED from the group key (first 24 md5 bits,
+    * centered — the [[graft.operators.CorpusSelection]] Gumbel-top-k
+    * discipline), so the release is reproducible and the driver oracle
+    * replays it bit-for-bit; a production release swaps the hash for a
+    * calibrated DRBG and drops the exact column. The noise is floored to
+    * the 2⁻⁴⁰ fixed-point grid (`noise_fp`) so downstream comparison is
+    * integer-exact. Emits (`keyCol`, n, noise_fp, n_noisy FLOAT).
+    *
+    * Plan: one map-side-combined count aggregate (groups-sized output);
+    * the noise is a projection over group rows, never corpus rows.
+    */
+  def dpCounts(df: DataFrame, keyCol: String, epsilon: Double = 1.0): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val scale = 1099511627776.0 // 2^40
+    val b = 1.0 / epsilon
+    // u in (-1/2, 1/2): (md24 + 1/2) / 2^24 - 1/2 — never hits ±1/2, so
+    // ln(1 - 2|u|) is finite
+    val u = (QualityClassifier.md24(concat(lit("dp:"), col(keyCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(16777216.0) - lit(0.5)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("_u", u)
+      .withColumn("noise_fp",
+        floor(lit(-b) * signum(col("_u")) * log(lit(1.0) - lit(2.0) * abs(col("_u"))) * lit(scale))
+          .cast("long"))
+      .withColumn("n_noisy",
+        (col("n").cast("double") + col("noise_fp").cast("double") / lit(scale)).cast("float"))
+      .drop("_u")
+  }
+}

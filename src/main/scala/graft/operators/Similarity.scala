@@ -703,4 +703,55 @@ object Similarity {
       array_max(transform(v, x => abs(x))).as("max_abs"),
       (sumsq === lit(0.0)).as("is_zero"))
   }
+
+  /** Embedding-space coverage per group: quantize every vector to the
+    * orthant cell of its first `signDims` components (component i ≥ 0
+    * contributes bit `signDims−1−i` — the deterministic degenerate of
+    * the random-hyperplane bucket, axis-aligned so the oracle replays
+    * it with no plane table), then measure how much of the 2^signDims-cell
+    * space each group occupies: distinct cells, and the Shannon entropy
+    * of its cell distribution in bits (the diversity number mixture
+    * tuning reads — a source whose embeddings pile into few cells adds
+    * redundant coverage no matter its token count). Emits per
+    * `groupCol` (n_vecs, n_cells, cell_entropy FLOAT,
+    * norm_cell_entropy FLOAT — entropy / log2(min(n_vecs, 2^signDims)),
+    * the attainable-uniform ceiling).
+    *
+    * Entropy via `ln n − Σ c·ln c / n` over per-cell counts (the
+    * [[TextAnalysis]] text_entropy identity: one pass, no p=0 guards);
+    * FLOAT output absorbs the order-sensitive double sum.
+    *
+    * Plan: cell id is per-row map work; one (group, cell) count
+    * aggregate — at most groups × 2^signDims rows — then a group-row
+    * rollup. Corpus scanned once, nothing pairwise anywhere.
+    */
+  def signCellCoverage(embs: DataFrame, groupCol: String, vecCol: String,
+                       signDims: Int = 12): DataFrame = {
+    require(signDims >= 1 && signDims <= 20,
+      s"signDims must be in [1, 20], got $signDims")
+    // left-fold acc·2 + bit: component 0 is the high bit — a pure
+    // integer fold, no float exponentiation, same associativity in the
+    // oracle's list_reduce
+    val cell = aggregate(
+      slice(col(vecCol), 1, signDims),
+      lit(0L),
+      (acc, x) => acc * 2L + when(x >= lit(0.0f), 1L).otherwise(0L))
+    val counts = embs
+      .select(col(groupCol).as("_g"), cell.as("_cell"))
+      .groupBy(col("_g"), col("_cell"))
+      .agg(count(lit(1)).as("_c"))
+    counts
+      .groupBy(col("_g"))
+      .agg(
+        sum(col("_c")).as("n_vecs"),
+        count(lit(1)).cast("int").as("n_cells"),
+        sum(col("_c").cast("double") * log(col("_c").cast("double"))).as("_h"))
+      .select(col("_g").as(groupCol), col("n_vecs"), col("n_cells"),
+        ((log(col("n_vecs").cast("double")) - col("_h") / col("n_vecs").cast("double"))
+          / lit(math.log(2.0))).cast("float").as("cell_entropy"),
+        when(least(col("n_vecs"), lit(1L << signDims)) > 1,
+          ((log(col("n_vecs").cast("double")) - col("_h") / col("n_vecs").cast("double"))
+            / log(least(col("n_vecs"), lit(1L << signDims)).cast("double"))))
+          .otherwise(lit(0.0)).cast("float").as("norm_cell_entropy"))
+  }
 }

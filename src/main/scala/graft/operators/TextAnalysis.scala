@@ -678,4 +678,99 @@ object TextAnalysis {
         col("n_terms"),
         (((col("_kl_ref") + col("_kl_cur")) * lit(0.5)) / math.log(2.0)).as("js_divergence"))
   }
+
+  /** Content-defined chunking (the Gear/Rabin CDC family — LBFS,
+    * Muthitacharoen et al. 2001 — at token granularity): a chunk
+    * boundary falls AFTER every token whose hash ≡ 0 (mod `divisor`),
+    * so expected chunk length is `divisor` tokens and — the property
+    * fixed-grid chunking lacks — inserting or deleting one token
+    * re-synchronizes the chunking at the next boundary instead of
+    * shifting every downstream chunk. That makes CDC chunks the
+    * shift-resistant dedup unit: two near-identical documents share all
+    * chunks outside the edit region. Emits per chunk
+    * (`idCol`, chunk_idx, start_pos, n_chunk_tokens, chunk_fp,
+    * n_docs_sharing) — `chunk_fp` the engine-portable md24 of the chunk
+    * text ([[QualityClassifier.md24]]: boundary placement AND the
+    * fingerprint must replay cross-engine), `n_docs_sharing` how many
+    * distinct documents contain a byte-identical chunk.
+    *
+    * Plan: the boundary decision is per-token map work (hash one
+    * token); chunk numbering is a per-DOCUMENT running sum (partitioned
+    * by doc — no global window); assembly groups (doc, chunk) on that
+    * same partitioning with a sort-safe `sort_array(collect_list(
+    * struct(pos, tok)))` so collection order cannot matter; the share
+    * count is one hash aggregate on the 8-byte fingerprint joined back
+    * — candidates-by-bucket, never all-pairs. At 100 TB every stage is
+    * keyed by doc or by fingerprint; nothing is corpus-quadratic.
+    */
+  def cdcChunks(docs: DataFrame, textCol: String, idCol: String,
+                divisor: Int = 16): DataFrame = {
+    require(divisor >= 2, s"divisor must be >= 2, got $divisor")
+    import org.apache.spark.sql.expressions.Window
+    import Materialize.MatOps
+    val cut = (QualityClassifier.md24(col("_tok")) % divisor === 0).cast("int")
+    // boundary closes the chunk it ends: chunk id = #boundaries BEFORE
+    // this position (frame excludes the current row)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunks = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+      .withColumn("_cut", cut)
+      .withColumn("chunk_idx", coalesce(sum(col("_cut")).over(wPrev), lit(0L)).cast("int"))
+      .groupBy(col(idCol), col("chunk_idx"))
+      .agg(
+        min(col("_pos")).cast("int").as("start_pos"),
+        count(lit(1)).cast("int").as("n_chunk_tokens"),
+        array_join(transform(sort_array(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("_ctext"))
+      .withColumn("chunk_fp", QualityClassifier.md24(col("_ctext")))
+      .drop("_ctext")
+      .materialized // consumed by the share-count aggregate AND the join back
+    val shared = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col(idCol)).cast("int").as("n_docs_sharing"))
+    chunks.join(shared, Seq("chunk_fp"))
+      .select(col(idCol), col("chunk_idx"), col("start_pos"),
+        col("n_chunk_tokens"), col("chunk_fp"), col("n_docs_sharing"))
+  }
+
+  /** Out-of-vocabulary rate per group against the corpus-trained top-`v`
+    * vocabulary — the tokenizer-coverage audit run before committing a
+    * vocab size (a source whose OOV rate spikes is about to be
+    * UNK-shredded). Vocabulary membership is exact: top `v` terms by
+    * corpus count, count-desc / term-asc tie order (the [[topTerms]]
+    * rank discipline). Emits per `groupCol`
+    * (n_tokens, n_oov, oov_rate FLOAT).
+    *
+    * Plan: one (group, term) count aggregate — vocabulary-sized per
+    * group, never token-volume — rolls up to the global term counts
+    * (second tiny aggregate), the top-v rank window runs over VOCABULARY
+    * rows (the single-partition window is by construction
+    * vocabulary-bounded — the [[Retrieval.tfidfTopTerms]] caveat), and
+    * the vocab broadcasts back onto the per-group term counts. The
+    * corpus is scanned once.
+    */
+  def oovRate(docs: DataFrame, textCol: String, groupCol: String,
+              vocabSize: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    import org.apache.spark.sql.expressions.Window
+    import Materialize.MatOps
+    val gt = docs
+      .select(col(groupCol).as("_g"), explode(tokens(col(textCol))).as("_term"))
+      .groupBy(col("_g"), col("_term"))
+      .agg(count(lit(1)).as("_c"))
+      .materialized // consumed by the vocab rollup AND the coverage join
+    val vocab = gt.groupBy(col("_term")).agg(sum(col("_c")).as("_tc"))
+      .withColumn("_rank", row_number().over(
+        Window.orderBy(col("_tc").desc, col("_term"))))
+      .where(col("_rank") <= vocabSize)
+      .select(col("_term"), lit(true).as("_inv"))
+    gt.join(broadcast(vocab), Seq("_term"), "left")
+      .groupBy(col("_g"))
+      .agg(
+        sum(col("_c")).as("n_tokens"),
+        sum(when(col("_inv"), lit(0L)).otherwise(col("_c"))).as("n_oov"))
+      .select(col("_g").as(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .cast("float").as("oov_rate"))
+  }
 }

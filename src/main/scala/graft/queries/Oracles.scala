@@ -3474,6 +3474,129 @@ object Oracles {
       """SELECT doc_id,
         |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
         |  list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(lower(trim(text)), '\s+'), x -> length(x)::BIGINT)), (acc, x) -> (acc * 31 + x) % 1000000007) AS rolling
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // k-anonymity ladder (k=4 over lang×source): ONE pair-domain count,
+    // coarser levels roll up from it; levels 0/1/2 = exact / source
+    // suppressed / full suppression, set size measured vs the full
+    // corpus at the released level
+    "kanon_suppress" ->
+      """WITH c0 AS (SELECT lang, source, count(*)::BIGINT AS c0 FROM documents GROUP BY 1, 2),
+        |c1 AS (SELECT lang, sum(c0)::BIGINT AS c1 FROM c0 GROUP BY 1),
+        |c2 AS (SELECT sum(c0)::BIGINT AS c2 FROM c0),
+        |lv AS (
+        |  SELECT d.doc_id, d.lang, d.source, c0.c0, c1.c1, c2.c2,
+        |    CASE WHEN c0.c0 >= 4 THEN 0 WHEN c1.c1 >= 4 THEN 1 ELSE 2 END AS lvl
+        |  FROM documents d
+        |  JOIN c0 ON c0.lang = d.lang AND c0.source = d.source
+        |  JOIN c1 ON c1.lang = d.lang, c2)
+        |SELECT doc_id,
+        |  CASE WHEN lvl = 2 THEN '*' ELSE lang END AS anon_q1,
+        |  CASE WHEN lvl = 0 THEN source ELSE '*' END AS anon_q2,
+        |  lvl::INTEGER AS anon_level,
+        |  (CASE WHEN lvl = 0 THEN c0 WHEN lvl = 1 THEN c1 ELSE c2 END)::BIGINT AS anon_set_size
+        |FROM lv ORDER BY doc_id""".stripMargin,
+
+    // right-to-be-forgotten: tombstones = every 13th user; one left-join
+    // flag pass into per-type before/deleted/after counts
+    "deletion_audit" ->
+      """WITH t AS (SELECT DISTINCT user_id FROM events WHERE user_id % 13 = 0)
+        |SELECT event_type,
+        |  count(*)::BIGINT AS n_before,
+        |  sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_deleted,
+        |  (count(*) - sum(CASE WHEN t.user_id IS NOT NULL THEN 1 ELSE 0 END))::BIGINT AS n_after
+        |FROM events e LEFT JOIN t ON e.user_id = t.user_id
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // ε-DP Laplace counts (ε=1): u derived from md24('dp:'||lang)
+    // centered into (−½, ½), noise −sign(u)·ln(1−2|u|) floored to the
+    // 2^-40 grid — the reproducible-noise discipline of select_dsir
+    "dp_counts" ->
+      s"""WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+         |u AS (SELECT lang, n,
+         |        ((${md24("'dp:' || lang")})::DOUBLE + 0.5) / 16777216.0 - 0.5 AS u FROM g)
+         |SELECT lang, n,
+         |  floor(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)) * 1099511627776.0)::BIGINT AS noise_fp,
+         |  (n::DOUBLE
+         |   + floor(-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u)) * 1099511627776.0)::DOUBLE
+         |     / 1099511627776.0)::FLOAT AS n_noisy
+         |FROM u ORDER BY lang""".stripMargin,
+
+    // blocked record linkage: block on the head noun (last token), pairs
+    // within block by partkey order, Levenshtein ≤ 3, rolled up to
+    // distinct name pairs (dist symmetric, so canonical order keeps it)
+    "fuzzy_match" ->
+      """WITH p AS (
+        |  SELECT p_partkey AS id, p_name AS name,
+        |    list_extract(string_split_regex(lower(trim(p_name)), '\s+'), -1) AS blk
+        |  FROM part)
+        |SELECT least(a.name, b.name) AS name_a, greatest(a.name, b.name) AS name_b,
+        |  levenshtein(a.name, b.name)::INTEGER AS dist, count(*)::BIGINT AS n_pairs
+        |FROM p a JOIN p b ON a.blk = b.blk AND a.id < b.id
+        |WHERE levenshtein(a.name, b.name) <= 3
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
+
+    // content-defined chunking (divisor 16): boundary AFTER tokens with
+    // md24 ≡ 0 (mod 16); chunk id = boundaries strictly before the
+    // position; chunk fingerprints are md24 of the reassembled text and
+    // n_docs_sharing counts distinct docs per fingerprint
+    "chunk_cdc" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |x AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |f AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN (${md24("tok")}) % 16 = 0 THEN 1 ELSE 0 END AS cut FROM x),
+         |c AS (SELECT doc_id, pos, tok,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INTEGER AS chunk_idx
+         |      FROM f),
+         |g AS (SELECT doc_id, chunk_idx, min(pos)::INTEGER AS start_pos,
+         |        count(*)::INTEGER AS n_chunk_tokens,
+         |        string_agg(tok, ' ' ORDER BY pos) AS ctext
+         |      FROM c GROUP BY 1, 2),
+         |h AS MATERIALIZED (SELECT doc_id, chunk_idx, start_pos, n_chunk_tokens,
+         |        (${md24("ctext")}) AS chunk_fp FROM g),
+         |sh AS (SELECT chunk_fp, count(DISTINCT doc_id)::INTEGER AS n_docs_sharing
+         |       FROM h GROUP BY 1)
+         |SELECT doc_id, chunk_idx, start_pos, n_chunk_tokens, h.chunk_fp, n_docs_sharing
+         |FROM h JOIN sh USING (chunk_fp) ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // orthant-cell coverage (12 sign dims): integer fold acc·2+bit over
+    // the first 12 components, entropy via ln n − Σ c·ln c / n (the
+    // text_entropy identity), FLOAT on the order-sensitive double sums
+    "emb_coverage" ->
+      """WITH cells AS (
+        |  SELECT label,
+        |    list_reduce(list_transform(embedding[1:12],
+        |      x -> CASE WHEN x >= 0 THEN 1 ELSE 0 END), (a, b) -> a * 2 + b)::BIGINT AS cell
+        |  FROM embeddings),
+        |c AS (SELECT label, cell, count(*)::BIGINT AS c FROM cells GROUP BY 1, 2),
+        |a AS (SELECT label, sum(c)::BIGINT AS n_vecs, count(*)::INTEGER AS n_cells,
+        |        sum(c::DOUBLE * ln(c::DOUBLE)) AS h FROM c GROUP BY 1)
+        |SELECT label, n_vecs, n_cells,
+        |  ((ln(n_vecs::DOUBLE) - h / n_vecs::DOUBLE) / ln(2.0))::FLOAT AS cell_entropy,
+        |  (CASE WHEN least(n_vecs, 4096) > 1
+        |        THEN (ln(n_vecs::DOUBLE) - h / n_vecs::DOUBLE) / ln(least(n_vecs, 4096)::DOUBLE)
+        |        ELSE 0.0 END)::FLOAT AS norm_cell_entropy
+        |FROM a ORDER BY label""".stripMargin,
+
+    // OOV audit vs the exact top-24 corpus vocabulary (count desc, term
+    // asc ties); per-source token totals from the (source, term) counts
+    "vocab_oov" ->
+      """WITH gt AS (
+        |  SELECT source AS g, term, count(*)::BIGINT AS c
+        |  FROM (SELECT source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |tc AS (SELECT term, sum(c)::BIGINT AS tc FROM gt GROUP BY 1),
+        |v AS (SELECT term FROM (
+        |        SELECT term, row_number() OVER (ORDER BY tc DESC, term) AS r FROM tc)
+        |      WHERE r <= 24)
+        |SELECT g AS source, sum(c)::BIGINT AS n_tokens,
+        |  sum(CASE WHEN v.term IS NULL THEN c ELSE 0 END)::BIGINT AS n_oov,
+        |  (sum(CASE WHEN v.term IS NULL THEN c ELSE 0 END)::DOUBLE
+        |    / sum(c)::DOUBLE)::FLOAT AS oov_rate
+        |FROM gt LEFT JOIN v ON gt.term = v.term
+        |GROUP BY g ORDER BY g""".stripMargin
   )
 }

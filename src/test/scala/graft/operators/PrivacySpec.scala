@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Privacy operators: the k-anonymity ladder, the deletion audit, and
+  * DP count release — brute-force hand oracles on planted fixtures.
+  */
+class PrivacySpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // (lang, source) census: ("en","a") ×4 releases exactly; ("en","b") ×2
+  // generalizes to ("en","*") — en total 6 ≥ k; ("fr","c") ×1 with fr
+  // total 1 < k suppresses fully
+  private lazy val docs = Seq(
+    (1L, "en", "a"), (2L, "en", "a"), (3L, "en", "a"), (4L, "en", "a"),
+    (5L, "en", "b"), (6L, "en", "b"),
+    (7L, "fr", "c")
+  ).toDF("doc_id", "lang", "source")
+
+  test("kAnonymize walks the generalization ladder and sizes anonymity sets") {
+    val out = Privacy.kAnonymize(docs, "lang", "source", k = 4)
+      .select("doc_id", "anon_q1", "anon_q2", "anon_level", "anon_set_size")
+      .as[(Long, String, String, Int, Long)].collect().sortBy(_._1)
+    assert(out.take(4).forall { case (_, q1, q2, l, s) =>
+      q1 == "en" && q2 == "a" && l == 0 && s == 4L })
+    assert(out.slice(4, 6).forall { case (_, q1, q2, l, s) =>
+      q1 == "en" && q2 == "*" && l == 1 && s == 6L })
+    assert(out(6) == ((7L, "*", "*", 2, 7L)))
+  }
+
+  test("kAnonymize: every released group has at least k members") {
+    val groups = Privacy.kAnonymize(docs, "lang", "source", k = 4)
+      .groupBy("anon_q1", "anon_q2").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    // level-2 rows release ("*","*") whose set is the corpus; the fr
+    // singleton is only "small" as a released GROUP, never as a set size
+    val sets = Privacy.kAnonymize(docs, "lang", "source", k = 4)
+      .select("anon_set_size").as[Long].collect()
+    assert(sets.forall(_ >= 4L), s"anonymity set below k: ${sets.mkString(",")}")
+    assert(groups.map(_._3).sum == 7L)
+  }
+
+  test("deletionAudit counts per-group tombstone hits") {
+    val ev = Seq(
+      (13L, "click"), (13L, "click"), (26L, "view"),
+      (1L, "click"), (2L, "view"), (3L, "view")
+    ).toDF("user_id", "event_type")
+    val tomb = ev.where(col("user_id") % 13 === 0).select("user_id")
+    val out = Privacy.deletionAudit(ev, "user_id", tomb, "event_type")
+      .as[(String, Long, Long, Long)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("click", 3L, 2L, 1L), ("view", 3L, 1L, 2L)))
+  }
+
+  test("dpCounts noise replays the id-derived Laplace draw exactly") {
+    val out = Privacy.dpCounts(docs, "lang", epsilon = 1.0)
+      .as[(String, Long, Long, Float)].collect().sortBy(_._1)
+    assert(out.map(t => (t._1, t._2)).toSeq == Seq(("en", 6L), ("fr", 1L)))
+    val scale = 1099511627776.0
+    for ((lang, n, fp, noisy) <- out) {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dp:$lang".getBytes("UTF-8"))
+      val md24 = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+      val u = (md24 + 0.5) / 16777216.0 - 0.5
+      val want = math.floor(-1.0 * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u)) * scale).toLong
+      assert(fp == want, s"$lang: noise_fp $fp != $want")
+      assert(noisy == (n + fp / scale).toFloat)
+    }
+  }
+
+  test("dpCounts noise is Laplace-shaped: symmetric sign, |noise| grows toward u=±1/2") {
+    // construct keys hitting both signs
+    val many = (0 until 50).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+    val fps = Privacy.dpCounts(many, "key").select("noise_fp").as[Long].collect()
+    assert(fps.exists(_ > 0) && fps.exists(_ < 0), "both noise signs expected over 50 keys")
+  }
+}

@@ -432,4 +432,33 @@ class SimilaritySpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getDouble(4)))
     assert(rep.toSeq == got.toSeq)
   }
+
+  test("signCellCoverage: orthant cells, entropy extremes, and the bit fold") {
+    // 3 sign dims -> 8 cells; fold is acc*2 + bit with component 0 as
+    // the high bit: [+,-,+] -> 101b = 5
+    val df = Seq(
+      (0, Seq(1.0f, -1.0f, 1.0f, 9.0f)),   // cell 5 (4th dim ignored)
+      (0, Seq(0.0f, -2.0f, 0.5f)),         // 0.0 counts as +: cell 5
+      (0, Seq(1.0f, -1.0f, 1.0f)),         // cell 5 again
+      (0, Seq(-1.0f, -1.0f, -1.0f)),       // cell 0
+      (1, Seq(1.0f, 1.0f, 1.0f)),          // all in one cell -> entropy 0
+      (1, Seq(2.0f, 3.0f, 4.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.signCellCoverage(df, "label", "embedding", signDims = 3)
+      .as[(Int, Long, Int, Float, Float)].collect().sortBy(_._1).toSeq
+    // label 0: cells {5:3, 0:1}; H = ln4 - (3 ln3)/4 in bits
+    val h0 = ((math.log(4.0) - 3.0 * math.log(3.0) / 4.0) / math.log(2.0)).toFloat
+    val n0 = ((math.log(4.0) - 3.0 * math.log(3.0) / 4.0) / math.log(4.0)).toFloat
+    assert(out == Seq((0, 4L, 2, h0, n0), (1, 2L, 1, 0.0f, 0.0f)))
+  }
+
+  test("signCellCoverage is invariant under repartitioning") {
+    val df = (0 until 100).map(i =>
+      (i % 3, Seq.tabulate(6)(d => ((i * 7 + d * 13) % 11 - 5).toFloat)))
+      .toDF("label", "embedding")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Similarity.signCellCoverage(x, "label", "embedding", signDims = 6)
+        .as[(Int, Long, Int, Float, Float)].collect().sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
 }

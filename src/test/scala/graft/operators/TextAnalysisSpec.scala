@@ -349,4 +349,71 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(String, Long)].collect().toMap
     assert(est2 == est)
   }
+
+  test("cdcChunks: boundaries from token hashes, full coverage, shift resistance") {
+    def md24(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+    }
+    // 60 distinct tokens — with divisor 4, roughly a quarter are cuts
+    val toks = (0 until 60).map(i => s"w$i")
+    val text = toks.mkString(" ")
+    // shifted twin: one token PREPENDED — CDC must re-sync, fixed-grid would not
+    val docs = Seq((1L, text), (2L, "zzz " + text)).toDF("doc_id", "text")
+    val out = TextAnalysis.cdcChunks(docs, "text", "doc_id", divisor = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Int, Int, Int, Long, Int)].collect().toSeq
+    val byDoc = out.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+
+    // brute-force oracle for doc 1: boundary AFTER tokens with md24 % 4 == 0
+    val wantChunks = collection.mutable.ArrayBuffer(collection.mutable.ArrayBuffer[String]())
+    for (t <- toks) {
+      wantChunks.last += t
+      if (md24(t) % 4 == 0) wantChunks += collection.mutable.ArrayBuffer[String]()
+    }
+    val want = wantChunks.filter(_.nonEmpty).map(_.toSeq).toSeq
+    assert(byDoc(1L).map(_._4).sum == 60, "full token coverage")
+    assert(byDoc(1L).map(c => c._4) == want.map(_.length), "chunk sizes match the hash oracle")
+    assert(byDoc(1L).map(_._5) == want.map(c => md24(c.mkString(" "))), "fingerprints replay")
+    // start positions are the running token offsets
+    assert(byDoc(1L).map(_._3) == want.map(_.length).scanLeft(0)(_ + _).dropRight(1))
+
+    // shift resistance: every doc-1 chunk after the first boundary
+    // reappears verbatim in doc 2, so its n_docs_sharing is 2
+    val shared1 = byDoc(1L).drop(1).map(_._6)
+    assert(shared1.nonEmpty && shared1.forall(_ == 2),
+      s"post-edit chunks must re-sync across the shifted twin: $shared1")
+    // the edited head chunk differs between the docs
+    assert(byDoc(1L).head._5 != byDoc(2L).head._5)
+  }
+
+  test("cdcChunks is invariant under repartitioning") {
+    val docs = Seq((1L, (0 until 40).map(i => s"w$i").mkString(" ")),
+      (2L, "a b c")).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.cdcChunks(df, "text", "doc_id", divisor = 4)
+        .as[(Long, Int, Int, Int, Long, Int)].collect().sortBy(c => (c._1, c._2)).toSeq
+    assert(run(docs) == run(docs.repartition(7)))
+  }
+
+  test("oovRate: exact top-v vocabulary membership, per-group token accounting") {
+    // corpus counts: a×5, b×3, c×2, d×1 — top-2 vocab = {a, b}
+    val docs = Seq(
+      ("s1", "a a a b b"),
+      ("s2", "a a b c c d")
+    ).toDF("source", "text")
+    val out = TextAnalysis.oovRate(docs, "text", "source", vocabSize = 2)
+      .as[(String, Long, Long, Float)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("s1", 5L, 0L, 0.0f),
+      ("s2", 6L, 3L, 0.5f))) // c c d out of vocab
+  }
+
+  test("oovRate tie order: count desc then term asc decides the vocab edge") {
+    // b and c tie at 2; vocab of 2 takes {a, b} (term asc on the tie)
+    val docs = Seq(("s", "a a a b b c c")).toDF("source", "text")
+    val out = TextAnalysis.oovRate(docs, "text", "source", vocabSize = 2)
+      .as[(String, Long, Long, Float)].collect().head
+    assert(out == (("s", 7L, 2L, (2.0 / 7.0).toFloat)))
+  }
 }
