@@ -210,7 +210,12 @@ object SparkEntry {
     "chunk_cdc" -> (L.chunkCdc _),
     "fuzzy_match" -> (L.fuzzyMatch _),
     "emb_coverage" -> (L.embCoverage _),
-    "vocab_oov" -> (L.vocabOov _)
+    "vocab_oov" -> (L.vocabOov _),
+    "dedup_stitch" -> (L.dedupStitch _),
+    "pack_efficiency" -> (L.packEfficiency _),
+    // OLAP surfaces: grouping sets + pivot
+    "sales_rollup" -> (C.salesRollup _),
+    "event_pivot" -> (C.eventPivot _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

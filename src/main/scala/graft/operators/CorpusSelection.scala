@@ -593,4 +593,43 @@ object CorpusSelection {
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("weight").desc, col(idCol))).cast("int"))
   }
+
+  /** Padding-waste audit for batch assembly: when fixed-size batches pad
+    * every sequence to the batch max, how many pad cells does each
+    * assembly strategy burn? Compares `arrival` (docs batched in id
+    * order — the naive loader) against `sorted` (docs batched in
+    * length-desc order — length-grouped batching), the standard
+    * before/after that justifies a bucketed sampler. Emits one row per
+    * strategy: (strategy, n_batches, total_tokens, padded_cells,
+    * waste_frac) where `padded_cells = Σ_b (max_len_b · |b| − Σ len)`
+    * and `waste_frac = padded / (padded + total)`.
+    *
+    * Plan: two global row_number windows (one per strategy) over slim
+    * (id, len) rows, then a per-batch aggregate and a 2-row rollup —
+    * all integer arithmetic, single final divisions. The global sort
+    * serializes on one task: this is the audit's honest cost at corpus
+    * scale, and the production form runs it per SHARD (prepend the
+    * shard key to both window partitions) where each shard's sort is
+    * local — the [[assignShards]] composition.
+    */
+  def paddingAudit(docs: DataFrame, idCol: String, lenExpr: Column,
+                   batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    val slim = docs.select(col(idCol).as("_id"), lenExpr.cast("long").as("_len"))
+    def audit(strategy: String, order: Seq[Column]): DataFrame = slim
+      .withColumn("_rn", row_number().over(Window.orderBy(order: _*)))
+      .withColumn("_batch", expr(s"(_rn - 1) div $batchSize"))
+      .groupBy(col("_batch"))
+      .agg(count(lit(1)).as("_n"), max(col("_len")).as("_mx"), sum(col("_len")).as("_sum"))
+      .agg(
+        count(lit(1)).as("n_batches"),
+        sum(col("_sum")).as("total_tokens"),
+        sum(col("_mx") * col("_n") - col("_sum")).as("padded_cells"))
+      .select(lit(strategy).as("strategy"), col("n_batches"), col("total_tokens"),
+        col("padded_cells"),
+        (col("padded_cells").cast("double")
+          / (col("padded_cells") + col("total_tokens")).cast("double")).as("waste_frac"))
+    audit("arrival", Seq(col("_id")))
+      .unionByName(audit("sorted", Seq(col("_len").desc, col("_id"))))
+  }
 }

@@ -1358,4 +1358,42 @@ object Dedup {
         size(col("_kept")).as("n_kept"),
         array_join(col("_kept"), " ").as("scrubbed_text"))
   }
+
+  /** Stitched-document detection: pairs where document A's LAST `k`
+    * tokens are byte-identical to document B's FIRST `k` tokens — the
+    * signature of crawl stitching (one page's footer re-crawled as the
+    * next page's header) and of pagination artifacts, which
+    * whole-document fingerprints and bag-of-shingles near-dup both miss
+    * (the overlap is a tiny fraction of either doc). Emits
+    * (`doc_a`, `doc_b`, `boundary_fp`) — A's tail continues into B;
+    * `boundary_fp` the engine-portable md24 of the shared boundary.
+    * Documents shorter than `k` tokens cannot carry a full boundary and
+    * drop from BOTH sides.
+    *
+    * Plan: one slim projection per side — (id, boundary string), k
+    * tokens ≈ tens of bytes, never the document — and ONE equi-join of
+    * tail against head. The boundary string is itself the join key:
+    * exact by construction, no verify pass needed (at web scale swap
+    * the key for xxhash64(boundary) and keep the string equality as the
+    * residual join condition — same plan, 8-byte exchange). Fan-out per
+    * boundary = (#docs ending with it) × (#docs starting with it):
+    * vocabulary-like skew, the unhinted-join class, so AQE decides the
+    * strategy.
+    */
+  def stitchPairs(docs: DataFrame, textCol: String, idCol: String,
+                  k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val base = docs
+      .select(col(idCol), toks.as("_toks"))
+      .where(size(col("_toks")) >= k)
+    val tails = base.select(col(idCol).as("doc_a"),
+      array_join(slice(col("_toks"), -k, k), " ").as("_boundary"))
+    val heads = base.select(col(idCol).as("doc_b"),
+      array_join(slice(col("_toks"), 1, k), " ").as("_boundary"))
+    tails.join(heads, Seq("_boundary"))
+      .where(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        QualityClassifier.md24(col("_boundary")).as("boundary_fp"))
+  }
 }

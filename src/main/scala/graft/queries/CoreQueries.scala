@@ -668,4 +668,55 @@ object CoreQueries {
       .agg(count(lit(1)).as("n_recent"), max(col("updatedAt")).as("max_updated"))
       .orderBy(col("event_type"))
   }
+
+  /** OLAP rollup over the star schema: revenue at every level of the
+    * region → nation → segment hierarchy in ONE pass (`ROLLUP` grouping
+    * sets — subtotals and the grand total come from the same partial
+    * aggregates, not four scans). The fact-side joins follow the
+    * dimension-size gradient: lineitem⋈orders shuffles on the order key
+    * (both fact-sized at 100 TB), then customer/nation/region broadcast
+    * — the canonical star-join plan. Revenue sums in DECIMAL so
+    * reduction order cannot matter; rollup NULLs label as 'ALL'
+    * (the dimension values are non-null by schema).
+    */
+  def salesRollup(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_items"), col("revenue"))
+      .orderBy(col("region"), col("nation"), col("segment"))
+  }
+
+  /** Pivot: the per-user event-type count matrix — `groupBy(user)
+    * .pivot(type, explicit values)` compiles to ONE hash aggregate with
+    * a count per pivot value (no per-type scans, no join); the explicit
+    * value list keeps the schema deterministic (value-discovery pivot
+    * would add a collect-distinct driver pass). Absent combinations
+    * fill 0, matching the oracle's CASE sums.
+    */
+  def eventPivot(s: SparkSession, d: String): DataFrame = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+      .orderBy(col("user_id"))
+  }
 }

@@ -3597,6 +3597,70 @@ object Oracles {
         |  (sum(CASE WHEN v.term IS NULL THEN c ELSE 0 END)::DOUBLE
         |    / sum(c)::DOUBLE)::FLOAT AS oov_rate
         |FROM gt LEFT JOIN v ON gt.term = v.term
-        |GROUP BY g ORDER BY g""".stripMargin
+        |GROUP BY g ORDER BY g""".stripMargin,
+
+    // stitched-doc detection: planted twins (id+100000) whose text
+    // starts with the origin's 10-token tail; pairs join tail = head
+    "dedup_stitch" ->
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
+         |planted AS (
+         |  SELECT doc_id + 100000 AS doc_id,
+         |    array_to_string(string_split_regex(lower(trim(text)), '\\s+')[-10:], ' ')
+         |      || ' continuation payload of the stitched crawl page' AS text
+         |  FROM base WHERE doc_id % 25 = 0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+         |t AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus),
+         |ok AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 10),
+         |tails AS (SELECT doc_id AS doc_a, array_to_string(toks[-10:], ' ') AS b FROM ok),
+         |heads AS (SELECT doc_id AS doc_b, array_to_string(toks[1:10], ' ') AS b FROM ok)
+         |SELECT doc_a, doc_b, (${md24("b")}) AS boundary_fp
+         |FROM tails JOIN heads USING (b)
+         |WHERE doc_a <> doc_b ORDER BY doc_a, doc_b""".stripMargin,
+
+    // padding-waste audit (batch 32): arrival vs length-sorted assembly;
+    // per-batch max·count − sum, integer-exact, one final division
+    "pack_efficiency" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS l
+        |  FROM documents),
+        |arr AS (SELECT l, (row_number() OVER (ORDER BY id) - 1) // 32 AS b FROM d),
+        |srt AS (SELECT l, (row_number() OVER (ORDER BY l DESC, id) - 1) // 32 AS b FROM d),
+        |pa AS (SELECT b, count(*) AS n, max(l) AS mx, sum(l) AS s FROM arr GROUP BY b),
+        |ps AS (SELECT b, count(*) AS n, max(l) AS mx, sum(l) AS s FROM srt GROUP BY b),
+        |ra AS (SELECT 'arrival' AS strategy, count(*)::BIGINT AS n_batches,
+        |         sum(s)::BIGINT AS total_tokens, sum(mx * n - s)::BIGINT AS padded_cells FROM pa),
+        |rs AS (SELECT 'sorted' AS strategy, count(*)::BIGINT AS n_batches,
+        |         sum(s)::BIGINT AS total_tokens, sum(mx * n - s)::BIGINT AS padded_cells FROM ps)
+        |SELECT strategy, n_batches, total_tokens, padded_cells,
+        |  padded_cells::DOUBLE / (padded_cells + total_tokens)::DOUBLE AS waste_frac
+        |FROM (SELECT * FROM ra UNION ALL SELECT * FROM rs) ORDER BY strategy""".stripMargin,
+
+    // ROLLUP star query: revenue at every level of region→nation→segment
+    // from one pass; DECIMAL sums; rollup NULLs label 'ALL'
+    "sales_rollup" ->
+      """SELECT coalesce(r_name, 'ALL') AS region, coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
+        |ORDER BY region, nation, segment""".stripMargin,
+
+    // pivot: per-user event-type count matrix, absent combos 0
+    "event_pivot" ->
+      """SELECT user_id,
+        |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

@@ -359,4 +359,23 @@ class CorpusSelectionSpec extends SparkSuite {
         .select("doc_id", "weight").as[(Long, Float)].collect().toMap
     assert(run(raw) == run(raw.repartition(7)))
   }
+
+  test("paddingAudit: hand-computed waste for both strategies, sorted never worse") {
+    // lengths in id order: 10, 1, 10, 1 — batch 2
+    // arrival: [10,1] pad 9, [10,1] pad 9 -> 18; sorted: [10,10] 0, [1,1] 0
+    val docs = Seq((1L, 10L), (2L, 1L), (3L, 10L), (4L, 1L)).toDF("doc_id", "len")
+    val out = CorpusSelection.paddingAudit(docs, "doc_id", col("len"), batchSize = 2)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      ("arrival", 2L, 22L, 18L, 18.0 / 40.0),
+      ("sorted", 2L, 22L, 0L, 0.0)))
+  }
+
+  test("paddingAudit: ragged final batch pads to its own max only") {
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 2L)).toDF("doc_id", "len")
+    val out = CorpusSelection.paddingAudit(docs, "doc_id", col("len"), batchSize = 2)
+      .as[(String, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // arrival: [4,4] waste 0, [2] waste 0; sorted: [4,4] 0, [2] 0
+    assert(out.forall(r => r._2 == 2L && r._3 == 10L && r._4 == 0L && r._5 == 0.0))
+  }
 }

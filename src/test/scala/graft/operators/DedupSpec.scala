@@ -727,4 +727,26 @@ class DedupSpec extends SparkSuite {
     assert(estInter > 120.0 && estInter < 280.0, s"est_inter $estInter vs 200")
     assert(math.abs(row.getAs[Double]("est_a") - 400.0) / 400.0 < 0.4)
   }
+
+  test("stitchPairs: tail→head overlap pairs, direction-aware, short docs drop") {
+    val docs = Seq(
+      (1L, "a b c d e f"),        // tail-3 "d e f"
+      (2L, "d e f g h i"),        // head-3 "d e f" -> 1 stitches into 2
+      (3L, "x y z q r s"),        // no overlap with anything
+      (4L, "d e f"),              // head-3 AND tail-3 "d e f"
+      (5L, "p q")                 // too short for k=3: drops both sides
+    ).toDF("doc_id", "text")
+    val out = Dedup.stitchPairs(docs, "text", "doc_id", k = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().sorted.toSeq
+    // 1→2 (tail of 1 = head of 2), 1→4, 4→2; NOT 2→1 (direction), no 5
+    assert(out == Seq((1L, 2L), (1L, 4L), (4L, 2L)))
+  }
+
+  test("stitchPairs boundary fingerprint is the md24 of the shared boundary") {
+    val docs = Seq((1L, "a b c"), (2L, "a b c z")).toDF("doc_id", "text")
+    val row = Dedup.stitchPairs(docs, "text", "doc_id", k = 3).collect().head
+    val h = java.security.MessageDigest.getInstance("MD5").digest("a b c".getBytes("UTF-8"))
+    val want = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 2L, want)))
+  }
 }
