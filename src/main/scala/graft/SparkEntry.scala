@@ -213,9 +213,13 @@ object SparkEntry {
     "vocab_oov" -> (L.vocabOov _),
     "dedup_stitch" -> (L.dedupStitch _),
     "pack_efficiency" -> (L.packEfficiency _),
-    // OLAP surfaces: grouping sets + pivot
+    // OLAP surfaces: grouping sets + pivot + unpivot
     "sales_rollup" -> (C.salesRollup _),
-    "event_pivot" -> (C.eventPivot _)
+    "event_pivot" -> (C.eventPivot _),
+    "metrics_unpivot" -> (C.metricsUnpivot _),
+    "event_markov" -> (C.eventMarkov _),
+    "graph_triangles" -> (C.graphTriangles _),
+    "quality_winsorize" -> (L.qualityWinsorize _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

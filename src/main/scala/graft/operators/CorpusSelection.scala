@@ -632,4 +632,45 @@ object CorpusSelection {
     audit("arrival", Seq(col("_id")))
       .unionByName(audit("sorted", Seq(col("_len").desc, col("_id"))))
   }
+
+  /** Per-group winsorization: clamp a numeric signal into its group's
+    * [pLo, pHi] discrete-percentile band — the outlier-conditioning pass
+    * run before any mean/variance-based quality blending (a single
+    * 10M-char doc otherwise owns its language's mean). Percentiles are
+    * EXACT discrete order statistics: the value at rank `ceil(p·n)`
+    * under value order, computed with the basis-points integer
+    * arithmetic of [[graft.operators.TextAnalysis.corpusProfile]] (the
+    * double form of ceil drifts a rank on unrepresentable products).
+    * Adds (`p_lo`, `p_hi`, `winsorized`, `is_clamped`) to the input.
+    *
+    * Plan: one exchange on the group key for the rank window; the
+    * two-value-per-group band table broadcasts back. A mega-group
+    * serializes its sort — at that scale swap the window for the
+    * quantile-sketch bound ([[graft.operators.TextAnalysis]]'s histogram
+    * sketch) and accept approximate edges.
+    */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi, s"need 0 <= pLo < pHi <= 1, got ($pLo, $pHi)")
+    def bp(p: Double): Long = {
+      val num = math.round(p * 10000)
+      require(math.abs(num / 10000.0 - p) < 1e-12, s"percentile $p not expressible in basis points")
+      num
+    }
+    val (lo, hi) = (bp(pLo), bp(pHi))
+    val w = Window.partitionBy(col("_g"))
+    val band = df
+      .select(col(groupCol).as("_g"), col(valueCol).cast("long").as("_v"))
+      .withColumn("_rn", row_number().over(w.orderBy(col("_v"))))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .groupBy(col("_g"))
+      .agg(
+        max(when(col("_rn") === expr(s"greatest(1L, (_cnt * ${lo}L + 9999L) div 10000L)"), col("_v"))).as("p_lo"),
+        max(when(col("_rn") === expr(s"greatest(1L, (_cnt * ${hi}L + 9999L) div 10000L)"), col("_v"))).as("p_hi"))
+    df.join(broadcast(band), df(groupCol) === band("_g"))
+      .drop("_g")
+      .withColumn("winsorized",
+        least(greatest(col(valueCol).cast("long"), col("p_lo")), col("p_hi")))
+      .withColumn("is_clamped", col("winsorized") =!= col(valueCol).cast("long"))
+  }
 }

@@ -142,4 +142,61 @@ object Graph {
       .select(col("node"), col("is_seed"), col("r").as("rank_fp"),
         (col("r").cast("double") / lit(RankScale.toDouble)).as("rank"))
   }
+
+  /** Triangle counting by degree orientation (the MapReduce-era
+    * Suri–Vassilvitskii / Cohen design, the standard at graph scale):
+    * simplify to undirected distinct edges (self-loops out, (u,v)≡(v,u)),
+    * then orient every edge from its lower-(degree, node) endpoint to
+    * the higher — each triangle survives as exactly ONE directed wedge
+    * (a→b, a→c) closed by (b→c), and — the scale property — every
+    * node's out-degree in the oriented graph is O(√|E|), so the wedge
+    * self-join fans out Σ outdeg² ≤ |E|^1.5 instead of the Σ deg² of a
+    * naive orientation (one celebrity node with degree d would
+    * otherwise mint d² wedges). Returns one row:
+    * (n_nodes, n_edges, n_triangles, max_degree).
+    *
+    * Plan: degree table = one aggregate over edge endpoints; orientation
+    * is a projection over the degree-joined edges (two broadcast-or-
+    * shuffle joins of a 2-column table); wedges = one self-join on the
+    * low endpoint; closure = one join of wedges against oriented edges;
+    * the count is a map-side-combined scalar. Everything is slim
+    * (8-byte pairs), nothing is ever corpus-quadratic.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .materialized // consumed by the degree aggregate AND the orientation join
+    val deg = raw.select(col("u").as("node")).union(raw.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .materialized // joined twice (both endpoints) + the max aggregate
+    // orient from lower (deg, node) to higher: a total order, so every
+    // undirected edge gets exactly one direction
+    val oriented = raw
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"))
+      .materialized // consumed by both wedge legs AND the closure probe
+    // per-side column names: three self-join legs over one cached plan
+    val wl = oriented.select(col("lo").as("_wa"), col("hi").as("b"))
+    val wr = oriented.select(col("lo").as("_wa2"), col("hi").as("c"))
+    val wedges = wl.join(wr, col("_wa") === col("_wa2"))
+      .where(col("b") < col("c"))
+      .select(col("b"), col("c"))
+    // the wedge pair (b, c) is ordered by NODE id while the edge is
+    // ordered by (deg, node), so probe both directions
+    val probe = oriented.select(col("lo").as("_pl"), col("hi").as("_ph"))
+    val closed = wedges.join(probe,
+      (col("b") === col("_pl") && col("c") === col("_ph"))
+        || (col("c") === col("_pl") && col("b") === col("_ph")))
+    raw.agg(count(lit(1)).as("n_edges")).crossJoin(
+      deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
+      .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
+  }
 }

@@ -703,6 +703,65 @@ object CoreQueries {
       .orderBy(col("region"), col("nation"), col("segment"))
   }
 
+  /** Markov transition matrix over the event stream: per user the
+    * lag-window previous type (first event transitions from the
+    * sentinel 'START'), counts per (from, to), and row-normalized
+    * transition probabilities — the behavioral fingerprint drift
+    * monitoring compares release-over-release. One key exchange for the
+    * lag window; the (from, to) aggregate is type²-sized; probabilities
+    * are single divisions of exact longs.
+    */
+  def eventMarkov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val trans = events(s, d)
+      .select(
+        coalesce(lag(col("event_type"), 1).over(w), lit("START")).as("from_type"),
+        col("event_type").as("to_type"))
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_type")).agg(sum(col("n")).as("_tot"))
+    trans.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("_tot").cast("double"))
+      .drop("_tot")
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** Triangle count of the item-transition graph
+    * ([[graft.operators.Graph.triangleCount]]): the clustering signal
+    * that tells co-occurrence structure from a star (a hub node has
+    * many edges but no triangles). Edges are the pagerank construction;
+    * degree orientation keeps the wedge join at O(|E|^1.5) — the
+    * MapReduce-standard design, never Σ deg².
+    */
+  def graphTriangles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.triangleCount(edges, "src", "dst")
+  }
+
+  /** Unpivot (melt): the wide per-source stats row folded to
+    * (source, metric, value) long form — the shape metric stores and
+    * dashboards ingest. `unpivot` is a projection+explode, shuffle-free
+    * after the stats aggregate; the explicit value-column list keeps
+    * the metric names deterministic.
+    */
+  def metricsUnpivot(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .unpivot(
+        Array(col("source")),
+        Array(col("n_docs"), col("total_chars"), col("n_langs")),
+        "metric", "value")
+      .orderBy(col("source"), col("metric"))
+
   /** Pivot: the per-user event-type count matrix — `groupBy(user)
     * .pivot(type, explicit values)` compiles to ONE hash aggregate with
     * a count per pivot value (no per-type scans, no join); the explicit

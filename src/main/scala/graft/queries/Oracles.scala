@@ -3653,6 +3653,79 @@ object Oracles {
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
         |ORDER BY region, nation, segment""".stripMargin,
 
+    // Markov transitions with the START sentinel; row-normalized exact
+    // long divisions
+    "event_markov" ->
+      """WITH t AS (
+        |  SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |           'START') AS from_type,
+        |    event_type AS to_type
+        |  FROM events),
+        |c AS (SELECT from_type, to_type, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+        |tot AS (SELECT from_type, sum(n)::BIGINT AS tot FROM c GROUP BY 1)
+        |SELECT from_type, to_type, n, n::DOUBLE / tot::DOUBLE AS p
+        |FROM c JOIN tot USING (from_type) ORDER BY from_type, to_type""".stripMargin,
+
+    // degree-oriented triangle count over the pagerank edge set: each
+    // triangle survives as ONE wedge at its (deg, node)-minimum apex
+    "graph_triangles" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e0 AS (SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |raw AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS hi
+        |  FROM (SELECT u, v, d1.deg AS du, d2.deg AS dv
+        |        FROM raw JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v)),
+        |w AS (SELECT a.lo, a.hi AS b, c.hi AS c
+        |      FROM o a JOIN o c ON a.lo = c.lo WHERE a.hi < c.hi),
+        |tri AS (SELECT count(*)::BIGINT AS n_triangles FROM w
+        |        JOIN o ON (w.b = o.lo AND w.c = o.hi) OR (w.c = o.lo AND w.b = o.hi))
+        |SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,
+        |  (SELECT count(*)::BIGINT FROM raw) AS n_edges,
+        |  n_triangles,
+        |  (SELECT max(deg)::BIGINT FROM deg) AS max_degree
+        |FROM tri""".stripMargin,
+
+    // unpivot: wide per-source stats folded to (source, metric, value)
+    "metrics_unpivot" ->
+      """WITH wide AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+        |    count(DISTINCT lang)::BIGINT AS n_langs
+        |  FROM documents GROUP BY source)
+        |SELECT source, metric, value FROM (
+        |  SELECT source, 'n_docs' AS metric, n_docs AS value FROM wide
+        |  UNION ALL SELECT source, 'total_chars', total_chars FROM wide
+        |  UNION ALL SELECT source, 'n_langs', n_langs FROM wide)
+        |ORDER BY source, metric""".stripMargin,
+
+    // per-lang p05/p95 winsorization: discrete order statistics at rank
+    // ceil(p·n) in basis-points integer arithmetic, values clamped in
+    "quality_winsorize" ->
+      """WITH v AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM documents),
+        |band AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = greatest(1, (cnt * 500 + 9999) // 10000) THEN n_chars END) AS p_lo,
+        |    max(CASE WHEN rn = greatest(1, (cnt * 9500 + 9999) // 10000) THEN n_chars END) AS p_hi
+        |  FROM v GROUP BY lang)
+        |SELECT doc_id, d.lang, n_chars, p_lo, p_hi,
+        |  least(greatest(n_chars, p_lo), p_hi) AS winsorized,
+        |  least(greatest(n_chars, p_lo), p_hi) <> n_chars AS is_clamped
+        |FROM documents d JOIN band ON band.lang = d.lang
+        |ORDER BY doc_id""".stripMargin,
+
     // pivot: per-user event-type count matrix, absent combos 0
     "event_pivot" ->
       """SELECT user_id,

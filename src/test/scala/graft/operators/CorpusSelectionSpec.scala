@@ -378,4 +378,20 @@ class CorpusSelectionSpec extends SparkSuite {
     // arrival: [4,4] waste 0, [2] waste 0; sorted: [4,4] 0, [2] 0
     assert(out.forall(r => r._2 == 2L && r._3 == 10L && r._4 == 0L && r._5 == 0.0))
   }
+
+  test("winsorize clamps to the exact discrete percentile band per group") {
+    // group a: values 1..10 — p20 = value at rank ceil(10*0.2)=2 -> 2,
+    // p80 = rank 8 -> 8; group b: single value, band collapses to it
+    val docs = ((1 to 10).map(i => (i.toLong, "a", i.toLong)) :+ (99L, "b", 7L))
+      .toDF("id", "g", "v")
+    val out = CorpusSelection.winsorize(docs, "g", "v", pLo = 0.2, pHi = 0.8)
+      .select("id", "p_lo", "p_hi", "winsorized", "is_clamped")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    for ((id, lo, hi, w, c) <- out.take(10)) {
+      assert((lo, hi) == ((2L, 8L)))
+      assert(w == math.min(math.max(id, 2L), 8L))
+      assert(c == (id < 2L || id > 8L))
+    }
+    assert(out.last == ((99L, 7L, 7L, 7L, false)))
+  }
 }

@@ -106,4 +106,39 @@ class GraphSpec extends SparkSuite {
       .select("node", "rank_fp").as[(Long, Long)].collect().toMap
     assert(a == b)
   }
+
+  test("triangleCount: known shapes — triangle, star, K4, self-loops and multi-edges ignored") {
+    def tri(edges: Seq[(Long, Long)]): (Long, Long, Long, Long) =
+      Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+        .as[(Long, Long, Long, Long)].collect().head
+    // one triangle, listed with duplicates / reversals / a self-loop
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 1L), (2L, 1L), (1L, 1L))) == ((3L, 3L, 1L, 2L)))
+    // a 4-star has no triangles, hub degree 4
+    assert(tri(Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))) == ((5L, 4L, 0L, 4L)))
+    // K4: C(4,3) = 4 triangles, 6 edges, degree 3
+    val k4 = for (i <- 0L to 3L; j <- 0L to 3L if i < j) yield (i, j)
+    assert(tri(k4) == ((4L, 6L, 4L, 3L)))
+    // two triangles sharing an edge: 5 edges, 2 triangles
+    assert(tri(Seq((1L, 2L), (2L, 3L), (1L, 3L), (2L, 4L), (3L, 4L))) == ((4L, 5L, 2L, 3L)))
+  }
+
+  test("triangleCount matches a brute-force count on a random graph and ignores direction") {
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(200)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val undirected = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val adj = undirected.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nodes = undirected.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    // yield the triple, not a constant: Set comprehensions dedupe values
+    val brute = (for {
+      a <- nodes
+      b <- adj.getOrElse(a, Set.empty[Long]).toSeq
+      c <- adj.getOrElse(a, Set.empty[Long]).toSeq
+      if b < c && adj.getOrElse(b, Set.empty[Long]).contains(c)
+    } yield (a, b, c)).size
+    val got = Graph.triangleCount(edges.toDF("src", "dst"), "src", "dst")
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got._3 == brute.toLong, s"triangles ${got._3} vs brute $brute")
+    assert(got._2 == undirected.size.toLong)
+  }
 }
