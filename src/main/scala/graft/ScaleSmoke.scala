@@ -184,6 +184,23 @@ object ScaleSmoke {
         Dedup.simHash(chunks, "chunk_text", "chunk_key")
           .select(col("chunk_key"), org.apache.spark.sql.functions.shiftright(col("simhash"), 32).as("bucket"))
           .groupBy(col("bucket")).agg(count(lit(1)).as("n")).count()
+      }),
+      // round 11f: CDC is token-bound map work + a per-doc window + the
+      // fingerprint share join; stitch is two slim projections + one
+      // boundary equi-join; triangles must hold the O(|E|^1.5) wedge
+      // budget as edges densify over the fixed node space (the pagerank
+      // shape — the 10x load is DENSER, the adversarial direction)
+      "cdc_chunks" -> (() => TextAnalysis.cdcChunks(docs, "text", "doc_id").count()),
+      "stitch" -> (() => Dedup.stitchPairs(docs, "text", "doc_id").count()),
+      "triangles" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val edges = ev
+          .select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+        Graph.triangleCount(edges, "src", "dst").count()
       }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
