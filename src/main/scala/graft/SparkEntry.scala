@@ -219,7 +219,8 @@ object SparkEntry {
     "metrics_unpivot" -> (C.metricsUnpivot _),
     "event_markov" -> (C.eventMarkov _),
     "graph_triangles" -> (C.graphTriangles _),
-    "quality_winsorize" -> (L.qualityWinsorize _)
+    "quality_winsorize" -> (L.qualityWinsorize _),
+    "interval_join" -> (C.intervalJoin _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -703,6 +703,33 @@ object CoreQueries {
       .orderBy(col("region"), col("nation"), col("segment"))
   }
 
+  /** Point-in-interval join ([[graft.operators.IntervalJoin]]): every
+    * `error` event opens a one-hour incident window on its user; the
+    * join attributes that user's `purchase` events inside the window —
+    * the incident-correlation query a non-equi join would turn into a
+    * per-key cross product, here one bounded explode (4 buckets per
+    * 1-hour window at 900 s grain) + one equi-join. Per incident:
+    * purchase count, id span, DECIMAL-summed value.
+    */
+  def intervalJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("incident_id"),
+        col("ts").as("w_start"), (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.IntervalJoin
+      .pointInInterval(purchases, "ts", incidents, "w_start", "w_end",
+        Seq("user_id"), bucketSeconds = 900L)
+      .groupBy(col("incident_id"))
+      .agg(
+        count(lit(1)).as("n_purchases"),
+        min(col("event_id")).as("first_purchase_id"),
+        max(col("event_id")).as("last_purchase_id"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+      .orderBy(col("incident_id"))
+  }
+
   /** Markov transition matrix over the event stream: per user the
     * lag-window previous type (first event transitions from the
     * sentinel 'START'), counts per (from, to), and row-normalized

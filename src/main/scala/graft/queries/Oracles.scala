@@ -3653,6 +3653,26 @@ object Oracles {
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
         |ORDER BY region, nation, segment""".stripMargin,
 
+    // point-in-interval: error events open 1-hour windows, same-user
+    // purchases attribute in; the oracle writes the containment join
+    // directly (DuckDB plans the inequality natively)
+    "interval_join" ->
+      """WITH inc AS (
+        |  SELECT user_id, event_id AS incident_id, CAST(ts AS TIMESTAMP) AS ws,
+        |    CAST(ts AS TIMESTAMP) + INTERVAL 1 HOUR AS we
+        |  FROM events WHERE event_type = 'error'),
+        |pur AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS pts, event_id, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT incident_id,
+        |  count(*)::BIGINT AS n_purchases,
+        |  min(event_id) AS first_purchase_id,
+        |  max(event_id) AS last_purchase_id,
+        |  sum(CAST(value AS DECIMAL(18,4)))::DOUBLE AS total_value
+        |FROM inc JOIN pur USING (user_id)
+        |WHERE pts >= ws AND pts < we
+        |GROUP BY incident_id ORDER BY incident_id""".stripMargin,
+
     // Markov transitions with the START sentinel; row-normalized exact
     // long divisions
     "event_markov" ->
