@@ -220,7 +220,8 @@ object SparkEntry {
     "event_markov" -> (C.eventMarkov _),
     "graph_triangles" -> (C.graphTriangles _),
     "quality_winsorize" -> (L.qualityWinsorize _),
-    "interval_join" -> (C.intervalJoin _)
+    "interval_join" -> (C.intervalJoin _),
+    "bootstrap_ci" -> (L.bootstrapCi _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

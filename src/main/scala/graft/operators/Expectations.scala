@@ -133,4 +133,57 @@ object Expectations {
         max(col("_n")).as("n_rows"),
         (min(col("_bin")) * lit(binWidth) + lit(binWidth - 1)).as("est_value"))
   }
+
+  /** Poisson-bootstrap confidence interval for a mean over an INTEGER
+    * metric (Chamandy et al., the streaming/distributed bootstrap: each
+    * replica reweights every row with an independent Poisson(1) count,
+    * equivalent to resampling-with-replacement at corpus scale but one
+    * pass and shuffle-free per replica). The Poisson draw is DERIVED
+    * from md5(id, replica) via inverse CDF against hard-coded cumulative
+    * literals (identical doubles on every engine — the reproducible-
+    * noise discipline of the DP release), capped at 5 (P ≈ 4·10⁻⁴ of
+    * truncation per draw; the bias is identical across engines).
+    *
+    * Per-replica means are EXACT: Poisson weights are small ints, the
+    * metric is integer, so Σw·v and Σw are int64 sums and the mean is
+    * one division — partitioning-independent. The cross-replica
+    * mean/std land in FLOAT (an `replicas`-row double aggregate).
+    * Emits one row per replica: (replica, n_eff, mean) plus the
+    * constant summary columns (boot_mean, boot_std) for gating.
+    *
+    * Plan: a bounded `replicas`× explode of slim (id, value) rows into
+    * one map-side-combined aggregate with `replicas` groups; the
+    * explode never touches wide columns. At any corpus size the
+    * exchange carries replicas × partitions partial rows.
+    */
+  def poissonBootstrapMean(df: DataFrame, idCol: String, valueCol: String,
+                           replicas: Int = 32): DataFrame = {
+    require(replicas >= 2, s"replicas must be >= 2, got $replicas")
+    // cumulative Poisson(1): P(X <= k) for k = 0..4, exact double literals
+    val cum = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    val u = (QualityClassifier.md24(concat(lit("boot:"), col(idCol).cast("string"),
+      lit(":"), col("r").cast("string"))).cast("double") + lit(0.5)) / lit(16777216.0)
+    val w = cum.zipWithIndex.foldRight(lit(5): org.apache.spark.sql.Column) {
+      case ((c, k), rest) => when(u < c, k).otherwise(rest)
+    }
+    val perReplica = df
+      .select(col(idCol), col(valueCol).cast("long").as("_v"),
+        explode(sequence(lit(0), lit(replicas - 1))).as("r"))
+      .withColumn("_w", w.cast("long"))
+      .groupBy(col("r").as("replica"))
+      .agg(
+        sum(col("_w")).as("n_eff"),
+        (sum(col("_w") * col("_v")).cast("double") / sum(col("_w")).cast("double")).as("mean"))
+    val win = org.apache.spark.sql.expressions.Window.partitionBy()
+    perReplica
+      .withColumn("boot_mean",
+        (sum(col("mean")).over(win) / lit(replicas.toDouble)).cast("float"))
+      .withColumn("boot_std",
+        sqrt(greatest(
+          (sum(col("mean") * col("mean")).over(win)
+            - sum(col("mean")).over(win) * sum(col("mean")).over(win) / lit(replicas.toDouble))
+            / lit((replicas - 1).toDouble),
+          lit(0.0))).cast("float"))
+  }
 }

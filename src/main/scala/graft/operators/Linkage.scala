@@ -49,8 +49,12 @@ object Linkage {
       .select(
         least(col("_name_a"), col("_name_b")).as("name_a"),
         greatest(col("_name_a"), col("_name_b")).as("name_b"))
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .where(col("dist") <= maxDist)
+      // thresholded form: the DP band-limits to maxDist+1 diagonals and
+      // early-exits with -1 past the bound — the verifier cost per pair
+      // is O(len·maxDist), not O(len²), exactly where the candidate
+      // volume concentrates
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
+      .where(col("dist") >= 0)
       .groupBy(col("name_a"), col("name_b"), col("dist"))
       .agg(count(lit(1)).as("n_pairs"))
   }

@@ -3653,6 +3653,37 @@ object Oracles {
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
         |ORDER BY region, nation, segment""".stripMargin,
 
+    // Poisson bootstrap (32 replicas): hash-derived Poisson(1) weights
+    // via inverse CDF against hard-coded cumulative literals; replica
+    // means exact integer sums, cross-replica summary FLOAT
+    "bootstrap_ci" ->
+      s"""WITH x AS (
+         |  SELECT doc_id, n_chars::BIGINT AS v, i AS r
+         |  FROM documents, unnest(range(0, 32)) AS t(i)),
+         |uw AS (
+         |  SELECT r, v,
+         |    ((${md24("'boot:' || doc_id || ':' || r")})::DOUBLE + 0.5) / 16777216.0 AS u
+         |  FROM x),
+         |w AS (
+         |  SELECT r, v,
+         |    (CASE WHEN u < 0.36787944117144233 THEN 0
+         |          WHEN u < 0.7357588823428847 THEN 1
+         |          WHEN u < 0.9196986029286058 THEN 2
+         |          WHEN u < 0.9810118431238462 THEN 3
+         |          WHEN u < 0.9963401531726563 THEN 4
+         |          ELSE 5 END)::BIGINT AS w
+         |  FROM uw),
+         |p AS (
+         |  SELECT r::INTEGER AS replica, sum(w)::BIGINT AS n_eff,
+         |    sum(w * v)::DOUBLE / sum(w)::DOUBLE AS mean
+         |  FROM w GROUP BY r),
+         |s AS (
+         |  SELECT (sum(mean) / 32.0)::FLOAT AS boot_mean,
+         |    sqrt(greatest((sum(mean * mean) - sum(mean) * sum(mean) / 32.0) / 31.0, 0.0))::FLOAT AS boot_std
+         |  FROM p)
+         |SELECT replica, n_eff, mean, boot_mean, boot_std
+         |FROM p, s ORDER BY replica""".stripMargin,
+
     // point-in-interval: error events open 1-hour windows, same-user
     // purchases attribute in; the oracle writes the containment join
     // directly (DuckDB plans the inequality natively)

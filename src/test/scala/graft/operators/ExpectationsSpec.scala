@@ -89,4 +89,42 @@ class ExpectationsSpec extends SparkSuite {
       .select("p_bp", "est_value").as[(Int, Long)].collect().toMap
     assert(got == Map(5000 -> 50L, 9000 -> 90L))
   }
+
+  test("poissonBootstrapMean replays the hash-derived weights and exact replica means") {
+    def md24(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
+    }
+    val cum = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563)
+    def weight(id: Long, r: Int): Long = {
+      val u = (md24(s"boot:$id:$r") + 0.5) / 16777216.0
+      cum.indexWhere(u < _) match { case -1 => 5L; case k => k.toLong }
+    }
+    val vals = (1L to 50L).map(i => (i, i * 3 + 7))
+    val df = vals.toDF("id", "v")
+    val out = Expectations.poissonBootstrapMean(df, "id", "v", replicas = 8)
+      .select("replica", "n_eff", "mean").as[(Int, Long, Double)].collect()
+      .sortBy(_._1).toSeq
+    assert(out.size == 8)
+    for ((r, nEff, mean) <- out) {
+      val ws = vals.map { case (id, v) => (weight(id, r), v) }
+      val wantN = ws.map(_._1).sum
+      val wantMean = ws.map { case (w, v) => w * v }.sum.toDouble / wantN.toDouble
+      assert(nEff == wantN, s"replica $r n_eff")
+      assert(mean == wantMean, s"replica $r mean")
+    }
+    // summary columns: constant across rows, std > 0 on a real resample
+    val summary = Expectations.poissonBootstrapMean(df, "id", "v", replicas = 8)
+      .select("boot_mean", "boot_std").as[(Float, Float)].collect().distinct
+    assert(summary.length == 1 && summary.head._2 > 0.0f)
+  }
+
+  test("poissonBootstrapMean is partitioning-invariant") {
+    val df = (1L to 60L).map(i => (i, i % 17 + 1)).toDF("id", "v")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Expectations.poissonBootstrapMean(x, "id", "v", replicas = 4)
+        .select("replica", "n_eff", "mean").as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(run(df) == run(df.repartition(7)))
+  }
 }
