@@ -11,10 +11,12 @@ import org.apache.spark.sql.functions.call_function
   * [[GraftExtensions.register]] on an existing session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    ext.injectOptimizerRule(_ => ThresholdLevenshteinRule)
+  }
 }
 
 object GraftExtensions {
@@ -71,6 +73,12 @@ object GraftExtensions {
     * repeated calls from query constructors don't re-replace builders).
     */
   def register(spark: SparkSession): Unit = {
+    // post-hoc optimizer injection: extraOptimizations is the runtime
+    // twin of injectOptimizerRule for sessions built without the
+    // extensions config (idempotent — add once per session)
+    if (!spark.experimental.extraOptimizations.contains(ThresholdLevenshteinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ ThresholdLevenshteinRule
     if (spark.sessionState.functionRegistry.functionExists(FunctionIdentifier("snake_case"))) return
     builders.foreach { case (name, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(FunctionIdentifier(name), info, builder)
