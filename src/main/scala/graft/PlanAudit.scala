@@ -94,7 +94,20 @@ object PlanAudit {
       // broadcast stratum dim (NO global sort anywhere in the plan);
       // preference pairs self-join on the computed (stratum, rank) key
       "select_dsir", "dedup_winnow", "retrieval_rerank",
-      "curriculum_order", "preference_pairs", "quality_blend")
+      "curriculum_order", "preference_pairs", "quality_blend",
+      // round 11f: the k-anon ladder must scan the corpus ONCE and
+      // broadcast all three rolled-up set tables; CDC chunking is one
+      // per-doc window + one fingerprint-share hash aggregate (no
+      // corpus-quadratic stage); stitch is one boundary equi-join of
+      // two slim projections; the interval join must plan an EQUI-join
+      // on (key, bucket) — a BroadcastNestedLoopJoin here means the
+      // non-equi predicate leaked into the join; rollup is ONE expand +
+      // partial/final hash aggregate, dimensions broadcast; triangles:
+      // slim 8-byte joins only, the closure probe joins the oriented
+      // edge set; pivot is a single hash aggregate, no per-type scans
+      "kanon_suppress", "chunk_cdc", "dedup_stitch", "interval_join",
+      "sales_rollup", "graph_triangles", "event_pivot", "fuzzy_match",
+      "bootstrap_ci", "quality_winsorize")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
