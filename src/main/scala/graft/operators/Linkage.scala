@@ -28,35 +28,42 @@ object Linkage {
     * recall cost of blocking, exactly the LSH-banding trade
     * (`minhash_banding`'s S-curve, in edit-distance clothing).
     *
-    * Plan: one exchange on the block key; pair generation is a
-    * block-local self-join (Σ|block|² work, never n²), the Levenshtein
-    * verifier runs inside the joined projection, and the name rollup is
-    * a map-side-combined aggregate over SURVIVING pairs only. A skewed
-    * giant block serializes its own Σ|block|² — compose a second
-    * discriminator into the key (length band, first char) before it
-    * forms, the salting story of [[SkewJoin]].
+    * Plan: names roll up to DISTINCT (block, name, count) rows BEFORE
+    * any pairing — real catalogs are vocabulary-like (many rows, few
+    * names), so the self-join runs over name rows, not id rows, and
+    * the id-pair counts come back by arithmetic: `cntA·cntB` for
+    * distinct names, `C(cnt, 2)` within one name. One exchange builds
+    * the name rollup; the block-local name self-join is
+    * Σ|distinct-names-per-block|² (the worst case — all names unique —
+    * degrades to the id-level Σ|block|², never beyond); the
+    * thresholded-Levenshtein verifier band-limits each comparison to
+    * O(len·maxDist) with early exit. A skewed giant block serializes
+    * its own |block|² — compose a second discriminator into the key
+    * (length band, first char) before it forms, the salting story of
+    * [[SkewJoin]].
     */
   def fuzzyNamePairs(df: DataFrame, idCol: String, nameCol: String,
                      blockKey: Column, maxDist: Int): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
-    val slim = df.select(col(idCol).as("_id"), col(nameCol).as("_name"),
-      blockKey.as("_blk"))
-    val a = slim.select(col("_blk"), col("_id").as("_id_a"), col("_name").as("_name_a"))
-    val b = slim.select(col("_blk"), col("_id").as("_id_b"), col("_name").as("_name_b"))
+    import Materialize.MatOps
+    val named = df
+      .select(col(idCol).as("_id"), col(nameCol).as("_name"), blockKey.as("_blk"))
+      .groupBy(col("_blk"), col("_name"))
+      .agg(count(lit(1)).as("_n"))
+      .materialized // both sides of the name self-join
+    val a = named.select(col("_blk"), col("_name").as("name_a"), col("_n").as("_na"))
+    val b = named.select(col("_blk"), col("_name").as("name_b"), col("_n").as("_nb"))
     a.join(b, Seq("_blk"))
-      .where(col("_id_a") < col("_id_b"))
-      // canonicalize so (x, y) and (y, x) land in one rollup row
-      .select(
-        least(col("_name_a"), col("_name_b")).as("name_a"),
-        greatest(col("_name_a"), col("_name_b")).as("name_b"))
-      // thresholded form: the DP band-limits to maxDist+1 diagonals and
-      // early-exits with -1 past the bound — the verifier cost per pair
-      // is O(len·maxDist), not O(len²), exactly where the candidate
-      // volume concentrates
+      .where(col("name_a") <= col("name_b"))
       .withColumn("dist", levenshtein(col("name_a"), col("name_b"), maxDist))
       .where(col("dist") >= 0)
-      .groupBy(col("name_a"), col("name_b"), col("dist"))
-      .agg(count(lit(1)).as("n_pairs"))
+      // id pairs under a name pair: cross count for distinct names,
+      // unordered within-name pairs for the diagonal
+      .withColumn("n_pairs",
+        when(col("name_a") === col("name_b"), expr("(_na * (_na - 1)) div 2"))
+          .otherwise(col("_na") * col("_nb")).cast("long"))
+      .where(col("n_pairs") > 0)
+      .select(col("name_a"), col("name_b"), col("dist"), col("n_pairs"))
   }
 
   /** The default block key for multi-token names: the last
