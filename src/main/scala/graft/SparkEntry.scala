@@ -221,7 +221,9 @@ object SparkEntry {
     "graph_triangles" -> (C.graphTriangles _),
     "quality_winsorize" -> (L.qualityWinsorize _),
     "interval_join" -> (C.intervalJoin _),
-    "bootstrap_ci" -> (L.bootstrapCi _)
+    "bootstrap_ci" -> (L.bootstrapCi _),
+    "resample_ffill" -> (C.resampleFfill _),
+    "cdc_merge" -> (C.cdcMerge _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

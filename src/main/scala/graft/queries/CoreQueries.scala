@@ -730,6 +730,38 @@ object CoreQueries {
       .orderBy(col("incident_id"))
   }
 
+  /** Gap-filled resampling ([[graft.operators.Resample.forwardFill]]):
+    * each user's sparse purchase stream regularized onto an hourly grid
+    * with last-observation-carried-forward — the feature-engineering
+    * twin of the silent-gap DETECTOR. Purchases are sparse per user, so
+    * the fill path is exercised on most grid rows.
+    */
+  def resampleFfill(s: SparkSession, d: String): DataFrame =
+    graft.operators.Resample.forwardFill(
+      events(s, d).where(col("event_type") === "purchase"),
+      "user_id", "ts", "value", "event_id", bucketSeconds = 3600L)
+      .orderBy(col("user_id"), col("bucket_ts"))
+
+  /** Batch MERGE ([[graft.operators.ChangeMerge.applyChanges]]): the
+    * snapshot holds the latest value for users ≢3 (mod 4); the change
+    * feed is every odd user's raw event stream (latest event wins —
+    * `error` compiles to a delete, anything else to an upsert), so all
+    * four merge outcomes occur: even users keep, odd in-snapshot users
+    * update or delete, odd out-of-snapshot users insert or no-op-delete.
+    */
+  def cdcMerge(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val snap = ev.where(pmod(col("user_id"), lit(4)) =!= 3)
+      .groupBy(col("user_id"))
+      .agg(max_by(col("value"), struct(col("ts"), col("event_id"))).as("value"))
+    val changes = ev.where(pmod(col("user_id"), lit(2)) === 1)
+      .select(col("user_id"),
+        when(col("event_type") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+        col("event_id").as("seq"), col("value"))
+    graft.operators.ChangeMerge.applyChanges(snap, changes, "user_id", "op", "seq", Seq("value"))
+      .orderBy(col("user_id"))
+  }
+
   /** Markov transition matrix over the event stream: per user the
     * lag-window previous type (first event transitions from the
     * sentinel 'START'), counts per (from, to), and row-normalized

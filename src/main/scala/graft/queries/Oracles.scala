@@ -3684,6 +3684,52 @@ object Oracles {
          |SELECT replica, n_eff, mean, boot_mean, boot_std
          |FROM p, s ORDER BY replica""".stripMargin,
 
+    // hourly grid per user over the purchase stream, last observation
+    // per bucket (ts desc, event_id desc), forward-filled via
+    // last_value IGNORE NULLS over the grid
+    "resample_ffill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+        |    value, CAST(ts AS TIMESTAMP) AS ts, event_id
+        |  FROM events WHERE event_type = 'purchase'),
+        |obs AS (
+        |  SELECT user_id, b, value FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+        |    FROM e) WHERE rn = 1),
+        |rng AS (SELECT user_id, min(b) AS b0, max(b) AS b1 FROM obs GROUP BY 1),
+        |grid AS (SELECT user_id, unnest(range(b0, b1 + 1)) AS b FROM rng),
+        |j AS (SELECT g.user_id, g.b, o.value AS v
+        |      FROM grid g LEFT JOIN obs o ON o.user_id = g.user_id AND o.b = g.b)
+        |SELECT user_id, make_timestamp(b * 3600000000) AS bucket_ts,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  v IS NULL AS is_gap
+        |FROM j ORDER BY user_id, bucket_ts""".stripMargin,
+
+    // SCD1 merge: per-key latest change wins (upsert replaces, delete
+    // drops, untouched snapshot rows keep), with the action audit
+    "cdc_merge" ->
+      """WITH snap AS (
+        |  SELECT user_id, value FROM (
+        |    SELECT user_id, value,
+        |      row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |    FROM events WHERE user_id % 4 <> 3) WHERE rn = 1),
+        |ch AS (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE user_id % 2 = 1),
+        |latest AS (SELECT user_id, op, value FROM ch WHERE rn = 1),
+        |m AS (
+        |  SELECT coalesce(s.user_id, l.user_id) AS user_id,
+        |    s.user_id IS NOT NULL AS in_snap, l.op, s.value AS sv, l.value AS cv
+        |  FROM snap s FULL OUTER JOIN latest l ON s.user_id = l.user_id)
+        |SELECT user_id,
+        |  CASE WHEN op = 'upsert' THEN cv ELSE sv END AS value,
+        |  CASE WHEN op IS NULL THEN 'kept' WHEN in_snap THEN 'updated'
+        |       ELSE 'inserted' END AS merge_action
+        |FROM m WHERE op IS NULL OR op <> 'delete' ORDER BY user_id""".stripMargin,
+
     // point-in-interval: error events open 1-hour windows, same-user
     // purchases attribute in; the oracle writes the containment join
     // directly (DuckDB plans the inequality natively)
