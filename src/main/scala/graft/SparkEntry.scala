@@ -223,7 +223,9 @@ object SparkEntry {
     "interval_join" -> (C.intervalJoin _),
     "bootstrap_ci" -> (L.bootstrapCi _),
     "resample_ffill" -> (C.resampleFfill _),
-    "cdc_merge" -> (C.cdcMerge _)
+    "cdc_merge" -> (C.cdcMerge _),
+    "set_ops" -> (C.setOps _),
+    "value_deciles" -> (C.valueDeciles _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

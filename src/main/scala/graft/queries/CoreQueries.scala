@@ -730,6 +730,38 @@ object CoreQueries {
       .orderBy(col("incident_id"))
   }
 
+  /** §2.7 set operations over content fingerprints: which normalized
+    * texts appear in BOTH snapshot halves (INTERSECT), and which only in
+    * the first (EXCEPT) — the set-algebra form of the snapshot diff.
+    * Both compile to hash aggregates over the slim fingerprint
+    * projection (Spark rewrites INTERSECT/EXCEPT to semi/anti joins
+    * after a distinct — no full-width shuffle).
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("fp"))
+    val a = docs.where(pmod(col("doc_id"), lit(2)) === 0).select(col("fp"))
+    val b = docs.where(pmod(col("doc_id"), lit(2)) === 1).select(col("fp"))
+    val both = a.intersect(b).select(lit("both").as("side"), col("fp"))
+    val onlyA = a.except(b).select(lit("only_even").as("side"), col("fp"))
+    both.unionByName(onlyA).orderBy(col("side"), col("fp"))
+  }
+
+  /** Decile report via `ntile`: per event type, values split into 10
+    * equal-frequency buckets with count/min/max each — the score-band
+    * table quality dashboards draw. One key exchange; the ntile window
+    * and the decile aggregate share the partitioning.
+    */
+  def valueDeciles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("event_type"), col("decile"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+      .orderBy(col("event_type"), col("decile"))
+  }
+
   /** Gap-filled resampling ([[graft.operators.Resample.forwardFill]]):
     * each user's sparse purchase stream regularized onto an hourly grid
     * with last-observation-carried-forward — the feature-engineering

@@ -3684,6 +3684,28 @@ object Oracles {
          |SELECT replica, n_eff, mean, boot_mean, boot_std
          |FROM p, s ORDER BY replica""".stripMargin,
 
+    // set algebra over content fingerprints between snapshot halves
+    "set_ops" ->
+      """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
+        |a AS (SELECT fp FROM d WHERE doc_id % 2 = 0),
+        |b AS (SELECT fp FROM d WHERE doc_id % 2 = 1)
+        |SELECT * FROM (
+        |  SELECT 'both' AS side, fp FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+        |  UNION ALL
+        |  SELECT 'only_even' AS side, fp FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b))
+        |ORDER BY side, fp""".stripMargin,
+
+    // ntile(10) per event type (value, event_id order) with per-decile
+    // count/min/max; both engines place the larger buckets first
+    "value_deciles" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS decile
+        |  FROM events)
+        |SELECT event_type, decile::INTEGER AS decile, count(*)::BIGINT AS n,
+        |  min(value) AS lo, max(value) AS hi
+        |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // hourly grid per user over the purchase stream, last observation
     // per bucket (ts desc, event_id desc), forward-filled via
     // last_value IGNORE NULLS over the grid
