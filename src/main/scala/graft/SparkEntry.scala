@@ -225,7 +225,8 @@ object SparkEntry {
     "resample_ffill" -> (C.resampleFfill _),
     "cdc_merge" -> (C.cdcMerge _),
     "set_ops" -> (C.setOps _),
-    "value_deciles" -> (C.valueDeciles _)
+    "value_deciles" -> (C.valueDeciles _),
+    "json_profile" -> (C.jsonProfile _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -730,6 +730,25 @@ object CoreQueries {
       .orderBy(col("incident_id"))
   }
 
+  /** JSON schema profiling ([[graft.operators.JsonProfile.profile]]):
+    * the raw `props` column carries only `{"k": int}`, so the query
+    * PLANTS a ragged document — `amount` (double, always), `uid` (long,
+    * every 2nd event), `label` (string, every 3rd), `flag` (bool, every
+    * 5th) — and the profiler must recover exactly that census. The
+    * oracle is closed-form from the planting rules (no JSON re-rendering
+    * crosses engines — double formatting differs; type CLASSES don't).
+    */
+  def jsonProfile(s: SparkSession, d: String): DataFrame = {
+    val ragged = events(s, d).select(to_json(struct(
+      col("value").as("amount"),
+      when(pmod(col("event_id"), lit(2)) === 0, col("user_id")).as("uid"),
+      when(pmod(col("event_id"), lit(3)) === 0, col("event_type")).as("label"),
+      when(pmod(col("event_id"), lit(5)) === 0,
+        pmod(col("event_id"), lit(2)) === 0).as("flag"))).as("doc"))
+    graft.operators.JsonProfile.profile(ragged, "doc")
+      .orderBy(col("key"))
+  }
+
   /** §2.7 set operations over content fingerprints: which normalized
     * texts appear in BOTH snapshot halves (INTERSECT), and which only in
     * the first (EXCEPT) — the set-algebra form of the snapshot diff.

@@ -3684,6 +3684,26 @@ object Oracles {
          |SELECT replica, n_eff, mean, boot_mean, boot_std
          |FROM p, s ORDER BY replica""".stripMargin,
 
+    // closed-form census of the planted ragged JSON: amount double on
+    // every event, uid long on every 2nd, label string on every 3rd,
+    // flag bool on every 5th — the oracle knows the generator, so no
+    // double re-rendering ever crosses engines
+    "json_profile" ->
+      """SELECT * FROM (
+        |  SELECT 'amount' AS key, count(*)::BIGINT AS n_present, 0::BIGINT AS n_bool,
+        |    0::BIGINT AS n_long, count(*)::BIGINT AS n_double, 0::BIGINT AS n_string
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'flag', count(*)::BIGINT, count(*)::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+        |  FROM events WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'label', count(*)::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, count(*)::BIGINT
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'uid', count(*)::BIGINT, 0::BIGINT, count(*)::BIGINT, 0::BIGINT, 0::BIGINT
+        |  FROM events WHERE event_id % 2 = 0)
+        |ORDER BY key""".stripMargin,
+
     // set algebra over content fingerprints between snapshot halves
     "set_ops" ->
       """WITH d AS (SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents),
