@@ -226,7 +226,9 @@ object SparkEntry {
     "cdc_merge" -> (C.cdcMerge _),
     "set_ops" -> (C.setOps _),
     "value_deciles" -> (C.valueDeciles _),
-    "json_profile" -> (C.jsonProfile _)
+    "json_profile" -> (C.jsonProfile _),
+    "t5_spans" -> (L.t5Spans _),
+    "vocab_growth" -> (L.vocabGrowth _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -733,6 +733,115 @@ object TextAnalysis {
         col("n_chunk_tokens"), col("chunk_fp"), col("n_docs_sharing"))
   }
 
+  /** T5-style span corruption (Raffel et al. 2020): the example
+    * generator for denoising pretraining — mask ≈ `1/maskMod` of each
+    * document's tokens (hash-chosen, so the corpus regenerates
+    * identically on every engine and every run), collapse consecutive
+    * masked tokens into spans, and emit the (input, target) pair:
+    * the input keeps unmasked tokens with each span replaced by its
+    * sentinel `<extra_id_k>`, the target lists each sentinel followed
+    * by the tokens it hides. Emits (`idCol`, n_tokens, n_spans,
+    * input_text, target_text).
+    *
+    * Plan: the mask decision is per-token map work (one md24); span
+    * numbering is two per-DOCUMENT windows (masked-run islands via
+    * `pos − rank-among-masked`, then span index by first-position
+    * rank); both assemblies are sort-safe ordered collects on the same
+    * doc grouping. Nothing leaves the document key — at 100 TB this is
+    * embarrassingly parallel over docs.
+    */
+  def spanCorruption(docs: DataFrame, textCol: String, idCol: String,
+                     maskMod: Int = 3): DataFrame = {
+    require(maskMod >= 2, s"maskMod must be >= 2, got $maskMod")
+    import org.apache.spark.sql.expressions.Window
+    val masked = QualityClassifier.md24(
+      concat(lit("mask:"), col(idCol).cast("string"), lit(":"), col("_pos").cast("string")))
+      .%(maskMod) === 0
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_pos"))
+    val base = docs
+      .select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("_pos", "_tok")))
+      .withColumn("_m", masked)
+      // islands: pos − rank-among-masked is constant per masked run
+      .withColumn("_grp", when(col("_m"),
+        col("_pos") - row_number().over(
+          Window.partitionBy(col(idCol), col("_m")).orderBy(col("_pos")))))
+    val spanIdx = base.where(col("_m"))
+      .groupBy(col(idCol), col("_grp"))
+      .agg(min(col("_pos")).as("_sp_start"))
+      .withColumn("_k", row_number().over(byDoc.orderBy(col("_sp_start"))) - 1)
+      .select(col(idCol), col("_grp"), col("_k"))
+    val pieces = base.join(spanIdx, Seq(idCol.toString, "_grp"), "left")
+      .select(col(idCol), col("_pos"), col("_tok"), col("_m"), col("_k"),
+        // input piece: token if kept; sentinel at a span's first position;
+        // empty inside a span
+        when(!col("_m"), col("_tok"))
+          .when(col("_m") && row_number().over(
+            Window.partitionBy(col(idCol), col("_grp")).orderBy(col("_pos"))) === 1
+            && col("_m"), concat(lit("<extra_id_"), col("_k"), lit(">")))
+          .as("_in_piece"))
+    val inputs = pieces
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_tokens"),
+        array_join(filter(transform(sort_array(collect_list(
+          struct(col("_pos"), col("_in_piece").as("_p")))),
+          x => x.getField("_p")), p => p.isNotNull), " ").as("input_text"))
+    val targets = pieces.where(col("_m"))
+      .groupBy(col(idCol), col("_k"))
+      .agg(min(col("_pos")).as("_sp_start"),
+        array_join(transform(sort_array(collect_list(struct(col("_pos"), col("_tok")))),
+          x => x.getField("_tok")), " ").as("_span_text"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).cast("int").as("n_spans"),
+        array_join(transform(sort_array(collect_list(struct(col("_k"),
+          concat(lit("<extra_id_"), col("_k"), lit("> "), col("_span_text")).as("_t")))),
+          x => x.getField("_t")), " ").as("target_text"))
+    inputs.join(targets, Seq(idCol.toString), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0)).as("n_spans"),
+        col("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
+
+  /** Vocabulary-growth curve (the Heaps'-law audit): distinct terms
+    * seen after each tenth of the token stream, in (`idCol`, position)
+    * order — sublinear growth says the corpus keeps re-using its
+    * vocabulary; near-linear growth says it's still surprising the
+    * tokenizer (or full of noise). Emits per decile
+    * (decile, n_tokens_cum, n_distinct_terms).
+    *
+    * Plan: global token indexes come from per-DOC offsets (one tiny
+    * window over doc-count rows of lengths — never a token-level global
+    * sort) plus the in-doc position; first occurrences are one
+    * (term → min index) aggregate; the curve is a 10× bounded explode
+    * over the vocabulary-sized firsts table. Corpus scanned once.
+    */
+  def vocabGrowth(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import Materialize.MatOps
+    val lens = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col("_toks"), size(col("_toks")).as("_n"))
+    val withOffset = lens.withColumn("_off",
+      coalesce(sum(col("_n")).over(
+        Window.orderBy(col(idCol)).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val idx = withOffset
+      .select(col("_off"), posexplode(col("_toks")).as(Seq("_pos", "_term")))
+      .select((col("_off") + col("_pos")).as("_gi"), col("_term"))
+      .materialized // total count AND first-occurrence aggregate
+    val firsts = idx.groupBy(col("_term")).agg(min(col("_gi")).as("_first"))
+    val total = idx.agg(count(lit(1)).as("_total"))
+    firsts.crossJoin(broadcast(total))
+      .select(col("_first"), col("_total"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .withColumn("_boundary", expr("(_total * decile) div 10"))
+      .where(col("_first") < col("_boundary"))
+      .groupBy(col("decile"))
+      .agg(max(col("_boundary")).as("n_tokens_cum"),
+        count(lit(1)).as("n_distinct_terms"))
+      .orderBy(col("decile"))
+  }
+
   /** Out-of-vocabulary rate per group against the corpus-trained top-`v`
     * vocabulary — the tokenizer-coverage audit run before committing a
     * vocab size (a source whose OOV rate spikes is about to be

@@ -3684,6 +3684,59 @@ object Oracles {
          |SELECT replica, n_eff, mean, boot_mean, boot_std
          |FROM p, s ORDER BY replica""".stripMargin,
 
+    // T5 span corruption: hash-chosen masks (md24 % 3), masked runs
+    // via the islands trick, sentinel input + span-listing target —
+    // every piece replayed string-for-string
+    "t5_spans" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |x AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |m AS (SELECT doc_id, pos, tok,
+         |        (${md24("'mask:' || doc_id || ':' || pos")}) % 3 = 0 AS mk FROM x),
+         |g AS MATERIALIZED (SELECT doc_id, pos, tok, mk,
+         |        CASE WHEN mk THEN pos - row_number() OVER (PARTITION BY doc_id, mk ORDER BY pos) END AS grp
+         |      FROM m),
+         |sp AS (SELECT doc_id, grp, min(pos) AS sp_start FROM g WHERE mk GROUP BY 1, 2),
+         |ki AS (SELECT doc_id, grp,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY sp_start) - 1 AS k FROM sp),
+         |p AS MATERIALIZED (
+         |  SELECT g.doc_id, g.pos, g.tok, g.mk, ki.k,
+         |    CASE WHEN NOT mk THEN tok
+         |         WHEN row_number() OVER (PARTITION BY g.doc_id, g.grp ORDER BY g.pos) = 1
+         |           THEN '<extra_id_' || ki.k || '>' END AS in_piece
+         |  FROM g LEFT JOIN ki ON ki.doc_id = g.doc_id AND ki.grp = g.grp),
+         |inp AS (SELECT doc_id, count(*)::INTEGER AS n_tokens,
+         |          string_agg(in_piece, ' ' ORDER BY pos) FILTER (WHERE in_piece IS NOT NULL) AS input_text
+         |        FROM p GROUP BY 1),
+         |tg1 AS (SELECT doc_id, k, string_agg(tok, ' ' ORDER BY pos) AS span_text
+         |        FROM p WHERE mk GROUP BY 1, 2),
+         |tg AS (SELECT doc_id, count(*)::INTEGER AS n_spans,
+         |         string_agg('<extra_id_' || k || '> ' || span_text, ' ' ORDER BY k) AS target_text
+         |       FROM tg1 GROUP BY 1)
+         |SELECT i.doc_id, n_tokens, coalesce(n_spans, 0)::INTEGER AS n_spans, input_text,
+         |  coalesce(target_text, '') AS target_text
+         |FROM inp i LEFT JOIN tg ON tg.doc_id = i.doc_id ORDER BY i.doc_id""".stripMargin,
+
+    // Heaps growth curve: global token index = per-doc offset + pos
+    // (one doc-count window, never a token sort); firsts are one
+    // aggregate; the curve a 10x explode over vocabulary rows
+    "vocab_growth" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |l AS (SELECT doc_id, toks, len(toks)::BIGINT AS n FROM t),
+        |o AS (SELECT doc_id, toks,
+        |        coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM l),
+        |x AS MATERIALIZED (SELECT off + i - 1 AS gi, toks[i] AS term
+        |      FROM o, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |f AS (SELECT term, min(gi) AS first FROM x GROUP BY 1),
+        |tot AS (SELECT count(*)::BIGINT AS total FROM x)
+        |SELECT decile::INTEGER AS decile,
+        |  max((total * decile) // 10)::BIGINT AS n_tokens_cum,
+        |  count(*)::BIGINT AS n_distinct_terms
+        |FROM f, tot, unnest(range(1, 11)) AS d(decile)
+        |WHERE first < (total * decile) // 10
+        |GROUP BY decile ORDER BY decile""".stripMargin,
+
     // closed-form census of the planted ragged JSON: amount double on
     // every event, uid long on every 2nd, label string on every 3rd,
     // flag bool on every 5th — the oracle knows the generator, so no

@@ -416,4 +416,62 @@ class TextAnalysisSpec extends SparkSuite {
       .as[(String, Long, Long, Float)].collect().head
     assert(out == (("s", 7L, 2L, (2.0 / 7.0).toFloat)))
   }
+
+  test("spanCorruption: sentinels round-trip — substituting targets back rebuilds the doc") {
+    val docs = (1L to 5L)
+      .map(i => (i, (0 until 40).map(j => s"w${i}_$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruption(docs, "text", "doc_id", maskMod = 3)
+      .as[(Long, Int, Int, String, String)].collect().sortBy(_._1).toSeq
+    assert(out.size == 5)
+    for ((id, nTokens, nSpans, input, target) <- out) {
+      assert(nTokens == 40)
+      // parse the target into sentinel -> span map
+      val spanRx = "<extra_id_(\\d+)> ([^<]*)".r
+      val spans = spanRx.findAllMatchIn(target)
+        .map(m => m.group(1).toInt -> m.group(2).trim).toMap
+      assert(spans.size == nSpans)
+      assert(spans.keySet == (0 until nSpans).toSet, "sentinels numbered 0..n-1 in order")
+      // substitute each sentinel in the input with its span: original doc
+      val rebuilt = input.split(" ").flatMap { piece =>
+        if (piece.startsWith("<extra_id_"))
+          spans(piece.stripPrefix("<extra_id_").stripSuffix(">").toInt).split(" ").toSeq
+        else Seq(piece)
+      }.mkString(" ")
+      val original = docs.where(col("doc_id") === id).select("text").as[String].head()
+      assert(rebuilt == original, s"doc $id round-trip")
+      // roughly a third of tokens masked across 40 tokens
+      assert(nSpans >= 1, s"doc $id should have at least one masked span")
+    }
+  }
+
+  test("spanCorruption handles the all-kept document (no spans, empty target)") {
+    // tiny alphabet: find a doc whose tokens all hash to non-mask — force
+    // it instead with maskMod large enough that the 3 positions miss
+    val docs = Seq((7L, "alpha beta gamma")).toDF("doc_id", "text")
+    val out = TextAnalysis.spanCorruption(docs, "text", "doc_id", maskMod = 1000000)
+      .as[(Long, Int, Int, String, String)].collect().head
+    // mask probability 1e-6: these 3 specific hashes are not 0 mod 1e6
+    assert(out == ((7L, 3, 0, "alpha beta gamma", "")))
+  }
+
+  test("vocabGrowth: hand-computed curve on a known stream") {
+    // doc order: d1 = "a b a b", d2 = "c a", d3 = "d d d d" -> 10 tokens
+    // firsts: a@0, b@1, c@4, d@6
+    val docs = Seq((1L, "a b a b"), (2L, "c a"), (3L, "d d d d")).toDF("doc_id", "text")
+    val out = TextAnalysis.vocabGrowth(docs, "text", "doc_id")
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    // boundary at decile d = d tokens (total 10): distinct with first < d
+    assert(out == Seq(
+      (1, 1L, 1L),   // a
+      (2, 2L, 2L),   // a b
+      (3, 3L, 2L),
+      (4, 4L, 2L),
+      (5, 5L, 3L),   // c enters at gi 4
+      (6, 6L, 3L),
+      (7, 7L, 4L),   // d enters at gi 6
+      (8, 8L, 4L),
+      (9, 9L, 4L),
+      (10, 10L, 4L)))
+  }
 }
