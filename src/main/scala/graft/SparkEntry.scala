@@ -228,7 +228,8 @@ object SparkEntry {
     "value_deciles" -> (C.valueDeciles _),
     "json_profile" -> (C.jsonProfile _),
     "t5_spans" -> (L.t5Spans _),
-    "vocab_growth" -> (L.vocabGrowth _)
+    "vocab_growth" -> (L.vocabGrowth _),
+    "mm_dedup" -> (L.mmDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

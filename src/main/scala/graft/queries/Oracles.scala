@@ -3684,6 +3684,22 @@ object Oracles {
          |SELECT replica, n_eff, mean, boot_mean, boot_std
          |FROM p, s ORDER BY replica""".stripMargin,
 
+    // blob dedup per stub format: md5 of the UTF-8 payload (the text's
+    // own bytes), every 20th doc's payload planted twice
+    "mm_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |planted AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 20 = 0),
+        |allb AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |f AS (
+        |  SELECT (['jpeg', 'png', 'webp'])[(octet_length(encode(text)) % 3) + 1] AS format,
+        |    md5(text) AS fp
+        |  FROM allb),
+        |c AS (SELECT format, fp, count(*)::BIGINT AS c FROM f GROUP BY 1, 2)
+        |SELECT format, sum(c)::BIGINT AS n_blobs, count(*)::BIGINT AS n_distinct,
+        |  sum(CASE WHEN c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_groups,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS n_dup_copies
+        |FROM c GROUP BY format ORDER BY format""".stripMargin,
+
     // T5 span corruption: hash-chosen masks (md24 % 3), masked runs
     // via the islands trick, sentinel input + span-listing target —
     // every piece replayed string-for-string
