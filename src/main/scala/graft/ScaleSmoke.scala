@@ -191,6 +191,21 @@ object ScaleSmoke {
       // budget as edges densify over the fixed node space (the pagerank
       // shape — the 10x load is DENSER, the adversarial direction)
       "cdc_chunks" -> (() => TextAnalysis.cdcChunks(docs, "text", "doc_id").count()),
+      "perceptron" -> (() => QualityClassifier.trainPerceptron(
+        docs.withColumn("y",
+          when(size(split(lower(trim(col("text"))), "\\s+")) >= 45, 1L).otherwise(-1L)),
+        "text", "doc_id", "y", iters = 5).count()),
+      "kmeans" -> (() => {
+        // hash-derived 16-dim vectors so the vector count scales with the
+        // docs corpus (the embeddings table has no scaled copies)
+        val embs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            ((pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), i.cast("string"))), 1, 6), 16, 10).cast("long"),
+              lit(1000L)) - lit(500L)).cast("double") / 500.0).cast("float"))
+            .as("embedding"))
+        Similarity.lloydKMeans(embs, "embedding", "vec_id", k = 8, iters = 3).count()
+      }),
       "stitch" -> (() => Dedup.stitchPairs(docs, "text", "doc_id").count()),
       "triangles" -> (() => {
         val w = org.apache.spark.sql.expressions.Window

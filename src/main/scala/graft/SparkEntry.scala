@@ -75,6 +75,7 @@ object SparkEntry {
     "f13_array_ops" -> (C.f13ArrayOps _),
     // §2.9 streaming-equivalent
     "stream_window_counts" -> (C.streamWindowCounts _),
+    "stream_attribution" -> (C.streamAttribution _),
     "incremental_scan" -> (C.incrementalScan _),
     "window_scan" -> (C.windowScan _),
     // the real issue pipeline over the deterministic fixture corpus
@@ -106,6 +107,9 @@ object SparkEntry {
     "dedup_span_scrub" -> (L.dedupSpanScrub _),
     "text_dedup_units" -> (L.textDedupUnits _),
     "quality_classifier" -> (L.qualityClassifier _),
+    "classifier_train" -> (L.classifierTrain _),
+    "classifier_eval" -> (L.classifierEval _),
+    "kmeans_train" -> (L.kmeansTrain _),
     "emb_centroid_cos" -> (L.embCentroidCos _),
     "text_embed_hash" -> (L.textEmbedHash _),
     "bpe_merges" -> (L.bpeMerges _),

@@ -82,6 +82,13 @@ object Materialize {
     */
   def cutPinned(df: DataFrame): DataFrame = df.localCheckpoint(eager = true)
 
+  /** True under the `none` policy (plan-shape debugging). Operators that
+    * normally pin their result and release internal generations check
+    * this to instead return the raw uncut plan (and keep the
+    * generations alive) — the full operator tree stays inspectable.
+    */
+  def debugNoCut(df: DataFrame): Boolean = policy(df) == "none"
+
   /** Loop-iteration cut — eager, truncating under EVERY policy, and
     * frees the PREVIOUS generation's blocks. Iterative refinement
     * (`Bpe.train`'s merge rounds, k-means passes) must not stack

@@ -77,4 +77,141 @@ object QualityClassifier {
   def scoreHashModel(docs: DataFrame, textCol: String, idCol: String,
                      buckets: Int = 4096): DataFrame =
     score(docs, hashWeights(docs.sparkSession, buckets), textCol, idCol, buckets)
+
+  /** Distributed TRAINING of the linear quality classifier — the half of
+    * the fastText story [[score]] leaves out: given per-document ±1
+    * labels, learn the bucket weights with the batch perceptron
+    * (Rosenblatt's rule applied corpus-wide per epoch: every epoch
+    * scores EVERY document against the current weights and adds
+    * `Σ_misclassified y·x` to the model). Unlike SGD the update is one
+    * associative integer aggregate, so the learned model is
+    * bit-identical on any engine and any partitioning — the property
+    * that lets a DuckDB oracle replay the whole optimization.
+    *
+    * Emits the per-epoch training trace (`iter`, `n_wrong`, `w_l1`):
+    * misclassified count BEFORE the epoch's update (epoch 1 scores the
+    * zero model, so `n_wrong` starts at the corpus size) and the l1 mass
+    * of the weights AFTER it — the convergence curve a training job
+    * monitors.
+    *
+    * Plan at 100 TB: the hashed feature table (`idCol`, bucket, cnt, y)
+    * is built in ONE corpus pass and cached slim — the text never moves
+    * again. Each epoch is then (a) a BROADCAST join of the ≤`buckets`-row
+    * model against the cached features + a per-doc partial aggregate
+    * (the scoring pass), and (b) a per-bucket partial aggregate of the
+    * misclassified docs' features (the update) — two shuffles of
+    * doc-count, never token-count, cardinality per epoch, and the model
+    * state that crosses the driver is `buckets` rows + a 2-value trace.
+    * The epoch loop follows the [[Materialize.cutLoop]] discipline
+    * (truncating cut per generation, previous weights released) so k
+    * epochs hold ONE generation of model storage and a depth-1 plan.
+    */
+  def trainPerceptron(docs: DataFrame, textCol: String, idCol: String,
+                      labelCol: String, buckets: Int = 4096,
+                      iters: Int = 10, biasCnt: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val feats = Materialize.cutEager(
+      hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt))
+    val (trace, w) = perceptronLoop(feats, iters)
+    Materialize.release(feats)
+    Materialize.release(w)
+    trace.toDF("iter", "n_wrong", "w_l1")
+  }
+
+  /** Holdout GENERALIZATION of [[trainPerceptron]] — the measurement a
+    * classifier-gated curation pipeline actually ships on: an md5-coin
+    * 80/20 split of the corpus (hash-stable per id — the
+    * [[CorpusSelection.assignSplits]] discipline, so assignment is
+    * reproducible on any engine), the model trained on the train side
+    * only, then BOTH sides scored against the final weights. Emits one
+    * row per split: (split, n_docs, n_wrong) — train error shows fit,
+    * eval error shows whether the learned weights transfer to unseen
+    * documents. Same plan economics as training (one extra broadcast
+    * scoring pass at the end); the oracle replays split, epochs, and
+    * final scoring bit-for-bit.
+    */
+  def evalPerceptron(docs: DataFrame, textCol: String, idCol: String,
+                     labelCol: String, buckets: Int = 4096,
+                     iters: Int = 10, biasCnt: Int = 10): DataFrame = {
+    val feats = Materialize.cutEager(
+      hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt)
+        .withColumn("split",
+          when(md24(col("_id").cast("string")) % 5 > 0, "train").otherwise("eval")))
+    val (_, w) = perceptronLoop(feats.where(col("split") === "train").drop("split"), iters)
+    val out = feats.join(broadcast(w), Seq("bucket"), "left")
+      .groupBy(col("_id"), col("split"), col("y"))
+      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("s"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).cast("int").as("n_docs"),
+        sum(when(col("y") * col("s") <= 0, 1L).otherwise(0L)).cast("int").as("n_wrong"))
+    // truncating pin, not a persist cut: the weights released below are a
+    // localCheckpoint — a lineage-retaining cut could try to recompute
+    // through them after their blocks are gone. Under the debug policy
+    // the raw plan is returned uncut (and nothing released).
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(feats)
+      Materialize.release(w)
+      pinned
+    }
+  }
+
+  /** The hashed (id, y, bucket, cnt) feature table both trainers share.
+    *
+    * Bucket `buckets` is the BIAS feature (count `biasCnt` per doc): the
+    * intercept bag-of-hashed-features can't express — without it a
+    * threshold concept like "long document" is unlearnable (every
+    * all-positive weighting scores monotonically in token count, so the
+    * sign boundary can never sit at 45 tokens), and the batch update
+    * oscillates forever instead of converging. The bias magnitude sets
+    * the intercept's effective learning rate against the ~2n-feature
+    * mass of a document; 10 ≈ n_tokens/10 converges in ~10 epochs here.
+    */
+  private def hashedFeatures(docs: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, buckets: Int,
+                             biasCnt: Int): DataFrame = docs
+    .select(col(idCol).as("_id"), col(labelCol).cast("long").as("y"),
+      explode(features(col(textCol))).as("_f"))
+    .groupBy(col("_id"), col("y"), (md24(col("_f")) % buckets).cast("int").as("bucket"))
+    .agg(count(lit(1)).as("cnt"))
+    .unionByName(docs.select(col(idCol).as("_id"),
+      col(labelCol).cast("long").as("y"),
+      lit(buckets).as("bucket"), lit(biasCnt.toLong).as("cnt")))
+
+  /** The epoch loop over an (already-cut) feature table. Returns the
+    * trace and the FINAL weights (caller releases them).
+    */
+  private def perceptronLoop(feats: DataFrame,
+                             iters: Int): (Seq[(Int, Int, Long)], DataFrame) = {
+    require(iters >= 1, "need iters >= 1")
+    val spark = feats.sparkSession
+    import spark.implicits._
+    var w: DataFrame = null // (bucket, w) — null = the zero model
+    val trace = Seq.newBuilder[(Int, Int, Long)]
+    for (t <- 1 to iters) {
+      val scored =
+        if (w == null) feats.select(col("_id"), col("y"), lit(0L).as("s")).distinct()
+        else feats.join(broadcast(w), Seq("bucket"), "left")
+          .groupBy(col("_id"), col("y"))
+          .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("s"))
+      val wrong = scored.where(col("y") * col("s") <= 0).select(col("_id"), col("y"))
+      val delta = feats.join(wrong, Seq("_id", "y"))
+        .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("_d"))
+      // the wrong-count must be read BEFORE cutLoop releases the previous
+      // weights generation — wrong's plan still references it
+      val Array(nWrong) = wrong.agg(count(lit(1))).as[Long].collect()
+      val wNext = Materialize.cutLoop(
+        if (w == null) delta.select(col("bucket"), col("_d").as("w"))
+        else w.join(delta, Seq("bucket"), "full_outer")
+          .select(col("bucket"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("w")),
+        previous = Option(w))
+      val Array(l1) = wNext.agg(coalesce(sum(abs(col("w"))), lit(0L))).as[Long].collect()
+      trace += ((t, nWrong.toInt, l1))
+      w = wNext
+    }
+    (trace.result(), w)
+  }
 }

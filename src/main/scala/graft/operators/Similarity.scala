@@ -754,4 +754,89 @@ object Similarity {
             / log(least(col("n_vecs"), lit(1L << signDims)).cast("double"))))
           .otherwise(lit(0.0)).cast("float").as("norm_cell_entropy"))
   }
+
+  /** Distributed Lloyd k-means on the integer grid — the FULL-corpus
+    * clustering step that [[semanticDedup]] and [[ivfTopK]] approximate
+    * with a bounded driver-side sample fit: at 100 TB the sample fit
+    * picks the centroids, but refining them against EVERY vector (the
+    * SemDeDup paper's actual clustering, OPT-level IVF training) is this
+    * loop. Vectors quantize once to a `scale` integer grid (exact floor
+    * of a power-of-two scaling — float32·2²⁰ is exact in double on any
+    * engine), so the assignment argmin runs on int64 squared distances
+    * (associative, partitioning-proof, ties to the lowest cluster id)
+    * and the centroid update is `floor(sum/count)` back on the grid —
+    * the whole optimization is bit-replayable, which is how the DuckDB
+    * oracle checks it layer by layer.
+    *
+    * Plan per epoch: the quantized vectors are cached slim ONCE; the
+    * ≤k-row centroid table BROADCASTs into a map-side crossJoin + per-
+    * vector `min(struct(d2, cluster))` argmin (one partial-aggregated
+    * exchange of (id, cluster, d2)), and the update is a (cluster, dim)
+    * partial-sum exchange of N·dims slim rows — no epoch touches the
+    * raw embeddings again, and nothing larger than k·dims longs ever
+    * converges to one place. Epochs follow the [[Materialize.cutLoop]]
+    * discipline: one live centroid generation, depth-1 plans.
+    *
+    * Init is the k lowest-id vectors (deterministic, engine-portable);
+    * a production caller seeds with [[semanticDedup]]'s sample fit
+    * instead. Emits the final assignment profile per cluster:
+    * (cluster, n_members, inertia_fp) — inertia on the int64 grid.
+    */
+  def lloydKMeans(embs: DataFrame, vecCol: String, idCol: String,
+                  k: Int = 8, iters: Int = 4,
+                  scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1 && iters >= 1, "need k >= 1 and iters >= 1")
+    val q = Materialize.cutEager(embs.select(col(idCol).as("_vid"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("qv")))
+
+    // (cluster, cv): the k lowest ids, cluster = id rank — k rows, so the
+    // unpartitioned window runs on a k-row frame, not the corpus
+    var cents: DataFrame = Materialize.cutLoop(
+      q.orderBy(col("_vid")).limit(k)
+        .select((row_number().over(Window.orderBy(col("_vid"))) - 1).cast("int").as("cluster"),
+          col("qv").as("cv")),
+      previous = None)
+
+    def assign(c: DataFrame): DataFrame = q
+      .crossJoin(broadcast(c))
+      .select(col("_vid"), col("cluster"), col("qv"),
+        aggregate(zip_with(col("qv"), col("cv"), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d2"))
+      .groupBy(col("_vid"))
+      .agg(min(struct(col("d2"), col("cluster"), col("qv"))).as("m"))
+      .select(col("_vid"), col("m.cluster").as("cluster"),
+        col("m.d2").as("d2"), col("m.qv").as("qv"))
+
+    var assigned: DataFrame = null
+    for (t <- 1 to iters) {
+      assigned = assign(cents)
+      if (t < iters) {
+        val next = assigned
+          .select(col("cluster"), posexplode(col("qv")).as(Seq("dim", "v")))
+          .groupBy(col("cluster"), col("dim"))
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("cluster"), col("dim"),
+            floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("cvd"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("dim"), col("cvd")))),
+            s => s.getField("cvd")).as("cv"))
+        cents = Materialize.cutLoop(next, previous = Some(cents))
+      }
+    }
+    val out = assigned
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).cast("int").as("n_members"), sum(col("d2")).as("inertia_fp"))
+    // truncating pin, not a persist cut: the centroid generation released
+    // below is a localCheckpoint — a lineage-retaining cut could try to
+    // recompute through its freed blocks. Under the debug policy the raw
+    // plan is returned uncut (and nothing released) so it stays
+    // inspectable.
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(q)
+      Materialize.release(cents)
+      pinned
+    }
+  }
 }

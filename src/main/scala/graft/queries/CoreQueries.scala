@@ -280,6 +280,30 @@ object CoreQueries {
       .select(col("window.start").as("ws"), col("event_type"), col("n"), col("total_value"))
       .orderBy(col("ws"), col("event_type"))
 
+  /** Batch twin of [[graft.streaming.EventStream.attributionPairs]]:
+    * click→purchase attribution as a user-keyed equi-join with the
+    * 30-minute range residual — one exchange per side on `user_id`,
+    * per-user fan-out bounded by the window, never a time-only
+    * cross product. The streaming form adds watermarks and is
+    * row-identical after AvailableNow (EventStreamSpec).
+    */
+  def streamAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** §2.9: incremental watermark scan — filter above the committed
     * watermark, then aggregate the new high-water mark.
     */

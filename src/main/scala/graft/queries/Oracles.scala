@@ -113,6 +113,113 @@ object Oracles {
        |$rounds""".stripMargin
   }
 
+  /** Replays [[graft.operators.QualityClassifier.trainPerceptron]]'s
+    * all-integer batch-perceptron optimization as `k` CTE layers: epoch 1
+    * scores the zero model (every doc misclassified), each later epoch
+    * scores against w{t-1}, updates on the misclassified set, and the
+    * trace reads the wrong-count before / l1 mass after each update.
+    */
+  /** The shared text→hashed-features CTE prefix of the perceptron
+    * oracles (tokens, labels, unigram+bigram features, the bias bucket).
+    */
+  private val perceptronFeatsCtes: String =
+    s"""t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |lab AS MATERIALIZED (SELECT doc_id, (CASE WHEN len(toks) >= 45 THEN 1 ELSE -1 END)::BIGINT AS y FROM t),
+       |fraw AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM t
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+       |pfeats AS MATERIALIZED (
+       |  SELECT doc_id, y, (${md24("f")} % 4096)::INTEGER AS bucket, count(*)::BIGINT AS cnt
+       |  FROM fraw JOIN lab USING (doc_id) GROUP BY doc_id, y, bucket
+       |  UNION ALL
+       |  SELECT doc_id, y, 4096 AS bucket, 10::BIGINT AS cnt FROM lab)""".stripMargin
+
+  /** Epoch layers 1..k of the batch-perceptron replay over `feats`
+    * (epoch 1 scores the zero model → every doc misclassified).
+    */
+  private def perceptronLayerCtes(k: Int, feats: String): String = {
+    val first =
+      s"""wrong1 AS (SELECT DISTINCT doc_id, y FROM $feats),
+         |w1 AS MATERIALIZED (SELECT bucket, sum(y * cnt)::BIGINT AS w
+         |  FROM $feats JOIN wrong1 USING (doc_id, y) GROUP BY bucket)""".stripMargin
+    val rest = (2 to k).map { t =>
+      s"""s$t AS (SELECT f.doc_id, f.y, sum(f.cnt * coalesce(w.w, 0))::BIGINT AS s
+         |      FROM $feats f LEFT JOIN w${t - 1} w USING (bucket) GROUP BY f.doc_id, f.y),
+         |wrong$t AS (SELECT doc_id, y FROM s$t WHERE y * s <= 0),
+         |d$t AS (SELECT bucket, sum(y * cnt)::BIGINT AS d
+         |      FROM $feats JOIN wrong$t USING (doc_id, y) GROUP BY bucket),
+         |w$t AS MATERIALIZED (
+         |  SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |         (coalesce(a.w, 0) + coalesce(b.d, 0))::BIGINT AS w
+         |  FROM w${t - 1} a FULL OUTER JOIN d$t b ON a.bucket = b.bucket)""".stripMargin
+    }
+    (first +: rest).mkString(",\n")
+  }
+
+  private def perceptronOracleSql(k: Int): String = {
+    val trace = (1 to k).map(t =>
+      s"""SELECT $t AS iter, (SELECT count(*) FROM wrong$t)::INTEGER AS n_wrong,
+         |  (SELECT coalesce(sum(abs(w)), 0) FROM w$t)::BIGINT AS w_l1""".stripMargin)
+      .mkString("\nUNION ALL ")
+    s"""WITH $perceptronFeatsCtes,
+       |${perceptronLayerCtes(k, "pfeats")}
+       |$trace
+       |ORDER BY iter""".stripMargin
+  }
+
+  /** Replays [[graft.operators.QualityClassifier.evalPerceptron]]: the
+    * md5-coin 80/20 split, epochs over the train side only, then both
+    * sides scored against the final weights.
+    */
+  private def perceptronEvalOracleSql(k: Int): String =
+    s"""WITH $perceptronFeatsCtes,
+       |sp AS MATERIALIZED (SELECT doc_id,
+       |  CASE WHEN ${md24("doc_id::VARCHAR")} % 5 > 0 THEN 'train' ELSE 'eval' END AS split
+       |  FROM lab),
+       |tfeats AS MATERIALIZED (
+       |  SELECT doc_id, y, bucket, cnt FROM pfeats JOIN sp USING (doc_id) WHERE split = 'train'),
+       |${perceptronLayerCtes(k, "tfeats")},
+       |sc AS (SELECT f.doc_id, s.split, f.y, sum(f.cnt * coalesce(w.w, 0))::BIGINT AS score
+       |  FROM pfeats f JOIN sp s USING (doc_id) LEFT JOIN w$k w USING (bucket)
+       |  GROUP BY f.doc_id, s.split, f.y)
+       |SELECT split, count(*)::INTEGER AS n_docs,
+       |  sum(CASE WHEN y * score <= 0 THEN 1 ELSE 0 END)::INTEGER AS n_wrong
+       |FROM sc GROUP BY split ORDER BY split""".stripMargin
+
+  /** Replays [[graft.operators.Similarity.lloydKMeans]] layer by layer:
+    * vectors quantized to the 2²⁰ grid (exact in double), assignment
+    * `m{t}` is the (d2, cluster)-ordered argmin against `c{t-1}`,
+    * centroid update is floor(sum/count) back on the grid. The final
+    * layer is assignment-only, matching the Spark loop.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val layers = (1 to iters).map { t =>
+      val assign =
+        s"""a$t AS (SELECT e.vec_id, c.cluster, sum((e.v - c.v) * (e.v - c.v))::BIGINT AS d2
+           |      FROM e JOIN c${t - 1} c USING (dim) GROUP BY e.vec_id, c.cluster),
+           |m$t AS (SELECT vec_id, cluster, d2 FROM (
+           |        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cluster) AS rn
+           |        FROM a$t) WHERE rn = 1)""".stripMargin
+      if (t < iters)
+        s"""$assign,
+           |c$t AS MATERIALIZED (
+           |  SELECT m.cluster, e.dim, floor(sum(e.v)::DOUBLE / count(*))::BIGINT AS v
+           |  FROM m$t m JOIN e USING (vec_id) GROUP BY m.cluster, e.dim)""".stripMargin
+      else assign
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, d AS dim, floor(embedding[d + 1]::DOUBLE * 1048576.0)::BIGINT AS v
+       |  FROM embeddings, unnest(range(0, 64)) AS t(d)),
+       |init AS (SELECT vec_id, (row_number() OVER (ORDER BY vec_id) - 1)::INTEGER AS cluster
+       |         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |c0 AS MATERIALIZED (SELECT i.cluster, e.dim, e.v FROM init i JOIN e USING (vec_id)),
+       |$layers
+       |SELECT cluster, count(*)::INTEGER AS n_members, sum(d2)::BIGINT AS inertia_fp
+       |FROM m$iters GROUP BY cluster ORDER BY cluster""".stripMargin
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val union = (1 to k).map(r =>
       s"SELECT $r AS step, a AS merge_left, b AS merge_right, c AS pair_count FROM b$r")
@@ -920,6 +1027,18 @@ object Oracles {
       s"""SELECT date_trunc('hour', ts) AS ws, event_type, count(*) AS n,
          |  sum(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
          |FROM $EV GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+
+    // user-keyed click->purchase attribution with the 30-minute range
+    // residual; gap in exact microseconds (epoch_us) so no boundary-
+    // crossing date_diff ambiguity
+    "stream_attribution" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM $EV WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM $EV WHERE event_type = 'purchase')
+         |SELECT purchase_id, click_id, user_id,
+         |  (epoch_us(purchase_ts) - epoch_us(click_ts))::BIGINT AS gap_us
+         |FROM p JOIN c USING (user_id)
+         |WHERE click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
+         |ORDER BY purchase_id, click_id""".stripMargin,
 
     "incremental_scan" ->
       s"""SELECT event_type, count(*) AS n_new, max(ts) AS new_watermark
@@ -1800,6 +1919,19 @@ object Oracles {
          |  sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score,
          |  sum(w_fp) > 0 AS label
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // batch-perceptron training replayed as 4 CTE layers — the
+    // all-integer Rosenblatt update is associative, so the learned
+    // weights (and hence the trace) are partitioning-independent
+    "classifier_train" -> perceptronOracleSql(10),
+
+    // 80/20 md5-coin holdout: train-side epochs, both sides scored
+    // against the final weights — the generalization measurement
+    "classifier_eval" -> perceptronEvalOracleSql(10),
+
+    // full-corpus Lloyd refinement replayed as assignment/update CTE
+    // layers on the 2^20 integer grid; final layer assignment-only
+    "kmeans_train" -> kmeansOracleSql(8, 4),
 
     "bpe_merges" -> bpeOracleSql(8),
     "bpe_tokenize" -> bpeTokenizeOracleSql(8),

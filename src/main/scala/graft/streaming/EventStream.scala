@@ -48,6 +48,45 @@ object EventStream {
       .select(col("event_type"),
         expr("unix_micros(window.start) div 60000000L").as("bucket"), col("n_events"))
 
+  /** Watermarked STREAM-STREAM attribution join — the click→purchase
+    * credit assignment every event pipeline runs, and the one
+    * Structured Streaming join shape nothing else in this file
+    * exercises: two branches of the event stream (clicks, purchases)
+    * joined on user with a time-range predicate (`click_ts` within
+    * `attWindow` BEFORE the purchase). Emits one row per attributed
+    * (purchase, click) pair with the gap in exact microseconds.
+    *
+    * Why the constraints matter at scale: a stream-stream inner join
+    * must buffer BOTH sides in state until no future match is possible;
+    * the watermark on each side plus the time-range condition bound
+    * that state to `lateness + attWindow` of events per side — without
+    * the range predicate the click buffer would be unbounded (any
+    * future purchase could match any past click). State is keyed by
+    * `user_id`, so the join shuffles both branches on the user key once
+    * and matches within partitions — the same exchange the batch twin
+    * ([[graft.queries.CoreQueries.streamAttribution]]) pays, whose
+    * result after AvailableNow drains the stream is row-identical
+    * (suite-pinned).
+    */
+  def attributionPairs(events: DataFrame, attWindow: String = "30 minutes",
+                       lateness: String = "1 hour"): DataFrame = {
+    val ev = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attWindow"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
   /** Streaming KMV distinct-count sketch — the batch aggregate
     * ([[graft.plans.KmvMinK]]) carried as mapGroupsWithState state: per
     * key, the k smallest distinct coins ever seen (an `Array[Long]`,

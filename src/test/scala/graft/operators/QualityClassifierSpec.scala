@@ -57,4 +57,56 @@ class QualityClassifierSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("trainPerceptron drives a separable concept to zero training error") {
+    // disjoint vocabularies: one feature bucket fires only for positives,
+    // another only for negatives — linearly separable, so the batch
+    // perceptron must converge and then hold (empty update set)
+    val df = ((0 until 20).map(i => (i.toLong, "good fine nice", 1L)) ++
+      (20 until 40).map(i => (i.toLong, "bad awful poor", -1L)))
+      .toDF("doc_id", "text", "y")
+    val trace = QualityClassifier.trainPerceptron(df, "text", "doc_id", "y",
+      buckets = 64, iters = 6)
+      .orderBy("iter").as[(Int, Int, Long)].collect().toSeq
+    assert(trace.head == ((1, 40, trace.head._3)), s"epoch 1 scores the zero model: $trace")
+    assert(trace.last._2 == 0, s"should converge on separable data: $trace")
+    // once converged the update set is empty, so the weights freeze
+    val settled = trace.dropWhile(_._2 != 0)
+    assert(settled.map(_._3).distinct.size == 1, s"weights must freeze after convergence: $trace")
+  }
+
+  test("evalPerceptron: separable concept generalizes to the held-out split") {
+    // vocabulary-disjoint classes: the train-side model must score the
+    // eval side perfectly too (the eval docs reuse the same buckets)
+    val df = ((0 until 50).map(i => (i.toLong, "good fine nice", 1L)) ++
+      (50 until 100).map(i => (i.toLong, "bad awful poor", -1L)))
+      .toDF("doc_id", "text", "y")
+    // biasCnt = 1: these 5-feature docs would be nearly collinear under
+    // the corpus-sized default (bias mass 100 vs 5 discriminative
+    // features), and the hash-coin split unbalances the classes so the
+    // bias drift no longer cancels — the intercept scale must match the
+    // document feature mass (see the hashedFeatures Scaladoc)
+    val got = QualityClassifier.evalPerceptron(df, "text", "doc_id", "y",
+      buckets = 64, iters = 8, biasCnt = 1)
+      .orderBy("split").as[(String, Int, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq("eval", "train"))
+    assert(got.map(_._2).sum == 100, s"every doc lands in exactly one split: $got")
+    assert(got.forall(_._2 > 0), s"both splits populated: $got")
+    assert(got.forall(_._3 == 0), s"separable concept → zero error on both splits: $got")
+  }
+
+  test("trainPerceptron trace is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    val df = (0 until 60).map { i =>
+      val n = 3 + rnd.nextInt(12)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "),
+        if (n >= 9) 1L else -1L)
+    }.toDF("doc_id", "text", "y")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      QualityClassifier.trainPerceptron(d, "text", "doc_id", "y",
+        buckets = 64, iters = 5)
+        .orderBy("iter").as[(Int, Int, Long)].collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+  }
 }

@@ -461,4 +461,48 @@ class SimilaritySpec extends SparkSuite {
         .as[(Int, Long, Int, Float, Float)].collect().sortBy(_._1).toSeq
     assert(run(df) == run(df.repartition(7)))
   }
+
+  test("lloydKMeans separates two well-spread blobs (k=2)") {
+    // blob A around +10, blob B around -10 in every dim; ids alternate so
+    // the two lowest-id seeds land one in each blob
+    val df = (0 until 40).map { i =>
+      val center = if (i % 2 == 0) 10f else -10f
+      (i.toLong, Seq.tabulate(4)(d => center + ((i * 13 + d * 7) % 5 - 2) * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val got = Similarity.lloydKMeans(df, "embedding", "vec_id", k = 2, iters = 3)
+      .orderBy("cluster").as[(Int, Int, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1))
+    assert(got.map(_._2) == Seq(20, 20), s"each blob keeps its 20 members: $got")
+    // within-blob inertia: per-dim offsets are <= 0.2 (≤ ~4e10 on the
+    // grid per dim-point, ~3.5e12 per cluster worst case); one
+    // cross-blob member alone would add (20·2^20)^2 ≈ 4e14
+    assert(got.forall(_._3 < 10_000_000_000_000L), s"tight blobs: $got")
+  }
+
+  test("lloydKMeans assignment profile is bit-identical under repartitioning") {
+    val df = (0 until 50).map(i =>
+      (i.toLong, Seq.tabulate(6)(d => (((i * 31 + d * 17) % 23) - 11) / 3.0f)))
+      .toDF("vec_id", "embedding")
+    def run(x: org.apache.spark.sql.DataFrame) =
+      Similarity.lloydKMeans(x, "embedding", "vec_id", k = 4, iters = 3)
+        .orderBy("cluster").as[(Int, Int, Long)].collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(9)))
+  }
+
+  test("lloydKMeans broadcasts the centroid table (no corpus-side shuffle to score)") {
+    // policy `none` leaves the plan uncut so the scoring join is visible
+    // in the returned frame (the default pins the result behind a cache
+    // read); the loop's centroid generations still truncate via cutLoop
+    val df = (0 until 30).map(i =>
+      (i.toLong, Seq.tabulate(4)(d => (i * 7 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    spark.conf.set("spark.graft.materialize", "none")
+    try {
+      val plan = Similarity.lloydKMeans(df, "embedding", "vec_id", k = 2, iters = 2)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally spark.conf.unset("spark.graft.materialize")
+  }
 }

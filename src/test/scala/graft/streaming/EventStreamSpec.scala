@@ -39,6 +39,32 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("stream-stream attribution join == batch streamAttribution at sf0.001") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-attr")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+
+    val schema = spark.read.parquet(inDir.toString).schema
+    val raw = spark.readStream.schema(schema).parquet(inDir.toString)
+    val events =
+      if (schema("ts").dataType.typeName == "long")
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw
+    val streamed = EventStream.runAvailableNow(
+      EventStream.attributionPairs(events), "attr_test", tmp.resolve("ckpt").toString,
+      outputMode = "append")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+
+    val batch = CoreQueries.streamAttribution(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("streamed session_window sessions == batch Sessionize at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val tmp = Files.createTempDirectory("graft-stream-sess")
