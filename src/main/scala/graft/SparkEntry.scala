@@ -100,6 +100,7 @@ object SparkEntry {
     "dedup_clusters" -> (L.dedupClusters _),
     "dedup_minhash_clusters" -> (L.dedupMinhashClusters _),
     "dedup_decontaminate" -> (L.dedupDecontaminate _),
+    "decontam_answers" -> (L.decontamAnswers _),
     "dedup_contaminated_ngrams" -> (L.dedupContaminatedNgrams _),
     "dedup_contaminated_bloom" -> (L.dedupContaminatedBloom _),
     "dedup_semantic" -> (L.dedupSemantic _),
@@ -124,6 +125,7 @@ object SparkEntry {
     "bm25_topk" -> (L.bm25TopK _),
     "retrieval_rrf" -> (L.retrievalRrf _),
     "retrieval_rerank" -> (L.retrievalRerank _),
+    "retrieval_maxsim" -> (L.retrievalMaxsim _),
     "retrieval_negatives" -> (L.retrievalNegatives _),
     "curriculum_order" -> (L.curriculumOrder _),
     "rag_index" -> (L.ragIndex _),
@@ -149,11 +151,14 @@ object SparkEntry {
     "corpus_stats" -> (L.corpusStats _),
     "corpus_drift" -> (L.corpusDrift _),
     "text_top_terms" -> (L.textTopTerms _),
+    "text_collocations" -> (L.textCollocations _),
     "sketch_overlap" -> (L.sketchOverlap _),
     "corpus_card" -> (L.corpusCard _),
     "sketch_distinct" -> (L.sketchDistinct _),
+    "sketch_hll" -> (L.sketchHll _),
     "minhash_accuracy" -> (L.minhashAccuracy _),
     "minhash_banding" -> (L.minhashBanding _),
+    "minhash_bbit" -> (L.minhashBbit _),
     "dedup_incremental_minhash" -> (L.dedupIncrementalMinhash _),
     "simhash_accuracy" -> (L.simhashAccuracy _),
     "shard_balance" -> (L.shardBalance _),
@@ -190,6 +195,7 @@ object SparkEntry {
     "select_dsir" -> (L.selectDsir _),
     "select_dsir_sample" -> (L.selectDsirSample _),
     "mixture_weights" -> (L.mixtureWeights _),
+    "mixture_epochs" -> (L.mixtureEpochs _),
     "sample_temperature" -> (L.sampleTemperature _),
     "ann_recall" -> (L.annRecall _),
     "text_boilerplate" -> (L.textBoilerplate _),
@@ -219,10 +225,12 @@ object SparkEntry {
     "pack_efficiency" -> (L.packEfficiency _),
     // OLAP surfaces: grouping sets + pivot + unpivot
     "sales_rollup" -> (C.salesRollup _),
+    "sales_cube" -> (C.salesCube _),
     "event_pivot" -> (C.eventPivot _),
     "metrics_unpivot" -> (C.metricsUnpivot _),
     "event_markov" -> (C.eventMarkov _),
     "graph_triangles" -> (C.graphTriangles _),
+    "graph_bfs" -> (C.graphBfs _),
     "quality_winsorize" -> (L.qualityWinsorize _),
     "interval_join" -> (C.intervalJoin _),
     "bootstrap_ci" -> (L.bootstrapCi _),

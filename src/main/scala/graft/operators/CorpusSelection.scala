@@ -673,4 +673,49 @@ object CorpusSelection {
         least(greatest(col(valueCol).cast("long"), col("p_lo")), col("p_hi")))
       .withColumn("is_clamped", col("winsorized") =!= col(valueCol).cast("long"))
   }
+
+  /** Data-echo epoch planning: given a token budget (as a percentage of
+    * the corpus) and target mixture weights, compute each stratum's
+    * REPEAT factor — how many passes over its data the training run
+    * schedules. The data-constrained-scaling recipe (Muennighoff et al.
+    * 2023: repeating up to ~4 epochs is nearly as good as fresh data;
+    * beyond that returns collapse) as a query: small high-weight
+    * sources repeat, oversized sources subsample (factor < 1), and the
+    * cap records where the 4-epoch cliff truncates the plan.
+    *
+    * All arithmetic on the 2^-10 integer grid with fixed division
+    * order — replayable bit-for-bit. Plan: one partial aggregate per
+    * stratum, one 1-row total cross-joined back; the corpus is scanned
+    * once and nothing larger than the stratum table moves.
+    *
+    * `repeat_q10 = min(capQ10, target·1024 div tokens)`;
+    * `epochs = ceil(repeat_q10 / 1024)` is the pass count the loader
+    * schedules; `planned_tokens` the resulting contribution.
+    */
+  def epochMixture(docs: DataFrame, stratumCol: String, tokensCol: Column,
+                   weightsPct: Map[String, Int], budgetPct: Int = 150,
+                   capQ10: Long = 4096L): DataFrame = {
+    require(budgetPct >= 1, s"budgetPct must be >= 1, got $budgetPct")
+    require(capQ10 >= 1L, s"capQ10 must be >= 1, got $capQ10")
+    require(weightsPct.values.sum == 100,
+      s"mixture weights must sum to 100, got ${weightsPct.values.sum}")
+    val wExpr = weightsPct.foldLeft(lit(0L)) { case (acc, (k, v)) =>
+      when(col("stratum") === k, lit(v.toLong)).otherwise(acc)
+    }
+    val per = docs.groupBy(col(stratumCol).as("stratum"))
+      .agg(sum(tokensCol.cast("long")).as("n_tokens"))
+    val total = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(total)
+      .withColumn("weight_pct", wExpr)
+      .withColumn("budget", expr(s"(total_tokens * $budgetPct) div 100"))
+      .withColumn("target_tokens", expr("(budget * weight_pct) div 100"))
+      .withColumn("repeat_q10",
+        least(lit(capQ10), expr("(target_tokens * 1024) div n_tokens")))
+      .select(
+        col("stratum"), col("n_tokens"), col("weight_pct"), col("target_tokens"),
+        col("repeat_q10"),
+        expr("(repeat_q10 + 1023) div 1024").cast("int").as("epochs"),
+        expr("(n_tokens * repeat_q10) div 1024").as("planned_tokens"),
+        (col("repeat_q10") === capQ10).as("capped"))
+  }
 }

@@ -745,6 +745,33 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared_ngrams"))
   }
 
+  /** Eval-ANSWER substring decontamination: benchmark answer strings are
+    * short (a date, a name, one sentence), so gram-level machinery is
+    * the wrong granularity — the system-card-style audit scans the
+    * corpus for documents containing the normalized answer text
+    * VERBATIM. There is no equi-key for substring containment, so the
+    * right plan is the one Spark picks when the build side broadcasts:
+    * a BroadcastNestedLoopJoin with the eval-sized answer set shipped
+    * to every executor and the containment predicate evaluated
+    * map-locally against the streaming corpus — nothing shuffles, the
+    * corpus is scanned once, and cost is |corpus| × |answers| substring
+    * probes (the honest price; answer sets are thousands, not
+    * millions — once they aren't, fall back to
+    * [[ngramContaminationBloom]] granularity). Both sides normalize
+    * whitespace + case so formatting differences don't hide a leak.
+    * Returns the hit PAIRS (answer_id, doc_id) — quarantine joins want
+    * the doc ids, audits aggregate them.
+    */
+  def answerContamination(corpus: DataFrame, textCol: String, idCol: String,
+                          answers: DataFrame, ansIdCol: String, ansCol: String): DataFrame = {
+    def norm(c: Column): Column = regexp_replace(lower(trim(c)), "\\s+", " ")
+    val c = corpus.select(col(idCol).as("doc_id"), norm(col(textCol)).as("_ntext"))
+    val a = answers.select(col(ansIdCol).as("answer_id"), norm(col(ansCol)).as("_ans"))
+      .where(length(col("_ans")) > 0)
+    c.join(broadcast(a), col("_ntext").contains(col("_ans")))
+      .select(col("answer_id"), col("doc_id"))
+  }
+
   /** [[ngramContamination]] for probe sets too large to broadcast as a
     * hash relation. The GPT-3-style 13-gram rule assumes the benchmark
     * gram set is small; once the "probe" side is itself large (every eval

@@ -199,4 +199,64 @@ object Graph {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
   }
+
+  /** Breadth-first reachability layers from a seed set over a DIRECTED
+    * edge list — the crawl-depth audit (how many hops from the curated
+    * seed hosts does the frontier reach each page?) and the
+    * link-distance feature crawl schedulers prioritize by. `dist(n)` is
+    * the first round the expansion reaches `n`; layers are SETS, so the
+    * result is independent of partitioning and arc multiplicity
+    * (the edge list is distinct-ed up front — reachability needs each
+    * arc once).
+    *
+    * Plan: the distinct edge list is cached pre-partitioned on `src`
+    * once; each round pays one shuffle-hash join of the (small)
+    * frontier against it, one distinct on the discovered endpoints, and
+    * one anti-join against the visited set — never a corpus-sized
+    * rescan. Rounds use [[Materialize.cutLoop]] (eager truncation +
+    * release of the dead generation, the
+    * [[Dedup.connectedComponents]] discipline), and one driver scalar
+    * per round (the frontier count) stops the loop as soon as a layer
+    * comes back empty. Returns (node, dist), dist in [0, maxDepth].
+    */
+  def bfsLayers(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String = "node",
+                maxDepth: Int = 4): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1, got $maxDepth")
+    val slim = edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .repartition(col("src"))
+      .materialized // probed by every round's frontier join
+    var visited = Materialize.cutLoop(
+      seeds.select(col(seedCol).cast("long").as("node")).distinct()
+        .withColumn("dist", lit(0)),
+      None)
+    var frontier = visited
+    var d = 1
+    var done = false
+    while (d <= maxDepth && !done) {
+      val next = slim
+        .join(frontier.hint("shuffle_hash"), slim("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+      val newFrontier = Materialize.cutLoop(next, None)
+      // the bounded-driver-scalar class (one count per round, like the
+      // CC fixpoint's convergence check): stop as soon as a layer is dry
+      if (newFrontier.count() == 0L) {
+        Materialize.release(newFrontier)
+        done = true
+      } else {
+        val newVisited = Materialize.cutLoop(visited.union(newFrontier), Some(visited))
+        if (!(frontier eq visited)) Materialize.release(frontier)
+        frontier = newFrontier
+        visited = newVisited
+      }
+      d += 1
+    }
+    // the final frontier's rows live on in the checkpointed visited set
+    if (!(frontier eq visited)) Materialize.release(frontier)
+    visited
+  }
 }

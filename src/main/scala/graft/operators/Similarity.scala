@@ -839,4 +839,50 @@ object Similarity {
       pinned
     }
   }
+
+  /** Multi-vector late-interaction scoring (the ColBERT MaxSim operator,
+    * Khattab & Zaharia 2020): a query and a document are each a BAG of
+    * token vectors, and the relevance score is
+    * `sum over query tokens of (max over doc tokens of dot)` — token-level
+    * matching that single-vector cosine flattens away. This is the
+    * second-stage scorer of a modern retrieval stack: the caller bounds
+    * `docTokens` to first-stage candidates (the [[Retrieval]] rerank
+    * discipline), so the cross join below is candidates×query-tokens,
+    * never corpus-quadratic.
+    *
+    * Dots on the 2^20 integer grid ([[centroidCosine]]'s quantization:
+    * 64-dim grid dot ≤ 2^46, far inside int64), so scores are exact
+    * longs and the oracle replays them bit-for-bit. Plan: the (small)
+    * query token bag broadcasts; per (query, qtoken, doc) dot rows
+    * reduce by max then sum in one partial-aggregated pair of hash
+    * aggregates; top-k per query is a rank window over the (bounded)
+    * score table.
+    *
+    * `queryTokens(qidCol, tidCol, vecCol)`, `docTokens(didCol, vecCol)`;
+    * float vectors. Returns (qid, rank, did, score_fp).
+    */
+  def maxSimTopK(docTokens: DataFrame, queryTokens: DataFrame, k: Int,
+                 qidCol: String, tidCol: String, didCol: String,
+                 vecCol: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grid = 1L << 20
+    def q(c: Column): Column =
+      transform(c, x => floor(x.cast("double") * grid).cast("long"))
+    val qt = queryTokens.select(col(qidCol).as("qid"), col(tidCol).as("qti"),
+      q(col(vecCol)).as("qv"))
+    val dt = docTokens.select(col(didCol).as("did"), q(col(vecCol)).as("dv"))
+    val dots = dt.crossJoin(broadcast(qt))
+      .select(col("qid"), col("qti"), col("did"),
+        aggregate(zip_with(col("qv"), col("dv"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("dot"))
+    val scores = dots
+      .groupBy(col("qid"), col("qti"), col("did")).agg(max(col("dot")).as("m"))
+      .groupBy(col("qid"), col("did")).agg(sum(col("m")).as("score_fp"))
+    import org.apache.spark.sql.expressions.Window
+    scores
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("score_fp").desc, col("did"))))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("did"), col("score_fp"))
+  }
 }

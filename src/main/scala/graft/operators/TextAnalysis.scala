@@ -882,4 +882,55 @@ object TextAnalysis {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .cast("float").as("oov_rate"))
   }
+
+  /** Top-k adjacent-token collocations by pointwise mutual information —
+    * the phrase-mining pass (Mikolov et al. 2013's word2vec phrase step
+    * scores bigrams the same way) that turns "new york" into one vocab
+    * unit before tokenizer training, and the quickest detector of
+    * boilerplate word pairs a crawl injects corpus-wide.
+    *
+    * PMI = log of `R = p(a,b) / (p(a)·p(b)) = c_ab·N² / (B·c_a·c_b)`;
+    * log is monotone, so ranking by `R` on an INTEGER grid gives the
+    * exact PMI order with no transcendental in sight:
+    * `score_fp = ((c_ab·N div c_a) · N · 1024) div (c_b·B)` — every
+    * step int64 (c_ab ≤ c_a bounds the first quotient by N), fixed
+    * division order, bit-identical on any engine.
+    *
+    * Plan: one corpus scan builds both count tables (the token
+    * explode and the shifted-slice bigram explode share the cached
+    * token-array projection); unigram counts equi-join onto the
+    * support-filtered bigram counts (`minCount` prunes the heavy tail
+    * BEFORE the join, and both sides are vocabulary-, not corpus-,
+    * sized — AQE picks broadcast when the vocab fits); the two 1-row
+    * totals cross-join in. No corpus self-join anywhere.
+    */
+  def collocations(docs: DataFrame, textCol: String,
+                   minCount: Int = 5, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1, s"minCount/topK must be >= 1")
+    import Materialize.MatOps
+    val arrs = docs.select(tokens(col(textCol)).as("_arr"))
+      .materialized // consumed by the unigram AND the bigram explode
+    val uni = arrs.select(explode(col("_arr")).as("_t"))
+      .groupBy(col("_t")).agg(count(lit(1)).as("_c"))
+      .materialized // joined twice (both bigram sides) + the N total
+    val bigrams = arrs.select(explode(arrays_zip(
+        slice(col("_arr"), lit(1), size(col("_arr")) - 1),
+        slice(col("_arr"), lit(2), size(col("_arr")) - 1))).as("_p"))
+      .select(col("_p").getField("0").as("a"), col("_p").getField("1").as("b"))
+      .materialized // counted per pair AND totalled
+    val pairs = bigrams.groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .where(col("c_ab") >= minCount)
+    val nTok = uni.agg(sum(col("_c")).as("n_tokens"))
+    val nBig = bigrams.agg(count(lit(1)).as("n_bigrams"))
+    pairs
+      .join(uni.select(col("_t").as("a"), col("_c").as("c_a")), Seq("a"))
+      .join(uni.select(col("_t").as("b"), col("_c").as("c_b")), Seq("b"))
+      .crossJoin(nTok).crossJoin(nBig)
+      .select(col("a"), col("b"), col("c_ab"), col("c_a"), col("c_b"),
+        expr("(((c_ab * n_tokens) div c_a) * n_tokens * 1024) div (c_b * n_bigrams)")
+          .as("score_fp"))
+      .orderBy(col("score_fp").desc, col("a"), col("b"))
+      .limit(topK)
+  }
 }

@@ -57,6 +57,8 @@ object GraftExtensions {
       arity(2, "ngram_stats(text, n)")(c => NgramStats(c.head, intLit(c(1), "n")))),
     ("kmv_min_k", KmvMinK.info,
       arity(2, "kmv_min_k(hash, k)")(c => KmvMinK(c.head, intLit(c(1), "k")))),
+    ("hll_registers", HllRegisters.info,
+      arity(2, "hll_registers(coin, p)")(c => HllRegisters(c.head, intLit(c(1), "p")))),
     ("nfc_clean", NfcClean.info,
       arity(1, "nfc_clean(str)")(c => NfcClean(c.head))),
     ("morton_code", MortonCode.info,

@@ -522,6 +522,29 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** Crawl-depth BFS layers ([[graft.operators.Graph.bfsLayers]]):
+    * items 0–2 are the seed list; the transition graph is
+    * deterministically sparsified (keep arcs with
+    * `(src*31 + dst) % 7 == 0`, ~1/7 of the arcs — the dense sf graph
+    * would otherwise collapse to one layer) and expanded 4 hops. The
+    * link-distance feature a crawl scheduler prioritizes by; unreached
+    * items are absent, exactly like [[graphPprExpand]]'s rank-0 drop.
+    */
+  def graphBfs(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    val edges = ev
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+    val seeds = ev.where(col("k").isNotNull && col("k") < 3)
+      .select(col("k").as("node")).distinct()
+    graft.operators.Graph.bfsLayers(edges, "src", "dst", seeds, maxDepth = 4)
+      .orderBy(col("dist"), col("node"))
+  }
+
   /** Watermark-lateness audit
     * ([[graft.operators.RateAnomaly.latenessAudit]]): how many events
     * would a `withWatermark` delay of 0 s / 1 h / 12 h / 24 h / 48 h
@@ -725,6 +748,38 @@ object CoreQueries {
         coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
         col("n_items"), col("revenue"))
       .orderBy(col("region"), col("nation"), col("segment"))
+  }
+
+  /** CUBE twin of [[salesRollup]]: all four grouping sets of
+    * (region, segment) from ONE pass of partial aggregates — the
+    * cross-dimensional dashboard query. Same Expand-based plan family
+    * as ROLLUP: Catalyst's Expand replicates each input row once per
+    * grouping set BEFORE the single hash aggregate, so the corpus is
+    * scanned once and only the (tiny) aggregate output carries the
+    * 4x duplication; DECIMAL revenue sums keep the result
+    * order-independent.
+    */
+  def salesCube(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey"))
+    val reg = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("c_mktsegment"), lit("ALL")).as("segment"),
+        col("n_items"), col("revenue"))
+      .orderBy(col("region"), col("segment"))
   }
 
   /** Point-in-interval join ([[graft.operators.IntervalJoin]]): every

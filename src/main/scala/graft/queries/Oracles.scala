@@ -1111,6 +1111,35 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // BFS layers over the sparsified transition graph, unrolled to 4
+    // frontier CTEs: f_d = distinct successors of f_{d-1} minus the
+    // visited union — set semantics, so the layer assignment is
+    // partitioning-free on both engines
+    "graph_bfs" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 7 = 0),
+        |v0 AS MATERIALIZED (SELECT DISTINCT k AS node FROM ev WHERE k IS NOT NULL AND k < 3),
+        |f1 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e JOIN v0 ON e.src = v0.node
+        |  WHERE dst NOT IN (SELECT node FROM v0)),
+        |u1 AS MATERIALIZED (SELECT node FROM v0 UNION SELECT node FROM f1),
+        |f2 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e JOIN f1 ON e.src = f1.node
+        |  WHERE dst NOT IN (SELECT node FROM u1)),
+        |u2 AS MATERIALIZED (SELECT node FROM u1 UNION SELECT node FROM f2),
+        |f3 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e JOIN f2 ON e.src = f2.node
+        |  WHERE dst NOT IN (SELECT node FROM u2)),
+        |u3 AS MATERIALIZED (SELECT node FROM u2 UNION SELECT node FROM f3),
+        |f4 AS MATERIALIZED (SELECT DISTINCT dst AS node FROM e JOIN f3 ON e.src = f3.node
+        |  WHERE dst NOT IN (SELECT node FROM u3))
+        |SELECT node, dist FROM (
+        |  SELECT node, 0 AS dist FROM v0
+        |  UNION ALL SELECT node, 1 FROM f1
+        |  UNION ALL SELECT node, 2 FROM f2
+        |  UNION ALL SELECT node, 3 FROM f3
+        |  UNION ALL SELECT node, 4 FROM f4)
+        |ORDER BY dist, node""".stripMargin,
+
     // cohort = first-active month; offset counts over the distinct
     // (user, month) projection; month arithmetic exact on truncated
     // first-of-month values in both engines
@@ -2121,6 +2150,25 @@ object Oracles {
 
     // hard-negative mining: bm25_topk CTEs at k=10, the (q,q) positive
     // pair removed, top-5 remaining candidates re-ranked
+    // ColBERT MaxSim on the 2^20 grid: per (query, qtoken, doc) integer
+    // dot, max over doc tokens, sum over query tokens — all int64
+    "retrieval_maxsim" ->
+      s"""WITH e AS (
+         |  SELECT vec_id // 4 AS gid, vec_id % 4 AS ti,
+         |    list_transform(embedding, x -> floor(x::DOUBLE * 1048576)::BIGINT) AS v
+         |  FROM embeddings),
+         |q AS (SELECT gid AS qid, ti AS qti, v AS qv FROM e WHERE gid < 5),
+         |dcs AS (SELECT gid AS did, v AS dv FROM e WHERE gid >= 5),
+         |dots AS (SELECT qid, qti, did, ${dotL("qv", "dv")} AS dot
+         |  FROM q CROSS JOIN dcs),
+         |mx AS (SELECT qid, qti, did, max(dot) AS m FROM dots GROUP BY 1, 2, 3),
+         |sc AS (SELECT qid, did, sum(m)::BIGINT AS score_fp FROM mx GROUP BY 1, 2),
+         |rk AS (SELECT qid, did, score_fp,
+         |    row_number() OVER (PARTITION BY qid ORDER BY score_fp DESC, did) AS rank
+         |  FROM sc)
+         |SELECT qid, rank::INTEGER AS rank, did, score_fp
+         |FROM rk WHERE rank <= 10 ORDER BY qid, rank""".stripMargin,
+
     "retrieval_negatives" ->
       s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
          |q AS MATERIALIZED (SELECT doc_id AS query_id, unnest(list_distinct(toks[1:6])) AS term FROM t WHERE doc_id < 5),
@@ -2296,6 +2344,25 @@ object Oracles {
         |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents)
         |  GROUP BY term)
         |WHERE rank <= 50 ORDER BY rank""".stripMargin,
+
+    // PMI collocations log-free: the ratio c_ab*N^2/(B*c_a*c_b) on a
+    // 2^10 grid with the engine's exact division order (c_ab <= c_a
+    // bounds the first quotient by N, keeping every step in int64)
+    "text_collocations" ->
+      """WITH tk AS (SELECT string_split_regex(lower(trim(text)), '\s+') AS arr FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(arr) AS t FROM tk) GROUP BY t),
+        |tot AS (SELECT sum(c)::BIGINT AS n_tokens FROM uni),
+        |bg AS (SELECT arr[i] AS a, arr[i + 1] AS b
+        |  FROM tk, unnest(range(1, len(arr))) AS u(i)),
+        |btot AS (SELECT count(*)::BIGINT AS n_bigrams FROM bg),
+        |bgc AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM bg GROUP BY 1, 2 HAVING count(*) >= 5),
+        |j AS (SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b
+        |  FROM bgc JOIN uni ua ON bgc.a = ua.t JOIN uni ub ON bgc.b = ub.t)
+        |SELECT a, b, c_ab, c_a, c_b,
+        |  ((((c_ab * n_tokens) // c_a) * n_tokens * 1024) // (c_b * n_bigrams))::BIGINT AS score_fp
+        |FROM j, tot, btot
+        |ORDER BY score_fp DESC, a, b LIMIT 20""".stripMargin,
 
     // the histogram sketch as an admission threshold: score in basis
     // points (integer domain), width-64 bins, est p25 floor per lang
@@ -2477,6 +2544,41 @@ object Oracles {
          |  min(n_match)::DOUBLE / 128.0 AS min_est,
          |  max(n_match)::DOUBLE / 128.0 AS max_est
          |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, n_match FROM pr)
+         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // answer-substring decontamination: 6-token interior runs of every
+    // 25th doc probed verbatim against the whitespace/case-normalized
+    // corpus; foreign hits = containing docs other than the source
+    "decontam_answers" ->
+      """WITH nd AS (
+        |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS ntext
+        |  FROM documents),
+        |ans AS (
+        |  SELECT doc_id AS answer_id,
+        |    array_to_string(string_split(ntext, ' ')[3:8], ' ') AS ans
+        |  FROM nd WHERE doc_id % 25 = 0 AND len(string_split(ntext, ' ')) >= 8),
+        |hits AS (
+        |  SELECT answer_id, nd.doc_id
+        |  FROM nd JOIN ans ON strpos(nd.ntext, ans.ans) > 0 AND length(ans.ans) > 0)
+        |SELECT answer_id, count(*)::BIGINT AS n_hits,
+        |  sum(CASE WHEN doc_id <> answer_id THEN 1 ELSE 0 END)::BIGINT AS n_foreign_hits
+        |FROM hits GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // b-bit minwise: same replayed signatures, agreement on the lowest
+    // bit only; J_est = 2A - 1 with the engine's operation order
+    "minhash_bbit" ->
+      s"""WITH $minhashReplayCtes,
+         |pr AS (
+         |  SELECT
+         |    len(list_filter(range(1, 129), j -> (x.sig[j] & 1) = (y.sig[j] & 1)))::INTEGER AS n_agree,
+         |    len(list_intersect(x.coins, y.coins))::DOUBLE
+         |      / len(list_distinct(list_concat(x.coins, y.coins)))::DOUBLE AS exact_j
+         |  FROM sg x JOIN sg y ON x.lang = y.lang AND x.doc_id < y.doc_id
+         |)
+         |SELECT bin::INTEGER AS bin, count(*)::BIGINT AS n_pairs, sum(n_agree)::BIGINT AS total_agree,
+         |  sum(n_agree)::DOUBLE / (count(*) * 128)::DOUBLE AS mean_agree,
+         |  sum(n_agree)::DOUBLE / (count(*) * 128)::DOUBLE * 2.0 - 1.0 AS mean_est_j
+         |FROM (SELECT least(floor(exact_j * 10)::INTEGER, 9) AS bin, n_agree FROM pr)
          |GROUP BY bin ORDER BY bin""".stripMargin,
 
     // Gopher rule replay: same planted failure classes, same regex and
@@ -2737,6 +2839,49 @@ object Oracles {
          |SELECT lang, exact_distinct, est_distinct,
          |  (abs(est_distinct - exact_distinct::DOUBLE) / exact_distinct::DOUBLE)::FLOAT AS rel_err
          |FROM e ORDER BY lang""".stripMargin,
+
+    // HyperLogLog registers replayed from the 56-bit md5 coin: register
+    // index = top 8 bits, rank rho = 49 - bitlen(low 48 bits) (49 when
+    // zero), max per register; denominator on the 2^49 integer grid;
+    // the estimate constant is ((alpha_256*256)*256)*2^49 printed as a
+    // round-trip double literal. The ALL row merges the per-type
+    // registers by max — same register algebra the engine's merge uses.
+    "sketch_hll" ->
+      """WITH c AS (
+        |  SELECT DISTINCT event_type, user_id,
+        |    list_reduce(list_transform(string_split(substr(md5('hll:' || user_id), 1, 14), ''),
+        |      ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT AS coin
+        |  FROM events),
+        |r0 AS (SELECT event_type, coin >> 48 AS j,
+        |    CASE WHEN (coin & 281474976710655) = 0 THEN 49
+        |         ELSE 49 - length(bin(coin & 281474976710655)) END AS rho
+        |  FROM c),
+        |reg AS (SELECT event_type, j, max(rho) AS mr FROM r0 GROUP BY 1, 2),
+        |grid AS (SELECT et.event_type, gs.j
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN unnest(range(0, 256)) AS gs(j)),
+        |fullr AS (SELECT g.event_type, g.j, coalesce(mr, 0) AS mr
+        |  FROM grid g LEFT JOIN reg ON g.event_type = reg.event_type AND g.j = reg.j),
+        |pg AS (SELECT event_type AS grp,
+        |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+        |    sum(1::BIGINT << (49 - mr))::BIGINT AS s_scaled
+        |  FROM fullr GROUP BY 1),
+        |ex AS (SELECT event_type AS grp, count(DISTINCT user_id)::BIGINT AS exact_distinct
+        |  FROM events GROUP BY 1),
+        |rall AS (SELECT j, max(rho) AS mr FROM r0 GROUP BY 1),
+        |fall AS (SELECT gs.j, coalesce(mr, 0) AS mr
+        |  FROM unnest(range(0, 256)) AS gs(j) LEFT JOIN rall ON gs.j = rall.j),
+        |pall AS (SELECT 'ALL' AS grp,
+        |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+        |    sum(1::BIGINT << (49 - mr))::BIGINT AS s_scaled FROM fall),
+        |exall AS (SELECT 'ALL' AS grp, count(DISTINCT user_id)::BIGINT AS exact_distinct FROM events),
+        |u AS (
+        |  SELECT e.grp, exact_distinct, v_zero, s_scaled FROM pg p JOIN ex e USING (grp)
+        |  UNION ALL
+        |  SELECT e.grp, exact_distinct, v_zero, s_scaled FROM pall p JOIN exall e USING (grp))
+        |SELECT grp, exact_distinct, v_zero, s_scaled,
+        |  floor(2.6499581405668102e19 / s_scaled::DOUBLE * 1024.0)::BIGINT AS est_q10
+        |FROM u ORDER BY grp""".stripMargin,
 
     // Jensen-Shannon drift between even-id (reference) and odd-id
     // (current) unigram distributions per lang; FLOAT on the divergence
@@ -3784,6 +3929,41 @@ object Oracles {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP(r_name, n_name, c_mktsegment)
         |ORDER BY region, nation, segment""".stripMargin,
+
+    // data-echo epoch plan: all arithmetic on the 2^-10 integer grid
+    // with the engine's division order; 400% budget pushes zh/de/fr
+    // past the 4-epoch cap, en/es stay under
+    "mixture_epochs" ->
+      """WITH per AS (SELECT lang AS stratum, sum(n_chars)::BIGINT AS n_tokens FROM documents GROUP BY 1),
+        |tot AS (SELECT sum(n_tokens)::BIGINT AS total_tokens FROM per),
+        |x AS (SELECT stratum, n_tokens,
+        |    (CASE stratum WHEN 'en' THEN 40 WHEN 'zh' THEN 20 WHEN 'de' THEN 15
+        |                  WHEN 'fr' THEN 15 WHEN 'es' THEN 10 ELSE 0 END)::BIGINT AS weight_pct,
+        |    ((total_tokens * 400) // 100)::BIGINT AS budget
+        |  FROM per, tot),
+        |y AS (SELECT stratum, n_tokens, weight_pct,
+        |    ((budget * weight_pct) // 100)::BIGINT AS target_tokens FROM x),
+        |z AS (SELECT stratum, n_tokens, weight_pct, target_tokens,
+        |    least(4096, (target_tokens * 1024) // n_tokens)::BIGINT AS repeat_q10 FROM y)
+        |SELECT stratum, n_tokens, weight_pct, target_tokens, repeat_q10,
+        |  ((repeat_q10 + 1023) // 1024)::INTEGER AS epochs,
+        |  ((n_tokens * repeat_q10) // 1024)::BIGINT AS planned_tokens,
+        |  repeat_q10 = 4096 AS capped
+        |FROM z ORDER BY stratum""".stripMargin,
+
+    "sales_cube" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+        |  coalesce(c_mktsegment, 'ALL') AS segment,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE(r_name, c_mktsegment)
+        |ORDER BY region, segment""".stripMargin,
 
     // Poisson bootstrap (32 replicas): hash-derived Poisson(1) weights
     // via inverse CDF against hard-coded cumulative literals; replica

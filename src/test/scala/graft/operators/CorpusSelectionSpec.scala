@@ -394,4 +394,28 @@ class CorpusSelectionSpec extends SparkSuite {
     }
     assert(out.last == ((99L, 7L, 7L, 7L, false)))
   }
+
+  test("epochMixture: hand-computed repeat factors, cap and sub-1 arms") {
+    import org.apache.spark.sql.functions.col
+    // tokens: a = 200, b = 800, total = 1000; budget 200% = 2000;
+    // weights 50/50 -> target 1000 each
+    val docs = Seq(("a", 100L), ("a", 100L), ("b", 800L)).toDF("src", "toks")
+    val out = CorpusSelection.epochMixture(docs, "src", col("toks"),
+      Map("a" -> 50, "b" -> 50), budgetPct = 200, capQ10 = 4096L)
+      .orderBy(col("stratum"))
+      .as[(String, Long, Long, Long, Long, Int, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      // a: uncapped repeat 1000·1024/200 = 5120 -> capped at 4096 (4 epochs),
+      //    planned 200·4096/1024 = 800
+      ("a", 200L, 50L, 1000L, 4096L, 4, 800L, true),
+      // b: repeat 1000·1024/800 = 1280 (2 passes), planned 800·1280/1024 = 1000
+      ("b", 800L, 50L, 1000L, 1280L, 2, 1000L, false)))
+    // a stratum missing from the weight map gets weight 0 -> repeat 0
+    val out2 = CorpusSelection.epochMixture(
+      Seq(("a", 100L), ("c", 100L)).toDF("src", "toks"), "src", col("toks"),
+      Map("a" -> 100), budgetPct = 100, capQ10 = 4096L)
+      .orderBy(col("stratum"))
+      .as[(String, Long, Long, Long, Long, Int, Long, Boolean)].collect().toSeq
+    assert(out2.last == (("c", 100L, 0L, 0L, 0L, 0, 0L, false)))
+  }
 }

@@ -749,4 +749,26 @@ class DedupSpec extends SparkSuite {
     val want = ((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)
     assert((row.getLong(0), row.getLong(1), row.getLong(2)) == ((1L, 2L, want)))
   }
+
+  test("answerContamination: normalized verbatim containment, empty answers dropped") {
+    val corpus = Seq(
+      (1L, "The Quick   Brown Fox jumps"),
+      (2L, "prefix the quick brown fox jumps suffix"),
+      (3L, "unrelated text entirely")).toDF("doc_id", "text")
+    val answers = Seq((100L, "Quick  brown FOX"), (101L, "   ")).toDF("aid", "ans")
+    val out = Dedup.answerContamination(corpus, "text", "doc_id", answers, "aid", "ans")
+      .as[(Long, Long)].collect().toSet
+    // case + whitespace normalization on BOTH sides; the blank answer
+    // must not match everything
+    assert(out == Set((100L, 1L), (100L, 2L)))
+  }
+
+  test("answerContamination broadcasts the answer side (nested-loop, corpus never shuffles)") {
+    val corpus = (0L until 50L).map(i => (i, s"doc body $i filler")).toDF("doc_id", "text")
+    val answers = Seq((1L, "body 7")).toDF("aid", "ans")
+    val plan = Dedup.answerContamination(corpus, "text", "doc_id", answers, "aid", "ans")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
 }

@@ -141,4 +141,45 @@ class GraphSpec extends SparkSuite {
     assert(got._3 == brute.toLong, s"triangles ${got._3} vs brute $brute")
     assert(got._2 == undirected.size.toLong)
   }
+
+  /** Single-threaded BFS mirror: first-reached round per node. */
+  private def refBfs(edges: Seq[(Long, Long)], seeds: Set[Long], maxDepth: Int): Map[Long, Int] = {
+    val adj = edges.distinct.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var dist = seeds.map(_ -> 0).toMap
+    var frontier = seeds
+    var d = 1
+    while (d <= maxDepth && frontier.nonEmpty) {
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty[Long])) -- dist.keySet
+      dist = dist ++ next.map(_ -> d)
+      frontier = next
+      d += 1
+    }
+    dist
+  }
+
+  private def runBfs(edges: Seq[(Long, Long)], seeds: Seq[Long], maxDepth: Int = 4): Map[Long, Int] =
+    Graph.bfsLayers(edges.toDF("src", "dst"), "src", "dst",
+      seeds.toDF("node"), maxDepth = maxDepth)
+      .as[(Long, Int)].collect().toMap
+
+  test("bfsLayers matches the single-threaded reference on a random sparse digraph") {
+    val rnd = new scala.util.Random(13)
+    val edges = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+    assert(runBfs(edges, Seq(0L, 1L)) == refBfs(edges, Set(0L, 1L), 4))
+  }
+
+  test("bfsLayers: chain graph yields one node per layer, stops at maxDepth, direction respected") {
+    val chain = (0L until 8L).map(i => (i, i + 1))
+    val got = runBfs(chain, Seq(0L), maxDepth = 3)
+    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3))
+    // arcs point forward only: seeding the far end reaches nothing new
+    val rev = runBfs(chain, Seq(8L), maxDepth = 3)
+    assert(rev == Map(8L -> 0))
+  }
+
+  test("bfsLayers early-stops on a dry frontier and dedups multi-arcs") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L))
+    val got = runBfs(edges, Seq(1L), maxDepth = 10)
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
+  }
 }

@@ -505,4 +505,34 @@ class SimilaritySpec extends SparkSuite {
       assert(!plan.contains("CartesianProduct"), plan)
     } finally spark.conf.unset("spark.graft.materialize")
   }
+
+  test("maxSimTopK: hand-computed MaxSim scores, tie broken by doc id") {
+    val g = 1L << 20 // the 2^20 quantization grid
+    val q = Seq((0L, 0L, Seq(1.0f, 0.0f)), (0L, 1L, Seq(0.0f, 1.0f)))
+      .toDF("qid", "ti", "vec")
+    val d = Seq(
+      (10L, Seq(1.0f, 0.0f)), (10L, Seq(0.0f, 1.0f)), // both query tokens matched
+      (11L, Seq(1.0f, 0.0f)), (11L, Seq(1.0f, 0.0f)), // token 0 only
+      (12L, Seq(0.5f, 0.5f)), (12L, Seq(0.0f, 0.0f))) // half on both tokens
+      .toDF("did", "vec")
+    val out = Similarity.maxSimTopK(d, q, 3, "qid", "ti", "did", "vec")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    // scores: 10 -> 2·g², 11 -> g², 12 -> 2·(g/2)·g = g² (ties 11, doc id wins)
+    assert(out == Seq(
+      (0L, 1, 10L, 2L * g * g),
+      (0L, 2, 11L, g * g),
+      (0L, 3, 12L, g * g)))
+  }
+
+  test("maxSimTopK is invariant under doc-side repartitioning") {
+    val vecs = (0 until 40).map(i =>
+      (i.toLong / 4, Seq.tabulate(8)(j => (((i * 13 + j * 7) % 19) - 9) / 4.0f)))
+    val q = vecs.take(4).zipWithIndex.map { case ((_, v), t) => (0L, t.toLong, v) }
+      .toDF("qid", "ti", "vec")
+    def run(parts: Int) =
+      Similarity.maxSimTopK(vecs.drop(4).toDF("did", "vec").repartition(parts),
+        q, 5, "qid", "ti", "did", "vec")
+        .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(run(1) == run(7))
+  }
 }

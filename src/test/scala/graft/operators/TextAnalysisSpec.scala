@@ -474,4 +474,34 @@ class TextAnalysisSpec extends SparkSuite {
       (9, 9L, 4L),
       (10, 10L, 4L)))
   }
+
+  test("collocations: PMI grid score matches a hand reference and ranks the glued pair first") {
+    // "new york" always adjacent (6 times); "the the" frequent tokens but
+    // dispersed -> low PMI. 3 filler docs widen the unigram table.
+    val docs = Seq(
+      (1L, "new york new york new york the cat"),
+      (2L, "new york new york new york the dog the cat"),
+      (3L, "the dog saw the cat and the dog ran"),
+      (4L, "the cat the dog the fish")).toDF("doc_id", "text")
+    val out = TextAnalysis.collocations(docs, "text", minCount = 3, topK = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    // reference: counts over the exact same tokenization
+    val toks = Seq("new york new york new york the cat",
+      "new york new york new york the dog the cat",
+      "the dog saw the cat and the dog ran",
+      "the cat the dog the fish").map(_.split("\\s+").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bigrams = toks.flatMap(t => t.zip(t.tail))
+    val n = toks.flatten.size.toLong
+    val bTot = bigrams.size.toLong
+    val bc = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def score(a: String, b: String): Long =
+      (((bc((a, b)) * n) / uni(a)) * n * 1024L) / (uni(b) * bTot)
+    assert(out.head._1 == "new" && out.head._2 == "york")
+    out.foreach { case (a, b, cab, ca, cb, s) =>
+      assert(cab == bc((a, b)) && ca == uni(a) && cb == uni(b))
+      assert(s == score(a, b), s"score mismatch for ($a,$b)")
+    }
+    assert(out.map(_._6) == out.map(_._6).sorted.reverse)
+  }
 }
