@@ -231,6 +231,10 @@ object SparkEntry {
     "event_markov" -> (C.eventMarkov _),
     "graph_triangles" -> (C.graphTriangles _),
     "graph_bfs" -> (C.graphBfs _),
+    "graph_communities" -> (C.graphCommunities _),
+    "covisit_topk" -> (C.covisitTopk _),
+    "event_paths" -> (C.eventPaths _),
+    "q5_local_supplier" -> (C.q5LocalSupplier _),
     "quality_winsorize" -> (L.qualityWinsorize _),
     "interval_join" -> (C.intervalJoin _),
     "bootstrap_ci" -> (L.bootstrapCi _),

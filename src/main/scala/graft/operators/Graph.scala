@@ -259,4 +259,54 @@ object Graph {
     if (!(frontier eq visited)) Materialize.release(frontier)
     visited
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection on the undirected transition graph: every node starts as
+    * its own label; each round every node adopts its neighbors' MODE
+    * label (count desc, then lowest label — a total order, so the whole
+    * run is deterministic under any partitioning, where classic LPA's
+    * random tie-break makes results unreproducible). Communities are
+    * the label groups after `iters` rounds. Synchronous LPA can
+    * oscillate on bipartite structure; a fixed round count plus
+    * deterministic ties makes the output a well-defined measurement
+    * either way (the PageRank fixed-iteration posture, not a
+    * convergence promise).
+    *
+    * Plan: symmetrized distinct edges cached pre-partitioned on `src`
+    * once; each round is one shuffle-hash join of the N-row label table
+    * to the edges, one (node, label) count aggregate (map-side
+    * combined), and one per-node argmax via a `max(struct)` — no rank
+    * window, no sort. [[Materialize.cutLoop]] per round. Returns
+    * (node, label, community_size).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int = 4): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val und = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .materialized // probed by every round's label join
+    var labels = Materialize.cutLoop(
+      sym.select(col("src").as("node")).distinct()
+        .select(col("node"), col("node").as("label")),
+      None)
+    var prev: Option[DataFrame] = Some(labels)
+    for (_ <- 1 to iters) {
+      // neighbor-mode via max(struct(count, -label)): lexicographic max
+      // picks the highest count, then (negated) the lowest label —
+      // every node in sym has >= 1 neighbor, so no row is lost
+      val next = sym
+        .join(labels.hint("shuffle_hash"), sym("dst") === labels("node"))
+        .groupBy(sym("src"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("src"))
+        .agg(max(struct(col("c"), (lit(0L) - col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (lit(0L) - col("m.nl")).as("label"))
+      labels = Materialize.cutLoop(next, prev)
+      prev = Some(labels)
+    }
+    labels.withColumn("community_size",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+  }
 }

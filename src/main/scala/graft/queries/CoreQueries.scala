@@ -185,6 +185,40 @@ object CoreQueries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** TPC-H Q5 shape (local-supplier revenue): the 6-table star join
+    * with a region filter and an order-date window, revenue per nation
+    * where the supplying and buying nation coincide. The plan the
+    * engine must produce at scale: date + region predicates pushed into
+    * the scans, the four dimension tables broadcast, the two fact
+    * tables (lineitem, orders) meeting in the only real shuffle, and
+    * DECIMAL revenue sums keeping the aggregate order-independent.
+    */
+  def q5LocalSupplier(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+        && col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val reg = Tables.region(s, d).where(col("r_name") === "ASIA")
+      .select(col("r_regionkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   /** F1: Cyrillic-aware snake_case over part attributes. */
   def f1SnakeCase(s: SparkSession, d: String): DataFrame =
     Tables.part(s, d)
@@ -544,6 +578,48 @@ object CoreQueries {
     graft.operators.Graph.bfsLayers(edges, "src", "dst", seeds, maxDepth = 4)
       .orderBy(col("dist"), col("node"))
   }
+
+  /** Community detection via deterministic label propagation
+    * ([[graft.operators.Graph.labelPropagation]]): the same sparsified
+    * transition graph as [[graphBfs]], symmetrized, 4 synchronous
+    * rounds of neighbor-mode labels with (count desc, label asc) ties —
+    * the topic/host clustering pass crawl pipelines run before
+    * per-community quota decisions. Returns each node's community and
+    * its size.
+    */
+  def graphCommunities(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+    graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 4)
+      .orderBy(col("node"))
+  }
+
+  /** Item co-visitation candidates
+    * ([[graft.operators.SequenceMining.covisitTopK]]): top-3 "next
+    * viewed" successors per item from the per-user transition stream —
+    * the item-to-item recommender / crawl-prefetch table, one window
+    * pass + one slim pair count.
+    */
+  def covisitTopk(s: SparkSession, d: String): DataFrame =
+    graft.operators.SequenceMining.covisitTopK(
+      events(s, d).withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
+      "user_id", "ts", "event_id", "k", k = 3)
+      .orderBy(col("src"), col("rank"))
+
+  /** Empirical funnel discovery
+    * ([[graft.operators.SequenceMining.pathCounts]]): the top-10
+    * 3-step event-type paths across all users — the data-driven answer
+    * to "which funnel should [[funnelSteps]] even measure?", bounded by
+    * |event types|³ regardless of corpus size.
+    */
+  def eventPaths(s: SparkSession, d: String): DataFrame =
+    graft.operators.SequenceMining.pathCounts(
+      events(s, d), "user_id", "ts", "event_id", "event_type", steps = 3, topN = 10)
 
   /** Watermark-lateness audit
     * ([[graft.operators.RateAnomaly.latenessAudit]]): how many events

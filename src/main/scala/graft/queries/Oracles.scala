@@ -1111,6 +1111,81 @@ object Oracles {
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
 
+    // TPC-H Q5 shape: ASIA-region 6-table join, 1996 order window,
+    // DECIMAL revenue; local-supplier condition c_nationkey = s_nationkey
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue,
+        |  count(*)::BIGINT AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    // deterministic synchronous LPA, 4 unrolled rounds: neighbor-mode
+    // label with (count desc, label asc) ties via a rank window; the
+    // community size is a count window over the final labels
+    "graph_communities" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e0 AS (SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 7 = 0 AND src <> dst),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |l1 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l0.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l0.label) AS rn
+        |  FROM sym JOIN l0 ON sym.dst = l0.node GROUP BY 1, 2) WHERE rn = 1),
+        |l2 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l1.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l1.label) AS rn
+        |  FROM sym JOIN l1 ON sym.dst = l1.node GROUP BY 1, 2) WHERE rn = 1),
+        |l3 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l2.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l2.label) AS rn
+        |  FROM sym JOIN l2 ON sym.dst = l2.node GROUP BY 1, 2) WHERE rn = 1),
+        |l4 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l3.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l3.label) AS rn
+        |  FROM sym JOIN l3 ON sym.dst = l3.node GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT node, label, count(*) OVER (PARTITION BY label)::BIGINT AS community_size
+        |FROM l4 ORDER BY node""".stripMargin,
+
+    // co-visitation: lag transitions per user, self-loops dropped,
+    // top-3 successors per item by (count desc, dst)
+    "covisit_topk" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |tr AS (SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+        |c AS (SELECT src, dst, count(*)::BIGINT AS c FROM tr GROUP BY 1, 2),
+        |r AS (SELECT src, dst, c,
+        |    row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rank FROM c)
+        |SELECT src, rank::INTEGER AS rank, dst, c
+        |FROM r WHERE rank <= 3 ORDER BY src, rank""".stripMargin,
+
+    // 3-step path mining: two chained lags in one user window; counts
+    // bounded by |event types|^3
+    "event_paths" ->
+      """WITH p AS (SELECT
+        |    lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step_1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS step_2,
+        |    event_type AS step_3
+        |  FROM events)
+        |SELECT step_1, step_2, step_3, count(*)::BIGINT AS c
+        |FROM p WHERE step_1 IS NOT NULL
+        |GROUP BY 1, 2, 3
+        |ORDER BY c DESC, step_1, step_2, step_3 LIMIT 10""".stripMargin,
+
     // BFS layers over the sparsified transition graph, unrolled to 4
     // frontier CTEs: f_d = distinct successors of f_{d-1} minus the
     // visited union — set semantics, so the layer assignment is

@@ -182,4 +182,46 @@ class GraphSpec extends SparkSuite {
     val got = runBfs(edges, Seq(1L), maxDepth = 10)
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 2))
   }
+
+  /** Single-threaded synchronous LPA mirror: neighbor mode, ties to the
+    * lowest label, all nodes updated from the previous round's snapshot.
+    */
+  private def refLpa(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+    val sym = (und ++ und.map(e => (e._2, e._1))).distinct
+    val adj = sym.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to iters) {
+      val prev = lab
+      lab = adj.map { case (n, nbrs) =>
+        val counts = nbrs.groupBy(prev).view.mapValues(_.size).toSeq
+        n -> counts.map { case (l, c) => (-c, l) }.min._2
+      }
+    }
+    lab
+  }
+
+  private def runLpa(edges: Seq[(Long, Long)], iters: Int = 4): Map[Long, Long] =
+    Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", iters)
+      .select("node", "label").as[(Long, Long)].collect().toMap
+
+  test("labelPropagation matches the single-threaded reference on a random graph") {
+    val rnd = new scala.util.Random(29)
+    val edges = Seq.fill(150)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+    assert(runLpa(edges) == refLpa(edges, 4))
+  }
+
+  test("labelPropagation separates two cliques joined by one bridge") {
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a < b) yield (a, b)
+    val edges = clique(Seq(0L, 1L, 2L, 3L)) ++ clique(Seq(10L, 11L, 12L, 13L)) ++ Seq((3L, 10L))
+    val out = Graph.labelPropagation(edges.toDF("src", "dst"), "src", "dst", 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    val byLabel = out.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    // the two cliques resolve to separate communities
+    assert(byLabel.values.exists(_ == Set(0L, 1L, 2L, 3L)) ||
+      byLabel.values.exists(s => Set(0L, 1L, 2L).subsetOf(s) && !s.contains(11L)))
+    assert(out.forall { case (n, l, sz) =>
+      sz == out.count(_._2 == l)
+    })
+  }
 }
