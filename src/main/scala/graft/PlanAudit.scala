@@ -107,7 +107,18 @@ object PlanAudit {
       // edge set; pivot is a single hash aggregate, no per-type scans
       "kanon_suppress", "chunk_cdc", "dedup_stitch", "interval_join",
       "sales_rollup", "graph_triangles", "event_pivot", "fuzzy_match",
-      "bootstrap_ci", "quality_winsorize")
+      "bootstrap_ci", "quality_winsorize",
+      // round 11h: Q5 must push the date/region predicates into the
+      // scans and broadcast all four dimensions (one fact-fact
+      // exchange); collocations is two count aggregates + a
+      // vocabulary join, no corpus self-join; the HLL row is ONE hash
+      // aggregate carrying sketch and exact side; MaxSim broadcasts
+      // the query token bag (nested-loop over broadcast rows, then two
+      // hash aggregates); answer decontam is a BroadcastNestedLoopJoin
+      // with the corpus streaming; co-visitation is one lag window +
+      // one pair count + a pair-table rank window
+      "q5_local_supplier", "text_collocations", "sketch_hll",
+      "retrieval_maxsim", "decontam_answers", "covisit_topk")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -73,6 +73,15 @@ object ScaleSmoke {
     val ev10 = eventsAt(Tables.events(spark, d), copies).repartition(nPart).localCheckpoint(true)
     println(s"[scale] ${copies}x: docs ${docs1.count()} -> ${docs10.count()}, events ${ev1.count()} -> ${ev10.count()}")
 
+    def itemEdges(ev: DataFrame): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.select(col("user_id"), col("ts"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+    }
+
     def queries(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] = Seq(
       "exact_groups" -> (() => Dedup.exactGroups(docs, "text", "doc_id").count()),
       "minhash_clusters" -> (() => Dedup.minHashClusters(docs, "text", "doc_id").count()),
@@ -216,7 +225,39 @@ object ScaleSmoke {
           .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
           .where(col("src").isNotNull && col("dst").isNotNull)
         Graph.triangleCount(edges, "src", "dst").count()
-      }))
+      }),
+      // round 11h: the graph fixpoints see 10x EDGE volume over the same
+      // 100-item node set (denser, not bigger — the items alphabet is
+      // fixed in props); collocations and the HLL aggregate are
+      // token/event-volume-bound with vocabulary-sized outputs
+      "bfs" -> (() => {
+        val edges = itemEdges(ev)
+          .where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+        // seeds from the raw projection (no window), the graphBfs shape —
+        // deriving them from `edges` would run the lag window twice
+        val seeds = ev.select(get_json_object(col("props"), "$.k").cast("long").as("node"))
+          .where(col("node").isNotNull && col("node") < 3).distinct()
+        Graph.bfsLayers(edges, "src", "dst", seeds, maxDepth = 4).count()
+      }),
+      "lpa" -> (() => {
+        val edges = itemEdges(ev)
+          .where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+        Graph.labelPropagation(edges, "src", "dst", iters = 4).count()
+      }),
+      "collocations" -> (() =>
+        TextAnalysis.collocations(docs, "text", minCount = 5, topK = 20).count()),
+      "hll" -> (() => {
+        graft.plans.GraftExtensions.register(spark)
+        ev.select(col("event_type"),
+          conv(substring(md5(concat(lit("hll:"), col("user_id"))), 1, 14), 16, 10)
+            .cast("long").as("coin"))
+          .groupBy(col("event_type"))
+          .agg(call_function("hll_registers", col("coin"), lit(8)).as("regs"))
+          .count()
+      }),
+      "covisit" -> (() => SequenceMining.covisitTopK(
+        ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
+        "user_id", "ts", "event_id", "k", k = 3).count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))
@@ -225,7 +266,12 @@ object ScaleSmoke {
 
     val rows = selected(docs1, ev1).zip(selected(docs10, ev10)).map {
       case ((name, f1), (_, f10)) =>
+        // operator-local persist cuts from the PREVIOUS op must not skew
+        // this op's measurement via cache-eviction churn (the Bench /
+        // Verify per-query clearCache contract)
+        spark.catalog.clearCache()
         val t1 = time(f1())
+        spark.catalog.clearCache()
         val t10 = time(f10())
         (name, t1, t10, t10 / t1)
     }

@@ -257,6 +257,11 @@ object Graph {
     }
     // the final frontier's rows live on in the checkpointed visited set
     if (!(frontier eq visited)) Materialize.release(frontier)
+    // the operator is eager by here (every generation localCheckpointed),
+    // so its one persist cut — the cached edge list — is dead; releasing
+    // it keeps multi-operator sessions from accumulating pinned blocks
+    // (the ADVICE.md operator-local-persist contract)
+    Materialize.release(slim)
     visited
   }
 
@@ -306,7 +311,72 @@ object Graph {
       labels = Materialize.cutLoop(next, prev)
       prev = Some(labels)
     }
+    // labels is checkpointed — the returned plan no longer reads sym, so
+    // the edge cache can be released (same contract as bfsLayers)
+    Materialize.release(sym)
     labels.withColumn("community_size",
       count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("label"))))
+  }
+
+  /** k-core decomposition (fixed k): iteratively peel nodes of degree
+    * < k from the undirected graph until every survivor has >= k
+    * surviving neighbors (Seidman 1983) — the link-graph density filter
+    * behind spam-farm detection and crawl-frontier pruning (a page
+    * whose neighborhood survives the 4-core sits in a densely
+    * interlinked region; isolated chains and pendant trees peel away).
+    *
+    * Peeling is MONOTONE (the live edge set only shrinks) and the
+    * surviving set after any round is partitioning-independent, so the
+    * fixpoint — and every truncated prefix of it — is deterministic:
+    * the driver row (`graph_kcore`) runs the same bounded number of
+    * rounds the DuckDB oracle unrolls, and early-stopping at an earlier
+    * fixpoint cannot change the answer. Returns (node, degree) for the
+    * surviving core, degree counted within the core.
+    *
+    * Plan: each round is one degree aggregate over the live edges
+    * (map-side combined; vocabulary-sized output) and two semi-joins
+    * filtering the edge list against the surviving node set — AQE
+    * broadcasts the node side while it is small, shuffle-joins at web
+    * scale. Rounds use [[Materialize.cutLoop]] (eager truncation +
+    * release of the dead generation); one driver scalar per round (the
+    * live-edge count, the CC convergence-check class) stops the loop at
+    * the fixpoint.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 8): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val und = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+    var live = Materialize.cutLoop(
+      und.union(und.select(col("dst").as("src"), col("src").as("dst"))).distinct(),
+      None)
+    var prev: Option[DataFrame] = Some(live)
+    var n = live.count()
+    var done = n == 0L
+    var round = 0
+    while (round < maxRounds && !done) {
+      // both semi-joins consume the surviving node set — pin it for the
+      // round (one degree aggregate, not two) and release it once the
+      // new edge generation is materialized
+      val keep = Materialize.cutLoop(
+        live.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+          .where(col("deg") >= k)
+          .select(col("src").as("node")),
+        None)
+      val next = live
+        .join(keep, live("src") === keep("node"), "left_semi")
+        .join(keep.select(col("node").as("node2")),
+          live("dst") === col("node2"), "left_semi")
+      live = Materialize.cutLoop(next, prev)
+      prev = Some(live)
+      Materialize.release(keep)
+      val m = live.count()
+      done = m == n // fixpoint: peeling removed nothing this round
+      n = m
+      round += 1
+    }
+    live.groupBy(col("src")).agg(count(lit(1)).as("degree"))
+      .select(col("src").as("node"), col("degree"))
   }
 }

@@ -62,7 +62,9 @@ object GraftExtensions {
     ("nfc_clean", NfcClean.info,
       arity(1, "nfc_clean(str)")(c => NfcClean(c.head))),
     ("morton_code", MortonCode.info,
-      arity(3, "morton_code(a, b, bits)")(c => MortonCode(c.head, c(1), intLit(c(2), "bits")))))
+      arity(3, "morton_code(a, b, bits)")(c => MortonCode(c.head, c(1), intLit(c(2), "bits")))),
+    ("topk_pairs", TopKPairs.info,
+      arity(3, "topk_pairs(ord, payload, k)")(c => TopKPairs(c.head, c(1), intLit(c(2), "k")))))
 
   /** Column-API form (requires [[register]] or the extensions conf). */
   def businessSecondsExpr(start: Column, end: Column): Column =

@@ -1043,4 +1043,123 @@ object CoreQueries {
       .na.fill(0L, types)
       .orderBy(col("user_id"))
   }
+
+  /** k-core of the item-transition graph
+    * ([[graft.operators.Graph.kCore]]): the density filter behind
+    * spam-farm detection and crawl pruning — peel nodes with < 2
+    * surviving neighbors until fixpoint (10 bounded rounds, reached at
+    * sf in ~9). The graph is sparsified harder than [[graphBfs]]
+    * (mod 47, ~1/47 of arcs) so the peel actually cascades: pendant
+    * chains unravel round by round instead of the dense graph
+    * surviving intact.
+    */
+  def graphKcore(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .where(pmod(col("src") * 31 + col("dst"), lit(47)) === 0)
+    graft.operators.Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 10)
+      .orderBy(col("node"))
+  }
+
+  /** TPC-H Q3 shape (shipping priority): the two-fact three-table join
+    * with the date windows split across both facts — customer segment
+    * and order-date predicates pushed into the scans, the customer
+    * dimension broadcast, lineitem and orders meeting in the one real
+    * shuffle, DECIMAL revenue, top-10 unshipped orders by revenue.
+    */
+  def q3ShippingPriority(s: SparkSession, d: String): DataFrame = {
+    val cutoff = lit("1996-07-01 00:00:00").cast("timestamp")
+    val cust = Tables.customer(s, d)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val ord = Tables.orders(s, d)
+      .where(col("o_orderdate") < cutoff)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") > cutoff)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q17 shape (small-quantity revenue): the classic correlated
+    * scalar subquery — "lineitems of Brand#12 parts whose quantity is
+    * below 20% of that part's average" — DECORRELATED into one per-part
+    * aggregate joined back to the fact. The per-part averages are
+    * part-cardinality-sized and broadcast; the fact table is scanned
+    * once per side with the brand semi-join pushed ahead of the
+    * average. Quantities are integral doubles, so the average is an
+    * exact sum/count on both engines; the revenue sum is DECIMAL.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val parts = Tables.part(s, d)
+      .where(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val avgQty = li.groupBy(col("l_partkey"))
+      .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    li.join(broadcast(avgQty), Seq("l_partkey"))
+      .where(col("l_quantity") < lit(0.2) * col("avg_qty"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        // decimal sum (exact), THEN double division: decimal/decimal
+        // result scale differs across engines, double-divide does not
+        (sum(dec(col("l_extendedprice"))).cast("double") / lit(7.0)).as("avg_yearly"))
+  }
+
+  /** Trailing 7-day distinct active users per day — the sliding-window
+    * DISTINCT that naive SQL writes as `COUNT(DISTINCT) OVER RANGE`
+    * (unsupported in Spark, quadratic where supported). Decomposed
+    * scale-first: dedup to the (user, day) grid (the big shrink — one
+    * row per user-day regardless of event volume), explode each
+    * user-day into the <= 7 report days it supports (a BOUNDED factor),
+    * and count distinct users per report day. Every step is an
+    * equi-shuffle; nothing is quadratic in days or users.
+    */
+  def activeUsersWindow(s: SparkSession, d: String): DataFrame = {
+    val userDays = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val grid = events(s, d).select(to_date(col("ts")).as("report_day")).distinct()
+    userDays
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .join(grid, Seq("report_day"), "left_semi") // only days the log actually contains
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+      .orderBy(col("report_day"))
+  }
+
+  /** Top-3 events per type by value via the bounded-state
+    * [[graft.plans.TopKPairs]] aggregate — the window-sort killer: the
+    * rank-window plan shuffles and sorts EVERY event to keep 3 per
+    * group; this plan's partial aggregate retains <= 3 pairs per group
+    * map-side and shuffles only those buffers. Ranking on the 2^20
+    * fixed-point value grid with event-id ties, posexploded to
+    * (type, rank, event_id, value_fp) rows; the oracle replays the
+    * identical ordering as a rank window.
+    */
+  def topkPerGroup(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    events(s, d)
+      .select(col("event_type"),
+        floor(col("value") * lit(1048576.0)).cast("long").as("vfp"),
+        col("event_id"))
+      .groupBy(col("event_type"))
+      .agg(call_function("topk_pairs", col("vfp"), col("event_id"), lit(3)).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("idx", "pair")))
+      .select(col("event_type"), (col("idx") + 1).as("rank"),
+        col("pair.payload").as("event_id"), col("pair.ord").as("value_fp"))
+      .orderBy(col("event_type"), col("rank"))
+  }
 }

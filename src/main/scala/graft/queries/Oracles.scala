@@ -270,6 +270,30 @@ object Oracles {
        |ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** k-core peel (Graph.kCore, k=2, mod-47 sparsified item graph)
+    * unrolled to `rounds` layers: each layer keeps edges whose BOTH
+    * endpoints had degree >= k in the previous layer. Peeling is
+    * monotone, so the engine early-stopping at an earlier fixpoint and
+    * the oracle always computing `rounds` layers agree.
+    */
+  private def kcoreOracleSql(rounds: Int, k: Int): String = {
+    val layers = (1 to rounds).map { i =>
+      val prev = s"sym${i - 1}"
+      s"""k$i AS (SELECT src AS node FROM $prev GROUP BY src HAVING count(*) >= $k),
+         |sym$i AS MATERIALIZED (SELECT s.src, s.dst FROM $prev s
+         |  JOIN k$i a ON s.src = a.node JOIN k$i b ON s.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |e0 AS (SELECT src, dst FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 47 = 0 AND src <> dst),
+       |sym0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+       |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+       |$layers
+       |SELECT src AS node, count(*)::BIGINT AS degree FROM sym$rounds
+       |GROUP BY src ORDER BY node""".stripMargin
+  }
+
   /** DSIR scoring (CorpusSelection.dsirScores, target = src0) as CTEs
     * ending in `w(doc_id, n_feats, weight)`.
     */
@@ -1110,6 +1134,84 @@ object Oracles {
     // value sums go through DECIMAL so reduction order cannot matter
     "graph_pagerank" -> pageRankOracleSql(5),
     "graph_ppr_expand" -> pprOracleSql(5),
+    "graph_kcore" -> kcoreOracleSql(10, 2),
+
+    // TPC-H Q3 shape: BUILDING segment, both date windows, DECIMAL
+    // revenue, top-10 by (revenue desc, orderkey)
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND l_shipdate > TIMESTAMP '1996-07-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    // TPC-H Q17 shape, decorrelated: per-part average quantity (exact —
+    // integral doubles), threshold 0.2*avg, DECIMAL price sum cast to
+    // double BEFORE the /7.0 (decimal-division scale differs across
+    // engines; double division does not)
+    "q17_small_qty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice FROM lineitem
+        |  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')),
+        |a AS (SELECT l_partkey, sum(l_quantity) / count(*) AS avg_qty FROM li GROUP BY l_partkey)
+        |SELECT count(*)::BIGINT AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)))::DOUBLE / 7.0 AS avg_yearly
+        |FROM li JOIN a USING (l_partkey)
+        |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+
+    // trailing 7-day distinct actives, decomposed exactly like the
+    // engine: (user, day) grid -> bounded 7-day explode -> distinct
+    // count per observed report day
+    "active_users_window" ->
+      """WITH ud AS (SELECT DISTINCT user_id, ts::DATE AS day FROM events),
+        |grid AS (SELECT DISTINCT ts::DATE AS report_day FROM events),
+        |x AS (SELECT user_id, day + i::INTEGER AS report_day FROM ud, unnest(range(0, 7)) AS u(i))
+        |SELECT report_day, count(DISTINCT user_id)::BIGINT AS active_users
+        |FROM x JOIN grid USING (report_day)
+        |GROUP BY report_day ORDER BY report_day""".stripMargin,
+
+    // the bounded-state topk_pairs aggregate vs the window answer it
+    // replaces: DESC by the 2^20 value grid, ties ASC by event_id
+    "topk_per_group" ->
+      """WITH e AS (SELECT event_type, floor(value * 1048576.0)::BIGINT AS vfp, event_id FROM events),
+        |r AS (SELECT event_type, vfp, event_id,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY vfp DESC, event_id) AS rank FROM e)
+        |SELECT event_type, rank::INTEGER AS rank, event_id, vfp AS value_fp
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+
+    // CCNet head/middle/tail: terciles of the unigram-LM score per
+    // language (ntile over (nll, doc_id) — a total order), census +
+    // score envelope per bucket
+    "ccnet_buckets" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |sc AS (
+        |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |    sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s))) AS sfp
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id),
+        |nll AS (SELECT doc_id,
+        |    ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS nll_per_token
+        |  FROM sc),
+        |j AS (SELECT nll.doc_id, nll_per_token, lang FROM nll JOIN documents USING (doc_id)),
+        |b AS (SELECT lang, nll_per_token,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY nll_per_token, doc_id) AS tercile FROM j)
+        |SELECT lang,
+        |  CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  count(*)::BIGINT AS n_docs,
+        |  min(nll_per_token) AS min_nll, max(nll_per_token) AS max_nll
+        |FROM b GROUP BY lang, tercile ORDER BY lang, bucket""".stripMargin,
 
     // TPC-H Q5 shape: ASIA-region 6-table join, 1996 order window,
     // DECIMAL revenue; local-supplier condition c_nationkey = s_nationkey
@@ -2023,6 +2125,33 @@ object Oracles {
          |  sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score,
          |  sum(w_fp) > 0 AS label
          |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // reliability diagram over the same replayed hash-model scores,
+    // binned width 0.25 on [-1,1]; truth = the 45-token rule; min/max
+    // envelope instead of an order-sensitive mean
+    "quality_calibration" ->
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT i::INTEGER AS bucket, (${md24("'w:' || i::VARCHAR")} - 8388608)::BIGINT AS w_fp
+         |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+         |t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(toks) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+         |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+         |j AS (SELECT doc_id, w_fp FROM b JOIN w USING (bucket)),
+         |sc AS (SELECT doc_id, sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score
+         |  FROM j GROUP BY doc_id),
+         |tr AS (SELECT doc_id, len(toks) >= 45 AS is_long FROM t),
+         |x AS (SELECT sc.doc_id, score, is_long,
+         |    least(greatest(floor((score + 1.0) * 4.0)::INTEGER, 0), 7) AS bin
+         |  FROM sc JOIN tr USING (doc_id))
+         |SELECT bin, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN is_long THEN 1 ELSE 0 END)::BIGINT AS n_true,
+         |  min(score) AS min_score, max(score) AS max_score,
+         |  sum(CASE WHEN is_long THEN 1 ELSE 0 END)::DOUBLE / count(*)::DOUBLE AS true_rate
+         |FROM x GROUP BY bin ORDER BY bin""".stripMargin,
 
     // batch-perceptron training replayed as 4 CTE layers — the
     // all-integer Rosenblatt update is associative, so the learned

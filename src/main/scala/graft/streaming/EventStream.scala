@@ -123,6 +123,42 @@ object EventStream {
       }
   }
 
+  /** Streaming HyperLogLog: the register sketch
+    * ([[graft.plans.HllRegisters]]) carried as `mapGroupsWithState`
+    * state — per key one 2^p-byte register array, updated by
+    * elementwise max as micro-batches arrive. Because HLL registers are
+    * a mergeable summary (max is idempotent, commutative, associative),
+    * the streaming state after any prefix EQUALS the batch aggregate
+    * over that prefix (suite-pinned parity against `hll_registers`),
+    * and state size is constant per key no matter how many events
+    * stream through — the property that makes per-key distinct counting
+    * viable in an unbounded stream where exact distinct state grows
+    * without limit.
+    */
+  def hllDistinct(rows: DataFrame, keyCol: String, coinCol: String,
+                  p: Int): Dataset[(String, Seq[Int])] = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val wBits = 56 - p
+    val wMask = (1L << wBits) - 1
+    rows.select(col(keyCol).cast("string"), col(coinCol).cast("long")).as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Seq[Int])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (key, it, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          it.foreach { case (_, coin) =>
+            val j = (coin >>> wBits).toInt & (m - 1)
+            val w = coin & wMask
+            val rho = (wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))).toByte
+            if (rho > regs(j)) regs(j) = rho
+          }
+          state.update(regs)
+          (key, regs.map(_.toInt).toSeq)
+      }
+  }
+
   /** One status-interval row: user was in `from_status` for `duration_s`
     * seconds, ending at `ts` (the streaming analog of the W2 lag window /
     * A1 transition rows).

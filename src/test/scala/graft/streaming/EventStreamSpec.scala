@@ -358,4 +358,33 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed == batch)
     assert(streamed.nonEmpty && streamed.values.forall(_.size <= 32))
   }
+
+  test("streaming HLL registers == batch hll_registers over the same prefix") {
+    import spark.implicits._
+    graft.plans.GraftExtensions.register(spark)
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-hll")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    // the engine's portable 56-bit coin
+    val coin = conv(substring(md5(col("user_id").cast("string")), 1, 14), 16, 10).cast("long")
+
+    val stream = spark.readStream.schema(schema).parquet(inDir.toString)
+      .select(col("event_type"), coin.as("coin"))
+    val streamed = EventStream.runAvailableNow(
+      EventStream.hllDistinct(stream, "event_type", "coin", p = 8).toDF("key", "regs"),
+      "hll_test", tmp.resolve("ckpt").toString, outputMode = "update")
+      .map(r => (r.getString(0), r.getSeq[Int](1))).toMap
+
+    val batch = spark.read.parquet(inDir.toString)
+      .select(col("event_type"), coin.as("coin"))
+      .groupBy(col("event_type"))
+      .agg(call_function("hll_registers", col("coin"), lit(8)).as("regs"))
+      .as[(String, Seq[Int])].collect().toMap
+
+    assert(streamed == batch)
+    assert(streamed.nonEmpty && streamed.values.forall(_.size == 256))
+  }
 }
