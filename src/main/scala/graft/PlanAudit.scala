@@ -118,7 +118,16 @@ object PlanAudit {
       // with the corpus streaming; co-visitation is one lag window +
       // one pair count + a pair-table rank window
       "q5_local_supplier", "text_collocations", "sketch_hll",
-      "retrieval_maxsim", "decontam_answers", "covisit_topk")
+      "retrieval_maxsim", "decontam_answers", "covisit_topk",
+      // round 11i: Q3 must show both pushed date filters + the broadcast
+      // customer semi-join before the one fact-fact exchange; Q17's
+      // per-part average must be a broadcast join (no self-join of the
+      // fact); topk_per_group must be a two-phase ObjectHashAggregate
+      // (partial map-side, NO Window/Sort over the events); kcore and
+      // active_users rely on AQE broadcast of the shrinking node/grid
+      // sides
+      "q3_shipping_priority", "q17_small_qty", "topk_per_group",
+      "graph_kcore", "active_users_window")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
