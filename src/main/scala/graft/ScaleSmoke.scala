@@ -257,7 +257,13 @@ object ScaleSmoke {
       }),
       "covisit" -> (() => SequenceMining.covisitTopK(
         ev.withColumn("k", get_json_object(col("props"), "$.k").cast("long")),
-        "user_id", "ts", "event_id", "k", k = 3).count()))
+        "user_id", "ts", "event_id", "k", k = 3).count()),
+      "kcore" -> (() => {
+        // the graph_kcore sparsification (mod 47) so the peel cascades
+        val edges = itemEdges(ev)
+          .where(pmod(col("src") * 31 + col("dst"), lit(47)) === 0)
+        Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 10).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))
