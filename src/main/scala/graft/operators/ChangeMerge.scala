@@ -53,4 +53,32 @@ object ChangeMerge {
             .when(coalesce(col("_in_snap"), lit(false)), lit("updated"))
             .otherwise(lit("inserted")).as("merge_action"): _*)
   }
+
+  /** Incremental aggregate maintenance: merge partial rollup snapshots
+    * (same key columns, same mergeable stats) by re-aggregating — the
+    * materialized-view refresh primitive. A 100 TB pipeline never
+    * recomputes its daily rollup from raw history; it keeps the stored
+    * BASE aggregate and folds in each arriving partition's DELTA
+    * aggregate. Correct exactly when every stat is a commutative
+    * monoid under the merge used here: counts and sums re-sum, mins
+    * re-min, maxes re-max. (Averages must be carried as sum+count;
+    * distincts as mergeable sketches — [[graft.plans.KmvSketchAggregate]]
+    * / [[graft.plans.HllSketchAggregate]] exist for exactly that.)
+    *
+    * Plan: one union (no shuffle) + one map-side-combined aggregate
+    * whose input is ALREADY rollup-sized — cost is proportional to the
+    * rollup cardinality, independent of raw history volume.
+    */
+  def mergeRollups(parts: Seq[DataFrame], keys: Seq[String],
+                   sumCols: Seq[String], minCols: Seq[String] = Nil,
+                   maxCols: Seq[String] = Nil): DataFrame = {
+    require(parts.nonEmpty, "at least one rollup part required")
+    require(sumCols.nonEmpty || minCols.nonEmpty || maxCols.nonEmpty,
+      "at least one stat column required")
+    val unioned = parts.reduce(_.unionByName(_))
+    val aggs = sumCols.map(c => sum(col(c)).as(c)) ++
+      minCols.map(c => min(col(c)).as(c)) ++
+      maxCols.map(c => max(col(c)).as(c))
+    unioned.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

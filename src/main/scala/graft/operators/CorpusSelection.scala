@@ -718,4 +718,30 @@ object CorpusSelection {
         expr("(n_tokens * repeat_q10) div 1024").as("planned_tokens"),
         (col("repeat_q10") === capQ10).as("capped"))
   }
+
+  /** 2-D maximization skyline (Pareto front): the rows of `points` no
+    * other row dominates, where `b` dominates `a` iff b.x ≥ a.x and
+    * b.y ≥ a.y with at least one strict — the quality/size frontier
+    * view of a corpus before a budget threshold is chosen.
+    *
+    * `points` must be DISTINCT on (xCol, yCol) (the callers aggregate
+    * the corpus down to distinct points first — that aggregate, bounded
+    * by the value-domain cardinality and not the corpus, is the only
+    * full-data pass). The skyline itself is one running-max window over
+    * the points ordered (x desc, y desc): every preceding row has x ≥
+    * current, so `preceding-max(y) ≥ current y` exhibits a dominator
+    * (distinctness turns the ≥ into a strict edge somewhere), and
+    * conversely the x-descending sweep meets any dominator before its
+    * victim. Single-partition over the POINT table only — fine up to
+    * millions of distinct points; shard by x-range with per-shard
+    * carry-in maxima beyond that.
+    */
+  def skyline(points: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(xCol).desc, col(yCol).desc)
+      .rowsBetween(Long.MinValue, -1)
+    points.withColumn("_pm", max(col(yCol)).over(w))
+      .where(col("_pm").isNull || col("_pm") < col(yCol))
+      .drop("_pm")
+  }
 }

@@ -379,4 +379,85 @@ object Graph {
     live.groupBy(col("src")).agg(count(lit(1)).as("degree"))
       .select(col("src").as("node"), col("degree"))
   }
+
+  /** Fixed-point grid for HITS scores: each rescale renormalizes the
+    * total authority (resp. hub) mass to 2^20. */
+  val HitsScale: Long = 1L << 20
+
+  /** HITS hubs-and-authorities (Kleinberg 1999) over a directed edge
+    * list — the companion centrality to [[pageRank]]: a good HUB links
+    * to many good authorities, a good AUTHORITY is linked from many
+    * good hubs. In a crawl corpus the authority score finds the
+    * canonical/original pages (the ones mirrors point AT — a
+    * dedup-canonicalization prior), the hub score finds link farms and
+    * index pages (downweighted as boilerplate carriers).
+    *
+    * Determinism: scores live on a 2⁻²⁰ fixed-point grid. Each
+    * half-iteration is an int64 sum over in-/out-edges (multi-edges
+    * kept: t parallel links contribute t shares) followed by an integer
+    * renormalization `(s · 2^20) div Σs` — HITS diverges without the
+    * per-round normalization, and doing it as one integer division
+    * against the global sum keeps every score bit-identical under any
+    * partitioning. The global sum is a ONE-ROW aggregate cross-joined
+    * back into the plan (broadcast NLJ of a scalar), not a driver
+    * collect. Grid headroom: pre-rescale sums are bounded by
+    * |E| · 2^20 and the rescale multiplies by 2^20 again, so int64
+    * holds through |E| ≈ 8·10⁶ per partition-independent total; beyond
+    * that, widen the accumulator to DECIMAL(38,0) — the grid itself
+    * (and the oracle replay) is unchanged.
+    *
+    * Plan at 100 TB: identical shape to [[pageRank]] — the edge list is
+    * cached once pre-partitioned, each half-round pays one N-row score
+    * shuffle (shuffle_hash against the cached edges, never re-sorting
+    * them) plus one map-side-combined aggregate; rounds use
+    * [[Materialize.cutLoop]] so k iterations stack neither lineage nor
+    * pinned generations. Returns (node, auth_fp, hub_fp, authority,
+    * hub) — the doubles are exact renderings (division by 2^20).
+    */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val slim = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .materialized
+    val nodes = slim.select(col("src").as("node"))
+      .union(slim.select(col("dst").as("node")))
+      .distinct()
+      .materialized // consumed twice per iteration
+    val srcPart = slim.repartition(col("src")).materialized
+    val dstPart = slim.repartition(col("dst")).materialized
+    var hubs = nodes.select(col("node"), lit(HitsScale).as("h"))
+    var auths: DataFrame = null
+    var prevH: Option[DataFrame] = None
+    var prevA: Option[DataFrame] = None
+    for (_ <- 1 to iters) {
+      // authority half-step: pull hub mass along in-edges, renormalize
+      val araw = srcPart
+        .join(hubs.hint("shuffle_hash"), srcPart("src") === hubs("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
+      val asum = araw.agg(sum(col("s")).as("t")) // one row; broadcast NLJ
+      val nextA = nodes
+        .join(araw.hint("shuffle_hash"), nodes("node") === araw("dst"), "left")
+        .crossJoin(asum)
+        .select(nodes("node"),
+          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div t").as("a"))
+      auths = Materialize.cutLoop(nextA, prevA)
+      prevA = Some(auths)
+      // hub half-step: pull the fresh authority mass along out-edges
+      val hraw = dstPart
+        .join(auths.hint("shuffle_hash"), dstPart("dst") === auths("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("s"))
+      val hsum = hraw.agg(sum(col("s")).as("t"))
+      val nextH = nodes
+        .join(hraw.hint("shuffle_hash"), nodes("node") === hraw("src"), "left")
+        .crossJoin(hsum)
+        .select(nodes("node"),
+          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div t").as("h"))
+      hubs = Materialize.cutLoop(nextH, prevH)
+      prevH = Some(hubs)
+    }
+    auths.join(hubs, Seq("node"))
+      .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"),
+        (col("a").cast("double") / lit(HitsScale.toDouble)).as("authority"),
+        (col("h").cast("double") / lit(HitsScale.toDouble)).as("hub"))
+  }
 }

@@ -1047,11 +1047,12 @@ object CoreQueries {
   /** k-core of the item-transition graph
     * ([[graft.operators.Graph.kCore]]): the density filter behind
     * spam-farm detection and crawl pruning — peel nodes with < 2
-    * surviving neighbors until fixpoint (10 bounded rounds, reached at
-    * sf in ~9). The graph is sparsified harder than [[graphBfs]]
-    * (mod 47, ~1/47 of arcs) so the peel actually cascades: pendant
-    * chains unravel round by round instead of the dense graph
-    * surviving intact.
+    * surviving neighbors until fixpoint (10 bounded rounds; the peel
+    * converges in ≤5 at every sf). The graph is sparsified harder than
+    * [[graphBfs]] (mod 13, ~1/13 of arcs) so the peel actually
+    * cascades — pendant chains unravel round by round — while the
+    * 2-core stays NON-EMPTY even at sf0.001 (mod 47 left 19 edges and
+    * an empty core there, failing the every-query-returns-rows bar).
     */
   def graphKcore(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
@@ -1060,7 +1061,7 @@ object CoreQueries {
         get_json_object(col("props"), "$.k").cast("long").as("k"))
       .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
-      .where(pmod(col("src") * 31 + col("dst"), lit(47)) === 0)
+      .where(pmod(col("src") * 31 + col("dst"), lit(13)) === 0)
     graft.operators.Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 10)
       .orderBy(col("node"))
   }
@@ -1161,5 +1162,78 @@ object CoreQueries {
       .select(col("event_type"), (col("idx") + 1).as("rank"),
         col("pair.payload").as("event_id"), col("pair.ord").as("value_fp"))
       .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** HITS hubs-and-authorities ([[graft.operators.Graph.hits]]) over the
+    * item-transition graph (same edge derivation as `graph_pagerank`):
+    * three mutual-reinforcement rounds on the 2⁻²⁰ integer grid — the
+    * authority score is the canonical-page prior (what mirrors point
+    * AT), the hub score flags index/link-farm pages. Top 50 by
+    * authority; the oracle unrolls all six half-steps including the
+    * integer renormalizations.
+    */
+  def graphHits(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.hits(edges, "src", "dst", iters = 3)
+      .orderBy(col("auth_fp").desc, col("node"))
+      .limit(50)
+  }
+
+  /** Incremental aggregate maintenance
+    * ([[graft.operators.ChangeMerge.mergeRollups]]): the daily
+    * per-event-type rollup is maintained as BASE (history, days before
+    * the refresh cutoff — at 100 TB this is a stored aggregate, never
+    * re-scanned) plus DELTA (the newly-arrived days, aggregated from
+    * raw), merged by re-aggregating the mergeable stats (count/sum on
+    * int64, min/max). The oracle recomputes the rollup from ALL raw
+    * events in one pass — the query IS the proof that partial-aggregate
+    * maintenance equals full recomputation. Values ride the 2⁻²⁰
+    * fixed-point grid so every sum is exact on both engines.
+    */
+  def rollupIncremental(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), to_date(col("ts")).as("day"),
+      floor(col("value") * lit(1048576.0)).cast("long").as("vfp"))
+    def rollup(p: DataFrame): DataFrame = p.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("cnt"), sum(col("vfp")).as("sum_vfp"),
+        min(col("vfp")).as("min_vfp"), max(col("vfp")).as("max_vfp"))
+    val cutoff = lit("2024-01-25").cast("date")
+    val base = rollup(ev.where(col("day") < cutoff))
+    val delta = rollup(ev.where(col("day") >= cutoff))
+    graft.operators.ChangeMerge.mergeRollups(
+      Seq(base, delta), Seq("event_type", "day"),
+      sumCols = Seq("cnt", "sum_vfp"), minCols = Seq("min_vfp"), maxCols = Seq("max_vfp"))
+      .withColumn("mean_value",
+        col("sum_vfp").cast("double") / lit(1048576.0) / col("cnt").cast("double"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): orders whose total lineitem
+    * quantity exceeds 300, joined out to their order and customer rows.
+    * Plan scale-first: ONE map-side-combined aggregate over the fact
+    * collapses it to per-order totals, the HAVING filter shrinks that to
+    * a handful of keys, and both dimension joins broadcast the shrunken
+    * side — the orders and customer tables are scanned once each and
+    * never shuffled. Quantities are integral doubles (exact sums).
+    */
+  def q18LargeOrders(s: SparkSession, d: String): DataFrame = {
+    val qty = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .where(col("total_qty") > 300.0)
+    val o = Tables.orders(s, d)
+      .join(broadcast(qty), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("order_date"), col("o_totalprice"), col("total_qty"))
+    Tables.customer(s, d)
+      .join(broadcast(o), col("c_custkey") === col("o_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        col("order_date"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
   }
 }

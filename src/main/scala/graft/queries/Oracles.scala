@@ -270,7 +270,43 @@ object Oracles {
        |ORDER BY rank_fp DESC, node LIMIT 50""".stripMargin
   }
 
-  /** k-core peel (Graph.kCore, k=2, mod-47 sparsified item graph)
+  /** HITS (Graph.hits) unrolled: per iteration an authority half-step
+    * (sum hub mass over in-edges, renormalize the total to 2^20 by one
+    * integer division) then a hub half-step over out-edges — the same
+    * item-transition edge list as the PageRank oracle.
+    */
+  private def hitsOracleSql(iters: Int): String = {
+    val iterCtes = (1 to iters).map { i =>
+      val prevH = s"h${i - 1}"
+      s"""ar$i AS (SELECT dst AS node, sum(h)::BIGINT AS s
+         |  FROM edges JOIN $prevH ON $prevH.node = edges.src GROUP BY dst),
+         |at$i AS (SELECT sum(s)::BIGINT AS t FROM ar$i),
+         |a$i AS MATERIALIZED (SELECT nodes.node,
+         |  ((coalesce(ar$i.s, 0) * 1048576) // at$i.t)::BIGINT AS a
+         |  FROM nodes CROSS JOIN at$i LEFT JOIN ar$i ON ar$i.node = nodes.node),
+         |hr$i AS (SELECT src AS node, sum(a)::BIGINT AS s
+         |  FROM edges JOIN a$i ON a$i.node = edges.dst GROUP BY src),
+         |ht$i AS (SELECT sum(s)::BIGINT AS t FROM hr$i),
+         |h$i AS MATERIALIZED (SELECT nodes.node,
+         |  ((coalesce(hr$i.s, 0) * 1048576) // ht$i.t)::BIGINT AS h
+         |  FROM nodes CROSS JOIN ht$i LEFT JOIN hr$i ON hr$i.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+       |nodes AS MATERIALIZED (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |h0 AS (SELECT node, 1048576::BIGINT AS h FROM nodes),
+       |$iterCtes
+       |SELECT node, a AS auth_fp, h AS hub_fp,
+       |  (a::DOUBLE / 1048576.0) AS authority, (h::DOUBLE / 1048576.0) AS hub
+       |FROM a$iters JOIN h$iters USING (node)
+       |ORDER BY auth_fp DESC, node LIMIT 50""".stripMargin
+  }
+
+  /** k-core peel (Graph.kCore, k=2, mod-13 sparsified item graph)
     * unrolled to `rounds` layers: each layer keeps edges whose BOTH
     * endpoints had degree >= k in the previous layer. Peeling is
     * monotone, so the engine early-stopping at an earlier fixpoint and
@@ -286,7 +322,7 @@ object Oracles {
     s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
        |e0 AS (SELECT src, dst FROM (
        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
-       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 47 = 0 AND src <> dst),
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 13 = 0 AND src <> dst),
        |sym0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
        |$layers
@@ -4458,6 +4494,75 @@ object Oracles {
         |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
         |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
         |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // HITS: three full rounds of the mutual-reinforcement recurrence
+    // unrolled, every integer renormalization replayed
+    "graph_hits" -> hitsOracleSql(3),
+
+    // incremental rollup maintenance: the oracle recomputes the daily
+    // rollup from ALL raw events in one pass; the engine merges a
+    // stored base aggregate with the new days' delta aggregate
+    "rollup_incremental" ->
+      """SELECT event_type, day, cnt, sum_vfp, min_vfp, max_vfp,
+        |  (sum_vfp::DOUBLE / 1048576.0 / cnt::DOUBLE) AS mean_value
+        |FROM (
+        |  SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS cnt,
+        |    sum(floor(value * 1048576.0)::BIGINT)::BIGINT AS sum_vfp,
+        |    min(floor(value * 1048576.0)::BIGINT)::BIGINT AS min_vfp,
+        |    max(floor(value * 1048576.0)::BIGINT)::BIGINT AS max_vfp
+        |  FROM events GROUP BY 1, 2)
+        |ORDER BY event_type, day""".stripMargin,
+
+    // TPC-H Q18: large-volume orders (total lineitem quantity > 300)
+    "q18_large_orders" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  o_orderdate::DATE AS order_date, o_totalprice, total_qty
+        |FROM big JOIN orders ON o_orderkey = l_orderkey
+        |  JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    // dictionary tagging: the 13-term lexicon as a VALUES table
+    "keyword_tag" ->
+      """WITH lex(term, category) AS (VALUES
+        |    ('spark', 'engine'), ('stream', 'engine'), ('batch', 'engine'),
+        |    ('hash', 'compute'), ('merge', 'compute'), ('sort', 'compute'),
+        |    ('join', 'compute'), ('filter', 'compute'), ('scan', 'compute'),
+        |    ('table', 'storage'), ('row', 'storage'), ('column', 'storage'),
+        |    ('vector', 'storage')),
+        |tk AS (SELECT doc_id, lang,
+        |    unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT lang, category,
+        |  count(DISTINCT doc_id)::BIGINT AS docs_hit,
+        |  count(*)::BIGINT AS total_hits,
+        |  count(DISTINCT term)::BIGINT AS n_terms
+        |FROM tk JOIN lex USING (term)
+        |GROUP BY lang, category ORDER BY lang, category""".stripMargin,
+
+    // Pareto front: quadratic NOT-EXISTS dominance over the distinct
+    // (length, diversity) points — verifies the engine's running-max
+    // window skyline
+    "pareto_front" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS arr
+        |  FROM documents),
+        |pt AS (
+        |  SELECT doc_id, len(arr)::BIGINT AS n_tokens,
+        |    ((len(list_distinct(arr))::BIGINT * 1048576) // len(arr)::BIGINT)::BIGINT AS div_fp
+        |  FROM tk WHERE len(arr) > 0),
+        |d AS (
+        |  SELECT n_tokens, div_fp, count(*)::BIGINT AS n_docs,
+        |    min(doc_id)::BIGINT AS min_doc
+        |  FROM pt GROUP BY 1, 2)
+        |SELECT n_tokens, div_fp, n_docs, min_doc FROM d a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM d b
+        |  WHERE b.n_tokens >= a.n_tokens AND b.div_fp >= a.div_fp
+        |    AND (b.n_tokens > a.n_tokens OR b.div_fp > a.div_fp))
+        |ORDER BY n_tokens DESC""".stripMargin
   )
 }

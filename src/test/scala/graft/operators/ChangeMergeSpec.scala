@@ -47,4 +47,33 @@ class ChangeMergeSpec extends SparkSuite {
       .as[(Long, String, String)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, "a", "kept"), (2L, "b", "kept"), (3L, "c", "kept"), (4L, "d", "kept")))
   }
+
+  test("mergeRollups(base, delta) equals the full recomputation, any split point") {
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(17)
+    val raw = Seq.fill(300)((s"k${rnd.nextInt(5)}", rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong))
+      .toDF("key", "day", "v")
+    def rollup(df: org.apache.spark.sql.DataFrame) = df.groupBy("key", "day")
+      .agg(count(lit(1)).as("cnt"), sum("v").as("s"), min("v").as("lo"), max("v").as("hi"))
+    val full = rollup(raw).orderBy("key", "day")
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    for (cut <- Seq(0L, 3L, 7L, 10L)) {
+      val merged = ChangeMerge.mergeRollups(
+        Seq(rollup(raw.where(col("day") < cut)), rollup(raw.where(col("day") >= cut))),
+        Seq("key", "day"), sumCols = Seq("cnt", "s"), minCols = Seq("lo"), maxCols = Seq("hi"))
+        .orderBy("key", "day")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+      assert(merged == full, s"cut=$cut")
+    }
+  }
+
+  test("mergeRollups folds three partial snapshots") {
+    import org.apache.spark.sql.functions._
+    val parts = Seq(
+      Seq(("a", 2L, 10L)), Seq(("a", 3L, 7L), ("b", 1L, 1L)), Seq(("b", 4L, 2L))
+    ).map(_.toDF("key", "cnt", "s"))
+    val out = ChangeMerge.mergeRollups(parts, Seq("key"), sumCols = Seq("cnt", "s"))
+      .orderBy("key").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("a", 5L, 17L), ("b", 5L, 3L)))
+  }
 }

@@ -418,4 +418,33 @@ class CorpusSelectionSpec extends SparkSuite {
       .as[(String, Long, Long, Long, Long, Int, Long, Boolean)].collect().toSeq
     assert(out2.last == (("c", 100L, 0L, 0L, 0L, 0, 0L, false)))
   }
+
+  test("skyline equals the quadratic dominance definition on random distinct points") {
+    val rnd = new scala.util.Random(23)
+    for (seed <- 1 to 3) {
+      val pts = Seq.fill(120 + seed)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong)).distinct
+      val expected = pts.filterNot { case (x, y) =>
+        pts.exists { case (bx, by) => bx >= x && by >= y && (bx > x || by > y) }
+      }.toSet
+      val got = CorpusSelection.skyline(pts.toDF("x", "y"), "x", "y")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("skyline keeps a single point, and a strictly-increasing chain keeps only its top") {
+    val one = CorpusSelection.skyline(Seq((5L, 5L)).toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSeq
+    assert(one == Seq((5L, 5L)))
+    // chain where each point dominates the previous: only the last survives
+    val chain = (1L to 6L).map(i => (i, i))
+    val out = CorpusSelection.skyline(chain.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((6L, 6L)))
+    // anti-chain (x up, y down): every point survives
+    val anti = (1L to 6L).map(i => (i, 7L - i))
+    val kept = CorpusSelection.skyline(anti.toDF("x", "y"), "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(kept == anti.toSet)
+  }
 }

@@ -224,4 +224,50 @@ class GraphSpec extends SparkSuite {
       sz == out.count(_._2 == l)
     })
   }
+
+  /** Single-threaded mirror of the integer HITS recurrence: same grid,
+    * same renormalizing divisions. Exact-equality oracle. */
+  private def refHits(edges: Seq[(Long, Long)], iters: Int): Map[Long, (Long, Long)] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    var h = nodes.map(_ -> Graph.HitsScale).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val araw = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) araw(d) += h(s)
+      val at = araw.values.sum
+      a = nodes.map(v => v -> (araw(v) * Graph.HitsScale) / at).toMap
+      val hraw = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      for ((s, d) <- edges) hraw(s) += a(d)
+      val ht = hraw.values.sum
+      h = nodes.map(v => v -> (hraw(v) * Graph.HitsScale) / ht).toMap
+    }
+    nodes.map(v => v -> ((a(v), h(v)))).toMap
+  }
+
+  private def runHits(edges: Seq[(Long, Long)], iters: Int = 3): Map[Long, (Long, Long)] =
+    Graph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .select("node", "auth_fp", "hub_fp").as[(Long, Long, Long)].collect()
+      .map { case (n, a, h) => n -> ((a, h)) }.toMap
+
+  test("hits matches the single-threaded integer reference exactly") {
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    assert(runHits(edges) == refHits(edges, 3))
+  }
+
+  test("hits: spokes pointing at a center make it the authority and them the hubs") {
+    val star = (1L to 6L).map(i => (i, 0L))
+    val out = runHits(star)
+    // center holds ALL authority mass, zero hub mass; spokes the reverse
+    assert(out(0L)._1 > out(1L)._1)
+    assert(out(1L)._2 > out(0L)._2)
+    assert((1L to 6L).map(out(_)._2).toSet.size == 1) // identical hubs
+  }
+
+  test("hits: a doubled link concentrates authority on its target") {
+    val edges = Seq((1L, 2L), (1L, 2L), (1L, 3L), (4L, 2L), (4L, 3L))
+    val out = runHits(edges)
+    assert(out(2L)._1 > out(3L)._1)
+    assert(out == refHits(edges, 3))
+  }
 }
