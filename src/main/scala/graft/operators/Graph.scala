@@ -460,4 +460,34 @@ object Graph {
         (col("a").cast("double") / lit(HitsScale.toDouble)).as("authority"),
         (col("h").cast("double") / lit(HitsScale.toDouble)).as("hub"))
   }
+
+  /** Per-node link reciprocity: of a node's distinct out-links, how many
+    * are answered by the reverse link — the classic link-spam signal
+    * (organic link graphs are mostly one-directional; reciprocal-link
+    * farms trade edges in pairs, so a high reciprocity ratio over a
+    * non-trivial out-degree flags collusion) and, on interaction
+    * graphs, the mutual-follow measure.
+    *
+    * Plan: dedup to distinct directed edges (self-loops dropped), then
+    * ONE self equi-join on the reversed pair — (src,dst) against
+    * (dst,src) — which shuffles each side once on a composite key; no
+    * window, nothing quadratic (the join key is the full edge, so
+    * matches are 1:1). The per-node rollup is a map-side-combined
+    * aggregate. Ratio on the 2⁻²⁰ grid. Returns (node, out_edges,
+    * reciprocated, recip_fp, reciprocity).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .materialized // consumed as probe AND as the reversed build side
+    val rev = e.select(col("dst").as("r_src"), col("src").as("r_dst"))
+    e.join(rev, e("src") === col("r_src") && e("dst") === col("r_dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("out_edges"),
+        sum(when(col("r_src").isNotNull, 1L).otherwise(0L)).as("reciprocated"))
+      .select(col("src").as("node"), col("out_edges"), col("reciprocated"),
+        expr("(reciprocated * 1048576L) div out_edges").as("recip_fp"),
+        (col("reciprocated").cast("double") / col("out_edges").cast("double")).as("reciprocity"))
+  }
 }

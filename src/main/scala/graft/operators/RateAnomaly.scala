@@ -209,4 +209,52 @@ object RateAnomaly {
         count(lit(1)).as("n_total"))
       .withColumn("late_frac", col("n_late").cast("double") / col("n_total").cast("double"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov distance per key — the
+    * distribution-shape drift test that complements [[psi]]: PSI needs
+    * a bin count and smoothing constant; KS is parameter-free (the max
+    * ECDF gap over the merged support) and catches shifts PSI's coarse
+    * bins dilute. `valueCol` must already be INTEGER-gridded by the
+    * caller (the usual 2⁻²⁰ fixed-point column): the statistic is then
+    * exact — `D = max_v |F_ref(v) − F_cur(v)|` is computed as the
+    * integer max of `|cum_ref·n_cur − cum_cur·n_ref|`, one common
+    * denominator, no per-row float. int64 envelope: n_ref·n_cur·2^20
+    * must fit, i.e. per-key side counts up to ~3·10⁹ rows; beyond that
+    * widen the numerator to DECIMAL(38,0) — the grid is unchanged.
+    *
+    * Plan: one (key, value, side) partial-aggregated count — support-
+    * sized, not row-sized — then a per-key ordered window over the
+    * DISTINCT support (the per-key sort is over distinct grid values
+    * only) and a map-side-combined max. The alert applies the
+    * large-sample α=0.05 rejection bound `D > 1.358·√((n1+n2)/(n1·n2))`
+    * (Smirnov's asymptotic critical value).
+    * Returns (`keyCol`, n_ref, n_cur, d_num, d_fp, d, alert).
+    */
+  def ksDistance(reference: DataFrame, current: DataFrame,
+                 keyCol: String, valueCol: String): DataFrame = {
+    val tagged = reference
+      .select(col(keyCol).as("_key"), col(valueCol).cast("long").as("_v"),
+        lit(1L).as("_r"), lit(0L).as("_c"))
+      .union(current.select(col(keyCol).as("_key"), col(valueCol).cast("long").as("_v"),
+        lit(0L).as("_r"), lit(1L).as("_c")))
+    val per = tagged.groupBy(col("_key"), col("_v"))
+      .agg(sum(col("_r")).as("_dr"), sum(col("_c")).as("_dc"))
+    val w = Window.partitionBy(col("_key")).orderBy(col("_v"))
+    val cum = per.select(col("_key"), col("_v"),
+      sum(col("_dr")).over(w).as("_cr"), sum(col("_dc")).over(w).as("_cc"))
+    val tot = per.groupBy(col("_key"))
+      .agg(sum(col("_dr")).as("n_ref"), sum(col("_dc")).as("n_cur"))
+    cum.join(broadcast(tot), Seq("_key"))
+      .select(col("_key"), col("n_ref"), col("n_cur"),
+        abs(col("_cr") * col("n_cur") - col("_cc") * col("n_ref")).as("_dn"))
+      .groupBy(col("_key"))
+      .agg(max(col("n_ref")).as("n_ref"), max(col("n_cur")).as("n_cur"),
+        max(col("_dn")).as("d_num"))
+      .select(col("_key").as(keyCol), col("n_ref"), col("n_cur"), col("d_num"),
+        expr("(d_num * 1048576L) div (n_ref * n_cur)").as("d_fp"),
+        (col("d_num").cast("double") / (col("n_ref") * col("n_cur")).cast("double")).as("d"))
+      .withColumn("alert",
+        col("d") > lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double")
+          / (col("n_ref") * col("n_cur")).cast("double")))
+  }
 }

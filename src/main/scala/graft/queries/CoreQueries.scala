@@ -1212,6 +1212,131 @@ object CoreQueries {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** Per-node link reciprocity ([[graft.operators.Graph.reciprocity]])
+    * on the item-transition graph: the mutual-link spam signal — one
+    * reversed-pair self equi-join over distinct edges, ratio on the
+    * 2⁻²⁰ grid.
+    */
+  def graphReciprocity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.reciprocity(edges, "src", "dst")
+      .orderBy(col("node"))
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift
+    * ([[graft.operators.RateAnomaly.ksDistance]]) between even-id
+    * (reference) and odd-id (current) value distributions per event
+    * type, with the same planted ×1.5 'error' shift as `value_psi` —
+    * the parameter-free shape test next to PSI's binned one. Values on
+    * the 2⁻²⁰ grid; D is an exact integer ratio; the alert applies
+    * Smirnov's α=0.05 asymptotic bound. The planted shift alerts on
+    * 'error' (D≈0.18, 3× the bound); 'signup' also trips marginally
+    * (D≈0.068 vs 0.061) — a real parity artifact of the synthetic
+    * generator, kept as-is since both engines agree bit-for-bit.
+    */
+  def qualityKs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("event_id"), col("value"))
+    val ref = ev.where(pmod(col("event_id"), lit(2)) === 0)
+      .withColumn("vfp", floor(col("value") * lit(1048576.0)).cast("long"))
+    val cur = ev.where(pmod(col("event_id"), lit(2)) === 1)
+      .withColumn("value",
+        when(col("event_type") === "error", col("value") * 1.5).otherwise(col("value")))
+      .withColumn("vfp", floor(col("value") * lit(1048576.0)).cast("long"))
+    graft.operators.RateAnomaly.ksDistance(ref, cur, "event_type", "vfp")
+      .orderBy(col("event_type"))
+  }
+
+  /** Trailing 7-day distinct actives via mergeable HyperLogLog
+    * registers — the SKETCH twin of [[activeUsersWindow]] and the
+    * 100 TB answer to sliding COUNT(DISTINCT): aggregate each day's
+    * users into one 256-byte register vector ONCE, then every report
+    * day merges its ≤7 days by elementwise register max — the merge
+    * costs days×7×256 rows TOTAL, independent of corpus size, and a
+    * 90-day or 365-day window is the same sketch table re-merged, no
+    * raw re-scan. The exact count rides along (the accuracy audit;
+    * production drops it — it's the expensive path being replaced).
+    * Registers are the portable md5 coin of
+    * [[graft.plans.HllRegisters]], so the DuckDB oracle replays every
+    * register and the estimate bit-for-bit.
+    */
+  def activeUsersHll(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftExtensions.register(s)
+    val p = 8
+    val userDays = events(s, d)
+      .select(to_date(col("ts")).as("day"), col("user_id"))
+      .distinct()
+      .select(col("day"), col("user_id"),
+        conv(substring(md5(concat(lit("hll:"), col("user_id"))), 1, 14), 16, 10)
+          .cast("long").as("coin"))
+    val grid = events(s, d).select(to_date(col("ts")).as("report_day")).distinct()
+    val perDay = userDays.groupBy(col("day"))
+      .agg(call_function("hll_registers", col("coin"), lit(p)).as("regs"))
+    val merged = perDay
+      .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"),
+        col("regs"))
+      .join(grid, Seq("report_day"), "left_semi")
+      .select(col("report_day"), posexplode(col("regs")).as(Seq("j", "r")))
+      .groupBy(col("report_day"), col("j")).agg(max(col("r")).as("r"))
+      .groupBy(col("report_day"))
+      .agg(array_sort(collect_list(struct(col("j"), col("r")))).as("jr"))
+      .select(col("report_day"), transform(col("jr"), x => x.getField("r")).as("regs"))
+    val exact = userDays
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .join(grid, Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("exact_active"))
+    exact.join(merged, Seq("report_day"))
+      .select(col("report_day"), col("exact_active"),
+        aggregate(col("regs"), lit(0L),
+          (a, r) => a + when(r === 0, 1L).otherwise(0L)).as("v_zero"),
+        graft.plans.HllRegisters.sumScaled(col("regs"), p).as("s_scaled"))
+      .withColumn("est_q10", graft.plans.HllRegisters.estimateQ10(col("s_scaled"), p))
+      // the standard small-range branch: with empty registers present,
+      // linear counting m·ln(m/V) beats the raw estimator (which reads
+      // ~+80% at the test corpus's ~150 users against m=256 registers;
+      // raw becomes the accurate branch once cardinality >> m). One ln
+      // + two multiplies, floored to the q10 grid — replayable (the PSI
+      // oracle already proves ln matches bit-for-bit across engines).
+      .withColumn("lc_q10",
+        when(col("v_zero") > 0,
+          floor(log(lit((1 << p).toDouble) / col("v_zero").cast("double"))
+            * lit((1 << p).toDouble) * lit(1024.0)).cast("long")))
+      .orderBy(col("report_day"))
+  }
+
+  /** TPC-H Q10 shape (returned-item revenue): which customers returned
+    * the most merchandise in a quarter — the four-table join whose
+    * scale plan is all pushdown: the order-date window prunes the
+    * orders scan, the R-flag prunes lineitem, the two facts meet in the
+    * one real shuffle, and the customer/nation dimensions broadcast
+    * onto the shrunken aggregate. DECIMAL revenue, top 20.
+    */
+  def q10ReturnedItems(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = Tables.lineitem(s, d)
+      .where(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("rev"))
+    val perCust = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).cast("double").as("revenue"))
+    perCust
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q18 shape (large-volume orders): orders whose total lineitem
     * quantity exceeds 300, joined out to their order and customer rows.
     * Plan scale-first: ONE map-side-combined aggregate over the fact

@@ -4543,6 +4543,111 @@ object Oracles {
         |FROM tk JOIN lex USING (term)
         |GROUP BY lang, category ORDER BY lang, category""".stripMargin,
 
+    // per-node link reciprocity: distinct directed edges self-joined on
+    // the reversed pair
+    "graph_reciprocity" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst)
+        |SELECT e.src AS node, count(*)::BIGINT AS out_edges,
+        |  sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS reciprocated,
+        |  ((sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) * 1048576)
+        |    // count(*))::BIGINT AS recip_fp,
+        |  (sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE) AS reciprocity
+        |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+        |GROUP BY e.src ORDER BY node""".stripMargin,
+
+    // two-sample KS per event type: exact integer ECDF-gap max over the
+    // merged 2^20-grid support, Smirnov alpha=0.05 alert
+    "quality_ks" ->
+      """WITH r AS (SELECT event_type, floor(value * 1048576.0)::BIGINT AS v
+        |    FROM events WHERE event_id % 2 = 0),
+        |c AS (SELECT event_type,
+        |    floor((CASE WHEN event_type = 'error' THEN value * 1.5 ELSE value END)
+        |      * 1048576.0)::BIGINT AS v
+        |  FROM events WHERE event_id % 2 = 1),
+        |per AS (SELECT event_type, v, sum(dr)::BIGINT AS dr, sum(dc)::BIGINT AS dc FROM (
+        |    SELECT event_type, v, 1 AS dr, 0 AS dc FROM r
+        |    UNION ALL SELECT event_type, v, 0, 1 FROM c)
+        |  GROUP BY 1, 2),
+        |cum AS (SELECT event_type, v,
+        |    sum(dr) OVER (PARTITION BY event_type ORDER BY v) AS cr,
+        |    sum(dc) OVER (PARTITION BY event_type ORDER BY v) AS cc FROM per),
+        |tot AS (SELECT event_type, sum(dr)::BIGINT AS n_ref, sum(dc)::BIGINT AS n_cur
+        |  FROM per GROUP BY 1),
+        |d AS (SELECT cum.event_type, n_ref, n_cur,
+        |    max(abs(cr * n_cur - cc * n_ref))::BIGINT AS d_num
+        |  FROM cum JOIN tot ON cum.event_type = tot.event_type GROUP BY 1, 2, 3)
+        |SELECT event_type, n_ref, n_cur, d_num,
+        |  ((d_num * 1048576) // (n_ref * n_cur))::BIGINT AS d_fp,
+        |  (d_num::DOUBLE / (n_ref * n_cur)::DOUBLE) AS d,
+        |  (d_num::DOUBLE / (n_ref * n_cur)::DOUBLE)
+        |    > 1.358 * sqrt((n_ref + n_cur)::DOUBLE / (n_ref * n_cur)::DOUBLE) AS alert
+        |FROM d ORDER BY event_type""".stripMargin,
+
+    // sliding 7-day distinct actives via md5-portable HLL registers:
+    // per-day registers, elementwise-max merge per report day, the
+    // p=8 raw estimate on the integer grid (constant as in sketch_hll)
+    "active_users_hll" ->
+      """WITH ud AS (SELECT DISTINCT ts::DATE AS day, user_id FROM events),
+        |grid AS (SELECT DISTINCT ts::DATE AS report_day FROM events),
+        |c AS (SELECT day, user_id,
+        |    list_reduce(list_transform(string_split(substr(md5('hll:' || user_id), 1, 14), ''),
+        |      ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT AS coin
+        |  FROM ud),
+        |r0 AS (SELECT day, coin >> 48 AS j,
+        |    CASE WHEN (coin & 281474976710655) = 0 THEN 49
+        |         ELSE 49 - length(bin(coin & 281474976710655)) END AS rho
+        |  FROM c),
+        |slid AS (SELECT g.report_day, r0.j, max(rho) AS mr
+        |  FROM r0 JOIN grid g ON r0.day <= g.report_day AND r0.day + 6 >= g.report_day
+        |  GROUP BY 1, 2),
+        |fullr AS (SELECT g.report_day, gs.j, coalesce(mr, 0) AS mr
+        |  FROM grid g CROSS JOIN unnest(range(0, 256)) AS gs(j)
+        |  LEFT JOIN slid ON slid.report_day = g.report_day AND slid.j = gs.j),
+        |pg AS (SELECT report_day,
+        |    sum(CASE WHEN mr = 0 THEN 1 ELSE 0 END)::BIGINT AS v_zero,
+        |    sum(1::BIGINT << (49 - mr))::BIGINT AS s_scaled
+        |  FROM fullr GROUP BY 1),
+        |ex AS (SELECT g.report_day, count(DISTINCT user_id)::BIGINT AS exact_active
+        |  FROM ud JOIN grid g ON ud.day <= g.report_day AND ud.day + 6 >= g.report_day
+        |  GROUP BY 1)
+        |SELECT report_day, exact_active, v_zero, s_scaled,
+        |  floor(2.6499581405668102e19 / s_scaled::DOUBLE * 1024.0)::BIGINT AS est_q10,
+        |  CASE WHEN v_zero > 0
+        |    THEN floor(ln(256.0 / v_zero::DOUBLE) * 256.0 * 1024.0)::BIGINT END AS lc_q10
+        |FROM ex JOIN pg USING (report_day) ORDER BY report_day""".stripMargin,
+
+    // TPC-H Q10: returned-item revenue per customer, one quarter
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // tokenizer fertility per language: whitespace words vs BPE-ish
+    // subword runs, exact 2^-20 ratio
+    "vocab_fertility" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(len(string_split_regex(lower(trim(text)), '\s+')))::BIGINT AS ws_tokens,
+        |  sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]')))::BIGINT AS bpeish_tokens,
+        |  ((sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]'))) * 1048576)
+        |    // sum(len(string_split_regex(lower(trim(text)), '\s+'))))::BIGINT AS fertility_fp,
+        |  (sum(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9]')))::DOUBLE
+        |    / sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE) AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
     // Pareto front: quadratic NOT-EXISTS dominance over the distinct
     // (length, diversity) points — verifies the engine's running-max
     // window skyline

@@ -270,4 +270,34 @@ class GraphSpec extends SparkSuite {
     assert(out(2L)._1 > out(3L)._1)
     assert(out == refHits(edges, 3))
   }
+
+  test("reciprocity: mutual pairs count, one-way links don't, dups and self-loops ignored") {
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),           // mutual pair
+      (1L, 3L),                     // one-way
+      (1L, 3L),                     // duplicate (collapses)
+      (3L, 3L),                     // self-loop (dropped)
+      (4L, 1L))                     // one-way into 1
+    val m = Graph.reciprocity(edges.toDF("src", "dst"), "src", "dst")
+      .select("node", "out_edges", "reciprocated", "recip_fp")
+      .as[(Long, Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(m(1L) == ((2L, 1L, 524288L))) // out {2,3}, reciprocated {2}: ratio 1/2
+    assert(m(2L) == ((1L, 1L, 1048576L)))
+    assert(m(4L) == ((1L, 0L, 0L)))
+    assert(!m.contains(3L)) // only the self-loop out-edge: dropped entirely
+  }
+
+  test("reciprocity matches a brute-force count on a random digraph") {
+    val rnd = new scala.util.Random(41)
+    val edges = Seq.fill(250)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val distinct = edges.filter(e => e._1 != e._2).distinct
+    val eset = distinct.toSet
+    val expected = distinct.groupBy(_._1).map { case (n, es) =>
+      n -> ((es.size.toLong, es.count(e => eset.contains((e._2, e._1))).toLong))
+    }
+    val got = Graph.reciprocity(edges.toDF("src", "dst"), "src", "dst")
+      .select("node", "out_edges", "reciprocated")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got == expected)
+  }
 }

@@ -87,4 +87,35 @@ class RateAnomalySpec extends SparkSuite {
         r.getTimestamp(2).getTime / 3600000L, r.getInt(3))).sortBy(x => (x._1, x._2))
     assert(out.toSeq == Seq(("a", 2L, 4L, 2), ("a", 6L, 9L, 3)))
   }
+
+  /** Brute-force two-sample KS on integer samples: D = max ECDF gap. */
+  private def refKs(ref: Seq[Long], cur: Seq[Long]): (Long, Double) = {
+    val support = (ref ++ cur).distinct.sorted
+    val n1 = ref.size.toLong; val n2 = cur.size.toLong
+    val dnum = support.map(v =>
+      math.abs(ref.count(_ <= v).toLong * n2 - cur.count(_ <= v).toLong * n1)).max
+    (dnum, dnum.toDouble / (n1 * n2).toDouble)
+  }
+
+  test("ksDistance matches the brute-force ECDF gap on random integer samples") {
+    val rnd = new scala.util.Random(13)
+    val ref = Seq.fill(300)(("k", rnd.nextInt(40).toLong))
+    val cur = Seq.fill(200)(("k", rnd.nextInt(40).toLong + 5L)) // shifted
+    val out = RateAnomaly.ksDistance(
+      ref.toDF("k", "v"), cur.toDF("k", "v"), "k", "v")
+      .select("n_ref", "n_cur", "d_num", "d").as[(Long, Long, Long, Double)].head()
+    val (dnum, d) = refKs(ref.map(_._2), cur.map(_._2))
+    assert(out == ((300L, 200L, dnum, d)))
+  }
+
+  test("ksDistance: identical samples give D=0 no alert; disjoint give D=1 alert; per-key isolation") {
+    val same = Seq.fill(100)(("a", 7L)) ++ (1 to 100).map(i => ("a", (i % 10).toLong))
+    val ref = same ++ (1 to 80).map(i => ("b", i.toLong))          // b: [1,80]
+    val cur = same ++ (1 to 80).map(i => ("b", i.toLong + 1000L))  // b: disjoint
+    val m = RateAnomaly.ksDistance(ref.toDF("k", "v"), cur.toDF("k", "v"), "k", "v")
+      .select("k", "d", "alert").as[(String, Double, Boolean)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(m("a")._1 == 0.0 && !m("a")._2)
+    assert(m("b")._1 == 1.0 && m("b")._2)
+  }
 }
