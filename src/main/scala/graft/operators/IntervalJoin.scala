@@ -46,4 +46,42 @@ object IntervalJoin {
       .where(col(tsCol) >= col(startCol) && col(tsCol) < col(endCol))
       .drop("_b")
   }
+
+  /** Interval-interval overlap join: all pairs from `a` × `b` (equal
+    * keys) whose half-open spans intersect, with the exact overlap
+    * length in microseconds — ad-exposure vs session attribution,
+    * incident-window vs deploy-window blame, any "how long were these
+    * two states simultaneously true" question.
+    *
+    * Same bucket decomposition as [[pointInInterval]], with one twist:
+    * an overlapping PAIR shares every bucket their overlap covers, so
+    * the equi-join would emit it once per shared bucket. Instead of a
+    * dedup pass, each pair is CREDITED to exactly one bucket — the one
+    * containing the overlap's start `max(startA, startB)` (which lies
+    * inside both intervals by definition, so both sides exploded into
+    * that bucket) — and all other meetings are filtered by the residual.
+    * No distinct, no window; the join output is exact pairs.
+    *
+    * Fan-out is ⌈len/bucket⌉ per interval per side — pick
+    * `bucketSeconds` near the typical interval length. Emits key
+    * columns once, both payloads, and `overlap_us`.
+    */
+  def intervalOverlap(a: DataFrame, startA: String, endA: String,
+                      b: DataFrame, startB: String, endB: String,
+                      keyCols: Seq[String], bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, s"bucketSeconds must be positive, got $bucketSeconds")
+    val us = bucketSeconds * 1000000L
+    def exploded(df: DataFrame, s: String, e: String): DataFrame = df
+      .where(col(e) > col(s))
+      .withColumn("_b", explode(sequence(
+        expr(s"unix_micros($s) div ${us}L"),
+        expr(s"(unix_micros($e) - 1L) div ${us}L"))))
+    exploded(a, startA, endA).join(exploded(b, startB, endB), keyCols :+ "_b")
+      .where(col(startA) < col(endB) && col(startB) < col(endA))
+      .where(expr(s"greatest(unix_micros($startA), unix_micros($startB)) div ${us}L") === col("_b"))
+      .withColumn("overlap_us",
+        expr(s"least(unix_micros($endA), unix_micros($endB))") -
+          expr(s"greatest(unix_micros($startA), unix_micros($startB))"))
+      .drop("_b")
+  }
 }

@@ -885,6 +885,76 @@ object CoreQueries {
       .orderBy(col("incident_id"))
   }
 
+  /** Interval-interval overlap ([[graft.operators.IntervalJoin.intervalOverlap]]):
+    * how many seconds of each user's click sessions (30-min spans) fell
+    * inside error-incident windows (1-hour spans) — the exposure-
+    * attribution join. Bucket-decomposed with credit-bucket pair
+    * dedup; the oracle is the per-key quadratic join (safe at sf0.01,
+    * the exact shape the operator exists to avoid at scale). Exact
+    * integer microseconds.
+    */
+  def intervalOverlap(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val incidents = ev.where(col("event_type") === "error")
+      .select(col("user_id"), col("ts").as("i_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("i_end"))
+    val sessions = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("s_start"),
+        (col("ts") + expr("INTERVAL 30 MINUTE")).as("s_end"))
+    graft.operators.IntervalJoin
+      .intervalOverlap(incidents, "i_start", "i_end", sessions, "s_start", "s_end",
+        Seq("user_id"), bucketSeconds = 900L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("overlap_us")).as("overlap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Corpus novelty curve: per ingest day, how much of what arrived was
+    * NEVER seen before — the crawl-refresh monitor that says when a
+    * source has gone stale (novelty decays toward zero as the item
+    * space saturates). Items (`props.k`) stand in for content
+    * fingerprints. First-seen is one global (item → min day) aggregate
+    * joined back to the per-day profile — no window over the event log,
+    * both aggregates map-side-combined and item-/day-bounded.
+    */
+  def corpusNovelty(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(to_date(col("ts")).as("day"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .where(col("k").isNotNull)
+    val daily = ev.groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"), countDistinct(col("k")).as("distinct_items"))
+    val novel = ev.groupBy(col("k")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_items"))
+    daily.join(novel, Seq("day"), "left")
+      .select(col("day"), col("n_events"), col("distinct_items"),
+        coalesce(col("new_items"), lit(0L)).as("new_items"))
+      .withColumn("novelty_fp", expr("(new_items * 1048576L) div distinct_items"))
+      .orderBy(col("day"))
+  }
+
+  /** TPC-H Q4 shape (order priority checking): orders in a quarter with
+    * at least one LATE lineitem (shipped > 90 days after the order
+    * date — the schema has no commit/receipt dates, so lateness stands
+    * in), counted by priority. The EXISTS becomes one LEFT SEMI hash
+    * join on the order key with the lateness comparison as a residual —
+    * the fact table is scanned once, nothing is duplicated by the
+    * multi-lineitem fan-out.
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+      col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+      "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** JSON schema profiling ([[graft.operators.JsonProfile.profile]]):
     * the raw `props` column carries only `{"k": int}`, so the query
     * PLANTS a ragged document — `amount` (double, always), `uid` (long,

@@ -4648,6 +4648,65 @@ object Oracles {
         |    / sum(len(string_split_regex(lower(trim(text)), '\s+')))::DOUBLE) AS fertility
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
+    // interval-interval overlap: the per-key quadratic join the
+    // bucket-decomposed engine plan avoids; exact integer microseconds
+    "interval_overlap" ->
+      """WITH i AS (SELECT user_id, ts AS i_s, ts + INTERVAL 1 HOUR AS i_e
+        |    FROM events WHERE event_type = 'error'),
+        |s AS (SELECT user_id, ts AS s_s, ts + INTERVAL 30 MINUTE AS s_e
+        |    FROM events WHERE event_type = 'click')
+        |SELECT i.user_id, count(*)::BIGINT AS n_pairs,
+        |  sum(epoch_us(least(i_e, s_e)) - epoch_us(greatest(i_s, s_s)))::BIGINT AS overlap_us
+        |FROM i JOIN s ON i.user_id = s.user_id
+        |WHERE i_s < s_e AND s_s < i_e
+        |GROUP BY i.user_id ORDER BY i.user_id""".stripMargin,
+
+    // per-day novelty: first-seen via one (item -> min day) aggregate
+    "corpus_novelty" ->
+      """WITH ev AS (SELECT ts::DATE AS day,
+        |    json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |evf AS (SELECT * FROM ev WHERE k IS NOT NULL),
+        |daily AS (SELECT day, count(*)::BIGINT AS n_events,
+        |    count(DISTINCT k)::BIGINT AS distinct_items FROM evf GROUP BY 1),
+        |novel AS (SELECT day, count(*)::BIGINT AS new_items FROM (
+        |    SELECT k, min(day) AS day FROM evf GROUP BY k) GROUP BY 1)
+        |SELECT day, n_events, distinct_items,
+        |  coalesce(new_items, 0)::BIGINT AS new_items,
+        |  ((coalesce(new_items, 0) * 1048576) // distinct_items)::BIGINT AS novelty_fp
+        |FROM daily LEFT JOIN novel USING (day) ORDER BY day""".stripMargin,
+
+    // TPC-H Q4 shape: EXISTS late-lineitem, counted by priority
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o.o_orderkey
+        |      AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Cohen's kappa between the two weak labelers; fixed-point carries
+    // kappa+1 so truncating div == flooring div (non-negative)
+    "label_kappa" ->
+      """WITH b AS (SELECT lang,
+        |    (len(string_split_regex(lower(trim(text)), '\s+')) >= 45) AS l1,
+        |    (n_chars >= 250) AS l2
+        |  FROM documents),
+        |g AS (SELECT lang, count(*)::BIGINT AS n_docs,
+        |    sum(CASE WHEN l1 = l2 THEN 1 ELSE 0 END)::BIGINT AS agree,
+        |    sum(CASE WHEN l1 THEN 1 ELSE 0 END)::BIGINT AS pos1,
+        |    sum(CASE WHEN l2 THEN 1 ELSE 0 END)::BIGINT AS pos2
+        |  FROM b GROUP BY 1),
+        |e AS (SELECT *, pos1 * pos2 + (n_docs - pos1) * (n_docs - pos2) AS ee FROM g)
+        |SELECT lang, n_docs, agree, pos1, pos2,
+        |  CASE WHEN n_docs * n_docs <> ee THEN
+        |    (((agree * n_docs - ee + (n_docs * n_docs - ee)) * 1048576)
+        |      // (n_docs * n_docs - ee))::BIGINT END AS kappa1p_fp,
+        |  CASE WHEN n_docs * n_docs <> ee THEN
+        |    ((agree * n_docs - ee)::DOUBLE / (n_docs * n_docs - ee)::DOUBLE) END AS kappa
+        |FROM e ORDER BY lang""".stripMargin,
+
     // Pareto front: quadratic NOT-EXISTS dominance over the distinct
     // (length, diversity) points — verifies the engine's running-max
     // window skyline

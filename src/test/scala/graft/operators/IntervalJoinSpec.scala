@@ -75,4 +75,43 @@ class IntervalJoinSpec extends SparkSuite {
     assert(got.map(_._2).distinct.size < got.size,
       "fixture should exercise overlapping intervals")
   }
+
+  test("intervalOverlap: each overlapping pair exactly once with the exact length, vs brute force") {
+    val rnd = new scala.util.Random(9)
+    val base = ts("2024-01-01 00:00:00").getTime
+    def mk(n: Int, maxLenS: Int, tag: String) = (1 to n).map { i =>
+      val s = base + rnd.nextInt(86400) * 1000L
+      (rnd.nextInt(3).toLong, i.toLong,
+        new java.sql.Timestamp(s), new java.sql.Timestamp(s + (60 + rnd.nextInt(maxLenS)) * 1000L))
+    }.toDF("user_id", s"${tag}_id", s"${tag}_start", s"${tag}_end")
+    val a = mk(40, 7200, "a")
+    val b = mk(60, 3600, "b")
+    // spans up to 2h/1h against 10-min buckets: heavy multi-bucket sharing
+    val got = IntervalJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+      Seq("user_id"), bucketSeconds = 600L)
+      .select("a_id", "b_id", "overlap_us").as[(Long, Long, Long)].collect().sorted.toSeq
+    val brute = a.as("x").join(b.as("y"), col("x.user_id") === col("y.user_id")
+        && col("x.a_start") < col("y.b_end") && col("y.b_start") < col("x.a_end"))
+      .select(col("x.a_id"), col("y.b_id"),
+        (org.apache.spark.sql.functions.expr("unix_micros(least(a_end, b_end))")
+          - org.apache.spark.sql.functions.expr("unix_micros(greatest(a_start, b_start))"))
+          .as("o")).as[(Long, Long, Long)].collect().sorted.toSeq
+    assert(got == brute)
+    assert(got.nonEmpty && got.map(t => (t._1, t._2)).distinct.size == got.size,
+      "every pair exactly once")
+  }
+
+  test("intervalOverlap: touching endpoints don't match; containment yields the inner length") {
+    val a = Seq((1L, 1L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("user_id", "a_id", "a_start", "a_end")
+    val b = Seq(
+      (1L, 1L, ts("2024-01-01 11:00:00"), ts("2024-01-01 12:00:00")), // abuts: no overlap
+      (1L, 2L, ts("2024-01-01 10:15:00"), ts("2024-01-01 10:30:00")), // contained: 15 min
+      (2L, 3L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00"))) // other key
+      .toDF("user_id", "b_id", "b_start", "b_end")
+    val out = IntervalJoin.intervalOverlap(a, "a_start", "a_end", b, "b_start", "b_end",
+      Seq("user_id"), bucketSeconds = 600L)
+      .select("b_id", "overlap_us").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 15L * 60L * 1000000L)))
+  }
 }
