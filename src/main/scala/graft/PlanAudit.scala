@@ -127,7 +127,23 @@ object PlanAudit {
       // active_users rely on AQE broadcast of the shrinking node/grid
       // sides
       "q3_shipping_priority", "q17_small_qty", "topk_per_group",
-      "graph_kcore", "active_users_window")
+      "graph_kcore", "active_users_window",
+      // round 11j: Q18's HAVING-filtered pre-aggregate must broadcast
+      // into BOTH dimension joins (one fact exchange for the agg, no
+      // shuffle of orders/customer); Q10 pushes the date window and
+      // R-flag into the scans, broadcasts nation; Q4's EXISTS is a
+      // LEFT SEMI BroadcastHashJoin/ShuffledHashJoin with the lateness
+      // comparison as a join residual, never a row-duplicating inner;
+      // keyword_tag broadcasts the lexicon; the rollup merge is union
+      // + ONE hash aggregate; the overlap join must be an EQUI join on
+      // (key, bucket); the skyline pays one bounded aggregate then a
+      // single-partition window over POINTS only; the HLL slide is a
+      // register explode bounded by days x 7 x 256, never user-sized;
+      // hyperball is per-round edge equi-joins over the sparse
+      // register table
+      "q18_large_orders", "q10_returned_items", "q4_order_priority",
+      "keyword_tag", "rollup_incremental", "interval_overlap",
+      "pareto_front", "active_users_hll", "graph_hits", "graph_hyperball")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

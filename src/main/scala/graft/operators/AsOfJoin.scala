@@ -238,4 +238,46 @@ object AsOfJoin {
       .select(leftCols.map(col) ++
         rightPayload.map(c => col(s"_filled.$c").as(prefix + c)): _*)
   }
+
+  /** NATIVE as-of join — same contract as [[asOf]] (single key column),
+    * executed by the custom physical operator
+    * [[graft.plans.AsOfMergeJoinExec]]: a whole-operator Catalyst
+    * extension (`LogicalPlan` node + planner `SparkStrategy` + merge
+    * `SparkPlan`) instead of the union+window re-expression. Catalyst
+    * still owns the exchanges: the exec DECLARES hash clustering on the
+    * key and (key, ts) ordering per child, so EnsureRequirements plans
+    * the same one-shuffle-per-side budget as a sort-merge join — and
+    * can elide it entirely over bucketed+sorted inputs. The probe is a
+    * single O(1)-state pass per partition. AsOfJoinSpec asserts
+    * result-parity with [[asOf]] on random histories.
+    *
+    * The key column must be integral and both ts columns
+    * timestamp/long (8-byte comparables — the merge compares raw
+    * longs); the right payload arrives `prefix`-renamed, as in [[asOf]].
+    */
+  def asOfNative(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 rightPayload: Seq[String], prefix: String = "asof_"): DataFrame = {
+    require(rightPayload.nonEmpty, "rightPayload must name at least one column")
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    }
+    val l = left.withColumn("_lk", col(key).cast("long"))
+    val r = right
+      .where(col(rightTs).isNotNull) // null right ts matches nothing
+      .select(col(key).cast("long").as("_rk") +:
+        col(rightTs).cast("timestamp").as("_rt") +:
+        rightPayload.map(c => col(c).as(prefix + c)): _*)
+    val lPlan = l.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, n: String) =
+      p.output.find(_.name == n).getOrElse(sys.error(s"missing column $n"))
+    val node = graft.plans.AsOfJoinNode(lPlan, rPlan,
+      attr(lPlan, "_lk"), attr(rPlan, "_rk"),
+      attr(lPlan, leftTs), attr(rPlan, "_rt"))
+    org.apache.spark.sql.graft.GraftBridge.ofRows(spark, node)
+      .drop("_lk", "_rk", "_rt")
+  }
 }

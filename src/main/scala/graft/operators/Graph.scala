@@ -461,6 +461,79 @@ object Graph {
         (col("h").cast("double") / lit(HitsScale.toDouble)).as("hub"))
   }
 
+  /** HyperBall (Boldi & Vigna 2013) — approximate neighborhood
+    * function and harmonic centrality, THE web-scale centrality recipe
+    * (Common Crawl's host ranking runs exactly this): give every node a
+    * HyperLogLog sketch of {itself}, then for `rounds` iterations merge
+    * each node's sketch with its in-neighbors' — after round r, node
+    * v's sketch estimates |ball(v, r)| = #nodes within distance r
+    * ALONG edges INTO v. Exact all-pairs BFS is O(N·E); HyperBall is
+    * O(rounds · E) with 256 bytes of state per node, which is why it is
+    * the only centrality that runs on a hundred-billion-edge graph.
+    *
+    * Determinism: the sketch is the md5-coin register layout of
+    * [[graft.plans.HllRegisters]] (register = pure function of the
+    * coin; merge = elementwise max — order- and partitioning-free), so
+    * every register in every round replays bit-for-bit in the DuckDB
+    * oracle. Registers are carried SPARSE — a (node, j, mr) table, one
+    * row per non-zero register, never a dense 2^p grid — so per-round
+    * cost is one edge equi-join + one (node, j) max aggregate:
+    * |E|·(avg non-zero registers) rows, map-side combined. Rounds use
+    * [[Materialize.cutLoop]]. Returns one row per (node, r ∈ 0..rounds)
+    * with the register summary (v_zero, s_scaled) from which the
+    * caller derives the raw / linear-counting estimate (the
+    * `active_users_hll` recipe) and the harmonic sum
+    * Σ_r (|ball(r)|−|ball(r−1)|)/r.
+    */
+  def hyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+                rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val slim = edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src") =!= col("dst"))
+      .distinct()
+      .materialized // probed every round
+    val nodes = slim.select(col("src").as("node"))
+      .union(slim.select(col("dst").as("node")))
+      .distinct()
+    // seed sketch = {node} itself: one register per node from its coin
+    var regs = nodes
+      .select(col("node"),
+        conv(substring(md5(concat(lit("hb:"), col("node"))), 1, 14), 16, 10)
+          .cast("long").as("_coin"))
+      .select(col("node"),
+        expr("_coin >> 48").as("j"),
+        expr("CASE WHEN (_coin & 281474976710655L) = 0 THEN 49L" +
+          " ELSE 49L - length(bin(_coin & 281474976710655L)) END").as("mr"))
+    regs = Materialize.cutLoop(regs, None)
+    def summarize(r: DataFrame, round: Int): DataFrame = r
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("_cnt"),
+        sum(expr("shiftleft(1L, cast(49 - mr as int))")).as("_sp"))
+      .select(col("node"), lit(round).as("r"),
+        (lit(256L) - col("_cnt")).as("v_zero"),
+        (col("_sp") + (lit(256L) - col("_cnt")) * lit(1L << 49)).as("s_scaled"))
+    // each summary must be PINNED (eager truncating cut) before the
+    // loop's next cutLoop releases the register generation its lazy
+    // plan would otherwise re-read — the released-checkpoint trap
+    var out = Materialize.cutPinned(summarize(regs, 0))
+    var prev: Option[DataFrame] = Some(regs)
+    for (round <- 1 to rounds) {
+      val contrib = slim
+        .join(regs.hint("shuffle_hash"), slim("src") === regs("node"))
+        .select(col("dst").as("node"), col("j"), col("mr"))
+      val next = contrib.union(regs)
+        .groupBy(col("node"), col("j")).agg(max(col("mr")).as("mr"))
+      regs = Materialize.cutLoop(next, prev)
+      prev = Some(regs)
+      out = out.unionByName(Materialize.cutPinned(summarize(regs, round)))
+    }
+    // every consumer of the edge cache and of the final register
+    // generation has materialized (all summaries are pinned cuts)
+    Materialize.release(regs)
+    Materialize.release(slim)
+    out
+  }
+
   /** Per-node link reciprocity: of a node's distinct out-links, how many
     * are answered by the reverse link — the classic link-spam signal
     * (organic link graphs are mostly one-directional; reciprocal-link

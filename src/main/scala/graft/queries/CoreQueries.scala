@@ -368,6 +368,26 @@ object CoreQueries {
       .orderBy(col("user_id"), col("event_id"))
   }
 
+  /** The NATIVE-operator twin of [[asofJoin]]
+    * ([[graft.operators.AsOfJoin.asOfNative]] →
+    * [[graft.plans.AsOfMergeJoinExec]]): same purchases×clicks shape,
+    * same DuckDB ASOF oracle — but executed by the custom physical
+    * merge operator, so the one driver row exercises the whole-plan
+    * extension tier (LogicalPlan + SparkStrategy + SparkPlan) end to
+    * end against an independent native implementation.
+    */
+  def asofNative(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+    graft.operators.AsOfJoin.asOfNative(purchases, clicks, "user_id", "ts", "ts",
+      rightPayload = Seq("ts", "event_id", "value"))
+      .withColumn("secs_since_click", TimeFns.timedeltaSeconds(col("ts"), col("asof_ts")))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
   /** FORWARD as-of ([[graft.operators.AsOfJoin.asOfForward]], pandas
     * `merge_asof(direction="forward")`): each purchase annotated with
     * the NEXT click — the "did the user come back" question, where
@@ -1251,6 +1271,48 @@ object CoreQueries {
       .where(col("src").isNotNull && col("dst").isNotNull)
     graft.operators.Graph.hits(edges, "src", "dst", iters = 3)
       .orderBy(col("auth_fp").desc, col("node"))
+      .limit(50)
+  }
+
+  /** HyperBall harmonic centrality ([[graft.operators.Graph.hyperBall]],
+    * Boldi & Vigna 2013 — Common Crawl's host-ranking algorithm) on the
+    * item-transition graph: every node carries a 256-register HLL
+    * sketch of its in-ball, grown three rounds by neighbor merge; the
+    * per-round ball estimates (linear-counting branch when empty
+    * registers remain and the raw estimate is under 2.5m, raw
+    * otherwise) feed the harmonic sum Σ_r (|ball(r)|−|ball(r−1)|)/r on
+    * the q10 grid. Top 50 by harmonic centrality; the oracle replays
+    * every register of every round.
+    */
+  def graphHyperball(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    val est = graft.operators.Graph.hyperBall(edges, "src", "dst", rounds = 3)
+      .withColumn("raw_q10",
+        floor(lit(2.6499581405668102e19) / col("s_scaled").cast("double") * lit(1024.0))
+          .cast("long"))
+      .withColumn("lc_q10",
+        when(col("v_zero") > 0,
+          floor(log(lit(256.0) / col("v_zero").cast("double")) * lit(256.0) * lit(1024.0))
+            .cast("long")))
+      .withColumn("est_q10",
+        when(col("v_zero") > 0 && col("raw_q10") <= 655360L, col("lc_q10"))
+          .otherwise(col("raw_q10")))
+    est.groupBy(col("node"))
+      .agg(
+        max(when(col("r") === 0, col("est_q10"))).as("ball0_q10"),
+        max(when(col("r") === 1, col("est_q10"))).as("ball1_q10"),
+        max(when(col("r") === 2, col("est_q10"))).as("ball2_q10"),
+        max(when(col("r") === 3, col("est_q10"))).as("ball3_q10"))
+      .withColumn("harmonic_q10",
+        greatest(lit(0L), col("ball1_q10") - col("ball0_q10"))
+          + expr("greatest(0L, ball2_q10 - ball1_q10) div 2")
+          + expr("greatest(0L, ball3_q10 - ball2_q10) div 3"))
+      .orderBy(col("harmonic_q10").desc, col("node"))
       .limit(50)
   }
 

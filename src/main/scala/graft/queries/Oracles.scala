@@ -306,6 +306,53 @@ object Oracles {
        |ORDER BY auth_fp DESC, node LIMIT 50""".stripMargin
   }
 
+  /** HyperBall (Graph.hyperBall) unrolled: sparse (node, register,
+    * rank) tables per round, each round = in-neighbor merge by
+    * elementwise max; per-round ball estimates via the linear-counting
+    * / raw branch of active_users_hll; harmonic sum on the q10 grid.
+    */
+  private def hyperballOracleSql(rounds: Int): String = {
+    val iterCtes = (1 to rounds).map { i =>
+      s"""r$i AS MATERIALIZED (SELECT node, j, max(mr) AS mr FROM (
+         |  SELECT e.dst AS node, p.j, p.mr FROM edges e JOIN r${i - 1} p ON p.node = e.src
+         |  UNION ALL SELECT node, j, mr FROM r${i - 1}) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+    val sumCtes = (0 to rounds).map { i =>
+      s"""s$i AS (SELECT node, (256 - count(*))::BIGINT AS vz,
+         |  (sum(1::BIGINT << (49 - mr)) + (256 - count(*)) * 562949953421312)::BIGINT AS ss
+         |  FROM r$i GROUP BY 1),
+         |e$i AS MATERIALIZED (SELECT node,
+         |  CASE WHEN vz > 0 AND floor(2.6499581405668102e19 / ss::DOUBLE * 1024.0)::BIGINT <= 655360
+         |       THEN floor(ln(256.0 / vz::DOUBLE) * 256.0 * 1024.0)::BIGINT
+         |       ELSE floor(2.6499581405668102e19 / ss::DOUBLE * 1024.0)::BIGINT END AS est
+         |  FROM s$i)""".stripMargin
+    }.mkString(",\n")
+    val balls = (0 to rounds).map(i => s"e$i.est AS ball${i}_q10").mkString(", ")
+    val joins = (1 to rounds).map(i => s"JOIN e$i USING (node)").mkString(" ")
+    val harmonic = (1 to rounds)
+      .map(i => s"(greatest(0, e$i.est - e${i - 1}.est) // $i)").mkString(" + ")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+       |  WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst),
+       |nodes AS (SELECT DISTINCT node FROM (
+       |  SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)),
+       |c AS (SELECT node,
+       |  list_reduce(list_transform(string_split(substr(md5('hb:' || node), 1, 14), ''),
+       |    ch -> strpos('0123456789abcdef', ch) - 1), (a, b) -> a * 16 + b)::BIGINT AS coin
+       |  FROM nodes),
+       |r0 AS MATERIALIZED (SELECT node, coin >> 48 AS j,
+       |  CASE WHEN (coin & 281474976710655) = 0 THEN 49
+       |       ELSE 49 - length(bin(coin & 281474976710655)) END AS mr FROM c),
+       |$iterCtes,
+       |$sumCtes
+       |SELECT e0.node, $balls,
+       |  ($harmonic)::BIGINT AS harmonic_q10
+       |FROM e0 $joins
+       |ORDER BY harmonic_q10 DESC, e0.node LIMIT 50""".stripMargin
+  }
+
   /** k-core peel (Graph.kCore, k=2, mod-13 sparsified item graph)
     * unrolled to `rounds` layers: each layer keeps edges whose BOTH
     * endpoints had degree >= k in the previous layer. Peeling is
@@ -1578,6 +1625,17 @@ object Oracles {
     // first-class implementation of the operator (inclusive >= bound,
     // matching the right-before-left tie order of the union-window form)
     "asof_join" ->
+      s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
+         |SELECT p.user_id, p.event_id, p.ts,
+         |  c.ts AS asof_ts, c.event_id AS asof_event_id, c.value AS asof_value,
+         |  (epoch_us(p.ts) - epoch_us(c.ts)) // 1000000 AS secs_since_click
+         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+         |ORDER BY p.user_id, p.event_id""".stripMargin,
+
+    // the custom AsOfMergeJoinExec physical operator vs the same native
+    // DuckDB ASOF JOIN the composed form is checked against
+    "asof_native" ->
       s"""WITH p AS (SELECT user_id, event_id, ts FROM $EV WHERE event_type = 'purchase'),
          |c AS (SELECT user_id, ts, event_id, value FROM $EV WHERE event_type = 'click')
          |SELECT p.user_id, p.event_id, p.ts,
@@ -4706,6 +4764,39 @@ object Oracles {
         |  CASE WHEN n_docs * n_docs <> ee THEN
         |    ((agree * n_docs - ee)::DOUBLE / (n_docs * n_docs - ee)::DOUBLE) END AS kappa
         |FROM e ORDER BY lang""".stripMargin,
+
+    // HyperBall: three unrolled neighbor-merge rounds, every register
+    // and both estimator branches replayed
+    "graph_hyperball" -> hyperballOracleSql(3),
+
+    // CDC chunk storage-dedup rollup: same Gear chunking as chunk_cdc,
+    // per-source totals vs store-once-per-fingerprint
+    "chunk_dedup_rate" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |x AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |f AS (SELECT doc_id, pos, tok,
+         |        CASE WHEN (${md24("tok")}) % 16 = 0 THEN 1 ELSE 0 END AS cut FROM x),
+         |c AS (SELECT doc_id, pos, tok,
+         |        coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::INTEGER AS chunk_idx
+         |      FROM f),
+         |g AS (SELECT doc_id, chunk_idx, count(*)::INTEGER AS n_chunk_tokens,
+         |        string_agg(tok, ' ' ORDER BY pos) AS ctext
+         |      FROM c GROUP BY 1, 2),
+         |h AS MATERIALIZED (SELECT doc_id, n_chunk_tokens,
+         |        (${md24("ctext")}) AS chunk_fp FROM g),
+         |pc AS (SELECT source, chunk_fp, count(*)::BIGINT AS cnt,
+         |        min(n_chunk_tokens)::BIGINT AS ntok
+         |      FROM h JOIN (SELECT doc_id, source FROM documents) USING (doc_id)
+         |      GROUP BY 1, 2)
+         |SELECT source, sum(cnt)::BIGINT AS n_chunks,
+         |  count(*)::BIGINT AS n_distinct_chunks,
+         |  sum(cnt * ntok)::BIGINT AS total_tokens,
+         |  sum(ntok)::BIGINT AS stored_tokens,
+         |  (((sum(cnt * ntok) - sum(ntok)) * 1048576) // sum(cnt * ntok))::BIGINT AS saved_fp,
+         |  ((sum(cnt * ntok) - sum(ntok))::DOUBLE / sum(cnt * ntok)::DOUBLE) AS saved
+         |FROM pc GROUP BY source ORDER BY source""".stripMargin,
 
     // Pareto front: quadratic NOT-EXISTS dominance over the distinct
     // (length, diversity) points — verifies the engine's running-max

@@ -220,4 +220,67 @@ class AsOfJoinSpec extends SparkSuite {
       AsOfJoin.asOfWithTolerance(df, df, Seq("user_id"), "ts", "ts",
         rightPayload = Seq("click_id"), toleranceSeconds = 60L))
   }
+
+  test("asOfNative: known picks, inclusive boundary, no-match null, key isolation") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),
+      (1L, 11L, ts("2024-01-01 09:00:00")), // exactly at a click: inclusive
+      (1L, 12L, ts("2024-01-01 08:00:00")), // before history: null
+      (2L, 20L, ts("2024-01-01 12:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 09:00:00"), 100L),
+      (1L, ts("2024-01-01 09:30:00"), 101L),
+      (2L, ts("2024-01-01 11:00:00"), 200L),
+      (3L, ts("2024-01-01 00:00:00"), 300L)
+    ).toDF("user_id", "ts", "click_id")
+    val df = AsOfJoin.asOfNative(left, right, "user_id", "ts", "ts", Seq("click_id"))
+    // the plan must actually run the custom physical operator
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfMergeJoin"))
+    val got = df.select("event_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(10L -> Some(101L), 11L -> Some(100L), 12L -> None, 20L -> Some(200L)))
+  }
+
+  test("asOfNative is result-identical to the composed asOf on random histories") {
+    val rnd = new scala.util.Random(37)
+    val base = ts("2024-01-01 00:00:00").getTime
+    // distinct timestamps per side (the tie rule differs only on exact
+    // duplicate (key, ts) right rows, documented)
+    val lTs = rnd.shuffle((1 to 4000).toList).take(500)
+    val rTs = rnd.shuffle((1 to 4000).toList).drop(1200).take(400)
+    val left = lTs.zipWithIndex.map { case (t, i) =>
+      (rnd.nextInt(8).toLong, i.toLong, new Timestamp(base + t * 1000L))
+    }.toDF("user_id", "event_id", "ts")
+    val right = rTs.zipWithIndex.map { case (t, i) =>
+      (rnd.nextInt(10).toLong, new Timestamp(base + t * 1000L), i.toLong, rnd.nextDouble())
+    }.toDF("user_id", "ts", "click_id", "value")
+    val native = AsOfJoin.asOfNative(left, right, "user_id", "ts", "ts",
+      Seq("ts", "click_id", "value"))
+      .select("user_id", "event_id", "asof_ts", "asof_click_id", "asof_value")
+      .as[(Long, Long, Option[Timestamp], Option[Long], Option[Double])]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    val composed = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "ts",
+      Seq("ts", "click_id", "value"))
+      .select("user_id", "event_id", "asof_ts", "asof_click_id", "asof_value")
+      .as[(Long, Long, Option[Timestamp], Option[Long], Option[Double])]
+      .collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(native == composed)
+    assert(native.exists(_._3.isEmpty) && native.exists(_._3.nonEmpty),
+      "fixture must exercise both match and no-match rows")
+  }
+
+  test("asOfNative: null left ts gets a null payload; null right ts never matches") {
+    val left = Seq(
+      (1L, 1L, Option(ts("2024-01-01 10:00:00"))),
+      (1L, 2L, Option.empty[Timestamp])
+    ).toDF("user_id", "event_id", "ts")
+    val right = Seq(
+      (1L, Option(ts("2024-01-01 09:00:00")), 100L),
+      (1L, Option.empty[Timestamp], 999L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsOfJoin.asOfNative(left, right, "user_id", "ts", "ts", Seq("click_id"))
+      .select("event_id", "asof_click_id").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(100L), 2L -> None))
+  }
 }

@@ -287,6 +287,69 @@ class GraphSpec extends SparkSuite {
     assert(!m.contains(3L)) // only the self-loop out-edge: dropped entirely
   }
 
+  /** Single-threaded mirror of the HyperBall register recurrence: md5
+    * coin, sparse register maps, elementwise-max neighbor merge. */
+  private def refHyperBall(edges: Seq[(Long, Long)],
+                           rounds: Int): Map[(Long, Int), (Long, Long)] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val dedup = edges.filter(e => e._1 != e._2).distinct
+    val nodes = (dedup.map(_._1) ++ dedup.map(_._2)).distinct
+    val inEdges = dedup.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    def seed(n: Long): Map[Long, Long] = {
+      val c = java.lang.Long.parseLong(md5hex(s"hb:$n").substring(0, 14), 16)
+      val j = c >>> 48
+      val w = c & ((1L << 48) - 1)
+      val mr = if (w == 0) 49L else 49L - java.lang.Long.toBinaryString(w).length
+      Map(j -> mr)
+    }
+    def mergeMax(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] =
+      (a.keySet ++ b.keySet).map(j =>
+        j -> math.max(a.getOrElse(j, 0L), b.getOrElse(j, 0L))).toMap
+    var regs = nodes.map(n => n -> seed(n)).toMap
+    def summarize(r: Int): Map[(Long, Int), (Long, Long)] =
+      regs.map { case (n, m) =>
+        val vz = 256L - m.size
+        val ss = m.values.map(mr => 1L << (49 - mr)).sum + vz * (1L << 49)
+        (n, r) -> ((vz, ss))
+      }
+    var out = summarize(0)
+    for (r <- 1 to rounds) {
+      regs = nodes.map { n =>
+        n -> inEdges.getOrElse(n, Seq.empty).map(regs).foldLeft(regs(n))(mergeMax)
+      }.toMap
+      out = out ++ summarize(r)
+    }
+    out
+  }
+
+  test("hyperBall register summaries match the single-threaded mirror on a random digraph") {
+    val rnd = new scala.util.Random(19)
+    val edges = Seq.fill(200)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val got = Graph.hyperBall(edges.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .select("node", "r", "v_zero", "s_scaled")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(got == refHyperBall(edges, 3))
+  }
+
+  test("hyperBall on a chain: the ball grows one hop per round, registers only accumulate") {
+    // 1 -> 2 -> 3 -> 4: node 4's in-ball gains one node per round
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val out = Graph.hyperBall(chain.toDF("src", "dst"), "src", "dst", rounds = 3)
+      .select("node", "r", "v_zero").as[(Long, Int, Long)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // v_zero = 256 - (#distinct registers) and the ball of node 4 grows
+    // by <= 1 register per round, never shrinking
+    assert(out((4L, 0)) >= out((4L, 1)))
+    assert(out((4L, 1)) >= out((4L, 2)))
+    assert(out((4L, 2)) >= out((4L, 3)))
+    // node 1 has no in-edges: its sketch never changes
+    assert(Seq(0, 1, 2, 3).map(r => out((1L, r))).distinct.size == 1)
+    assert(out == refHyperBall(chain, 3).map { case (k, v) => k -> v._1 })
+  }
+
   test("reciprocity matches a brute-force count on a random digraph") {
     val rnd = new scala.util.Random(41)
     val edges = Seq.fill(250)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
