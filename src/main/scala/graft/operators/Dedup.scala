@@ -1423,4 +1423,76 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         QualityClassifier.md24(col("_boundary")).as("boundary_fp"))
   }
+
+  /** Prefix-filtered EXACT set-similarity self-join (AllPairs/PPJoin —
+    * Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW 2008): every pair
+    * of documents whose word-token-set Jaccard is ≥ `tNum/tDen`, with
+    * FULL recall — no bands, no hashing, no blocking loss. The
+    * complement of [[minHashPairs]] (approximate, recall < 1) and of
+    * the lang-blocked exhaustive baseline (recall limited by the
+    * block): this is what a dedup pipeline runs when the near-dup
+    * report must be provably complete at the threshold.
+    *
+    * The trick that avoids the all-pairs cross join: order every
+    * document's tokens by GLOBAL document frequency, rarest first. If
+    * J(x,y) ≥ t then |x∩y| ≥ ⌈t·|x|⌉, so x's first
+    * p = |x| − ⌈t·|x|⌉ + 1 tokens (its "prefix") must contain an
+    * intersection token — and symmetrically for y: under one global
+    * order the two prefixes share a token (the prefix-filtering
+    * principle). Candidate pairs are therefore generated by a plain
+    * equi-join of prefix tokens against prefix tokens — and because
+    * prefixes hold each document's RAREST tokens, per-token fan-out is
+    * tiny by construction (the frequent tokens that would explode a
+    * token-join never enter a prefix).
+    *
+    * Plan at scale: one explode + hash-aggregate for document
+    * frequencies (vocabulary-sized); one equi-join to annotate tokens
+    * with df; one per-document window (partition = doc, bounded by
+    * document length) to rank tokens rarest-first; the prefix-token
+    * self-equi-join; a pair-key aggregate to dedup candidates; and one
+    * verify join back to the (id, sorted-token-array) table — exact
+    * merge intersection via [[jaccardTokens]]. Everything is keyed by
+    * token or id; nothing is corpus-quadratic. The threshold is a
+    * rational `tNum/tDen` so the prefix length and the final acceptance
+    * test are integer-exact (no float ⌈⌉ drift vs the oracle).
+    *
+    * Returns (`a`, `b`, `n_common`, `jaccard`) for accepted pairs.
+    */
+  def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+                         tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs
+      .select(col(idCol).as("_id"),
+        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("_tok"))
+      .where(col("_tok") =!= "")
+      .materialized // feeds df-counts, ranking, and the verify arrays
+    val dfCounts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
+    val wDoc = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))
+    val ranked = toks.join(dfCounts, "_tok")
+      .select(col("_id"), col("_tok"),
+        row_number().over(wDoc).as("_pos"),
+        count(lit(1)).over(Window.partitionBy(col("_id"))).as("_sz"))
+    // prefix length |x| - ceil(t|x|) + 1, with ceil done in integers
+    val prefix = ranked
+      .where(col("_pos") <= expr(s"_sz - (_sz * $tNum + $tDen - 1) div $tDen + 1"))
+      .select(col("_id"), col("_tok"))
+    val cand = prefix.select(col("_id").as("a"), col("_tok"))
+      .join(prefix.select(col("_id").as("b"), col("_tok")), "_tok")
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_np"))
+      .select(col("a"), col("b"))
+    val sets = toks.groupBy(col("_id"))
+      .agg(sort_array(collect_set(col("_tok"))).as("_toks"),
+        count(lit(1)).as("_sz"))
+    cand
+      .join(sets.select(col("_id").as("a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "a")
+      .join(sets.select(col("_id").as("b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "b")
+      .withColumn("n_common", size(array_intersect(col("_ta"), col("_tb"))).cast("long"))
+      .where(col("n_common") * tDen >= (col("_sa") + col("_sb") - col("n_common")) * tNum)
+      .select(col("a"), col("b"), col("n_common"),
+        (col("n_common").cast("double") /
+          (col("_sa") + col("_sb") - col("n_common")).cast("double")).as("jaccard"))
+  }
 }

@@ -975,6 +975,125 @@ object CoreQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** TPC-H Q19 shape (disjunctive join predicates, adapted to the
+    * synthetic columns): revenue over three OR'd brand/size/quantity
+    * windows, each disjunct mixing part-side AND lineitem-side columns
+    * so the filter cannot sit wholly on either side of the join. The
+    * planner test: Catalyst's PushPredicateThroughJoin factors each
+    * disjunct's side-local projection and pushes the derived
+    * `(brand=.. AND size..) OR (..) OR (..)` union filter into the part
+    * SCAN (and the quantity union into lineitem) while keeping the full
+    * disjunction as the post-join residual — the scan reads a fraction
+    * of each table even though the predicate is cross-table. Part is
+    * broadcast; one row out.
+    */
+  def q19Disjunctive(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .where(
+        (col("p_brand") === "Brand#11" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#22" && col("p_size").between(1, 25) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#33" && col("p_size").between(1, 35) &&
+          col("l_quantity").between(20, 30)))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+        .cast("double").as("revenue"))
+  }
+
+  /** TPC-H Q16 shape (supplier variety per part profile): how many
+    * DISTINCT suppliers ship each (brand, size), with blacklisted
+    * suppliers (negative balance — the complaint filter) removed by
+    * NOT IN. The part-supplier relation is derived from lineitem (the
+    * synthetic corpus has no partsupp): distinct (partkey, suppkey)
+    * FIRST — one pre-aggregate collapses the 30× fact fan-in before
+    * any join — then broadcast anti-join against the blacklist,
+    * broadcast join to part, and a count-distinct aggregate. The
+    * count(DISTINCT) rides the usual two-phase expand; nothing
+    * shuffles full fact rows.
+    */
+  def q16SupplierVariety(s: SparkSession, d: String): DataFrame = {
+    val ps = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val bad = Tables.supplier(s, d)
+      .where(col("s_acctbal") < 0).select(col("s_suppkey"))
+    ps.join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  /** TPC-H Q22 shape (idle rich customers): per nation, customers whose
+    * balance beats the positive-balance average but who never ordered.
+    * The scalar subquery decorrelates to a one-row aggregate broadcast
+    * as a cross join; the "never ordered" is a LEFT ANTI join on the
+    * orders key projection; the average test is cross-multiplied in
+    * decimal (`bal · n > Σbal`) so no float average crosses engines.
+    */
+  def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey"), dec(col("c_acctbal")).as("bal"))
+    val stats = c.where(col("bal") > 0)
+      .agg(sum(col("bal")).as("_tot"), count(lit(1)).as("_cnt"))
+    c.crossJoin(broadcast(stats))
+      .where(col("bal") * col("_cnt") > col("_tot"))
+      .join(Tables.orders(s, d).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** 2×2 chi-squared experiment readout — the A/B-test significance
+    * gate (here an A/A calibration: arms are an md5 coin on the user,
+    * so alerts measure the gate's false-positive behavior, the audit
+    * every experimentation platform runs before trusting real
+    * assignments). Unit = user, outcome = "did event type e at least
+    * once"; χ² = N(ad−bc)²/((a+b)(c+d)(a+c)(b+d)) computed from exact
+    * BIGINT cell counts with the float steps in one fixed order, alert
+    * at the 3.841 (α=0.05, df=1) critical value. Two user-grain
+    * aggregates and one broadcast join — the corpus is touched twice,
+    * shuffled only at user/type grain.
+    */
+  def abChisq(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val arm = conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2
+    val armSizes = ev.select(col("user_id")).distinct()
+      .select(arm.as("arm"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"))
+    val cells = ev.select(col("event_type"), col("user_id")).distinct()
+      .select(col("event_type"), arm.as("arm"))
+      .groupBy(col("event_type"))
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("s0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("s1"))
+      .crossJoin(broadcast(armSizes))
+    cells
+      .withColumn("_ad_bc", col("s0") * (col("n1") - col("s1")) -
+        (col("n0") - col("s0")) * col("s1"))
+      .withColumn("_den",
+        col("n0").cast("double") * col("n1").cast("double") *
+          (col("s0") + col("s1")).cast("double") *
+          (col("n0") + col("n1") - col("s0") - col("s1")).cast("double"))
+      .withColumn("chi2",
+        when(col("_den") > 0,
+          (col("n0") + col("n1")).cast("double") *
+            (col("_ad_bc").cast("double") * col("_ad_bc").cast("double")) / col("_den")))
+      .select(col("event_type"), col("n0"), col("s0"), col("n1"), col("s1"),
+        col("chi2"), (col("chi2") > 3.841).as("significant"))
+      .orderBy(col("event_type"))
+  }
+
   /** JSON schema profiling ([[graft.operators.JsonProfile.profile]]):
     * the raw `props` column carries only `{"k": int}`, so the query
     * PLANTS a ragged document — `amount` (double, always), `uid` (long,

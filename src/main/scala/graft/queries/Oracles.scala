@@ -1897,6 +1897,21 @@ object Oracles {
          |  FROM g x JOIN g y ON x.lang = y.lang AND x.doc_id < y.doc_id AND abs(x.n_chars - y.n_chars) <= 50)
          |WHERE jaccard >= 0.3 ORDER BY a, b""".stripMargin,
 
+    // prefix-filtered exact Jaccard join: the oracle is the honest
+    // quadratic all-pairs join over distinct word-token sets — any pair
+    // the prefix filter missed would show up as a row-count mismatch
+    "jaccard_join" ->
+      s"""WITH t AS (SELECT doc_id,
+         |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
+         |  FROM documents),
+         |s AS MATERIALIZED (SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM t WHERE len(toks) > 0),
+         |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
+         |    len(list_intersect(x.toks, y.toks))::BIGINT AS n_common,
+         |    x.sz + y.sz - len(list_intersect(x.toks, y.toks))::BIGINT AS n_union
+         |  FROM s x JOIN s y ON x.doc_id < y.doc_id)
+         |SELECT a, b, n_common, (n_common::DOUBLE / n_union::DOUBLE) AS jaccard
+         |FROM p WHERE n_common * 2 >= n_union ORDER BY a, b""".stripMargin,
+
     // directed containment of the smaller shingle set in the larger:
     // lang-blocked, shingle floor 5 on the contained side (the size
     // direction makes the container's floor implied), string shingles
@@ -4693,6 +4708,59 @@ object Oracles {
         |  AND o_orderdate < TIMESTAMP '1996-04-01'
         |GROUP BY c_custkey, c_name, c_acctbal, n_name
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    // Q19 shape: disjunctive cross-table predicate, decimal-exact revenue
+    "q19_disjunctive" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    // Q16 shape: lineitem stands in for partsupp; NOT IN = anti join
+    "q16_supplier_variety" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p_brand, p_size, count(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+        |FROM ps JOIN part ON l_partkey = p_partkey
+        |WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    // Q22 shape: scalar-average threshold cross-multiplied in decimal,
+    // never-ordered anti join
+    "q22_idle_balance" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
+        |st AS (SELECT sum(bal) AS tot, count(*) AS cnt FROM c WHERE bal > 0)
+        |SELECT c_nationkey, count(*)::BIGINT AS numcust, sum(bal)::DOUBLE AS totacctbal
+        |FROM c, st
+        |WHERE bal * cnt > tot
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+
+    // 2x2 chi-squared A/A readout: md5-coin arms, integer cells, one
+    // fixed float order for the statistic
+    "ab_chisq" ->
+      s"""WITH a AS (SELECT user_id, (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm
+         |  FROM (SELECT DISTINCT user_id FROM events)),
+         |sz AS (SELECT sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         |              sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1 FROM a),
+         |cv AS (SELECT event_type, arm
+         |  FROM (SELECT DISTINCT event_type, user_id FROM events) JOIN a USING (user_id)),
+         |cells AS (SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS s0,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS s1
+         |  FROM cv GROUP BY 1),
+         |x AS (SELECT event_type, n0, s0, n1, s1,
+         |    s0 * (n1 - s1) - (n0 - s0) * s1 AS adbc,
+         |    n0::DOUBLE * n1::DOUBLE * (s0 + s1)::DOUBLE * (n0 + n1 - s0 - s1)::DOUBLE AS den
+         |  FROM cells, sz)
+         |SELECT event_type, n0, s0, n1, s1,
+         |  CASE WHEN den > 0
+         |       THEN (n0 + n1)::DOUBLE * (adbc::DOUBLE * adbc::DOUBLE) / den END AS chi2,
+         |  CASE WHEN den > 0
+         |       THEN ((n0 + n1)::DOUBLE * (adbc::DOUBLE * adbc::DOUBLE) / den) > 3.841 END AS significant
+         |FROM x ORDER BY event_type""".stripMargin,
 
     // tokenizer fertility per language: whitespace words vs BPE-ish
     // subword runs, exact 2^-20 ratio

@@ -771,4 +771,37 @@ class DedupSpec extends SparkSuite {
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)
     assert(!plan.contains("CartesianProduct"), plan)
   }
+
+  test("prefixJaccardPairs: full recall vs brute force at every tested threshold") {
+    // deterministic pseudo-random corpus: token vocab of 30, docs of
+    // 3..12 tokens — small enough to brute-force, varied enough to
+    // exercise prefix lengths from 1 to |d|
+    val docs = (0L until 40L).map { i =>
+      val n = 3 + (i * 7 % 10).toInt
+      val toks = (0 until n).map(j => s"t${(i * 13 + j * j * 5 + 3) % 30}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val tokenSets = docs.as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split("\\s+").filter(_.nonEmpty).toSet }
+      .toMap
+    for ((tNum, tDen) <- Seq((1, 2), (3, 10), (4, 5))) {
+      val brute = (for {
+        a <- tokenSets.keys; b <- tokenSets.keys if a < b
+        inter = (tokenSets(a) & tokenSets(b)).size
+        uni = (tokenSets(a) | tokenSets(b)).size
+        if inter * tDen >= uni * tNum
+      } yield (a, b, inter.toLong)).toSet
+      val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", tNum, tDen)
+        .select("a", "b", "n_common").as[(Long, Long, Long)].collect().toSet
+      assert(got == brute, s"threshold $tNum/$tDen: got ${got.size}, brute ${brute.size}")
+    }
+  }
+
+  test("prefixJaccardPairs candidates join only prefix tokens (plan has no cross join)") {
+    val docs = (0L until 30L).map(i => (i, s"a b c d tok$i")).toDF("doc_id", "text")
+    val plan = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1, 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
