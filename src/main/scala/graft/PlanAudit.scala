@@ -143,7 +143,21 @@ object PlanAudit {
       // register table
       "q18_large_orders", "q10_returned_items", "q4_order_priority",
       "keyword_tag", "rollup_incremental", "interval_overlap",
-      "pareto_front", "active_users_hll", "graph_hits", "graph_hyperball")
+      "pareto_front", "active_users_hll", "graph_hits", "graph_hyperball",
+      // round 11k: Q19's disjuncts must each push a side-local OR
+      // approximation into BOTH scans (PushedFilters on part AND
+      // lineitem) with the full disjunction as residual; Q16
+      // pre-distincts the fact before any join; Q22's scalar stats are
+      // a one-row broadcast; Q21 is two grain-descending aggregates +
+      // one semi join, no correlated subquery; jaccard_join's candidate
+      // join must touch prefix tokens only (no cross join anywhere);
+      // asof_native must show AsOfMergeJoin with Catalyst-planned
+      // exchanges/sorts; the grouping-sets plan is ONE Expand + one
+      // aggregate; the trailing-7d RANGE window runs over the
+      // days-sized pre-aggregate
+      "q19_disjunctive", "q16_supplier_variety", "q22_idle_balance",
+      "q21_blame_supplier", "jaccard_join", "asof_native",
+      "sales_grouping_sets", "revenue_trailing_7d")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -263,7 +263,30 @@ object ScaleSmoke {
         val edges = itemEdges(ev)
           .where(pmod(col("src") * 31 + col("dst"), lit(47)) === 0)
         Graph.kCore(edges, "src", "dst", k = 2, maxRounds = 10).count()
-      }))
+      }),
+      // round 11k: jaccard_join's candidate volume is Σ(prefix-token
+      // df²) — rare-first ordering keeps it near-linear as the corpus
+      // (and its vocabulary) grows 10×; hyperball is rounds × |E| ×
+      // non-zero registers over the fixed item alphabet (denser edges,
+      // the pagerank direction); kcenter is k corpus passes over a slim
+      // (id, qv, d2) table; attribution is one window+aggregate pass —
+      // the driver solve is vocabulary-bounded and scale-invariant
+      "jaccard_join" -> (() =>
+        Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1, 2).count()),
+      "hyperball" -> (() =>
+        Graph.hyperBall(itemEdges(ev), "src", "dst", rounds = 3).count()),
+      "kcenter" -> (() => {
+        val embs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            ((pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), i.cast("string"))), 1, 6), 16, 10).cast("long"),
+              lit(1000L)) - lit(500L)).cast("double") / 500.0).cast("float"))
+            .as("embedding"))
+        CorpusSelection.kCenterSelect(embs, "embedding", "vec_id", k = 6).count()
+      }),
+      "attribution" -> (() => Attribution.removalEffects(
+        ev.withColumn("ts", col("ts").cast("timestamp")),
+        "user_id", "event_type", "ts", "event_id", "purchase").count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

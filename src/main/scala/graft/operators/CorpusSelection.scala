@@ -744,4 +744,62 @@ object CorpusSelection {
       .where(col("_pm").isNull || col("_pm") < col(yCol))
       .drop("_pm")
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the diversity-maximizing data-selection step: pick the
+    * k most mutually-distant examples as a coverage coreset; the same
+    * traversal seeds k-means++-style inits and curriculum anchor sets).
+    * Start from the lowest-id vector, then k−1 times add the point
+    * farthest from every chosen center (max of running min-distance,
+    * ties to the lowest id). The selected radius sequence is the
+    * 2-approximation certificate: round r's radius bounds the optimal
+    * r-center covering radius from below by half.
+    *
+    * Scale shape: the corpus-sized state is ONE slim table — (id,
+    * quantized vector, running min-d2) — updated per round with a
+    * map-local `least(d2, d2_to_new_center)` against the single
+    * broadcast-as-literal new center (64 longs), then one
+    * partial-aggregated argmax. Nothing joins the corpus to the corpus;
+    * per-round driver traffic is one (id, d2) row + one 64-long vector,
+    * the bounded-collect class (1-row watermark, BPE argmax). Rounds
+    * follow [[Materialize.cutLoop]]. Distances live on the same exact
+    * integer grid as [[Similarity.lloydKMeans]] (floor(x·2²⁰), int64
+    * squared distance), so every round replays bit-for-bit in SQL.
+    *
+    * Returns (`sel_round`, `center_id`, `radius_fp`): the selection
+    * order and the covering radius at which each center was chosen
+    * (round 0 seeds with radius 0).
+    */
+  def kCenterSelect(embs: DataFrame, vecCol: String, idCol: String,
+                    k: Int = 8, scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = embs.sparkSession
+    val q = Materialize.cutEager(embs.select(col(idCol).as("_vid"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("qv")))
+    def d2To(center: Seq[Long]): Column =
+      aggregate(zip_with(col("qv"), typedLit(center), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val first = q.orderBy(col("_vid")).limit(1).collect().head
+    val firstId = first.getLong(0)
+    var centerQv: Seq[Long] = first.getSeq[Long](1)
+    val chosen = scala.collection.mutable.ArrayBuffer((0, firstId, 0L))
+    var md = Materialize.cutLoop(
+      q.select(col("_vid"), col("qv"), d2To(centerQv).as("_d2")), None)
+    for (r <- 1 until k) {
+      // bounded 1-row argmax: farthest point from the chosen set
+      val next = md.orderBy(col("_d2").desc, col("_vid")).limit(1).collect().head
+      chosen += ((r, next.getLong(0), next.getLong(2)))
+      centerQv = next.getSeq[Long](1)
+      if (r < k - 1) {
+        md = Materialize.cutLoop(
+          md.select(col("_vid"), col("qv"),
+            least(col("_d2"), d2To(centerQv)).as("_d2")),
+          Some(md))
+      }
+    }
+    Materialize.release(md)
+    Materialize.release(q)
+    spark.createDataFrame(chosen.toSeq)
+      .toDF("sel_round", "center_id", "radius_fp")
+  }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 import org.apache.spark.sql.functions._
 
-import graft.plans.MortonCode
+import graft.plans.{HilbertCode, MortonCode}
 
 /** Physical-layout operators — the write-side levers that decide how
   * much a 100 TB table costs to READ later: a scan's price is the
@@ -48,6 +48,29 @@ object Layout {
       .repartitionByRange(numFiles, col("_z"))
       .sortWithinPartitions(col("_z"))
       .drop("_z")
+  }
+
+  /** Hilbert code column — see [[graft.plans.HilbertCode]]. Both inputs
+    * must already fit `bits` (bucket or hash wider domains first).
+    */
+  def hilbertCode(a: Column, b: Column, bits: Int): Column =
+    ExpressionUtils.column(HilbertCode(
+      ExpressionUtils.expression(a.cast("long")),
+      ExpressionUtils.expression(b.cast("long")), bits))
+
+  /** [[zorderLayout]] with the Hilbert curve as the clustering key —
+    * strictly better locality than Z-order (no quadrant-seam jumps:
+    * every curve step is Manhattan-adjacent), hence tighter per-file
+    * min/max envelopes and more pruning for the same file count. Same
+    * plan shape: one codegen'd key, one range exchange, in-partition
+    * sort.
+    */
+  def hilbertLayout(df: DataFrame, a: String, b: String, bits: Int, numFiles: Int): DataFrame = {
+    require(numFiles >= 1, s"numFiles must be >= 1, got $numFiles")
+    df.withColumn("_h", hilbertCode(col(a), col(b), bits))
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions(col("_h"))
+      .drop("_h")
   }
 
   /** Per-file min/max audit of a written directory — the statistics a

@@ -63,6 +63,8 @@ object GraftExtensions {
       arity(1, "nfc_clean(str)")(c => NfcClean(c.head))),
     ("morton_code", MortonCode.info,
       arity(3, "morton_code(a, b, bits)")(c => MortonCode(c.head, c(1), intLit(c(2), "bits")))),
+    ("hilbert_code", HilbertCode.info,
+      arity(3, "hilbert_code(a, b, bits)")(c => HilbertCode(c.head, c(1), intLit(c(2), "bits")))),
     ("topk_pairs", TopKPairs.info,
       arity(3, "topk_pairs(ord, payload, k)")(c => TopKPairs(c.head, c(1), intLit(c(2), "k")))))
 

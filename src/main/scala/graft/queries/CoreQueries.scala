@@ -338,6 +338,32 @@ object CoreQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** LEFT OUTER twin of [[streamAttribution]]: every purchase, with a
+    * null click when no click preceded it within the 30-minute window —
+    * the "conversion without attributable touchpoint" report. Batch
+    * here; the streaming twin is
+    * [[graft.streaming.EventStream.attributionPairsOuter]], whose
+    * outer rows emit on watermark eviction (EventStreamSpec pins
+    * row-parity after a watermark-flushing sentinel).
+    */
+  def streamAttributionOuter(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy(col("purchase_id"), col("click_id"))
+  }
+
   /** §2.9: incremental watermark scan — filter above the committed
     * watermark, then aggregate the new high-water mark.
     */
@@ -1093,6 +1119,109 @@ object CoreQueries {
         col("chi2"), (col("chi2") > 3.841).as("significant"))
       .orderBy(col("event_type"))
   }
+
+  /** TPC-H Q21 shape (the supplier who kept the order waiting): count,
+    * per supplier, the multi-supplier orders where THAT supplier was
+    * the only late one (shipdate > orderdate + 90 days). The reference
+    * query is a correlated EXISTS + NOT EXISTS pair; decorrelated here
+    * into two grain-descending aggregates — per-(order, supplier)
+    * lateness, then per-order supplier/late counts — and one semi-join
+    * of the blamed rows against qualifying orders. No correlated
+    * subquery survives: the "some other supplier" EXISTS becomes
+    * `n_supp >= 2`, the "no other late supplier" NOT EXISTS becomes
+    * `n_late = 1`, both map-side-combined counts.
+    */
+  def q21BlameSupplier(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perSupp = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"), 1L)
+        .otherwise(0L)).as("late"))
+    val qualifying = perSupp.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"), sum(col("late")).as("n_late"))
+      .where(col("n_supp") >= 2 && col("n_late") === 1)
+      .select(col("l_orderkey"))
+    perSupp.where(col("late") === 1)
+      .join(qualifying, Seq("l_orderkey"), "left_semi")
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  /** Explicit GROUPING SETS (the general form behind [[salesRollup]]'s
+    * ROLLUP and [[salesCube]]'s CUBE): exactly the three analyst views
+    * (nation, priority), (nation), (priority) — no grand total — from
+    * ONE Expand pass over the joined fact, each input row replicated
+    * once per set before a single hash aggregate. NULL group keys
+    * coalesce to 'ALL' so the set identity is value-visible and
+    * engine-portable (no grouping_id numbering crosses engines).
+    */
+  def salesGroupingSets(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+    val ord = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val cust = Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))
+    val nat = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name"), col("o_orderpriority")), Seq(col("n_name")),
+          Seq(col("o_orderpriority"))),
+        col("n_name"), col("o_orderpriority"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .cast("double").as("revenue"))
+      .select(
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_items"), col("revenue"))
+      .orderBy(col("nation"), col("priority"))
+  }
+
+  /** Trailing 7-day revenue via a RANGE window frame — the
+    * frame-with-gaps semantic ROWS cannot express: the trailing sum
+    * spans CALENDAR days, so missing days still narrow the frame.
+    * Decimal-exact daily sums aggregate the corpus first; the RANGE
+    * window then runs over the days-sized table keyed on the epoch-day
+    * integer (`RANGE BETWEEN 6 PRECEDING AND CURRENT ROW`). Single
+    * unpartitioned window over DAYS only — bounded forever; partition
+    * by month with carry-in if the day table ever isn't.
+    */
+  def revenueTrailing7d(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(sum(dec(col("value"))).as("_rev"))
+      .withColumn("_epoch_day", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+    val w = Window.orderBy(col("_epoch_day")).rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", sum(col("_rev")).over(w).cast("double"))
+      .select(col("day"), col("_rev").cast("double").as("revenue"), col("rev_7d"))
+      .orderBy(col("day"))
+  }
+
+  /** Markov removal-effect attribution
+    * ([[graft.operators.Attribution.removalEffects]]): journeys =
+    * per-user event sequences truncated at first purchase; the chain's
+    * conversion probability is re-solved with each channel removed, and
+    * the relative drop is that channel's credit — the data-driven
+    * complement of the last-touch `stream_attribution` join. Transition
+    * counting is one distributed window+aggregate pass; the
+    * (vocab+2)²-cell solve replays in exact fixed point (16 Jacobi
+    * sweeps, 2⁻⁴⁰ grid) on both engines.
+    */
+  def eventAttributionRemoval(s: SparkSession, d: String): DataFrame =
+    graft.operators.Attribution.removalEffects(events(s, d),
+      "user_id", "event_type", "ts", "event_id", "purchase", rounds = 16)
+      .orderBy(col("channel"))
 
   /** JSON schema profiling ([[graft.operators.JsonProfile.profile]]):
     * the raw `props` column carries only `{"k": int}`, so the query

@@ -220,6 +220,39 @@ object Oracles {
        |FROM m$iters GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** Greedy k-center (CorpusSelection.kCenterSelect) unrolled: seed =
+    * lowest id, then per round the argmax of the running min-d2 table,
+    * which is then least()-merged with distances to the new center —
+    * same integer grid as the k-means oracle.
+    */
+  private def kcenterOracleSql(k: Int): String = {
+    def d2From(centerCte: String): String =
+      s"""SELECT e.vec_id, sum((e.v - ce.v) * (e.v - ce.v))::BIGINT AS d2
+         |    FROM e JOIN (SELECT e2.dim, e2.v FROM e e2 JOIN $centerCte ON e2.vec_id = $centerCte.cid) ce USING (dim)
+         |    GROUP BY e.vec_id""".stripMargin
+    val rounds = (1 until k).map { r =>
+      val pick = s"p$r AS (SELECT vec_id AS cid, d2 FROM md${r - 1} ORDER BY d2 DESC, vec_id LIMIT 1)"
+      if (r < k - 1)
+        s"""$pick,
+           |md$r AS MATERIALIZED (SELECT m.vec_id, least(m.d2, n.d2) AS d2 FROM md${r - 1} m JOIN (
+           |    ${d2From(s"p$r")}) n USING (vec_id))""".stripMargin
+      else pick
+    }.mkString(",\n")
+    val out = (1 until k)
+      .map(r => s"UNION ALL SELECT $r::INTEGER, cid, d2 FROM p$r")
+      .mkString("\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, d AS dim, floor(embedding[d + 1]::DOUBLE * 1048576.0)::BIGINT AS v
+       |  FROM embeddings, unnest(range(0, 64)) AS t(d)),
+       |c0 AS (SELECT min(vec_id) AS cid FROM embeddings),
+       |md0 AS MATERIALIZED (
+       |  ${d2From("c0")}),
+       |$rounds
+       |SELECT 0::INTEGER AS sel_round, cid AS center_id, 0::BIGINT AS radius_fp FROM c0
+       |$out
+       |ORDER BY sel_round""".stripMargin
+  }
+
   private def bpeOracleSql(k: Int): String = {
     val union = (1 to k).map(r =>
       s"SELECT $r AS step, a AS merge_left, b AS merge_right, c AS pair_count FROM b$r")
@@ -351,6 +384,59 @@ object Oracles {
        |  ($harmonic)::BIGINT AS harmonic_q10
        |FROM e0 $joins
        |ORDER BY harmonic_q10 DESC, e0.node LIMIT 50""".stripMargin
+  }
+
+  /** Markov removal-effect attribution (Attribution.removalEffects)
+    * unrolled: transition counts from the same window pass, then
+    * `rounds` Jacobi sweeps per variant (full chain + one per removed
+    * channel) in HUGEINT fixed point — every sweep's floor division
+    * replayed exactly.
+    */
+  private def attributionOracleSql(rounds: Int): String = {
+    val grid = 1L << 40
+    val channels = Seq("click", "error", "signup", "view")
+    val variants = Seq(("full", None: Option[String])) ++ channels.map(c => (c, Some(c)))
+    val varCtes = variants.map { case (name, removed) =>
+      val base = s"v_${name}_0 AS (SELECT s, CASE WHEN s = 'purchase' THEN ${grid}::HUGEINT ELSE 0::HUGEINT END AS val FROM st)"
+      val iters = (1 to rounds).map { i =>
+        val removedCond = removed.map(c => s" OR st.s = '$c'").getOrElse("")
+        s"""v_${name}_$i AS (SELECT st.s,
+           |    CASE WHEN st.s = 'purchase' THEN ${grid}::HUGEINT
+           |         WHEN st.s = 'END'$removedCond THEN 0::HUGEINT
+           |         ELSE coalesce(x.acc, 0::HUGEINT) END AS val
+           |  FROM st LEFT JOIN (
+           |    SELECT t.from_s AS s, (sum(t.cnt * p.val) // max(tt.tot)) AS acc
+           |    FROM tr t JOIN v_${name}_${i - 1} p ON p.s = t.to_s
+           |    JOIN tt ON tt.from_s = t.from_s GROUP BY t.from_s) x USING (s))""".stripMargin
+      }
+      (base +: iters).mkString(",\n")
+    }.mkString(",\n")
+    val prUnion = channels
+      .map(c => s"SELECT '$c' AS channel, val FROM v_${c}_$rounds WHERE s = 'START'")
+      .mkString(" UNION ALL ")
+    s"""WITH o AS (SELECT user_id, event_type,
+       |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ord FROM $EV),
+       |fc AS (SELECT user_id, min(ord) AS conv_ord FROM o WHERE event_type = 'purchase' GROUP BY 1),
+       |j AS (SELECT o.user_id, o.event_type, o.ord FROM o LEFT JOIN fc USING (user_id)
+       |      WHERE fc.conv_ord IS NULL OR o.ord <= fc.conv_ord),
+       |steps AS (SELECT coalesce(lag(event_type) OVER (PARTITION BY user_id ORDER BY ord), 'START') AS from_s,
+       |    event_type AS to_s FROM j),
+       |term AS (SELECT arg_max(event_type, ord) AS from_s, 'END' AS to_s FROM j GROUP BY user_id),
+       |tr AS MATERIALIZED (SELECT from_s, to_s, count(*)::BIGINT AS cnt FROM (
+       |    SELECT * FROM steps UNION ALL SELECT * FROM term WHERE from_s <> 'purchase') GROUP BY 1, 2),
+       |tt AS MATERIALIZED (SELECT from_s, sum(cnt)::BIGINT AS tot FROM tr GROUP BY 1),
+       |st AS MATERIALIZED (SELECT DISTINCT s FROM (
+       |    SELECT from_s AS s FROM tr UNION ALL SELECT to_s FROM tr)),
+       |$varCtes,
+       |pf AS (SELECT val AS pv FROM v_full_$rounds WHERE s = 'START')
+       |SELECT c.channel,
+       |  pf.pv::BIGINT AS p_conv_fp,
+       |  pr.val::BIGINT AS p_removed_fp,
+       |  (CASE WHEN pf.pv > 0 THEN (pf.pv - pr.val) * 1048576 // pf.pv ELSE 0 END)::BIGINT AS removal_q20
+       |FROM (VALUES ('click'), ('error'), ('signup'), ('view')) c(channel)
+       |CROSS JOIN pf
+       |JOIN ($prUnion) pr USING (channel)
+       |ORDER BY channel""".stripMargin
   }
 
   /** k-core peel (Graph.kCore, k=2, mod-13 sparsified item graph)
@@ -1145,6 +1231,19 @@ object Oracles {
          |  (epoch_us(purchase_ts) - epoch_us(click_ts))::BIGINT AS gap_us
          |FROM p JOIN c USING (user_id)
          |WHERE click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
+         |ORDER BY purchase_id, click_id""".stripMargin,
+
+    // LEFT OUTER attribution: null click = unattributed conversion.
+    // Null click_id rows never share a purchase_id with matched rows,
+    // so ORDER BY (purchase_id, click_id) is unambiguous despite the
+    // engines' opposite NULLS FIRST/LAST defaults
+    "stream_attribution_outer" ->
+      s"""WITH c AS (SELECT user_id, event_id AS click_id, ts AS click_ts FROM $EV WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM $EV WHERE event_type = 'purchase')
+         |SELECT purchase_id, click_id, p.user_id AS user_id,
+         |  (epoch_us(purchase_ts) - epoch_us(click_ts))::BIGINT AS gap_us
+         |FROM p LEFT JOIN c ON p.user_id = c.user_id
+         |  AND click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 30 MINUTE
          |ORDER BY purchase_id, click_id""".stripMargin,
 
     "incremental_scan" ->
@@ -2720,6 +2819,32 @@ object Oracles {
         |  list_sum(list_transform(range(0, 16), i ->
         |    ((((a >> i) & 1) << (2 * i)) + (((dim_b >> i) & 1) << (2 * i + 1)))))::BIGINT AS zcode
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Hilbert walk replay: 16-level recursive CTE, one rotate/reflect
+    // step per level (rx/ry from the level bit; ry=1 keeps the frame,
+    // ry=0 swaps, rx=1 additionally reflects)
+    "hilbert_code" ->
+      """WITH RECURSIVE c AS (
+        |  SELECT doc_id, n_chars::BIGINT AS n_chars,
+        |    (list_reduce(list_transform(string_split(substr(md5(doc_id::VARCHAR), 1, 6), ''),
+        |       ch -> strpos('0123456789abcdef', ch) - 1), (x, y) -> x * 16 + y)::BIGINT % 65536) AS dim_b
+        |  FROM documents),
+        |h AS (
+        |  SELECT doc_id, (n_chars & 65535) AS hx, dim_b AS hy, 0::BIGINT AS d, 32768::BIGINT AS s FROM c
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CASE WHEN (hy & s) > 0 THEN hx & (s - 1)
+        |         WHEN (hx & s) = 0 THEN hy & (s - 1)
+        |         ELSE s - 1 - (hy & (s - 1)) END AS hx,
+        |    CASE WHEN (hy & s) > 0 THEN hy & (s - 1)
+        |         WHEN (hx & s) = 0 THEN hx & (s - 1)
+        |         ELSE s - 1 - (hx & (s - 1)) END AS hy,
+        |    d + s * s * xor(CASE WHEN (hx & s) > 0 THEN 3 ELSE 0 END,
+        |                    CASE WHEN (hy & s) > 0 THEN 1 ELSE 0 END) AS d,
+        |    s // 2 AS s
+        |  FROM h WHERE s > 0)
+        |SELECT doc_id, n_chars, dim_b, d AS hcode
+        |FROM h JOIN c USING (doc_id) WHERE s = 0 ORDER BY doc_id""".stripMargin,
 
     // rolling z-score replay: integer (key, minute) counts, trailing
     // 10-bucket Σc/Σc² window sums (exact), single-division floats
@@ -4812,6 +4937,41 @@ object Oracles {
         |      AND l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Q21 shape: blame the sole late supplier on multi-supplier orders;
+    // the EXISTS/NOT EXISTS pair decorrelated to per-order counts
+    "q21_blame_supplier" ->
+      """WITH ps AS (SELECT l_orderkey, l_suppkey,
+        |    max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)::BIGINT AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2),
+        |q AS (SELECT l_orderkey FROM ps GROUP BY 1 HAVING count(*) >= 2 AND sum(late) = 1)
+        |SELECT s_name, count(*)::BIGINT AS numwait
+        |FROM ps JOIN q USING (l_orderkey) JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE late = 1
+        |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+
+    // explicit GROUPING SETS: three views, no grand total, ALL-coalesced
+    "sales_grouping_sets" ->
+      """SELECT coalesce(n_name, 'ALL') AS nation,
+        |  coalesce(o_orderpriority, 'ALL') AS priority,
+        |  count(*)::BIGINT AS n_items,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority))
+        |ORDER BY nation, priority""".stripMargin,
+
+    // RANGE frame over calendar days: missing days still narrow the
+    // trailing-7 window (the ROWS-frame bug this query pins against)
+    "revenue_trailing_7d" ->
+      s"""WITH daily AS (SELECT ts::DATE AS day, sum(value::DECIMAL(18,2)) AS rev
+         |  FROM $EV GROUP BY 1)
+         |SELECT day, rev::DOUBLE AS revenue,
+         |  (sum(rev) OVER (ORDER BY day RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW))::DOUBLE AS rev_7d
+         |FROM daily ORDER BY day""".stripMargin,
+
     // Cohen's kappa between the two weak labelers; fixed-point carries
     // kappa+1 so truncating div == flooring div (non-negative)
     "label_kappa" ->
@@ -4836,6 +4996,14 @@ object Oracles {
     // HyperBall: three unrolled neighbor-merge rounds, every register
     // and both estimator branches replayed
     "graph_hyperball" -> hyperballOracleSql(3),
+
+    // Markov removal-effect attribution: 16 Jacobi sweeps x 5 variants,
+    // HUGEINT fixed point
+    "event_attribution_removal" -> attributionOracleSql(16),
+
+    // greedy k-center: 8 unrolled farthest-point rounds on the k-means
+    // integer grid
+    "select_kcenter" -> kcenterOracleSql(8),
 
     // CDC chunk storage-dedup rollup: same Gear chunking as chunk_cdc,
     // per-source totals vs store-once-per-fingerprint

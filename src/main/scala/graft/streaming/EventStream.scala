@@ -87,6 +87,39 @@ object EventStream {
         (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
   }
 
+  /** LEFT OUTER twin of [[attributionPairs]] — every purchase emits,
+    * unattributed ones with a null click. The streaming-specific
+    * semantics the inner join hides: a matched pair still streams out
+    * immediately, but an UNMATCHED purchase must be held in state until
+    * the watermark proves no qualifying click can still arrive (its
+    * range bound + lateness), and only then emits null-padded — i.e.
+    * outer results are delayed by exactly the lateness bound, the
+    * price of a correct "conversion WITHOUT prior click" stream. Same
+    * one user-key exchange per side, state bounded by window+lateness;
+    * batch-parity (after a watermark-flushing sentinel) is pinned in
+    * EventStreamSpec against
+    * [[graft.queries.CoreQueries.streamAttributionOuter]].
+    */
+  def attributionPairsOuter(events: DataFrame, attWindow: String = "30 minutes",
+                            lateness: String = "1 hour"): DataFrame = {
+    val ev = events.withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", lateness)
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", lateness)
+    purchases.join(clicks,
+      col("c_user") === col("user_id") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $attWindow"),
+      "leftOuter")
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+  }
+
   /** Streaming KMV distinct-count sketch — the batch aggregate
     * ([[graft.plans.KmvMinK]]) carried as mapGroupsWithState state: per
     * key, the k smallest distinct coins ever seen (an `Array[Long]`,

@@ -447,4 +447,25 @@ class CorpusSelectionSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSet
     assert(kept == anti.toSet)
   }
+
+  test("kCenterSelect matches a brute-force greedy farthest-point traversal") {
+    val rnd = new scala.util.Random(97)
+    val vecs = (0L until 60L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // independent reference: same grid, same tie rules
+    val grid = vecs.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * (1L << 20)).toLong) }.toMap
+    def d2(a: Seq[Long], b: Seq[Long]): Long = a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    var center = grid(0L)
+    var md = grid.map { case (id, v) => id -> d2(v, center) }
+    val want = scala.collection.mutable.ArrayBuffer((0, 0L, 0L))
+    for (r <- 1 until 6) {
+      val (cid, rad) = md.toSeq.minBy { case (id, d) => (-d, id) }
+      want += ((r, cid, rad))
+      center = grid(cid)
+      md = md.map { case (id, d) => id -> math.min(d, d2(grid(id), center)) }
+    }
+    val got = CorpusSelection.kCenterSelect(df, "embedding", "vec_id", k = 6)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want.toSeq)
+  }
 }

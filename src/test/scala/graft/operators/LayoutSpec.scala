@@ -23,6 +23,34 @@ class LayoutSpec extends SparkSuite {
     assert(got == m(5, 9))
   }
 
+  test("hilbertCode walks every cell exactly once with unit steps (the locality Z-order lacks)") {
+    def h(a: Long, b: Long): Long = graft.plans.HilbertCode.encode(a, b, 4)
+    // pinned values (independently computed)
+    assert(h(0, 0) == 0L)
+    assert(h(7, 2) == 25L)
+    assert(graft.plans.HilbertCode.encode(65535, 65535, 16) == 2863311530L)
+    // bijection + Manhattan-adjacency over the full order-4 grid
+    val byCode = (for (x <- 0L until 16L; y <- 0L until 16L) yield h(x, y) -> ((x, y))).toMap
+    assert(byCode.size == 256, "not a bijection")
+    val jumps = (0L until 255L).count { d =>
+      val (x1, y1) = byCode(d); val (x2, y2) = byCode(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(jumps == 0, s"$jumps non-adjacent Hilbert steps")
+    // ...and Morton provably jumps at quadrant seams on the same grid
+    val mByCode = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield graft.plans.MortonCode.interleave(x, y, 4) -> ((x, y))).toMap
+    val mortonJumps = (0L until 255L).count { d =>
+      val (x1, y1) = mByCode(d); val (x2, y2) = mByCode(d + 1)
+      math.abs(x1 - x2) + math.abs(y1 - y2) != 1
+    }
+    assert(mortonJumps > 0, "expected Z-curve seam jumps")
+    // column form agrees with the static form
+    val got = Seq((298L, 40000L)).toDF("a", "b")
+      .select(Layout.hilbertCode(col("a"), col("b"), 16)).as[Long].head()
+    assert(got == graft.plans.HilbertCode.encode(298, 40000, 16))
+  }
+
   test("z-order layout prunes on BOTH dimensions where a single-column sort prunes on one") {
     val rnd = new scala.util.Random(53)
     val rows = (0 until 4000).map(_ => (rnd.nextInt(256).toLong, rnd.nextInt(256).toLong))

@@ -65,6 +65,80 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("left-outer stream-stream attribution == batch streamAttributionOuter after sentinel flush") {
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-attr-outer")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val rawBatch = spark.read.parquet(inDir.toString)
+    val tsIsLong = rawBatch.schema("ts").dataType.typeName == "long"
+    // watermark-flushing sentinel: one 'noop' event 10 days past max ts.
+    // Outer rows only emit when the watermark proves no match can still
+    // arrive; without the sentinel every unmatched purchase in the last
+    // lateness+window of the data would stay in state and the parity
+    // check would be tail-truncated.
+    def sentinelTs(days: Int) = rawBatch.agg(max(col("ts"))).head.get(0) match {
+      case l: Long => lit(l + days * 86400L * 1000000000L)
+      case ldt: java.time.LocalDateTime => lit(ldt.plusDays(days))
+      case t: java.sql.Timestamp => lit(new java.sql.Timestamp(t.getTime + days * 86400L * 1000L))
+      case other => fail(s"unexpected ts type: $other")
+    }
+    // The watermark nodes sit AFTER the event_type filters, so a
+    // sentinel only advances the watermark if it IS a click and a
+    // purchase (multipleWatermarkPolicy=min needs BOTH branches to
+    // move). The sentinel user is -1 and excluded from the comparison.
+    def writeSentinel(days: Int): Unit =
+      Seq("click", "purchase").foreach { t =>
+        rawBatch.limit(1)
+          .withColumn("event_id", lit(99999900L + days + (if (t == "click") 0 else 1)))
+          .withColumn("ts", sentinelTs(days))
+          .withColumn("user_id", lit(-1L))
+          .withColumn("event_type", lit(t))
+          .coalesce(1).write.mode("append").parquet(inDir.toString)
+      }
+    def streamEvents() = {
+      val raw = spark.readStream.schema(spark.read.parquet(inDir.toString).schema)
+        .parquet(inDir.toString)
+      if (tsIsLong) raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))
+    // Outer-join state evicts against the watermark committed by the
+    // PREVIOUS batch, and AvailableNow stops once all files are
+    // processed — so one run leaves the final lateness-window's
+    // unmatched purchases in state. Standard flush recipe: a second
+    // run on the SAME checkpoint whose only new data is a later
+    // sentinel; its batch executes with the first sentinel's watermark
+    // already committed and emits the held null rows. The sink must be
+    // restart-capable (memory sink is not): a parquet file sink
+    // accumulates both runs' appends.
+    val ckpt = tmp.resolve("ckpt").toString
+    val outDir = tmp.resolve("out").toString
+    def runOnce(): Unit = {
+      val q = EventStream.attributionPairsOuter(streamEvents()).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    writeSentinel(10)
+    runOnce()
+    writeSentinel(20)
+    runOnce()
+    val streamed = spark.read.parquet(outDir).collect().map(key).toSet
+      .filter(_._3 != -1L) // drop the sentinel user's own rows
+    val batch = CoreQueries.streamAttributionOuter(spark, sfDir).collect()
+      .map(key).toSet
+    assert(streamed == batch)
+    assert(batch.exists(_._2 == -1L), "expected at least one unattributed purchase")
+  }
+
   test("streamed session_window sessions == batch Sessionize at sf0.001") {
     val sfDir = "/root/testdata/sf0.001"
     val tmp = Files.createTempDirectory("graft-stream-sess")
