@@ -933,4 +933,42 @@ object TextAnalysis {
       .orderBy(col("score_fp").desc, col("a"), col("b"))
       .limit(topK)
   }
+
+  /** Corpus-wide LINE-level dedup — the C4 / RefinedWeb inner loop
+    * (Raffel et al. 2020 drop any three-sentence span occurring ≥3×;
+    * RefinedWeb's line-wise dedup): a repeated LINE is boilerplate
+    * (cookie banners, nav text, share buttons) even when its documents
+    * are otherwise unique, so dedup must act BELOW document granularity
+    * but ACROSS the whole corpus. Documents split into fixed-`width`
+    * token lines ([[chunkTokens]], stride = width — the corpus has no
+    * newlines, so fixed windows stand in for visual lines); any line
+    * whose exact text occurs in ≥ `maxOcc` places is dropped from every
+    * document, and each document reassembles from its surviving lines
+    * in order.
+    *
+    * Plan: one chunk explode (token-volume map work), ONE line-text
+    * hash aggregate for global counts (at web scale: hash the line to 8
+    * bytes first and count the hash — same plan, slimmer exchange), one
+    * equi-join back, one per-doc aggregate that counts, filters, and
+    * reassembles in a single `collect_list` pass. Emits
+    * (`idCol`, `n_lines`, `n_removed`, `clean_fp`) — the fingerprint of
+    * the cleaned text, so the comparator never ships document bodies.
+    */
+  def lineDedup(docs: DataFrame, textCol: String, idCol: String,
+                width: Int = 10, maxOcc: Int = 3): DataFrame = {
+    require(width >= 1 && maxOcc >= 2, s"need width >= 1 and maxOcc >= 2")
+    val lines = chunkTokens(docs, textCol, idCol, width, 0)
+      .select(col(idCol), col("chunk_idx"), col("chunk_text"))
+      .materialized // feeds the global count AND the reassembly join
+    val counts = lines.groupBy(col("chunk_text")).agg(count(lit(1)).as("_n"))
+    lines.join(counts, "chunk_text")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_n") >= maxOcc, 1L).otherwise(0L)).as("n_removed"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("_n") < maxOcc, struct(col("chunk_idx"), col("chunk_text"))))),
+          s => s.getField("chunk_text")))).as("clean_fp"))
+  }
 }

@@ -154,4 +154,33 @@ object UrlFilter {
       .select(col(idCol), canonicalizeUrl(col(urlCol)).as("canonical_url"))
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("canonical_id"), count(lit(1)).as("n_urls"))
+
+  /** Crawl politeness scheduler — the frontier-planning step between
+    * URL dedup and fetching: a crawler must serialize requests to one
+    * host (`delaySeconds` apart, the robots crawl-delay contract) while
+    * keeping all workers busy, so every host is pinned to ONE worker
+    * (an md5 coin on the registered domain — host affinity is what
+    * makes the per-host delay enforceable without coordination) and a
+    * host's k-th URL (ascending `tieCol`) fetches at offset
+    * k·delaySeconds on that worker. Emits per-URL
+    * (`tieCol`, `registered_domain`, `worker`, `slot_seconds`) — the
+    * deterministic fetch plan; per-worker makespan is its max slot.
+    *
+    * One window per domain (bounded by the domain's URL count — cap
+    * with [[capPerDomain]] first, as production frontiers do) and
+    * map-local hashing: nothing global, nothing quadratic.
+    */
+  def politenessSchedule(docs: DataFrame, urlCol: String, tieCol: String,
+                         delaySeconds: Long, workers: Int): DataFrame = {
+    require(delaySeconds >= 1 && workers >= 1, "need delaySeconds >= 1 and workers >= 1")
+    val w = Window.partitionBy(col("registered_domain")).orderBy(col(tieCol))
+    docs
+      .withColumn("registered_domain", registeredDomain(col(urlCol)))
+      .withColumn("worker",
+        pmod(conv(substring(md5(col("registered_domain")), 1, 6), 16, 10).cast("long"),
+          lit(workers.toLong)))
+      .withColumn("slot_seconds",
+        (row_number().over(w).cast("long") - 1L) * delaySeconds)
+      .select(col(tieCol), col("registered_domain"), col("worker"), col("slot_seconds"))
+  }
 }

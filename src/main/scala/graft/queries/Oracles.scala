@@ -3680,6 +3680,47 @@ object Oracles {
     // per-domain quota over the same planted URLs: the one-window
     // row_number form — the engine's salted two-phase top-N must be
     // result-identical to it
+    // C4/RefinedWeb line dedup: fixed 10-token lines, corpus-global
+    // counts, per-doc reassembly fingerprint
+    "dedup_lines" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |x AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+         |      FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+         |l AS MATERIALIZED (SELECT doc_id, (pos // 10)::INTEGER AS chunk_idx,
+         |      string_agg(tok, ' ' ORDER BY pos) AS chunk_text FROM x GROUP BY 1, 2),
+         |c AS (SELECT chunk_text, count(*)::BIGINT AS n FROM l GROUP BY 1)
+         |SELECT doc_id, count(*)::BIGINT AS n_lines,
+         |  sum(CASE WHEN n >= 3 THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+         |  md5(coalesce(string_agg(CASE WHEN n < 3 THEN chunk_text END, ' ' ORDER BY chunk_idx), '')) AS clean_fp
+         |FROM l JOIN c USING (chunk_text)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // politeness schedule over the planted frontier: domain -> md5-coin
+    // worker, per-domain serial 5s slots
+    "crawl_schedule" ->
+      s"""WITH u AS (
+         |  SELECT doc_id,
+         |    'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www' ELSE 'cdn' END || '.' ||
+         |    ['example.com','badsite.io','shop.example.co.uk','spam-tracker.net','news.example.org'][(doc_id % 5 + 1)::INTEGER] ||
+         |    '/p/' || doc_id::VARCHAR AS url
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, string_split(string_split(regexp_extract(lower(url), '^[a-z][a-z0-9+.-]*://([^/?#]+)', 1), '@')[-1], ':')[1] AS host
+         |  FROM u),
+         |r AS (SELECT doc_id, string_split(host, '.') AS labels FROM h),
+         |rd AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(labels) >= 3 AND array_to_string(labels[len(labels)-1:], '.') IN
+         |           ('co.uk','org.uk','ac.uk','gov.uk','co.jp','ne.jp','or.jp','com.au','net.au',
+         |            'org.au','co.in','co.za','com.br','com.cn','com.mx','com.tr','co.kr','co.nz')
+         |         THEN array_to_string(labels[len(labels)-2:], '.')
+         |         ELSE array_to_string(labels[greatest(len(labels)-1, 1):], '.') END AS registered_domain
+         |  FROM r)
+         |SELECT doc_id, registered_domain,
+         |  (${md24("registered_domain")}) % 4 AS worker,
+         |  (row_number() OVER (PARTITION BY registered_domain ORDER BY doc_id) - 1) * 5 AS slot_seconds
+         |FROM rd ORDER BY doc_id""".stripMargin,
+
     "url_domain_cap" ->
       """WITH u AS (
         |  SELECT doc_id, lang,

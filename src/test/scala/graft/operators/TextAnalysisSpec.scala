@@ -504,4 +504,22 @@ class TextAnalysisSpec extends SparkSuite {
     }
     assert(out.map(_._6) == out.map(_._6).sorted.reverse)
   }
+
+  test("lineDedup drops corpus-repeated lines and reassembles the rest in order") {
+    import spark.implicits._
+    def fp(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val docs = Seq(
+      (1L, "a b c x y z"),   // "a b c" repeats (docs 1,2) -> dropped
+      (2L, "a b c q r s"),   // both its lines repeat -> empty remainder
+      (3L, "q r s t u v")    // "q r s" repeats (docs 2,3)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs, "text", "doc_id", width = 3, maxOcc = 2)
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, fp("x y z")),
+      (2L, 2L, 2L, fp("")),
+      (3L, 2L, 1L, fp("t u v"))))
+  }
 }

@@ -102,4 +102,21 @@ class UrlFilterSpec extends SparkSuite {
       ("https://a.com/x?a=1&b=2", 1L, 2L),
       ("https://a.com/y", 3L, 1L)))
   }
+
+  test("politenessSchedule: host-affine workers, per-domain serial slots") {
+    val urls = Seq(
+      (1L, "https://www.a.com/1"), (2L, "https://cdn.a.com/2"), (3L, "https://a.com/3"),
+      (4L, "https://b.org/1"), (5L, "https://b.org/2")
+    ).toDF("doc_id", "url")
+    val got = UrlFilter.politenessSchedule(urls, "url", "doc_id", delaySeconds = 5L, workers = 4)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1).toSeq
+    // one worker per domain (host affinity), serial 5s slots in id order
+    val byDomain = got.groupBy(_._2)
+    assert(byDomain.keySet == Set("a.com", "b.org"))
+    byDomain.foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, "domain split across workers")
+      assert(rows.sortBy(_._1).map(_._4) == rows.indices.map(_ * 5L))
+    }
+    got.foreach { case (_, _, w, _) => assert(w >= 0 && w < 4) }
+  }
 }
