@@ -272,7 +272,7 @@ object ScaleSmoke {
       // (id, qv, d2) table; attribution is one window+aggregate pass —
       // the driver solve is vocabulary-bounded and scale-invariant
       "jaccard_join" -> (() =>
-        Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1, 2).count()),
+        Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1, 2, shingleK = 3).count()),
       "hyperball" -> (() =>
         Graph.hyperBall(itemEdges(ev), "src", "dst", rounds = 3).count()),
       "kcenter" -> (() => {

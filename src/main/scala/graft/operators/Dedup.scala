@@ -1457,15 +1457,28 @@ object Dedup {
     * test are integer-exact (no float ⌈⌉ drift vs the oracle).
     *
     * Returns (`a`, `b`, `n_common`, `jaccard`) for accepted pairs.
+    *
+    * `shingleK ≥ 2` switches the set elements from words to k-token
+    * shingles — the production setting. Prefix filtering's cost bound
+    * is Σ(prefix-token df²), which collapses only when SOME of each
+    * document's elements are globally rare; word sets over a small
+    * vocabulary (the adversarial case — measured 128 s at sf0.1 on
+    * this corpus's ~100-word vocabulary, an effective all-pairs)
+    * violate that, while shingling makes the element space
+    * combinatorial so near-universal elements all but vanish. Same
+    * guarantee, same algorithm — exact Jaccard over the chosen
+    * element sets.
     */
   def prefixJaccardPairs(docs: DataFrame, textCol: String, idCol: String,
-                         tNum: Int, tDen: Int): DataFrame = {
+                         tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
     import org.apache.spark.sql.expressions.Window
+    val units =
+      if (shingleK >= 2) shingles(col(textCol), shingleK)
+      else array_distinct(split(lower(trim(col(textCol))), "\\s+"))
     val toks = docs
-      .select(col(idCol).as("_id"),
-        explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("_tok"))
+      .select(col(idCol).as("_id"), explode(units).as("_tok"))
       .where(col("_tok") =!= "")
       .materialized // feeds df-counts, ranking, and the verify arrays
     val dfCounts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))

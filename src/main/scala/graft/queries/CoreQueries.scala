@@ -1057,11 +1057,14 @@ object CoreQueries {
   }
 
   /** TPC-H Q22 shape (idle rich customers): per nation, customers whose
-    * balance beats the positive-balance average but who never ordered.
-    * The scalar subquery decorrelates to a one-row aggregate broadcast
-    * as a cross join; the "never ordered" is a LEFT ANTI join on the
-    * orders key projection; the average test is cross-multiplied in
-    * decimal (`bal · n > Σbal`) so no float average crosses engines.
+    * balance beats the positive-balance average but who placed no
+    * RECENT order (none since 2000 — the synthetic corpus has no
+    * never-ordered customers, so "lapsed" stands in for "never",
+    * preserving the shape). The scalar subquery decorrelates to a
+    * one-row aggregate broadcast as a cross join; the lapse test is a
+    * LEFT ANTI join on the date-filtered orders key projection (the
+    * date pushes into the scan); the average test is cross-multiplied
+    * in decimal (`bal · n > Σbal`) so no float average crosses engines.
     */
   def q22IdleBalance(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
@@ -1070,7 +1073,9 @@ object CoreQueries {
       .agg(sum(col("bal")).as("_tot"), count(lit(1)).as("_cnt"))
     c.crossJoin(broadcast(stats))
       .where(col("bal") * col("_cnt") > col("_tot"))
-      .join(Tables.orders(s, d).select(col("o_custkey")),
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select(col("o_custkey")),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("numcust"),
@@ -1206,6 +1211,173 @@ object CoreQueries {
       .withColumn("rev_7d", sum(col("_rev")).over(w).cast("double"))
       .select(col("day"), col("_rev").cast("double").as("revenue"), col("rev_7d"))
       .orderBy(col("day"))
+  }
+
+  /** TPC-H Q6 shape (forecasting revenue change): the canonical
+    * scan-pushdown benchmark — three range predicates, no join, one
+    * row out. The whole WHERE reaches the parquet scan
+    * (`PushedFilters` on shipdate, discount, quantity) and the
+    * aggregate is a map-side-combined partial sum; at 100 TB this
+    * query is I/O-bound on exactly the row groups the min/max
+    * statistics cannot exclude.
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast("double").as("revenue"))
+
+  /** TPC-H Q14 shape (promotion effect): revenue share of PROMO parts
+    * in one quarter — conditional aggregation over a broadcast
+    * dimension join, both sums decimal-exact and divided once in
+    * double. The date window pushes into the fact scan.
+    */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val rev = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0).cast("decimal(18,2)")))
+          .as("_promo"),
+        sum(rev).as("_total"))
+      .select((lit(100.0) * col("_promo").cast("double") / col("_total").cast("double"))
+        .as("promo_share"))
+  }
+
+  /** TPC-H Q7 shape (volume shipping between two nations): the
+    * two-sided dimension chain — supplier nation on one leg, customer
+    * nation (via orders) on the other, the symmetric nation-pair
+    * disjunction, revenue per (supp, cust, year). All dimensions
+    * broadcast; the only big exchange is the lineitem×orders key join.
+    */
+  def q7VolumeShipping(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("_rev"))
+    val n1 = Tables.nation(s, d).select(col("n_nationkey").as("_sk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, d).select(col("n_nationkey").as("_ck"), col("n_name").as("cust_nation"))
+    li.join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("_sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("_ck"))
+      .where((col("supp_nation") === "NATION_13" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_13"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(col("_rev")).cast("double").as("revenue"))
+      .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+  }
+
+  /** TPC-H Q8 shape (national market share): of all revenue shipped to
+    * one region's customers over two years, the share supplied by one
+    * nation, per order year — the ratio-of-conditional-sums pattern
+    * over a five-dimension join. Dimensions broadcast; one fact-fact
+    * exchange.
+    */
+  def q8MarketShare(s: SparkSession, d: String): DataFrame = {
+    val asiaNations = Tables.nation(s, d)
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val suppNation = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    val vol = dec(col("l_extendedprice")) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), vol.as("_vol"))
+      .join(Tables.orders(s, d)
+        .where(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d).select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"), "left_semi")
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("supp_nation") === "NATION_2", col("_vol"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("_n2"),
+        sum(col("_vol")).as("_all"))
+      .select(col("o_year"),
+        (col("_n2").cast("double") / col("_all").cast("double")).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9 shape (product-line profit by nation and year): revenue
+    * on ECONOMY parts per supplier nation per order year — the
+    * four-table chain with the part filter semi-join-reduced AHEAD of
+    * the fact exchange (only ECONOMY lineitems shuffle).
+    */
+  def q9ProductProfit(s: SparkSession, d: String): DataFrame = {
+    val econParts = Tables.part(s, d).where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .join(broadcast(econParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"))))
+          .as("_rev"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(col("_rev")).cast("double").as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q13 shape (customer order-count distribution): LEFT OUTER
+    * join so zero-order customers survive, then two stacked
+    * aggregations — per-customer order count, then the histogram of
+    * counts. The outer join exchanges on the customer key once; both
+    * aggregates partial-combine.
+    */
+  def q13CustomerDistribution(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+
+  /** TPC-H Q15 shape (top supplier of the quarter): per-supplier
+    * quarterly revenue, keep every supplier tying the maximum — the
+    * scalar-max subquery decorrelated to a one-row broadcast, the
+    * classic argmax-with-ties plan (no window over the corpus).
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("_rev"))
+    val mx = rev.agg(max(col("_rev")).as("_mx"))
+    rev.crossJoin(broadcast(mx))
+      .where(col("_rev") === col("_mx"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("_rev").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
   }
 
   /** Markov removal-effect attribution

@@ -2000,10 +2000,8 @@ object Oracles {
     // quadratic all-pairs join over distinct word-token sets — any pair
     // the prefix filter missed would show up as a row-count mismatch
     "jaccard_join" ->
-      s"""WITH t AS (SELECT doc_id,
-         |    list_distinct(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x <> '')) AS toks
-         |  FROM documents),
-         |s AS MATERIALIZED (SELECT doc_id, toks, len(toks)::BIGINT AS sz FROM t WHERE len(toks) > 0),
+      s"""WITH g AS (${shingleSelect(3)}),
+         |s AS MATERIALIZED (SELECT doc_id, sh AS toks, len(sh)::BIGINT AS sz FROM g WHERE len(sh) > 0),
          |p AS (SELECT x.doc_id AS a, y.doc_id AS b,
          |    len(list_intersect(x.toks, y.toks))::BIGINT AS n_common,
          |    x.sz + y.sz - len(list_intersect(x.toks, y.toks))::BIGINT AS n_union
@@ -4884,6 +4882,90 @@ object Oracles {
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    // Q6 shape: pure scan pushdown, no join
+    "q6_forecast_revenue" ->
+      """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    // Q14 shape: conditional-sum ratio over the part dimension
+    "q14_promo_share" ->
+      """SELECT (100.0 * sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE
+        |  / sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE) AS promo_share
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
+    // Q7 shape: symmetric nation-pair volume by year
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, year(l_shipdate)::INTEGER AS l_year,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE ((n1.n_name = 'NATION_13' AND n2.n_name = 'NATION_19')
+        |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_13'))
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    // Q8 shape: supplier-nation market share within one region
+    "q8_market_share" ->
+      """WITH base AS (
+        |  SELECT year(o_orderdate)::INTEGER AS o_year,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+        |    n2.n_name AS supp_nation
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |  JOIN region ON n1.n_regionkey = r_regionkey
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |  WHERE r_name = 'ASIA'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+        |SELECT o_year,
+        |  (sum(CASE WHEN supp_nation = 'NATION_2' THEN volume ELSE CAST(0 AS DECIMAL(18,2)) END)::DOUBLE
+        |   / sum(volume)::DOUBLE) AS mkt_share
+        |FROM base GROUP BY o_year ORDER BY o_year""".stripMargin,
+
+    // Q9 shape: ECONOMY-part revenue by supplier nation and order year
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, year(o_orderdate)::INTEGER AS o_year,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))::DOUBLE AS sum_profit
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'ECONOMY'
+        |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin,
+
+    // Q13 shape: outer join + stacked aggregation histogram
+    "q13_customer_distribution" ->
+      """SELECT c_count, count(*)::BIGINT AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey)::BIGINT AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // Q15 shape: scalar-max subquery with ties kept
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total_rev
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey),
+        |m AS (SELECT max(total_rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, total_rev::DOUBLE AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey CROSS JOIN m
+        |WHERE total_rev = mx ORDER BY s_suppkey""".stripMargin,
+
     // Q16 shape: lineitem stands in for partsupp; NOT IN = anti join
     "q16_supplier_variety" ->
       """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
@@ -4894,14 +4976,16 @@ object Oracles {
         |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
 
     // Q22 shape: scalar-average threshold cross-multiplied in decimal,
-    // never-ordered anti join
+    // no-recent-order anti join (the corpus has no never-ordered
+    // customers, so "lapsed since 2000" keeps the shape non-degenerate)
     "q22_idle_balance" ->
       """WITH c AS (SELECT c_custkey, c_nationkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer),
         |st AS (SELECT sum(bal) AS tot, count(*) AS cnt FROM c WHERE bal > 0)
         |SELECT c_nationkey, count(*)::BIGINT AS numcust, sum(bal)::DOUBLE AS totacctbal
         |FROM c, st
         |WHERE bal * cnt > tot
-        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
 
     // 2x2 chi-squared A/A readout: md5-coin arms, integer cells, one

@@ -797,6 +797,27 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("prefixJaccardPairs over shingles: full recall vs brute-force shingle sets") {
+    val docs = (0L until 30L).map { i =>
+      val n = 5 + (i * 7 % 8).toInt
+      val toks = (0 until n).map(j => s"t${(i * 13 + j * j * 5 + 3) % 12}")
+      (i, toks.mkString(" "))
+    }.toDF("doc_id", "text")
+    val sets = docs.as[(Long, String)].collect().map { case (id, t) =>
+      val toks = t.split("\\s+").filter(_.nonEmpty)
+      id -> toks.sliding(2).filter(_.length == 2).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty).toMap
+    val brute = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      uni = (sets(a) | sets(b)).size
+      if inter * 10 >= uni * 3
+    } yield (a, b, inter.toLong)).toSet
+    val got = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 3, 10, shingleK = 2)
+      .select("a", "b", "n_common").as[(Long, Long, Long)].collect().toSet
+    assert(got == brute, s"got ${got.size}, brute ${brute.size}")
+  }
+
   test("prefixJaccardPairs candidates join only prefix tokens (plan has no cross join)") {
     val docs = (0L until 30L).map(i => (i, s"a b c d tok$i")).toDF("doc_id", "text")
     val plan = Dedup.prefixJaccardPairs(docs, "text", "doc_id", 1, 2)
