@@ -287,4 +287,63 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
   }
+
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein 1998)
+    * — the diversity-aware re-ranking every RAG retriever ships: from a
+    * candidate list, greedily pick the item maximizing
+    * `relevance − max-similarity-to-already-picked`, so near-duplicate
+    * top hits don't crowd out coverage (λ = 1/2, which on the integer
+    * grid reduces to the plain difference — exact, no float weights).
+    * Round 1 picks pure-relevance argmax; ties go to the lowest
+    * candidate id.
+    *
+    * Input is the CANDIDATE table — (query, candidate, relevance_fp,
+    * quantized vector), bounded per query by the first stage (the
+    * rerank discipline: corpus-sized work happened upstream in
+    * BM25/ANN). Each of the k rounds is a broadcast join of the ≤
+    * |queries| picked rows back onto the pool, one map-local grid dot
+    * + running `greatest`, and a per-query `min(struct)` argmax —
+    * nothing bigger than the candidate table ever shuffles, and the
+    * per-candidate state is ONE long (the running max-sim), not the
+    * picked set. Rounds follow [[Materialize.cutLoop]]; picks are
+    * pinned cuts (consumed by both the output union and the next
+    * round's pool).
+    *
+    * Returns (`queryCol`, `sel_round`, `candCol`, `mmr_fp`).
+    */
+  def mmrSelect(candidates: DataFrame, queryCol: String, candCol: String,
+                relCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+    var pool = Materialize.cutLoop(candidates.select(
+      col(queryCol).as("_q"), col(candCol).as("_c"),
+      col(relCol).as("_rel"), col(vecCol).as("_cv"),
+      lit(null).cast("long").as("_maxsim")), None)
+    var out: DataFrame = null
+    for (r <- 1 to k) {
+      val score = if (r == 1) col("_rel") else col("_rel") - col("_maxsim")
+      val pick = Materialize.cutPinned(pool
+        .groupBy(col("_q"))
+        .agg(min(struct((-score).as("s"), col("_c").as("c"), col("_cv").as("v"))).as("_m"))
+        .select(col("_q"), lit(r).as("sel_round"), col("_m.c").as("_c"),
+          (-col("_m.s")).as("mmr_fp"), col("_m.v").as("_pv")))
+      val picked = pick.select(col("_q"), col("sel_round"), col("_c"), col("mmr_fp"))
+      out = if (out == null) picked else out.unionByName(picked)
+      if (r < k) {
+        pool = Materialize.cutLoop(
+          pool.join(broadcast(pick.select(col("_q"), col("_c").as("_pc"), col("_pv"))), Seq("_q"))
+            .where(col("_c") =!= col("_pc"))
+            .select(col("_q"), col("_c"), col("_rel"), col("_cv"),
+              greatest(coalesce(col("_maxsim"), lit(Long.MinValue)),
+                dot(col("_cv"), col("_pv"))).as("_maxsim")),
+          Some(pool))
+      }
+    }
+    // every consumer of the pool is a pinned pick; the output union
+    // reads only those cuts
+    Materialize.release(pool)
+    out.select(col("_q").as(queryCol), col("sel_round"),
+      col("_c").as(candCol), col("mmr_fp"))
+  }
 }

@@ -220,6 +220,48 @@ object Oracles {
        |FROM m$iters GROUP BY cluster ORDER BY cluster""".stripMargin
   }
 
+  /** MMR (Retrieval.mmrSelect) unrolled: top-`n` candidates per query
+    * by grid dot, then `k` greedy rounds — each round excludes the
+    * picked set (anti left-join), computes max-sim against it, and
+    * takes the per-query argmax of rel − max-sim (ties to lowest id).
+    */
+  private def mmrOracleSql(k: Int, n: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (SELECT c.query_id, c.cand_id, c.rel, c.cv,
+         |    c.rel - max(${dotL("c.cv", "s.cv")}) AS score
+         |  FROM cand c
+         |  JOIN u${r - 1} s ON s.query_id = c.query_id
+         |  LEFT JOIN u${r - 1} x ON x.query_id = c.query_id AND x.cand_id = c.cand_id
+         |  WHERE x.cand_id IS NULL
+         |  GROUP BY c.query_id, c.cand_id, c.rel, c.cv),
+         |s$r AS (SELECT query_id, cand_id, score AS mmr, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rn
+         |    FROM m$r) WHERE rn = 1),
+         |u$r AS MATERIALIZED (SELECT query_id, cand_id, cv FROM u${r - 1}
+         |  UNION ALL SELECT query_id, cand_id, cv FROM s$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(r => s"SELECT query_id, $r::INTEGER AS sel_round, cand_id, mmr AS mmr_fp FROM s$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, qv AS qqv FROM e WHERE vec_id < 10),
+       |sc AS (SELECT query_id, e.vec_id AS cand_id, ${dotL("qv", "qqv")} AS rel, qv AS cv
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+       |cand AS MATERIALIZED (SELECT query_id, cand_id, rel, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn FROM sc)
+       |  WHERE rn <= $n),
+       |s1 AS (SELECT query_id, cand_id, rel AS mmr, cv FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn FROM cand)
+       |  WHERE rn = 1),
+       |u1 AS MATERIALIZED (SELECT query_id, cand_id, cv FROM s1),
+       |$rounds
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY query_id, sel_round""".stripMargin
+  }
+
   /** Greedy k-center (CorpusSelection.kCenterSelect) unrolled: seed =
     * lowest id, then per round the argmax of the running min-d2 table,
     * which is then least()-merged with distances to the new center —
@@ -5129,6 +5171,10 @@ object Oracles {
     // greedy k-center: 8 unrolled farthest-point rounds on the k-means
     // integer grid
     "select_kcenter" -> kcenterOracleSql(8),
+
+    // MMR diversified re-rank: 5 unrolled greedy rounds over the
+    // top-20 grid-dot candidates
+    "retrieval_mmr" -> mmrOracleSql(5, 20),
 
     // CDC chunk storage-dedup rollup: same Gear chunking as chunk_cdc,
     // per-source totals vs store-once-per-fingerprint

@@ -249,4 +249,31 @@ class RetrievalSpec extends SparkSuite {
     assert(out.head._1 == 22L)
     assert(out.map(_._1).toSet == Set(21L, 22L))
   }
+
+  test("mmrSelect: diversity beats raw relevance order (hand-computed rounds)") {
+    // c1 and c2 are near-duplicates; c3 is dissimilar but less
+    // relevant. MMR must pick c1, then c3 (c2's redundancy penalized),
+    // then c2.
+    val cands = Seq(
+      (7L, 1L, 100L, Seq(10L, 0L)),
+      (7L, 2L, 99L, Seq(9L, 1L)),
+      (7L, 3L, 50L, Seq(0L, 7L))
+    ).toDF("query_id", "cand_id", "rel_fp", "qv")
+    val got = Retrieval.mmrSelect(cands, "query_id", "cand_id", "rel_fp", "qv", k = 3)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    // round 2: c2 scores 99 - sim(c2,c1)=99-90=9; c3 scores 50 - 0 = 50
+    // round 3: c2 scores 99 - max(90, sim(c2,c3)=7) = 9
+    assert(got == Seq((7L, 1, 1L, 100L), (7L, 2, 3L, 50L), (7L, 3, 2L, 9L)))
+  }
+
+  test("mmrSelect ties break to the lowest candidate id") {
+    val cands = Seq(
+      (1L, 5L, 10L, Seq(1L, 0L)), (1L, 4L, 10L, Seq(0L, 1L)),
+      (1L, 9L, 3L, Seq(1L, 1L))
+    ).toDF("query_id", "cand_id", "rel_fp", "qv")
+    val got = Retrieval.mmrSelect(cands, "query_id", "cand_id", "rel_fp", "qv", k = 2)
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got.head == ((1L, 1, 4L, 10L))) // rel tie 4 vs 5 -> lowest id
+    assert(got(1) == ((1L, 2, 5L, 10L)))   // sim(5,4)=0, score 10 beats 9's
+  }
 }
