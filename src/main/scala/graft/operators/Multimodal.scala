@@ -141,4 +141,42 @@ object Multimodal {
         }
       }
   }
+
+  /** Video shot/scene-change detection over sampled frames — the
+    * frame-selection step before a captioning or frame-dedup pass:
+    * sample `frames` evenly-spaced byte windows ([[frameSampleHex]]),
+    * reduce each to a scalar intensity (the byte sum — standing in for
+    * a luminance histogram, the same honest-stub discipline as
+    * [[fakeDecode]]: the FEATURE is a stub, the detection pipeline —
+    * per-frame reduce, lag delta, threshold, running scene index — is
+    * the real algorithm), and cut wherever consecutive intensities
+    * jump by more than `threshold`. Emits (`idCol`, `frame_idx`,
+    * `intensity`, `is_cut`, `scene_idx`).
+    *
+    * Per-payload map work + one bounded window (partition = payload,
+    * `frames` rows) — shuffle cost is the frame table, never the
+    * payload bytes.
+    */
+  def sceneCuts(df: DataFrame, idCol: String, binCol: String,
+                frames: Int, frameBytes: Int, threshold: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = df
+      .where(octet_length(col(binCol)) >= frameBytes)
+      .select(col(idCol),
+        posexplode(frameSampleHex(col(binCol), frames, frameBytes))
+          .as(Seq("frame_idx", "_fh")))
+    val intensity = aggregate(
+      transform(sequence(lit(0), lit(frameBytes - 1)),
+        i => conv(col("_fh").substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("frame_idx"))
+    fr.withColumn("intensity", intensity)
+      .withColumn("_prev", lag(col("intensity"), 1).over(w))
+      .withColumn("is_cut",
+        col("_prev").isNotNull && abs(col("intensity") - col("_prev")) > threshold)
+      .withColumn("scene_idx",
+        sum(when(col("is_cut"), 1L).otherwise(0L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
+      .select(col(idCol), col("frame_idx"), col("intensity"), col("is_cut"), col("scene_idx"))
+  }
 }

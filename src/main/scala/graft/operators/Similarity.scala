@@ -885,4 +885,47 @@ object Similarity {
       .where(col("rank") <= k)
       .select(col("qid"), col("rank"), col("did"), col("score_fp"))
   }
+
+  /** Per-dimension (diagonal) whitening — the embedding
+    * post-processing step (Su et al. 2021 "Whitening Sentence
+    * Representations"; the mean-centering half is also ANN
+    * preprocessing in FAISS pipelines): z_d = (x_d − μ_d)/σ_d, which
+    * fixes anisotropic dimensions that would otherwise dominate every
+    * cosine. Exact-replay arithmetic: vectors quantize to the 2²⁰
+    * grid; per-dim μ = ⌊Σv/n⌋ and the variance numerator n·Σv² − (Σv)²
+    * stay in exact int64; σ = ⌊√(num/n²)⌋ (IEEE sqrt is
+    * correctly-rounded, so both engines floor the same double); and
+    * z(q10) = ⌊(v−μ)·1024/σ⌋ — every division is a float with exact
+    * integer operands in one fixed order, so the oracle replays
+    * bit-for-bit.
+    *
+    * Plan: one posexplode (vector volume, map work), ONE dims-sized
+    * aggregate (64 rows out regardless of corpus), a broadcast join of
+    * the stats back, and a per-vector profile aggregate. Returns
+    * (`vec_id`, `n_dims`, `z_sum_q10`, `z_min_q10`, `z_max_q10`) — the
+    * per-vector standardization audit; a pipeline wanting the vectors
+    * themselves keeps the `_z` column before the final rollup.
+    */
+  def whitenProfile(embs: DataFrame, vecCol: String, idCol: String,
+                    scale: Long = 1L << 20): DataFrame = {
+    val q = Materialize.cut(embs.select(col(idCol).as("vec_id"),
+      posexplode(transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")))
+        .as(Seq("dim", "v")))) // feeds the stats aggregate and the transform join
+    val stats = q.groupBy(col("dim"))
+      .agg(sum(col("v")).as("s"), sum(col("v") * col("v")).as("s2"), count(lit(1)).as("n"))
+      .select(col("dim"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("mu"),
+        greatest(lit(1L),
+          floor(sqrt((col("n") * col("s2") - col("s") * col("s")).cast("double")
+            / (col("n") * col("n")).cast("double"))).cast("long")).as("sigma"))
+    q.join(broadcast(stats), Seq("dim"))
+      .select(col("vec_id"),
+        floor(((col("v") - col("mu")) * 1024L).cast("double") / col("sigma").cast("double"))
+          .cast("long").as("_z"))
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).cast("int").as("n_dims"),
+        sum(col("_z")).as("z_sum_q10"),
+        min(col("_z")).as("z_min_q10"),
+        max(col("_z")).as("z_max_q10"))
+  }
 }

@@ -358,6 +358,57 @@ object TextAnalysis {
           .cast("float").as("nll_per_token"))
   }
 
+  /** Interpolated Kneser–Ney bigram LM scoring (Kneser & Ney 1995,
+    * Chen & Goodman 1999 — the smoothing every production n-gram LM
+    * ships, including the KenLM filters used on CCNet-style pipelines):
+    * absolute discount d = 3/4 off every observed bigram, the freed
+    * mass re-spent on the CONTINUATION unigram
+    * P_cont(w) = N1+(·w)/N1+(··) — "how many contexts does w complete"
+    * — which is what lets novel-context words score sanely where raw
+    * MLE gives zero. Self-corpus scoring means every document bigram is
+    * observed, so the probability is the closed rational
+    * `(max(4c(vw)−3, 0)·N1++ + 3·N1+(v·)·N1+(·w)) / (4·c(v·)·N1++)` —
+    * all-integer numerator/denominator, one float log per DISTINCT
+    * bigram on the 2⁻⁴⁰ grid (the [[unigramNll]] convention), integer
+    * sums per document.
+    *
+    * Plan: one bigram explode (token volume), one bigram-count
+    * aggregate (distinct-bigram-sized — reused for c(v·), N1+(v·),
+    * N1+(·w), N1+(··)), the per-bigram fixed-point map, and one
+    * doc-grain aggregate. Same shuffle budget as [[bigramNllBackoff]].
+    */
+  def kneserNeyNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val bg = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(
+        col(idCol),
+        explode(transform(sequence(lit(0), size(col("toks")) - 1),
+          i => struct(
+            when(i === 0, lit("<s>")).otherwise(element_at(col("toks"), i)).as("w1"),
+            element_at(col("toks"), i + 1).as("w2")))).as("_b"))
+      .select(col(idCol), col("_b.w1").as("w1"), col("_b.w2").as("w2"))
+    val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+      .materialized // feeds context stats, continuation stats, and the score join
+    val cv = c2.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cv"), count(lit(1)).as("n1v"))
+    val n1w = c2.groupBy(col("w2")).agg(count(lit(1)).as("n1w"))
+    val ndd = c2.agg(count(lit(1)).as("ndd"))
+    val fp = c2.join(cv, Seq("w1")).join(n1w, Seq("w2"))
+      .crossJoin(broadcast(ndd))
+      .select(col("w1"), col("w2"),
+        floor(-log(
+          (greatest(lit(4) * col("c") - 3, lit(0L)) * col("ndd")
+            + lit(3) * col("n1v") * col("n1w")).cast("double")
+            / (lit(4) * col("cv") * col("ndd")).cast("double")) * scale).as("fp"))
+    bg.join(fp, Seq("w1", "w2"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_tokens"), sum(col("fp")).as("_sfp"))
+      .select(col(idCol), col("n_tokens"),
+        ((col("_sfp").cast("double") / scale) / col("n_tokens").cast("double"))
+          .cast("float").as("nll_per_token"))
+  }
+
   /** Sliding token-window chunking with overlap — the document-prep step
     * in front of embedding / RAG / long-context training pipelines: each
     * document becomes ⌈max(0, n−size)/stride⌉+1 chunks of up to `size`

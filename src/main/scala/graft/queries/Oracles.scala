@@ -4050,6 +4050,28 @@ object Oracles {
         |FROM s, unnest([0, 1, 2, 3]) AS t(i)
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
+    // scene cuts: 8 frames, byte-sum intensity per frame (hex-domain
+    // byte parse), lag delta > 40, running scene index
+    "mm_scene_cuts" ->
+      """WITH b AS (SELECT doc_id, encode(text) AS p FROM documents WHERE n_chars >= 64),
+        |s AS (SELECT doc_id, upper(hex(p)) AS h, floor((octet_length(p) - 8) / 7)::INTEGER AS st
+        |      FROM b WHERE octet_length(p) >= 8),
+        |f AS (SELECT doc_id, i::INTEGER AS frame_idx, substr(h, (i * st * 2 + 1)::BIGINT, 16) AS fh
+        |  FROM s, unnest(range(0, 8)) AS t(i)),
+        |x AS (SELECT doc_id, frame_idx,
+        |    list_sum(list_transform(range(0, 8), j ->
+        |      list_reduce(list_transform(string_split(substr(fh, (j * 2 + 1)::BIGINT, 2), ''),
+        |        ch -> strpos('0123456789ABCDEF', ch) - 1), (a, b2) -> a * 16 + b2)))::BIGINT AS intensity
+        |  FROM f),
+        |y AS (SELECT doc_id, frame_idx, intensity,
+        |    lag(intensity) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS prev FROM x),
+        |z AS (SELECT doc_id, frame_idx, intensity,
+        |    (prev IS NOT NULL AND abs(intensity - prev) > 40) AS is_cut FROM y)
+        |SELECT doc_id, frame_idx, intensity, is_cut,
+        |  (sum(CASE WHEN is_cut THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id ORDER BY frame_idx
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::INTEGER AS scene_idx
+        |FROM z ORDER BY doc_id, frame_idx""".stripMargin,
+
     // 8 kHz mono 16-bit PCM -> 64-byte windows every 32 bytes; hex-domain
     // slicing (2 chars/byte), md5 of the hex slice as the window digest
     "mm_audio_windows" ->
@@ -4118,6 +4140,45 @@ object Oracles {
     // bigrams of the corpus itself, backoff = -ln(0.4 * p(target)); all
     // counts derive from ONE bigram aggregate (context counts = c2
     // grouped by w1, target counts by w2, total = all positions)
+    // Kneser-Ney bigram: closed rational probabilities (discount 3/4,
+    // continuation counts), one log per distinct bigram on the 2^-40
+    // grid, integer doc sums
+    "text_perplexity_kn" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1, toks[i] AS w2
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |c2 AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS c FROM bg GROUP BY w1, w2),
+        |cv AS MATERIALIZED (SELECT w1, sum(c)::BIGINT AS cv, count(*)::BIGINT AS n1v FROM c2 GROUP BY w1),
+        |nw AS MATERIALIZED (SELECT w2, count(*)::BIGINT AS n1w FROM c2 GROUP BY w2),
+        |nd AS (SELECT count(*)::BIGINT AS ndd FROM c2),
+        |fp AS MATERIALIZED (
+        |  SELECT c2.w1, c2.w2,
+        |    floor(-ln((greatest(4 * c - 3, 0) * ndd + 3 * n1v * n1w)::DOUBLE
+        |              / (4 * cv * ndd)::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM c2 JOIN cv USING (w1) JOIN nw USING (w2) CROSS JOIN nd)
+        |SELECT bg.doc_id, count(*)::INTEGER AS n_tokens,
+        |  ((sum(fp)::DOUBLE / 1099511627776.0) / count(*)::DOUBLE)::FLOAT AS nll_per_token
+        |FROM bg JOIN fp ON bg.w1 = fp.w1 AND bg.w2 = fp.w2
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+
+    // diagonal whitening: 64-row stats, IEEE-sqrt sigma floored on
+    // both engines, per-vector z profile
+    "emb_whiten" ->
+      """WITH q AS MATERIALIZED (
+        |  SELECT vec_id, d AS dim, floor(embedding[d + 1]::DOUBLE * 1048576.0)::BIGINT AS v
+        |  FROM embeddings, unnest(range(0, 64)) AS t(d)),
+        |st AS MATERIALIZED (SELECT dim,
+        |    floor(sum(v)::DOUBLE / count(*)::DOUBLE)::BIGINT AS mu,
+        |    greatest(1, floor(sqrt((count(*) * sum(v * v) - sum(v) * sum(v))::DOUBLE
+        |                           / (count(*) * count(*))::DOUBLE))::BIGINT) AS sigma
+        |  FROM q GROUP BY dim),
+        |z AS (SELECT vec_id, floor(((v - mu) * 1024)::DOUBLE / sigma::DOUBLE)::BIGINT AS z
+        |      FROM q JOIN st USING (dim))
+        |SELECT vec_id, count(*)::INTEGER AS n_dims, sum(z)::BIGINT AS z_sum_q10,
+        |  min(z)::BIGINT AS z_min_q10, max(z)::BIGINT AS z_max_q10
+        |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
     "text_perplexity2" ->
       """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
         |bg AS MATERIALIZED (

@@ -84,6 +84,19 @@ class MultimodalSpec extends SparkSuite {
     assert(out(8L).resizedMd5 != out(7L).resizedMd5)
   }
 
+  test("sceneCuts: planted intensity jump yields exactly one cut and two scenes") {
+    // 32 'a's then 32 'z's: frames 0,1 sample the a-region (sum 776),
+    // frames 2,3 the z-region (sum 976) -> one cut at frame 2
+    val docs = Seq((1L, "a" * 32 + "z" * 32)).toDF("doc_id", "text")
+    val got = Multimodal.sceneCuts(
+      Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload",
+      frames = 4, frameBytes = 8, threshold = 40L)
+      .as[(Long, Int, Long, Boolean, Int)].collect().sortBy(_._2).toSeq
+    assert(got == Seq(
+      (1L, 0, 776L, false, 0), (1L, 1, 776L, false, 0),
+      (1L, 2, 976L, true, 1), (1L, 3, 976L, false, 1)))
+  }
+
   private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
   }

@@ -535,4 +535,37 @@ class SimilaritySpec extends SparkSuite {
         .as[(Long, Int, Long, Long)].collect().sortBy(_._2).toSeq
     assert(run(1) == run(7))
   }
+
+  test("whitenProfile matches an exact scalar replay of the grid arithmetic") {
+    val rnd = new scala.util.Random(31)
+    val vecs = (0L until 40L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val grid = vecs.map { case (id, v) =>
+      id -> v.map(x => math.floor(x.toDouble * (1L << 20)).toLong)
+    }
+    val dims = 4
+    val want = {
+      val byDim = (0 until dims).map { d =>
+        val col = grid.map(_._2(d))
+        val n = col.size.toLong
+        val s = col.sum; val s2 = col.map(v => v * v).sum
+        val mu = math.floor(s.toDouble / n.toDouble).toLong
+        val sigma = math.max(1L,
+          math.floor(math.sqrt((n * s2 - s * s).toDouble / (n * n).toDouble)).toLong)
+        (mu, sigma)
+      }
+      grid.map { case (id, v) =>
+        val zs = (0 until dims).map { d =>
+          val (mu, sigma) = byDim(d)
+          math.floor(((v(d) - mu) * 1024L).toDouble / sigma.toDouble).toLong
+        }
+        (id, dims, zs.sum, zs.min, zs.max)
+      }.toSeq
+    }
+    val got = Similarity.whitenProfile(vecs.toDF("vec_id", "embedding"), "embedding", "vec_id")
+      .as[(Long, Int, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    // standardization sanity: the population of z-values is near 0-mean
+    val meanZ = got.map(_._3).sum.toDouble / (got.size * dims)
+    assert(math.abs(meanZ) < 1024, s"z mean $meanZ not centered")
+  }
 }

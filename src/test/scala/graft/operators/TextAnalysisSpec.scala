@@ -505,6 +505,29 @@ class TextAnalysisSpec extends SparkSuite {
     assert(out.map(_._6) == out.map(_._6).sorted.reverse)
   }
 
+  test("kneserNeyNll: hand-computed closed rationals on a three-doc corpus") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    // c(<s>,a)=3, c(a,b)=2, c(a,c)=1; cv(<s>)=3 n1v=1; cv(a)=3 n1v=2;
+    // n1w(a)=n1w(b)=n1w(c)=1; N1++=3
+    def fp(num: Long, den: Long): Long =
+      math.floor(-math.log(num.toDouble / den.toDouble) * 1099511627776.0).toLong
+    val fpSA = fp(9L * 3 + 3 * 1 * 1, 4L * 3 * 3)  // max(4*3-3,0)=9
+    val fpAB = fp(5L * 3 + 3 * 2 * 1, 36L)         // max(4*2-3,0)=5
+    val fpAC = fp(1L * 3 + 3 * 2 * 1, 36L)         // max(4*1-3,0)=1
+    val got = TextAnalysis.kneserNeyNll(docs, "text", "doc_id")
+      .as[(Long, Int, Float)].collect().sortBy(_._1).toSeq
+    def nll(fps: Seq[Long]): Float =
+      ((fps.sum.toDouble / 1099511627776.0) / fps.size).toFloat
+    assert(got == Seq(
+      (1L, 2, nll(Seq(fpSA, fpAB))),
+      (2L, 2, nll(Seq(fpSA, fpAB))),
+      (3L, 2, nll(Seq(fpSA, fpAC)))))
+    // discount mass: p(b|a) + p(c|a) < 1 (the freed 2d/c(a) mass covers
+    // unseen continuations)
+    assert((5.0 * 3 + 6) / 36 + (3.0 + 6) / 36 < 1.0)
+  }
+
   test("lineDedup drops corpus-repeated lines and reassembles the rest in order") {
     import spark.implicits._
     def fp(s: String): String =
