@@ -534,6 +534,42 @@ object Graph {
     out
   }
 
+  /** Degree assortativity (Newman 2002): the Pearson correlation of
+    * (source out-degree, target in-degree) over directed edges — the
+    * one-number structural health check of a link graph (organic webs
+    * are mildly DISassortative, r < 0: hubs point at leaves; a
+    * link-farm mesh of mutually-linked hubs drives r positive, which
+    * is why the metric sits next to [[reciprocity]] in a spam audit).
+    *
+    * Two degree aggregates + two equi-joins annotate each edge, then
+    * ONE six-sum aggregate (n, Σx, Σy, Σxy, Σx², Σy² — all exact
+    * int64) feeds the closed-form correlation; the only floats are the
+    * final fixed-order divisions and two IEEE sqrts, replayed
+    * identically by the oracle. Cost: |E| map + two shuffles on node
+    * keys, one row out at any scale.
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = Materialize.cut(edges
+      .select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst")))
+    val od = e.groupBy(col("src")).agg(count(lit(1)).as("outd"))
+    val ind = e.groupBy(col("dst")).agg(count(lit(1)).as("ind"))
+    e.join(od, Seq("src")).join(ind, Seq("dst"))
+      .agg(
+        count(lit(1)).as("n_edges"),
+        sum(col("outd")).as("_sx"), sum(col("ind")).as("_sy"),
+        sum(col("outd") * col("ind")).as("_sxy"),
+        sum(col("outd") * col("outd")).as("_sx2"),
+        sum(col("ind") * col("ind")).as("_sy2"))
+      .select(col("n_edges"),
+        when(
+          col("n_edges") * col("_sx2") - col("_sx") * col("_sx") > 0 &&
+            col("n_edges") * col("_sy2") - col("_sy") * col("_sy") > 0,
+          (col("n_edges") * col("_sxy") - col("_sx") * col("_sy")).cast("double") /
+            (sqrt((col("n_edges") * col("_sx2") - col("_sx") * col("_sx")).cast("double")) *
+              sqrt((col("n_edges") * col("_sy2") - col("_sy") * col("_sy")).cast("double"))))
+          .as("assortativity"))
+  }
+
   /** Per-node link reciprocity: of a node's distinct out-links, how many
     * are answered by the reverse link — the classic link-spam signal
     * (organic link graphs are mostly one-directional; reciprocal-link

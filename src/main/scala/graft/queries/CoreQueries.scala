@@ -1736,6 +1736,65 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** Degree assortativity of the item-transition graph
+    * ([[graft.operators.Graph.assortativity]], Newman 2002): one
+    * exact-integer six-sum aggregate over degree-annotated edges, the
+    * final Pearson ratio the only float — the link-farm structural
+    * audit next to `graph_reciprocity`.
+    */
+  def graphAssortativity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.assortativity(edges, "src", "dst")
+  }
+
+  /** TPC-H Q11 shape (revenue concentration): parts holding more than
+    * 1/1500 of GLOBAL revenue — the HAVING-against-a-global-scalar
+    * pattern. Per-part sums are one fact aggregate; the global total is
+    * the one-row re-aggregate broadcast back; the threshold compare is
+    * decimal-exact (`r · 1500 > total`, no float fraction).
+    */
+  def q11RevenueConcentration(s: SparkSession, d: String): DataFrame = {
+    val pr = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("_r"))
+    val g = pr.agg(sum(col("_r")).as("_t"))
+    pr.crossJoin(broadcast(g))
+      .where(col("_r") * 1500 > col("_t"))
+      .select(col("l_partkey"), col("_r").cast("double").as("part_revenue"),
+        (col("_r").cast("double") / col("_t").cast("double")).as("share"))
+      .orderBy(col("part_revenue").desc, col("l_partkey"))
+  }
+
+  /** TPC-H Q20 shape (bulk suppliers of a product line): suppliers who
+    * shipped more than 50 units of at least one ECONOMY part in 1996 —
+    * the IN-on-an-aggregated-subquery pattern, decorrelated to a
+    * grain-descending HAVING aggregate + one broadcast dimension join.
+    * The part filter semi-join-reduces the fact before the aggregate.
+    */
+  def q20BulkSuppliers(s: SparkSession, d: String): DataFrame = {
+    val econ = Tables.part(s, d).where(col("p_type") === "ECONOMY")
+      .select(col("p_partkey"))
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(econ), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).as("_q"))
+      .where(col("_q") > 50)
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_bulk_parts"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_bulk_parts"))
+      .orderBy(col("s_suppkey"))
+  }
+
   /** Incremental aggregate maintenance
     * ([[graft.operators.ChangeMerge.mergeRollups]]): the daily
     * per-event-type rollup is maintained as BASE (history, days before

@@ -4985,6 +4985,48 @@ object Oracles {
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    // degree assortativity: six exact sums, fixed-order Pearson float
+    "graph_assortativity" ->
+      s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM $EV),
+         |edges AS MATERIALIZED (SELECT src, dst FROM (
+         |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+         |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+         |od AS (SELECT src AS n, count(*)::BIGINT AS outd FROM edges GROUP BY 1),
+         |ind AS (SELECT dst AS n, count(*)::BIGINT AS ind FROM edges GROUP BY 1),
+         |s AS (SELECT count(*)::BIGINT AS n_edges,
+         |    sum(outd)::BIGINT AS sx, sum(ind)::BIGINT AS sy,
+         |    sum(outd * ind)::BIGINT AS sxy,
+         |    sum(outd * outd)::BIGINT AS sx2, sum(ind * ind)::BIGINT AS sy2
+         |  FROM edges JOIN od ON od.n = edges.src JOIN ind ON ind.n = edges.dst)
+         |SELECT n_edges,
+         |  CASE WHEN n_edges * sx2 - sx * sx > 0 AND n_edges * sy2 - sy * sy > 0
+         |       THEN (n_edges * sxy - sx * sy)::DOUBLE
+         |            / (sqrt((n_edges * sx2 - sx * sx)::DOUBLE) * sqrt((n_edges * sy2 - sy * sy)::DOUBLE))
+         |  END AS assortativity
+         |FROM s""".stripMargin,
+
+    // Q11 shape: HAVING against the global scalar, decimal-exact
+    "q11_revenue_concentration" ->
+      """WITH pr AS (SELECT l_partkey,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS r
+        |  FROM lineitem GROUP BY 1),
+        |g AS (SELECT sum(r) AS t FROM pr)
+        |SELECT l_partkey, r::DOUBLE AS part_revenue, (r::DOUBLE / t::DOUBLE) AS share
+        |FROM pr, g WHERE r * 1500 > t
+        |ORDER BY part_revenue DESC, l_partkey""".stripMargin,
+
+    // Q20 shape: bulk shipments of one product line, HAVING-aggregated
+    // subquery decorrelated
+    "q20_bulk_suppliers" ->
+      """WITH e AS (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY'),
+        |x AS (SELECT l_suppkey, l_partkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS q
+        |  FROM lineitem JOIN e ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2 HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 50)
+        |SELECT s_suppkey, s_name, count(*)::BIGINT AS n_bulk_parts
+        |FROM x JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1, 2 ORDER BY s_suppkey""".stripMargin,
+
     // Q6 shape: pure scan pushdown, no join
     "q6_forecast_revenue" ->
       """SELECT sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)))::DOUBLE AS revenue

@@ -363,4 +363,22 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
     assert(got == expected)
   }
+
+  test("assortativity: hand-computed Pearson over degree-annotated edges") {
+    // edges 1->2, 1->3, 2->3: x (src outdeg) = [2,2,1], y (dst indeg) = [1,2,2]
+    val got = Graph.assortativity(
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Option[Double])].collect().head
+    // same fixed-order float ops as the operator (sqrt(2)^2 != 2 in IEEE)
+    val want = (3L * 8 - 5 * 5).toDouble /
+      (math.sqrt((3L * 9 - 25).toDouble) * math.sqrt((3L * 9 - 25).toDouble))
+    assert(got._1 == 3L && got._2.contains(want))
+  }
+
+  test("assortativity is null on a degenerate (constant-degree) graph") {
+    val got = Graph.assortativity(
+      Seq((1L, 2L), (3L, 4L)).toDF("src", "dst"), "src", "dst")
+      .as[(Long, Option[Double])].collect().head
+    assert(got._1 == 2L && got._2.isEmpty)
+  }
 }
