@@ -619,6 +619,72 @@ object Similarity {
         (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the actual FAISS `IVFx,PQy`
+    * production index (Jégou et al. 2011 §IV.B): PQ codes compress the
+    * residual `vec − coarse_centroid(cell)` instead of the raw vector.
+    * Residuals are centered near zero with far smaller spread than the
+    * vectors themselves, so the same m·log₂(cells) bits quantize much
+    * finer — the accuracy gap between "PQ on vectors" ([[ivfPqTopK]],
+    * kept as the didactic variant) and every deployed billion-vector
+    * index. The query side pays the true asymmetric cost: the LUT is
+    * PER (query, probed cell) — the query's residual to THAT cell
+    * against the shared codebooks — m·cells entries per probe.
+    *
+    * Same scale shape as [[ivfPqTopK]]: bounded driver-side fits
+    * (coarse + m sub-codebooks, trained on residual slices), literal
+    * broadcast codebooks, shuffle-free encoding, a broadcast
+    * queries×probes×LUT frame joined map-side against the code stream
+    * on (cell), and only (query, neighbor) partial aggregates shuffle.
+    */
+  def ivfPqResidualTopK(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                        cells: Int = 16, nprobe: Int = 4, m: Int = 4, pqCells: Int = 16,
+                        sampleN: Int = 2000, iters: Int = 10, seed: Long = 42L,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val coarse = trainCentroids(candidates, dim, cells, sampleN, iters, seed, idCol, vecCol)
+    val coarseLit = typedLit(coarse.map(_.toSeq).toSeq)
+    def residual(vec: Column, cell: Column): Column =
+      zip_with(vec.cast("array<double>"), element_at(coarseLit, cell + 1), (x, y) => x - y)
+    val withRes = candidates
+      .select(col(idCol), nearestCell(col(vecCol), coarse).as("cell"),
+        col(vecCol).as("_v"))
+      .withColumn("_res", residual(col("_v"), col("cell")))
+    val cents = (0 until m).map { s =>
+      trainCentroids(
+        withRes.select(col(idCol), slice(col("_res"), s * subDim + 1, subDim).as("_sub")),
+        subDim, pqCells, sampleN, iters, seed, idCol, "_sub")
+    }
+    val codesArr = array((0 until m).map { s =>
+      nearestCell(slice(col("_res"), s * subDim + 1, subDim), cents(s))
+    }: _*)
+    val cass = withRes.select(col(idCol).as("neighbor_id"), col("cell"), codesArr.as("codes"))
+    val lutArr = array((0 until m).map { s =>
+      val sub = slice(col("_rq"), s * subDim + 1, subDim)
+      array((0 until pqCells).map { j =>
+        aggregate(zip_with(sub, typedLit(cents(s)(j).toSeq), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, x) => a + x)
+      }: _*)
+    }: _*)
+    val q = broadcast(
+      queries.select(col(idCol).as("query_id"), col(vecCol).as("_qv"),
+        explode(probeCells(col(vecCol), coarse, nprobe)).as("cell"))
+        .withColumn("_rq", residual(col("_qv"), col("cell")))
+        .select(col("query_id"), col("cell"), lutArr.as("luts")))
+    val adcFp = (0 until m).map { s =>
+      floor(element_at(element_at(col("luts"), s + 1), element_at(col("codes"), s + 1) + 1)
+        * lit(PqScale)).cast("long")
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("_adc_fp").asc, col("neighbor_id"))
+    q.join(cass, "cell")
+      .select(col("query_id"), col("neighbor_id"), adcFp.as("_adc_fp"))
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (col("_adc_fp").cast("double") / PqScale).as("adc_dist"))
+  }
+
   /** PQ search with EXACT RE-RANKING (the standard refine step — FAISS
     * `IndexRefineFlat`): ADC scans the code table for the top
     * `k·refine` candidates, then only those few rows fetch their full

@@ -838,6 +838,99 @@ object Oracles {
     * against the exact-L2 brute top-10 — quantization AND pruning loss
     * in one number per query.
     */
+  /** Mirror of Similarity.ivfPqResidualTopK: the coarse fit + probe
+    * CTEs of the plain IVF-PQ row, but PQ codebooks/codes/LUTs all
+    * computed on RESIDUALS (vec − coarse centroid of its/the probed
+    * cell) — the FAISS production encoding; LUTs are keyed by
+    * (query, cell).
+    */
+  private def ivfPqResidualOracleSql: String = {
+    val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
+    val (m, subDim, pqCells) = (4, 16, 16)
+    val d2s = (v: String, c: String) =>
+      s"list_reduce(list_transform(range(1, ${subDim + 1}), i -> ($v[i] - $c[i]) * ($v[i] - $c[i])), (x, y) -> x + y)"
+    val rsubs = (0 until m).map { s =>
+      val lo = s * subDim + 1; val hi = (s + 1) * subDim
+      s"rsub$s AS MATERIALIZED (SELECT vec_id, embedding[$lo:$hi] AS embedding FROM res)"
+    }.mkString(",\n")
+    val fits = (0 until m)
+      .map(s => kmeansFitCtes(s"rsub$s", iters, pqCells, sampleN, subDim, s"rp${s}_"))
+      .mkString(",\n")
+    val asn = (0 until m).map { s =>
+      s"""a$s AS MATERIALIZED (
+         |  SELECT vec_id, j AS code FROM (
+         |    SELECT t.vec_id, c.j,
+         |      row_number() OVER (PARTITION BY t.vec_id ORDER BY ${d2s("t.v", "c.c")} ASC, c.j DESC) AS pick
+         |    FROM (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM rsub$s) t
+         |    CROSS JOIN rp${s}_cent$iters c)
+         |  WHERE pick = 1)""".stripMargin
+    }.mkString(",\n")
+    val luts = (0 until m).map { s =>
+      val lo = s * subDim
+      s"""lut$s AS (
+         |  SELECT t.query_id, t.cell, c.j AS code, ${d2s("t.v", "c.c")} AS d
+         |  FROM (SELECT query_id, cell, rv[${lo + 1}:${lo + subDim}] AS v FROM qres) t
+         |  CROSS JOIN rp${s}_cent$iters c)""".stripMargin
+    }.mkString(",\n")
+    val contribs = (0 until m).map { s =>
+      s"""c$s AS (
+         |  SELECT d.query_id, d.neighbor_id, floor(l.d * 1099511627776.0)::BIGINT AS dfp
+         |  FROM cand d
+         |  JOIN a$s a ON a.vec_id = d.neighbor_id
+         |  JOIN lut$s l ON l.query_id = d.query_id AND l.cell = d.cell AND l.code = a.code)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until m).map(s => s"SELECT * FROM c$s").mkString(" UNION ALL ")
+    s"""WITH ${kmeansFitCtes("embeddings", iters, cells, sampleN)},
+       |allv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |cassign AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT a.vec_id, c.j AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c)
+       |  WHERE pick = 1),
+       |res AS MATERIALIZED (
+       |  SELECT a.vec_id, list_transform(range(1, 65), i -> a.v[i] - c.c[i]) AS embedding
+       |  FROM allv a JOIN cassign s2 USING (vec_id) JOIN cent$iters c ON c.j = s2.cell),
+       |qprobe AS (
+       |  SELECT vec_id AS query_id, v AS qv, cell FROM (
+       |    SELECT a.vec_id, a.v, c.j AS cell,
+       |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j ASC) AS pick
+       |    FROM allv a CROSS JOIN cent$iters c
+       |    WHERE a.vec_id < 10)
+       |  WHERE pick <= $nprobe),
+       |qres AS MATERIALIZED (
+       |  SELECT q.query_id, q.cell, list_transform(range(1, 65), i -> q.qv[i] - c.c[i]) AS rv
+       |  FROM qprobe q JOIN cent$iters c ON c.j = q.cell),
+       |cand AS (SELECT q.query_id, q.cell, c.vec_id AS neighbor_id FROM qprobe q JOIN cassign c USING (cell)),
+       |$rsubs,
+       |$fits,
+       |$asn,
+       |$luts,
+       |$contribs,
+       |sc AS (SELECT query_id, neighbor_id, sum(dfp)::BIGINT AS adc_fp FROM ($union) GROUP BY query_id, neighbor_id)
+       |SELECT query_id, neighbor_id, rank::INTEGER AS rank, (adc_fp::DOUBLE / 1099511627776.0) AS adc_dist FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id) AS rank FROM sc)
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  private def ivfPqResidualRecallOracleSql: String = {
+    val k = 10
+    s"""WITH ap AS (SELECT query_id, neighbor_id FROM (${ivfPqResidualOracleSql.replace("ORDER BY query_id, rank", "")})),
+       |lv AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+       |bs AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, ${d2("q.v", "c.v")} AS dist2
+       |  FROM lv q CROSS JOIN lv c WHERE q.vec_id < 10),
+       |ex AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY dist2 ASC, neighbor_id) AS rank FROM bs)
+       |  WHERE rank <= $k)
+       |SELECT e.query_id, sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_hits,
+       |  ((sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // count(*))::INTEGER AS recall_pct
+       |FROM ex e LEFT JOIN ap a
+       |  ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin
+  }
+
   private def ivfPqRecallOracleSql: String = {
     val k = 10
     s"""WITH ap AS (SELECT query_id, neighbor_id FROM (${ivfPqOracleSql.replace("ORDER BY query_id, rank", "")})),
@@ -2244,6 +2337,10 @@ object Oracles {
     "ann_ivfpq" -> ivfPqOracleSql,
 
     "ann_ivfpq_recall" -> ivfPqRecallOracleSql,
+
+    "ann_ivfpq_residual" -> ivfPqResidualOracleSql,
+
+    "ann_ivfpq_residual_recall" -> ivfPqResidualRecallOracleSql,
 
     "ann_pq_recall" -> pqRecallOracleSql,
 
