@@ -770,6 +770,66 @@ object CorpusSelection {
     * order and the covering radius at which each center was chosen
     * (round 0 seeds with radius 0).
     */
+  /** Greedy facility-location (submodular coverage) selection — the
+    * OTHER canonical data-selection objective next to [[kCenterSelect]]:
+    * where k-center maximizes mutual DISTANCE (diversity),
+    * facility-location maximizes Σ_points max_{c∈S} sim⁺(p, c) —
+    * COVERAGE: every corpus point should have some selected example
+    * near it (the objective behind coreset papers like CRAIG and the
+    * classic exemplar-selection literature; the 1−1/e greedy guarantee
+    * is what makes the greedy loop principled). Similarity is the
+    * ReLU'd exact grid dot, so all gains are exact int64 sums.
+    *
+    * The candidate POOL is the caller's bounded pre-selection (here's
+    * the scale contract: pool ≤ dozens, collected once to the driver
+    * and broadcast as literals — the k-means-centroid discipline),
+    * while the CORPUS side stays fully distributed: each round is ONE
+    * map-local pass computing every remaining candidate's marginal
+    * gain Σ max(0, sim⁺ − coverage) as parallel aggregate columns,
+    * a one-row collect, and a map-local coverage update against the
+    * chosen literal. Rounds follow [[Materialize.cutLoop]].
+    *
+    * Returns (`sel_round`, `center_id`, `gain_fp`) — the greedy order
+    * with each pick's marginal coverage gain (the submodularity
+    * certificate: gains must be non-increasing).
+    */
+  def facilitySelect(points: DataFrame, pool: DataFrame, vecCol: String, idCol: String,
+                     k: Int, scale: Long = 1L << 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = points.sparkSession
+    def quant(df: DataFrame) = df.select(col(idCol).cast("long").as("_pid"),
+      transform(col(vecCol), x => floor(x.cast("double") * scale).cast("long")).as("qv"))
+    val qpool: Array[(Long, Seq[Long])] = quant(pool).orderBy(col("_pid")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1)))
+    require(qpool.nonEmpty, "pool must be non-empty")
+    def dotTo(vec: Seq[Long]): Column =
+      aggregate(zip_with(col("qv"), typedLit(vec), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
+    var cur = Materialize.cutLoop(quant(points).withColumn("_cov", lit(0L)), None)
+    val remaining = scala.collection.mutable.LinkedHashMap(qpool.toSeq: _*)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)]()
+    for (r <- 1 to math.min(k, qpool.length)) {
+      val gainCols = remaining.toSeq.map { case (cid, vec) =>
+        sum(greatest(greatest(dotTo(vec), lit(0L)) - col("_cov"), lit(0L))).as(s"_g$cid")
+      }
+      val row = cur.agg(gainCols.head, gainCols.tail: _*).collect().head
+      val gains = remaining.keys.toSeq.zipWithIndex
+        .map { case (cid, i) => (cid, row.getLong(i)) }
+      val (bestId, bestGain) = gains.minBy { case (cid, g) => (-g, cid) }
+      chosen += ((r, bestId, bestGain))
+      val bestVec = remaining(bestId)
+      remaining.remove(bestId)
+      if (r < math.min(k, qpool.length)) {
+        cur = Materialize.cutLoop(
+          cur.select(col("_pid"), col("qv"),
+            greatest(col("_cov"), greatest(dotTo(bestVec), lit(0L))).as("_cov")),
+          Some(cur))
+      }
+    }
+    Materialize.release(cur)
+    spark.createDataFrame(chosen.toSeq)
+      .toDF("sel_round", "center_id", "gain_fp")
+  }
+
   def kCenterSelect(embs: DataFrame, vecCol: String, idCol: String,
                     k: Int = 8, scale: Long = 1L << 20): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -262,6 +262,42 @@ object Oracles {
        |ORDER BY query_id, sel_round""".stripMargin
   }
 
+  /** Greedy facility location (CorpusSelection.facilitySelect)
+    * unrolled: ReLU'd grid dots point×pool, per-round marginal-gain
+    * argmax over the not-yet-picked pool, coverage running max.
+    */
+  private def facilityOracleSql(k: Int): String = {
+    val rounds = (2 to k).map { r =>
+      s"""cov${r - 1} AS MATERIALIZED (
+         |  SELECT c.pid, greatest(c.cov, d.sim) AS cov
+         |  FROM cov${r - 2} c JOIN dots d ON d.pid = c.pid JOIN p${r - 1} ON p${r - 1}.cid = d.cid),
+         |g$r AS (SELECT d.cid, sum(greatest(d.sim - c.cov, 0))::BIGINT AS gain
+         |  FROM dots d JOIN cov${r - 1} c USING (pid)
+         |  WHERE d.cid NOT IN (SELECT cid FROM u${r - 1}) GROUP BY d.cid),
+         |p$r AS (SELECT cid, gain FROM g$r ORDER BY gain DESC, cid LIMIT 1),
+         |u$r AS (SELECT cid FROM u${r - 1} UNION ALL SELECT cid FROM p$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(r => s"SELECT $r::INTEGER AS sel_round, cid AS center_id, gain AS gain_fp FROM p$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(embedding, x -> floor(x::DOUBLE * 1048576.0)::BIGINT) AS qv
+       |  FROM embeddings),
+       |pv AS MATERIALIZED (SELECT vec_id AS cid, qv AS cv FROM e WHERE vec_id % 31 = 0),
+       |dots AS MATERIALIZED (
+       |  SELECT p.vec_id AS pid, c.cid, greatest(${dotL("p.qv", "c.cv")}, 0) AS sim
+       |  FROM e p CROSS JOIN pv c),
+       |cov0 AS (SELECT vec_id AS pid, 0::BIGINT AS cov FROM e),
+       |g1 AS (SELECT d.cid, sum(greatest(d.sim - c.cov, 0))::BIGINT AS gain
+       |  FROM dots d JOIN cov0 c USING (pid) GROUP BY d.cid),
+       |p1 AS (SELECT cid, gain FROM g1 ORDER BY gain DESC, cid LIMIT 1),
+       |u1 AS (SELECT cid FROM p1),
+       |$rounds
+       |SELECT * FROM (
+       |$out)
+       |ORDER BY sel_round""".stripMargin
+  }
+
   /** Greedy k-center (CorpusSelection.kCenterSelect) unrolled: seed =
     * lowest id, then per round the argmax of the running min-d2 table,
     * which is then least()-merged with distances to the new center —
@@ -5375,6 +5411,10 @@ object Oracles {
     // MMR diversified re-rank: 5 unrolled greedy rounds over the
     // top-20 grid-dot candidates
     "retrieval_mmr" -> mmrOracleSql(5, 20),
+
+    // facility-location coverage selection: 5 unrolled greedy rounds,
+    // ReLU'd grid dots, running-max coverage
+    "select_facility" -> facilityOracleSql(5),
 
     // CDC chunk storage-dedup rollup: same Gear chunking as chunk_cdc,
     // per-source totals vs store-once-per-fingerprint

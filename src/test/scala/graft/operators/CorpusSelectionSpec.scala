@@ -448,6 +448,31 @@ class CorpusSelectionSpec extends SparkSuite {
     assert(kept == anti.toSet)
   }
 
+  test("facilitySelect matches brute-force greedy; marginal gains non-increasing") {
+    val rnd = new scala.util.Random(7)
+    val pts = (0L until 50L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
+    val grid = pts.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * (1L << 20)).toLong) }.toMap
+    val poolIds = pts.map(_._1).filter(_ % 7 == 0)
+    def simP(p: Long, c: Long): Long =
+      math.max(grid(p).zip(grid(c)).map { case (a, b) => a * b }.sum, 0L)
+    // reference greedy
+    var cov = grid.keys.map(_ -> 0L).toMap
+    var rem = poolIds.toVector
+    val want = (1 to 4).map { r =>
+      val gains = rem.map(c => c -> grid.keys.map(p => math.max(simP(p, c) - cov(p), 0L)).sum)
+      val (best, g) = gains.minBy { case (c, gg) => (-gg, c) }
+      cov = cov.map { case (p, v) => p -> math.max(v, simP(p, best)) }
+      rem = rem.filterNot(_ == best)
+      (r, best, g)
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val got = CorpusSelection.facilitySelect(
+      df, df.where(col("vec_id") % 7 === 0), "embedding", "vec_id", k = 4)
+      .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == want)
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, "submodularity violated")
+  }
+
   test("kCenterSelect matches a brute-force greedy farthest-point traversal") {
     val rnd = new scala.util.Random(97)
     val vecs = (0L until 60L).map(id => (id, Array.fill(4)(rnd.nextFloat() * 2f - 1f)))
