@@ -56,4 +56,62 @@ object Funnel {
         (2 to n).map(i => max(col(s"t$i")).as(s"t$i")): _*)
       .withColumn("funnel_level", level)
   }
+
+  /** Kaplan–Meier time-to-conversion survival curve (Kaplan & Meier
+    * 1958 — the censoring-correct answer to "how long until users
+    * convert", where a naive average silently drops everyone who
+    * hasn't converted YET): subjects enter at their first `startType`
+    * event; converters contribute an event at day
+    * ⌊(t_event − t_start)/day⌋, everyone else is right-censored at the
+    * corpus horizon (max ts). At each event day t:
+    * S(t) = S(t⁻) · (n_t − d_t)/n_t with n_t = subjects still at risk.
+    *
+    * Scale split: subject durations are two corpus-grain aggregates +
+    * one key join; the (day, d, n) risk table is DAYS-sized, its
+    * at-risk suffix sum a bounded single-partition window (the skyline
+    * contract), and the inherently-sequential survival product runs on
+    * the driver over that bounded table in exact BigInt fixed point
+    * (2⁻⁴⁰ grid, floor per step — the attribution-solve discipline),
+    * replayed by a recursive CTE in the oracle. Returns one row per
+    * event day: (`day`, `n_risk`, `n_events`, `surv_fp`, `surv`).
+    */
+  def kaplanMeier(events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+                  startType: String, eventType: String): DataFrame = {
+    val spark = events.sparkSession
+    val DayUs = 86400000000L
+    val starts = events.where(col(typeCol) === startType)
+      .groupBy(col(userCol).as("_u")).agg(min(col(tsCol)).as("_t0"))
+    val conv = events.where(col(typeCol) === eventType)
+      .select(col(userCol).as("_u"), col(tsCol).as("_te"))
+      .join(starts, Seq("_u"))
+      .where(col("_te") >= col("_t0"))
+      .groupBy(col("_u")).agg(min(col("_te")).as("_te"))
+    val horizon = events.agg(max(col(tsCol)).as("_mx"))
+    val subjects = starts.join(conv, Seq("_u"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("_u"),
+        when(col("_te").isNotNull,
+          expr(s"(unix_micros(_te) - unix_micros(_t0)) div $DayUs"))
+          .otherwise(expr(s"(unix_micros(_mx) - unix_micros(_t0)) div $DayUs"))
+          .as("_dur"),
+        col("_te").isNotNull.as("_event"))
+    val wAtRisk = Window.orderBy(col("day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val risk = subjects.groupBy(col("_dur").as("day"))
+      .agg(sum(when(col("_event"), 1L).otherwise(0L)).as("d"), count(lit(1)).as("c"))
+      .withColumn("n", sum(col("c")).over(wAtRisk))
+      .where(col("d") > 0)
+      .select(col("day"), col("d"), col("n"))
+      .orderBy(col("day"))
+      .collect() // bounded: one row per distinct event DAY
+    val Grid = BigInt(1L << 40)
+    var s = Grid
+    val rows = risk.map { r =>
+      val (day, d, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      s = s * BigInt(n - d) / BigInt(n)
+      (day, n, d, s.toLong, s.toLong.toDouble / Grid.toDouble)
+    }
+    spark.createDataFrame(rows.toSeq)
+      .toDF("day", "n_risk", "n_events", "surv_fp", "surv")
+  }
 }

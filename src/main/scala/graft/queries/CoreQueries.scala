@@ -1736,6 +1736,18 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** Kaplan–Meier time-to-conversion survival
+    * ([[graft.operators.Funnel.kaplanMeier]]): days from first click
+    * to first purchase, non-converters right-censored at the corpus
+    * horizon — the censoring-correct "how long to convert" curve a
+    * naive average gets wrong. Exact 2⁻⁴⁰ fixed-point survival
+    * product over the bounded risk table, replayed by a recursive CTE.
+    */
+  def survivalConversion(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.kaplanMeier(events(s, d),
+      "user_id", "event_type", "ts", "click", "purchase")
+      .orderBy(col("day"))
+
   /** Degree assortativity of the item-transition graph
     * ([[graft.operators.Graph.assortativity]], Newman 2002): one
     * exact-integer six-sum aggregate over degree-annotated edges, the

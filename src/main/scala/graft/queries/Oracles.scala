@@ -5118,6 +5118,33 @@ object Oracles {
         |   OR (p_brand = 'Brand#22' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#33' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
+    // Kaplan-Meier: censored durations, suffix-sum risk sets, the
+    // survival product as a recursive HUGEINT fixed-point fold
+    "survival_conversion" ->
+      s"""WITH RECURSIVE st AS (SELECT user_id, min(ts) AS t0 FROM $EV WHERE event_type = 'click' GROUP BY 1),
+         |cv AS (SELECT e.user_id, min(e.ts) AS te FROM $EV e JOIN st USING (user_id)
+         |       WHERE e.event_type = 'purchase' AND e.ts >= st.t0 GROUP BY 1),
+         |mx AS (SELECT max(ts) AS mx FROM $EV),
+         |subj AS (SELECT st.user_id,
+         |    CASE WHEN cv.te IS NOT NULL THEN (epoch_us(cv.te) - epoch_us(st.t0)) // 86400000000
+         |         ELSE (epoch_us(mx.mx) - epoch_us(st.t0)) // 86400000000 END AS dur,
+         |    (cv.te IS NOT NULL) AS ev2
+         |  FROM st LEFT JOIN cv USING (user_id) CROSS JOIN mx),
+         |tbl AS (SELECT dur AS day, sum(CASE WHEN ev2 THEN 1 ELSE 0 END)::BIGINT AS d,
+         |    count(*)::BIGINT AS c FROM subj GROUP BY 1),
+         |r AS (SELECT day, d,
+         |    (sum(c) OVER (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))::BIGINT AS n
+         |  FROM tbl),
+         |o AS (SELECT day, d, n, row_number() OVER (ORDER BY day) AS rn FROM r WHERE d > 0),
+         |s AS (
+         |  SELECT rn, day, d, n, (1099511627776::HUGEINT * (n - d)) // n AS fp FROM o WHERE rn = 1
+         |  UNION ALL
+         |  SELECT o.rn, o.day, o.d, o.n, (s.fp * (o.n - o.d)) // o.n AS fp
+         |  FROM s JOIN o ON o.rn = s.rn + 1)
+         |SELECT day, n AS n_risk, d AS n_events, fp::BIGINT AS surv_fp,
+         |  (fp::BIGINT::DOUBLE / 1099511627776.0) AS surv
+         |FROM s ORDER BY day""".stripMargin,
+
     // degree assortativity: six exact sums, fixed-order Pearson float
     "graph_assortativity" ->
       s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM $EV),

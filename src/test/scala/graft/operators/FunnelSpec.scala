@@ -67,4 +67,25 @@ class FunnelSpec extends SparkSuite {
     val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(exchanges == 1, s"expected one key exchange, plan:\n$plan")
   }
+
+  test("kaplanMeier: hand-computed risk sets, censoring, and survival product") {
+    val T = 1700000000000L
+    def ts(offMs: Long) = new java.sql.Timestamp(T + offMs)
+    val day = 86400000L
+    val ev = Seq(
+      // A: converts on day 2; B: never converts (censored at horizon =
+      // A's purchase, dur 2); C: converts within day 0
+      (1L, "click", ts(0)), (1L, "purchase", ts(2 * day)),
+      (2L, "click", ts(0)),
+      (3L, "click", ts(0)), (3L, "purchase", ts(3600000L))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.kaplanMeier(ev, "user_id", "event_type", "ts", "click", "purchase")
+      .as[(Long, Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    val grid = BigInt(1L << 40)
+    val fp0 = grid * 2 / 3                  // day 0: n=3, d=1
+    val fp2 = fp0 * 1 / 2                   // day 2: n=2, d=1
+    assert(got == Seq(
+      (0L, 3L, 1L, fp0.toLong, fp0.toLong.toDouble / grid.toDouble),
+      (2L, 2L, 1L, fp2.toLong, fp2.toLong.toDouble / grid.toDouble)))
+  }
 }
