@@ -257,4 +257,43 @@ object RateAnomaly {
         col("d") > lit(1.358) * sqrt((col("n_ref") + col("n_cur")).cast("double")
           / (col("n_ref") * col("n_cur")).cast("double")))
   }
+
+  /** One-sided CUSUM change-point detection (Page 1954) — the
+    * sequential drift detector next to [[detect]]'s rolling z-score
+    * (which sees SPIKES; CUSUM accumulates evidence of a sustained
+    * SHIFT a spike detector averages away): per key and minute bucket,
+    * S_t = max(0, S_{t−1} + x_t − μ − slack), alert when S_t exceeds
+    * the decision interval. The recurrence looks inherently sequential
+    * — the reason naive ports loop on the driver — but it has a
+    * closed window form: with P_t = Σ_{j≤t}(x_j − μ − slack),
+    * S_t = P_t − min(0, min_{j≤t} P_j). Two ordered windows (prefix
+    * sum + running min) per key, nothing sequential anywhere.
+    *
+    * Arithmetic is exact: deviations scale by n (the key's bucket
+    * count), so μ never becomes a float — step_t = n·x_t − tot −
+    * (tot div 4) with slack = μ/4, and the alert threshold 5μ is
+    * `5·tot` on the same scale. Emits (`keyCol`, `bucket`, `n_events`,
+    * `cusum_fp`, `alert`); cusum_fp div n is the drift estimate in
+    * events-per-bucket units.
+    */
+  def cusum(events: DataFrame, keyCol: String, tsCol: String,
+            bucketSeconds: Long = 60): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val counts = events
+      .select(col(keyCol), expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}L").as("bucket"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    val wKey = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_tot", sum(col("n_events")).over(wKey))
+      .withColumn("_n", count(lit(1)).over(wKey))
+      .withColumn("_step",
+        col("n_events") * col("_n") - col("_tot") - expr("_tot div 4"))
+      .withColumn("_p", sum(col("_step")).over(wOrd))
+      .withColumn("cusum_fp", col("_p") - least(min(col("_p")).over(wOrd), lit(0L)))
+      .withColumn("alert", col("cusum_fp") > lit(5) * col("_tot"))
+      .select(col(keyCol), col("bucket"), col("n_events"), col("cusum_fp"), col("alert"))
+  }
 }

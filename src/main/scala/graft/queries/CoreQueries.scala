@@ -1736,6 +1736,24 @@ object CoreQueries {
       .limit(50)
   }
 
+  /** CUSUM sustained-shift detector
+    * ([[graft.operators.RateAnomaly.cusum]], Page 1954): hourly
+    * per-type counts with the post-Jan-20 events DOUBLED (a planted
+    * level shift the rolling z-score's short baseline adapts to and
+    * misses) — the cumulative sum ramps after the shift and crosses
+    * the 5μ decision interval. The sequential recurrence is computed
+    * as its closed window form P_t − min(0, min prefix P): two ordered
+    * windows, no driver loop.
+    */
+  def eventCusum(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val planted = ev.unionByName(
+      ev.where(col("ts") >= lit("2024-01-20 00:00:00").cast("timestamp"))
+        .withColumn("event_id", col("event_id") + 10000000L))
+    graft.operators.RateAnomaly.cusum(planted, "event_type", "ts", bucketSeconds = 3600)
+      .orderBy(col("event_type"), col("bucket"))
+  }
+
   /** Kaplan–Meier time-to-conversion survival
     * ([[graft.operators.Funnel.kaplanMeier]]): days from first click
     * to first purchase, non-converters right-censored at the corpus

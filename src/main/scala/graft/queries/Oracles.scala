@@ -3019,6 +3019,26 @@ object Oracles {
         |SELECT doc_id, n_chars, dim_b, d AS hcode
         |FROM h JOIN c USING (doc_id) WHERE s = 0 ORDER BY doc_id""".stripMargin,
 
+    // CUSUM closed form: prefix sum minus running min, n-scaled
+    // integer deviations, planted post-Jan-20 doubling
+    "event_cusum" ->
+      s"""WITH pe AS (SELECT event_type, ts FROM $EV
+         |  UNION ALL SELECT event_type, ts FROM $EV WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'),
+         |c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS bucket, count(*)::BIGINT AS n_events
+         |  FROM pe GROUP BY 1, 2),
+         |t AS (SELECT event_type, bucket, n_events,
+         |    sum(n_events) OVER (PARTITION BY event_type) AS tot,
+         |    count(*) OVER (PARTITION BY event_type) AS n FROM c),
+         |p AS (SELECT event_type, bucket, n_events, tot,
+         |    sum(n_events * n - tot - tot // 4) OVER (PARTITION BY event_type ORDER BY bucket
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp FROM t)
+         |SELECT event_type, bucket, n_events,
+         |  (pp - least(min(pp) OVER (PARTITION BY event_type ORDER BY bucket
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0))::BIGINT AS cusum_fp,
+         |  ((pp - least(min(pp) OVER (PARTITION BY event_type ORDER BY bucket
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)) > 5 * tot) AS alert
+         |FROM p ORDER BY event_type, bucket""".stripMargin,
+
     // rolling z-score replay: integer (key, minute) counts, trailing
     // 10-bucket Σc/Σc² window sums (exact), single-division floats
     "event_anomaly" ->

@@ -118,4 +118,26 @@ class RateAnomalySpec extends SparkSuite {
     assert(m("a")._1 == 0.0 && !m("a")._2)
     assert(m("b")._1 == 1.0 && m("b")._2)
   }
+
+  test("cusum: closed window form equals the sequential Page recurrence") {
+    // steady rate 2/bucket for 20 buckets, then 6/bucket: the shift
+    // must accumulate and alert; pre-shift stays near zero
+    val perBucket = (0 until 20).map(_ => 2) ++ (20 until 30).map(_ => 6)
+    val ev = perBucket.zipWithIndex.flatMap { case (n, b) =>
+      (0 until n).map(i => ("k", new java.sql.Timestamp(b * 60000L + i * 10L)))
+    }
+    val got = RateAnomaly.cusum(ev.toDF("k", "ts"), "k", "ts")
+      .as[(String, Long, Long, Long, Boolean)].collect().sortBy(_._2).toSeq
+    // sequential replay: S_t = max(0, S_{t-1} + n*x_t - tot - tot div 4)
+    val counts = perBucket.map(_.toLong)
+    val tot = counts.sum; val n = counts.length.toLong
+    var s = 0L
+    val want = counts.zipWithIndex.map { case (x, b) =>
+      s = math.max(0L, s + x * n - tot - tot / 4)
+      ("k", b.toLong, x, s, s > 5 * tot)
+    }
+    assert(got == want)
+    assert(got.exists(_._5), "planted shift must alert")
+    assert(!got.take(20).exists(_._5), "no alert before the shift")
+  }
 }
