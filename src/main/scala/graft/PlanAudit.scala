@@ -157,7 +157,20 @@ object PlanAudit {
       // days-sized pre-aggregate
       "q19_disjunctive", "q16_supplier_variety", "q22_idle_balance",
       "q21_blame_supplier", "jaccard_join", "asof_native",
-      "sales_grouping_sets", "revenue_trailing_7d")
+      "sales_grouping_sets", "revenue_trailing_7d",
+      // round 11l-n: Q6 must show PushedFilters carrying all three
+      // predicates and no join; Q9/Q20 semi-join-reduce the fact before
+      // the exchange; Q13 is one outer key exchange + two partial
+      // aggregates; assortativity is two degree aggs + one six-sum
+      // aggregate; cusum is two ordered windows over the bucket table
+      // (no driver loop); dedup_lines is one line-count aggregate + one
+      // per-doc collect pass; the residual IVF-PQ plan must stay
+      // broadcast-LUT map-side like the raw-vector twin
+      "q6_forecast_revenue", "q9_product_profit", "q13_customer_distribution",
+      "q20_bulk_suppliers", "graph_assortativity", "event_cusum",
+      "dedup_lines", "ann_ivfpq_residual", "retrieval_mmr",
+      "select_facility", "survival_conversion", "text_perplexity_kn",
+      "emb_whiten", "mm_scene_cuts")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString
