@@ -296,4 +296,84 @@ object RateAnomaly {
       .withColumn("alert", col("cusum_fp") > lit(5) * col("_tot"))
       .select(col(keyCol), col("bucket"), col("n_events"), col("cusum_fp"), col("alert"))
   }
+
+  /** Exact ROC-AUC (Mann–Whitney U / rank statistic) of a score column
+    * against a boolean label, the standard "does this quality signal
+    * actually separate the classes" audit for a curation classifier.
+    *
+    * Scores are floored onto a `2^gridBits` fixed-point grid so every
+    * accumulation is integer-exact and the tie-handling is well defined
+    * (ties share a bucket and contribute `p·q/2`, the mid-rank
+    * convention). AUC = (Σ_b p_b·negBelow_b + ½·Σ_b p_b·q_b) / (P·N),
+    * computed as one integer ratio `(2·Σp·cq + Σp·q) / (2·P·N)` with a
+    * single final float division — the oracle replays it bit-for-bit.
+    *
+    * Plan: one map-side-combining per-bucket (p, q) count aggregate —
+    * the only corpus-sized pass — then an ordered prefix window over
+    * the BUCKET table, which is grid-bounded (≤ `2^gridBits · range`
+    * rows, ~10⁵ here), not row-bounded: the global sort the textbook
+    * rank formula needs never touches corpus-sized data. int64
+    * envelope: `2·P·N` must fit, i.e. ~2·10⁹ rows per class.
+    */
+  def aucRank(df: DataFrame, labelCol: String, scoreCol: String,
+              gridBits: Int = 10): DataFrame = {
+    val grid = 1L << gridBits
+    val h = df
+      .select(floor(col(scoreCol) * grid).cast("long").as("_b"),
+        when(col(labelCol), 1L).otherwise(0L).as("_y"))
+      .groupBy(col("_b"))
+      .agg(sum(col("_y")).as("_p"), sum(lit(1L) - col("_y")).as("_q"))
+    val wOrd = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.withColumn("_cq", coalesce(sum(col("_q")).over(wOrd), lit(0L)))
+      .agg(sum(col("_p") * col("_cq")).as("_s1"),
+        sum(col("_p") * col("_q")).as("_s2"),
+        sum(col("_p")).as("n_pos"), sum(col("_q")).as("n_neg"))
+      .select(
+        ((lit(2L) * col("_s1") + col("_s2")).cast("double") /
+          (lit(2L) * col("n_pos") * col("n_neg")).cast("double")).as("auc"),
+        col("n_pos"), col("n_neg"))
+  }
+
+  /** Welch's unequal-variance t-test on a grid-bucketed metric between
+    * two arms, per key — the continuous-outcome companion to the
+    * two-proportion chi-squared gate: "did the treatment move the
+    * average order value", not just the conversion rate.
+    *
+    * Values are floored onto a `2^gridBits` grid so the sufficient
+    * statistics (n, Σv, Σv²) accumulate exactly; sums are DECIMAL(38,0)
+    * (Σv² overflows int64 near ~10⁹ rows·grid² otherwise). All float
+    * arithmetic happens once per KEY row from the exact aggregates, in
+    * a fixed expression shape the DuckDB oracle mirrors bit-for-bit
+    * (both engines round the 128-bit sums to nearest double first).
+    *
+    * Plan: one map-side-combining per-key six-sum aggregate — a single
+    * corpus pass, no window, no sort; output is key-count-sized.
+    */
+  def welchT(df: DataFrame, keyCol: String, armCol: String, valueCol: String,
+             gridBits: Int = 10): DataFrame = {
+    val grid = 1L << gridBits
+    def arm(i: Int, e: Column): Column =
+      sum(when(col(armCol) === i, e).otherwise(lit(0L)).cast("decimal(38,0)"))
+    val v = floor(col(valueCol) * grid).cast("long")
+    val agg = df
+      .select(col(keyCol), col(armCol), v.as("_v"))
+      .groupBy(col(keyCol))
+      .agg(
+        sum(when(col(armCol) === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col(armCol) === 1, 1L).otherwise(0L)).as("n1"),
+        arm(0, col("_v")).as("_s0"), arm(1, col("_v")).as("_s1"),
+        arm(0, col("_v") * col("_v")).as("_ss0"),
+        arm(1, col("_v") * col("_v")).as("_ss1"))
+    def d(c: String): Column = col(c).cast("double")
+    def variance(ss: String, sm: String, n: String): Column =
+      (d(ss) - d(sm) * d(sm) / d(n)) / (col(n) - 1).cast("double")
+    val t = (d("_s0") / d("n0") - d("_s1") / d("n1")) /
+      sqrt(variance("_ss0", "_s0", "n0") / d("n0") +
+        variance("_ss1", "_s1", "n1") / d("n1"))
+    agg.select(col(keyCol), col("n0"), col("n1"),
+        (d("_s0") / (lit(grid) * col("n0")).cast("double")).as("mean0"),
+        (d("_s1") / (lit(grid) * col("n1")).cast("double")).as("mean1"),
+        t.as("t_stat"), (abs(t) > lit(1.96)).as("significant"))
+  }
 }

@@ -2002,4 +2002,56 @@ object CoreQueries {
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(100)
   }
+
+  /** TPC-H Q12 shape (shipping modes vs order priority, adapted to the
+    * synthetic columns: return flag stands in for ship mode, "received
+    * late" becomes shipped >60 days after order). The pattern under
+    * test is the fact-to-fact equi-join carrying a cross-table date
+    * predicate plus a two-way conditional count — the priority split
+    * happens in ONE aggregate pass (two `sum(CASE)`s), never two
+    * filtered scans. lineitem's mode filter is pushed into its scan;
+    * the join shuffles both sides on the order key once.
+    */
+  def q12ShipmodePriority(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .where(col("l_returnflag").isin("A", "R"))
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    li.join(o, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .select(col("l_returnflag").as("ship_mode"),
+        col("high_line_count"), col("low_line_count"))
+      .orderBy(col("ship_mode"))
+  }
+
+  /** Exact ROC-AUC of the event value as a purchase predictor
+    * ([[graft.operators.RateAnomaly.aucRank]]): the Mann–Whitney rank
+    * statistic over a 2⁻¹⁰-grid score — the "is this signal better
+    * than a coin flip" gate a curation classifier must pass before its
+    * scores are allowed to drop documents.
+    */
+  def rocAuc(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.aucRank(
+      events(s, d).select((col("event_type") === "purchase").as("label"),
+        col("value").as("score")),
+      "label", "score")
+
+  /** Welch's t-test on event value between the deterministic md5 A/B
+    * arms, per event type ([[graft.operators.RateAnomaly.welchT]]) —
+    * the continuous-outcome twin of `ab_chisq`: same arm assignment,
+    * but testing the metric's MEAN instead of the conversion rate.
+    */
+  def abWelch(s: SparkSession, d: String): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2).as("arm")
+    graft.operators.RateAnomaly.welchT(
+      events(s, d).select(col("event_type"), arm, col("value")),
+      "event_type", "arm", "value")
+      .orderBy(col("event_type"))
+  }
 }

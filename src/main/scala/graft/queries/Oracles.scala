@@ -5512,6 +5512,67 @@ object Oracles {
         |  SELECT 1 FROM d b
         |  WHERE b.n_tokens >= a.n_tokens AND b.div_fp >= a.div_fp
         |    AND (b.n_tokens > a.n_tokens OR b.div_fp > a.div_fp))
-        |ORDER BY n_tokens DESC""".stripMargin
+        |ORDER BY n_tokens DESC""".stripMargin,
+
+    // TPC-H Q12 shape: return flag as ship mode, late = shipped >60
+    // days after order, priority split in one conditional aggregate
+    "q12_shipmode_priority" ->
+      """SELECT l_returnflag AS ship_mode,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+        |  sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |           THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_returnflag IN ('A','R')
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY ship_mode""".stripMargin,
+
+    // Mann-Whitney AUC on the 2^-10 score grid; ties mid-ranked via
+    // the p*q/2 bucket term, one final float division
+    "roc_auc" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(value*1024) AS BIGINT) AS b,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS p,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 0 ELSE 1 END)::BIGINT AS q
+        |  FROM events GROUP BY 1),
+        |c AS (
+        |  SELECT p, q, coalesce(sum(q) OVER (ORDER BY b
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cq
+        |  FROM h)
+        |SELECT (2*sum(p*cq) + sum(p*q))::DOUBLE
+        |    / (2*sum(p)*sum(q))::DOUBLE AS auc,
+        |  sum(p)::BIGINT AS n_pos, sum(q)::BIGINT AS n_neg
+        |FROM c""".stripMargin,
+
+    // Welch t per event_type between the md5 arms; exact HUGEINT
+    // (n, sum v, sum v^2) on the 2^-10 grid, float only in the final
+    // per-key expression (identical shape to the Spark side)
+    "ab_welch" ->
+      s"""WITH g AS (
+         |  SELECT event_type,
+         |    (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm,
+         |    CAST(floor(value*1024) AS BIGINT) AS v
+         |  FROM events),
+         |a AS (
+         |  SELECT event_type,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |    sum(CASE WHEN arm = 0 THEN v ELSE 0 END)::HUGEINT AS s0,
+         |    sum(CASE WHEN arm = 1 THEN v ELSE 0 END)::HUGEINT AS s1,
+         |    sum(CASE WHEN arm = 0 THEN v*v ELSE 0 END)::HUGEINT AS ss0,
+         |    sum(CASE WHEN arm = 1 THEN v*v ELSE 0 END)::HUGEINT AS ss1
+         |  FROM g GROUP BY 1),
+         |x AS (
+         |  SELECT event_type, n0, n1,
+         |    s0::DOUBLE / (1024*n0)::DOUBLE AS mean0,
+         |    s1::DOUBLE / (1024*n1)::DOUBLE AS mean1,
+         |    (s0::DOUBLE/n0::DOUBLE - s1::DOUBLE/n1::DOUBLE) /
+         |    sqrt(((ss0::DOUBLE - s0::DOUBLE*s0::DOUBLE/n0::DOUBLE)/(n0-1)::DOUBLE)/n0::DOUBLE
+         |       + ((ss1::DOUBLE - s1::DOUBLE*s1::DOUBLE/n1::DOUBLE)/(n1-1)::DOUBLE)/n1::DOUBLE)
+         |      AS t_stat
+         |  FROM a)
+         |SELECT event_type, n0, n1, mean0, mean1, t_stat,
+         |  abs(t_stat) > 1.96 AS significant
+         |FROM x ORDER BY event_type""".stripMargin
   )
 }

@@ -140,4 +140,38 @@ class RateAnomalySpec extends SparkSuite {
     assert(got.exists(_._5), "planted shift must alert")
     assert(!got.take(20).exists(_._5), "no alert before the shift")
   }
+
+  test("aucRank matches the hand-computed rank AUC, ties mid-ranked") {
+    // pos scores: 0.9, 0.7, 0.5; neg: 0.5, 0.3, 0.1 — the 0.5 tie
+    // contributes 1/2. Pairs: (0.9,{.5,.3,.1})=3, (0.7,..)=3,
+    // (0.5,{.3,.1})=2 + tie 0.5 => 8.5 / 9
+    val df = Seq((true, 0.9), (true, 0.7), (true, 0.5),
+      (false, 0.5), (false, 0.3), (false, 0.1)).toDF("label", "score")
+    val out = RateAnomaly.aucRank(df, "label", "score")
+      .as[(Double, Long, Long)].collect().head
+    assert(out == ((8.5 / 9.0, 3L, 3L)))
+    // degenerate separations
+    val perfect = Seq((true, 0.9), (true, 0.8), (false, 0.2), (false, 0.1))
+      .toDF("label", "score")
+    assert(RateAnomaly.aucRank(perfect, "label", "score")
+      .as[(Double, Long, Long)].collect().head._1 == 1.0)
+    val inverted = Seq((true, 0.1), (false, 0.9)).toDF("label", "score")
+    assert(RateAnomaly.aucRank(inverted, "label", "score")
+      .as[(Double, Long, Long)].collect().head._1 == 0.0)
+  }
+
+  test("welchT recovers the textbook statistic from exact sums") {
+    // arm 0: 1,2,3,4 (mean 2.5, var 5/3); arm 1: 6,8 (mean 7, var 2)
+    // t = (2.5-7)/sqrt(5/12 + 1) = -4.5/sqrt(17/12)
+    val df = Seq((0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0), (1, 6.0), (1, 8.0))
+      .map { case (a, v) => ("k", a, v) }.toDF("key", "arm", "value")
+    val out = RateAnomaly.welchT(df, "key", "arm", "value")
+      .as[(String, Long, Long, Double, Double, Double, Boolean)]
+      .collect().head
+    val expT = -4.5 / math.sqrt(5.0 / 12.0 + 1.0)
+    assert(out._2 == 4L && out._3 == 2L)
+    assert(math.abs(out._4 - 2.5) < 1e-9 && math.abs(out._5 - 7.0) < 1e-9)
+    assert(math.abs(out._6 - expT) < 1e-6, s"t=${out._6} want $expT")
+    assert(out._7, "t ~ -3.78 is significant at 1.96")
+  }
 }
