@@ -170,7 +170,20 @@ object PlanAudit {
       "q20_bulk_suppliers", "graph_assortativity", "event_cusum",
       "dedup_lines", "ann_ivfpq_residual", "retrieval_mmr",
       "select_facility", "survival_conversion", "text_perplexity_kn",
-      "emb_whiten", "mm_scene_cuts")
+      "emb_whiten", "mm_scene_cuts",
+      // round-11 closing batches: Q2 decorrelates to two hash aggs + a
+      // slim self-equi-join with every dim broadcast (lineitem scanned
+      // once); adamic-adar's wedge join is degree-capped BEFORE the
+      // self-join and tops out in TakeOrderedAndProject; benford is one
+      // 9-group aggregate; gini windows the bounded histogram only;
+      // zipf is one explode+count then bounded windows; phash reduces
+      // payloads map-side to (id, hash) before the band join; sprt is
+      // one (key, day) count + day-table windows; the skew profile is
+      // one key count + TakeOrdered
+      "q2_min_cost_supplier", "graph_adamic_adar", "quality_benford",
+      "corpus_gini", "vocab_zipf", "mm_phash", "ab_sprt", "skew_profile",
+      "dedup_yield", "select_ppl_contrast", "text_code_switch",
+      "privacy_ldiversity", "dedup_soft", "event_seasonal")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -1508,4 +1508,62 @@ object Dedup {
         (col("n_common").cast("double") /
           (col("_sa") + col("_sb") - col("n_common")).cast("double")).as("jaccard"))
   }
+
+  /** SoftDeDup — dedup by REWEIGHTING instead of dropping (He et al.
+    * 2024, "SoftDedup: an efficient data reweighting method"): every
+    * copy of a duplicated document survives, but carries training
+    * weight 1/k where k is its exact-duplicate group size, so the
+    * group's total gradient contribution equals one canonical copy
+    * while shuffle order, context mixing, and coverage are preserved.
+    * The gentler sibling of [[exactGroups]]+drop, preferred when
+    * duplication correlates with quality (popular pages are crawled
+    * more often AND better).
+    *
+    * Emits one row per input doc: (`idCol`, fingerprint, dup_count,
+    * weight DOUBLE = 1/k — one IEEE division of an exact int, so
+    * bit-reproducible). Plan: one slim fingerprint aggregate + one
+    * equi-join back on the fingerprint (AQE broadcasts the group table
+    * while it is small; shuffle-joins at web scale). The document body
+    * never moves — only (id, 16-byte fp) rows shuffle.
+    */
+  def softDedupWeights(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = docs.select(col(idCol), exactFingerprint(col(textCol)).as("fingerprint"))
+    val groups = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("dup_count"))
+    fp.join(groups, "fingerprint")
+      .select(col(idCol), col("fingerprint"), col("dup_count"),
+        (lit(1.0) / col("dup_count").cast("double")).as("weight"))
+  }
+
+  /** Unique-token yield per stratum — the source-planning number behind
+    * every training-mix negotiation: raw token counts overstate a source
+    * whose content is duplicated elsewhere, so each document's tokens
+    * are discounted by its GLOBAL exact-duplicate group size (the
+    * [[softDedupWeights]] weight applied at token grain) and rolled up
+    * per stratum. A source whose yield ratio is 0.6 contributes 40%
+    * less novel data than its size claims — that is the number that
+    * decides crawl budget and mixture weight.
+    *
+    * Effective tokens live on the 2⁻²⁰ fixed-point grid:
+    * `(n_tokens · 2²⁰) div k` per doc, summed as int64 — exact,
+    * associative, engine-independent. Plan: one slim fingerprint
+    * aggregate (global, so cross-stratum duplication is seen), one
+    * join back on the 16-byte fp, one stratum rollup. Document bodies
+    * never shuffle.
+    */
+  def uniqueTokenYield(docs: DataFrame, textCol: String, idCol: String,
+                       strataCol: String): DataFrame = {
+    val base = docs.select(col(idCol), col(strataCol).as("stratum"),
+      size(TextAnalysis.tokens(col(textCol))).cast("long").as("_nt"),
+      exactFingerprint(col(textCol)).as("fingerprint"))
+    val groups = base.groupBy(col("fingerprint")).agg(count(lit(1)).as("_k"))
+    base.join(groups, "fingerprint")
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).as("raw_tokens"),
+        sum(expr("(_nt * 1048576L) div _k")).as("eff_tokens_q20"))
+      .select(col("stratum"), col("n_docs"), col("raw_tokens"), col("eff_tokens_q20"),
+        (col("eff_tokens_q20").cast("double") / 1048576.0
+          / col("raw_tokens").cast("double")).as("yield_ratio"))
+      .orderBy(col("stratum"))
+  }
 }

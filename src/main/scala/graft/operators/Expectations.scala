@@ -134,6 +134,62 @@ object Expectations {
         (min(col("_bin")) * lit(binWidth) + lit(binWidth - 1)).as("est_value"))
   }
 
+  /** Benford first-digit audit — the classic ingest-forensics gate for
+    * "organically grown" numeric columns (prices, populations, file
+    * sizes): the leading significant digit of natural multi-magnitude
+    * data follows P(d) = log10(1 + 1/d); synthetic, truncated, or
+    * fabricated feeds diverge hard. Used as a cheap upstream-corruption
+    * tripwire before a batch lands (Nigrini's forensic-accounting test,
+    * applied to pipeline QA).
+    *
+    * Determinism: the leading digit is extracted WITHOUT log10 — a CASE
+    * ladder over exact power-of-ten double literals picks the scale and
+    * one IEEE division + floor yields the digit, identical on every
+    * engine (a `floor(log10 v)` extraction can flip at 1-ulp boundaries
+    * like log10(1000)). The nine Benford probabilities are hard-coded
+    * double literals shared with the oracle, so expected counts and
+    * χ² terms are single IEEE multiplications/divisions of exact
+    * integers — bit-reproducible. Rows with value < 1 are excluded
+    * (no leading significant digit on this ladder; report them
+    * upstream via [[check]] if they matter).
+    *
+    * Emits 9 rows: (digit, n, expected, chi2_term, chi2) — `chi2` the
+    * global statistic repeated per row (χ²₈; > 20.09 rejects Benford at
+    * α=0.01). Plan: one map-side-combined 9-group aggregate over a slim
+    * projection; the 9-row windows after it are constant-size. Scales
+    * as one scan at any corpus size.
+    */
+  def benfordAudit(df: DataFrame, valueCol: String): DataFrame = {
+    val benford = Seq(0.3010299956639812, 0.17609125905568124, 0.12493873660829992,
+      0.09691001300805642, 0.07918124604762482, 0.06694678963061322,
+      0.05799194697768673, 0.05115252244738129, 0.04575749056067514)
+    val v = col(valueCol).cast("double")
+    // pick the largest power of ten <= v (exact double literals up to 1e15)
+    val scale = (15 to 0 by -1).foldRight(lit(1.0)) { (e, rest) =>
+      val p = math.pow(10.0, e) // exact for e <= 22
+      when(v >= lit(p), lit(p)).otherwise(rest)
+    }
+    val digit = floor(v / scale).cast("int")
+    val counted = df.where(v >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val p = benford.zipWithIndex.foldRight(lit(Double.NaN)) {
+      case ((prob, i), rest) => when(col("digit") === (i + 1), lit(prob)).otherwise(rest)
+    }
+    counted
+      .withColumn("expected", p * sum(col("n")).over(w).cast("double"))
+      .withColumn("chi2_term",
+        (col("n").cast("double") - col("expected")) * (col("n").cast("double") - col("expected"))
+          / col("expected"))
+      // the 9-term global χ² sums on the 2⁻²⁰ integer grid — associative,
+      // so independent of both partitioning and engine summation order
+      .withColumn("chi2",
+        sum(floor(col("chi2_term") * 1048576.0).cast("long")).over(w).cast("double") / 1048576.0)
+      .select(col("digit"), col("n"), col("expected"), col("chi2_term"), col("chi2"))
+      .orderBy(col("digit"))
+  }
+
   /** Poisson-bootstrap confidence interval for a mean over an INTEGER
     * metric (Chamandy et al., the streaming/distributed bootstrap: each
     * replica reweights every row with an independent Poisson(1) count,

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MatOps
+
 /** Multimodal-column operators: image/audio/video as opaque `binary`
   * payloads with typed metadata, decoded partition-wise in batches.
   *
@@ -178,5 +180,57 @@ object Multimodal {
         sum(when(col("is_cut"), 1L).otherwise(0L))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("int"))
       .select(col(idCol), col("frame_idx"), col("intensity"), col("is_cut"), col("scene_idx"))
+  }
+
+  /** Perceptual-hash near-duplicate pairs over binary payloads — the
+    * image-side MinHash: byte-identical dedup ([[graft.operators.Dedup]]
+    * on the blob fingerprint) misses re-encoded copies, so production
+    * pipelines hash a decoded, downscaled representation instead. The
+    * DECODE here is the honest stub ([[fakeDecode]] discipline): 48
+    * evenly-spaced byte-window intensities stand in for the 48
+    * downscaled-pixel luminances; everything downstream — the
+    * average-hash bit rule (pixel > mean, computed as the exact integer
+    * cross-multiplication `intensity·48 > total`), the 48-bit packed
+    * hash, the band-bucketed candidate join, the Hamming verification
+    * `bit_count(a XOR b) ≤ maxHamming` — is the real aHash pipeline
+    * (Krawetz's average hash; swap the stub for a real decoder and the
+    * plan is unchanged).
+    *
+    * Plan at 100 TB: payload bytes never shuffle — each blob reduces to
+    * one (id, 48-bit hash) row; candidates come from an equi-join on
+    * the top-16-bit band (a near-dup pair differing in ≤ maxHamming of
+    * 48 bits collides on the exact top band unless a flipped bit lands
+    * there — the single-band approximation; production adds rotated
+    * bands exactly like the MinHash LSH operator). Verification is one
+    * integer XOR popcount per candidate.
+    */
+  def perceptualHashPairs(df: DataFrame, idCol: String, binCol: String,
+                          maxHamming: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiles = 48
+    val fr = df
+      .where(octet_length(col(binCol)) >= 4)
+      .select(col(idCol),
+        posexplode(frameSampleHex(col(binCol), tiles, 4)).as(Seq("tile_idx", "_th")))
+    val intensity = aggregate(
+      transform(sequence(lit(0), lit(3)),
+        i => conv(col("_th").substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    val hashed = fr
+      .withColumn("_i", intensity)
+      .withColumn("_tot", sum(col("_i")).over(Window.partitionBy(col(idCol))))
+      .groupBy(col(idCol))
+      .agg(sum(when(col("_i") * tiles > col("_tot"),
+        expr("shiftleft(CAST(1 AS BIGINT), tile_idx)")).otherwise(0L)).as("phash"))
+      .withColumn("band", expr("shiftright(phash, 32)"))
+      .materialized // both legs of the candidate self-join
+    val left = hashed.select(col("band"), col(idCol).as("id_a"), col("phash").as("_ha"))
+    val right = hashed.select(col("band").as("_b2"), col(idCol).as("id_b"), col("phash").as("_hb"))
+    left.join(right, col("band") === col("_b2") && col("id_a") < col("id_b"))
+      .withColumn("hamming", expr("bit_count(_ha ^ _hb)"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"),
+        col("_ha").as("phash_a"), col("_hb").as("phash_b"))
+      .orderBy(col("id_a"), col("id_b"))
   }
 }

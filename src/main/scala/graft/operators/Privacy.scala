@@ -123,4 +123,32 @@ object Privacy {
         (col("n").cast("double") + col("noise_fp").cast("double") / lit(scale)).cast("float"))
       .drop("_u")
   }
+
+  /** l-diversity audit (Machanavajjhala et al. 2007) — the gap
+    * k-anonymity leaves open: a quasi-identifier group can be large
+    * (k-anonymous) yet reveal its sensitive attribute anyway when every
+    * member SHARES that attribute. Each `(q1, q2)` equivalence class
+    * must contain at least `l` DISTINCT values of `sensitiveCol`;
+    * classes below the bar are the ones a release must generalize or
+    * suppress. Run after [[kAnonymize]], before publication.
+    *
+    * Emits one row per equivalence class: (q1, q2, group_n,
+    * n_sensitive, diverse BOOLEAN) — all exact integers.
+    *
+    * Plan: one map-side-combined count over the `(q1, q2, sensitive)`
+    * triple domain (bounded by the attribute domains, not rows), then a
+    * tiny rollup to classes. Zero corpus-keyed shuffles; rides the scan
+    * at 100 TB. The exact distinct count is over the triple domain, so
+    * no count-distinct expansion ever touches corpus rows.
+    */
+  def lDiversity(df: DataFrame, q1: String, q2: String,
+                 sensitiveCol: String, l: Int = 3): DataFrame = {
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy(col(q1), col(q2), col(sensitiveCol))
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(col(q1), col(q2))
+      .agg(sum(col("_n")).as("group_n"), count(lit(1)).as("n_sensitive"))
+      .withColumn("diverse", col("n_sensitive") >= l)
+      .orderBy(col(q1), col(q2))
+  }
 }

@@ -376,4 +376,98 @@ object RateAnomaly {
         (d("_s1") / (lit(grid) * col("n1")).cast("double")).as("mean1"),
         t.as("t_stat"), (abs(t) > lit(1.96)).as("significant"))
   }
+
+  /** Day-of-week seasonal profile per key — the baseline model the
+    * anomaly detectors above normalize against: a crawl/ingest stream
+    * has a weekly shape, and "Tuesday is 1.4× the weekly mean" must be
+    * separated from "Tuesday is anomalous". The index for (key, dow)
+    * is n·7/total (1.0 = flat); the peak flag marks the maximal
+    * day(s). Classic first step of seasonal-naive forecasting and of
+    * rate-limit scheduling (crawl politeness budgets per weekday).
+    *
+    * All counts are exact int64; the index is one IEEE division of
+    * exact integers — bit-reproducible. Plan: one map-side-combined
+    * (key, dow) count — the only corpus-sized exchange — then windows
+    * over ≤7 rows per key. Output is 7·#keys rows at any scale.
+    */
+  /** SPRT fixed-point constants on the 2⁻⁴⁰ grid, computed ONCE in JVM
+    * doubles and embedded as literals in both the Spark plan and the
+    * driver oracle — so no transcendental is ever evaluated by two
+    * engines. (perSuccess, perFailure, upper, lower).
+    */
+  def sprtConstants(p0: Double, p1: Double,
+                    alpha: Double, beta: Double): (Long, Long, Long, Long) = {
+    val scale = 1099511627776.0 // 2^40
+    (math.floor(math.log(p1 / p0) * scale).toLong,
+      math.floor(math.log((1 - p1) / (1 - p0)) * scale).toLong,
+      math.floor(math.log((1 - beta) / alpha) * scale).toLong,
+      math.floor(math.log(beta / (1 - alpha)) * scale).toLong)
+  }
+
+  /** Wald's Sequential Probability Ratio Test over a Bernoulli outcome,
+    * replayed per key over the event stream's day sequence — the
+    * "stop the experiment as soon as the evidence is in" monitor
+    * (Wald 1945): H₀ rate = `p0` vs H₁ rate = `p1`, error budgets
+    * (`alpha`, `beta`). Each success adds ln(p1/p0) to the
+    * log-likelihood ratio, each failure ln((1−p1)/(1−p0)); the first
+    * day the cumulative LLR exits [ln(β/(1−α)), ln((1−β)/α)] decides.
+    * The batch replay answers "when WOULD this have decided" — the
+    * audit behind turning a fixed-horizon A/B gate into a sequential
+    * one.
+    *
+    * Determinism: contributions are JVM-computed 2⁻⁴⁰-grid literal
+    * longs ([[sprtConstants]] — shared verbatim with the oracle), so
+    * the LLR is `cconv·c₁ + (cn−cconv)·c₀` — pure int64 from exact
+    * daily counts. Emits per key: n_days, final_llr_fp, decision
+    * ('h0'/'h1'/'continue'), decision_day (epoch day, −1 if none).
+    *
+    * Plan: one map-side-combined (key, day) count — the only
+    * corpus-sized exchange — then ordered windows over the days-sized
+    * table and one per-key rollup. Scan-bound at any corpus size.
+    */
+  def sprt(events: DataFrame, keyCol: String, tsCol: String, success: Column,
+           p0: Double, p1: Double,
+           alpha: Double = 0.05, beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p1 > p0 && p1 < 1, s"need 0 < p0 < p1 < 1, got $p0, $p1")
+    val (c1, c0, upper, lower) = sprtConstants(p0, p1, alpha, beta)
+    val daily = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"),
+        success.as("_s"))
+      .groupBy(col(keyCol), col("day"))
+      .agg(sum(when(col("_s"), 1L).otherwise(0L)).as("_conv"), count(lit(1)).as("_n"))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val scored = daily
+      .withColumn("_cc", sum(col("_conv")).over(w))
+      .withColumn("_cn", sum(col("_n")).over(w))
+      .withColumn("_llr", col("_cc") * c1 + (col("_cn") - col("_cc")) * c0)
+    scored.groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_days"),
+        max_by(col("_llr"), col("day")).as("final_llr_fp"),
+        min(when(col("_llr") >= upper, col("day"))).as("_h1d"),
+        min(when(col("_llr") <= lower, col("day"))).as("_h0d"))
+      .withColumn("decision",
+        when(col("_h1d").isNull && col("_h0d").isNull, "continue")
+          .when(col("_h0d").isNull || (col("_h1d").isNotNull && col("_h1d") <= col("_h0d")), "h1")
+          .otherwise("h0"))
+      .select(col(keyCol), col("n_days"), col("final_llr_fp"), col("decision"),
+        when(col("decision") === "h1", col("_h1d"))
+          .when(col("decision") === "h0", col("_h0d"))
+          .otherwise(lit(-1)).as("decision_day"))
+      .orderBy(col(keyCol))
+  }
+
+  def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val counted = events
+      // Spark dayofweek: 1 = Sunday .. 7 = Saturday; emit 0-based Sunday=0
+      .select(col(keyCol), (dayofweek(col(tsCol)) - 1).as("dow"))
+      .groupBy(col(keyCol), col("dow")).agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(keyCol))
+    counted
+      .withColumn("seasonal_idx",
+        (col("n") * 7).cast("double") / sum(col("n")).over(w).cast("double"))
+      .withColumn("is_peak", col("n") === max(col("n")).over(w))
+      .orderBy(col(keyCol), col("dow"))
+  }
 }

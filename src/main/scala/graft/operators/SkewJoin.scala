@@ -64,4 +64,32 @@ object SkewJoin {
       case None                => fact.join(dim, keys)
     }
   }
+
+  /** Join-key skew profile — the measurement that decides whether
+    * [[saltedJoin]] (or AQE skew handling) is needed BEFORE a 100 TB
+    * join is launched: per prospective key, how unevenly does row mass
+    * distribute? `skew_factor` = max_key_count · n_keys / n_rows (1.0 =
+    * perfectly uniform; a factor of 50 means the hottest key holds 50×
+    * its fair share — the single-task straggler signature). Emits the
+    * `topK` heavy hitters, each row also carrying the global stats
+    * (n_rows, n_keys, skew_factor) and the hitter's share.
+    *
+    * All counts exact int64; share and factor are single IEEE divisions.
+    * Plan: ONE map-side-combined key count (the same exchange the real
+    * join would pay on its smaller side), a 1-row global aggregate, a
+    * TakeOrdered top-k, one broadcast cross join of the 1-row stats.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String, topK: Int = 5): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(
+      sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"), max(col("cnt")).as("_mx"))
+    counts.orderBy(col("cnt").desc, col(keyCol)).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col(keyCol), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows").cast("double")).as("share"),
+        col("n_rows"), col("n_keys"),
+        ((col("_mx") * col("n_keys")).cast("double") / col("n_rows").cast("double"))
+          .as("skew_factor"))
+      .orderBy(col("cnt").desc, col(keyCol))
+  }
 }

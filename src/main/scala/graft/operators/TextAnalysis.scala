@@ -1022,4 +1022,149 @@ object TextAnalysis {
             when(col("_n") < maxOcc, struct(col("chunk_idx"), col("chunk_text"))))),
           s => s.getField("chunk_text")))).as("clean_fp"))
   }
+
+  /** Code-switching / language-mixing audit — the per-document langid
+    * label hides mixed documents (quoted passages, boilerplate in a
+    * second language, concatenated crawls), and mixed documents poison
+    * monolingual training splits. Each document is chunked into fixed
+    * `chunkSize`-token windows ([[chunkTokens]], stride = size), each
+    * chunk langid'd with the same stopword heuristic as the doc-level
+    * [[langIdScores]], and the document is scored by the fraction of
+    * chunks whose prediction disagrees with its `langCol` label.
+    * Chunks with no stopword hits in any language tie at score 0 and
+    * resolve to the alphabetically-first language (the deterministic
+    * tie rule of the doc-level classifier) — real pipelines call these
+    * "unknown"; the disagreement fraction treats them as foreign,
+    * which is the conservative (quarantine-leaning) reading.
+    *
+    * Emits (`idCol`, lang, n_chunks, n_foreign_chunks, switch_frac).
+    * Plan: one chunk explode (token-volume map work, the label rides
+    * the exploded rows — no join back), per-chunk scores are codegen'd
+    * array filters, one per-doc count rollup — no joins, no model
+    * table; rides the scan at 100 TB.
+    */
+  def codeSwitchProfile(docs: DataFrame, textCol: String, idCol: String,
+                        langCol: String, chunkSize: Int = 16): DataFrame = {
+    // chunkTokens with a label passthrough (same grid: stride = size)
+    val lastIdx = when(size(col("_toks")) <= chunkSize, lit(0L))
+      .otherwise(expr(s"(size(_toks) - $chunkSize + ${chunkSize - 1}) div $chunkSize"))
+    val start = col("chunk_idx").cast("int") * chunkSize + 1
+    val chunks = docs
+      .select(col(idCol), col(langCol), tokens(col(textCol)).as("_toks"))
+      .select(col(idCol), col(langCol), col("_toks"),
+        explode(sequence(lit(0L), lastIdx)).as("chunk_idx"))
+      .select(col(idCol), col(langCol),
+        array_join(slice(col("_toks"), start, lit(chunkSize)), " ").as("chunk_text"))
+    val scores = langIdScores(col("chunk_text"))
+    val withScores = chunks.select(
+      col(idCol) +: col(langCol) +:
+        scores.map { case (l, c) => c.as(s"_s_$l") }: _*)
+    val best = greatest(scores.map { case (l, _) => col(s"_s_$l") }: _*)
+    val pred = coalesce(scores.map { case (l, _) =>
+      when(col(s"_s_$l") === best, lit(l)) }: _*)
+    withScores
+      .withColumn("_pred", pred)
+      .groupBy(col(idCol), col(langCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_pred") =!= col(langCol), 1L).otherwise(0L)).as("n_foreign_chunks"))
+      .withColumn("switch_frac",
+        col("n_foreign_chunks").cast("double") / col("n_chunks").cast("double"))
+  }
+
+  /** Gini concentration of token mass across documents, per stratum —
+    * the "is this source a few mega-documents or many uniform ones"
+    * audit that decides chunking and sampling strategy before a source
+    * enters the training mix (a Gini near 1 means a handful of docs
+    * carry the mass; near 0, uniform lengths).
+    *
+    * Computed HISTOGRAM-FIRST for scale: docs collapse to
+    * (stratum, token_count) → m occurrences — the distinct-length table
+    * is bounded by the length domain (thousands of rows), NOT the corpus
+    * — and the rank-weighted Lorenz sum uses the closed form for tied
+    * blocks: a block of m docs of length v after a docs have cumulated
+    * contributes v·(m·a + m(m+1)/2) to Σᵢ i·xᵢ. A naive per-doc window
+    * rank would sort the full corpus per stratum; this sorts only the
+    * tiny histogram. All sums are int64 (exact); the final
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) is one integer-fed IEEE division.
+    *
+    * Emits (stratum, n_docs, total_tokens, gini DOUBLE).
+    */
+  def giniConcentration(docs: DataFrame, textCol: String, strataCol: String): DataFrame = {
+    val hist = docs
+      .select(col(strataCol).as("stratum"), size(tokens(col(textCol))).cast("long").as("v"))
+      .groupBy(col("stratum"), col("v")).agg(count(lit(1)).as("m"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("v"))
+    val lorenz = hist
+      .withColumn("a", coalesce(
+        sum(col("m")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("stratum"),
+        // m·(m+1) is even, so the integer div is exact
+        (col("v") * (col("m") * col("a") + expr("(m * (m + 1)) div 2"))).as("ix"),
+        (col("v") * col("m")).as("x"), col("m"))
+    lorenz.groupBy(col("stratum"))
+      .agg(sum(col("m")).as("n_docs"), sum(col("x")).as("total_tokens"),
+        sum(col("ix")).as("six"))
+      .select(col("stratum"), col("n_docs"), col("total_tokens"),
+        ((lit(2.0) * col("six").cast("double")
+          - (col("n_docs") + 1).cast("double") * col("total_tokens").cast("double"))
+          / (col("n_docs").cast("double") * col("total_tokens").cast("double"))).as("gini"))
+      .orderBy(col("stratum"))
+  }
+
+  /** Zipf-law fit of the term-frequency distribution: OLS of ln(freq) on
+    * ln(rank) over the top-`topN` terms. Natural corpora run a slope
+    * near −1 (Zipf 1949); a much flatter or steeper slope flags
+    * synthetic, templated, or OCR-garbled text before it enters the mix
+    * — the vocabulary-shape twin of the Heaps growth audit.
+    *
+    * Determinism: ln(rank) and ln(freq) are floored to the 2⁻²⁰
+    * fixed-point grid as int64; all OLS moment sums (Σx, Σy, Σxy, Σx²,
+    * Σy²) are then EXACT integer sums (products ≤ 2⁵⁴ for topN ≤ 10⁴,
+    * summed into int64), so slope/intercept/R² are pure IEEE arithmetic
+    * over identical integers on every engine. The FLOAT outputs absorb
+    * the ln() grid-boundary ulp risk (the corpus-wide contract).
+    *
+    * Plan: one explode + term-count aggregate (the only corpus-sized
+    * exchange), a TakeOrdered top-`topN` (never a global sort), ranks
+    * via a window over the BOUNDED topN rows, one 1-row moment
+    * aggregate. 100 TB costs the one term count.
+    */
+  def zipfFit(docs: DataFrame, textCol: String, topN: Int = 1000): DataFrame = {
+    require(topN >= 3, s"need topN >= 3 for a 2-parameter fit, got $topN")
+    val grid = 1048576.0 // 2^20
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(topN)
+    val ranked = counts
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .select(
+        floor(log(col("rank").cast("double")) * grid).cast("long").as("x"),
+        floor(log(col("cnt").cast("double")) * grid).cast("long").as("y"))
+    ranked.agg(
+      count(lit(1)).as("n_terms"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+      .select(col("n_terms"),
+        ((col("n_terms").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          / (col("n_terms").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))).as("_b"),
+        col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"))
+      .select(col("n_terms"),
+        col("_b").cast("float").as("slope"),
+        (((col("sy").cast("double") - col("_b") * col("sx").cast("double"))
+          / col("n_terms").cast("double")) / grid).cast("float").as("intercept"),
+        (((col("n_terms").cast("double") * col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double"))
+          * (col("n_terms").cast("double") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sy").cast("double")))
+          / ((col("n_terms").cast("double") * col("sxx").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            * (col("n_terms").cast("double") * col("syy").cast("double")
+              - col("sy").cast("double") * col("sy").cast("double")))).cast("float").as("r2"))
+  }
 }

@@ -2029,6 +2029,103 @@ object CoreQueries {
       .orderBy(col("ship_mode"))
   }
 
+  /** TPC-H Q2 shape (minimum-cost supplier) — the last of the 22 and the
+    * canonical CORRELATED SUBQUERY: for each qualifying part, the
+    * supplier(s) in a region achieving the region-wide minimum supply
+    * cost. With no partsupp table, the offer book derives from observed
+    * trades: unit cost per (part, supplier) = min(l_extendedprice /
+    * l_quantity) over lineitem (IEEE division — deterministic, and min
+    * is order-independent).
+    *
+    * Plan scale-first — the subquery is DECORRELATED by hand into the
+    * plan Catalyst would rewrite it to, with the join graph ordered so
+    * the fact shrinks before anything wide joins: ONE aggregate over
+    * lineitem builds the offer book, the EUROPE supplier filter
+    * (supplier ⋈ broadcast nation ⋈ broadcast region) broadcasts onto
+    * it, a second aggregate takes the per-part regional min, and the
+    * min joins BACK to the offers on (partkey, cost) equality — two
+    * map-side-combined aggregates and one slim self-equi-join instead
+    * of a per-part correlated rescan. The part dimension filter
+    * (STANDARD type, size ≤ 10) broadcasts last onto the already-tiny
+    * winner set. lineitem is scanned ONCE at any scale.
+    */
+  def q2MinCostSupplier(s: SparkSession, d: String): DataFrame = {
+    val euSupp = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).where(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val offers = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+      .join(broadcast(euSupp), col("l_suppkey") === col("s_suppkey"))
+    val minCost = offers
+      .groupBy(col("l_partkey"))
+      .agg(min(col("supply_cost")).as("supply_cost"))
+    val parts = Tables.part(s, d)
+      .where(col("p_type") === "STANDARD" && col("p_size") <= 10)
+      .select(col("p_partkey"), col("p_name"), col("p_size"))
+    offers.join(minCost, Seq("l_partkey", "supply_cost"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_name"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** Benford first-digit audit of order totals
+    * ([[graft.operators.Expectations.benfordAudit]]) — the ingest
+    * forensics gate: organically-priced orders should lead with 1 ~30%
+    * of the time; a synthetic or truncated feed diverges and trips the
+    * χ² tripwire before the batch lands.
+    */
+  def qualityBenford(s: SparkSession, d: String): DataFrame =
+    graft.operators.Expectations.benfordAudit(Tables.orders(s, d), "o_totalprice")
+
+  /** Day-of-week seasonal profile of the event stream per event type
+    * ([[graft.operators.RateAnomaly.seasonalProfile]]) — the weekly
+    * baseline the rate-anomaly detectors normalize against, and the
+    * shape a crawl scheduler budgets politeness by.
+    */
+  def eventSeasonal(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.seasonalProfile(events(s, d), "event_type", "ts")
+
+  /** Adamic–Adar link prediction over the item-transition graph
+    * ([[graft.operators.Graph.adamicAdar]]): the same per-user
+    * navigation edges as [[graphPagerank]], scored for MISSING links —
+    * the related-item backfill / crawl-frontier-expansion signal. Top
+    * 50 predicted pairs by shared-neighbor weight.
+    */
+  def graphAdamicAdar(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.adamicAdar(edges, "src", "dst", degCap = 64L, topK = 50)
+  }
+
+  /** Join-key skew profile of the event stream's user key
+    * ([[graft.operators.SkewJoin.keySkewProfile]]) — the pre-flight
+    * measurement that decides between a plain shuffle join, AQE skew
+    * splitting, and [[graft.operators.SkewJoin.saltedJoin]] before a
+    * 100 TB join launches. Top-5 heavy hitters + global skew factor.
+    */
+  def skewProfile(s: SparkSession, d: String): DataFrame =
+    graft.operators.SkewJoin.keySkewProfile(events(s, d), "user_id", topK = 5)
+
+  /** Wald SPRT replay per event type
+    * ([[graft.operators.RateAnomaly.sprt]]): H₀ P(value > 0.75) = 0.25
+    * vs H₁ = 0.30 at α = β = 0.05 — on the uniform synthetic values the
+    * true rate IS 0.25, so the test should accept H₀; the replay shows
+    * WHEN each stream's evidence sufficed (the fixed-horizon→sequential
+    * experiment-gate audit).
+    */
+  def abSprt(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.sprt(events(s, d), "event_type", "ts",
+      col("value") > 0.75, p0 = 0.25, p1 = 0.30)
+
   /** Exact ROC-AUC of the event value as a purchase predictor
     * ([[graft.operators.RateAnomaly.aucRank]]): the Mann–Whitney rank
     * statistic over a 2⁻¹⁰-grid score — the "is this signal better

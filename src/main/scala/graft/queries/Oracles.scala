@@ -5573,6 +5573,317 @@ object Oracles {
          |  FROM a)
          |SELECT event_type, n0, n1, mean0, mean1, t_stat,
          |  abs(t_stat) > 1.96 AS significant
-         |FROM x ORDER BY event_type""".stripMargin
+         |FROM x ORDER BY event_type""".stripMargin,
+
+    // TPC-H Q2 shape: offer book = min observed unit price per
+    // (part, supplier); regional min decorrelated into agg + self-join
+    "q2_min_cost_supplier" ->
+      """WITH eu AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |offers AS (
+        |  SELECT l_partkey, l_suppkey, min(l_extendedprice / l_quantity) AS supply_cost
+        |  FROM lineitem GROUP BY 1, 2),
+        |eo AS (
+        |  SELECT l_partkey, supply_cost, s_acctbal, s_name, n_name
+        |  FROM offers JOIN eu ON l_suppkey = s_suppkey),
+        |mc AS (SELECT l_partkey, min(supply_cost) AS supply_cost FROM eo GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, supply_cost
+        |FROM eo JOIN mc USING (l_partkey, supply_cost)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_type = 'STANDARD' AND p_size <= 10
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    // Benford: digit via power-of-ten CASE ladder (no log10), expected
+    // probabilities as shared literals, chi2 summed on the 2^-20 grid
+    "quality_benford" -> {
+      val ladder = (15 to 1 by -1).map(e => s"WHEN v >= 1e$e THEN 1e$e").mkString(" ")
+      val probs = Seq(
+        1 -> "0.3010299956639812", 2 -> "0.17609125905568124", 3 -> "0.12493873660829992",
+        4 -> "0.09691001300805642", 5 -> "0.07918124604762482", 6 -> "0.06694678963061322",
+        7 -> "0.05799194697768673", 8 -> "0.05115252244738129", 9 -> "0.04575749056067514")
+        .map { case (d, p) => s"WHEN $d THEN $p" }.mkString(" ")
+      s"""WITH src AS (SELECT o_totalprice AS v FROM orders WHERE o_totalprice >= 1.0),
+         |d AS (SELECT CAST(floor(v / (CASE $ladder ELSE 1.0 END)) AS INTEGER) AS digit FROM src),
+         |c AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS total FROM c),
+         |e AS (SELECT digit, n,
+         |  (CASE digit $probs END) * total::DOUBLE AS expected FROM c CROSS JOIN t),
+         |x AS (SELECT digit, n, expected,
+         |  (n::DOUBLE - expected) * (n::DOUBLE - expected) / expected AS chi2_term FROM e)
+         |SELECT digit, n, expected, chi2_term,
+         |  (SELECT sum(floor(chi2_term * 1048576.0)::BIGINT) FROM x)::DOUBLE / 1048576.0 AS chi2
+         |FROM x ORDER BY digit""".stripMargin
+    },
+
+    // day-of-week seasonality: Spark dayofweek-1 == DuckDB dayofweek
+    // (Sunday = 0); index = n*7/total, exact-int division
+    "event_seasonal" ->
+      s"""WITH g AS (
+         |  SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP))::INTEGER AS dow,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, sum(n)::BIGINT AS total, max(n)::BIGINT AS mx
+         |  FROM g GROUP BY 1)
+         |SELECT g.event_type, dow, n,
+         |  (n * 7)::DOUBLE / total::DOUBLE AS seasonal_idx, n = mx AS is_peak
+         |FROM g JOIN t USING (event_type) ORDER BY event_type, dow""".stripMargin,
+
+    // Adamic-Adar over the item-transition graph: undirected distinct
+    // edges, deg-capped shared-neighbor wedge join, 2^-40 grid weights
+    "graph_adamic_adar" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |edges AS (
+        |  SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst
+        |    FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM edges WHERE src <> dst),
+        |adj AS (SELECT u AS z, v AS nbr FROM und UNION ALL SELECT v AS z, u AS nbr FROM und),
+        |deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+        |small AS (
+        |  SELECT adj.z, nbr, floor(1099511627776.0 / ln(deg::DOUBLE))::BIGINT AS w_fp
+        |  FROM adj JOIN deg USING (z) WHERE deg <= 64 AND deg >= 2)
+        |SELECT a.nbr AS node_a, b.nbr AS node_b, count(*)::BIGINT AS common_neighbors,
+        |  sum(a.w_fp)::BIGINT AS aa_fp,
+        |  sum(a.w_fp)::BIGINT::DOUBLE / 1099511627776.0 AS aa_score
+        |FROM small a JOIN small b ON a.z = b.z AND a.nbr < b.nbr
+        |GROUP BY 1, 2 ORDER BY aa_fp DESC, node_a, node_b LIMIT 50""".stripMargin,
+
+    // Gini from the (stratum, length) histogram: tied-block Lorenz
+    // closed form, int64 sums, one final IEEE division
+    "corpus_gini" ->
+      """WITH h AS (
+        |  SELECT source AS stratum,
+        |    len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS v,
+        |    count(*)::BIGINT AS m
+        |  FROM documents GROUP BY 1, 2),
+        |l AS (SELECT stratum, v, m,
+        |  coalesce(sum(m) OVER (PARTITION BY stratum ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS a
+        |  FROM h),
+        |x AS (SELECT stratum,
+        |  (v * (m * a + (m * (m + 1)) // 2))::BIGINT AS ix, (v * m)::BIGINT AS x, m
+        |  FROM l)
+        |SELECT stratum, sum(m)::BIGINT AS n_docs, sum(x)::BIGINT AS total_tokens,
+        |  (2.0 * sum(ix)::BIGINT::DOUBLE
+        |    - (sum(m)::BIGINT + 1)::DOUBLE * sum(x)::BIGINT::DOUBLE)
+        |  / (sum(m)::BIGINT::DOUBLE * sum(x)::BIGINT::DOUBLE) AS gini
+        |FROM x GROUP BY 1 ORDER BY stratum""".stripMargin,
+
+    // Zipf OLS on the 2^-20 ln grid: integer moment sums, IEEE finals
+    "vocab_zipf" ->
+      """WITH c AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents)
+        |  GROUP BY 1 ORDER BY cnt DESC, term LIMIT 1000),
+        |rk AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
+        |r AS (SELECT
+        |  floor(ln(rank::DOUBLE) * 1048576.0)::BIGINT AS x,
+        |  floor(ln(cnt::DOUBLE) * 1048576.0)::BIGINT AS y FROM rk),
+        |m AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+        |  sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM r),
+        |s AS (SELECT n, sx, sy, sxx, syy, sxy,
+        |  (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE) AS b FROM m)
+        |SELECT n AS n_terms, b::FLOAT AS slope,
+        |  (((sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE) / 1048576.0)::FLOAT AS intercept,
+        |  (((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    * (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE))
+        |   / ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)))::FLOAT AS r2
+        |FROM s""".stripMargin,
+
+    // SoftDeDup: planted duplicate groups, weight = 1/k exact division
+    "dedup_soft" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, text FROM documents WHERE doc_id < 100
+        |  UNION ALL SELECT doc_id + 300000, text FROM documents WHERE doc_id < 40),
+        |fp AS (SELECT doc_id,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+        |  FROM all_docs),
+        |g AS (SELECT fingerprint, count(*)::BIGINT AS dup_count FROM fp GROUP BY 1)
+        |SELECT doc_id, fingerprint, dup_count, 1.0 / dup_count::DOUBLE AS weight
+        |FROM fp JOIN g USING (fingerprint) ORDER BY doc_id""".stripMargin,
+
+    // l-diversity: triple-domain count, class rollup, all-int outputs
+    "privacy_ldiversity" ->
+      """WITH t AS (SELECT lang, n_chars // 500 AS len_bucket, source FROM documents),
+        |c AS (SELECT lang, len_bucket, source, count(*)::BIGINT AS n
+        |  FROM t GROUP BY 1, 2, 3)
+        |SELECT lang, len_bucket, sum(n)::BIGINT AS group_n,
+        |  count(*)::BIGINT AS n_sensitive, count(*)::BIGINT >= 3 AS diverse
+        |FROM c GROUP BY 1, 2 ORDER BY lang, len_bucket""".stripMargin,
+
+    // information-gain selection: unigram-minus-bigram NLL contrast,
+    // composed from the text_perplexity / text_perplexity2 models
+    "select_ppl_contrast" ->
+      """WITH t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |p AS MATERIALIZED (SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term FROM t),
+        |c AS MATERIALIZED (SELECT term, count(*) AS cnt FROM p GROUP BY term),
+        |kept AS (SELECT term, cnt FROM c ORDER BY cnt DESC, term LIMIT 24),
+        |s AS MATERIALIZED (SELECT sum(cnt)::BIGINT AS total FROM c),
+        |tn AS MATERIALIZED (
+        |  SELECT term, floor(-ln(cnt::DOUBLE / total::DOUBLE) * 1099511627776.0)::BIGINT AS fp
+        |  FROM kept CROSS JOIN s),
+        |usc AS (
+        |  SELECT doc_id, any_value(n_tokens) AS n_tokens,
+        |    sum(coalesce(tn.fp, (SELECT floor(-ln(0.5 / total::DOUBLE) * 1099511627776.0)::BIGINT FROM s))) AS sfp
+        |  FROM p LEFT JOIN tn USING (term) GROUP BY doc_id),
+        |uni AS (SELECT doc_id,
+        |  ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS uni_nll FROM usc),
+        |bg AS MATERIALIZED (
+        |  SELECT doc_id, CASE WHEN i = 1 THEN '<s>' ELSE toks[i - 1] END AS w1, toks[i] AS w2
+        |  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)),
+        |c2 AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |c1 AS MATERIALIZED (SELECT w1, sum(c) AS cc FROM c2 GROUP BY w1),
+        |kept2 AS (SELECT w1, w2, c FROM c2 ORDER BY c DESC, w1, w2 LIMIT 512),
+        |k2 AS MATERIALIZED (
+        |  SELECT k.w1, k.w2, floor(-ln(k.c::DOUBLE / c1.cc::DOUBLE) * 1099511627776.0)::BIGINT AS fp2
+        |  FROM kept2 k JOIN c1 USING (w1)),
+        |tot AS MATERIALIZED (SELECT sum(c)::BIGINT AS t FROM c2),
+        |bo AS MATERIALIZED (
+        |  SELECT w2, floor(-ln(0.4 * sum(c)::DOUBLE / (SELECT t FROM tot)::DOUBLE) * 1099511627776.0)::BIGINT AS fpbo
+        |  FROM c2 GROUP BY w2),
+        |bsc AS (
+        |  SELECT bg.doc_id, count(*) AS n_tokens, sum(coalesce(k2.fp2, bo.fpbo)) AS sfp
+        |  FROM bg
+        |  LEFT JOIN k2 ON bg.w1 = k2.w1 AND bg.w2 = k2.w2
+        |  JOIN bo ON bg.w2 = bo.w2
+        |  GROUP BY bg.doc_id),
+        |bi AS (SELECT doc_id,
+        |  ((sfp::DOUBLE / 1099511627776.0) / n_tokens::DOUBLE)::FLOAT AS bi_nll FROM bsc)
+        |SELECT doc_id, uni_nll, bi_nll,
+        |  (uni_nll::DOUBLE - bi_nll::DOUBLE)::FLOAT AS contrast
+        |FROM uni JOIN bi USING (doc_id)
+        |ORDER BY contrast DESC, doc_id LIMIT 50""".stripMargin,
+
+    // unique-token yield: global fingerprint groups (mirror source
+    // planted), per-doc (nt·2^20) div k on the integer grid
+    "dedup_yield" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL SELECT doc_id + 200000, 'mirror', text FROM documents WHERE doc_id < 100),
+        |b AS (SELECT doc_id, source AS stratum,
+        |  len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS nt,
+        |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |  FROM all_docs),
+        |g AS (SELECT fp, count(*)::BIGINT AS k FROM b GROUP BY 1)
+        |SELECT stratum, count(*)::BIGINT AS n_docs, sum(nt)::BIGINT AS raw_tokens,
+        |  sum((nt * 1048576) // k)::BIGINT AS eff_tokens_q20,
+        |  sum((nt * 1048576) // k)::BIGINT::DOUBLE / 1048576.0 / sum(nt)::BIGINT::DOUBLE
+        |    AS yield_ratio
+        |FROM b JOIN g USING (fp) GROUP BY 1 ORDER BY stratum""".stripMargin,
+
+    // join-key skew pre-flight: one count, 1-row stats, top-5 hitters
+    "skew_profile" ->
+      """WITH c AS (SELECT user_id, count(*)::BIGINT AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT sum(cnt)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys,
+        |  max(cnt)::BIGINT AS mx FROM c)
+        |SELECT user_id, cnt, cnt::DOUBLE / n_rows::DOUBLE AS share, n_rows, n_keys,
+        |  (mx * n_keys)::DOUBLE / n_rows::DOUBLE AS skew_factor
+        |FROM c CROSS JOIN s ORDER BY cnt DESC, user_id LIMIT 5""".stripMargin,
+
+    // Wald SPRT replay: JVM-computed 2^-40 grid constants shared with
+    // the Spark plan, cumulative integer LLR, first-crossing decision
+    "ab_sprt" -> {
+      val (c1, c0, upper, lower) =
+        graft.operators.RateAnomaly.sprtConstants(0.25, 0.30, 0.05, 0.05)
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+         |    sum(CASE WHEN value > 0.75 THEN 1 ELSE 0 END)::BIGINT AS conv,
+         |    count(*)::BIGINT AS n
+         |  FROM events GROUP BY 1, 2),
+         |c AS (SELECT event_type, day,
+         |    sum(conv) OVER w AS cc, sum(n) OVER w AS cn
+         |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |l AS (SELECT event_type, day,
+         |    (cc * ${c1} + (cn - cc) * ${c0})::BIGINT AS llr FROM c),
+         |r AS (SELECT event_type, count(*)::BIGINT AS n_days,
+         |    max_by(llr, day)::BIGINT AS final_llr_fp,
+         |    min(CASE WHEN llr >= ${upper} THEN day END)::INTEGER AS h1d,
+         |    min(CASE WHEN llr <= ${lower} THEN day END)::INTEGER AS h0d
+         |  FROM l GROUP BY 1)
+         |SELECT event_type, n_days, final_llr_fp,
+         |  CASE WHEN h1d IS NULL AND h0d IS NULL THEN 'continue'
+         |       WHEN h0d IS NULL OR (h1d IS NOT NULL AND h1d <= h0d) THEN 'h1'
+         |       ELSE 'h0' END AS decision,
+         |  CASE WHEN h1d IS NULL AND h0d IS NULL THEN -1
+         |       WHEN h0d IS NULL OR (h1d IS NOT NULL AND h1d <= h0d) THEN h1d
+         |       ELSE h0d END AS decision_day
+         |FROM r ORDER BY event_type""".stripMargin
+    },
+
+    // code-switching: the langid stopword heuristic applied per
+    // 16-token chunk, disagreement fraction vs the doc label
+    "text_code_switch" -> {
+      val langWords = Seq(
+        "de" -> Seq("der", "die", "das", "und", "ist", "nicht"),
+        "en" -> Seq("the", "a", "of", "and", "to", "in"),
+        "es" -> Seq("el", "la", "de", "los", "que", "y"),
+        "fr" -> Seq("le", "la", "les", "et", "est", "une"),
+        "ru" -> Seq("и", "в", "не", "на", "что", "это"))
+      val scoreCols = langWords.map { case (l, ws) =>
+        s"len(list_filter(ctoks, x -> x IN (${ws.map(w => s"'$w'").mkString(",")})))::INTEGER AS s_$l"
+      }.mkString(",\n  ")
+      val best = s"greatest(${langWords.map { case (l, _) => s"s_$l" }.mkString(", ")})"
+      val pred = langWords.map { case (l, _) => s"WHEN s_$l = best THEN '$l'" }.mkString(" ")
+      s"""WITH t AS (SELECT doc_id, lang, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |c AS (SELECT doc_id, lang, toks,
+         |  CASE WHEN len(toks) <= 16 THEN 0 ELSE (len(toks) - 16 + 15) // 16 END AS last_idx FROM t),
+         |ch AS (SELECT doc_id, lang,
+         |    array_to_string(toks[(ci * 16 + 1) : (ci * 16 + 16)], ' ') AS chunk_text
+         |  FROM (SELECT doc_id, lang, toks, unnest(range(0, last_idx + 1)) AS ci FROM c)),
+         |sc AS (SELECT doc_id, lang,
+         |  string_split_regex(lower(trim(chunk_text)), '\\s+') AS ctoks FROM ch),
+         |scored AS (SELECT doc_id, lang,
+         |  $scoreCols
+         |  FROM sc),
+         |p AS (SELECT doc_id, lang, CASE $pred END AS pred
+         |  FROM (SELECT *, $best AS best FROM scored))
+         |SELECT doc_id, lang, count(*)::BIGINT AS n_chunks,
+         |  sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END)::BIGINT AS n_foreign_chunks,
+         |  sum(CASE WHEN pred <> lang THEN 1 ELSE 0 END)::BIGINT::DOUBLE
+         |    / count(*)::BIGINT::DOUBLE AS switch_frac
+         |FROM p GROUP BY 1, 2 ORDER BY doc_id""".stripMargin
+    },
+
+    // aHash near-dup pairs: 48 byte-window intensities (stub decode),
+    // integer mean-compare bits, top-16-bit band join, XOR popcount
+    "mm_phash" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE n_chars >= 64),
+        |planted AS (SELECT doc_id + 100000 AS doc_id, text FROM base WHERE doc_id % 20 = 0),
+        |allb AS (SELECT * FROM base UNION ALL SELECT * FROM planted),
+        |b AS (SELECT doc_id, encode(text) AS p FROM allb WHERE octet_length(encode(text)) >= 4),
+        |s AS (SELECT doc_id, upper(hex(p)) AS h,
+        |  floor((octet_length(p) - 4) / 47)::INTEGER AS st FROM b),
+        |f AS (SELECT doc_id, i::INTEGER AS tile_idx, substr(h, (i * st * 2 + 1)::BIGINT, 8) AS th
+        |  FROM s, unnest(range(0, 48)) AS t(i)),
+        |x AS (SELECT doc_id, tile_idx,
+        |    list_sum(list_transform(range(0, 4), j ->
+        |      list_reduce(list_transform(string_split(substr(th, (j * 2 + 1)::BIGINT, 2), ''),
+        |        ch -> strpos('0123456789ABCDEF', ch) - 1), (a, b2) -> a * 16 + b2)))::BIGINT AS inten
+        |  FROM f),
+        |hsh AS (SELECT doc_id,
+        |    sum(CASE WHEN inten * 48 > tot THEN (1::BIGINT << tile_idx) ELSE 0 END)::BIGINT AS phash
+        |  FROM (SELECT doc_id, tile_idx, inten,
+        |    sum(inten) OVER (PARTITION BY doc_id) AS tot FROM x)
+        |  GROUP BY 1),
+        |bd AS (SELECT doc_id, phash, phash >> 32 AS band FROM hsh)
+        |SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+        |  bit_count(xor(a.phash, b2.phash))::INTEGER AS hamming,
+        |  a.phash AS phash_a, b2.phash AS phash_b
+        |FROM bd a JOIN bd b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
+        |WHERE bit_count(xor(a.phash, b2.phash)) <= 6
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
