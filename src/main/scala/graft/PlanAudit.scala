@@ -183,7 +183,12 @@ object PlanAudit {
       "q2_min_cost_supplier", "graph_adamic_adar", "quality_benford",
       "corpus_gini", "vocab_zipf", "mm_phash", "ab_sprt", "skew_profile",
       "dedup_yield", "select_ppl_contrast", "text_code_switch",
-      "privacy_ldiversity", "dedup_soft", "event_seasonal")
+      "privacy_ldiversity", "dedup_soft", "event_seasonal",
+      // batch 3: U-shaped attribution is one user-key exchange + a
+      // channel aggregate; coverage is one explode+count then bounded
+      // windows; modularity joins slim (node,label) rows onto the
+      // distinct edge set twice, everything after is community-sized
+      "attribution_position", "vocab_coverage", "graph_modularity")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

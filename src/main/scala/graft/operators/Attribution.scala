@@ -106,4 +106,54 @@ object Attribution {
     spark.createDataFrame(rows)
       .toDF("channel", "p_conv_fp", "p_removed_fp", "removal_q20")
   }
+
+  /** Position-based (U-shaped) multi-touch attribution — the rule-based
+    * model between last-touch (`stream_attribution`) and the Markov
+    * removal effect: for each CONVERTING journey, the touchpoints
+    * strictly before the first `convType` event split the conversion's
+    * credit 40% first / 40% last / 20% across the middles (1 touch →
+    * 100%, 2 → 50/50 — the standard U-shape degenerations).
+    *
+    * Credits are integer 2⁻²⁰-grid shares (first/last
+    * ⌊0.4·2²⁰⌋, each middle ⌊0.2·2²⁰/(n−2)⌋) summed as int64 —
+    * associative, so channel totals are partitioning-independent and
+    * the sub-ulp mass lost to flooring is identical on every engine.
+    *
+    * Plan: one per-user ordered window pass (rank + the same
+    * first-conversion truncation as [[transitionCounts]]), a per-user
+    * 1-row aggregate for the touch count, one broadcast-sized join
+    * back, one channel aggregate. The corpus shuffles once on the user
+    * key; output is channel-vocabulary-sized.
+    */
+  def positionCredit(events: DataFrame, userCol: String, typeCol: String,
+                     tsCol: String, tieCol: String, convType: String): DataFrame = {
+    val grid = 1L << 20
+    val ordered = events
+      .select(col(userCol).as("_u"), col(typeCol).as("_t"),
+        col(tsCol).as("_ts"), col(tieCol).as("_tie"))
+      .withColumn("_ord", row_number().over(
+        Window.partitionBy(col("_u")).orderBy(col("_ts"), col("_tie"))))
+      .select(col("_u"), col("_t"), col("_ord"))
+    val firstConv = ordered.where(col("_t") === convType)
+      .groupBy(col("_u")).agg(min(col("_ord")).as("_conv_ord"))
+    // touchpoints strictly before the first conversion, re-ranked dense
+    val touches = ordered.join(firstConv, Seq("_u"))
+      .where(col("_ord") < col("_conv_ord"))
+      .withColumn("_pos", row_number().over(
+        Window.partitionBy(col("_u")).orderBy(col("_ord"))))
+    val nTouch = touches.groupBy(col("_u")).agg(max(col("_pos")).as("_n"))
+    val credit =
+      when(col("_n") === 1, lit(grid))
+        .when(col("_n") === 2, lit(grid / 2))
+        .when(col("_pos") === 1 || col("_pos") === col("_n"),
+          lit(math.floor(0.4 * grid).toLong))
+        .otherwise(expr(s"${math.floor(0.2 * grid).toLong}L div (_n - 2)"))
+    touches.join(nTouch, Seq("_u"))
+      .select(col("_t").as("channel"), credit.as("_c"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"), sum(col("_c")).as("credit_fp"))
+      .select(col("channel"), col("n_touches"), col("credit_fp"),
+        (col("credit_fp").cast("double") / grid.toDouble).as("credit"))
+      .orderBy(col("channel"))
+  }
 }

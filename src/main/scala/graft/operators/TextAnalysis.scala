@@ -1111,6 +1111,40 @@ object TextAnalysis {
       .orderBy(col("stratum"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-sizing companion of
+    * [[zipfFit]]: what fraction of the corpus's token MASS do the top
+    * 10 / 100 / 1000 terms carry? A 32k-entry vocabulary is justified
+    * exactly when this curve is still climbing at 1k; flat-by-100 means
+    * templated text. One row per requested k: (k, cum_tokens,
+    * total_tokens, coverage) — exact integer sums, one IEEE division.
+    *
+    * Plan: one explode + term-count aggregate (the only corpus-sized
+    * exchange; total token count rolls up FROM the term counts, no
+    * second pass), a TakeOrdered top-max(k), a window over those
+    * bounded rows.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "need at least one positive k")
+    val counts = docs
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .materialized // read by the total aggregate AND the top-k
+    val total = counts.agg(sum(col("cnt")).as("total_tokens"))
+    val top = counts.orderBy(col("cnt").desc, col("term")).limit(ks.max)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("cnt").desc, col("term"))))
+      .withColumn("cum_tokens", sum(col("cnt")).over(
+        Window.orderBy(col("cnt").desc, col("term"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    top.where(col("rank").isin(ks.map(k => k: Any): _*))
+      .crossJoin(broadcast(total))
+      .select(col("rank").as("k"), col("cum_tokens"), col("total_tokens"),
+        (col("cum_tokens").cast("double") / col("total_tokens").cast("double"))
+          .as("coverage"))
+      .orderBy(col("k"))
+  }
+
   /** Zipf-law fit of the term-frequency distribution: OLS of ln(freq) on
     * ln(rank) over the top-`topN` terms. Natural corpora run a slope
     * near −1 (Zipf 1949); a much flatter or steeper slope flags

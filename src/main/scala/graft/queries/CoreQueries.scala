@@ -2106,6 +2106,34 @@ object CoreQueries {
     graft.operators.Graph.adamicAdar(edges, "src", "dst", degCap = 64L, topK = 50)
   }
 
+  /** Position-based (U-shaped) multi-touch attribution
+    * ([[graft.operators.Attribution.positionCredit]]): 40/20/40 credit
+    * over the touchpoints preceding each first purchase — the
+    * rule-based model between last-touch (`stream_attribution`) and
+    * the Markov removal effect (`event_attribution_removal`),
+    * completing the attribution-model family.
+    */
+  def attributionPosition(s: SparkSession, d: String): DataFrame =
+    graft.operators.Attribution.positionCredit(
+      events(s, d), "user_id", "event_type", "ts", "event_id", "purchase")
+
+  /** Newman modularity of the label-propagation communities
+    * ([[graft.operators.Graph.modularity]]) over the same sparsified
+    * transition graph as `graph_communities` — the "did the clustering
+    * find real structure" audit (Q ≈ 0 means random wiring).
+    */
+  def graphModularity(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+    val labels = graft.operators.Graph.labelPropagation(edges, "src", "dst", iters = 4)
+    graft.operators.Graph.modularity(edges, "src", "dst", labels)
+  }
+
   /** Join-key skew profile of the event stream's user key
     * ([[graft.operators.SkewJoin.keySkewProfile]]) — the pre-flight
     * measurement that decides between a plain shuffle join, AQE skew

@@ -5884,6 +5884,85 @@ object Oracles {
         |  a.phash AS phash_a, b2.phash AS phash_b
         |FROM bd a JOIN bd b2 ON a.band = b2.band AND a.doc_id < b2.doc_id
         |WHERE bit_count(xor(a.phash, b2.phash)) <= 6
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // U-shaped attribution: 40/40 ends, 20 split across middles, all on
+    // the 2^-20 integer grid (floored shares, associative channel sums)
+    "attribution_position" ->
+      """WITH o AS (SELECT user_id AS u, event_type AS t,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS ord
+        |  FROM events),
+        |fc AS (SELECT u, min(ord) AS conv_ord FROM o WHERE t = 'purchase' GROUP BY 1),
+        |tch AS (SELECT o.u, o.t,
+        |    row_number() OVER (PARTITION BY o.u ORDER BY ord) AS pos
+        |  FROM o JOIN fc USING (u) WHERE ord < conv_ord),
+        |nt AS (SELECT u, max(pos) AS n FROM tch GROUP BY 1),
+        |cr AS (SELECT t AS channel,
+        |    CASE WHEN n = 1 THEN 1048576
+        |         WHEN n = 2 THEN 524288
+        |         WHEN pos = 1 OR pos = n THEN 419430
+        |         ELSE 209715 // (n - 2) END AS c
+        |  FROM tch JOIN nt USING (u))
+        |SELECT channel, count(*)::BIGINT AS n_touches, sum(c)::BIGINT AS credit_fp,
+        |  sum(c)::BIGINT::DOUBLE / 1048576.0 AS credit
+        |FROM cr GROUP BY 1 ORDER BY channel""".stripMargin,
+
+    // coverage curve: cumulative token-mass share at rank 5/10/20
+    "vocab_coverage" ->
+      """WITH c AS MATERIALIZED (SELECT term, count(*)::BIGINT AS cnt FROM (
+        |    SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |    FROM documents) GROUP BY 1),
+        |tot AS (SELECT sum(cnt)::BIGINT AS total_tokens FROM c),
+        |top AS (SELECT row_number() OVER (ORDER BY cnt DESC, term) AS rank,
+        |    sum(cnt) OVER (ORDER BY cnt DESC, term
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS cum_tokens
+        |  FROM (SELECT * FROM c ORDER BY cnt DESC, term LIMIT 20))
+        |SELECT rank::INTEGER AS k, cum_tokens, total_tokens,
+        |  cum_tokens::DOUBLE / total_tokens::DOUBLE AS coverage
+        |FROM top CROSS JOIN tot WHERE rank IN (5, 10, 20) ORDER BY k""".stripMargin,
+
+    // Newman modularity over the LPA partition: per-community
+    // 4mL - D^2 numerators in exact int64, one global division
+    "graph_modularity" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e0 AS (SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL AND (src * 31 + dst) % 7 = 0 AND src <> dst),
+        |sym AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |  SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+        |l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM sym),
+        |l1 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l0.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l0.label) AS rn
+        |  FROM sym JOIN l0 ON sym.dst = l0.node GROUP BY 1, 2) WHERE rn = 1),
+        |l2 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l1.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l1.label) AS rn
+        |  FROM sym JOIN l1 ON sym.dst = l1.node GROUP BY 1, 2) WHERE rn = 1),
+        |l3 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l2.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l2.label) AS rn
+        |  FROM sym JOIN l2 ON sym.dst = l2.node GROUP BY 1, 2) WHERE rn = 1),
+        |l4 AS MATERIALIZED (SELECT node, label FROM (
+        |  SELECT sym.src AS node, l3.label, count(*) AS c,
+        |    row_number() OVER (PARTITION BY sym.src ORDER BY count(*) DESC, l3.label) AS rn
+        |  FROM sym JOIN l3 ON sym.dst = l3.node GROUP BY 1, 2) WHERE rn = 1),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM e0),
+        |mm AS (SELECT count(*)::BIGINT AS m FROM und),
+        |deg AS (SELECT node, count(*)::BIGINT AS deg FROM (
+        |  SELECT u AS node FROM und UNION ALL SELECT v AS node FROM und) GROUP BY 1),
+        |ds AS (SELECT label, count(*)::BIGINT AS n_nodes, sum(deg)::BIGINT AS degree_sum
+        |  FROM deg JOIN l4 USING (node) GROUP BY 1),
+        |ie AS (SELECT a.label, count(*)::BIGINT AS internal_edges
+        |  FROM und JOIN l4 a ON und.u = a.node JOIN l4 b ON und.v = b.node
+        |  WHERE a.label = b.label GROUP BY 1),
+        |pc AS MATERIALIZED (SELECT ds.label, n_nodes,
+        |    coalesce(internal_edges, 0)::BIGINT AS internal_edges, degree_sum,
+        |    (4 * m * coalesce(internal_edges, 0) - degree_sum * degree_sum)::BIGINT AS q_num, m
+        |  FROM ds LEFT JOIN ie USING (label) CROSS JOIN mm)
+        |SELECT label, n_nodes, internal_edges, degree_sum, q_num,
+        |  (SELECT sum(q_num) FROM pc)::DOUBLE / (4.0 * m::DOUBLE * m::DOUBLE) AS q
+        |FROM pc ORDER BY label""".stripMargin
   )
 }

@@ -155,6 +155,48 @@ class AuditOpsSpec extends SparkSuite {
     assert(out.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L && r.getInt(2) == 0))
   }
 
+  test("positionCredit splits 40/20/40 with the 1- and 2-touch degenerations") {
+    // u1: a,b,c then purchase -> a 0.4, b 0.2, c 0.4
+    // u2: a then purchase -> a 1.0 ; u3: b,c then purchase -> 0.5 each
+    // u4: never converts -> no credit
+    val ev = Seq(
+      (1L, "a", 1L), (1L, "b", 2L), (1L, "c", 3L), (1L, "purchase", 4L),
+      (2L, "a", 1L), (2L, "purchase", 2L),
+      (3L, "b", 1L), (3L, "c", 2L), (3L, "purchase", 3L),
+      (4L, "a", 1L), (4L, "b", 2L)
+    ).toDF("user_id", "event_type", "tie")
+      .withColumn("ts", col("tie").cast("timestamp"))
+    val out = Attribution.positionCredit(ev, "user_id", "event_type", "ts", "tie", "purchase")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val g = 1L << 20
+    assert(out("a") == math.floor(0.4 * g).toLong + g)        // u1 first + u2 solo
+    assert(out("b") == math.floor(0.2 * g).toLong + g / 2)    // u1 middle + u3 pair
+    assert(out("c") == math.floor(0.4 * g).toLong + g / 2)    // u1 last + u3 pair
+  }
+
+  test("vocabCoverage reports cumulative token-mass share at the requested ranks") {
+    // counts: a=4, b=2, c=1, d=1 -> total 8; top1 = 0.5, top2 = 0.75
+    val docs = Seq("a a a a b b c d").toDF("text")
+    val out = TextAnalysis.vocabCoverage(docs, "text", ks = Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(3)))).toMap
+    assert(out(1) == ((4L, 0.5)))
+    assert(out(2) == ((6L, 0.75)))
+  }
+
+  test("modularity scores a two-clique partition high and computes exact numerators") {
+    // two triangles joined by one bridge edge; labels = the two triangles
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("node", "label")
+    val rows = Graph.modularity(edges, "src", "dst", labels).collect()
+    // m = 7; community 1: L=3, D=7 -> 4*7*3 - 49 = 35; community 4 same
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(4) == 35L))
+    val q = rows(0).getDouble(5)
+    assert(q == 70.0 / (4.0 * 49.0), s"q was $q")
+  }
+
   test("softDedupWeights assigns 1/k to every member of a duplicate group") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
     val out = Dedup.softDedupWeights(docs, "text", "doc_id")
