@@ -286,7 +286,21 @@ object ScaleSmoke {
       }),
       "attribution" -> (() => Attribution.removalEffects(
         ev.withColumn("ts", col("ts").cast("timestamp")),
-        "user_id", "event_type", "ts", "event_id", "purchase").count()))
+        "user_id", "event_type", "ts", "event_id", "purchase").count()),
+      // round-11 closing: the wedge join's fan-out must stay degree-
+      // bounded (a superlinear ratio = the cap failed); phash payloads
+      // reduce map-side, so the band join sees only (id, hash) rows;
+      // modularity rides the LPA fit + two slim label joins
+      "adamic_adar" -> (() => Graph.adamicAdar(
+        itemEdges(ev), "src", "dst", degCap = 64L, topK = 50).count()),
+      "phash_pairs" -> (() => Multimodal.perceptualHashPairs(
+        Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload",
+        maxHamming = 6).count()),
+      "modularity" -> (() => {
+        val e = itemEdges(ev).where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
+        Graph.modularity(e, "src", "dst",
+          Graph.labelPropagation(e, "src", "dst", iters = 4)).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))
