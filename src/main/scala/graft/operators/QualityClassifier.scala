@@ -188,30 +188,48 @@ object QualityClassifier {
     require(iters >= 1, "need iters >= 1")
     val spark = feats.sparkSession
     import spark.implicits._
-    var w: DataFrame = null // (bucket, w) — null = the zero model
+    // w = (bucket, w) plus ONE sentinel row (bucket = -1, w = n_wrong of
+    // the round that produced it). The sentinel rides the SAME eager
+    // checkpoint as the weights, so the round's mistake count is
+    // computed inside the one materialization job instead of by a
+    // second full scored→wrong pass (which previously re-joined and
+    // re-aggregated the whole feature table per epoch just to count).
+    // Real buckets are >= 0, so the sentinel can never match a feature
+    // join and is filtered out of the model wherever weights are read.
+    var w: DataFrame = null // null = the zero model
     val trace = Seq.newBuilder[(Int, Int, Long)]
     for (t <- 1 to iters) {
+      val wReal = if (w == null) null else w.where(col("bucket") =!= -1L)
       val scored =
         if (w == null) feats.select(col("_id"), col("y"), lit(0L).as("s")).distinct()
-        else feats.join(broadcast(w), Seq("bucket"), "left")
+        else feats.join(broadcast(wReal), Seq("bucket"), "left")
           .groupBy(col("_id"), col("y"))
           .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("s"))
       val wrong = scored.where(col("y") * col("s") <= 0).select(col("_id"), col("y"))
       val delta = feats.join(wrong, Seq("_id", "y"))
         .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("_d"))
-      // the wrong-count must be read BEFORE cutLoop releases the previous
-      // weights generation — wrong's plan still references it
-      val Array(nWrong) = wrong.agg(count(lit(1))).as[Long].collect()
-      val wNext = Materialize.cutLoop(
+      val wNextPlan =
         if (w == null) delta.select(col("bucket"), col("_d").as("w"))
-        else w.join(delta, Seq("bucket"), "full_outer")
+        else wReal.join(delta, Seq("bucket"), "full_outer")
           .select(col("bucket"),
-            (coalesce(col("w"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("w")),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("w"))
+      val wNext = Materialize.cutLoop(
+        wNextPlan.unionByName(
+          wrong.agg(count(lit(1)).as("w"))
+            .select(lit(-1).cast("int").as("bucket"), col("w"))),
         previous = Option(w))
-      val Array(l1) = wNext.agg(coalesce(sum(abs(col("w"))), lit(0L))).as[Long].collect()
+      // one tiny collect over the checkpointed table reads both stats
+      val Array((nWrong, l1)) = wNext.agg(
+        coalesce(sum(when(col("bucket") === -1L, col("w"))), lit(0L)),
+        coalesce(sum(when(col("bucket") =!= -1L, abs(col("w")))), lit(0L)))
+        .as[(Long, Long)].collect()
       trace += ((t, nWrong.toInt, l1))
       w = wNext
     }
+    // returned WITH the sentinel: callers either release it (train) or
+    // join it on real buckets where -1 can never match (eval) — and
+    // [[Materialize.release]] needs the raw LogicalRDD, not a filter
+    // over it
     (trace.result(), w)
   }
 }
