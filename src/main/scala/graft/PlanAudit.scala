@@ -188,7 +188,10 @@ object PlanAudit {
       // channel aggregate; coverage is one explode+count then bounded
       // windows; modularity joins slim (node,label) rows onto the
       // distinct edge set twice, everything after is community-sized
-      "attribution_position", "vocab_coverage", "graph_modularity")
+      "attribution_position", "vocab_coverage", "graph_modularity",
+      // rfm is one user aggregate + user-table ntile windows; the
+      // matryoshka audit is two broadcast brute-force scans + a slim join
+      "user_rfm", "ann_matryoshka")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

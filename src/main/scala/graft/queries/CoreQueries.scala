@@ -2106,6 +2106,13 @@ object CoreQueries {
     graft.operators.Graph.adamicAdar(edges, "src", "dst", degCap = 64L, topK = 50)
   }
 
+  /** RFM user segmentation ([[graft.operators.Funnel.rfmSegments]]):
+    * recency/frequency/monetary quintiles per user, anchored at the
+    * corpus's own last day — the classic event-warehouse triage table.
+    */
+  def userRfm(s: SparkSession, d: String): DataFrame =
+    graft.operators.Funnel.rfmSegments(events(s, d), "user_id", "ts", "value")
+
   /** Position-based (U-shaped) multi-touch attribution
     * ([[graft.operators.Attribution.positionCredit]]): 40/20/40 credit
     * over the touchpoints preceding each first purchase — the

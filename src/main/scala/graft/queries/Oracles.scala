@@ -5963,6 +5963,53 @@ object Oracles {
         |  FROM ds LEFT JOIN ie USING (label) CROSS JOIN mm)
         |SELECT label, n_nodes, internal_edges, degree_sum, q_num,
         |  (SELECT sum(q_num) FROM pc)::DOUBLE / (4.0 * m::DOUBLE * m::DOUBLE) AS q
-        |FROM pc ORDER BY label""".stripMargin
+        |FROM pc ORDER BY label""".stripMargin,
+
+    // RFM: one user aggregate, corpus-last-day anchor, ntile quintiles
+    // with user-id tie-breaks (total order -> deterministic)
+    "user_rfm" ->
+      """WITH pu AS (SELECT user_id,
+        |    max((CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01'))::INTEGER AS last_day,
+        |    count(*)::BIGINT AS f_events,
+        |    sum(CAST(floor(value * 1024) AS BIGINT))::BIGINT AS m_fp
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT max(last_day) AS anchor FROM pu),
+        |b AS (SELECT user_id, (anchor - last_day)::INTEGER AS r_days, f_events, m_fp
+        |  FROM pu CROSS JOIN a),
+        |c AS (SELECT *,
+        |    ntile(5) OVER (ORDER BY r_days, user_id) AS r_q,
+        |    ntile(5) OVER (ORDER BY f_events, user_id) AS f_q,
+        |    ntile(5) OVER (ORDER BY m_fp, user_id) AS m_q FROM b)
+        |SELECT user_id, r_days, f_events, m_fp,
+        |  r_q::INTEGER AS r_q, f_q::INTEGER AS f_q, m_q::INTEGER AS m_q,
+        |  r_q::VARCHAR || f_q::VARCHAR || m_q::VARCHAR AS segment
+        |FROM c ORDER BY user_id""".stripMargin,
+
+    // Matryoshka audit: exact top-10 over the 16-dim prefix vs the
+    // 64-dim exact top-10, per-query hit count
+    "ann_matryoshka" -> {
+      val dot64 = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64qq = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64cc = "list_reduce(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val dot16 = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16qq = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16cc = "list_reduce(list_transform(range(1, 17), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sf AS (SELECT query_id, neighbor_id,
+         |    $dot64 / (sqrt($d64qq) * sqrt($d64cc)) AS cosine FROM q CROSS JOIN c),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sf) WHERE rank <= 10),
+         |st AS (SELECT query_id, neighbor_id,
+         |    $dot16 / (sqrt($d16qq) * sqrt($d16cc)) AS cosine FROM q CROSS JOIN c),
+         |approx AS (SELECT query_id, neighbor_id, 1 AS hit FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM st) WHERE rank <= 10)
+         |SELECT query_id, sum(coalesce(hit, 0))::INTEGER AS n_hits,
+         |  ((sum(coalesce(hit, 0)) * 100) // count(*))::INTEGER AS recall_pct
+         |FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY query_id""".stripMargin
+    }
   )
 }

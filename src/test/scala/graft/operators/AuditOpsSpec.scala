@@ -197,6 +197,34 @@ class AuditOpsSpec extends SparkSuite {
     assert(q == 70.0 / (4.0 * 49.0), s"q was $q")
   }
 
+  test("rfmSegments anchors recency at the corpus's last day and quintiles deterministically") {
+    // 5 users, one event each on days 1..5, values 0..4 -> r_days 4..0
+    val ev = (1 to 5).map(u => (u.toLong, (u * 86400L), (u - 1) * 1.0))
+      .toDF("user_id", "sec", "value")
+      .withColumn("ts", col("sec").cast("timestamp"))
+    val out = Funnel.rfmSegments(ev, "user_id", "ts", "value")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getLong(2), r.getLong(3), r.getString(7)))).toMap
+    // u5: r_q 1 (most recent), f_q 5 (tie broken by id), m_q 5 (highest)
+    assert(out(5L) == ((0, 1L, 4096L, "155")))
+    assert(out(1L) == ((4, 1L, 0L, "511")))
+  }
+
+  test("annMatryoshka prefix search recovers identical neighbors when dims beyond the prefix are constant") {
+    // embeddings whose last 48 dims are all zero -> 16-dim prefix search
+    // must equal the 64-dim exact search: recall 100 for every query
+    val emb = spark.range(30).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(64)),
+        j => when(j <= 16, (j * (col("id") + 1) % 97).cast("float")).otherwise(lit(0.0f)))
+        .as("embedding"))
+    val trunc = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("embedding"))
+    val rec = Similarity.recallAtK(
+      Similarity.bruteForceTopK(trunc, trunc.where(col("vec_id") < 3), k = 5),
+      Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 5))
+      .collect()
+    assert(rec.length == 3 && rec.forall(_.getInt(2) == 100))
+  }
+
   test("softDedupWeights assigns 1/k to every member of a duplicate group") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
     val out = Dedup.softDedupWeights(docs, "text", "doc_id")
