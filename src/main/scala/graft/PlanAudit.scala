@@ -191,7 +191,10 @@ object PlanAudit {
       "attribution_position", "vocab_coverage", "graph_modularity",
       // rfm is one user aggregate + user-table ntile windows; the
       // matryoshka audit is two broadcast brute-force scans + a slim join
-      "user_rfm", "ann_matryoshka")
+      "user_rfm", "ann_matryoshka",
+      // c4 is shuffle-free per-row gates; clustering reuses the oriented
+      // wedge join with a bounded 3-explode credit pass
+      "quality_c4", "graph_clustering")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -200,6 +200,57 @@ object Graph {
       .select(col("n_nodes"), col("n_edges"), col("n_triangles"), col("max_degree"))
   }
 
+  /** Per-node local clustering coefficient — the node-grain refinement
+    * of [[triangleCount]]: cc(v) = 2·t(v) / (deg(v)·(deg(v)−1)), t(v)
+    * the triangles through v (Watts & Strogatz 1998). The spam-farm /
+    * cohesion feature per page, where the global triangle count is the
+    * corpus summary.
+    *
+    * Same degree-oriented wedge join as [[triangleCount]] (each
+    * triangle closes exactly once), then each closed triangle credits
+    * its THREE corners via a bounded 3-explode and one count
+    * aggregate. All counts int64; cc is one IEEE division. Emits
+    * (node, deg, triangles, cc) for deg ≥ 2, ordered by node.
+    */
+  def clusteringCoefficient(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val raw = edges.select(col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .materialized
+    val deg = raw.select(col("u").as("node")).union(raw.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .materialized
+    val oriented = raw
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), Seq("v"))
+      .select(
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("u")).otherwise(col("v")).as("lo"),
+        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
+          col("v")).otherwise(col("u")).as("hi"))
+      .materialized
+    val wl = oriented.select(col("lo").as("_wa"), col("hi").as("b"))
+    val wr = oriented.select(col("lo").as("_wa2"), col("hi").as("c"))
+    val wedges = wl.join(wr, col("_wa") === col("_wa2"))
+      .where(col("b") < col("c"))
+      .select(col("_wa").as("wa"), col("b"), col("c"))
+    val probe = oriented.select(col("lo").as("_pl"), col("hi").as("_ph"))
+    val closed = wedges.join(probe,
+      (col("b") === col("_pl") && col("c") === col("_ph"))
+        || (col("c") === col("_pl") && col("b") === col("_ph")))
+    val tri = closed
+      .select(explode(array(col("wa"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
+    deg.join(tri, Seq("node"), "left")
+      .na.fill(0L, Seq("triangles"))
+      .where(col("deg") >= 2)
+      .select(col("node"), col("deg"), col("triangles"),
+        ((col("triangles") * 2).cast("double")
+          / (col("deg") * (col("deg") - 1)).cast("double")).as("cc"))
+      .orderBy(col("node"))
+  }
+
   /** Breadth-first reachability layers from a seed set over a DIRECTED
     * edge list — the crawl-depth audit (how many hops from the curated
     * seed hosts does the frontier reach each page?) and the

@@ -87,6 +87,27 @@ object TextAnalysis {
           col("r_alpha") && col("r_stopwords"))
   }
 
+  /** C4 line/document heuristics (Raffel et al. 2020 §2.2, the filters
+    * that built C4 from Common Crawl), document-grain: minimum word
+    * count, no curly brace (code markers), terminal punctuation at the
+    * end, and no policy boilerplate phrases ("cookie" / "javascript" —
+    * C4 drops lines with either). The named-paper sibling of
+    * [[gopherRules]]; real pipelines run both and keep the
+    * intersection. All per-row codegen column work, shuffle-free.
+    */
+  def c4Rules(docs: DataFrame, textCol: String, minWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    docs
+      .withColumn("n_words", size(tokens(t)))
+      .withColumn("r_min_words", col("n_words") >= minWords)
+      .withColumn("r_no_brace", !t.contains("{"))
+      .withColumn("r_terminal", trim(t).rlike("[.!?\"]$"))
+      .withColumn("r_no_policy",
+        !lower(t).contains("cookie") && !lower(t).contains("javascript"))
+      .withColumn("c4_pass",
+        col("r_min_words") && col("r_no_brace") && col("r_terminal") && col("r_no_policy"))
+  }
+
   /** Stopword-hit language-ID heuristic: count hits against small
     * per-language function-word lists, pick the argmax (deterministic
     * tie-break by fixed language order).

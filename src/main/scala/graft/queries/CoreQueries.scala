@@ -2106,6 +2106,20 @@ object CoreQueries {
     graft.operators.Graph.adamicAdar(edges, "src", "dst", degCap = 64L, topK = 50)
   }
 
+  /** Per-node clustering coefficient over the item-transition graph
+    * ([[graft.operators.Graph.clusteringCoefficient]]) — the node-grain
+    * cohesion feature next to the global `graph_triangles` summary.
+    */
+  def graphClustering(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+    graft.operators.Graph.clusteringCoefficient(edges, "src", "dst")
+  }
+
   /** RFM user segmentation ([[graft.operators.Funnel.rfmSegments]]):
     * recency/frequency/monetary quintiles per user, anchored at the
     * corpus's own last day — the classic event-warehouse triage table.

@@ -6010,6 +6010,59 @@ object Oracles {
          |  ((sum(coalesce(hit, 0)) * 100) // count(*))::INTEGER AS recall_pct
          |FROM exact LEFT JOIN approx USING (query_id, neighbor_id)
          |GROUP BY 1 ORDER BY query_id""".stripMargin
-    }
+    },
+
+    // C4 heuristics over the planted corpus: word floor, brace, terminal
+    // punctuation, policy phrases
+    "quality_c4" ->
+      """WITH p AS (
+        |  SELECT doc_id, CASE doc_id % 10
+        |    WHEN 1 THEN 'x1 x2.'
+        |    WHEN 2 THEN text || ' { code block }.'
+        |    WHEN 3 THEN text || ' no terminal word'
+        |    WHEN 4 THEN text || ' accept cookie banner.'
+        |    ELSE text || '.' END AS text
+        |  FROM documents),
+        |r AS (SELECT doc_id,
+        |  len(string_split_regex(lower(trim(text)), '\s+'))::INTEGER AS n_words,
+        |  NOT contains(text, '{') AS r_no_brace,
+        |  regexp_matches(trim(text), '[.!?"]$') AS r_terminal,
+        |  (NOT contains(lower(text), 'cookie') AND NOT contains(lower(text), 'javascript'))
+        |    AS r_no_policy
+        |  FROM p)
+        |SELECT doc_id, n_words, n_words >= 5 AS r_min_words, r_no_brace, r_terminal,
+        |  r_no_policy,
+        |  (n_words >= 5 AND r_no_brace AND r_terminal AND r_no_policy) AS c4_pass
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // per-node clustering coefficient: oriented wedge closure credits
+    // all three corners, cc = 2t / d(d-1)
+    "graph_clustering" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |    json_extract_string(props, '$.k')::BIGINT AS k FROM events),
+        |e0 AS (SELECT src, dst FROM (
+        |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev)
+        |  WHERE src IS NOT NULL AND dst IS NOT NULL),
+        |raw AS MATERIALIZED (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM e0 WHERE src <> dst),
+        |deg AS MATERIALIZED (
+        |  SELECT node, count(*)::BIGINT AS deg FROM (
+        |    SELECT u AS node FROM raw UNION ALL SELECT v AS node FROM raw) GROUP BY 1),
+        |o AS MATERIALIZED (
+        |  SELECT CASE WHEN du < dv OR (du = dv AND u < v) THEN u ELSE v END AS lo,
+        |         CASE WHEN du < dv OR (du = dv AND u < v) THEN v ELSE u END AS hi
+        |  FROM (SELECT u, v, d1.deg AS du, d2.deg AS dv
+        |        FROM raw JOIN deg d1 ON d1.node = u JOIN deg d2 ON d2.node = v)),
+        |w AS (SELECT a.lo AS wa, a.hi AS b, c.hi AS c
+        |      FROM o a JOIN o c ON a.lo = c.lo WHERE a.hi < c.hi),
+        |closed AS (SELECT wa, b, c FROM w
+        |        JOIN o ON (w.b = o.lo AND w.c = o.hi) OR (w.c = o.lo AND w.b = o.hi)),
+        |tn AS (SELECT unnest([wa, b, c]) AS node FROM closed),
+        |tri AS (SELECT node, count(*)::BIGINT AS triangles FROM tn GROUP BY 1)
+        |SELECT deg.node, deg, coalesce(triangles, 0)::BIGINT AS triangles,
+        |  (coalesce(triangles, 0) * 2)::DOUBLE / (deg * (deg - 1))::DOUBLE AS cc
+        |FROM deg LEFT JOIN tri ON deg.node = tri.node
+        |WHERE deg >= 2 ORDER BY deg.node""".stripMargin
   )
 }

@@ -225,6 +225,35 @@ class AuditOpsSpec extends SparkSuite {
     assert(rec.length == 3 && rec.forall(_.getInt(2) == 100))
   }
 
+  test("clusteringCoefficient credits every corner of each triangle") {
+    // triangle 1-2-3 plus pendant 3-4: cc(1)=cc(2)=1, cc(3)=1/3, 4 dropped (deg 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graph.clusteringCoefficient(edges, "src", "dst")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(1L) == ((1L, 1.0)))
+    assert(out(2L) == ((1L, 1.0)))
+    assert(out(3L) == ((1L, 1.0 / 3.0)))
+    assert(!out.contains(4L))
+  }
+
+  test("c4Rules fails each planted violation on exactly its own rule") {
+    val docs = Seq(
+      (1L, "too short."),
+      (2L, "a perfectly fine sentence with many words inside it."),
+      (3L, "enough words here but it has a { brace marker}."),
+      (4L, "enough words here with no terminal punctuation at all"),
+      (5L, "enough words here please accept our cookie policy today.")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Rules(docs, "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(3), r.getBoolean(4), r.getBoolean(5), r.getBoolean(6)))).toMap
+    assert(out(1L)._1 == false)             // min-words
+    assert(out(2L) == ((true, true, true, true)))
+    assert(out(3L)._2 == false)             // brace
+    assert(out(4L)._3 == false)             // terminal
+    assert(out(5L)._4 == false)             // policy
+  }
+
   test("softDedupWeights assigns 1/k to every member of a duplicate group") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
     val out = Dedup.softDedupWeights(docs, "text", "doc_id")
