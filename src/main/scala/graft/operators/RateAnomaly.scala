@@ -458,6 +458,36 @@ object RateAnomaly {
       .orderBy(col(keyCol))
   }
 
+  /** Wilson score interval for a conversion rate (Wilson 1927) — the
+    * small-sample-safe CI every experiment dashboard should use instead
+    * of the normal approximation (which collapses at p near 0/1): per
+    * key, n, conversions, p̂, and the 95% bounds
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n).
+    *
+    * Determinism: one map-side-combined count aggregate (exact int64),
+    * then a fixed-order chain of IEEE arithmetic over those integers —
+    * every multiply/divide/√ is written in the same association on both
+    * engines, so the bounds hash-match bit-for-bit. Plan: the one
+    * aggregate IS the query; output is key-cardinality-sized.
+    */
+  def wilsonCi(events: DataFrame, keyCol: String, success: Column,
+               z: Double = 1.96): DataFrame = {
+    val agg = events
+      .select(col(keyCol), success.as("_s"))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(when(col("_s"), 1L).otherwise(0L)).as("conversions"))
+    val nD = col("n").cast("double")
+    val p = col("conversions").cast("double") / nD
+    val z2 = lit(z) * lit(z)
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = (lit(z) * sqrt(p * (lit(1.0) - p) / nD
+      + z2 / (lit(4.0) * nD * nD))) / denom
+    agg.select(col(keyCol), col("n"), col("conversions"),
+        p.as("p_hat"), (center - half).as("ci_lower"), (center + half).as("ci_upper"))
+      .orderBy(col(keyCol))
+  }
+
   def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val counted = events
       // Spark dayofweek: 1 = Sunday .. 7 = Saturday; emit 0-based Sunday=0

@@ -2164,6 +2164,16 @@ object CoreQueries {
   def skewProfile(s: SparkSession, d: String): DataFrame =
     graft.operators.SkewJoin.keySkewProfile(events(s, d), "user_id", topK = 5)
 
+  /** Wilson 95% CI for the per-type conversion rate
+    * ([[graft.operators.RateAnomaly.wilsonCi]], same value>0.75 outcome
+    * as `ab_sprt`) — the small-sample-safe interval an experiment
+    * dashboard reads next to the sequential test's decision.
+    */
+  def abWilson(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.wilsonCi(
+      events(s, d).select(col("event_type"), col("value")),
+      "event_type", col("value") > 0.75)
+
   /** Wald SPRT replay per event type
     * ([[graft.operators.RateAnomaly.sprt]]): H₀ P(value > 0.75) = 0.25
     * vs H₁ = 0.30 at α = β = 0.05 — on the uniform synthetic values the

@@ -6063,6 +6063,24 @@ object Oracles {
         |SELECT deg.node, deg, coalesce(triangles, 0)::BIGINT AS triangles,
         |  (coalesce(triangles, 0) * 2)::DOUBLE / (deg * (deg - 1))::DOUBLE AS cc
         |FROM deg LEFT JOIN tri ON deg.node = tri.node
-        |WHERE deg >= 2 ORDER BY deg.node""".stripMargin
+        |WHERE deg >= 2 ORDER BY deg.node""".stripMargin,
+
+    // Wilson score interval: fixed-order IEEE chain over exact counts,
+    // associations mirrored from RateAnomaly.wilsonCi
+    "ab_wilson" ->
+      """WITH a AS (SELECT event_type, count(*)::BIGINT AS n,
+        |    sum(CASE WHEN value > 0.75 THEN 1 ELSE 0 END)::BIGINT AS conversions
+        |  FROM events GROUP BY 1),
+        |x AS (SELECT event_type, n, conversions,
+        |    conversions::DOUBLE / n::DOUBLE AS p,
+        |    1.96 * 1.96 AS z2, n::DOUBLE AS nd FROM a)
+        |SELECT event_type, n, conversions, p AS p_hat,
+        |  ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd))
+        |    - ((1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd))
+        |    AS ci_lower,
+        |  ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd))
+        |    + ((1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd))
+        |    AS ci_upper
+        |FROM x ORDER BY event_type""".stripMargin
   )
 }
