@@ -377,6 +377,52 @@ object RateAnomaly {
         t.as("t_stat"), (abs(t) > lit(1.96)).as("significant"))
   }
 
+  /** Lag-k autocorrelation of the per-key daily count series — the
+    * numeric twin of [[seasonalProfile]]: a strong r at lag 7 IS the
+    * weekly cycle, a strong lag-1 means momentum/bursts, near-zero
+    * everywhere means the stream is memoryless. The standard first
+    * diagnostic before fitting any rate forecaster.
+    *
+    * Pearson r over (c_d, c_{d+k}) pairs: all five moment sums are
+    * exact int64 over exact daily counts, so r is a fixed chain of
+    * IEEE arithmetic on identical integers — bit-reproducible.
+    * Missing days are genuinely absent (no zero-fill): the pair set is
+    * the inner join of the day table with itself at offset k, the
+    * convention that ignores coverage gaps instead of faking calm.
+    *
+    * Plan: one (key, day) count — the only corpus-sized exchange —
+    * then a days-sized self-equi-join per lag and a key×lag-sized
+    * moment aggregate. Emits (key, lag, n_pairs, r).
+    */
+  def autocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+                      lags: Seq[Int] = Seq(1, 2, 7)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 1), "need positive lags")
+    import graft.operators.Materialize.MatOps
+    val daily = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("c"))
+      .materialized // both sides of every lag's self-join
+    val lagged = daily.select(col(keyCol).as("_k2"), col("day").as("_d2"), col("c").as("_y"))
+    val pairs = daily
+      .select(col(keyCol), col("day"), col("c").as("_x"),
+        explode(array(lags.map(l => lit(l)): _*)).as("lag"))
+      .join(lagged, col("_k2") === col(keyCol) && col("_d2") === col("day") + col("lag"))
+    pairs.groupBy(col(keyCol), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("_x")).as("_sx"), sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+      .select(col(keyCol), col("lag"), col("n_pairs"),
+        ((col("n_pairs").cast("double") * col("_sxy").cast("double")
+          - col("_sx").cast("double") * col("_sy").cast("double"))
+          / sqrt((col("n_pairs").cast("double") * col("_sxx").cast("double")
+            - col("_sx").cast("double") * col("_sx").cast("double"))
+            * (col("n_pairs").cast("double") * col("_syy").cast("double")
+              - col("_sy").cast("double") * col("_sy").cast("double")))).as("r"))
+      .orderBy(col(keyCol), col("lag"))
+  }
+
   /** Day-of-week seasonal profile per key — the baseline model the
     * anomaly detectors above normalize against: a crawl/ingest stream
     * has a weekly shape, and "Tuesday is 1.4× the weekly mean" must be

@@ -2164,6 +2164,14 @@ object CoreQueries {
   def skewProfile(s: SparkSession, d: String): DataFrame =
     graft.operators.SkewJoin.keySkewProfile(events(s, d), "user_id", topK = 5)
 
+  /** Daily-count autocorrelation per event type
+    * ([[graft.operators.RateAnomaly.autocorrelation]]) at lags 1/2/7 —
+    * the numeric weekly-cycle detector next to `event_seasonal`'s
+    * profile and the first diagnostic before any rate forecaster.
+    */
+  def eventAutocorr(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.autocorrelation(events(s, d), "event_type", "ts")
+
   /** Wilson 95% CI for the per-type conversion rate
     * ([[graft.operators.RateAnomaly.wilsonCi]], same value>0.75 outcome
     * as `ab_sprt`) — the small-sample-safe interval an experiment

@@ -6081,6 +6081,45 @@ object Oracles {
         |  ((p + z2 / (2.0 * nd)) / (1.0 + z2 / nd))
         |    + ((1.96 * sqrt(p * (1.0 - p) / nd + z2 / (4.0 * nd * nd))) / (1.0 + z2 / nd))
         |    AS ci_upper
-        |FROM x ORDER BY event_type""".stripMargin
+        |FROM x ORDER BY event_type""".stripMargin,
+
+    // lag-k autocorrelation: exact integer moments over the daily-count
+    // self-join at each lag, one fixed IEEE chain for r
+    "event_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, l.lag, a.c AS x, b.c AS y
+        |  FROM daily a CROSS JOIN (SELECT unnest([1, 2, 7]) AS lag) l
+        |  JOIN daily b ON b.event_type = a.event_type AND b.day = a.day + l.lag),
+        |m AS (SELECT event_type, lag, count(*)::BIGINT AS n_pairs,
+        |    sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy,
+        |    sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag::INTEGER AS lag, n_pairs,
+        |  (n_pairs::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+        |    / sqrt((n_pairs::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+        |      * (n_pairs::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) AS r
+        |FROM m ORDER BY event_type, lag""".stripMargin,
+
+    // epsilon sweep over the proven-recall >= 0.9 cosine pair set
+    "dedup_threshold_sweep" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 100000, list_transform(embedding, x -> (x * 2::FLOAT)::FLOAT)
+         |  FROM embeddings WHERE vec_id < 25),
+         |p AS (SELECT cosine FROM (
+         |  SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${"list_reduce(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u, v) -> u + v)"}
+         |      / (sqrt(${"list_reduce(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE), (u, v) -> u + v)"})
+         |        * sqrt(${"list_reduce(list_transform(range(1, 65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE), (u, v) -> u + v)"})) AS cosine
+         |  FROM corpus x JOIN corpus y ON x.vec_id < y.vec_id)
+         |  WHERE cosine >= 0.9),
+         |t AS (SELECT unnest([0.90, 0.95, 0.99, 0.999]) AS threshold)
+         |SELECT threshold, sum(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_pairs
+         |FROM t CROSS JOIN p GROUP BY 1 ORDER BY threshold""".stripMargin
   )
 }

@@ -254,6 +254,33 @@ class AuditOpsSpec extends SparkSuite {
     assert(out(5L)._4 == false)             // policy
   }
 
+  test("autocorrelation finds the planted period and ignores missing days") {
+    // period-2 series 10,2,10,2,... over 14 days: r(2) = 1, r(1) = -1
+    val ev = (0 until 14).flatMap { d =>
+      val n = if (d % 2 == 0) 10 else 2
+      (0 until n).map(_ => ("k", d * 86400L))
+    }.toDF("k", "sec").withColumn("ts", col("sec").cast("timestamp"))
+    val out = RateAnomaly.autocorrelation(ev, "k", "ts", lags = Seq(1, 2))
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    assert(out(2) == 1.0)
+    assert(out(1) == -1.0)
+  }
+
+  test("wilsonCi brackets the point estimate and tightens with n") {
+    val small = (0 until 20).map(i => ("a", i < 5)).toDF("k", "s")
+    val big = (0 until 2000).map(i => ("a", i < 500)).toDF("k", "s")
+    def bounds(df: org.apache.spark.sql.DataFrame) = {
+      val r = RateAnomaly.wilsonCi(df, "k", col("s")).collect()(0)
+      (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+    }
+    val (p1, lo1, hi1) = bounds(small)
+    val (p2, lo2, hi2) = bounds(big)
+    assert(p1 == 0.25 && p2 == 0.25)
+    assert(lo1 < p1 && p1 < hi1)
+    assert((hi2 - lo2) < (hi1 - lo1))
+    assert(lo1 > 0.0 && hi1 < 1.0)
+  }
+
   test("softDedupWeights assigns 1/k to every member of a duplicate group") {
     val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
     val out = Dedup.softDedupWeights(docs, "text", "doc_id")
