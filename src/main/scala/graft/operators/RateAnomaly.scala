@@ -534,6 +534,232 @@ object RateAnomaly {
       .orderBy(col(keyCol))
   }
 
+  /** Theil–Sen robust trend per key over the daily count series — the
+    * median of all pairwise slopes (c_b − c_a)/(b − a). OLS on a count
+    * series is wrecked by exactly the spikes [[detect]] exists to find;
+    * the Theil–Sen estimator has a 29.3% breakdown point, so the trend
+    * a capacity planner reads survives outlier days untouched. Emits
+    * (key, n_pairs, slope, dy, dx) where (dy, dx) is the chosen median
+    * pair's rise/run.
+    *
+    * Determinism: slopes are ordered by the IEEE double dy/dx with a
+    * full integer tie-break (dy, dx, day_a, day_b), so both engines
+    * sort identical doubles identically and pick the identical LOWER
+    * median row (rank (n+1) div 2); the reported slope is one IEEE
+    * division of exact integers.
+    *
+    * Plan: one (key, day) count — the only corpus-sized exchange —
+    * then a days²-bounded self-join per key (a year is ~66k pairs) and
+    * one ordered window. The pair table never touches the corpus.
+    */
+  def theilSen(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val daily = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("c"))
+      .materialized // both sides of the pair self-join
+    val right = daily.select(col(keyCol).as("_k2"), col("day").as("_db"), col("c").as("_cb"))
+    val pairs = daily
+      .join(right, col("_k2") === col(keyCol) && col("_db") > col("day"))
+      .select(col(keyCol),
+        (col("_cb") - col("c")).cast("long").as("dy"),
+        (col("_db") - col("day")).cast("long").as("dx"),
+        col("day").as("_da"), col("_db"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("dy").cast("double") / col("dx").cast("double"),
+        col("dy"), col("dx"), col("_da"), col("_db"))
+    pairs
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("n_pairs", count(lit(1)).over(Window.partitionBy(col(keyCol))))
+      .where(col("_rn") === expr("(n_pairs + 1) div 2"))
+      .select(col(keyCol), col("n_pairs"),
+        (col("dy").cast("double") / col("dx").cast("double")).as("slope"),
+        col("dy"), col("dx"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Exponentially time-decayed volume per key — the "trending now"
+    * score: each day's count is weighted 2^(−age/halfLife) against the
+    * corpus's last observed day, so a burst yesterday outweighs steady
+    * volume last month. This is the ranking signal behind trending
+    * queries/hashtags and the freshness term of crawl re-visit
+    * schedulers.
+    *
+    * Determinism: the per-age weights floor(2⁴⁰·2^(−age/h)) are
+    * computed ONCE in JVM doubles and embedded as an array literal in
+    * both plans (the [[sprtConstants]] discipline — no cross-engine
+    * transcendental); ages at or past `horizonDays` get weight exactly
+    * 0 (document: below the grid for any sane h). The score is then a
+    * decimal sum of exact products, rounded to double once.
+    *
+    * Plan: one map-side-combining (key, day) count — the only
+    * corpus-sized exchange — then a one-row broadcast anchor and a
+    * days-sized weighted rollup.
+    */
+  def decayTrend(events: DataFrame, keyCol: String, tsCol: String,
+                 halfLifeDays: Int = 7, horizonDays: Int = 128): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1, got $halfLifeDays")
+    require(horizonDays >= 1 && horizonDays <= 4096, s"bad horizonDays $horizonDays")
+    import graft.operators.Materialize.MatOps
+    val scale = 1099511627776.0 // 2^40
+    val weights: Array[Long] = (0 until horizonDays)
+      .map(a => math.floor(scale * math.pow(2.0, -a.toDouble / halfLifeDays)).toLong)
+      .toArray
+    val daily = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .groupBy(col(keyCol), col("day")).agg(count(lit(1)).as("c"))
+      .materialized // scanned by the anchor aggregate and the rollup
+    val anchor = daily.agg(max(col("day")).as("_anchor"))
+    daily.crossJoin(broadcast(anchor))
+      .withColumn("_age", (col("_anchor") - col("day")).cast("int"))
+      .withColumn("_w",
+        when(col("_age") < horizonDays, element_at(lit(weights), col("_age") + 1))
+          .otherwise(lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(sum(col("c")).as("n_total"), max(col("day")).as("last_day"),
+        sum(col("c").cast("decimal(38,0)") * col("_w")).as("_fp"))
+      .select(col(keyCol), col("n_total"), col("last_day"),
+        (col("_fp").cast("double") / scale).as("decayed"))
+      .orderBy(col(keyCol))
+  }
+
+  /** Holt's linear-trend forecast (double exponential smoothing,
+    * α = β = ½) over the zero-filled daily count series per key — the
+    * capacity/rate forecaster one step up from the seasonal-naive
+    * baseline: level and trend each update as an exact halving
+    * recurrence, and the h-day-ahead forecast is level + h·trend.
+    * Missing days inside a key's span count as 0 — for event counts a
+    * silent day IS zero, and the recurrence needs uniform spacing.
+    *
+    * Determinism: counts ride the 2²⁰ fixed-point grid and both
+    * smoothing updates are floor-halvings (`floorDiv(·, 2)` ≡
+    * floor(x/2.0) for |x| ≪ 2⁵³), so level/trend/SAE are exact
+    * integers the oracle replays in a recursive CTE, day by day.
+    *
+    * Plan: one (key, day) count — the only corpus-sized exchange —
+    * then a calendar-bounded zero-fill grid; the sequential recurrence
+    * runs on the DRIVER over the collected (key, day, c) table. That
+    * collect is the bounded-collect class (keys × days rows — the
+    * Markov-solve/Kaplan–Meier precedent), inherent to the serial
+    * dependence of exponential smoothing: day t's state needs day
+    * t−1's, so there is no partitioning to exploit anyway.
+    */
+  def holtForecast(events: DataFrame, keyCol: String, tsCol: String,
+                   horizon: Int = 7): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val grid = 1L << 20
+    val daily = events
+      .select(col(keyCol).cast("string").as("_k"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"))
+      .groupBy(col("_k"), col("day")).agg(count(lit(1)).as("c"))
+    val span = daily.groupBy(col("_k"))
+      .agg(min(col("day")).as("_d0"), max(col("day")).as("_d1"))
+      .select(col("_k"), explode(sequence(col("_d0"), col("_d1"))).as("day"))
+    val filled = span.join(daily, Seq("_k", "day"), "left")
+      .na.fill(0L, Seq("c"))
+      .select(col("_k"), col("day"), col("c"))
+      .collect() // bounded: keys × calendar days, never corpus-sized
+    val out = filled.groupBy(_.getString(0)).toSeq.sortBy(_._1).map { case (k, rows) =>
+      val ys = rows.sortBy(_.getInt(1)).map(_.getLong(2) * grid).toArray
+      val n = ys.length
+      if (n == 1) (k, 1L, ys(0), 0L, ys(0).toDouble / grid, 0.0, ys(0).toDouble / grid)
+      else {
+        var l = ys(0)
+        var b = ys(1) - ys(0)
+        var sae = 0L
+        var t = 1
+        while (t < n) {
+          val f = l + b
+          sae += math.abs(ys(t) - f)
+          val lPrev = l
+          l = Math.floorDiv(ys(t) + lPrev + b, 2L)
+          b = Math.floorDiv((l - lPrev) + b, 2L)
+          t += 1
+        }
+        (k, n.toLong, l, b, (l + horizon * b).toDouble / grid,
+          sae.toDouble / (grid.toDouble * (n - 1).toDouble),
+          l.toDouble / grid)
+      }
+    }
+    val s = events.sparkSession
+    import s.implicits._
+    out.toDF("_k", "n_days", "_lfp", "_bfp", "forecast", "mae", "level")
+      .select(col("_k").as(keyCol), col("n_days"), col("level"),
+        (col("_bfp").cast("double") / grid).as("trend"), col("forecast"), col("mae"))
+      .orderBy(col(keyCol))
+  }
+
+  /** CUPED variance reduction (Deng et al. 2013) — the industry-default
+    * experiment-sensitivity fix: regress each user's experiment-period
+    * metric Y on their PRE-period metric X (θ = cov/var, pooled), then
+    * compare arms on the adjusted Y − θ·(X − X̄). Pre-experiment
+    * behavior is arm-independent by construction, so the adjustment
+    * removes between-user variance without biasing the treatment
+    * effect; the reported `var_reduction` is exactly the squared X–Y
+    * correlation.
+    *
+    * The split: days at or before the corpus midpoint are the
+    * pre-period, the rest the experiment period; `armFrom` assigns the
+    * arm (deterministic md5 coin in the registered query). Values ride
+    * the 2^gridBits fixed-point grid; per-user sums are int64, the
+    * user-level cross-moments DECIMAL(38,0), and every float step is
+    * one fixed IEEE chain over those exact sums.
+    *
+    * Plan: one user-grain aggregate — the only corpus-sized exchange —
+    * then a one-row moment rollup. Output is a single row.
+    */
+  def cuped(events: DataFrame, userCol: String, tsCol: String, valueCol: String,
+            armFrom: Column, gridBits: Int = 20): DataFrame = {
+    val grid = 1L << gridBits
+    val mid = events
+      .select(datediff(to_date(col(tsCol)), lit("1970-01-01")).as("_day"))
+      .agg(expr("(min(_day) + max(_day)) div 2").as("_mid"))
+    val users = events
+      .select(col(userCol).as("_u"), armFrom.as("_arm"),
+        datediff(to_date(col(tsCol)), lit("1970-01-01")).as("_day"),
+        floor(col(valueCol) * grid).cast("long").as("_v"))
+      .crossJoin(broadcast(mid))
+      .groupBy(col("_u"), col("_arm"))
+      .agg(sum(when(col("_day") <= col("_mid"), col("_v")).otherwise(0L)).as("_x"),
+        sum(when(col("_day") > col("_mid"), col("_v")).otherwise(0L)).as("_y"))
+    def dm(e: Column): Column = sum(e.cast("decimal(38,0)"))
+    // products go through decimal BEFORE multiplying — per-user int64
+    // mass squared overflows long
+    def dm2(a: Column, b: Column): Column =
+      sum(a.cast("decimal(38,0)") * b.cast("decimal(38,0)"))
+    val m = users.agg(
+      count(lit(1)).as("n_users"),
+      dm(col("_x")).as("_sx"), dm(col("_y")).as("_sy"),
+      dm2(col("_x"), col("_y")).as("_sxy"),
+      dm2(col("_x"), col("_x")).as("_sxx"),
+      dm2(col("_y"), col("_y")).as("_syy"),
+      sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("n1"),
+      dm(when(col("_arm") === 0, col("_x")).otherwise(0L)).as("_sx0"),
+      dm(when(col("_arm") === 1, col("_x")).otherwise(0L)).as("_sx1"),
+      dm(when(col("_arm") === 0, col("_y")).otherwise(0L)).as("_sy0"),
+      dm(when(col("_arm") === 1, col("_y")).otherwise(0L)).as("_sy1"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = d("n_users")
+    val covN = nD * d("_sxy") - d("_sx") * d("_sy")
+    val varxN = nD * d("_sxx") - d("_sx") * d("_sx")
+    val varyN = nD * d("_syy") - d("_sy") * d("_sy")
+    val theta = covN / varxN
+    val xbar = d("_sx") / nD
+    val g = lit(grid.toDouble)
+    def meanY(sy: String, n: String): Column = d(sy) / (d(n) * g)
+    def adjY(sy: String, sx: String, n: String): Column =
+      (d(sy) - theta * (d(sx) - d(n) * xbar)) / (d(n) * g)
+    m.select(col("n_users"), col("n0"), col("n1"),
+        theta.as("theta"),
+        ((covN * covN) / (varxN * varyN)).as("var_reduction"),
+        meanY("_sy0", "n0").as("mean_y0"), meanY("_sy1", "n1").as("mean_y1"),
+        adjY("_sy0", "_sx0", "n0").as("adj_y0"), adjY("_sy1", "_sx1", "n1").as("adj_y1"))
+      .select(col("*"),
+        (col("mean_y1") - col("mean_y0")).as("diff_raw"),
+        (col("adj_y1") - col("adj_y0")).as("diff_adj"))
+  }
+
   def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val counted = events
       // Spark dayofweek: 1 = Sunday .. 7 = Saturday; emit 0-based Sunday=0

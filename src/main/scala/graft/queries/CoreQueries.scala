@@ -2205,6 +2205,44 @@ object CoreQueries {
         col("value").as("score")),
       "label", "score")
 
+  /** Theil–Sen robust daily-volume trend per event type
+    * ([[graft.operators.RateAnomaly.theilSen]]) — the outlier-proof
+    * slope a capacity planner reads where OLS would chase the very
+    * spikes `event_anomaly` flags.
+    */
+  def eventTrendRobust(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.theilSen(events(s, d), "event_type", "ts")
+
+  /** Exponentially decayed volume per event type
+    * ([[graft.operators.RateAnomaly.decayTrend]], half-life 7 days) —
+    * the trending-now ranking signal and crawl-freshness term.
+    */
+  def eventDecay(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.decayTrend(events(s, d), "event_type", "ts",
+      halfLifeDays = 7)
+
+  /** Holt linear-trend 7-day-ahead forecast per event type
+    * ([[graft.operators.RateAnomaly.holtForecast]], α = β = ½ exact
+    * halving recurrences on the 2²⁰ grid) — the rate forecaster one
+    * step past `event_seasonal`'s baseline, replayed day-by-day in a
+    * recursive CTE by the oracle.
+    */
+  def eventForecastHolt(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.holtForecast(events(s, d), "event_type", "ts",
+      horizon = 7)
+
+  /** CUPED-adjusted A/B comparison over the md5 coin arms
+    * ([[graft.operators.RateAnomaly.cuped]]): pre-period value mass as
+    * the covariate, experiment-period mass as the metric — on an A/A
+    * assignment the adjusted and raw diffs both hover near zero while
+    * `var_reduction` reports exactly how much narrower the CI would be.
+    */
+  def abCuped(s: SparkSession, d: String): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2)
+    graft.operators.RateAnomaly.cuped(events(s, d), "user_id", "ts", "value", arm)
+  }
+
   /** Welch's t-test on event value between the deterministic md5 A/B
     * arms, per event type ([[graft.operators.RateAnomaly.welchT]]) —
     * the continuous-outcome twin of `ab_chisq`: same arm assignment,

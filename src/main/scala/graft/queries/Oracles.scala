@@ -70,6 +70,14 @@ object Oracles {
   /** First 24 bits of md5($e) as a BIGINT in [0, 2^24) — the engine-
     * portable hash of sample_weighted / QualityClassifier.md24.
     */
+  /** Decay-weight literals for event_decay — the SAME JVM doubles as
+    * RateAnomaly.decayTrend(halfLifeDays = 7, horizonDays = 128), so no
+    * transcendental is ever evaluated by two engines.
+    */
+  private val decayWeights7: String = (0 until 128)
+    .map(a => math.floor(1099511627776.0 * math.pow(2.0, -a.toDouble / 7)).toLong)
+    .mkString(", ")
+
   private def md24(e: String): String =
     s"""list_reduce(list_transform(string_split(substr(md5($e), 1, 6), ''),
        |    c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::BIGINT""".stripMargin
@@ -6120,6 +6128,134 @@ object Oracles {
          |  WHERE cosine >= 0.9),
          |t AS (SELECT unnest([0.90, 0.95, 0.99, 0.999]) AS threshold)
          |SELECT threshold, sum(CASE WHEN cosine >= threshold THEN 1 ELSE 0 END)::BIGINT AS n_pairs
-         |FROM t CROSS JOIN p GROUP BY 1 ORDER BY threshold""".stripMargin
+         |FROM t CROSS JOIN p GROUP BY 1 ORDER BY threshold""".stripMargin,
+
+    // Theil-Sen: lower-median pairwise slope, double sort key with full
+    // integer tiebreak mirrored from RateAnomaly.theilSen
+    "event_trend_robust" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.event_type, (b.c - a.c)::BIGINT AS dy,
+        |    (b.day - a.day)::BIGINT AS dx, a.day AS da, b.day AS db
+        |  FROM daily a JOIN daily b
+        |    ON b.event_type = a.event_type AND b.day > a.day),
+        |r AS (SELECT *,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY dy::DOUBLE / dx::DOUBLE, dy, dx, da, db) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n_pairs
+        |  FROM p)
+        |SELECT event_type, n_pairs, dy::DOUBLE / dx::DOUBLE AS slope, dy, dx
+        |FROM r WHERE rn = (n_pairs + 1) // 2 ORDER BY event_type""".stripMargin,
+
+    // exponential decay: JVM-computed 2^-40-grid weight literals shared
+    // verbatim with RateAnomaly.decayTrend (half-life 7d, horizon 128d)
+    "event_decay" ->
+      s"""WITH daily AS (
+         |  SELECT event_type,
+         |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+         |    count(*)::BIGINT AS c
+         |  FROM events GROUP BY 1, 2),
+         |a AS (SELECT max(day) AS anchor FROM daily),
+         |wt AS (SELECT event_type, day, c, anchor - day AS age
+         |  FROM daily CROSS JOIN a),
+         |s AS (SELECT event_type, sum(c)::BIGINT AS n_total,
+         |    max(day) AS last_day,
+         |    sum(c::HUGEINT * (CASE WHEN age < 128
+         |      THEN list_extract([$decayWeights7], age + 1) ELSE 0 END)::HUGEINT) AS fp
+         |  FROM wt GROUP BY 1)
+         |SELECT event_type, n_total, last_day,
+         |  fp::DOUBLE / 1099511627776.0 AS decayed
+         |FROM s ORDER BY event_type""".stripMargin,
+
+    // Holt alpha=beta=1/2: the exact floor-halving recurrence replayed
+    // day by day in a recursive CTE over the zero-filled grid
+    "event_forecast_holt" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT event_type,
+        |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1 FROM daily GROUP BY 1),
+        |grid AS (SELECT event_type, unnest(range(d0, d1 + 1)) AS day FROM span),
+        |filled AS (SELECT g.event_type, g.day, coalesce(d.c, 0)::BIGINT AS c
+        |  FROM grid g LEFT JOIN daily d
+        |    ON d.event_type = g.event_type AND d.day = g.day),
+        |idx AS (SELECT event_type,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+        |    c * 1048576 AS y
+        |  FROM filled),
+        |nd AS (SELECT event_type, count(*)::BIGINT AS n_days FROM idx GROUP BY 1),
+        |h AS (
+        |  SELECT i1.event_type, CAST(1 AS BIGINT) AS rn, i1.y AS l,
+        |    (i2.y - i1.y) AS b, CAST(0 AS BIGINT) AS sae
+        |  FROM idx i1 JOIN idx i2
+        |    ON i2.event_type = i1.event_type AND i2.rn = 2
+        |  WHERE i1.rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn + 1,
+        |    CAST(floor((i.y + h.l + h.b) / 2.0) AS BIGINT),
+        |    CAST(floor(((CAST(floor((i.y + h.l + h.b) / 2.0) AS BIGINT) - h.l) + h.b) / 2.0) AS BIGINT),
+        |    h.sae + abs(i.y - (h.l + h.b))
+        |  FROM h JOIN idx i ON i.event_type = h.event_type AND i.rn = h.rn + 1),
+        |fin AS (SELECT h.event_type, n.n_days, h.l, h.b, h.sae
+        |  FROM h JOIN nd n ON n.event_type = h.event_type AND h.rn = n.n_days)
+        |SELECT event_type, n_days, l::DOUBLE / 1048576.0 AS level,
+        |  b::DOUBLE / 1048576.0 AS trend,
+        |  (l + 7 * b)::DOUBLE / 1048576.0 AS forecast,
+        |  sae::DOUBLE / (1048576.0 * (n_days - 1)::DOUBLE) AS mae
+        |FROM fin
+        |UNION ALL
+        |SELECT i.event_type, CAST(1 AS BIGINT), i.y::DOUBLE / 1048576.0, 0.0,
+        |  i.y::DOUBLE / 1048576.0, 0.0
+        |FROM idx i JOIN nd n ON n.event_type = i.event_type
+        |WHERE n.n_days = 1 AND i.rn = 1
+        |ORDER BY event_type""".stripMargin,
+
+    // CUPED: pooled theta over exact user-grain moments, md5 arms,
+    // every float step in RateAnomaly.cuped's association order
+    "ab_cuped" ->
+      s"""WITH e AS (
+         |  SELECT user_id, (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm,
+         |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+         |    CAST(floor(value * 1048576) AS BIGINT) AS v
+         |  FROM events),
+         |md AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+         |u AS (SELECT user_id, arm,
+         |    sum(CASE WHEN day <= mid THEN v ELSE 0 END)::BIGINT AS x,
+         |    sum(CASE WHEN day > mid THEN v ELSE 0 END)::BIGINT AS y
+         |  FROM e CROSS JOIN md GROUP BY 1, 2),
+         |m AS (SELECT count(*)::BIGINT AS n_users,
+         |    sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         |    sum(x::HUGEINT * y::HUGEINT) AS sxy,
+         |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         |    sum(y::HUGEINT * y::HUGEINT) AS syy,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         |    sum(CASE WHEN arm = 0 THEN x::HUGEINT ELSE 0 END) AS sx0,
+         |    sum(CASE WHEN arm = 1 THEN x::HUGEINT ELSE 0 END) AS sx1,
+         |    sum(CASE WHEN arm = 0 THEN y::HUGEINT ELSE 0 END) AS sy0,
+         |    sum(CASE WHEN arm = 1 THEN y::HUGEINT ELSE 0 END) AS sy1
+         |  FROM u),
+         |x AS (SELECT *,
+         |    n_users::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE AS covn,
+         |    n_users::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS varxn,
+         |    n_users::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE AS varyn,
+         |    sx::DOUBLE / n_users::DOUBLE AS xbar
+         |  FROM m),
+         |y AS (SELECT n_users, n0, n1,
+         |    covn / varxn AS theta,
+         |    (covn * covn) / (varxn * varyn) AS var_reduction,
+         |    sy0::DOUBLE / (n0::DOUBLE * 1048576.0) AS mean_y0,
+         |    sy1::DOUBLE / (n1::DOUBLE * 1048576.0) AS mean_y1,
+         |    (sy0::DOUBLE - (covn / varxn) * (sx0::DOUBLE - n0::DOUBLE * xbar))
+         |      / (n0::DOUBLE * 1048576.0) AS adj_y0,
+         |    (sy1::DOUBLE - (covn / varxn) * (sx1::DOUBLE - n1::DOUBLE * xbar))
+         |      / (n1::DOUBLE * 1048576.0) AS adj_y1
+         |  FROM x)
+         |SELECT *, mean_y1 - mean_y0 AS diff_raw, adj_y1 - adj_y0 AS diff_adj
+         |FROM y""".stripMargin
   )
 }

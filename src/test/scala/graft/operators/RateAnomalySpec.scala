@@ -2,6 +2,8 @@ package graft.operators
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions.{col, lit, pmod}
+
 import graft.SparkSuite
 
 class RateAnomalySpec extends SparkSuite {
@@ -173,5 +175,69 @@ class RateAnomalySpec extends SparkSuite {
     assert(math.abs(out._4 - 2.5) < 1e-9 && math.abs(out._5 - 7.0) < 1e-9)
     assert(math.abs(out._6 - expT) < 1e-6, s"t=${out._6} want $expT")
     assert(out._7, "t ~ -3.78 is significant at 1.96")
+  }
+
+  private def dayEvents(rows: Seq[(String, Int, Int)]): org.apache.spark.sql.DataFrame =
+    rows.flatMap { case (k, day, n) =>
+      (0 until n).map(i => (k, new Timestamp(day * 86400000L + i)))
+    }.toDF("event_type", "ts")
+
+  test("theilSen ignores the spike OLS would chase") {
+    // days 0..6, perfect slope 2 except day 4 spiking to 100: of the 21
+    // pairwise slopes, 15 are exactly 2 (ranks 3..17) -> lower median
+    // (rank 11) is 2.0 regardless of the outlier.
+    val df = dayEvents(Seq(0, 1, 2, 3, 5, 6).map(d => ("a", d, 10 + 2 * d))
+      :+ (("a", 4, 100)))
+    val out = RateAnomaly.theilSen(df, "event_type", "ts")
+      .as[(String, Long, Double, Long, Long)].collect().head
+    assert(out._2 == 21L, s"n_pairs ${out._2}")
+    assert(out._3 == 2.0, s"slope ${out._3}")
+  }
+
+  test("decayTrend: recency dominates with exact dyadic weights") {
+    // both keys carry 10 events; "hot" on the anchor day (weight 1),
+    // "cold" 70 days earlier (half-life 7 -> weight exactly 2^-10)
+    val df = dayEvents(Seq(("hot", 100, 10), ("cold", 30, 10)))
+    val out = RateAnomaly.decayTrend(df, "event_type", "ts", halfLifeDays = 7)
+      .as[(String, Long, Int, Double)].collect().sortBy(_._1)
+    val cold = out.head; val hot = out.last
+    assert(hot == (("hot", 10L, 100, 10.0)))
+    assert(cold == (("cold", 10L, 30, 10.0 / 1024.0)))
+  }
+
+  test("holtForecast tracks a clean linear series exactly and zero-fills gaps") {
+    // counts 2,4,6,8 on days 0..3: level=8, trend=2, forecast=8+7*2, mae=0
+    val lin = dayEvents(Seq(0, 1, 2, 3).map(d => ("a", d, 2 + 2 * d)))
+    val a = RateAnomaly.holtForecast(lin, "event_type", "ts", horizon = 7)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(a == (("a", 4L, 8.0, 2.0, 22.0, 0.0)))
+    // days 0,1,3 of count 4 (day 2 silently missing -> filled as 0):
+    // hand-rolled halvings give level 2.5, trend -0.25, sae 7g -> mae 7/3
+    val gap = dayEvents(Seq(("b", 0, 4), ("b", 1, 4), ("b", 3, 4)))
+    val b = RateAnomaly.holtForecast(gap, "event_type", "ts", horizon = 7)
+      .as[(String, Long, Double, Double, Double, Double)].collect().head
+    assert(b._2 == 4L && b._3 == 2.5 && b._4 == -0.25)
+    assert(b._5 == 2.5 - 7 * 0.25 && math.abs(b._6 - 7.0 / 3.0) < 1e-12)
+  }
+
+  test("cuped: a perfectly correlated covariate removes all between-user variance") {
+    // user u: pre value u/4 on day 0, post value u/2 on day 10 — Y = 2X
+    // exactly, so theta == 2, var_reduction == 1, and the adjusted A/A
+    // diff collapses to exactly 0 while the raw diff is nonzero
+    // (odd/even arms have different user-size mixes).
+    val rows = (1 to 8).flatMap { u =>
+      Seq((u.toLong, new Timestamp(0L), u * 0.25),
+        (u.toLong, new Timestamp(10L * 86400000L), u * 0.5))
+    }
+    val df = rows.toDF("user_id", "ts", "value")
+    val out = RateAnomaly.cuped(df, "user_id", "ts", "value",
+      pmod(col("user_id"), lit(2L)))
+    val r = out.collect().head
+    assert(r.getAs[Long]("n_users") == 8L)
+    assert(r.getAs[Long]("n0") == 4L && r.getAs[Long]("n1") == 4L)
+    assert(r.getAs[Double]("theta") == 2.0)
+    assert(r.getAs[Double]("var_reduction") == 1.0)
+    assert(r.getAs[Double]("diff_raw") != 0.0)
+    assert(r.getAs[Double]("diff_adj") == 0.0)
   }
 }
