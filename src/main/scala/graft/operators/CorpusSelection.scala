@@ -414,6 +414,51 @@ object CorpusSelection {
         signals.map(s => col(s"pr_${s._1}")).reduce(_ + _) / lit(signals.size.toDouble))
   }
 
+  /** Cross-group quantile NORMALIZATION — the batch-effect correction
+    * for per-source quality scores (microarray heritage, now the fix
+    * for "source A's classifier scores run hot"): map every group's
+    * score distribution onto one shared target distribution, so a
+    * threshold or budget gate treats sources fairly. Rank each row
+    * into `buckets` ntiles within its group (deterministic `idCol`
+    * tie-break), then define bucket b's target as the mean over groups
+    * of the per-(group, bucket) mean. Emits the (group, bucket)
+    * remapping table — (group, bucket, n_docs, mean_raw, target) — and
+    * a doc-level rewrite is one broadcast join of it back onto the
+    * corpus.
+    *
+    * Determinism contract: `score` must be integer-valued (put floats
+    * on a grid first) — bucket means are then exact integer floor
+    * divisions on the 2²⁰ grid, the cross-group target mean is integer
+    * again, and the only float steps are the two display divisions.
+    * Envelope: Σscore·2²⁰ within a bucket must fit int64 — at
+    * ~10⁹-row buckets move the sum through DECIMAL(38,0).
+    *
+    * Plan: one exchange on the group key for the ntile window, one
+    * (group, bucket)-domain aggregate, one buckets-sized rollup.
+    * Same group-skew story as the budget selectors.
+    */
+  def quantileNormalize(docs: DataFrame, groupCol: String, idCol: String,
+                        score: Column, buckets: Int = 20): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val grid = 1L << 20
+    val ranked = docs
+      .select(col(groupCol), col(idCol), score.cast("long").as("_s"))
+      .withColumn("_b", ntile(buckets).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("_s"), col(idCol))))
+    val grp = ranked.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("_s")).as("_sum"))
+      .withColumn("_mean_fp", expr(s"(_sum * ${grid}L) div n_docs"))
+    val target = grp.groupBy(col("_b"))
+      .agg(count(lit(1)).as("_ng"), sum(col("_mean_fp")).as("_tsum"))
+      .withColumn("_target_fp", expr("_tsum div _ng"))
+      .select(col("_b"), col("_target_fp"))
+    grp.join(broadcast(target), Seq("_b"))
+      .select(col(groupCol), col("_b").as("bucket"), col("n_docs"),
+        (col("_sum").cast("double") / col("n_docs").cast("double")).as("mean_raw"),
+        (col("_target_fp").cast("double") / grid).as("target"))
+      .orderBy(col(groupCol), col("bucket"))
+  }
+
   /** Curriculum ordering: emit a deterministic global training position
     * for every document such that (a) within each stratum documents
     * appear easiest-first by `difficulty` asc (`idCol` tie-break) and

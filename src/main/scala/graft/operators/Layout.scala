@@ -109,6 +109,59 @@ object Layout {
     n
   }
 
+  /** Simulated zone-map skip audit across CANDIDATE layouts — the
+    * measurement that justifies paying a clustered rewrite before the
+    * write happens: for each named layout (a sort-key list), assign
+    * rows to `numFiles` simulated files by exact ntile over that order,
+    * collect per-file min/max zone maps on (`aCol`, `bCol`), and report
+    * per (layout, probe box) how many files a scan could SKIP. The
+    * ingestion-order layout scores ~0 on both dimensions, a
+    * single-column sort prunes only its own column, and the
+    * space-filling-curve layouts prune on both — this query turns that
+    * claim into an oracle-checked number per layout.
+    *
+    * ntile (not repartitionByRange) keeps the file assignment exact and
+    * engine-reproducible: this is a MEASUREMENT harness — the
+    * production write path is [[zorderLayout]]/[[hilbertLayout]]'s
+    * sampled range exchange, whose real zone maps come free from
+    * parquet footers ([[fileRanges]]). The global ntile window sorts a
+    * slim (a, b, keys) projection only; at audit time one runs it on a
+    * sample or a partition, not 100 TB.
+    *
+    * Sort-key lists must end in a unique tie-break column. Emits
+    * (layout, box, n_files, files_hit, skip_fraction).
+    */
+  def zonemapSkipAudit(df: DataFrame, aCol: String, bCol: String,
+                       layouts: Seq[(String, Seq[Column])], numFiles: Int,
+                       boxes: Seq[(String, Long, Long, Long, Long)]): DataFrame = {
+    require(numFiles >= 2, s"numFiles must be >= 2, got $numFiles")
+    require(layouts.nonEmpty && boxes.nonEmpty, "need layouts and boxes")
+    import org.apache.spark.sql.expressions.Window
+    val ranges = layouts.map { case (name, keys) =>
+      df.select(col(aCol).cast("long").as("_a") +: col(bCol).cast("long").as("_b")
+          +: keys.zipWithIndex.map { case (k, i) => k.as(s"_k$i") }: _*)
+        .withColumn("_file",
+          ntile(numFiles).over(Window.orderBy(keys.indices.map(i => col(s"_k$i")): _*)))
+        .groupBy(col("_file"))
+        .agg(min(col("_a")).as("_mna"), max(col("_a")).as("_mxa"),
+          min(col("_b")).as("_mnb"), max(col("_b")).as("_mxb"))
+        .select(lit(name).as("layout"), col("_file"),
+          col("_mna"), col("_mxa"), col("_mnb"), col("_mxb"))
+    }.reduce(_ unionByName _)
+    val s = df.sparkSession
+    import s.implicits._
+    val boxDf = boxes.toDF("box", "_lo_a", "_hi_a", "_lo_b", "_hi_b")
+    val hit = col("_mxa") >= col("_lo_a") && col("_mna") <= col("_hi_a") &&
+      col("_mxb") >= col("_lo_b") && col("_mnb") <= col("_hi_b")
+    ranges.crossJoin(broadcast(boxDf))
+      .groupBy(col("layout"), col("box"))
+      .agg(count(lit(1)).as("n_files"),
+        sum(when(hit, 1L).otherwise(0L)).as("files_hit"))
+      .withColumn("skip_fraction",
+        (col("n_files") - col("files_hit")).cast("double") / col("n_files").cast("double"))
+      .orderBy(col("layout"), col("box"))
+  }
+
   /** Fraction of files a range predicate `lo <= c <= hi` can SKIP
     * given a [[fileRanges]] audit: a file is prunable when its
     * [min, max] misses the query interval entirely.

@@ -151,4 +151,55 @@ object Privacy {
       .withColumn("diverse", col("n_sensitive") >= l)
       .orderBy(col(q1), col(q2))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the leak
+    * l-diversity misses: a class can span l distinct sensitive values
+    * yet still reveal plenty when its DISTRIBUTION over them differs
+    * sharply from the corpus-wide one (the classic "this zip code is
+    * 90% one diagnosis" case). For a nominal sensitive attribute the
+    * distance is the variational (total-variation) distance
+    * t_c = ½·Σ_s |q_{s,c} − p_s|; classes with t_c above the threshold
+    * are the ones a release must generalize further. Completes the
+    * k-anonymity → l-diversity → t-closeness ladder.
+    *
+    * Exactness: with q = n_{s,c}/N_c and p = n_s/N each term is
+    * |n_{s,c}·N − n_s·N_c| / (N·N_c) — numerators are exact
+    * DECIMAL(38,0) cross products summed associatively; ONE float
+    * division per class at the end, mirrored by the oracle.
+    *
+    * Emits per equivalence class: (q1, q2, group_n, t_dist, close).
+    *
+    * Plan: one map-side-combined count over the (q1, q2, sensitive)
+    * triple domain — the only corpus-sized pass (shared shape with
+    * [[lDiversity]]); the global margin, the class margin, and the
+    * class × sensitive-domain grid are all attribute-domain-sized.
+    * Zero corpus-keyed shuffles at any corpus size.
+    */
+  def tCloseness(df: DataFrame, q1: String, q2: String,
+                 sensitiveCol: String, t: Double = 0.25): DataFrame = {
+    require(t > 0 && t < 1, s"t must be in (0,1), got $t")
+    import Materialize.MatOps
+    val triple = df.groupBy(col(q1), col(q2), col(sensitiveCol))
+      .agg(count(lit(1)).as("_n"))
+      .materialized // margins + grid probe all read it
+    val global = triple.groupBy(col(sensitiveCol)).agg(sum(col("_n")).as("_ns"))
+    val total = triple.agg(sum(col("_n")).as("_nt"))
+    val classes = triple.groupBy(col(q1), col(q2)).agg(sum(col("_n")).as("group_n"))
+    // full class × sensitive-domain grid: a sensitive value ABSENT from
+    // a class still contributes |0 − p_s| to the distance
+    val grid = classes.crossJoin(broadcast(global))
+      .join(triple, Seq(q1, q2, sensitiveCol), "left")
+      .na.fill(0L, Seq("_n"))
+      .crossJoin(broadcast(total))
+    grid.groupBy(col(q1), col(q2))
+      .agg(max(col("group_n")).as("group_n"), max(col("_nt")).as("_nt2"),
+        sum(abs(col("_n").cast("decimal(38,0)") * col("_nt")
+          - col("_ns").cast("decimal(38,0)") * col("group_n"))).as("_num"))
+      .select(col(q1), col(q2), col("group_n"),
+        (col("_num").cast("double")
+          / (lit(2.0) * col("_nt2").cast("double") * col("group_n").cast("double")))
+          .as("t_dist"))
+      .withColumn("close", col("t_dist") <= t)
+      .orderBy(col(q1), col(q2))
+  }
 }

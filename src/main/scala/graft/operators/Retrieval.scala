@@ -346,4 +346,59 @@ object Retrieval {
     out.select(col("_q").as(queryCol), col("sel_round"),
       col("_c").as(candCol), col("mmr_fp"))
   }
+
+  /** nDCG@k discount table on the 2⁻⁴⁰ grid — floor(2⁴⁰ / log₂(i+1))
+    * for positions 1..k, computed ONCE in JVM doubles and embedded as
+    * literals in both engines' plans (the SPRT-constants discipline:
+    * no cross-engine transcendental).
+    */
+  def ndcgDiscountsFp(k: Int): Array[Long] =
+    (1 to k).map(i =>
+      math.floor(1099511627776.0 / (math.log(i + 1.0) / math.log(2.0))).toLong).toArray
+
+  /** Rank-aware retrieval quality: nDCG@k of an APPROXIMATE ranking
+    * against graded relevance derived from the EXACT ranking — the
+    * measurement that separates "got the right set" (recall, the
+    * `ann_recall`/`ann_matryoshka` rows) from "got them in the right
+    * order", which is what a RAG context window actually consumes.
+    * Relevance tiers come from the exact rank (1–2 → 3, 3–5 → 2,
+    * 6–10 → 1, absent → 0 — the graded-judgment convention when exact
+    * scores ARE the ground truth); gains are 2^rel − 1.
+    *
+    * Both inputs are (query_id, neighbor_id, rank) top-k tables.
+    * DCG sums gain·disc as exact int64 on the 2⁻⁴⁰ grid
+    * ([[ndcgDiscountsFp]]); the ideal ordering IS the exact ranking
+    * (relevance is monotone in exact rank by construction), so IDCG
+    * replays the same sum over the exact list, and nDCG is ONE float
+    * division per query. Emits (query_id, dcg_fp, idcg_fp, ndcg).
+    *
+    * Plan: both inputs are already query-bounded top-k tables
+    * (queries × k rows); one equi-join + two tiny aggregates — nothing
+    * here ever touches the corpus.
+    */
+  def ndcgAtK(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"relevance tiers are defined for k <= 10, got $k")
+    val disc = ndcgDiscountsFp(k)
+    def rel(rank: Column): Column =
+      when(rank <= 2, 3).when(rank <= 5, 2).when(rank <= 10, 1).otherwise(0)
+    def gain(r: Column): Column =
+      when(r === 3, 7L).when(r === 2, 3L).when(r === 1, 1L).otherwise(0L)
+    val labels = exact.where(col("rank") <= 10)
+      .select(col("query_id"), col("neighbor_id"), rel(col("rank")).as("_rel"))
+    val dcg = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(labels, Seq("query_id", "neighbor_id"), "left")
+      .na.fill(0, Seq("_rel"))
+      .groupBy(col("query_id"))
+      .agg(sum(gain(col("_rel")) * element_at(lit(disc), col("rank").cast("int")))
+        .as("dcg_fp"))
+    val idcg = exact.where(col("rank") <= k)
+      .groupBy(col("query_id"))
+      .agg(sum(gain(rel(col("rank"))) * element_at(lit(disc), col("rank").cast("int")))
+        .as("idcg_fp"))
+    dcg.join(idcg, Seq("query_id"))
+      .select(col("query_id"), col("dcg_fp"), col("idcg_fp"),
+        (col("dcg_fp").cast("double") / col("idcg_fp").cast("double")).as("ndcg"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -6256,6 +6256,116 @@ object Oracles {
          |      / (n1::DOUBLE * 1048576.0) AS adj_y1
          |  FROM x)
          |SELECT *, mean_y1 - mean_y0 AS diff_raw, adj_y1 - adj_y0 AS diff_adj
-         |FROM y""".stripMargin
+         |FROM y""".stripMargin,
+
+    // zone-map skip audit: exact ntile file assignment per layout, the
+    // morton interleave replayed shift-for-shift (the zorder_code walk)
+    "layout_zonemap" ->
+      s"""WITH c AS MATERIALIZED (
+         |  SELECT doc_id, n_chars::BIGINT AS a,
+         |    (${md24("doc_id::VARCHAR")} % 65536) AS dim_b
+         |  FROM documents),
+         |z AS MATERIALIZED (SELECT *,
+         |    list_sum(list_transform(range(0, 16), i ->
+         |      ((((a >> i) & 1) << (2 * i)) + (((dim_b >> i) & 1) << (2 * i + 1)))))::BIGINT AS zcode
+         |  FROM c),
+         |l AS (
+         |  SELECT 'ingest' AS layout, a, dim_b, ntile(64) OVER (ORDER BY doc_id) AS f FROM z
+         |  UNION ALL
+         |  SELECT 'sort_a', a, dim_b, ntile(64) OVER (ORDER BY a, doc_id) FROM z
+         |  UNION ALL
+         |  SELECT 'zorder', a, dim_b, ntile(64) OVER (ORDER BY zcode, doc_id) FROM z),
+         |fr AS (SELECT layout, f, min(a) AS mna, max(a) AS mxa,
+         |    min(dim_b) AS mnb, max(dim_b) AS mxb
+         |  FROM l GROUP BY 1, 2),
+         |b AS (SELECT * FROM (VALUES
+         |    ('a_slice', 2000, 2200, 0, 65535),
+         |    ('b_slice', 0, 1000000, 0, 4095)) t(box, lo_a, hi_a, lo_b, hi_b)),
+         |j AS (SELECT layout, box,
+         |    CASE WHEN mxa >= lo_a AND mna <= hi_a AND mxb >= lo_b AND mnb <= hi_b
+         |      THEN 1 ELSE 0 END AS hit
+         |  FROM fr CROSS JOIN b)
+         |SELECT layout, box, count(*)::BIGINT AS n_files, sum(hit)::BIGINT AS files_hit,
+         |  (count(*) - sum(hit))::DOUBLE / count(*)::DOUBLE AS skip_fraction
+         |FROM j GROUP BY 1, 2 ORDER BY layout, box""".stripMargin,
+
+    // nDCG@10 of the 16-dim prefix ranking vs exact-rank graded
+    // relevance; discounts are JVM 2^-40-grid literals
+    // (Retrieval.ndcgDiscountsFp shared verbatim)
+    "retrieval_ndcg" -> {
+      val dot64 = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64qq = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64cc = "list_reduce(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val dot16 = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16qq = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16cc = "list_reduce(list_transform(range(1, 17), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val disc = graft.operators.Retrieval.ndcgDiscountsFp(10).mkString(", ")
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sf AS (SELECT query_id, neighbor_id,
+         |    $dot64 / (sqrt($d64qq) * sqrt($d64cc)) AS cosine FROM q CROSS JOIN c),
+         |exact AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sf) WHERE rank <= 10),
+         |st AS (SELECT query_id, neighbor_id,
+         |    $dot16 / (sqrt($d16qq) * sqrt($d16cc)) AS cosine FROM q CROSS JOIN c),
+         |approx AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM st) WHERE rank <= 10),
+         |lab AS (SELECT query_id, neighbor_id,
+         |    CASE WHEN rank <= 2 THEN 3 WHEN rank <= 5 THEN 2 ELSE 1 END AS rel
+         |  FROM exact),
+         |dd AS (SELECT a.query_id,
+         |    sum((CASE coalesce(l.rel, 0) WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+         |      * list_extract([$disc], a.rank)) AS dcg_fp
+         |  FROM approx a LEFT JOIN lab l
+         |    ON l.query_id = a.query_id AND l.neighbor_id = a.neighbor_id
+         |  GROUP BY 1),
+         |ii AS (SELECT query_id,
+         |    sum((CASE WHEN rank <= 2 THEN 7 WHEN rank <= 5 THEN 3 ELSE 1 END)
+         |      * list_extract([$disc], rank)) AS idcg_fp
+         |  FROM exact GROUP BY 1)
+         |SELECT dd.query_id, dd.dcg_fp::BIGINT AS dcg_fp, ii.idcg_fp::BIGINT AS idcg_fp,
+         |  dd.dcg_fp::DOUBLE / ii.idcg_fp::DOUBLE AS ndcg
+         |FROM dd JOIN ii ON ii.query_id = dd.query_id ORDER BY dd.query_id""".stripMargin
+    },
+
+    // quantile normalization: exact ntile buckets, integer floor-division
+    // bucket means on the 2^20 grid, integer cross-source target
+    "quality_qnorm" ->
+      """WITH r AS (SELECT source, doc_id, n_chars::BIGINT AS s,
+        |    ntile(20) OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS b
+        |  FROM documents),
+        |g AS (SELECT source, b, count(*)::BIGINT AS n_docs, sum(s)::BIGINT AS sm
+        |  FROM r GROUP BY 1, 2),
+        |g2 AS (SELECT source, b, n_docs, sm, (sm * 1048576) // n_docs AS mean_fp FROM g),
+        |t AS (SELECT b, (sum(mean_fp) // count(*))::BIGINT AS target_fp FROM g2 GROUP BY 1)
+        |SELECT g2.source, g2.b::INTEGER AS bucket, g2.n_docs,
+        |  g2.sm::DOUBLE / g2.n_docs::DOUBLE AS mean_raw,
+        |  t.target_fp::DOUBLE / 1048576.0 AS target
+        |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
+
+    // t-closeness: variational distance per class as exact HUGEINT cross
+    // products, one float division, Privacy.tCloseness's association
+    "privacy_tcloseness" ->
+      """WITH triple AS MATERIALIZED (
+        |  SELECT lang, n_chars // 500 AS len_bucket, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |g AS (SELECT source, sum(n)::BIGINT AS ns FROM triple GROUP BY 1),
+        |tot AS (SELECT sum(n)::BIGINT AS nt FROM triple),
+        |cls AS (SELECT lang, len_bucket, sum(n)::BIGINT AS group_n FROM triple GROUP BY 1, 2),
+        |grid AS (SELECT c.lang, c.len_bucket, c.group_n, g.source, g.ns,
+        |    coalesce(t3.n, 0)::BIGINT AS n
+        |  FROM cls c CROSS JOIN g
+        |  LEFT JOIN triple t3 ON t3.lang = c.lang AND t3.len_bucket = c.len_bucket
+        |    AND t3.source = g.source),
+        |agg AS (SELECT lang, len_bucket, max(group_n) AS group_n,
+        |    sum(abs(n::HUGEINT * (SELECT nt FROM tot) - ns::HUGEINT * group_n)) AS num
+        |  FROM grid GROUP BY 1, 2),
+        |fin AS (SELECT lang, len_bucket, group_n,
+        |    num::DOUBLE / (2.0 * (SELECT nt FROM tot)::DOUBLE * group_n::DOUBLE) AS t_dist
+        |  FROM agg)
+        |SELECT lang, len_bucket, group_n, t_dist, t_dist <= 0.25 AS close
+        |FROM fin ORDER BY lang, len_bucket""".stripMargin
   )
 }

@@ -493,4 +493,24 @@ class CorpusSelectionSpec extends SparkSuite {
       .as[(Int, Long, Long)].collect().sortBy(_._1).toSeq
     assert(got == want.toSeq)
   }
+
+  test("quantileNormalize maps shifted group distributions onto the shared target") {
+    // group hot: scores 100,200,300,400; group cold: 10,20,30,40 —
+    // with 4 buckets of one row each the bucket means ARE the scores
+    // and each bucket's target is the cross-group mean
+    val rows = Seq(("hot", 1L, 100L), ("hot", 2L, 200L), ("hot", 3L, 300L), ("hot", 4L, 400L),
+      ("cold", 5L, 10L), ("cold", 6L, 20L), ("cold", 7L, 30L), ("cold", 8L, 40L))
+    val df = rows.toDF("source", "doc_id", "score")
+    val out = CorpusSelection.quantileNormalize(df, "source", "doc_id",
+        org.apache.spark.sql.functions.col("score"), buckets = 4)
+      .as[(String, Int, Long, Double, Double)].collect()
+    assert(out.length == 8)
+    val byKey = out.map(r => (r._1, r._2) -> r).toMap
+    // bucket 1: (100 + 10) / 2 = 55, identical target for both groups
+    assert(byKey(("hot", 1))._4 == 100.0 && byKey(("hot", 1))._5 == 55.0)
+    assert(byKey(("cold", 1))._4 == 10.0 && byKey(("cold", 1))._5 == 55.0)
+    assert(byKey(("hot", 4))._5 == 220.0 && byKey(("cold", 4))._5 == 220.0)
+    // after normalization the two groups' targets agree bucket-by-bucket
+    (1 to 4).foreach(b => assert(byKey(("hot", b))._5 == byKey(("cold", b))._5))
+  }
 }

@@ -103,4 +103,35 @@ class LayoutSpec extends SparkSuite {
     val got = spark.read.parquet(outDir).as[(Long, String)].collect().sortBy(_._1).toSeq
     assert(got == (0 until 4000).map(i => (i.toLong, s"payload_$i")))
   }
+
+  test("zonemapSkipAudit: a-sort prunes only a, z-order prunes both, ingest neither") {
+    // 16x16 (a, b) grid; arrival order is the bijective shuffle
+    // i -> (i*101) mod 256, so "ingest" files mix grid cells
+    val rows = (0 until 256).map { i =>
+      val id = (i * 101) % 256 // grid cell visited at arrival i
+      (i.toLong, (id % 16).toLong, (id / 16).toLong)
+    }
+    val df = rows.toDF("arrival", "a", "b")
+      .withColumn("z", Layout.mortonCode(col("a"), col("b"), 4))
+    val out = Layout.zonemapSkipAudit(df, "a", "b",
+      Seq(
+        "ingest" -> Seq(col("arrival")),
+        "sort_a" -> Seq(col("a"), col("arrival")),
+        "zorder" -> Seq(col("z"), col("arrival"))),
+      numFiles = 16,
+      boxes = Seq(("a_slice", 0L, 0L, 0L, 15L), ("b_slice", 0L, 15L, 0L, 0L)))
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    // a-sorted: a=0 lives in exactly one of 16 files; b spans everywhere
+    assert(out(("sort_a", "a_slice")) == 15.0 / 16.0)
+    assert(out(("sort_a", "b_slice")) == 0.0)
+    // z-order files are 4x4 quadrant tiles: each 1-wide slice hits the
+    // 4 tiles of its row/column strip -> 12/16 skipped on BOTH dims
+    assert(out(("zorder", "a_slice")) == 12.0 / 16.0)
+    assert(out(("zorder", "b_slice")) == 12.0 / 16.0)
+    // shuffled arrival smears both dimensions across files: strictly
+    // worse than the curve on both probes
+    assert(out(("ingest", "a_slice")) < out(("zorder", "a_slice")))
+    assert(out(("ingest", "b_slice")) < out(("zorder", "b_slice")))
+  }
 }

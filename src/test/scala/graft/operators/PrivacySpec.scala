@@ -76,4 +76,19 @@ class PrivacySpec extends SparkSuite {
     val fps = Privacy.dpCounts(many, "key").select("noise_fp").as[Long].collect()
     assert(fps.exists(_ > 0) && fps.exists(_ < 0), "both noise signs expected over 50 keys")
   }
+
+  test("tCloseness: hand-computed variational distance; skew leaks, mirror is 0") {
+    // global: 8 a + 8 b (p = 1/2 each). class g1 mirrors it (4/4, t=0);
+    // class g2 is all-a (4/0): t = 1/2(|1-1/2| + |0-1/2|) = 1/2
+    val rows = Seq.fill(4)(("g1", 0L, "a")) ++ Seq.fill(4)(("g1", 0L, "b")) ++
+      Seq.fill(4)(("g2", 0L, "a")) ++
+      Seq.fill(4)(("g3", 0L, "b"))
+    val out = Privacy.tCloseness(rows.toDF("q1", "q2", "s"), "q1", "q2", "s", t = 0.25)
+      .as[(String, Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(out.map(r => (r._1, r._3)).toSeq == Seq(("g1", 8L), ("g2", 4L), ("g3", 4L)))
+    val byClass = out.map(r => r._1 -> (r._4, r._5)).toMap
+    assert(byClass("g1") == ((0.0, true)), "mirror class has t = 0")
+    assert(byClass("g2") == ((0.5, false)), "all-a class leaks: t = 1/2")
+    assert(byClass("g3") == ((0.5, false)), "all-b class leaks: t = 1/2")
+  }
 }

@@ -276,4 +276,26 @@ class RetrievalSpec extends SparkSuite {
     assert(got.head == ((1L, 1, 4L, 10L))) // rel tie 4 vs 5 -> lowest id
     assert(got(1) == ((1L, 2, 5L, 10L)))   // sim(5,4)=0, score 10 beats 9's
   }
+
+  test("ndcgAtK: identical ranking scores 1.0; a swap at the top costs exactly the hand value") {
+    def ranking(q: Long, order: Seq[Long]) =
+      order.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    val exact = ranking(1L, 1L to 10L).toDF("query_id", "neighbor_id", "rank")
+    val same = Retrieval.ndcgAtK(exact, exact, k = 10)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(same._2 == same._3 && same._4 == 1.0)
+    // swap positions 1 and 10: gains g=(7,7,3,3,3,1,1,1,1,1); the
+    // approx list has g(1)<->g(10), i.e. dcg = idcg - (7-1)*(d1-d10)
+    val disc = Retrieval.ndcgDiscountsFp(10)
+    val approx = ranking(1L, Seq(10L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L, 1L))
+      .toDF("query_id", "neighbor_id", "rank")
+    val out = Retrieval.ndcgAtK(approx, exact, k = 10)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(out._2 == out._3 - 6L * (disc(0) - disc(9)), s"dcg ${out._2}")
+    assert(out._4 == out._2.toDouble / out._3.toDouble && out._4 < 1.0)
+    // an approx list of all strangers scores 0
+    val miss = ranking(1L, 101L to 110L).toDF("query_id", "neighbor_id", "rank")
+    assert(Retrieval.ndcgAtK(miss, exact, k = 10)
+      .as[(Long, Long, Long, Double)].collect().head._4 == 0.0)
+  }
 }
