@@ -233,4 +233,58 @@ object Multimodal {
         col("_ha").as("phash_a"), col("_hb").as("phash_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** CLIP-score-style image–caption alignment gate — the LAION-400M/5B
+    * curation filter: embed the image, embed the caption, keep the
+    * pair when the embeddings' cosine clears a threshold (LAION used
+    * 0.28 on real CLIP; the threshold here is calibrated to the stub).
+    * The image embedding is the STUB feature (16 evenly-spaced tile
+    * intensities over the payload bytes — [[frameSampleHex]], standing
+    * in for a vision tower exactly like [[fakeDecode]] stands in for a
+    * codec); the caption embedding is a REAL 16-dim hashing-trick
+    * bag-of-words (md5 token buckets, the [[graft.operators.Similarity]]
+    * hashEmbed recipe). A deployment swaps the two embed expressions
+    * for model calls without touching the gate.
+    *
+    * Emits (`idCol`, clip_score, kept); zero-norm sides score 0.0
+    * (never NaN — both engines would disagree on NaN compares).
+    *
+    * Plan: ENTIRELY shuffle-free — both embeddings, the dot, the norms
+    * and the gate are per-row projections (array HOFs over 16-element
+    * integer vectors; exact int64 everywhere, ONE float chain per
+    * row), so the filter rides the ingest scan at any corpus size —
+    * the embarrassing parallelism that let LAION filter 50B pairs.
+    */
+  def clipScoreGate(df: DataFrame, idCol: String, binCol: String, textCol: String,
+                    threshold: Double = 0.95): DataFrame = {
+    val dims = 16
+    val imgVec = transform(frameSampleHex(col(binCol), dims, 4), th =>
+      aggregate(transform(sequence(lit(0), lit(3)),
+        i => conv(th.substr(i * 2 + 1, lit(2)), 16, 10).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+    val buckets = expr(
+      s"transform(split(lower(trim($textCol)), '\\\\s+'), " +
+        s"t -> CAST(conv(substring(md5(t), 1, 6), 16, 10) AS BIGINT) % $dims)")
+    val txtVec = transform(sequence(lit(0), lit(dims - 1)),
+      d => aggregate(col("_bk"), lit(0L),
+        (acc, b) => acc + when(b === d.cast("long"), 1L).otherwise(0L)))
+    def sq(v: Column): Column =
+      aggregate(transform(v, a => a * a), lit(0L), (acc, x) => acc + x)
+    val dot = aggregate(zip_with(col("_iv"), col("_tv"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    df.where(octet_length(col(binCol)) >= 4)
+      .withColumn("_bk", buckets)
+      .withColumn("_iv", imgVec)
+      .withColumn("_tv", txtVec)
+      .withColumn("_dot", dot)
+      .withColumn("_n1", sq(col("_iv")))
+      .withColumn("_n2", sq(col("_tv")))
+      .select(col(idCol),
+        when(col("_n1") > 0 && col("_n2") > 0,
+          col("_dot").cast("double")
+            / (sqrt(col("_n1").cast("double")) * sqrt(col("_n2").cast("double"))))
+          .otherwise(lit(0.0)).as("clip_score"))
+      .withColumn("kept", col("clip_score") >= threshold)
+      .orderBy(col(idCol))
+  }
 }

@@ -6345,6 +6345,44 @@ object Oracles {
         |  t.target_fp::DOUBLE / 1048576.0 AS target
         |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
 
+    // CLIP-score gate: stub tile intensities + hashed caption buckets,
+    // integer dot/norms, one float chain -- Multimodal.clipScoreGate
+    "mm_clip_filter" -> {
+      val md24w =
+        """list_reduce(list_transform(string_split(substr(md5(w), 1, 6), ''),
+          |      ch -> strpos('0123456789abcdef', ch) - 1), (ja, jb) -> ja * 16 + jb)::BIGINT""".stripMargin
+      val reSpace = """'\s+'"""
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT doc_id, encode(text) AS p, lower(trim(text)) AS t FROM documents
+         |  WHERE octet_length(encode(text)) >= 4),
+         |s AS MATERIALIZED (SELECT doc_id, upper(hex(p)) AS h,
+         |    floor((octet_length(p) - 4) / 15)::INTEGER AS st, t FROM b),
+         |f AS (SELECT doc_id, i::INTEGER AS d,
+         |    substr(h, (i * st * 2 + 1)::BIGINT, 8) AS th
+         |  FROM s, unnest(range(0, 16)) AS tt(i)),
+         |iv AS (SELECT doc_id, d,
+         |    list_sum(list_transform(range(0, 4), j ->
+         |      list_reduce(list_transform(string_split(substr(th, (j * 2 + 1)::BIGINT, 2), ''),
+         |        ch -> strpos('0123456789ABCDEF', ch) - 1), (xa, xb) -> xa * 16 + xb)))::BIGINT AS v
+         |  FROM f),
+         |bk AS (SELECT doc_id, list_transform(string_split_regex(t, $reSpace),
+         |    w -> $md24w % 16) AS bks FROM s),
+         |tv AS (SELECT doc_id, i::INTEGER AS d,
+         |    list_sum(list_transform(bks, bb -> CASE WHEN bb = i THEN 1 ELSE 0 END))::BIGINT AS v
+         |  FROM bk, unnest(range(0, 16)) AS tt(i)),
+         |m AS (SELECT iv.doc_id,
+         |    sum(iv.v * tv.v)::BIGINT AS dot,
+         |    sum(iv.v * iv.v)::BIGINT AS n1,
+         |    sum(tv.v * tv.v)::BIGINT AS n2
+         |  FROM iv JOIN tv ON tv.doc_id = iv.doc_id AND tv.d = iv.d GROUP BY 1)
+         |SELECT doc_id,
+         |  CASE WHEN n1 > 0 AND n2 > 0
+         |    THEN dot::DOUBLE / (sqrt(n1::DOUBLE) * sqrt(n2::DOUBLE)) ELSE 0.0 END AS clip_score,
+         |  (CASE WHEN n1 > 0 AND n2 > 0
+         |    THEN dot::DOUBLE / (sqrt(n1::DOUBLE) * sqrt(n2::DOUBLE)) ELSE 0.0 END) >= 0.95 AS kept
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
     // t-closeness: variational distance per class as exact HUGEINT cross
     // products, one float division, Privacy.tCloseness's association
     "privacy_tcloseness" ->

@@ -97,6 +97,43 @@ class MultimodalSpec extends SparkSuite {
       (1L, 2, 976L, true, 1), (1L, 3, 976L, false, 1)))
   }
 
+  test("clipScoreGate matches a JVM brute-force of both stub embeddings") {
+    val texts = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (2L, "aaa aaa aaa aaa aaa aaa aaa aaa"),
+      (3L, "Mixed CASE Words With   extra  spaces inside the caption text"),
+      (4L, "abcd"))
+    def brute(text: String): Double = {
+      val bytes = text.getBytes("UTF-8")
+      val stride = (bytes.length - 4) / 15
+      val iv = (0 until 16).map(i => (0 until 4).map(j => bytes(i * stride + j) & 0xff).sum.toLong)
+      val toks = text.trim.toLowerCase.split("\\s+", -1).toSeq
+      val tv = {
+        val counts = new Array[Long](16)
+        toks.foreach { t =>
+          val h = java.security.MessageDigest.getInstance("MD5").digest(t.getBytes("UTF-8"))
+          val b = (((h(0) & 0xffL) << 16) | ((h(1) & 0xffL) << 8) | (h(2) & 0xffL)) % 16
+          counts(b.toInt) += 1
+        }
+        counts.toSeq
+      }
+      val dot = iv.zip(tv).map { case (a, b) => a * b }.sum
+      val n1 = iv.map(a => a * a).sum
+      val n2 = tv.map(a => a * a).sum
+      if (n1 > 0 && n2 > 0) dot.toDouble / (math.sqrt(n1.toDouble) * math.sqrt(n2.toDouble))
+      else 0.0
+    }
+    val out = Multimodal.clipScoreGate(
+      Multimodal.withBinaryPayload(texts.toDF("doc_id", "text"), "text"),
+      "doc_id", "payload", "text", threshold = 0.5)
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    texts.foreach { case (id, t) =>
+      val want = brute(t)
+      assert(out(id)._1 == want, s"doc $id: ${out(id)._1} != $want")
+      assert(out(id)._2 == (want >= 0.5))
+    }
+  }
+
   private implicit class ToMap2[A, B, C](s: Array[(A, B, C)]) {
     def toMap2: Map[A, (B, C)] = s.map(t => t._1 -> ((t._2, t._3))).toMap
   }
