@@ -338,6 +338,40 @@ object CoreQueries {
       .orderBy(col("purchase_id"), col("click_id"))
   }
 
+  /** Attribution-window sensitivity sweep — the measurement behind
+    * choosing [[streamAttribution]]'s 30-minute window (and the
+    * streaming join's state-retention bound): per candidate window,
+    * how many purchases would attribute to a preceding click. ONE pair
+    * generation bounded by the LARGEST window, one per-purchase min-gap
+    * aggregate, then the sweep reads that bounded table per window —
+    * the `dedup_threshold_sweep` discipline applied to time. Gaps are
+    * exact micros; the rate is one float division per window row.
+    */
+  def attributionWindowSweep(s: SparkSession, d: String): DataFrame = {
+    val windows = Seq(1, 5, 15, 30, 60)
+    val ev = events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+    val gaps = purchases.join(clicks,
+        col("c_user") === col("user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL ${windows.max} MINUTES"))
+      .groupBy(col("purchase_id"))
+      .agg(min(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts"))).as("min_gap_us"))
+    val total = purchases.agg(count(lit(1)).as("n_purchases"))
+    gaps
+      .select(explode(array(windows.map(lit): _*)).as("window_min"), col("min_gap_us"))
+      .groupBy(col("window_min"))
+      .agg(sum(when(col("min_gap_us") <= col("window_min").cast("long") * 60000000L, 1L)
+        .otherwise(0L)).as("n_attributed"))
+      .crossJoin(broadcast(total))
+      .select(col("window_min"), col("n_purchases"), col("n_attributed"),
+        (col("n_attributed").cast("double") / col("n_purchases").cast("double")).as("rate"))
+      .orderBy(col("window_min"))
+  }
+
   /** LEFT OUTER twin of [[streamAttribution]]: every purchase, with a
     * null click when no click preceded it within the 30-minute window —
     * the "conversion without attributable touchpoint" report. Batch

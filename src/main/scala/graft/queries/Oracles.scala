@@ -6345,6 +6345,43 @@ object Oracles {
         |  t.target_fp::DOUBLE / 1048576.0 AS target
         |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
 
+    // attribution-window sensitivity: one 60-min-bounded pair pass,
+    // per-purchase min gap, the sweep reads the bounded table
+    "attribution_window_sweep" ->
+      s"""WITH c AS (SELECT user_id, ts AS click_ts FROM $EV WHERE event_type = 'click'),
+         |p AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts FROM $EV WHERE event_type = 'purchase'),
+         |g AS (SELECT purchase_id,
+         |    min(epoch_us(purchase_ts) - epoch_us(click_ts))::BIGINT AS min_gap_us
+         |  FROM p JOIN c USING (user_id)
+         |  WHERE click_ts <= purchase_ts AND click_ts >= purchase_ts - INTERVAL 60 MINUTE
+         |  GROUP BY 1),
+         |t AS (SELECT count(*)::BIGINT AS n_purchases FROM p),
+         |w AS (SELECT unnest([1, 5, 15, 30, 60]) AS window_min)
+         |SELECT window_min::INTEGER AS window_min,
+         |  (SELECT n_purchases FROM t) AS n_purchases,
+         |  sum(CASE WHEN min_gap_us <= window_min::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT AS n_attributed,
+         |  sum(CASE WHEN min_gap_us <= window_min::BIGINT * 60000000 THEN 1 ELSE 0 END)::DOUBLE
+         |    / (SELECT n_purchases FROM t)::DOUBLE AS rate
+         |FROM w CROSS JOIN g GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // duplicate-cluster size histogram: the dedup_clusters closure's
+    // size table rolled up to (size, n_clusters)
+    "dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${simhashFp()},
+         |pairs AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM fp x JOIN fp y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.simhash, y.simhash)) <= 3),
+         |sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.id, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+         |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+         |SELECT cluster_size::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters
+         |FROM sz GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // CLIP-score gate: stub tile intensities + hashed caption buckets,
     // integer dot/norms, one float chain -- Multimodal.clipScoreGate
     "mm_clip_filter" -> {
