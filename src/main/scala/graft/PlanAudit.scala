@@ -194,7 +194,19 @@ object PlanAudit {
       "user_rfm", "ann_matryoshka",
       // c4 is shuffle-free per-row gates; clustering reuses the oriented
       // wedge join with a bounded 3-explode credit pass
-      "quality_c4", "graph_clustering")
+      "quality_c4", "graph_clustering",
+      // round 12: the clip gate must be ONE shuffle-free projection
+      // chain (embeddings, dot, norms, gate all map-side); theil-sen is
+      // one (key,day) count + a days-bounded pair self-join + one
+      // window; decay is the count + a one-row broadcast anchor; cuped
+      // is one user-grain exchange + a one-row moment rollup; qnorm is
+      // one group-key window + domain-sized aggregates; t-closeness
+      // shares l-diversity's single triple-domain pass; the window
+      // sweep is ONE bounded pair join + min-gap aggregate, the sweep
+      // reading the bounded table
+      "mm_clip_filter", "event_trend_robust", "event_decay", "ab_cuped",
+      "quality_qnorm", "privacy_tcloseness", "attribution_window_sweep",
+      "retrieval_ndcg")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -300,7 +300,22 @@ object ScaleSmoke {
         val e = itemEdges(ev).where(pmod(col("src") * 31 + col("dst"), lit(7)) === 0)
         Graph.modularity(e, "src", "dst",
           Graph.labelPropagation(e, "src", "dst", iters = 4)).count()
-      }))
+      }),
+      // round 12: the clip gate is shuffle-free, so its ratio is the
+      // purest scan-bound signal in the table; theil-sen/decay/cuped
+      // are one corpus exchange + calendar/user-bounded tails; qnorm is
+      // one group window over a slim (group, id, score) projection
+      "clip_gate" -> (() => Multimodal.clipScoreGate(
+        Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload",
+        "text").count()),
+      "theil_sen" -> (() =>
+        RateAnomaly.theilSen(ev, "event_type", "ts").count()),
+      "decay_trend" -> (() =>
+        RateAnomaly.decayTrend(ev, "event_type", "ts").count()),
+      "cuped" -> (() => RateAnomaly.cuped(ev, "user_id", "ts", "value",
+        pmod(col("user_id"), lit(2L))).count()),
+      "qnorm" -> (() => CorpusSelection.quantileNormalize(
+        docs, "source", "doc_id", col("n_chars")).count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

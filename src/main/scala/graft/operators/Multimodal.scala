@@ -285,6 +285,7 @@ object Multimodal {
             / (sqrt(col("_n1").cast("double")) * sqrt(col("_n2").cast("double"))))
           .otherwise(lit(0.0)).as("clip_score"))
       .withColumn("kept", col("clip_score") >= threshold)
-      .orderBy(col(idCol))
+    // no ordering here: the gate stays a pure projection (zero
+    // exchanges); the driver-contract query sorts its dump itself
   }
 }
