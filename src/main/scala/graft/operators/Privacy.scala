@@ -152,6 +152,54 @@ object Privacy {
       .orderBy(col(q1), col(q2))
   }
 
+  /** ε-DP quantile release via the exponential mechanism (McSherry &
+    * Talwar 2007) — the second DP release primitive next to
+    * [[dpCounts]]' Laplace counts: per group, release the q-quantile
+    * of a BUCKETED value without revealing any individual row.
+    * Utility of candidate bucket c is u(c) = −|rank(c) − ⌈q·n⌉|
+    * (rank = #values ≤ c; sensitivity 1), and sampling ∝ exp(ε·u/2)
+    * is realized as Gumbel-max: argmax over candidates of
+    * ε·u/2 + g_c, with g_c = −ln(−ln U_c) and U_c hash-derived from
+    * (group, bucket) — reproducible and oracle-replayable, the
+    * [[dpCounts]] discipline (a production release swaps the hash for
+    * a DRBG and drops the exact column).
+    *
+    * Emits (`keyCol`, n, true_bucket, dp_bucket) — the exact quantile
+    * rides along as the utility-loss audit.
+    *
+    * Plan: one map-side-combined (key, bucket) count — the only
+    * corpus-sized exchange; ranks, scores, and the argmax are windows
+    * over the bucket-domain-sized table.
+    */
+  def dpQuantile(df: DataFrame, keyCol: String, bucketCol: String,
+                 epsilon: Double = 1.0, q: Double = 0.5): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    require(q > 0 && q < 1, s"q must be in (0,1), got $q")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df
+      .select(col(keyCol), col(bucketCol).cast("long").as("_b"))
+      .groupBy(col(keyCol), col("_b")).agg(count(lit(1)).as("_c"))
+    val wKey = Window.partitionBy(col(keyCol))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("_b"))
+    val u01 = (QualityClassifier.md24(concat(lit("dpq:"), col(keyCol).cast("string"),
+      lit(":"), col("_b").cast("string"))).cast("double") + lit(0.5)) / lit(16777216.0)
+    val scored = counts
+      .withColumn("_n", sum(col("_c")).over(wKey))
+      .withColumn("_rk", sum(col("_c")).over(wOrd))
+      .withColumn("_target", ceil(lit(q) * col("_n").cast("double")).cast("long"))
+      .withColumn("_score",
+        lit(epsilon / 2.0) * (-abs(col("_rk") - col("_target"))).cast("double")
+          + -log(-log(u01)))
+    scored
+      .withColumn("_pick", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("_score").desc, col("_b"))))
+      .withColumn("_true", min(when(col("_rk") >= col("_target"), col("_b"))).over(wKey))
+      .where(col("_pick") === 1)
+      .select(col(keyCol), col("_n").as("n"), col("_true").as("true_bucket"),
+        col("_b").as("dp_bucket"))
+      .orderBy(col(keyCol))
+  }
+
   /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the leak
     * l-diversity misses: a class can span l distinct sensitive values
     * yet still reveal plenty when its DISTRIBUTION over them differs

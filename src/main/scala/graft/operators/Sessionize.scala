@@ -38,6 +38,44 @@ object Sessionize {
       .drop("_ns")
   }
 
+  /** Session-gap threshold sweep — the measurement behind [[assign]]'s
+    * `gapSeconds` knob (every sessionization ships a 30-minute default
+    * nobody re-derives): for each candidate gap, how many sessions the
+    * corpus splits into and the resulting events-per-session. ONE lag
+    * pass over the corpus (same window [[assign]] pays) + ONE aggregate
+    * computing every threshold's count as a conditional sum — the
+    * sweep never re-scans, the `dedup_threshold_sweep` discipline.
+    * n_sessions(t) = #first-events + #gaps > t, exact integers; the
+    * events-per-session ratio is one float division per threshold row.
+    *
+    * Emits (gap_min, n_sessions, n_events, events_per_session),
+    * thresholds ascending — n_sessions is provably non-increasing.
+    */
+  def gapSweep(events: DataFrame, keys: Seq[String], tsCol: String,
+               gapsMinutes: Seq[Int], tieCols: Seq[String] = Nil): DataFrame = {
+    require(gapsMinutes.nonEmpty && gapsMinutes.forall(_ >= 1), "need positive gaps")
+    val order: Seq[Column] = col(tsCol) +: tieCols.map(col)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val lagged = events
+      .withColumn("_gap_us",
+        unix_micros(col(tsCol)) - unix_micros(lag(col(tsCol), 1).over(w)))
+    val aggs =
+      count(lit(1)).as("_ne") +:
+        sum(when(col("_gap_us").isNull, 1L).otherwise(0L)).as("_nf") +:
+        gapsMinutes.map(t =>
+          sum(when(col("_gap_us") > t * 60000000L, 1L).otherwise(0L)).as(s"_g$t"))
+    val one = lagged.agg(aggs.head, aggs.tail: _*)
+    one
+      .select(explode(array(gapsMinutes.map(t => struct(
+        lit(t).as("gap_min"),
+        (col("_nf") + col(s"_g$t")).as("n_sessions"),
+        col("_ne").as("n_events"))): _*)).as("_r"))
+      .select(col("_r.gap_min"), col("_r.n_sessions"), col("_r.n_events"))
+      .withColumn("events_per_session",
+        col("n_events").cast("double") / col("n_sessions").cast("double"))
+      .orderBy(col("gap_min"))
+  }
+
   /** Event-stream → SCD2 compaction: consecutive events with the same
     * `valueCol` per key collapse into one validity interval — the
     * islands-and-gaps rewrite of an event log into a slowly-changing-

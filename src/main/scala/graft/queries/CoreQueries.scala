@@ -372,6 +372,15 @@ object CoreQueries {
       .orderBy(col("window_min"))
   }
 
+  /** Session-gap threshold sweep
+    * ([[graft.operators.Sessionize.gapSweep]]): session counts at
+    * 5/30/60/240-minute gaps from ONE lag pass + ONE aggregate — the
+    * measurement behind `sessionize`'s 30-minute default.
+    */
+  def sessionGapSweep(s: SparkSession, d: String): DataFrame =
+    graft.operators.Sessionize.gapSweep(events(s, d), Seq("user_id"), "ts",
+      gapsMinutes = Seq(5, 30, 60, 240), tieCols = Seq("event_id"))
+
   /** LEFT OUTER twin of [[streamAttribution]]: every purchase, with a
     * null click when no click preceded it within the 30-minute window —
     * the "conversion without attributable touchpoint" report. Batch

@@ -6345,6 +6345,49 @@ object Oracles {
         |  t.target_fp::DOUBLE / 1048576.0 AS target
         |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
 
+    // session-gap sweep: one lag pass, every threshold a conditional
+    // sum in the same aggregate -- Sessionize.gapSweep
+    "session_gap_sweep" ->
+      s"""WITH o AS (SELECT user_id,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+         |  FROM $EV),
+         |a AS (SELECT count(*)::BIGINT AS ne,
+         |    sum(CASE WHEN gap_us IS NULL THEN 1 ELSE 0 END)::BIGINT AS nf,
+         |    sum(CASE WHEN gap_us > 5::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT AS g5,
+         |    sum(CASE WHEN gap_us > 30::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT AS g30,
+         |    sum(CASE WHEN gap_us > 60::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT AS g60,
+         |    sum(CASE WHEN gap_us > 240::BIGINT * 60000000 THEN 1 ELSE 0 END)::BIGINT AS g240
+         |  FROM o),
+         |w AS (SELECT unnest([5, 30, 60, 240]) AS gap_min),
+         |x AS (SELECT gap_min::INTEGER AS gap_min,
+         |    (nf + CASE gap_min WHEN 5 THEN g5 WHEN 30 THEN g30 WHEN 60 THEN g60 ELSE g240 END)::BIGINT AS n_sessions,
+         |    ne AS n_events
+         |  FROM w CROSS JOIN a)
+         |SELECT gap_min, n_sessions, n_events,
+         |  n_events::DOUBLE / n_sessions::DOUBLE AS events_per_session
+         |FROM x ORDER BY gap_min""".stripMargin,
+
+    // DP median by exponential mechanism as reproducible Gumbel-max:
+    // same hash-derived uniform discipline as dp_counts
+    "dp_quantile" ->
+      s"""WITH c AS (SELECT lang, n_chars // 100 AS b, count(*)::BIGINT AS cnt
+         |  FROM documents GROUP BY 1, 2),
+         |r AS (SELECT lang, b, cnt,
+         |    sum(cnt) OVER (PARTITION BY lang) AS n,
+         |    sum(cnt) OVER (PARTITION BY lang ORDER BY b) AS rk
+         |  FROM c),
+         |t AS (SELECT *, ceil(0.5 * n::DOUBLE)::BIGINT AS target FROM r),
+         |s AS (SELECT lang, b, n, rk, target,
+         |    0.5 * (-abs(rk - target))::DOUBLE
+         |      + -ln(-ln(((${md24("'dpq:' || lang || ':' || b::VARCHAR")})::DOUBLE + 0.5) / 16777216.0)) AS score
+         |  FROM t),
+         |p AS (SELECT *,
+         |    row_number() OVER (PARTITION BY lang ORDER BY score DESC, b) AS pick,
+         |    min(CASE WHEN rk >= target THEN b END) OVER (PARTITION BY lang) AS true_b
+         |  FROM s)
+         |SELECT lang, n::BIGINT AS n, true_b AS true_bucket, b AS dp_bucket
+         |FROM p WHERE pick = 1 ORDER BY lang""".stripMargin,
+
     // attribution-window sensitivity: one 60-min-bounded pair pass,
     // per-purchase min gap, the sweep reads the bounded table
     "attribution_window_sweep" ->

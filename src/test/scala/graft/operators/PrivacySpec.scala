@@ -77,6 +77,21 @@ class PrivacySpec extends SparkSuite {
     assert(fps.exists(_ > 0) && fps.exists(_ < 0), "both noise signs expected over 50 keys")
   }
 
+  test("dpQuantile: exact median rides along; huge epsilon pins the release to it") {
+    // group g: buckets 1x2, 2x4, 3x4 -> n=10, target=ceil(5)=5; ranks
+    // 2/6/10 give utilities -3/-1/-5: bucket 2 is the true median AND
+    // the strict utility max (a symmetric fixture would tie 1 and 2 and
+    // leave the release to the noise)
+    val rows = Seq.fill(2)(("g", 1L)) ++ Seq.fill(4)(("g", 2L)) ++ Seq.fill(4)(("g", 3L))
+    val df = rows.toDF("lang", "bucket")
+    val out = Privacy.dpQuantile(df, "lang", "bucket", epsilon = 100.0)
+      .as[(String, Long, Long, Long)].collect().head
+    assert(out._2 == 10L && out._3 == 2L)
+    // at eps=100 a single utility step (>=50) dwarfs the Gumbel range
+    // (~20), so the mechanism must release the exact median
+    assert(out._4 == 2L)
+  }
+
   test("tCloseness: hand-computed variational distance; skew leaks, mirror is 0") {
     // global: 8 a + 8 b (p = 1/2 each). class g1 mirrors it (4/4, t=0);
     // class g2 is all-a (4/0): t = 1/2(|1-1/2| + |0-1/2|) = 1/2

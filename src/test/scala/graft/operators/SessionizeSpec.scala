@@ -82,4 +82,17 @@ class SessionizeSpec extends SparkSuite {
       assert(h.last._3.isEmpty)
     }
   }
+
+  test("gapSweep: hand-computed session counts, monotone non-increasing in the gap") {
+    // user a at minutes 0, 10, 50 (gaps 10m, 40m); user b at minute 0
+    val rows = Seq(("a", 0L, 0L), ("a", 1L, 10L), ("a", 2L, 50L), ("b", 3L, 0L))
+      .map { case (u, id, m) => (u, id, new Timestamp(m * 60000L)) }
+    val df = rows.toDF("user_id", "event_id", "ts")
+    val got = Sessionize.gapSweep(df, Seq("user_id"), "ts",
+      gapsMinutes = Seq(5, 30, 60), tieCols = Seq("event_id"))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    // gap 5m: both of a's gaps split -> 2 firsts + 2 = 4 sessions
+    // gap 30m: only the 40m gap splits -> 3; gap 60m: none -> 2
+    assert(got == Seq((5, 4L, 4L, 1.0), (30, 3L, 4L, 4.0 / 3.0), (60, 2L, 4L, 2.0)))
+  }
 }
