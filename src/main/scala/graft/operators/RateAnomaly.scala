@@ -760,6 +760,43 @@ object RateAnomaly {
         (col("adj_y1") - col("adj_y0")).as("diff_adj"))
   }
 
+  /** Seasonally-ADJUSTED daily outlier flags — the composition of
+    * [[seasonalProfile]] and [[detect]] that production monitors
+    * actually run: a Saturday dip is not an incident, a Saturday at
+    * Tuesday volume is. Each (key, day) compares against its own
+    * (key, day-of-week) mean; `high`/`low` flag a >2× / <½ departure
+    * from that seasonal baseline.
+    *
+    * Exactness: the flags are pure INTEGER comparisons
+    * (c·n_dow > 2·Σ_dow and 2·c·n_dow < Σ_dow — cross-multiplied, no
+    * division), so alerts are partition- and engine-independent; the
+    * displayed expected/index are single IEEE divisions of the same
+    * exact integers. Emits (key, day, dow, c, expected,
+    * seasonal_index, high, low).
+    *
+    * Plan: one (key, day, dow) count — the only corpus-sized
+    * exchange — then a keys×7 profile broadcast back onto the
+    * days-sized table.
+    */
+  def detectSeasonal(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val daily = events
+      .select(col(keyCol), datediff(to_date(col(tsCol)), lit("1970-01-01")).as("day"),
+        (dayofweek(col(tsCol)) - 1).as("dow"))
+      .groupBy(col(keyCol), col("day"), col("dow"))
+      .agg(count(lit(1)).as("c"))
+      .materialized // profile + join both read it
+    val prof = daily.groupBy(col(keyCol), col("dow"))
+      .agg(count(lit(1)).as("_nd"), sum(col("c")).as("_sum"))
+    daily.join(broadcast(prof), Seq(keyCol, "dow"))
+      .select(col(keyCol), col("day"), col("dow"), col("c"),
+        (col("_sum").cast("double") / col("_nd").cast("double")).as("expected"),
+        ((col("c") * col("_nd")).cast("double") / col("_sum").cast("double")).as("seasonal_index"),
+        (col("c") * col("_nd") > lit(2L) * col("_sum")).as("high"),
+        (lit(2L) * col("c") * col("_nd") < col("_sum")).as("low"))
+      .orderBy(col(keyCol), col("day"))
+  }
+
   def seasonalProfile(events: DataFrame, keyCol: String, tsCol: String): DataFrame = {
     val counted = events
       // Spark dayofweek: 1 = Sunday .. 7 = Saturday; emit 0-based Sunday=0

@@ -179,6 +179,60 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** IVF nprobe→recall sweep — THE production IVF tuning curve: how
+    * much recall each additional probed cell buys, measured from ONE
+    * fit, ONE assignment pass, and ONE scoring join (the
+    * threshold-sweep discipline applied to the index knob). Every
+    * (query, candidate) pair carries the earliest probe order that
+    * reaches it (`min` over its cells), so "recall at nprobe = p" is a
+    * filter over the already-scored pair table, never a re-probe.
+    * Ground truth is the exact brute-force top-k.
+    *
+    * Emits per nprobe: (nprobe, n_returned, n_hits, recall) — recall
+    * is one float division of exact counts.
+    *
+    * Plan: the fit is the [[trainCentroids]] bounded-sample model fit;
+    * queries broadcast with their probe lists; the corpus-sized work
+    * is one assignment projection + the cell equi-join (candidates
+    * only) + the brute ground-truth pass the recall harness pays
+    * anyway. The sweep itself runs over the candidate-bounded table.
+    */
+  def ivfProbeSweep(candidates: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                    cells: Int = 16, nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                    seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= cells), "bad nprobes")
+    val centroids = trainCentroids(candidates, dim, cells, seed = seed,
+      idCol = idCol, vecCol = vecCol)
+    val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      nearestCell(col(vecCol), centroids).as("cell"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      posexplode(probeCells(col(vecCol), centroids, nprobes.max)).as(Seq("_pi", "cell"))))
+    val scored = q.join(c, "cell")
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(min(col("_pi") + 1).as("_avail"), max(col("cosine")).as("cosine"))
+    val exact = bruteForceTopK(candidates, queries, k, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id")).withColumn("_hit", lit(1L))
+    val total = exact.agg(count(lit(1)).as("_n_exact"))
+    val ranked = scored
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("_avail"),
+        explode(array(nprobes.map(lit): _*)).as("nprobe"))
+      .where(col("_avail") <= col("nprobe"))
+      .withColumn("_rank", row_number().over(
+        Window.partitionBy(col("query_id"), col("nprobe"))
+          .orderBy(col("cosine").desc, col("neighbor_id"))))
+      .where(col("_rank") <= k)
+    ranked.join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(count(lit(1)).as("n_returned"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+      .crossJoin(broadcast(total))
+      .select(col("nprobe"), col("n_returned"), col("n_hits"),
+        (col("n_hits").cast("double") / col("_n_exact").cast("double")).as("recall"))
+      .orderBy(col("nprobe"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
     * out_j = √(3/outDim) · ⟨v, r_j⟩ with rows r_j drawn from the same
     * reproducible minstd LCG as [[lshBucket]] (uniform(−1,1) entries

@@ -2215,6 +2215,15 @@ object CoreQueries {
   def eventAutocorr(s: SparkSession, d: String): DataFrame =
     graft.operators.RateAnomaly.autocorrelation(events(s, d), "event_type", "ts")
 
+  /** Seasonally-adjusted daily outlier flags per event type
+    * ([[graft.operators.RateAnomaly.detectSeasonal]]): each day judged
+    * against its own day-of-week baseline, alerts as exact
+    * cross-multiplied integer comparisons — the composition of
+    * `event_seasonal` and `event_anomaly` a production monitor runs.
+    */
+  def eventSeasonalAdjusted(s: SparkSession, d: String): DataFrame =
+    graft.operators.RateAnomaly.detectSeasonal(events(s, d), "event_type", "ts")
+
   /** Wilson 95% CI for the per-type conversion rate
     * ([[graft.operators.RateAnomaly.wilsonCi]], same value>0.75 outcome
     * as `ab_sprt`) — the small-sample-safe interval an experiment

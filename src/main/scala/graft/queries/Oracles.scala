@@ -6345,6 +6345,78 @@ object Oracles {
         |  t.target_fp::DOUBLE / 1048576.0 AS target
         |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
 
+    // IVF nprobe sweep: one kmeans fit + assignment, probe order kept,
+    // recall per nprobe read off the candidate table (ivfOracleSql
+    // tie-breaks: assignment -> higher cell, probe -> lower cell)
+    "ann_ivf_sweep" -> {
+      val (iters, cells, sampleN, k) = (10, 16, 2000, 10)
+      s"""WITH ${kmeansFitCtes("embeddings", iters, cells, sampleN)},
+         |allv AS (
+         |  SELECT vec_id, embedding, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings
+         |),
+         |cassign AS MATERIALIZED (
+         |  SELECT vec_id, embedding, j AS cell FROM (
+         |    SELECT a.vec_id, a.embedding, c.j,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j DESC) AS pick
+         |    FROM allv a CROSS JOIN cent$iters c)
+         |  WHERE pick = 1
+         |),
+         |qprobe AS (
+         |  SELECT vec_id AS query_id, embedding AS qv, j AS cell, pick FROM (
+         |    SELECT a.vec_id, a.embedding, c.j,
+         |      row_number() OVER (PARTITION BY a.vec_id ORDER BY ${d2("a.v", "c.c")} ASC, c.j ASC) AS pick
+         |    FROM allv a CROSS JOIN cent$iters c
+         |    WHERE a.vec_id < 10)
+         |  WHERE pick <= 8
+         |),
+         |sc0 AS MATERIALIZED (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id, min(q.pick)::BIGINT AS avail,
+         |    max(${dot("q.qv", "c.embedding")}
+         |      / (sqrt(${dot("q.qv", "q.qv")}) * sqrt(${dot("c.embedding", "c.embedding")}))) AS cosine
+         |  FROM qprobe q JOIN cassign c USING (cell) GROUP BY 1, 2
+         |),
+         |qx AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |cx AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sf AS (SELECT query_id, neighbor_id,
+         |    ${dot("qv", "cv")} / (sqrt(${dot("qv", "qv")}) * sqrt(${dot("cv", "cv")})) AS cosine
+         |  FROM qx CROSS JOIN cx),
+         |ex AS MATERIALIZED (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sf) WHERE rank <= $k),
+         |tot AS (SELECT count(*)::BIGINT AS n_exact FROM ex),
+         |rk AS (SELECT np.nprobe, s.query_id, s.neighbor_id,
+         |    row_number() OVER (PARTITION BY s.query_id, np.nprobe
+         |      ORDER BY s.cosine DESC, s.neighbor_id) AS rank
+         |  FROM (SELECT unnest([1, 2, 4, 8]) AS nprobe) np
+         |  JOIN sc0 s ON s.avail <= np.nprobe),
+         |top AS (SELECT nprobe, query_id, neighbor_id FROM rk WHERE rank <= $k)
+         |SELECT nprobe::INTEGER AS nprobe, count(*)::BIGINT AS n_returned,
+         |  sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+         |  sum(CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / (SELECT n_exact FROM tot)::DOUBLE AS recall
+         |FROM top LEFT JOIN ex e USING (query_id, neighbor_id)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    // seasonally-adjusted daily outliers: alerts are cross-multiplied
+    // integer comparisons against the (key, dow) baseline
+    "event_seasonal_adjusted" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    (CAST(ts AS TIMESTAMP)::DATE - DATE '1970-01-01')::INTEGER AS day,
+        |    (dayofweek(CAST(ts AS TIMESTAMP)))::INTEGER AS dow,
+        |    count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |prof AS (SELECT event_type, dow, count(*)::BIGINT AS nd, sum(c)::BIGINT AS sm
+        |  FROM daily GROUP BY 1, 2)
+        |SELECT d.event_type, d.day, d.dow, d.c,
+        |  p.sm::DOUBLE / p.nd::DOUBLE AS expected,
+        |  (d.c * p.nd)::DOUBLE / p.sm::DOUBLE AS seasonal_index,
+        |  d.c * p.nd > 2 * p.sm AS high,
+        |  2 * d.c * p.nd < p.sm AS low
+        |FROM daily d JOIN prof p USING (event_type, dow)
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
     // session-gap sweep: one lag pass, every threshold a conditional
     // sum in the same aggregate -- Sessionize.gapSweep
     "session_gap_sweep" ->

@@ -220,6 +220,24 @@ class RateAnomalySpec extends SparkSuite {
     assert(b._5 == 2.5 - 7 * 0.25 && math.abs(b._6 - 7.0 / 3.0) < 1e-12)
   }
 
+  test("detectSeasonal: spike vs own-weekday baseline, flags are exact integer compares") {
+    // five Thursdays (epoch day 0 is a Thursday) of 20,20,20,20,100 and
+    // one Friday of 5: the spike is >2x its weekday mean (100*5 > 2*180);
+    // the 20s are NOT low (2*20*5 = 200 >= 180); Friday is its own
+    // 1-day baseline -> index exactly 1, no flags
+    val df = dayEvents(Seq(0, 7, 14, 21).map(d => ("a", d, 20))
+      ++ Seq(("a", 28, 100), ("a", 1, 5)))
+    val out = RateAnomaly.detectSeasonal(df, "event_type", "ts")
+      .as[(String, Int, Int, Long, Double, Double, Boolean, Boolean)]
+      .collect().map(r => r._2 -> r).toMap
+    assert(out(28)._7 && !out(28)._8, "spike flags high only")
+    assert(out(28)._5 == 36.0 && out(28)._6 == 500.0 / 180.0)
+    Seq(0, 7, 14, 21).foreach { d =>
+      assert(!out(d)._7 && !out(d)._8, s"baseline day $d unflagged")
+    }
+    assert(out(1)._6 == 1.0 && !out(1)._7 && !out(1)._8, "1-day weekday is its own mean")
+  }
+
   test("cuped: a perfectly correlated covariate removes all between-user variance") {
     // user u: pre value u/4 on day 0, post value u/2 on day 10 — Y = 2X
     // exactly, so theta == 2, var_reduction == 1, and the adjusted A/A

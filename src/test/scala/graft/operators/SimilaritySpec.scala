@@ -568,4 +568,24 @@ class SimilaritySpec extends SparkSuite {
     val meanZ = got.map(_._3).sum.toDouble / (got.size * dims)
     assert(math.abs(meanZ) < 1024, s"z mean $meanZ not centered")
   }
+
+  test("ivfProbeSweep: recall monotone in nprobe, exactly 1.0 when every cell probes") {
+    // 40 deterministic 4-dim vectors, 4 cells: probing all 4 cells IS
+    // brute force, so recall must be exactly 1.0 there and the curve
+    // non-decreasing on the way up
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Seq.tabulate(4)(d => (((i * 31 + d * 17) % 19) - 9).toFloat / 9f))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.ivfProbeSweep(df, df.where(col("vec_id") < 5), k = 5,
+        dim = 4, cells = 4, nprobes = Seq(1, 2, 4))
+      .as[(Int, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(out.map(_._1) == Seq(1, 2, 4))
+    assert(out.last._4 == 1.0, s"full probe must be exact, got ${out.last._4}")
+    assert(out.last._2 == 25L && out.last._3 == 25L)
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._4, s"recall not monotone: $a -> $b")
+      case _ => ()
+    }
+  }
 }
