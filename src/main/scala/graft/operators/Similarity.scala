@@ -233,6 +233,80 @@ object Similarity {
       .orderBy(col("nprobe"))
   }
 
+  /** Top principal component of the embedding corpus by POWER ITERATION
+    * on an exact integer scatter matrix — the dominant anisotropy axis
+    * of Mu & Viswanath's "All-but-the-top" (the direction every
+    * sentence embedding leans, whose removal measurably improves
+    * similarity tasks) and the missing member of the engine's
+    * distributed-training family (perceptron, k-means, BPE, now PCA).
+    *
+    * The corpus is touched ONCE: components ride the 2^gridBits grid
+    * and a bounded dim²-key pair aggregate collects the second moments
+    * (map-side combine holds ≤ dim·(dim+1)/2 cells — the exchange
+    * carries dim² rows, never the corpus). The centered scatter matrix
+    * C = n·Σgg' − (Σg)(Σg)' is exact BigInt; the `iters` power rounds
+    * run on the DRIVER over that 64×64 table (the Markov-solve
+    * bounded-collect class — a dim×dim matvec has no partitioning to
+    * exploit), each round renormalizing to the 2²⁰ grid by
+    * sign-preserving truncating division. Every step is integer, so
+    * the oracle replays the identical walk in unrolled HUGEINT CTE
+    * layers (the classifier_train discipline).
+    *
+    * Emits one row per dimension: (dim, component_fp, component,
+    * eigenvalue) — eigenvalue is the final Rayleigh quotient, one
+    * integer division + one float cast.
+    */
+  def topPrincipalComponent(embs: DataFrame, idCol: String, vecCol: String,
+                            dim: Int, gridBits: Int = 10, iters: Int = 16): DataFrame = {
+    require(dim >= 2 && iters >= 1, s"bad dim/iters $dim/$iters")
+    val grid = 1L << gridBits
+    val wGrid = BigInt(1L << 20)
+    val g = embs.select(
+      transform(col(vecCol), x => floor(x.cast("double") * grid).cast("long")).as("_g"))
+    val moments = g
+      .select(posexplode(col("_g")).as(Seq("_i", "_gi")), col("_g"))
+      .select(col("_i"), col("_gi"), posexplode(col("_g")).as(Seq("_j", "_gj")))
+      .where(col("_j") >= col("_i"))
+      .groupBy(col("_i"), col("_j"))
+      .agg(sum((col("_gi") * col("_gj")).cast("decimal(38,0)")).as("_s"),
+        count(lit(1)).as("_n"),
+        sum(when(col("_i") === col("_j"), col("_gi")).otherwise(0L)).as("_sumdiag"))
+      .collect()
+    val n = BigInt(moments.head.getLong(3))
+    val sums = Array.fill(dim)(BigInt(0))
+    val second = Array.ofDim[BigInt](dim, dim)
+    moments.foreach { r =>
+      val (i, j) = (r.getInt(0), r.getInt(1))
+      val s = BigInt(r.getDecimal(2).toBigInteger)
+      second(i)(j) = s; second(j)(i) = s
+      if (i == j) sums(i) = BigInt(r.getLong(4))
+    }
+    val c = Array.tabulate(dim, dim)((i, j) => n * second(i)(j) - sums(i) * sums(j))
+    // sign-preserving truncating renormalization to the 2^20 grid
+    def renorm(v: Array[BigInt]): Array[BigInt] = {
+      val m = v.map(_.abs).max
+      require(m > 0, "power iteration collapsed to the zero vector")
+      v.map(x => if (x < 0) -((-x * wGrid) / m) else (x * wGrid) / m)
+    }
+    var w = Array.fill(dim)(wGrid)
+    (1 to iters).foreach { _ =>
+      val raw = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * w(j)).sum)
+      w = renorm(raw)
+    }
+    // Rayleigh quotient against the FINAL normalized vector: one more
+    // exact matvec, one integer division, one float cast
+    val rawF = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * w(j)).sum)
+    val num = (0 until dim).map(i => rawF(i) * w(i)).sum
+    val den = (0 until dim).map(i => w(i) * w(i)).sum
+    val eigFp = (num * wGrid) / den
+    val eig = eigFp.toDouble / 1048576.0
+    val s = embs.sparkSession
+    import s.implicits._
+    (0 until dim).map(i => (i, w(i).toLong, w(i).toLong.toDouble / 1048576.0, eig))
+      .toDF("dim", "component_fp", "component", "eigenvalue")
+      .orderBy(col("dim"))
+  }
+
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:
     * out_j = √(3/outDim) · ⟨v, r_j⟩ with rows r_j drawn from the same
     * reproducible minstd LCG as [[lshBucket]] (uniform(−1,1) entries

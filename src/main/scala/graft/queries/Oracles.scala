@@ -6345,6 +6345,42 @@ object Oracles {
         |  t.target_fp::DOUBLE / 1048576.0 AS target
         |FROM g2 JOIN t ON t.b = g2.b ORDER BY source, bucket""".stripMargin,
 
+    // top principal component: exact HUGEINT scatter matrix + 16
+    // unrolled power-iteration CTE layers (the classifier_train
+    // discipline), sign-preserving truncating renormalization
+    "emb_pca_top" -> {
+      val iters = 16
+      val layers = (1 to iters).map { k =>
+        val p = k - 1
+        s"""mv$k AS MATERIALIZED (SELECT c.i, sum(c.v * w$p.w) AS raw
+           |  FROM cmat c JOIN w$p ON w$p.i = c.j GROUP BY 1),
+           |mx$k AS (SELECT max(abs(raw)) AS m FROM mv$k),
+           |w$k AS MATERIALIZED (SELECT i, CASE WHEN raw < 0 THEN -(((-raw) * 1048576) // m)
+           |    ELSE (raw * 1048576) // m END AS w FROM mv$k, mx$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH ge AS MATERIALIZED (
+         |  SELECT list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS g
+         |  FROM embeddings),
+         |p AS MATERIALIZED (SELECT i, j,
+         |    sum((g[i] * g[j])::HUGEINT) AS s, count(*)::HUGEINT AS n
+         |  FROM ge, range(1, 65) t1(i), range(1, 65) t2(j)
+         |  WHERE j >= i GROUP BY 1, 2),
+         |sm AS (SELECT i, sum(g[i])::HUGEINT AS si FROM ge, range(1, 65) t1(i) GROUP BY 1),
+         |cm0 AS (SELECT p.i, p.j, p.n * p.s - a.si * b.si AS v
+         |  FROM p JOIN sm a ON a.i = p.i JOIN sm b ON b.i = p.j),
+         |cmat AS MATERIALIZED (
+         |  SELECT i, j, v FROM cm0 UNION ALL SELECT j AS i, i AS j, v FROM cm0 WHERE i <> j),
+         |w0 AS (SELECT i, 1048576::HUGEINT AS w FROM range(1, 65) t(i)),
+         |$layers,
+         |fin AS (SELECT c.i, sum(c.v * wf.w) AS raw
+         |  FROM cmat c JOIN w$iters wf ON wf.i = c.j GROUP BY 1),
+         |ray AS (SELECT ((sum(f.raw * w.w) * 1048576) // sum(w.w * w.w))::DOUBLE / 1048576.0 AS eigenvalue
+         |  FROM fin f JOIN w$iters w ON w.i = f.i)
+         |SELECT (w.i - 1)::INTEGER AS dim, w.w::BIGINT AS component_fp,
+         |  w.w::DOUBLE / 1048576.0 AS component, ray.eigenvalue
+         |FROM w$iters w CROSS JOIN ray ORDER BY dim""".stripMargin
+    },
+
     // IVF nprobe sweep: one kmeans fit + assignment, probe order kept,
     // recall per nprobe read off the candidate table (ivfOracleSql
     // tie-breaks: assignment -> higher cell, probe -> lower cell)

@@ -569,6 +569,40 @@ class SimilaritySpec extends SparkSuite {
     assert(math.abs(meanZ) < 1024, s"z mean $meanZ not centered")
   }
 
+  test("topPrincipalComponent matches a JVM brute-force of the integer walk and finds the planted axis") {
+    // planted: x ~ t*(0.8, 0.6, 0, 0) + small deterministic noise
+    val vecs = (0 until 30).map { i =>
+      val t = (i % 7) - 3
+      val n = Seq.tabulate(4)(d => (((i * 13 + d * 7) % 5) - 2) * 0.02)
+      (i.toLong, Seq(0.8 * t + n(0), 0.6 * t + n(1), n(2), n(3)).map(_.toFloat))
+    }
+    val got = Similarity.topPrincipalComponent(
+        vecs.toDF("vec_id", "embedding"), "vec_id", "embedding", dim = 4)
+      .as[(Int, Long, Double, Double)].collect().sortBy(_._1).toSeq
+    // brute: same grid, same scatter, same truncating power walk
+    val g = vecs.map(_._2.map(x => math.floor(x.toDouble * 1024).toLong))
+    val n = BigInt(g.size)
+    val sums = (0 until 4).map(d => BigInt(g.map(_(d)).sum))
+    val c = Array.tabulate(4, 4)((i, j) =>
+      n * BigInt(g.map(v => v(i) * v(j)).sum) - sums(i) * sums(j))
+    val wg = BigInt(1L << 20)
+    def renorm(v: Seq[BigInt]) = {
+      val m = v.map(_.abs).max
+      v.map(x => if (x < 0) -((-x * wg) / m) else (x * wg) / m)
+    }
+    var w: Seq[BigInt] = Seq.fill(4)(wg)
+    (1 to 16).foreach { _ =>
+      w = renorm((0 until 4).map(i => (0 until 4).map(j => c(i)(j) * w(j)).sum))
+    }
+    assert(got.map(_._2) == w.map(_.toLong))
+    // the component points along (0.8, 0.6, ~0, ~0) up to sign
+    val comp = got.map(_._3)
+    val cos = (comp(0) * 0.8 + comp(1) * 0.6) /
+      math.sqrt(comp.map(x => x * x).sum)
+    assert(math.abs(cos) > 0.99, s"cos to planted axis $cos")
+    assert(got.map(_._4).distinct.size == 1 && got.head._4 > 0, "one positive eigenvalue")
+  }
+
   test("ivfProbeSweep: recall monotone in nprobe, exactly 1.0 when every cell probes") {
     // 40 deterministic 4-dim vectors, 4 cells: probing all 4 cells IS
     // brute force, so recall must be exactly 1.0 there and the curve
