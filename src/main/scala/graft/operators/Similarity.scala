@@ -258,6 +258,21 @@ object Similarity {
     */
   def topPrincipalComponent(embs: DataFrame, idCol: String, vecCol: String,
                             dim: Int, gridBits: Int = 10, iters: Int = 16): DataFrame = {
+    val (w, eigFp) = fitTopComponent(embs, vecCol, dim, gridBits, iters)
+    val eig = eigFp.toDouble / 1048576.0
+    val s = embs.sparkSession
+    import s.implicits._
+    (0 until dim).map(i => (i, w(i).toLong, w(i).toLong.toDouble / 1048576.0, eig))
+      .toDF("dim", "component_fp", "component", "eigenvalue")
+      .orderBy(col("dim"))
+  }
+
+  /** The integer power-iteration fit behind [[topPrincipalComponent]]
+    * and [[anisotropyAlignment]]: returns the 2²⁰-grid component and
+    * the 2²⁰-grid Rayleigh eigenvalue.
+    */
+  private[operators] def fitTopComponent(embs: DataFrame, vecCol: String, dim: Int,
+                                         gridBits: Int, iters: Int): (Array[BigInt], BigInt) = {
     require(dim >= 2 && iters >= 1, s"bad dim/iters $dim/$iters")
     val grid = 1L << gridBits
     val wGrid = BigInt(1L << 20)
@@ -298,13 +313,43 @@ object Similarity {
     val rawF = Array.tabulate(dim)(i => (0 until dim).map(j => c(i)(j) * w(j)).sum)
     val num = (0 until dim).map(i => rawF(i) * w(i)).sum
     val den = (0 until dim).map(i => w(i) * w(i)).sum
-    val eigFp = (num * wGrid) / den
-    val eig = eigFp.toDouble / 1048576.0
-    val s = embs.sparkSession
-    import s.implicits._
-    (0 until dim).map(i => (i, w(i).toLong, w(i).toLong.toDouble / 1048576.0, eig))
-      .toDF("dim", "component_fp", "component", "eigenvalue")
-      .orderBy(col("dim"))
+    (w, (num * wGrid) / den)
+  }
+
+  /** Per-vector alignment with the corpus's dominant anisotropy axis —
+    * the OPERATIONAL half of "All-but-the-top": fit the top component
+    * once ([[fitTopComponent]], driver model fit like
+    * [[trainCentroids]]), broadcast it as a literal, and score every
+    * vector's cos(v, u) plus the energy fraction that post-removal
+    * debiasing would keep (1 − cos²). A debias pass multiplies each
+    * vector by that projection — this audit is the measurement that
+    * decides whether it's worth running.
+    *
+    * Exactness: the dot and both squared norms are int64 on the
+    * component grids; cos is ONE fixed IEEE chain per row
+    * (zero-norm rows score 0.0, never NaN). Shuffle-free scoring —
+    * the corpus-sized work is one projection, like the clip gate.
+    */
+  def anisotropyAlignment(embs: DataFrame, idCol: String, vecCol: String,
+                          dim: Int, gridBits: Int = 10, iters: Int = 16): DataFrame = {
+    val grid = 1L << gridBits
+    val (w, _) = fitTopComponent(embs, vecCol, dim, gridBits, iters)
+    val u = w.map(_.toLong)
+    val u2 = u.map(x => BigInt(x) * BigInt(x)).sum
+    require(u2.isValidLong, "component norm exceeds int64")
+    val gv = transform(col(vecCol), x => floor(x.cast("double") * grid).cast("long"))
+    val d = aggregate(zip_with(col("_gv"), lit(u), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val g2 = aggregate(transform(col("_gv"), a => a * a), lit(0L), (acc, x) => acc + x)
+    val cos = col("_d").cast("double") /
+      (sqrt(col("_g2").cast("double")) * sqrt(lit(u2.toLong).cast("double")))
+    embs
+      .withColumn("_gv", gv)
+      .withColumn("_d", d)
+      .withColumn("_g2", g2)
+      .select(col(idCol),
+        when(col("_g2") > 0, cos).otherwise(lit(0.0)).as("align_cos"))
+      .withColumn("residual_ratio", lit(1.0) - col("align_cos") * col("align_cos"))
   }
 
   /** Johnson–Lindenstrauss random projection to `outDim` dimensions:

@@ -78,6 +78,36 @@ object Oracles {
     .map(a => math.floor(1099511627776.0 * math.pow(2.0, -a.toDouble / 7)).toLong)
     .mkString(", ")
 
+  /** Power-iteration PCA CTE block (emb_pca_top / emb_debias): exact
+    * HUGEINT scatter matrix + `iters` unrolled matvec/renorm layers
+    * (every twice-referenced CTE MATERIALIZED — unmaterialized layers
+    * inline exponentially). Ends at table w$iters(i, w).
+    */
+  private def pcaCtes(iters: Int): String = {
+    val layers = (1 to iters).map { k =>
+      val p = k - 1
+      s"""mv$k AS MATERIALIZED (SELECT c.i, sum(c.v * w$p.w) AS raw
+         |  FROM cmat c JOIN w$p ON w$p.i = c.j GROUP BY 1),
+         |mx$k AS (SELECT max(abs(raw)) AS m FROM mv$k),
+         |w$k AS MATERIALIZED (SELECT i, CASE WHEN raw < 0 THEN -(((-raw) * 1048576) // m)
+         |    ELSE (raw * 1048576) // m END AS w FROM mv$k, mx$k)""".stripMargin
+    }.mkString(",\n")
+    s"""ge AS MATERIALIZED (
+       |  SELECT list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS g
+       |  FROM embeddings),
+       |p AS MATERIALIZED (SELECT i, j,
+       |    sum((g[i] * g[j])::HUGEINT) AS s, count(*)::HUGEINT AS n
+       |  FROM ge, range(1, 65) t1(i), range(1, 65) t2(j)
+       |  WHERE j >= i GROUP BY 1, 2),
+       |sm AS (SELECT i, sum(g[i])::HUGEINT AS si FROM ge, range(1, 65) t1(i) GROUP BY 1),
+       |cm0 AS (SELECT p.i, p.j, p.n * p.s - a.si * b.si AS v
+       |  FROM p JOIN sm a ON a.i = p.i JOIN sm b ON b.i = p.j),
+       |cmat AS MATERIALIZED (
+       |  SELECT i, j, v FROM cm0 UNION ALL SELECT j AS i, i AS j, v FROM cm0 WHERE i <> j),
+       |w0 AS (SELECT i, 1048576::HUGEINT AS w FROM range(1, 65) t(i)),
+       |$layers""".stripMargin
+  }
+
   private def md24(e: String): String =
     s"""list_reduce(list_transform(string_split(substr(md5($e), 1, 6), ''),
        |    c -> strpos('0123456789abcdef', c) - 1), (a, b) -> a * 16 + b)::BIGINT""".stripMargin
@@ -6348,38 +6378,35 @@ object Oracles {
     // top principal component: exact HUGEINT scatter matrix + 16
     // unrolled power-iteration CTE layers (the classifier_train
     // discipline), sign-preserving truncating renormalization
-    "emb_pca_top" -> {
-      val iters = 16
-      val layers = (1 to iters).map { k =>
-        val p = k - 1
-        s"""mv$k AS MATERIALIZED (SELECT c.i, sum(c.v * w$p.w) AS raw
-           |  FROM cmat c JOIN w$p ON w$p.i = c.j GROUP BY 1),
-           |mx$k AS (SELECT max(abs(raw)) AS m FROM mv$k),
-           |w$k AS MATERIALIZED (SELECT i, CASE WHEN raw < 0 THEN -(((-raw) * 1048576) // m)
-           |    ELSE (raw * 1048576) // m END AS w FROM mv$k, mx$k)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH ge AS MATERIALIZED (
-         |  SELECT list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS g
-         |  FROM embeddings),
-         |p AS MATERIALIZED (SELECT i, j,
-         |    sum((g[i] * g[j])::HUGEINT) AS s, count(*)::HUGEINT AS n
-         |  FROM ge, range(1, 65) t1(i), range(1, 65) t2(j)
-         |  WHERE j >= i GROUP BY 1, 2),
-         |sm AS (SELECT i, sum(g[i])::HUGEINT AS si FROM ge, range(1, 65) t1(i) GROUP BY 1),
-         |cm0 AS (SELECT p.i, p.j, p.n * p.s - a.si * b.si AS v
-         |  FROM p JOIN sm a ON a.i = p.i JOIN sm b ON b.i = p.j),
-         |cmat AS MATERIALIZED (
-         |  SELECT i, j, v FROM cm0 UNION ALL SELECT j AS i, i AS j, v FROM cm0 WHERE i <> j),
-         |w0 AS (SELECT i, 1048576::HUGEINT AS w FROM range(1, 65) t(i)),
-         |$layers,
+    "emb_pca_top" ->
+      s"""WITH ${pcaCtes(16)},
          |fin AS (SELECT c.i, sum(c.v * wf.w) AS raw
-         |  FROM cmat c JOIN w$iters wf ON wf.i = c.j GROUP BY 1),
+         |  FROM cmat c JOIN w16 wf ON wf.i = c.j GROUP BY 1),
          |ray AS (SELECT ((sum(f.raw * w.w) * 1048576) // sum(w.w * w.w))::DOUBLE / 1048576.0 AS eigenvalue
-         |  FROM fin f JOIN w$iters w ON w.i = f.i)
+         |  FROM fin f JOIN w16 w ON w.i = f.i)
          |SELECT (w.i - 1)::INTEGER AS dim, w.w::BIGINT AS component_fp,
          |  w.w::DOUBLE / 1048576.0 AS component, ray.eigenvalue
-         |FROM w$iters w CROSS JOIN ray ORDER BY dim""".stripMargin
-    },
+         |FROM w16 w CROSS JOIN ray ORDER BY dim""".stripMargin,
+
+    // anisotropy alignment: the same PCA fit, broadcast back as the
+    // scoring constant -- cos(v, u) + kept-energy fraction per vector
+    "emb_debias" ->
+      s"""WITH ${pcaCtes(16)},
+         |uv AS MATERIALIZED (SELECT i, w FROM w16),
+         |u2 AS (SELECT sum(w * w)::BIGINT AS s FROM uv),
+         |gv AS (SELECT vec_id,
+         |    list_transform(embedding, x -> CAST(floor(x::DOUBLE * 1024) AS BIGINT)) AS g
+         |  FROM embeddings),
+         |dd AS (SELECT vec_id,
+         |    sum(g[u.i] * u.w)::BIGINT AS d,
+         |    sum(g[u.i] * g[u.i])::BIGINT AS g2
+         |  FROM gv, uv u GROUP BY 1),
+         |x AS (SELECT vec_id,
+         |    CASE WHEN g2 > 0 THEN d::DOUBLE
+         |      / (sqrt(g2::DOUBLE) * sqrt((SELECT s FROM u2)::DOUBLE)) ELSE 0.0 END AS align_cos
+         |  FROM dd)
+         |SELECT vec_id, align_cos, 1.0 - align_cos * align_cos AS residual_ratio
+         |FROM x ORDER BY vec_id""".stripMargin,
 
     // IVF nprobe sweep: one kmeans fit + assignment, probe order kept,
     // recall per nprobe read off the candidate table (ivfOracleSql

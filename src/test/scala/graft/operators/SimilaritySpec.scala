@@ -603,6 +603,26 @@ class SimilaritySpec extends SparkSuite {
     assert(got.map(_._4).distinct.size == 1 && got.head._4 > 0, "one positive eigenvalue")
   }
 
+  test("anisotropyAlignment: on-axis vectors score |cos|~1, residual complements") {
+    val vecs = (0 until 24).map { i =>
+      val t = (i % 6) - 2 // t = 0 rows are pure noise
+      val n = Seq.tabulate(4)(d => (((i * 13 + d * 7) % 5) - 2) * 0.01)
+      (i.toLong, Seq(0.6 * t + n(0), 0.8 * t + n(1), n(2), n(3)).map(_.toFloat))
+    }
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.anisotropyAlignment(df, "vec_id", "embedding", dim = 4)
+      .as[(Long, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    vecs.foreach { case (id, v) =>
+      val (c, r) = got(id)
+      assert(r == 1.0 - c * c, s"residual complements cos for $id")
+      val t = (id % 6) - 2
+      if (t != 0) assert(math.abs(c) > 0.98, s"on-axis $id: cos $c")
+      // a 4-dim noise row can lean partway onto u (row 14 is v =
+      // (0, .02, -.01, .01), cos ~0.64) — just strictly less aligned
+      else assert(math.abs(c) < 0.9, s"noise row $id: cos $c")
+    }
+  }
+
   test("ivfProbeSweep: recall monotone in nprobe, exactly 1.0 when every cell probes") {
     // 40 deterministic 4-dim vectors, 4 cells: probing all 4 cells IS
     // brute force, so recall must be exactly 1.0 there and the curve
