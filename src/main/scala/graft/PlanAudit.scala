@@ -206,7 +206,18 @@ object PlanAudit {
       // reading the bounded table
       "mm_clip_filter", "event_trend_robust", "event_decay", "ab_cuped",
       "quality_qnorm", "privacy_tcloseness", "attribution_window_sweep",
-      "retrieval_ndcg")
+      "retrieval_ndcg",
+      // round-12 closing: the gap sweep is ONE lag window + ONE
+      // aggregate (no per-threshold re-scan); dp_quantile is one
+      // (key,bucket) count + bucket-table windows; the ivf sweep's
+      // corpus work is assignment + the cell equi-join (the sweep
+      // filters the bounded pair table); seasonal-adjusted joins the
+      // broadcast keysx7 profile back onto the days table; pca's only
+      // corpus exchange is the dim^2-key pair aggregate; debias and
+      // srm are a projection and one user-distinct aggregate
+      "session_gap_sweep", "dp_quantile", "ann_ivf_sweep",
+      "event_seasonal_adjusted", "emb_pca_top", "emb_debias", "ab_srm",
+      "dedup_cluster_sizes")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

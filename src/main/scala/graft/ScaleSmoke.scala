@@ -315,7 +315,23 @@ object ScaleSmoke {
       "cuped" -> (() => RateAnomaly.cuped(ev, "user_id", "ts", "value",
         pmod(col("user_id"), lit(2L))).count()),
       "qnorm" -> (() => CorpusSelection.quantileNormalize(
-        docs, "source", "doc_id", col("n_chars")).count()))
+        docs, "source", "doc_id", col("n_chars")).count()),
+      // round-12 closing: pca's pair aggregate is the only corpus
+      // exchange; the gap sweep shares sessionize's one window; the
+      // seasonal monitor is one triple count + a broadcast profile
+      "gap_sweep" -> (() => Sessionize.gapSweep(ev, Seq("user_id"), "ts",
+        gapsMinutes = Seq(5, 30, 60), tieCols = Seq("event_id")).count()),
+      "seasonal_adj" -> (() =>
+        RateAnomaly.detectSeasonal(ev, "event_type", "ts").count()),
+      "pca_embed" -> (() => {
+        val embs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            ((pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit("#"), i.cast("string"))), 1, 6), 16, 10).cast("long"),
+              lit(1000L)) - lit(500L)).cast("double") / 500.0).cast("float"))
+            .as("embedding"))
+        Similarity.topPrincipalComponent(embs, "vec_id", "embedding", dim = 16).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

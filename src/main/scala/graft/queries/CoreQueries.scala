@@ -2215,6 +2215,28 @@ object CoreQueries {
   def eventAutocorr(s: SparkSession, d: String): DataFrame =
     graft.operators.RateAnomaly.autocorrelation(events(s, d), "event_type", "ts")
 
+  /** Sample-Ratio-Mismatch gate — the FIRST check any experiment
+    * readout must pass (a biased assignment invalidates every
+    * downstream p-value): user-grain arm counts vs the intended 50/50
+    * split, χ² = (n0−n1)²/(n0+n1) against the 1-dof 5% critical value.
+    * On the md5 coin this is an A/A calibration: the gate must NOT
+    * fire. Exact integers until one division; one user-distinct
+    * aggregate is the only corpus-sized work.
+    */
+  def abSrm(s: SparkSession, d: String): DataFrame = {
+    val arm = (conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2)
+    events(s, d).select(col("user_id")).distinct()
+      .select(arm.as("_arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(when(col("_arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("_arm") === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n_users"), col("n0"), col("n1"),
+        (((col("n0") - col("n1")) * (col("n0") - col("n1"))).cast("double")
+          / (col("n0") + col("n1")).cast("double")).as("chi2"))
+      .withColumn("srm", col("chi2") > lit(3.841))
+  }
+
   /** Seasonally-adjusted daily outlier flags per event type
     * ([[graft.operators.RateAnomaly.detectSeasonal]]): each day judged
     * against its own day-of-week baseline, alerts as exact

@@ -6461,6 +6461,20 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // sample-ratio mismatch: user-grain arm counts vs 50/50, exact
+    // integers until one division; A/A calibration on the md5 coin
+    "ab_srm" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |a AS (SELECT (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm FROM u),
+         |m AS (SELECT count(*)::BIGINT AS n_users,
+         |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+         |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1
+         |  FROM a)
+         |SELECT n_users, n0, n1,
+         |  ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1)::DOUBLE AS chi2,
+         |  ((n0 - n1) * (n0 - n1))::DOUBLE / (n0 + n1)::DOUBLE > 3.841 AS srm
+         |FROM m""".stripMargin,
+
     // seasonally-adjusted daily outliers: alerts are cross-multiplied
     // integer comparisons against the (key, dow) baseline
     "event_seasonal_adjusted" ->
