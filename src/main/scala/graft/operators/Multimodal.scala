@@ -88,6 +88,60 @@ object Multimodal {
           .as("window_md5"))
   }
 
+  /** Energy-based voice-activity detection over the PCM window grid —
+    * REAL signal arithmetic like [[audioWindows]], not a codec stub:
+    * each window's energy is the exact int64 sum of |signed 16-bit LE
+    * sample| over its bytes, a window is active when its energy clears
+    * `thresholdPerSample` per sample, and consecutive active windows
+    * coalesce into numbered speech segments (the islands trick,
+    * [[sceneCuts]]'s discipline). This is the speech-chunking front of
+    * an audio pipeline (what feeds an ASR batch or a diarizer).
+    *
+    * Emits one row per window: (`idCol`, window_idx, energy, active,
+    * segment — the 1-based active-run index, −1 on silence).
+    *
+    * Plan: windows explode payload/hop-bounded ([[audioWindows]]'s
+    * fan-out); the sample fold is a per-row array HOF (payload bytes
+    * reduce to one int64 BEFORE any exchange); the only shuffle is the
+    * per-id window ordering for the island numbering.
+    */
+  def vadSegments(df: DataFrame, idCol: String, binCol: String,
+                  sampleRate: Int, windowMs: Int, hopMs: Int,
+                  thresholdPerSample: Long): DataFrame = {
+    require(sampleRate > 0 && windowMs > 0 && hopMs > 0, "positive layout")
+    require(sampleRate.toLong * windowMs % 1000 == 0 && sampleRate.toLong * hopMs % 1000 == 0,
+      s"windowMs/hopMs must be whole samples at $sampleRate Hz")
+    import org.apache.spark.sql.expressions.Window
+    val samples = sampleRate * windowMs / 1000
+    val winBytes = samples * 2
+    val hopBytes = sampleRate * hopMs / 1000 * 2
+    val energy = aggregate(
+      transform(sequence(lit(0), lit(samples - 1)), k => {
+        val raw = conv(col("_wh").substr(k * 4 + 1, lit(2)), 16, 10).cast("long") +
+          conv(col("_wh").substr(k * 4 + 3, lit(2)), 16, 10).cast("long") * 256L
+        abs(when(raw >= 32768L, raw - 65536L).otherwise(raw))
+      }),
+      lit(0L), (acc, x) => acc + x)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("window_idx"))
+    val run = Window.partitionBy(col(idCol)).orderBy(col("window_idx"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), upper(hex(col(binCol))).as("_h"),
+        octet_length(col(binCol)).cast("long").as("_nb"))
+      .where(col("_nb") >= winBytes)
+      .select(col(idCol), col("_h"),
+        explode(sequence(lit(0L), expr(s"(_nb - $winBytes) div $hopBytes"))).as("_wi"))
+      .select(col(idCol), col("_wi").cast("int").as("window_idx"),
+        col("_h").substr((col("_wi") * hopBytes * 2 + 1).cast("int"), lit(winBytes * 2)).as("_wh"))
+      .withColumn("energy", energy)
+      .withColumn("active", col("energy") > thresholdPerSample * samples)
+      .withColumn("_prev", lag(col("active"), 1).over(w))
+      .withColumn("_new",
+        when(col("active") && (col("_prev").isNull || !col("_prev")), 1L).otherwise(0L))
+      .withColumn("segment",
+        when(col("active"), sum(col("_new")).over(run)).otherwise(lit(-1L)))
+      .select(col(idCol), col("window_idx"), col("energy"), col("active"), col("segment"))
+  }
+
   final case class DecodedMeta(id: Long, nBytes: Int, head: String)
 
   final case class ResizedMeta(id: Long, srcBytes: Int, width: Int, height: Int, resizedMd5: String)

@@ -6461,6 +6461,37 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // energy VAD: exact |int16 LE| window energies from hex pairs,
+    // threshold gate, islands-numbered segments (Multimodal.vadSegments
+    // at the mm_audio_windows layout: 64-byte windows, 32-byte hop)
+    "mm_audio_vad" -> {
+      def h2(pos: String): String =
+        s"""list_reduce(list_transform(string_split(substr(wh, $pos, 2), ''),
+           |        ch -> strpos('0123456789ABCDEF', ch) - 1), (xa, xb) -> xa * 16 + xb)""".stripMargin
+      s"""WITH b AS (SELECT doc_id, encode(text) AS p FROM documents),
+         |s AS (SELECT doc_id, upper(hex(p)) AS h, octet_length(p)::BIGINT AS nb
+         |  FROM b WHERE octet_length(p) >= 64),
+         |wi AS (SELECT doc_id, h, unnest(range(0, ((nb - 64) // 32) + 1)) AS wi FROM s),
+         |wh AS (SELECT doc_id, wi::INTEGER AS window_idx,
+         |    substr(h, (wi * 64 + 1)::BIGINT, 128) AS wh FROM wi),
+         |rw AS (SELECT doc_id, window_idx,
+         |    list_transform(range(0, 32), k ->
+         |      ${h2("(k * 4 + 1)::BIGINT")} + 256 * ${h2("(k * 4 + 3)::BIGINT")}) AS raws
+         |  FROM wh),
+         |en AS (SELECT doc_id, window_idx,
+         |    list_sum(list_transform(raws, r ->
+         |      abs(CASE WHEN r >= 32768 THEN r - 65536 ELSE r END)))::BIGINT AS energy
+         |  FROM rw),
+         |fl AS (SELECT doc_id, window_idx, energy, energy > 27500 * 32 AS active FROM en),
+         |nw AS (SELECT *, CASE WHEN active AND NOT coalesce(
+         |      lag(active) OVER (PARTITION BY doc_id ORDER BY window_idx), false)
+         |    THEN 1 ELSE 0 END AS nw FROM fl)
+         |SELECT doc_id, window_idx, energy, active,
+         |  CASE WHEN active THEN sum(nw) OVER (PARTITION BY doc_id ORDER BY window_idx)
+         |    ELSE -1 END::BIGINT AS segment
+         |FROM nw ORDER BY doc_id, window_idx""".stripMargin
+    },
+
     // sample-ratio mismatch: user-grain arm counts vs 50/50, exact
     // integers until one division; A/A calibration on the md5 coin
     "ab_srm" ->

@@ -97,6 +97,29 @@ class MultimodalSpec extends SparkSuite {
       (1L, 2, 976L, true, 1), (1L, 3, 976L, false, 1)))
   }
 
+  test("vadSegments: planted loud/silent PCM blocks yield exact energies and island numbering") {
+    // non-overlapping 64-byte windows (windowMs == hopMs): blocks
+    // silent, loud, silent, loud, loud -> active F T F T T ->
+    // segments -1, 1, -1, 2, 2; loud sample = 32767 LE (0xFF 0x7F)
+    val silent = Array.fill(64)(0.toByte)
+    val loud = Array.fill(32)(Array(0xFF.toByte, 0x7F.toByte)).flatten
+    val pcm = silent ++ loud ++ silent ++ loud ++ loud
+    val df = Seq((1L, pcm)).toDF("doc_id", "payload")
+    val got = Multimodal.vadSegments(df, "doc_id", "payload",
+        sampleRate = 8000, windowMs = 4, hopMs = 4, thresholdPerSample = 1000L)
+      .as[(Long, Int, Long, Boolean, Long)].collect().sortBy(_._2).toSeq
+    val e = 32L * 32767L
+    assert(got == Seq(
+      (1L, 0, 0L, false, -1L), (1L, 1, e, true, 1L), (1L, 2, 0L, false, -1L),
+      (1L, 3, e, true, 2L), (1L, 4, e, true, 2L)))
+    // a negative-sample window: 0x00 0x80 = -32768 -> |.| sums the same
+    val neg = Array.fill(32)(Array(0x00.toByte, 0x80.toByte)).flatten
+    val g2 = Multimodal.vadSegments(Seq((2L, neg)).toDF("doc_id", "payload"),
+        "doc_id", "payload", 8000, 4, 4, 1000L)
+      .as[(Long, Int, Long, Boolean, Long)].collect().head
+    assert(g2 == ((2L, 0, 32L * 32768L, true, 1L)))
+  }
+
   test("clipScoreGate matches a JVM brute-force of both stub embeddings") {
     val texts = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and keeps running"),
