@@ -323,6 +323,10 @@ object ScaleSmoke {
         gapsMinutes = Seq(5, 30, 60), tieCols = Seq("event_id")).count()),
       "seasonal_adj" -> (() =>
         RateAnomaly.detectSeasonal(ev, "event_type", "ts").count()),
+      "audio_vad" -> (() => Multimodal.vadSegments(
+        Multimodal.withBinaryPayload(docs, "text"), "doc_id", "payload",
+        sampleRate = 8000, windowMs = 4, hopMs = 2,
+        thresholdPerSample = 27500L).count()),
       "pca_embed" -> (() => {
         val embs = docs.select(col("doc_id").as("vec_id"),
           transform(sequence(lit(0), lit(15)), i =>
