@@ -553,6 +553,42 @@ object TextAnalysis {
   def rollingHash(text: Column): Column =
     aggregate(tokens(text), lit(0L), (acc, x) => pmod(acc * lit(31L) + length(x), lit(1000000007L)))
 
+  /** Moving-average type-token ratio (MATTR, Covington & McFall 2010) —
+    * the LENGTH-UNBIASED lexical-diversity signal: plain distinct/total
+    * TTR falls mechanically with document length (Heaps' law), so a
+    * TTR quality gate silently prefers short documents; MATTR averages
+    * the distinct ratio over fixed-size sliding token windows, making
+    * scores comparable across lengths. Windows slide by `stride` (the
+    * standard thinned variant; stride 1 is the original).
+    *
+    * Exactness: each window's distinct count is an exact integer, the
+    * window sum is int64, and MATTR is ONE division of exact integers
+    * per doc. Docs shorter than `window` are excluded (no window
+    * exists — the convention). Emits (`idCol`, n_tokens, n_windows,
+    * mattr).
+    *
+    * Plan: entirely shuffle-free — tokens, the per-window distinct
+    * fold, and the ratio are per-row array HOFs; the gate rides the
+    * ingest scan like the other projection-only quality signals.
+    */
+  def mattr(docs: DataFrame, textCol: String, idCol: String,
+            window: Int = 50, stride: Int = 10): DataFrame = {
+    require(window >= 2 && stride >= 1, s"bad window/stride $window/$stride")
+    val dsum = aggregate(
+      transform(sequence(lit(0), (col("n_tokens") - window).cast("int"), lit(stride)),
+        i => size(array_distinct(slice(col("_t"), i + 1, lit(window)))).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_t"))
+      .withColumn("n_tokens", size(col("_t")).cast("long"))
+      .where(col("n_tokens") >= window)
+      .withColumn("_dsum", dsum)
+      .withColumn("n_windows", expr(s"(n_tokens - $window) div $stride + 1"))
+      .select(col(idCol), col("n_tokens"), col("n_windows"),
+        (col("_dsum").cast("double")
+          / (col("n_windows") * window).cast("double")).as("mattr"))
+  }
+
   /** Per-document token-distribution Shannon entropy — the
     * repetitiveness signal of the quality-filter family that
     * [[repetitionMetrics]]'s fixed n-gram ratios approximate: a

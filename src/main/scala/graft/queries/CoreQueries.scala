@@ -2215,6 +2215,31 @@ object CoreQueries {
   def eventAutocorr(s: SparkSession, d: String): DataFrame =
     graft.operators.RateAnomaly.autocorrelation(events(s, d), "event_type", "ts")
 
+  /** DAU/WAU stickiness per day — the product-health ratio next to the
+    * sliding-distinct rows: distinct daily actives over distinct
+    * trailing-7-day actives, from ONE user-day dedup (the
+    * `active_users_window` decomposition: bounded ≤7-day explode,
+    * nothing user-quadratic). One float division per day row.
+    */
+  def eventStickiness(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.Materialize.MatOps
+    val userDays = events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+      .materialized // DAU, WAU, and the day grid all read it
+    val dau = userDays.groupBy(col("day").as("report_day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = userDays
+      .select(col("user_id"), explode(sequence(col("day"), date_add(col("day"), 6))).as("report_day"))
+      .join(userDays.select(col("day").as("report_day")).distinct(), Seq("report_day"), "left_semi")
+      .groupBy(col("report_day"))
+      .agg(countDistinct(col("user_id")).as("wau"))
+    dau.join(wau, Seq("report_day"))
+      .select(col("report_day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau").cast("double")).as("stickiness"))
+      .orderBy(col("report_day"))
+  }
+
   /** Sample-Ratio-Mismatch gate — the FIRST check any experiment
     * readout must pass (a biased assignment invalidates every
     * downstream p-value): user-grain arm counts vs the intended 50/50

@@ -6461,6 +6461,34 @@ object Oracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin
     },
 
+    // MATTR: exact distinct counts over stride-10 sliding 50-token
+    // windows, one integer division per doc -- TextAnalysis.mattr
+    "text_mattr" ->
+      """WITH t AS (SELECT doc_id,
+        |    string_split_regex(lower(trim(text)), '\s+') AS tk FROM documents),
+        |f AS (SELECT doc_id, len(tk)::BIGINT AS n_tokens, tk FROM t WHERE len(tk) >= 50),
+        |w AS (SELECT doc_id, n_tokens,
+        |    list_sum(list_transform(range(0, ((n_tokens - 50) // 10)::INTEGER + 1), i ->
+        |      len(list_distinct(list_slice(tk, (i * 10 + 1)::BIGINT, (i * 10 + 50)::BIGINT)))))::BIGINT AS dsum,
+        |    ((n_tokens - 50) // 10 + 1)::BIGINT AS n_windows
+        |  FROM f)
+        |SELECT doc_id, n_tokens, n_windows,
+        |  dsum::DOUBLE / (n_windows * 50)::DOUBLE AS mattr
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    // DAU/WAU stickiness: one user-day dedup, bounded 7-day trailing
+    // membership, one division per day
+    "event_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS TIMESTAMP)::DATE AS day FROM events),
+        |days AS (SELECT DISTINCT day FROM ud),
+        |dau AS (SELECT day AS report_day, count(DISTINCT user_id)::BIGINT AS dau
+        |  FROM ud GROUP BY 1),
+        |wau AS (SELECT d.day AS report_day, count(DISTINCT u.user_id)::BIGINT AS wau
+        |  FROM days d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+        |SELECT dau.report_day, dau.dau, wau.wau,
+        |  dau.dau::DOUBLE / wau.wau::DOUBLE AS stickiness
+        |FROM dau JOIN wau USING (report_day) ORDER BY report_day""".stripMargin,
+
     // energy VAD: exact |int16 LE| window energies from hex pairs,
     // threshold gate, islands-numbered segments (Multimodal.vadSegments
     // at the mm_audio_windows layout: 64-byte windows, 32-byte hop)

@@ -545,4 +545,22 @@ class TextAnalysisSpec extends SparkSuite {
       (2L, 2L, 2L, fp("")),
       (3L, 2L, 1L, fp("t u v"))))
   }
+
+  test("mattr: hand-computed window distinct ratios; short docs excluded; length-unbiased") {
+    val docs = Seq(
+      (1L, "a b a b a b a b"),                      // 3 windows of [a b a b] -> 2 distinct each
+      (2L, "t0 t1 t2 t3 t4 t5 t6 t7"),              // all distinct -> mattr exactly 1
+      (3L, "a b c"),                                // shorter than the window -> excluded
+      // same repetitive pattern at 4x the length: mattr must NOT fall
+      (4L, Seq.fill(16)("a b").mkString(" "))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.mattr(docs, "text", "doc_id", window = 4, stride = 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(!got.contains(3L))
+    assert(got(1L) == ((1L, 8L, 3L, 6.0 / 12.0)))
+    assert(got(2L) == ((2L, 8L, 3L, 1.0)))
+    // doc 4 has 32 tokens -> 15 windows, each [a b a b] -> mattr 0.5,
+    // identical to doc 1 despite 4x the length (raw TTR would be 2/32)
+    assert(got(4L)._2 == 32L && got(4L)._4 == 0.5)
+  }
 }
