@@ -426,9 +426,12 @@ object CorpusSelection {
     * a doc-level rewrite is one broadcast join of it back onto the
     * corpus.
     *
-    * Determinism contract: `score` must be integer-valued (put floats
-    * on a grid first) — bucket means are then exact integer floor
-    * divisions on the 2²⁰ grid, the cross-group target mean is integer
+    * Determinism contract: `score` must be integer-valued AND
+    * NON-NEGATIVE (put floats on a grid first) — bucket means are then
+    * exact integer divisions on the 2²⁰ grid (Spark's `div` truncates
+    * toward zero, which equals floor only for non-negative sums; a
+    * negative-score variant would need an explicit floor-division to
+    * match the oracle's `//`), the cross-group target mean is integer
     * again, and the only float steps are the two display divisions.
     * Envelope: Σscore·2²⁰ within a bucket must fit int64 — at
     * ~10⁹-row buckets move the sum through DECIMAL(38,0).

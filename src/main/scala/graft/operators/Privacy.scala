@@ -164,6 +164,14 @@ object Privacy {
     * [[dpCounts]] discipline (a production release swaps the hash for
     * a DRBG and drops the exact column).
     *
+    * Accepted precision risk (the [[dpCounts]] precedent): −ln(−ln U)
+    * is evaluated in BOTH engines' libm rather than as embedded
+    * literals — a ULP divergence near a Gumbel score tie could in
+    * principle flip the argmax pick. The 24-bit hash grid makes exact
+    * score ties measure-zero in practice, and the `_b` tiebreak only
+    * resolves EXACT equality, so parity has held every round; a
+    * paranoid variant would quantize `_score` to a fixed grid first.
+    *
     * Emits (`keyCol`, n, true_bucket, dp_bucket) — the exact quantile
     * rides along as the utility-loss audit.
     *

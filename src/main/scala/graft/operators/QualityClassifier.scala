@@ -94,29 +94,55 @@ object QualityClassifier {
     * of the weights AFTER it — the convergence curve a training job
     * monitors.
     *
-    * Plan at 100 TB: the hashed feature table (`idCol`, bucket, cnt, y)
-    * is built in ONE corpus pass and cached slim — the text never moves
-    * again. Each epoch is then (a) a BROADCAST join of the ≤`buckets`-row
-    * model against the cached features + a per-doc partial aggregate
-    * (the scoring pass), and (b) a per-bucket partial aggregate of the
-    * misclassified docs' features (the update) — two shuffles of
-    * doc-count, never token-count, cardinality per epoch, and the model
-    * state that crosses the driver is `buckets` rows + a 2-value trace.
-    * The epoch loop follows the [[Materialize.cutLoop]] discipline
-    * (truncating cut per generation, previous weights released) so k
-    * epochs hold ONE generation of model storage and a depth-1 plan.
+    * Plan at 100 TB: the hashed feature table is built in ONE corpus
+    * pass, grouped to per-doc `(bucket, cnt)` arrays, and cached slim —
+    * the text never moves again. The MODEL is bounded (≤`buckets`+1
+    * int64 weights — 32 KB here, 16 MB for a production 2M-bucket
+    * fastText), so it lives as a driver array and ships to executors as
+    * an array LITERAL each epoch: scoring is an O(1) array index per
+    * feature inside codegen, no weight-table join, no model shuffle.
+    * Each epoch is then exactly ONE job — filter the cached docs to the
+    * misclassified set via the literal-weights fold, explode their
+    * features, and one map-side-combined per-bucket aggregate (≤
+    * `buckets`+2 keys, AQE-coalesced to a handful of reduce tasks)
+    * collected back to the driver fold. k epochs = k slim job waves —
+    * no per-epoch checkpoint, no lineage growth (every epoch's plan is
+    * depth-1 over the one cached table), and the only thing that ever
+    * crosses the driver is the ≤`buckets`+2-row delta. This is the
+    * bounded-model special case of [[Materialize.cutLoop]]: when the
+    * loop state fits the driver, fold it there and spend the cluster
+    * on the corpus-sized scan only.
     */
   def trainPerceptron(docs: DataFrame, textCol: String, idCol: String,
                       labelCol: String, buckets: Int = 4096,
                       iters: Int = 10, biasCnt: Int = 10): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val feats = Materialize.cutEager(
-      hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt))
-    val (trace, w) = perceptronLoop(feats, iters)
-    Materialize.release(feats)
-    Materialize.release(w)
+    val grouped = Materialize.cutEager(
+      groupedFeatures(hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt)))
+    val (trace, _) = perceptronLoop(grouped, iters, buckets)
+    Materialize.release(grouped)
     trace.toDF("iter", "n_wrong", "w_l1")
+  }
+
+  /** [[trainPerceptron]]'s model as a persistable artifact: the
+    * per-epoch trace plus the final `(bucket, w)` weight rows — the
+    * train-once/score-many shape (a pipeline writes this table to
+    * parquet and feeds it back through [[score]]; the
+    * `Bpe.encodeCountsWith` discipline).
+    */
+  def trainPerceptronWeights(docs: DataFrame, textCol: String, idCol: String,
+                             labelCol: String, buckets: Int = 4096,
+                             iters: Int = 10, biasCnt: Int = 10)
+      : (Seq[(Int, Int, Long)], DataFrame) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val grouped = Materialize.cutEager(
+      groupedFeatures(hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt)))
+    val (trace, w) = perceptronLoop(grouped, iters, buckets)
+    Materialize.release(grouped)
+    val rows = w.zipWithIndex.collect { case (wv, b) if wv != 0L => (b, wv) }
+    (trace, spark.createDataset(rows).toDF("bucket", "w_fp"))
   }
 
   /** Holdout GENERALIZATION of [[trainPerceptron]] — the measurement a
@@ -127,33 +153,33 @@ object QualityClassifier {
     * only, then BOTH sides scored against the final weights. Emits one
     * row per split: (split, n_docs, n_wrong) — train error shows fit,
     * eval error shows whether the learned weights transfer to unseen
-    * documents. Same plan economics as training (one extra broadcast
-    * scoring pass at the end); the oracle replays split, epochs, and
-    * final scoring bit-for-bit.
+    * documents. The trained model is consumed as the SAME bounded
+    * driver-array artifact [[trainPerceptron]] produces (no re-join
+    * against a weight table, no re-train of a second model): the final
+    * scoring pass is one literal-weights fold over the cached per-doc
+    * features — train + eval together cost `iters`+1 slim jobs. The
+    * oracle replays split, epochs, and final scoring bit-for-bit.
     */
   def evalPerceptron(docs: DataFrame, textCol: String, idCol: String,
                      labelCol: String, buckets: Int = 4096,
                      iters: Int = 10, biasCnt: Int = 10): DataFrame = {
-    val feats = Materialize.cutEager(
-      hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt)
+    val grouped = Materialize.cutEager(
+      groupedFeatures(hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt))
         .withColumn("split",
           when(md24(col("_id").cast("string")) % 5 > 0, "train").otherwise("eval")))
-    val (_, w) = perceptronLoop(feats.where(col("split") === "train").drop("split"), iters)
-    val out = feats.join(broadcast(w), Seq("bucket"), "left")
-      .groupBy(col("_id"), col("split"), col("y"))
-      .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("s"))
+    val (_, w) = perceptronLoop(grouped.where(col("split") === "train"), iters, buckets)
+    val out = grouped
+      .select(col("split"), (col("y") * scoreAgainst(w) <= 0).as("_wrong"))
       .groupBy(col("split"))
       .agg(count(lit(1)).cast("int").as("n_docs"),
-        sum(when(col("y") * col("s") <= 0, 1L).otherwise(0L)).cast("int").as("n_wrong"))
-    // truncating pin, not a persist cut: the weights released below are a
-    // localCheckpoint — a lineage-retaining cut could try to recompute
-    // through them after their blocks are gone. Under the debug policy
-    // the raw plan is returned uncut (and nothing released).
+        sum(when(col("_wrong"), 1L).otherwise(0L)).cast("int").as("n_wrong"))
+    // truncating pin so the cached feature table can be released before
+    // the caller consumes the 2-row result. Under the debug policy the
+    // raw plan is returned uncut (and nothing released).
     if (Materialize.debugNoCut(out)) out
     else {
       val pinned = Materialize.cutPinned(out)
-      Materialize.release(feats)
-      Materialize.release(w)
+      Materialize.release(grouped)
       pinned
     }
   }
@@ -180,56 +206,63 @@ object QualityClassifier {
       col(labelCol).cast("long").as("y"),
       lit(buckets).as("bucket"), lit(biasCnt.toLong).as("cnt")))
 
-  /** The epoch loop over an (already-cut) feature table. Returns the
-    * trace and the FINAL weights (caller releases them).
+  /** The per-bucket feature table rolled up to one row per document:
+    * (`_id`, y, fs: array<struct<bucket, cnt>>[, split…]). Everything
+    * the epoch loop touches per doc is in one row, so scoring is a
+    * codegen'd array fold with zero joins.
     */
-  private def perceptronLoop(feats: DataFrame,
-                             iters: Int): (Seq[(Int, Int, Long)], DataFrame) = {
+  private def groupedFeatures(feats: DataFrame): DataFrame = {
+    val keys = feats.columns.filterNot(c => c == "bucket" || c == "cnt").map(col)
+    feats.groupBy(keys: _*)
+      .agg(collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
+  }
+
+  /** Document score Σ cnt·w(bucket) against a driver weight array,
+    * shipped as an array literal: `w(b)` is `element_at(lit(w), b+1)` —
+    * an O(1) array index inside whole-stage codegen (a literal MAP would
+    * scan linearly; the dense bucket domain makes the array exact).
+    * int64 fold, so the score is bit-identical under any partitioning
+    * and any per-doc array order.
+    */
+  private def scoreAgainst(w: Array[Long]): Column = {
+    val wLit = typedLit(w.toSeq)
+    aggregate(col("fs"), lit(0L),
+      (acc, f) => acc + f.getField("cnt") * element_at(wLit, f.getField("bucket") + 1))
+  }
+
+  /** The epoch loop as a DRIVER FOLD over the (already-cut) per-doc
+    * feature table: weights live in a `buckets`+1 int64 array on the
+    * driver (index = bucket; the last slot is the bias bucket). Each
+    * epoch runs ONE job — misclassified docs under the literal current
+    * weights → explode their features (plus one sentinel element that
+    * counts the docs) → per-bucket integer aggregate → collect the
+    * ≤`buckets`+2-row delta — then applies Rosenblatt's update and the
+    * l1 trace locally. Returns the trace (n_wrong BEFORE each epoch's
+    * update, Σ|w| after it) and the final weights.
+    */
+  private def perceptronLoop(grouped: DataFrame, iters: Int,
+                             buckets: Int): (Seq[(Int, Int, Long)], Array[Long]) = {
     require(iters >= 1, "need iters >= 1")
-    val spark = feats.sparkSession
-    import spark.implicits._
-    // w = (bucket, w) plus ONE sentinel row (bucket = -1, w = n_wrong of
-    // the round that produced it). The sentinel rides the SAME eager
-    // checkpoint as the weights, so the round's mistake count is
-    // computed inside the one materialization job instead of by a
-    // second full scored→wrong pass (which previously re-joined and
-    // re-aggregated the whole feature table per epoch just to count).
-    // Real buckets are >= 0, so the sentinel can never match a feature
-    // join and is filtered out of the model wherever weights are read.
-    var w: DataFrame = null // null = the zero model
+    val w = new Array[Long](buckets + 1)
+    val sentinel = struct(lit(-1).cast("int").as("bucket"), lit(1L).as("cnt"))
     val trace = Seq.newBuilder[(Int, Int, Long)]
     for (t <- 1 to iters) {
-      val wReal = if (w == null) null else w.where(col("bucket") =!= -1L)
-      val scored =
-        if (w == null) feats.select(col("_id"), col("y"), lit(0L).as("s")).distinct()
-        else feats.join(broadcast(wReal), Seq("bucket"), "left")
-          .groupBy(col("_id"), col("y"))
-          .agg(sum(col("cnt") * coalesce(col("w"), lit(0L))).as("s"))
-      val wrong = scored.where(col("y") * col("s") <= 0).select(col("_id"), col("y"))
-      val delta = feats.join(wrong, Seq("_id", "y"))
-        .groupBy(col("bucket")).agg(sum(col("y") * col("cnt")).as("_d"))
-      val wNextPlan =
-        if (w == null) delta.select(col("bucket"), col("_d").as("w"))
-        else wReal.join(delta, Seq("bucket"), "full_outer")
-          .select(col("bucket"),
-            (coalesce(col("w"), lit(0L)) + coalesce(col("_d"), lit(0L))).as("w"))
-      val wNext = Materialize.cutLoop(
-        wNextPlan.unionByName(
-          wrong.agg(count(lit(1)).as("w"))
-            .select(lit(-1).cast("int").as("bucket"), col("w"))),
-        previous = Option(w))
-      // one tiny collect over the checkpointed table reads both stats
-      val Array((nWrong, l1)) = wNext.agg(
-        coalesce(sum(when(col("bucket") === -1L, col("w"))), lit(0L)),
-        coalesce(sum(when(col("bucket") =!= -1L, abs(col("w")))), lit(0L)))
-        .as[(Long, Long)].collect()
+      val delta = grouped
+        .where(col("y") * scoreAgainst(w) <= 0)
+        .select(col("y"), explode(concat(col("fs"), array(sentinel))).as("f"))
+        .groupBy(col("f.bucket").as("bucket"))
+        .agg(sum(col("y") * col("f.cnt")).as("d"), count(lit(1)).as("c"))
+        .collect()
+      var nWrong = 0L
+      delta.foreach { r =>
+        val b = r.getInt(0)
+        if (b == -1) nWrong = r.getLong(2) else w(b) += r.getLong(1)
+      }
+      var l1 = 0L
+      var i = 0
+      while (i < w.length) { l1 += math.abs(w(i)); i += 1 }
       trace += ((t, nWrong.toInt, l1))
-      w = wNext
     }
-    // returned WITH the sentinel: callers either release it (train) or
-    // join it on real buckets where -1 can never match (eval) — and
-    // [[Materialize.release]] needs the raw LogicalRDD, not a filter
-    // over it
     (trace.result(), w)
   }
 }

@@ -744,7 +744,12 @@ object RateAnomaly {
     val covN = nD * d("_sxy") - d("_sx") * d("_sy")
     val varxN = nD * d("_sxx") - d("_sx") * d("_sx")
     val varyN = nD * d("_syy") - d("_sy") * d("_sy")
-    val theta = covN / varxN
+    // degenerate pre-period (every user identical pre-mass ⇒ varxN = 0):
+    // theta and var_reduction collapse to 0 so the row degrades to the
+    // raw comparison instead of propagating NaN/Inf; oracle mirrors this
+    val theta = when(varxN === 0d, lit(0d)).otherwise(covN / varxN)
+    val varRed = when(varxN === 0d || varyN === 0d, lit(0d))
+      .otherwise((covN * covN) / (varxN * varyN))
     val xbar = d("_sx") / nD
     val g = lit(grid.toDouble)
     def meanY(sy: String, n: String): Column = d(sy) / (d(n) * g)
@@ -752,7 +757,7 @@ object RateAnomaly {
       (d(sy) - theta * (d(sx) - d(n) * xbar)) / (d(n) * g)
     m.select(col("n_users"), col("n0"), col("n1"),
         theta.as("theta"),
-        ((covN * covN) / (varxN * varyN)).as("var_reduction"),
+        varRed.as("var_reduction"),
         meanY("_sy0", "n0").as("mean_y0"), meanY("_sy1", "n1").as("mean_y1"),
         adjY("_sy0", "_sx0", "n0").as("adj_y0"), adjY("_sy1", "_sx1", "n1").as("adj_y1"))
       .select(col("*"),

@@ -6276,13 +6276,16 @@ object Oracles {
          |    sx::DOUBLE / n_users::DOUBLE AS xbar
          |  FROM m),
          |y AS (SELECT n_users, n0, n1,
-         |    covn / varxn AS theta,
-         |    (covn * covn) / (varxn * varyn) AS var_reduction,
+         |    CASE WHEN varxn = 0 THEN 0 ELSE covn / varxn END AS theta,
+         |    CASE WHEN varxn = 0 OR varyn = 0 THEN 0
+         |      ELSE (covn * covn) / (varxn * varyn) END AS var_reduction,
          |    sy0::DOUBLE / (n0::DOUBLE * 1048576.0) AS mean_y0,
          |    sy1::DOUBLE / (n1::DOUBLE * 1048576.0) AS mean_y1,
-         |    (sy0::DOUBLE - (covn / varxn) * (sx0::DOUBLE - n0::DOUBLE * xbar))
+         |    (sy0::DOUBLE - (CASE WHEN varxn = 0 THEN 0 ELSE covn / varxn END)
+         |        * (sx0::DOUBLE - n0::DOUBLE * xbar))
          |      / (n0::DOUBLE * 1048576.0) AS adj_y0,
-         |    (sy1::DOUBLE - (covn / varxn) * (sx1::DOUBLE - n1::DOUBLE * xbar))
+         |    (sy1::DOUBLE - (CASE WHEN varxn = 0 THEN 0 ELSE covn / varxn END)
+         |        * (sx1::DOUBLE - n1::DOUBLE * xbar))
          |      / (n1::DOUBLE * 1048576.0) AS adj_y1
          |  FROM x)
          |SELECT *, mean_y1 - mean_y0 AS diff_raw, adj_y1 - adj_y0 AS diff_adj
