@@ -217,7 +217,14 @@ object PlanAudit {
       // srm are a projection and one user-distinct aggregate
       "session_gap_sweep", "dp_quantile", "ann_ivf_sweep",
       "event_seasonal_adjusted", "emb_pca_top", "emb_debias", "ab_srm",
-      "dedup_cluster_sizes")
+      "dedup_cluster_sizes",
+      // round 13: the unigram-LM trainer's ONE corpus exchange is the
+      // word-count aggregate; every EM round (substring explode, cost
+      // broadcast, Viterbi HOF folds) runs on the distinct-word table,
+      // and tokenize joins the broadcast word→n_pieces table back; the
+      // perceptron rows must show NO weight-table join (the model is a
+      // literal) — one cached-feature scan + one bucket exchange/epoch
+      "spm_train", "spm_tokenize", "classifier_train", "classifier_eval")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

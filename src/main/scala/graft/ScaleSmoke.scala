@@ -335,7 +335,19 @@ object ScaleSmoke {
               lit(1000L)) - lit(500L)).cast("double") / 500.0).cast("float"))
             .as("embedding"))
         Similarity.topPrincipalComponent(embs, "vec_id", "embedding", dim = 16).count()
-      }))
+      }),
+      // round 13: the unigram trainer is corpus-bound only in the word
+      // count — the 10x corpus ALSO 10x-es the distinct-word table here
+      // (token-renamed copies), so this ratio upper-bounds the real
+      // fixed-language case where vocabulary saturates; the perceptron
+      // loop's per-epoch cost is corpus-proportional map work + a
+      // bucket-domain exchange
+      "spm_train" -> (() => UnigramLm.train(docs, "text").count()),
+      "classifier_train" -> (() => QualityClassifier.trainPerceptron(
+        docs.withColumn("y",
+          when(size(split(lower(trim(col("text"))), "\\s+")) >= 45, 1L)
+            .otherwise(-1L)),
+        "text", "doc_id", "y", buckets = 4096, iters = 5).count()))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer training (Kudo 2018, "Subword
+  * Regularization" — the SentencePiece unigram model): the production
+  * alternative to [[Bpe]] and the other half of the tokenizer-training
+  * family. Where BPE grows a vocabulary bottom-up by merging, the
+  * unigram model starts from an OVER-complete seed vocabulary of
+  * frequent substrings and alternates (a) Viterbi-segmenting the corpus
+  * under the current piece costs with (b) re-estimating costs from the
+  * observed piece usage, pruning the least-used pieces between rounds —
+  * hard-EM (Viterbi-EM), the deterministic variant of Kudo's
+  * forward-backward E-step (soft expectations have no exact integer
+  * replay; the hard assignment is itself a documented EM family member
+  * and keeps every count an int64).
+  *
+  * Exactness: piece costs ride the established NLL grid —
+  * `floor(-ln(cnt/total) · 2⁴⁰)` as int64 (the vocab-NLL /
+  * Kneser–Ney precedent; the ln is the one accepted libm evaluation,
+  * every comparison after it is integer) — so the Viterbi lattice DP is
+  * an all-integer shortest path: cost[j] = min over pieces
+  * word[i..j] of cost[i−1] + cfp(piece). Ties break by LONGEST piece,
+  * then smallest start — a total order the oracle replays. Single
+  * characters are always retained, so every word is segmentable; the
+  * round-2 re-estimate adds +1 smoothing so pruned-round survivors
+  * with zero Viterbi usage keep a finite cost.
+  *
+  * Plan at 100 TB: the corpus is touched ONCE — the whitespace
+  * word-frequency aggregate (the same map-side-combined exchange a
+  * tokenizer trainer always pays). Everything after runs on the
+  * DISTINCT-WORD table: seed-substring explode (≤ maxPieceLen·|word|
+  * pieces per word), broadcast joins of the ≤vocab-sized cost table,
+  * and the lattice DP as codegen'd array folds (`aggregate` over the
+  * per-word edge list — no UDF, no per-row JVM dispatch). k EM rounds
+  * = k word-table passes, never k corpus passes; encoding a corpus
+  * joins each document's words against the tiny (word → segmentation)
+  * table exactly like [[Bpe.encodeCounts]].
+  */
+object UnigramLm {
+
+  /** The NLL fixed-point grid (2⁴⁰), shared with the LM rows. */
+  val Grid: Double = 1099511627776.0
+
+  /** Whitespace word counts — the ONE corpus-sized pass. */
+  private def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("wcnt"))
+
+  /** All (start, len, piece) substrings of `word` up to `pieceLen`. */
+  private def piecesOf(word: Column, n: Column, pieceLen: Int): Column =
+    flatten(transform(sequence(lit(1), n), i =>
+      transform(sequence(lit(1), least(lit(pieceLen), n - i + 1)), l =>
+        struct(i.as("i"), l.as("l"), word.substr(i, l).as("piece")))))
+
+  /** Seed vocabulary: every single character plus the `seedMulti` most
+    * frequent multi-character substrings (substring occurrences
+    * weighted by word frequency; ties break piece-ascending). Emits
+    * (piece, cnt).
+    */
+  private def seedVocab(words: DataFrame, pieceLen: Int, seedMulti: Int): DataFrame = {
+    val sub = words
+      .select(col("wcnt"), explode(
+        piecesOf(col("word"), length(col("word")), pieceLen)).as("p"))
+      .groupBy(col("p.piece").as("piece"))
+      .agg(sum(col("wcnt")).as("cnt"))
+    val chars = sub.where(length(col("piece")) === 1)
+    val multi = sub.where(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece")).limit(seedMulti)
+    chars.unionByName(multi)
+  }
+
+  /** (piece, cnt) → (piece, cfp) on the 2⁴⁰ NLL grid. */
+  private def pieceCosts(vocab: DataFrame): DataFrame = {
+    val total = vocab.agg(sum(col("cnt")).as("_t"))
+    vocab.crossJoin(broadcast(total))
+      .select(col("piece"),
+        floor(-log(col("cnt").cast("double") / col("_t").cast("double")) * Grid)
+          .cast("long").as("cfp"))
+  }
+
+  /** Viterbi-segment every word against `costs` (piece, cfp): exact
+    * integer shortest path over the per-word piece lattice, then a
+    * backward walk re-picking each step's argmin (ties: longest piece)
+    * to emit the segmentation. Both folds are codegen'd HOFs over the
+    * per-word edge array — the corpus never appears here. Emits
+    * (word, wcnt, seg, n_pieces).
+    */
+  private[operators] def viterbiSeg(words: DataFrame, costs: DataFrame,
+                                    pieceLen: Int): DataFrame = {
+    val edges = words
+      .select(col("word"), col("wcnt"), length(col("word")).as("n"),
+        explode(piecesOf(col("word"), length(col("word")), pieceLen)).as("p"))
+      .select(col("word"), col("wcnt"), col("n"),
+        col("p.i").as("i"), col("p.l").as("l"), col("p.piece").as("piece"))
+      .join(broadcast(costs), Seq("piece"))
+      .groupBy(col("word"), col("wcnt"), col("n"))
+      .agg(collect_list(struct(col("i"), col("l"), col("cfp"))).as("edges"))
+    // forward DP: _c[j+1] = cost of positions 0..j (1-based element_at)
+    val fwd = edges.withColumn("_c",
+      aggregate(sequence(lit(1), col("n")), array(lit(0L)), (acc, j) =>
+        concat(acc, array(array_min(transform(
+          filter(col("edges"), e =>
+            e.getField("i") + e.getField("l") - 1 === j),
+          e => element_at(acc, e.getField("i")) + e.getField("cfp")))))))
+    // backward walk: at pos, among edges ending there pick min
+    // (cost[i-1] + cfp), tie → longest piece (struct sort (k, -l))
+    val st0 = struct(col("n").as("pos"), lit("").as("seg"))
+    val walked = fwd.withColumn("_w",
+      aggregate(sequence(lit(1), col("n")), st0, (st, _) => {
+        val pos = st.getField("pos")
+        val best = element_at(array_sort(transform(
+          filter(col("edges"), e =>
+            e.getField("i") + e.getField("l") - 1 === pos),
+          e => struct(
+            (element_at(col("_c"), e.getField("i")) + e.getField("cfp")).as("k"),
+            (-e.getField("l")).as("nl"),
+            e.getField("i").as("i"), e.getField("l").as("l")))), 1)
+        when(pos <= 0, st).otherwise(struct(
+          (best.getField("i") - 1).as("pos"),
+          concat(col("word").substr(best.getField("i"), best.getField("l")),
+            when(st.getField("seg") === "", lit(""))
+              .otherwise(concat(lit(" "), st.getField("seg")))).as("seg")))
+      }))
+    walked.select(col("word"), col("wcnt"), col("_w.seg").as("seg"),
+      size(split(col("_w.seg"), " ")).as("n_pieces"))
+  }
+
+  /** Piece usage counts of a segmentation table: Σ wcnt per piece. */
+  private def usageOf(seg: DataFrame): DataFrame =
+    seg.select(col("wcnt"), explode(split(col("seg"), " ")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wcnt")).as("n_uses"))
+
+  /** The 2-round hard-EM fit. Returns (final vocab with usage:
+    * (piece, n_uses), final per-word segmentation:
+    * (word, wcnt, seg, n_pieces)).
+    */
+  private def fit(docs: DataFrame, textCol: String, pieceLen: Int,
+                  seedMulti: Int, keepMulti: Int): (DataFrame, DataFrame) = {
+    val words = Materialize.cutEager(wordCounts(docs, textCol))
+    val v0 = Materialize.cutEager(seedVocab(words, pieceLen, seedMulti))
+    // round 1: segment under seed-frequency costs, count usage
+    val u1 = Materialize.cutEager(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
+    // prune: keep every single char (coverage) + top keepMulti used
+    // multi-char pieces (ties piece-ascending); +1-smooth the retained
+    // counts so unused survivors keep a finite cost
+    val chars = v0.where(length(col("piece")) === 1).select(col("piece"))
+    val keep = u1.where(length(col("piece")) > 1)
+      .orderBy(col("n_uses").desc, col("piece")).limit(keepMulti)
+      .select(col("piece"))
+    val v1 = chars.unionByName(keep)
+      .join(u1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("n_uses"), lit(0L)) + 1L).as("cnt"))
+    // round 2: re-segment under the re-estimated costs. Both returned
+    // tables are EAGER cuts before the intermediates are released —
+    // under the localCheckpoint policy a released generation cannot be
+    // recomputed through, so nothing may still need it lazily.
+    val seg2 = Materialize.cutEager(viterbiSeg(words, pieceCosts(v1), pieceLen))
+    val u2 = Materialize.cutEager(v1.select(col("piece"))
+      .join(usageOf(seg2), Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses")))
+    Materialize.release(words)
+    Materialize.release(v0)
+    Materialize.release(u1)
+    (u2, seg2)
+  }
+
+  /** Train the unigram tokenizer; emit the final vocabulary with its
+    * round-2 Viterbi usage: (piece, piece_len, n_uses).
+    */
+  def train(docs: DataFrame, textCol: String, pieceLen: Int = 4,
+            seedMulti: Int = 16, keepMulti: Int = 12): DataFrame = {
+    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    val out = u2.select(col("piece"),
+      length(col("piece")).as("piece_len"), col("n_uses"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(u2)
+      Materialize.release(seg2)
+      pinned
+    }
+  }
+
+  /** Encode the corpus with the trained tokenizer: per document, the
+    * whitespace token count and the subword count under the final
+    * segmentation — the [[Bpe.encodeCounts]] shape (each distinct word
+    * segmented once; documents join the tiny word→n_pieces table).
+    * Emits (`idCol`, n_ws_tokens, n_spm_tokens).
+    */
+  def tokenizeCounts(docs: DataFrame, textCol: String, idCol: String,
+                     pieceLen: Int = 4, seedMulti: Int = 16,
+                     keepMulti: Int = 12): DataFrame = {
+    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    val out = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(seg2.select(col("word"), col("n_pieces"))), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
+        sum(col("n_pieces")).cast("int").as("n_spm_tokens"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(u2)
+      Materialize.release(seg2)
+      pinned
+    }
+  }
+}

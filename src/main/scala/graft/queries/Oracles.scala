@@ -386,6 +386,111 @@ object Oracles {
        |FROM tok JOIN enc USING (token)
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** One Viterbi round of the unigram-LM tokenizer oracle
+    * ([[graft.operators.UnigramLm.viterbiSeg]]): the integer lattice
+    * shortest path unrolled to `maxLen` cumulative position layers
+    * (d{r}_j adds the pos=j costs; every layer is referenced twice so
+    * every layer is MATERIALIZED — the CTE-inlining trap), then the
+    * backward argmin walk as `maxLen` more layers (ties: smallest
+    * total cost, then LONGEST piece — `ORDER BY c + cfp, l DESC`,
+    * exactly the engine's (k, −l) struct sort). Emits seg$r
+    * (word, wcnt, seg) and usage$r (piece, n_uses).
+    */
+  private def spmViterbiCtes(r: Int, costTable: String, maxLen: Int,
+                             pieceLen: Int): String = {
+    val fwd = (1 to maxLen).map { j =>
+      s"""d${r}_$j AS MATERIALIZED (
+         |  SELECT * FROM d${r}_${j - 1}
+         |  UNION ALL
+         |  SELECT p.word, p.wcnt, $j AS pos, min(p.c + cc.cfp)::BIGINT AS c
+         |  FROM d${r}_${j - 1} p
+         |  JOIN $costTable cc ON cc.piece = substr(p.word, p.pos + 1, $j - p.pos)
+         |  WHERE p.pos BETWEEN $j - $pieceLen AND $j - 1 AND len(p.word) >= $j
+         |  GROUP BY p.word, p.wcnt)""".stripMargin
+    }.mkString(",\n")
+    val back = (1 to maxLen).map { t =>
+      s"""s${r}_$t AS MATERIALIZED (
+         |  SELECT word, wcnt, pos, seg FROM s${r}_${t - 1} WHERE pos = 0
+         |  UNION ALL
+         |  SELECT word, wcnt, pos - l AS pos,
+         |    CASE WHEN seg = '' THEN piece ELSE piece || ' ' || seg END AS seg
+         |  FROM (
+         |    SELECT s.word, s.wcnt, s.pos, s.seg, ll.l,
+         |      substr(s.word, s.pos - ll.l + 1, ll.l) AS piece,
+         |      row_number() OVER (PARTITION BY s.word
+         |        ORDER BY d.c + cc.cfp ASC, ll.l DESC) AS rn
+         |    FROM s${r}_${t - 1} s
+         |    JOIN range(1, ${pieceLen + 1}) ll(l) ON ll.l <= s.pos
+         |    JOIN d${r}_$maxLen d ON d.word = s.word AND d.pos = s.pos - ll.l
+         |    JOIN $costTable cc ON cc.piece = substr(s.word, s.pos - ll.l + 1, ll.l)
+         |    WHERE s.pos > 0)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""d${r}_0 AS (SELECT word, wcnt, 0 AS pos, 0::BIGINT AS c FROM words),
+       |$fwd,
+       |s${r}_0 AS (SELECT word, wcnt, len(word)::INTEGER AS pos, ''::VARCHAR AS seg FROM words),
+       |$back,
+       |seg$r AS MATERIALIZED (SELECT word, wcnt, seg FROM s${r}_$maxLen WHERE pos = 0),
+       |usage$r AS MATERIALIZED (
+       |  SELECT piece, sum(wcnt)::BIGINT AS n_uses
+       |  FROM (SELECT wcnt, unnest(string_split(seg, ' ')) AS piece FROM seg$r)
+       |  GROUP BY piece)""".stripMargin
+  }
+
+  /** Replays [[graft.operators.UnigramLm]]'s 2-round hard-EM fit:
+    * word counts → substring seed vocabulary (all chars + top
+    * `seedMulti` multi-char substrings) → NLL costs on the 2⁴⁰ grid →
+    * Viterbi round 1 → char-preserving top-`keepMulti` prune with +1
+    * smoothing → Viterbi round 2. `maxLen` bounds the unroll to the
+    * fixture's longest word (8 at every sf — the synthetic vocabulary
+    * is fixed), mirroring the perceptron/PageRank layer unrolls.
+    */
+  private def spmCtes(maxLen: Int = 8, pieceLen: Int = 4,
+                      seedMulti: Int = 16, keepMulti: Int = 12): String =
+    s"""words AS MATERIALIZED (
+       |  SELECT w AS word, count(*)::BIGINT AS wcnt
+       |  FROM (SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |sub AS MATERIALIZED (
+       |  SELECT substr(word, i, l) AS piece, sum(wcnt)::BIGINT AS cnt
+       |  FROM words, range(1, ${maxLen + 1}) ri(i), range(1, ${pieceLen + 1}) rl(l)
+       |  WHERE i + l - 1 <= len(word) GROUP BY 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE len(piece) > 1
+       |    ORDER BY cnt DESC, piece LIMIT $seedMulti)),
+       |t0 AS (SELECT sum(cnt)::BIGINT AS t FROM v0),
+       |c0 AS MATERIALIZED (SELECT piece,
+       |  floor(-ln(cnt::DOUBLE / t::DOUBLE) * 1099511627776.0)::BIGINT AS cfp FROM v0, t0),
+       |${spmViterbiCtes(1, "c0", maxLen, pieceLen)},
+       |v1 AS MATERIALIZED (
+       |  SELECT p.piece, (coalesce(u.n_uses, 0) + 1)::BIGINT AS cnt
+       |  FROM (SELECT piece FROM v0 WHERE len(piece) = 1
+       |        UNION ALL
+       |        SELECT piece FROM (SELECT piece FROM usage1 WHERE len(piece) > 1
+       |          ORDER BY n_uses DESC, piece LIMIT $keepMulti)) p
+       |  LEFT JOIN usage1 u USING (piece)),
+       |t1 AS (SELECT sum(cnt)::BIGINT AS t FROM v1),
+       |c1 AS MATERIALIZED (SELECT piece,
+       |  floor(-ln(cnt::DOUBLE / t::DOUBLE) * 1099511627776.0)::BIGINT AS cfp FROM v1, t1),
+       |${spmViterbiCtes(2, "c1", maxLen, pieceLen)}""".stripMargin
+
+  private def spmTrainOracleSql: String =
+    s"""WITH ${spmCtes()}
+       |SELECT v1.piece, len(v1.piece)::INTEGER AS piece_len,
+       |  coalesce(u.n_uses, 0)::BIGINT AS n_uses
+       |FROM v1 LEFT JOIN usage2 u USING (piece)
+       |ORDER BY n_uses DESC, piece""".stripMargin
+
+  private def spmTokenizeOracleSql: String =
+    s"""WITH ${spmCtes()},
+       |np AS (SELECT word, len(string_split(seg, ' '))::INTEGER AS n_pieces FROM seg2),
+       |tok AS (SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents)
+       |SELECT doc_id, count(*)::INTEGER AS n_ws_tokens, sum(n_pieces)::INTEGER AS n_spm_tokens
+       |FROM tok JOIN np USING (word) WHERE word <> ''
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Damped PageRank (Graph.pageRank) unrolled to `iters` power
     * iterations: integer fixed-point ranks (2^-40 grid), per-edge
     * contribution `r // outdeg`, damping `(85*s) // 100` — all-integer,
@@ -2587,6 +2692,12 @@ object Oracles {
 
     "bpe_merges" -> bpeOracleSql(8),
     "bpe_tokenize" -> bpeTokenizeOracleSql(8),
+
+    // unigram-LM (SentencePiece-style) tokenizer: 2-round hard-EM fit
+    // replayed with the Viterbi lattice DP unrolled to 8 position
+    // layers per round — all-integer path costs on the 2^40 NLL grid
+    "spm_train" -> spmTrainOracleSql,
+    "spm_tokenize" -> spmTokenizeOracleSql,
 
     // posting-list intersection over md24(term)%64 buckets; dots are
     // exact int64 count products, the float cosine appears only in the

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Unigram-LM tokenizer training: Viterbi lattice semantics (pinned by
+  * hand against tiny cost tables), hard-EM fit invariants, and
+  * determinism under repartitioning.
+  */
+class UnigramLmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def segOf(words: Seq[(String, Long)],
+                    costs: Seq[(String, Long)]): Map[String, (String, Int)] =
+    UnigramLm.viterbiSeg(
+      words.toDF("word", "wcnt"), costs.toDF("piece", "cfp"), pieceLen = 4)
+      .select(col("word"), col("seg"), col("n_pieces"))
+      .as[(String, String, Int)].collect()
+      .map { case (w, s, n) => w -> (s, n) }.toMap
+
+  test("viterbi picks the cheaper path (hand-computed lattice)") {
+    // "ab": piece path 15 beats char path 10+10
+    val got = segOf(Seq(("ab", 1L)), Seq(("a", 10L), ("b", 10L), ("ab", 15L)))
+    assert(got("ab") == (("ab", 1)))
+    // raise the piece cost above the char path: chars win
+    val got2 = segOf(Seq(("ab", 1L)), Seq(("a", 10L), ("b", 10L), ("ab", 21L)))
+    assert(got2("ab") == (("a b", 2)))
+  }
+
+  test("viterbi exact-cost tie breaks to the LONGEST piece") {
+    val got = segOf(Seq(("ab", 1L)), Seq(("a", 10L), ("b", 10L), ("ab", 20L)))
+    assert(got("ab") == (("ab", 1)))
+    // and the tie-break applies per backward step: "abc" with ab+c == a+b+c
+    val got2 = segOf(Seq(("abc", 1L)),
+      Seq(("a", 10L), ("b", 10L), ("c", 10L), ("ab", 20L)))
+    assert(got2("abc") == (("ab c", 2)))
+  }
+
+  test("segmentations concatenate back to the word (coverage invariant)") {
+    val docs = Seq(
+      "banana bandana cabana", "banana banana ana", "cab nab ban cabana")
+      .toDF("text")
+    val seg = UnigramLm.train(docs, "text")
+    // every emitted piece is non-empty and usage is non-negative
+    val rows = seg.as[(String, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (p, l, u) => p.nonEmpty && l == p.length && u >= 0 })
+    // single chars of the corpus are always retained
+    val pieces = rows.map(_._1).toSet
+    assert(Set("a", "b", "c", "d", "n").subsetOf(pieces), pieces)
+  }
+
+  test("a dominating substring becomes a high-usage piece") {
+    val docs = Seq.fill(20)("banana banana").toDF("text")
+    val rows = UnigramLm.train(docs, "text")
+      .as[(String, Int, Long)].collect()
+    val multi = rows.filter(_._2 > 1).sortBy(-_._3)
+    assert(multi.nonEmpty, rows.mkString(","))
+    // the top multi-char piece must be a substring of "banana" used by
+    // the Viterbi segmentation (coverage of 40 word occurrences)
+    assert("banana".contains(multi.head._1), multi.head.toString)
+    assert(multi.head._3 > 0)
+  }
+
+  test("tokenizeCounts: subword count is at most the char count and at least the word count") {
+    val docs = Seq((1L, "banana cabana"), (2L, "ban")).toDF("doc_id", "text")
+    val got = UnigramLm.tokenizeCounts(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(got.map(_._2) == Seq(2, 1)) // whitespace tokens
+    assert(got.forall { case (_, nw, ns) => ns >= nw })
+    assert(got(0)._3 <= 12 && got(1)._3 <= 3)
+  }
+
+  test("train is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("ban", "ana", "cab", "nab", "dan")
+    val docs = (0 until 40).map { _ =>
+      Seq.fill(6)(vocab(rnd.nextInt(vocab.size)) + vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+    }.toDF("text")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      UnigramLm.train(d, "text")
+        .orderBy(col("n_uses").desc, col("piece"))
+        .as[(String, Int, Long)].collect().toSeq
+    assert(run(docs.repartition(1)) == run(docs.repartition(7)))
+  }
+}
