@@ -224,7 +224,11 @@ object PlanAudit {
       // and tokenize joins the broadcast word→n_pieces table back; the
       // perceptron rows must show NO weight-table join (the model is a
       // literal) — one cached-feature scan + one bucket exchange/epoch
-      "spm_train", "spm_tokenize", "classifier_train", "classifier_eval")
+      "spm_train", "spm_tokenize", "classifier_train", "classifier_eval",
+      // the suffix-run pass must shuffle (hash, pos) fingerprints only
+      // (level hashing is per-row; text never crosses an exchange) and
+      // the extension stage joins the bounded diagonal-deduped anchors
+      "dedup_substring")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -343,6 +343,23 @@ object ScaleSmoke {
       // loop's per-epoch cost is corpus-proportional map work + a
       // bucket-domain exchange
       "spm_train" -> (() => UnigramLm.train(docs, "text").count()),
+      // planted shared runs (stitched docs) so the anchor join and
+      // extension stages carry real work at every scale — pairs grow
+      // linearly with the corpus
+      "substring_runs" -> (() => {
+        val base = docs.select(col("doc_id"),
+          split(lower(trim(col("text"))), "\\s+").as("toks"))
+        val st = base.as("d").join(base.as("p"),
+            col("p.doc_id") === col("d.doc_id") + 1)
+          .where(pmod(col("d.doc_id"), lit(10)) === 0)
+          .select((col("d.doc_id") + 10000000L).as("doc_id"),
+            concat(slice(col("d.toks"), 1, 12),
+              slice(col("p.toks"), lit(3), lit(24)),
+              slice(col("d.toks"), 13, 8)).as("toks"))
+        SuffixRuns.sharedRunsTok(
+          base.unionByName(st).select(col("doc_id").as("_id"), col("toks")),
+          minRun = 8, levels = 4).count()
+      }),
       "classifier_train" -> (() => QualityClassifier.trainPerceptron(
         docs.withColumn("y",
           when(size(split(lower(trim(col("text"))), "\\s+")) >= 45, 1L)

@@ -84,9 +84,13 @@ object UnigramLm {
   /** Viterbi-segment every word against `costs` (piece, cfp): exact
     * integer shortest path over the per-word piece lattice, then a
     * backward walk re-picking each step's argmin (ties: longest piece)
-    * to emit the segmentation. Both folds are codegen'd HOFs over the
-    * per-word edge array — the corpus never appears here. Emits
-    * (word, wcnt, seg, n_pieces).
+    * to emit the segmentation. Both folds live in ONE aggregate
+    * expression — the forward DP builds the cost array and the
+    * backward walk runs in its `finish` lambda, where the array is a
+    * bound VALUE (two projections would let CollapseProject inline the
+    * forward fold into every backward element_at — quadratic
+    * re-evaluation). The corpus never appears here. Emits
+    * (word, wcnt, seg).
     */
   private[operators] def viterbiSeg(words: DataFrame, costs: DataFrame,
                                     pieceLen: Int): DataFrame = {
@@ -98,24 +102,25 @@ object UnigramLm {
       .join(broadcast(costs), Seq("piece"))
       .groupBy(col("word"), col("wcnt"), col("n"))
       .agg(collect_list(struct(col("i"), col("l"), col("cfp"))).as("edges"))
-    // forward DP: _c[j+1] = cost of positions 0..j (1-based element_at)
-    val fwd = edges.withColumn("_c",
-      aggregate(sequence(lit(1), col("n")), array(lit(0L)), (acc, j) =>
+    // forward DP (cst[j+1] = cost of positions 0..j, 1-based
+    // element_at), then the backward walk: at pos, among edges ending
+    // there pick min (cost[i-1] + cfp), tie → longest piece (struct
+    // sort (k, -l))
+    val st0 = struct(col("n").as("pos"), lit("").as("seg"))
+    val seg = aggregate(
+      sequence(lit(1), col("n")), array(lit(0L)),
+      (acc, j) =>
         concat(acc, array(array_min(transform(
           filter(col("edges"), e =>
             e.getField("i") + e.getField("l") - 1 === j),
-          e => element_at(acc, e.getField("i")) + e.getField("cfp")))))))
-    // backward walk: at pos, among edges ending there pick min
-    // (cost[i-1] + cfp), tie → longest piece (struct sort (k, -l))
-    val st0 = struct(col("n").as("pos"), lit("").as("seg"))
-    val walked = fwd.withColumn("_w",
-      aggregate(sequence(lit(1), col("n")), st0, (st, _) => {
+          e => element_at(acc, e.getField("i")) + e.getField("cfp"))))),
+      cst => aggregate(sequence(lit(1), col("n")), st0, (st, _) => {
         val pos = st.getField("pos")
         val best = element_at(array_sort(transform(
           filter(col("edges"), e =>
             e.getField("i") + e.getField("l") - 1 === pos),
           e => struct(
-            (element_at(col("_c"), e.getField("i")) + e.getField("cfp")).as("k"),
+            (element_at(cst, e.getField("i")) + e.getField("cfp")).as("k"),
             (-e.getField("l")).as("nl"),
             e.getField("i").as("i"), e.getField("l").as("l")))), 1)
         when(pos <= 0, st).otherwise(struct(
@@ -123,9 +128,8 @@ object UnigramLm {
           concat(col("word").substr(best.getField("i"), best.getField("l")),
             when(st.getField("seg") === "", lit(""))
               .otherwise(concat(lit(" "), st.getField("seg")))).as("seg")))
-      }))
-    walked.select(col("word"), col("wcnt"), col("_w.seg").as("seg"),
-      size(split(col("_w.seg"), " ")).as("n_pieces"))
+      }).getField("seg"))
+    edges.select(col("word"), col("wcnt"), seg.as("seg"))
   }
 
   /** Piece usage counts of a segmentation table: Σ wcnt per piece. */
@@ -135,7 +139,7 @@ object UnigramLm {
 
   /** The 2-round hard-EM fit. Returns (final vocab with usage:
     * (piece, n_uses), final per-word segmentation:
-    * (word, wcnt, seg, n_pieces)).
+    * (word, wcnt, seg)).
     */
   private def fit(docs: DataFrame, textCol: String, pieceLen: Int,
                   seedMulti: Int, keepMulti: Int): (DataFrame, DataFrame) = {
@@ -197,7 +201,8 @@ object UnigramLm {
     val out = docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(col("word") =!= "")
-      .join(broadcast(seg2.select(col("word"), col("n_pieces"))), Seq("word"))
+      .join(broadcast(seg2.select(col("word"),
+        size(split(col("seg"), " ")).as("n_pieces"))), Seq("word"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
         sum(col("n_pieces")).cast("int").as("n_spm_tokens"))

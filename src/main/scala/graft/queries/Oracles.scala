@@ -2699,6 +2699,28 @@ object Oracles {
     "spm_train" -> spmTrainOracleSql,
     "spm_tokenize" -> spmTokenizeOracleSql,
 
+    // exact longest shared run per doc pair, verified QUADRATICALLY:
+    // every substring of every derived doc (lengths 8..n), a raw
+    // string-equality self-join, max length per pair — zero hashes, so
+    // this is ground truth for the binary-lifted engine path
+    "dedup_substring" ->
+      s"""WITH tokd AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 120),
+         |st AS (
+         |  SELECT d.doc_id + 100000 AS doc_id,
+         |    d.toks[1:12] || p.toks[3 : 10 + (d.doc_id % 24)] || d.toks[13:20] AS toks
+         |  FROM tokd d JOIN tokd p ON p.doc_id = d.doc_id + 4
+         |  WHERE d.doc_id % 4 = 0),
+         |corpus AS MATERIALIZED (SELECT * FROM tokd UNION ALL SELECT * FROM st),
+         |runs AS MATERIALIZED (
+         |  SELECT doc_id, l, array_to_string(toks[i : i + l - 1], ' ') AS r
+         |  FROM corpus, range(8, 150) rl(l), range(1, 150) ri(i)
+         |  WHERE i + l - 1 <= len(toks))
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, max(a.l)::INTEGER AS run_len
+         |FROM runs a JOIN runs b ON a.l = b.l AND a.r = b.r AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 ORDER BY doc_a, doc_b""".stripMargin,
+
     // posting-list intersection over md24(term)%64 buckets; dots are
     // exact int64 count products, the float cosine appears only in the
     // final projection, so top-k ranking is reduction-order-proof

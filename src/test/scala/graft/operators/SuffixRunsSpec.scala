@@ -1,0 +1,82 @@
+package graft.operators
+
+import graft.SparkSuite
+
+/** Exact shared-run discovery: hand-computed longest runs, level
+  * bracketing, extension boundaries, and determinism.
+  */
+class SuffixRunsSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def runs(docs: Seq[(Long, String)], minRun: Int = 2,
+                   levels: Int = 3): Map[(Long, Long), Int] =
+    SuffixRuns.sharedRuns(docs.toDF("doc_id", "text"), "text", "doc_id",
+      minRun = minRun, levels = levels)
+      .as[(Long, Long, Int)].collect()
+      .map { case (a, b, l) => (a, b) -> l }.toMap
+
+  test("longest shared run is exact (crosses a level boundary)") {
+    // run "a b c d e" (5 tokens): max matching level is w=4, the
+    // anchor extends to exactly 5
+    val got = runs(Seq(
+      (1L, "a b c d e x y"),
+      (2L, "q a b c d e z")))
+    assert(got == Map((1L, 2L) -> 5))
+  }
+
+  test("identical documents report their full length") {
+    val got = runs(Seq((1L, "m n o p"), (2L, "m n o p")))
+    assert(got == Map((1L, 2L) -> 4))
+  }
+
+  test("two shared runs: the longest wins") {
+    val got = runs(Seq(
+      (1L, "a b c x d e f g"),
+      (2L, "a b c y d e f g")))
+    assert(got == Map((1L, 2L) -> 4))
+  }
+
+  test("pairs below minRun are not reported") {
+    val got = runs(Seq((1L, "k l m"), (2L, "l k m q")))
+    // shared 2-windows: none ("k l" vs "l k", "l m" vs "k m")
+    assert(got.isEmpty, got.toString)
+  }
+
+  test("runs at the document boundaries extend correctly") {
+    // shared run is a PREFIX of one doc and a SUFFIX of the other
+    val got = runs(Seq(
+      (1L, "a b c d q r"),
+      (2L, "x y a b c d")))
+    assert(got == Map((1L, 2L) -> 4))
+  }
+
+  test("three documents: every overlapping pair reported") {
+    val got = runs(Seq(
+      (1L, "a b c d"),
+      (2L, "z a b c d"),
+      (3L, "a b q q q")))
+    assert(got == Map((1L, 2L) -> 4, (1L, 3L) -> 2, (2L, 3L) -> 2))
+  }
+
+  test("result is identical under repartitioning") {
+    val rnd = new scala.util.Random(3)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh")
+    val base = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(12)(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+    // plant: doc 100+i shares a mid-window with doc i
+    val planted = (0 until 10).map { i =>
+      val toks = base(i)._2.split(" ")
+      (100L + i, ("qq rr " + toks.slice(2, 9).mkString(" ") + " ss").trim)
+    }
+    val docs = base ++ planted
+    def run(d: org.apache.spark.sql.DataFrame) =
+      SuffixRuns.sharedRuns(d, "text", "doc_id", minRun = 4, levels = 3)
+        .orderBy("doc_a", "doc_b")
+        .as[(Long, Long, Int)].collect().toSeq
+    val df = docs.toDF("doc_id", "text")
+    val a = run(df.repartition(1))
+    val b = run(df.repartition(7))
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+}

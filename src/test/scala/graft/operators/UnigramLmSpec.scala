@@ -15,7 +15,7 @@ class UnigramLmSpec extends SparkSuite {
                     costs: Seq[(String, Long)]): Map[String, (String, Int)] =
     UnigramLm.viterbiSeg(
       words.toDF("word", "wcnt"), costs.toDF("piece", "cfp"), pieceLen = 4)
-      .select(col("word"), col("seg"), col("n_pieces"))
+      .select(col("word"), col("seg"), size(split(col("seg"), " ")).as("n_pieces"))
       .as[(String, String, Int)].collect()
       .map { case (w, s, n) => w -> (s, n) }.toMap
 
