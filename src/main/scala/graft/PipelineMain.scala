@@ -13,7 +13,8 @@ import graft.state.StateStore
   * run-once by default, scheduled daemon with `--interval`.
   *
   * Usage: PipelineMain <rawIssues.(json|parquet)> <outDir> [stateUri]
-  *          [--env-file <path>] [--run-once | --daemon | --interval <minutes>]
+  *          [--env-file <path>] [--error-report-url <url>]
+  *          [--run-once | --daemon | --interval <minutes>]
   *   - rawIssues: newline-delimited JSON or parquet in the
   *     [[graft.schema.Schemas.rawIssue]] shape
   *   - outDir: parquet sink base dir ("console" → dry-run S9 sink)
@@ -50,7 +51,7 @@ object PipelineMain {
       var i = 0
       while (i < args.length) {
         args(i) match {
-          case f @ ("--env-file" | "--interval") =>
+          case f @ ("--env-file" | "--interval" | "--error-report-url") =>
             require(i + 1 < args.length, s"$f needs a value")
             flags(f) = args(i + 1); i += 2
           case f @ ("--run-once" | "--daemon") =>
@@ -98,24 +99,49 @@ object PipelineMain {
         s"watermark=${stats.newWatermark.getOrElse("-")} uploaded=${stats.uploaded}")
     }
 
+    // error-report hook ≙ configure_sentry (main.py:70-80): every
+    // pipeline failure ships one fingerprinted event before propagating;
+    // without --error-report-url the stderr reporter stands in
+    import graft.pipeline.ErrorReporting
+    val reporter: ErrorReporting.ErrorReporter =
+      flagParts.get("--error-report-url")
+        .map(u => ErrorReporting.fromConfig(enabled = true, Some(u)))
+        .getOrElse(new ErrorReporting.ConsoleErrorReporter)
+    val release = "graft-engine@0.1.0" // ≙ f"{appname}@{version}" (main.py:77)
+    def reported(mode: String)(e: Throwable): Unit =
+      ErrorReporting.filtered(
+        ErrorReporting.eventOf(e, release, Map("mode" -> mode, "raw" -> rawPath)),
+        ev => Some(ev))
+        .foreach(reporter.report)
+
     val intervalMinutes: Option[Double] =
       flagParts.get("--interval").map(_.toDouble)
         .orElse(if (flagParts.contains("--daemon")) Some(cfg.etlIntervalMinutes.toDouble) else None)
     intervalMinutes match {
       case None =>
-        runBatch()
+        try runBatch()
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            reported("batch")(e)
+            reporter.close()
+            throw e
+        }
       case Some(minutes) =>
         val intervalMs = (minutes * 60000L).toLong
         System.err.println(s"[pipeline] daemon mode: every $minutes min (max_instances=1)")
         val stop = new AtomicBoolean(false)
         val sched = new IntervalScheduler(() => runBatch(),
-          onError = e => System.err.println(s"[pipeline] tick failed: ${e.getMessage}"))
+          onError = e => {
+            reported("daemon")(e)
+            System.err.println(s"[pipeline] tick failed: ${e.getMessage}")
+          })
         sun.misc.Signal.handle(new sun.misc.Signal("TERM"), _ => stop.set(true))
         sun.misc.Signal.handle(new sun.misc.Signal("INT"), _ => stop.set(true))
         sched.runLoop(intervalMs, stop)
         System.err.println(s"[pipeline] daemon stopped: ticks=${sched.completed} " +
           s"suppressed=${sched.suppressed}")
     }
+    reporter.close()
     spark.stop()
   }
 
