@@ -228,7 +228,13 @@ object PlanAudit {
       // the suffix-run pass must shuffle (hash, pos) fingerprints only
       // (level hashing is per-row; text never crosses an exchange) and
       // the extension stage joins the bounded diagonal-deduped anchors
-      "dedup_substring")
+      "dedup_substring",
+      // eval family: pass@k/ECE/kappa are each ONE map-side-combined
+      // aggregate (+ a one-row or classes-domain broadcast tail);
+      // bradley-terry touches the corpus once for matches, then each
+      // MM round is a pair-table pass + items aggregate + 1-row renorm
+      "eval_pass_at_k", "eval_ece", "eval_kappa", "eval_bradley_terry",
+      "spm_fertility")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -364,7 +364,19 @@ object ScaleSmoke {
         docs.withColumn("y",
           when(size(split(lower(trim(col("text"))), "\\s+")) >= 45, 1L)
             .otherwise(-1L)),
-        "text", "doc_id", "y", buckets = 4096, iters = 5).count()))
+        "text", "doc_id", "y", buckets = 4096, iters = 5).count()),
+      // matches grow linearly with events; the items domain grows with
+      // the shifted-key 10x copies, so pair and per-round costs scale
+      "bradley_terry" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val m = ev.select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .select(lag(col("k"), 1).over(w).as("loser"), col("k").as("winner"))
+          .where(col("loser").isNotNull && col("winner").isNotNull &&
+            col("loser") =!= col("winner"))
+        EvalMetrics.bradleyTerry(m, "winner", "loser", iters = 4).count()
+      }))
 
     def selected(docs: DataFrame, ev: DataFrame): Seq[(String, () => Long)] =
       only.fold(queries(docs, ev))(s => queries(docs, ev).filter(kv => s(kv._1)))

@@ -214,4 +214,36 @@ object UnigramLm {
       pinned
     }
   }
+
+  /** Tokenizer fertility audit per corpus group (language/source): the
+    * number every tokenizer-vocab decision is judged by — subword
+    * pieces per whitespace word (fertility) and characters per piece
+    * (compression). Integer sums; the two displayed ratios are single
+    * IEEE divisions. Emits (`groupCol`, n_words, n_pieces, n_chars,
+    * fertility, chars_per_piece).
+    */
+  def fertility(docs: DataFrame, textCol: String, groupCol: String,
+                pieceLen: Int = 4, seedMulti: Int = 16,
+                keepMulti: Int = 12): DataFrame = {
+    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    val np = seg2.select(col("word"),
+      size(split(col("seg"), " ")).as("_np"), length(col("word")).as("_nc"))
+    val out = docs
+      .select(col(groupCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(np), Seq("word"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("_np")).as("n_pieces"),
+        sum(col("_nc")).as("n_chars"))
+      .select(col(groupCol), col("n_words"), col("n_pieces"), col("n_chars"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double")).as("fertility"),
+        (col("n_chars").cast("double") / col("n_pieces").cast("double")).as("chars_per_piece"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(u2)
+      Materialize.release(seg2)
+      pinned
+    }
+  }
 }

@@ -491,6 +491,60 @@ object Oracles {
        |FROM tok JOIN np USING (word) WHERE word <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private def spmFertilityOracleSql: String =
+    s"""WITH ${spmCtes()},
+       |np AS (SELECT word, len(string_split(seg, ' '))::INTEGER AS np,
+       |         len(word)::INTEGER AS nc FROM seg2),
+       |tok AS (SELECT lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS word FROM documents)
+       |SELECT lang, count(*)::BIGINT AS n_words, sum(np)::BIGINT AS n_pieces,
+       |  sum(nc)::BIGINT AS n_chars,
+       |  sum(np)::DOUBLE / count(*)::DOUBLE AS fertility,
+       |  sum(nc)::DOUBLE / sum(np)::DOUBLE AS chars_per_piece
+       |FROM tok JOIN np USING (word) WHERE word <> ''
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Bradley–Terry MM fixpoint (EvalMetrics.bradleyTerry) unrolled to
+    * `iters` rounds on the 2^20 integer grid over the item-transition
+    * matches: per round the pair terms n_ij·2^40 // (p_i+p_j), the raw
+    * update w_i·2^40 // s_i (floor 1 for winless items), and the
+    * pre-shifted renorm (praw·K) // (Σpraw // 2^20) — every `//`
+    * mirrors Spark's `div` on nonnegative int64.
+    */
+  private def bradleyTerryOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { t =>
+      val prev = s"p${t - 1}"
+      s"""w$t AS (SELECT m.i, m.j, (m.nij * 1099511627776) // (pi.p + pj.p) AS tt
+         |  FROM pairs m JOIN $prev pi ON pi.item = m.i JOIN $prev pj ON pj.item = m.j),
+         |s$t AS (SELECT item, sum(tt)::BIGINT AS s FROM (
+         |    SELECT i AS item, tt FROM w$t UNION ALL SELECT j AS item, tt FROM w$t)
+         |  GROUP BY item),
+         |r$t AS (SELECT items.item,
+         |    CASE WHEN coalesce(wins.wi, 0) = 0 OR s.s IS NULL OR s.s = 0 THEN 1
+         |      ELSE (wins.wi * 1099511627776) // s.s END::BIGINT AS praw
+         |  FROM items LEFT JOIN wins USING (item) LEFT JOIN s$t s USING (item)),
+         |t$t AS (SELECT sum(praw)::BIGINT AS tot FROM r$t),
+         |p$t AS MATERIALIZED (SELECT item,
+         |    greatest((praw * kk.k) // greatest(tot // 1048576, 1), 1)::BIGINT AS p
+         |  FROM r$t, t$t, kk)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |mt AS MATERIALIZED (
+       |  SELECT loser, winner FROM (
+       |    SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS loser, k AS winner FROM ev)
+       |  WHERE loser IS NOT NULL AND winner IS NOT NULL AND loser <> winner),
+       |pairs AS MATERIALIZED (
+       |  SELECT least(winner, loser) AS i, greatest(winner, loser) AS j, count(*)::BIGINT AS nij
+       |  FROM mt GROUP BY 1, 2),
+       |wins AS MATERIALIZED (SELECT winner AS item, count(*)::BIGINT AS wi FROM mt GROUP BY 1),
+       |items AS MATERIALIZED (SELECT DISTINCT item FROM (
+       |  SELECT i AS item FROM pairs UNION ALL SELECT j AS item FROM pairs)),
+       |kk AS (SELECT count(*)::BIGINT AS k FROM items),
+       |p0 AS MATERIALIZED (SELECT item, 1048576::BIGINT AS p FROM items),
+       |$rounds
+       |SELECT item, p AS rating_fp, (p::DOUBLE / 1048576.0) AS rating FROM p$iters
+       |ORDER BY rating_fp DESC, item""".stripMargin
+  }
+
   /** Damped PageRank (Graph.pageRank) unrolled to `iters` power
     * iterations: integer fixed-point ranks (2^-40 grid), per-edge
     * contribution `r // outdeg`, damping `(85*s) // 100` — all-integer,
@@ -2698,6 +2752,70 @@ object Oracles {
     // layers per round — all-integer path costs on the 2^40 NLL grid
     "spm_train" -> spmTrainOracleSql,
     "spm_tokenize" -> spmTokenizeOracleSql,
+    "spm_fertility" -> spmFertilityOracleSql,
+
+    // pass@k as ratios of exact integer falling products (n fixed at
+    // 10 per problem, so int64 never strains); n-c < k collapses to a
+    // zero factor (pass = 1)
+    "eval_pass_at_k" ->
+      s"""WITH s AS (SELECT doc_id // 10 AS problem_id,
+         |    CASE WHEN (${md24("'pass:' || doc_id::VARCHAR")}) % 4 = 0 THEN 1 ELSE 0 END AS ok
+         |  FROM documents),
+         |p AS (SELECT problem_id, count(*)::BIGINT AS n, sum(ok)::BIGINT AS c FROM s GROUP BY 1)
+         |SELECT problem_id, n, c,
+         |  CASE WHEN n < 1 THEN NULL
+         |    ELSE 1.0 - greatest(n - c, 0)::DOUBLE / n::DOUBLE END AS pass_at_1,
+         |  CASE WHEN n < 5 THEN NULL
+         |    ELSE 1.0 - (greatest(n-c,0) * greatest(n-c-1,0) * greatest(n-c-2,0)
+         |                 * greatest(n-c-3,0) * greatest(n-c-4,0))::DOUBLE
+         |             / (n * (n-1) * (n-2) * (n-3) * (n-4))::DOUBLE END AS pass_at_5
+         |FROM p ORDER BY problem_id""".stripMargin,
+
+    // reliability diagram + corpus ECE: the ECE numerator is one exact
+    // int64 sum of per-bin |c*2^24 - sum(conf)| gaps
+    "eval_ece" ->
+      s"""WITH preds AS (SELECT
+         |    (${md24("'conf:' || doc_id::VARCHAR")}) AS conf_fp,
+         |    CASE WHEN (${md24("'acc:' || doc_id::VARCHAR")}) < ((${md24("'conf:' || doc_id::VARCHAR")}) * 9) // 10
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM documents),
+         |b AS (SELECT ((conf_fp * 10) // 16777216)::INTEGER AS bin,
+         |    count(*)::BIGINT AS n, sum(ok)::BIGINT AS c, sum(conf_fp)::BIGINT AS sc
+         |  FROM preds GROUP BY 1),
+         |g AS (SELECT *, abs(c * 16777216 - sc)::BIGINT AS gap_num FROM b),
+         |t AS (SELECT sum(n)::BIGINT AS tn, sum(gap_num)::BIGINT AS tg FROM g)
+         |SELECT bin, n,
+         |  c::DOUBLE / n::DOUBLE AS accuracy,
+         |  sc::DOUBLE / (n * 16777216)::DOUBLE AS confidence,
+         |  gap_num::DOUBLE / (n * 16777216)::DOUBLE AS gap,
+         |  tg::DOUBLE / (tn * 16777216)::DOUBLE AS ece
+         |FROM g, t ORDER BY bin""".stripMargin,
+
+    // Cohen's kappa cleared to one integer numerator/denominator; the
+    // HUGEINT cross moments are exactly double-representable (< 2^53)
+    "eval_kappa" ->
+      s"""WITH r AS (SELECT
+         |    (${md24("'r1:' || doc_id::VARCHAR")}) % 3 AS r1,
+         |    CASE WHEN (${md24("'agree:' || doc_id::VARCHAR")}) % 10 < 7
+         |      THEN (${md24("'r1:' || doc_id::VARCHAR")}) % 3
+         |      ELSE ((${md24("'r1:' || doc_id::VARCHAR")}) % 3 + 1
+         |            + (${md24("'alt:' || doc_id::VARCHAR")}) % 2) % 3 END AS r2
+         |  FROM documents),
+         |nn AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN r1 = r2 THEN 1 ELSE 0 END)::BIGINT AS n_agree FROM r),
+         |rm AS (SELECT r1 AS k, count(*)::BIGINT AS rk FROM r GROUP BY 1),
+         |cm AS (SELECT r2 AS k, count(*)::BIGINT AS ck FROM r GROUP BY 1),
+         |rc AS (SELECT coalesce(sum(coalesce(rk, 0)::HUGEINT * coalesce(ck, 0)::HUGEINT), 0) AS rc
+         |  FROM rm FULL OUTER JOIN cm USING (k))
+         |SELECT n, n_agree,
+         |  n_agree::DOUBLE / n::DOUBLE AS po,
+         |  rc::DOUBLE / (n::HUGEINT * n::HUGEINT)::DOUBLE AS pe,
+         |  (n::HUGEINT * n_agree::HUGEINT - rc)::DOUBLE
+         |    / (n::HUGEINT * n::HUGEINT - rc)::DOUBLE AS kappa
+         |FROM nn, rc""".stripMargin,
+
+    // MM fixpoint unrolled to 4 rounds on the 2^20 grid
+    "eval_bradley_terry" -> bradleyTerryOracleSql(4),
 
     // exact longest shared run per doc pair, verified QUADRATICALLY:
     // every substring of every derived doc (lengths 8..n), a raw

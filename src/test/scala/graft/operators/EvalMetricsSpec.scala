@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Eval-analytics operators: hand-computed pass@k / ECE / kappa values,
+  * the Bradley–Terry MM round pinned by hand, and determinism.
+  */
+class EvalMetricsSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("pass@k matches the hand-computed estimator (incl. the zero-factor clamp)") {
+    val df = (Seq.fill(2)(("a", true)) ++ Seq.fill(2)(("a", false)) ++   // n=4 c=2
+      Seq(("b", true)) ++ Seq.fill(4)(("b", false)) ++                    // n=5 c=1
+      Seq(("c", true)) ++ Seq.fill(5)(("c", false)))                      // n=6 c=1
+      .toDF("problem", "ok")
+    val got = EvalMetrics.passAtK(df, "problem", "ok", Seq(1, 5))
+      .orderBy("problem")
+      .select(col("problem"), col("pass_at_1"), col("pass_at_5"))
+      .as[(String, Option[Double], Option[Double])].collect().toSeq
+    assert(got(0) == (("a", Some(0.5), None)))               // n=4 < 5
+    assert(got(1) == (("b", Some(1.0 - 4.0 / 5.0), Some(1.0)))) // C(4,5)=0
+    assert(got(2) == (("c", Some(1.0 - 5.0 / 6.0), Some(1.0 - 120.0 / 720.0))))
+  }
+
+  test("ECE bins match the hand-computed reliability table") {
+    val q = 1L << 22 // quarter of the 2^24 grid
+    val df = Seq((q, true), (q, false), (3 * q, true)).toDF("conf_fp", "ok")
+    val got = EvalMetrics.eceBins(df, "conf_fp", "ok", bins = 2)
+      .as[(Int, Long, Double, Double, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(0, 1))
+    val (_, n0, acc0, conf0, gap0, ece0) = got(0)
+    assert(n0 == 2 && acc0 == 0.5 && conf0 == 0.25 && gap0 == 0.25)
+    val (_, n1, acc1, conf1, gap1, ece1) = got(1)
+    assert(n1 == 1 && acc1 == 1.0 && conf1 == 0.75 && gap1 == 0.25)
+    assert(ece0 == 0.25 && ece1 == 0.25) // (2^23 + 2^22) / (3 * 2^24)
+  }
+
+  test("kappa: random agreement -> 0, perfect agreement -> 1") {
+    val rand = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "a")).toDF("r1", "r2")
+    val k0 = EvalMetrics.cohenKappa(rand, "r1", "r2")
+      .select(col("kappa")).as[Double].collect()(0)
+    assert(k0 == 0.0)
+    val perfect = Seq(("a", "a"), ("b", "b")).toDF("r1", "r2")
+    val k1 = EvalMetrics.cohenKappa(perfect, "r1", "r2")
+      .select(col("n"), col("n_agree"), col("kappa"))
+      .as[(Long, Long, Double)].collect()(0)
+    assert(k1 == ((2L, 2L, 1.0)))
+  }
+
+  test("bradley-terry: one MM round pinned by hand") {
+    // B beats A three times: t = 3*2^40 div 2^21 = 3*2^19 for both
+    // endpoints; praw_B = 3*2^40 div 3*2^19 = 2^21, praw_A = 1
+    // (winless floor); renorm with K=2, tot = 2^21+1:
+    // p_B = (2^21*2) div ((2^21+1) div 2^20) = 2^22 div 2 = 2^21, p_A = 1
+    val df = Seq.fill(3)((2L, 1L)).toDF("winner", "loser")
+    val got = EvalMetrics.bradleyTerry(df, "winner", "loser", iters = 1)
+      .select(col("item"), col("rating_fp")).as[(Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L << 21), (1L, 1L)))
+  }
+
+  test("bradley-terry: orders a transitive tournament correctly") {
+    val df = (Seq.fill(3)((1L, 2L)) ++ Seq.fill(3)((2L, 3L)) ++ Seq((1L, 3L)))
+      .toDF("winner", "loser")
+    val got = EvalMetrics.bradleyTerry(df, "winner", "loser", iters = 4)
+      .select(col("item")).as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 3L), s"expected 1 > 2 > 3, got $got")
+  }
+
+  test("bradley-terry is bit-identical under repartitioning") {
+    val rnd = new scala.util.Random(9)
+    val df = (0 until 300).map { _ =>
+      val a = rnd.nextInt(6).toLong; val b = (a + 1 + rnd.nextInt(5)) % 6
+      if (rnd.nextBoolean()) (a, b) else (b, a)
+    }.toDF("winner", "loser")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      EvalMetrics.bradleyTerry(d, "winner", "loser", iters = 4)
+        .select(col("item"), col("rating_fp")).as[(Long, Long)].collect().toSeq
+    assert(run(df.repartition(1)) == run(df.repartition(7)))
+  }
+
+  test("fertility: single chars dominate an unseen-structure corpus (invariants)") {
+    val docs = Seq(("en", "banana bandana"), ("de", "cabana banana cab"))
+      .toDF("lang", "text")
+    val got = UnigramLm.fertility(docs, "text", "lang")
+      .orderBy("lang")
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq("de", "en"))
+    got.foreach { case (_, nw, np, nc, fert, cpp) =>
+      assert(np >= nw, "at least one piece per word")
+      assert(fert == np.toDouble / nw)
+      assert(cpp == nc.toDouble / np)
+      assert(nc >= np, "pieces have at least one char")
+    }
+  }
+}
