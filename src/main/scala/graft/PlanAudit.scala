@@ -234,7 +234,11 @@ object PlanAudit {
       // bradley-terry touches the corpus once for matches, then each
       // MM round is a pair-table pass + items aggregate + 1-row renorm
       "eval_pass_at_k", "eval_ece", "eval_kappa", "eval_bradley_terry",
-      "spm_fertility")
+      "spm_fertility",
+      // the data map's margins are ONE projection over the cached
+      // feature table (10 literal-snapshot folds, no joins) + the
+      // tertile window; license rollup is one shard aggregate
+      "classifier_datamap", "license_propagation", "spm_tokenize_artifact")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -258,4 +258,31 @@ object Privacy {
       .withColumn("close", col("t_dist") <= t)
       .orderBy(col(q1), col(q2))
   }
+
+  /** License/provenance propagation through derivation — the dataset-
+    * governance rule every release pipeline enforces: a derived unit's
+    * license is the MOST RESTRICTIVE license of anything it was built
+    * from (the meet in the license lattice). Given chunk-grain rows
+    * carrying their shard assignment and source license rank (higher =
+    * more restrictive), roll each shard up to its binding license plus
+    * the provenance breadth that drives re-shard decisions. Emits
+    * (`shardCol`, n_chunks, n_docs, n_sources, license_rank, license).
+    *
+    * Plan: one map-side-combined shard aggregate (the distincts are the
+    * standard two-phase expand) — shard count is bounded, rows are
+    * provenance tuples, no text moves.
+    */
+  def licensePropagation(chunks: DataFrame, shardCol: String, docCol: String,
+                         sourceCol: String, rankCol: String,
+                         names: Seq[String]): DataFrame = {
+    require(names.nonEmpty, "need at least one license name")
+    chunks.groupBy(col(shardCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        countDistinct(col(docCol)).as("n_docs"),
+        countDistinct(col(sourceCol)).as("n_sources"),
+        max(col(rankCol)).as("license_rank"))
+      .withColumn("license",
+        element_at(typedLit(names), col("license_rank").cast("int") + 1))
+      .orderBy(col(shardCol))
+  }
 }

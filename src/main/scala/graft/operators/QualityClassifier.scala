@@ -242,10 +242,21 @@ object QualityClassifier {
     */
   private def perceptronLoop(grouped: DataFrame, iters: Int,
                              buckets: Int): (Seq[(Int, Int, Long)], Array[Long]) = {
+    val (trace, snaps) = perceptronSnapshots(grouped, iters, buckets)
+    (trace, snaps.last)
+  }
+
+  /** [[perceptronLoop]] keeping the post-epoch weight snapshot of EVERY
+    * epoch (iters × (buckets+1) longs on the driver — 320 KB at the
+    * defaults; the training-dynamics consumers need the trajectory).
+    */
+  private def perceptronSnapshots(grouped: DataFrame, iters: Int, buckets: Int)
+      : (Seq[(Int, Int, Long)], Seq[Array[Long]]) = {
     require(iters >= 1, "need iters >= 1")
     val w = new Array[Long](buckets + 1)
     val sentinel = struct(lit(-1).cast("int").as("bucket"), lit(1L).as("cnt"))
     val trace = Seq.newBuilder[(Int, Int, Long)]
+    val snaps = Seq.newBuilder[Array[Long]]
     for (t <- 1 to iters) {
       val delta = grouped
         .where(col("y") * scoreAgainst(w) <= 0)
@@ -262,7 +273,62 @@ object QualityClassifier {
       var i = 0
       while (i < w.length) { l1 += math.abs(w(i)); i += 1 }
       trace += ((t, nWrong.toInt, l1))
+      snaps += w.clone()
     }
-    (trace.result(), w)
+    (trace.result(), snaps.result())
+  }
+
+  /** Training-dynamics DATA MAP (Swayamdipta et al. 2020, "Dataset
+    * Cartography"): per document, the mean and variability of its
+    * signed margin across the epoch trajectory — low-variability
+    * positive-mean docs are EASY (safe to downsample), low-variability
+    * negative-mean docs are HARD (often label errors), high-variability
+    * docs are AMBIGUOUS (the most valuable training signal). The margin
+    * after epoch t is y·s_t under snapshot w_t (trained weights are raw
+    * integer count-sums), quantized by q_t = floor(m_t / 2¹⁰) — a
+    * power-of-two FLOOR of an exactly-representable double, identical
+    * in every engine (signed integer `div` would truncate toward zero
+    * and diverge from the oracle's floor on negative margins — the
+    * reason this is floor, not div; envelope: |m| < 2⁵³). mean =
+    * Σq/iters (one exact division); variability ships as the integer
+    * numerator iters·Σq² − (Σq)² (int64 under the grid).
+    *
+    * Buckets: ambiguous = top variability tertile (global ntile —
+    * exact-rank semantics for the oracle; a 100 TB run would swap in
+    * approx thresholds), else easy/hard by margin sign.
+    *
+    * Plan: the feature build + iters driver-fold epochs of
+    * [[trainPerceptron]], then ONE projection computes all `iters`
+    * margins per doc (each snapshot an O(1)-indexed array literal) —
+    * no joins, no per-epoch scoring passes; the only extra exchange is
+    * the tertile window.
+    */
+  def dataMap(docs: DataFrame, textCol: String, idCol: String,
+              labelCol: String, buckets: Int = 4096,
+              iters: Int = 10, biasCnt: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val grouped = Materialize.cutEager(
+      groupedFeatures(hashedFeatures(docs, textCol, idCol, labelCol, buckets, biasCnt)))
+    val (_, snaps) = perceptronSnapshots(grouped, iters, buckets)
+    val qs = snaps.map(wt =>
+      floor((col("y") * scoreAgainst(wt)).cast("double") / 1024.0))
+    val sq = qs.reduce(_ + _)
+    val sq2 = qs.map(q => q * q).reduce(_ + _)
+    val out = grouped
+      .select(col("_id"), sq.as("_sq"),
+        (lit(iters.toLong) * sq2 - sq * sq).as("variability_num"))
+      .withColumn("_tert", ntile(3).over(
+        Window.orderBy(col("variability_num"), col("_id"))))
+      .select(col("_id").as(idCol),
+        (col("_sq").cast("double") / iters).as("mean_margin"),
+        col("variability_num"),
+        when(col("_tert") === 3, "ambiguous")
+          .when(col("_sq") > 0, "easy").otherwise("hard").as("bucket"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(grouped)
+      pinned
+    }
   }
 }

@@ -215,6 +215,61 @@ object UnigramLm {
     }
   }
 
+  /** The persistable tokenizer ARTIFACT — the pruned, +1-smoothed
+    * round-2 vocabulary (piece, cnt) whose NLL costs drive the final
+    * segmentation: save this table to parquet once, then encode ANY
+    * corpus later with [[tokenizeCountsWith]] without retraining (the
+    * `Bpe.encodeCountsWith` lifecycle). Re-encoding the training corpus
+    * through the round-trip reproduces [[tokenizeCounts]] bit-for-bit
+    * (UnigramLmSpec pins it through parquet).
+    */
+  def trainVocab(docs: DataFrame, textCol: String, pieceLen: Int = 4,
+                 seedMulti: Int = 16, keepMulti: Int = 12): DataFrame = {
+    val words = Materialize.cutEager(wordCounts(docs, textCol))
+    val v0 = Materialize.cutEager(seedVocab(words, pieceLen, seedMulti))
+    val u1 = Materialize.cutEager(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
+    val chars = v0.where(length(col("piece")) === 1).select(col("piece"))
+    val keep = u1.where(length(col("piece")) > 1)
+      .orderBy(col("n_uses").desc, col("piece")).limit(keepMulti)
+      .select(col("piece"))
+    val v1 = Materialize.cutPinned(chars.unionByName(keep)
+      .join(u1, Seq("piece"), "left")
+      .select(col("piece"), (coalesce(col("n_uses"), lit(0L)) + 1L).as("cnt")))
+    Materialize.release(words)
+    Materialize.release(v0)
+    Materialize.release(u1)
+    v1
+  }
+
+  /** Encode against a persisted [[trainVocab]] artifact: costs rebuilt
+    * from the (piece, cnt) table, the corpus' distinct words
+    * Viterbi-segmented once, documents joined to the tiny
+    * word→n_pieces table. Out-of-vocabulary characters (a corpus the
+    * training corpus never saw) leave their words unsegmentable — such
+    * words drop from the join, exactly the place a production encoder
+    * adds byte fallback.
+    */
+  def tokenizeCountsWith(docs: DataFrame, textCol: String, idCol: String,
+                         vocab: DataFrame, pieceLen: Int = 4): DataFrame = {
+    val words = Materialize.cutEager(wordCounts(docs, textCol))
+    val seg = Materialize.cutEager(viterbiSeg(words, pieceCosts(vocab), pieceLen))
+    val out = docs
+      .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
+      .where(col("word") =!= "")
+      .join(broadcast(seg.select(col("word"),
+        size(split(col("seg"), " ")).as("n_pieces"))), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
+        sum(col("n_pieces")).cast("int").as("n_spm_tokens"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(words)
+      Materialize.release(seg)
+      pinned
+    }
+  }
+
   /** Tokenizer fertility audit per corpus group (language/source): the
     * number every tokenizer-vocab decision is judged by — subword
     * pieces per whitespace word (fertility) and characters per piece

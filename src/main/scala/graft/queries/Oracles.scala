@@ -207,6 +207,34 @@ object Oracles {
        |ORDER BY iter""".stripMargin
   }
 
+  /** Replays [[graft.operators.QualityClassifier.dataMap]]: margins
+    * y·s_t against every post-epoch weight layer, q_t =
+    * floor((y·s)/2^10) via double division by a power of two (exact,
+    * and floor — matching the engine on NEGATIVE margins where `div`
+    * truncation would not), then per-doc mean and the int64
+    * variability numerator k·Σq² − (Σq)², ambiguous = top variability
+    * tertile (ntile, doc_id tiebreak), else sign of the margin sum.
+    */
+  private def classifierDatamapOracleSql(k: Int): String = {
+    val margins = (1 to k).map { t =>
+      s"""SELECT f.doc_id,
+         |  floor((f.y * sum(f.cnt * coalesce(w.w, 0)))::DOUBLE / 1024.0)::BIGINT AS q
+         |FROM pfeats f LEFT JOIN w$t w USING (bucket)
+         |GROUP BY f.doc_id, f.y""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $perceptronFeatsCtes,
+       |${perceptronLayerCtes(k, "pfeats")},
+       |mq AS MATERIALIZED ($margins),
+       |st AS (SELECT doc_id, sum(q)::BIGINT AS sq,
+       |    ($k * sum(q * q) - sum(q) * sum(q))::BIGINT AS variability_num
+       |  FROM mq GROUP BY doc_id),
+       |n3 AS (SELECT *, ntile(3) OVER (ORDER BY variability_num, doc_id) AS tert FROM st)
+       |SELECT doc_id, sq::DOUBLE / $k.0 AS mean_margin, variability_num,
+       |  CASE WHEN tert = 3 THEN 'ambiguous'
+       |       WHEN sq > 0 THEN 'easy' ELSE 'hard' END AS bucket
+       |FROM n3 ORDER BY doc_id""".stripMargin
+  }
+
   /** Replays [[graft.operators.QualityClassifier.evalPerceptron]]: the
     * md5-coin 80/20 split, epochs over the train side only, then both
     * sides scored against the final weights.
@@ -2816,6 +2844,29 @@ object Oracles {
 
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
+
+    // dataset cartography: margins against every epoch snapshot of the
+    // SAME perceptron layers as classifier_train, quantized by a
+    // power-of-two FLOOR (floor matches across engines on negatives
+    // where integer div would not); variability as an int64 numerator
+    "classifier_datamap" -> classifierDatamapOracleSql(10),
+
+    // most-restrictive-wins rollup over the chunk->shard scatter
+    "license_propagation" ->
+      s"""WITH c AS (
+         |  SELECT doc_id, source, (${md24("'lic:' || source")}) % 4 AS rank, chunk,
+         |    (${md24("'shard:' || doc_id::VARCHAR || ':' || chunk::VARCHAR")}) % 16 AS shard
+         |  FROM documents, range(0, 4) rc(chunk))
+         |SELECT shard, count(*)::BIGINT AS n_chunks,
+         |  count(DISTINCT doc_id)::BIGINT AS n_docs,
+         |  count(DISTINCT source)::BIGINT AS n_sources,
+         |  max(rank)::BIGINT AS license_rank,
+         |  (['public_domain', 'cc_by', 'cc_by_sa', 'proprietary'])[max(rank)::INTEGER + 1] AS license
+         |FROM c GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // artifact round-trip is bit-equal to the fused fit, so the oracle
+    // is the spm_tokenize replay
+    "spm_tokenize_artifact" -> spmTokenizeOracleSql,
 
     // exact longest shared run per doc pair, verified QUADRATICALLY:
     // every substring of every derived doc (lengths 8..n), a raw

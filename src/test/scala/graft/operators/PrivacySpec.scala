@@ -106,4 +106,19 @@ class PrivacySpec extends SparkSuite {
     assert(byClass("g2") == ((0.5, false)), "all-a class leaks: t = 1/2")
     assert(byClass("g3") == ((0.5, false)), "all-b class leaks: t = 1/2")
   }
+
+  test("license propagation: most-restrictive rank wins per shard") {
+    // two docs, fixed shard assignment: shard 0 mixes ranks 0 and 3 ->
+    // binding license 'proprietary'; shard 1 holds only rank 0
+    val chunks = Seq(
+      (0L, 1L, "wiki", 0L), (0L, 2L, "crawl", 3L),
+      (1L, 1L, "wiki", 0L), (1L, 1L, "wiki", 0L))
+      .toDF("shard", "doc_id", "source", "rank")
+    val got = Privacy.licensePropagation(chunks, "shard", "doc_id", "source",
+      "rank", Seq("public_domain", "cc_by", "cc_by_sa", "proprietary"))
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 3L, "proprietary"),
+      (1L, 2L, 1L, 1L, 0L, "public_domain")))
+  }
 }

@@ -95,6 +95,31 @@ class QualityClassifierSpec extends SparkSuite {
     assert(got.forall(_._3 == 0), s"separable concept → zero error on both splits: $got")
   }
 
+  test("dataMap: separable concept -> easy positives, hard label error, buckets partition") {
+    // one deliberately mislabeled doc ("good..." labeled -1): its margin
+    // under the converged model is NEGATIVE every epoch -> 'hard' unless
+    // its trajectory lands in the top variability tertile
+    val df = ((0 until 20).map(i => (i.toLong, "good fine nice", 1L)) ++
+      (20 until 40).map(i => (i.toLong, "bad awful poor", -1L)) ++
+      Seq((99L, "good fine nice", -1L)))
+      .toDF("doc_id", "text", "y")
+    val got = QualityClassifier.dataMap(df, "text", "doc_id", "y",
+      buckets = 64, iters = 8)
+      .as[(Long, Double, Long, String)].collect().toSeq
+    assert(got.size == 41)
+    assert(got.forall(r => Set("easy", "ambiguous", "hard")(r._4)))
+    val byId = got.map(r => r._1 -> r).toMap
+    // the mislabeled doc can never be 'easy': its mean margin is negative
+    assert(byId(99L)._2 < 0 && byId(99L)._4 != "easy", byId(99L).toString)
+    // correctly-labeled docs with positive mean margin are easy/ambiguous
+    assert(got.count(_._4 == "ambiguous") > 0)
+    // deterministic under repartitioning
+    val again = QualityClassifier.dataMap(df.repartition(7), "text", "doc_id", "y",
+      buckets = 64, iters = 8)
+      .as[(Long, Double, Long, String)].collect().toSeq
+    assert(got.sortBy(_._1) == again.sortBy(_._1))
+  }
+
   test("trainPerceptron trace is bit-identical under repartitioning") {
     val rnd = new scala.util.Random(11)
     val vocab = Vector("aa", "bb", "cc", "dd", "ee")

@@ -72,6 +72,20 @@ class UnigramLmSpec extends SparkSuite {
     assert(got(0)._3 <= 12 && got(1)._3 <= 3)
   }
 
+  test("artifact round-trip through parquet reproduces the fused encode bit-for-bit") {
+    val docs = Seq((1L, "banana bandana cabana"), (2L, "banana banana ana"),
+      (3L, "cab nab ban cabana")).toDF("doc_id", "text")
+    val fused = UnigramLm.tokenizeCounts(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("spmvocab").toString
+    UnigramLm.trainVocab(docs, "text").write.parquet(s"$dir/vocab.parquet")
+    val thawed = UnigramLm.tokenizeCountsWith(docs, "text", "doc_id",
+      spark.read.parquet(s"$dir/vocab.parquet"))
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(thawed == fused)
+    assert(fused.nonEmpty && fused.forall(_._3 > 0))
+  }
+
   test("train is bit-identical under repartitioning") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("ban", "ana", "cab", "nab", "dan")
