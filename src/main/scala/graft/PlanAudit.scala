@@ -238,7 +238,11 @@ object PlanAudit {
       // the data map's margins are ONE projection over the cached
       // feature table (10 literal-snapshot folds, no joins) + the
       // tertile window; license rollup is one shard aggregate
-      "classifier_datamap", "license_propagation", "spm_tokenize_artifact")
+      "classifier_datamap", "license_propagation", "spm_tokenize_artifact",
+      // calibration trio: one corpus binning aggregate each; conformal
+      // adds a calibration-side window + 1-row threshold broadcast;
+      // isotonic's O(bins^3) segment joins run on the 10-row bin table
+      "eval_brier", "eval_conformal", "eval_isotonic")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

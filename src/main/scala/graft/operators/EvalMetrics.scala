@@ -79,6 +79,134 @@ object EvalMetrics {
       .orderBy(col("bin"))
   }
 
+  /** Murphy decomposition of the Brier score (Murphy 1973): per
+    * confidence bin, the RELIABILITY term n_b(conf̄_b − ȳ_b)²/N (how
+    * miscalibrated) and the RESOLUTION term n_b(ȳ_b − ȳ)²/N (how
+    * discriminating), plus the global UNCERTAINTY ȳ(1−ȳ) —
+    * Brier = Σrel − Σres + unc. Every term is a FIXED IEEE chain over
+    * exact integer aggregates (d₁ = sc_b − G·c_b and
+    * d₂ = c_b·N − C·n_b are int64-exact; each squares once in double,
+    * correctly rounded identically on every engine), the
+    * [[RateAnomaly.cuped]] float discipline. Emits one row per bin.
+    */
+  def brierDecomposition(preds: DataFrame, confFpCol: String,
+                         correctCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins must be >= 2, got $bins")
+    val grid = 1L << 24
+    val b = preds.select(
+        expr(s"(($confFpCol * $bins) div ${grid}L)").cast("int").as("bin"),
+        col(confFpCol).cast("long").as("_conf"),
+        when(col(correctCol), 1L).otherwise(0L).as("_ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("_c"),
+        sum(col("_conf")).as("_sc"))
+    val tot = b.agg(sum(col("n")).as("_nt"), sum(col("_c")).as("_ct"))
+    def d(c: Column): Column = c.cast("double")
+    b.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        (d(col("_c")) / d(col("n"))).as("accuracy"),
+        (d(col("_sc")) / (d(col("n")) * grid.toDouble)).as("confidence"),
+        locally {
+          val d1 = d(col("_sc") - col("_c") * grid)
+          ((d1 * d1) / (d(col("n")) * d(col("_nt")) * (grid.toDouble * grid.toDouble)))
+        }.as("rel_term"),
+        locally {
+          val d2 = d(col("_c") * col("_nt") - col("_ct") * col("n"))
+          ((d2 * d2) / (d(col("n")) * d(col("_nt")) * d(col("_nt")) * d(col("_nt"))))
+        }.as("res_term"),
+        (d(col("_ct") * (col("_nt") - col("_ct"))) / (d(col("_nt")) * d(col("_nt"))))
+          .as("uncertainty"))
+      .orderBy(col("bin"))
+  }
+
+  /** Split-conformal coverage audit (Vovk; Angelopoulos & Bates 2021):
+    * the calibration side's ⌈(n_cal+1)(1−α)⌉-th smallest
+    * nonconformity score is the EXACT-rank threshold (row_number with
+    * an id tiebreak — a pure integer order statistic), and the test
+    * side's empirical coverage of {score ≤ threshold} is the audited
+    * guarantee (≥ 1−α in expectation under exchangeability). Emits one
+    * row: (n_cal, n_test, rank, threshold, coverage, target).
+    *
+    * Plan: one calibration-side window (rank), a 1-row broadcast of
+    * the threshold, one test-side count aggregate.
+    */
+  def conformalCoverage(scored: DataFrame, scoreCol: String, idCol: String,
+                        calCol: String, alphaNum: Int = 1,
+                        alphaDen: Int = 10): DataFrame = {
+    require(alphaNum >= 1 && alphaNum < alphaDen, "need 0 < alpha < 1")
+    import org.apache.spark.sql.expressions.Window
+    val cal = scored.where(col(calCol))
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col(scoreCol), col(idCol))))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    // rank = ceil((n_cal+1) * (1-alpha)) on integers:
+    // ceil(a/b) = (a + b - 1) div b with a = (n+1)(den-num)
+    val thr = cal.crossJoin(broadcast(nCal))
+      .withColumn("_target_rk",
+        expr(s"((n_cal + 1) * ${alphaDen - alphaNum} + $alphaDen - 1) div $alphaDen"))
+      .where(col("_rk") === least(col("_target_rk"), col("n_cal")))
+      .select(col("n_cal"), col("_rk").cast("long").as("rank"),
+        col(scoreCol).as("threshold"))
+    scored.where(!col(calCol))
+      .crossJoin(broadcast(thr))
+      .groupBy(col("n_cal"), col("rank"), col("threshold"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col(scoreCol) <= col("threshold"), 1L).otherwise(0L)).as("_cov"))
+      .select(col("n_cal"), col("n_test"), col("rank"), col("threshold"),
+        (col("_cov").cast("double") / col("n_test").cast("double")).as("coverage"),
+        (lit((alphaDen - alphaNum).toDouble) / alphaDen).as("target"))
+  }
+
+  /** Isotonic (PAV) calibration over the binned reliability table via
+    * the minimax closed form: ŷ_i = max_{j≤i} min_{k≥i} pooled-acc(j..k)
+    * (Robertson et al. — equivalent to pool-adjacent-violators, but
+    * expressible as bounded joins instead of a serial merge loop).
+    * Pooled accuracies quantize to the 2⁴⁰ integer grid
+    * ((Σc·2⁴⁰) div Σn), so every min/max comparison is exact and the
+    * result is engine-independent; the fitted curve is nondecreasing
+    * by construction. Emits (bin, n, accuracy, iso_fp, iso_accuracy).
+    *
+    * Plan: the bins table is domain-sized (O(bins³) segment rows —
+    * 1000 at the default 10), so everything after the one corpus
+    * binning aggregate is a broadcast-scale computation.
+    */
+  def isotonicCalibration(preds: DataFrame, confFpCol: String,
+                          correctCol: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins in [2,64], got $bins")
+    val grid = 1L << 24
+    val b = Materialize.cutEager(preds.select(
+        expr(s"(($confFpCol * $bins) div ${grid}L)").cast("int").as("bin"),
+        when(col(correctCol), 1L).otherwise(0L).as("_ok"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("_ok")).as("_c")))
+    // segments (j, k, q) over the OBSERVED bins in bin order
+    val bj = b.select(col("bin").as("j"), col("n").as("_nj"), col("_c").as("_cj"))
+    val seg = bj.join(b.select(col("bin").as("k")), col("j") <= col("k"))
+      .join(b.select(col("bin").as("m"), col("n").as("_nm"), col("_c").as("_cm")),
+        col("m") >= col("j") && col("m") <= col("k"))
+      .groupBy(col("j"), col("k"))
+      .agg(sum(col("_cm")).as("_sc"), sum(col("_nm")).as("_sn"))
+      .withColumn("q", expr("(_sc * 1099511627776L) div _sn"))
+    // iso_i = max_{j<=i} min_{k>=i} q(j,k)
+    val iso = seg
+      .join(b.select(col("bin").as("i")),
+        col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy(col("i"), col("j")).agg(min(col("q")).as("_mn"))
+      .groupBy(col("i")).agg(max(col("_mn")).as("iso_fp"))
+    val out = b.join(iso, col("bin") === col("i"))
+      .select(col("bin"), col("n"),
+        (col("_c").cast("double") / col("n").cast("double")).as("accuracy"),
+        col("iso_fp"),
+        (col("iso_fp").cast("double") / 1099511627776.0).as("iso_accuracy"))
+      .orderBy(col("bin"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(b)
+      pinned
+    }
+  }
+
   /** Cohen's kappa between two raters (the LLM-judge agreement check):
     * κ = (N·Σdiag − Σ_k row_k·col_k) / (N² − Σ_k row_k·col_k) — the
     * po/pe form cleared to one integer numerator and denominator

@@ -2845,6 +2845,71 @@ object Oracles {
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
 
+    // Murphy decomposition: d1/d2 integer-exact, each squared ONCE in
+    // double with the engine's exact parenthesization (the cuped
+    // fixed-chain discipline)
+    "eval_brier" ->
+      s"""WITH preds AS (SELECT
+         |    (${md24("'conf:' || doc_id::VARCHAR")}) AS conf_fp,
+         |    CASE WHEN (${md24("'acc:' || doc_id::VARCHAR")}) < ((${md24("'conf:' || doc_id::VARCHAR")}) * 9) // 10
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM documents),
+         |b AS (SELECT ((conf_fp * 10) // 16777216)::INTEGER AS bin,
+         |    count(*)::BIGINT AS n, sum(ok)::BIGINT AS c, sum(conf_fp)::BIGINT AS sc
+         |  FROM preds GROUP BY 1),
+         |t AS (SELECT sum(n)::BIGINT AS nt, sum(c)::BIGINT AS ct FROM b)
+         |SELECT bin, n,
+         |  c::DOUBLE / n::DOUBLE AS accuracy,
+         |  sc::DOUBLE / (n::DOUBLE * 16777216.0) AS confidence,
+         |  ((sc - 16777216 * c)::DOUBLE * (sc - 16777216 * c)::DOUBLE)
+         |    / ((n::DOUBLE * nt::DOUBLE) * 281474976710656.0) AS rel_term,
+         |  ((c * nt - ct * n)::DOUBLE * (c * nt - ct * n)::DOUBLE)
+         |    / (((n::DOUBLE * nt::DOUBLE) * nt::DOUBLE) * nt::DOUBLE) AS res_term,
+         |  (ct * (nt - ct))::DOUBLE / (nt::DOUBLE * nt::DOUBLE) AS uncertainty
+         |FROM b, t ORDER BY bin""".stripMargin,
+
+    // split-conformal: the exact-rank order statistic (integer), then
+    // one test-side count
+    "eval_conformal" ->
+      s"""WITH s AS (SELECT doc_id,
+         |    (${md24("'nc:' || doc_id::VARCHAR")}) AS score,
+         |    ((${md24("'cal:' || doc_id::VARCHAR")}) % 2 = 0) AS is_cal
+         |  FROM documents),
+         |cal AS (SELECT score, doc_id,
+         |    row_number() OVER (ORDER BY score, doc_id) AS rk FROM s WHERE is_cal),
+         |nc AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+         |thr AS (SELECT n_cal, rk::BIGINT AS rank, score AS threshold FROM cal, nc
+         |  WHERE rk = least(((n_cal + 1) * 9 + 9) // 10, n_cal)),
+         |tst AS (SELECT count(*)::BIGINT AS n_test,
+         |    sum(CASE WHEN score <= threshold THEN 1 ELSE 0 END)::BIGINT AS cov
+         |  FROM s, thr WHERE NOT is_cal)
+         |SELECT n_cal, n_test, rank, threshold,
+         |  cov::DOUBLE / n_test::DOUBLE AS coverage, 0.9 AS target
+         |FROM thr, tst""".stripMargin,
+
+    // isotonic via the minimax closed form over 2^40-quantized pooled
+    // accuracies — exact integer min/max over O(bins^3) segments
+    "eval_isotonic" ->
+      s"""WITH preds AS (SELECT
+         |    (${md24("'conf:' || doc_id::VARCHAR")}) AS conf_fp,
+         |    CASE WHEN (${md24("'acc:' || doc_id::VARCHAR")}) < ((${md24("'conf:' || doc_id::VARCHAR")}) * 9) // 10
+         |      THEN 1 ELSE 0 END AS ok
+         |  FROM documents),
+         |b AS MATERIALIZED (SELECT ((conf_fp * 10) // 16777216)::INTEGER AS bin,
+         |    count(*)::BIGINT AS n, sum(ok)::BIGINT AS c FROM preds GROUP BY 1),
+         |seg AS MATERIALIZED (
+         |  SELECT j.bin AS j, k.bin AS k,
+         |    ((sum(m.c) * 1099511627776) // sum(m.n))::BIGINT AS q
+         |  FROM b j JOIN b k ON j.bin <= k.bin
+         |  JOIN b m ON m.bin BETWEEN j.bin AND k.bin
+         |  GROUP BY 1, 2),
+         |mn AS (SELECT i.bin AS i, seg.j, min(q) AS mn
+         |  FROM seg JOIN b i ON seg.j <= i.bin AND i.bin <= seg.k GROUP BY 1, 2),
+         |iso AS (SELECT i, max(mn)::BIGINT AS iso_fp FROM mn GROUP BY 1)
+         |SELECT b.bin, b.n, c::DOUBLE / n::DOUBLE AS accuracy, iso_fp,
+         |  iso_fp::DOUBLE / 1099511627776.0 AS iso_accuracy
+         |FROM b JOIN iso ON b.bin = iso.i ORDER BY bin""".stripMargin,
+
     // dataset cartography: margins against every epoch snapshot of the
     // SAME perceptron layers as classifier_train, quantized by a
     // power-of-two FLOOR (floor matches across engines on negatives

@@ -37,6 +37,50 @@ class EvalMetricsSpec extends SparkSuite {
     assert(ece0 == 0.25 && ece1 == 0.25) // (2^23 + 2^22) / (3 * 2^24)
   }
 
+  test("brier decomposition: terms match hand values and REL - RES + UNC = direct Brier") {
+    val q = 1L << 22
+    val df = Seq((q, true), (q, false), (3 * q, true)).toDF("conf_fp", "ok")
+    val got = EvalMetrics.brierDecomposition(df, "conf_fp", "ok", bins = 2)
+      .as[(Int, Long, Double, Double, Double, Double, Double)].collect().toSeq
+    // bin0: rel = 1/24, res = 1/54; bin1: rel = 1/48, res = 1/27; unc = 2/9
+    def ~=(a: Double, b: Double) = math.abs(a - b) < 1e-12
+    assert(got.size == 2)
+    assert(~=(got(0)._5, 1.0 / 24) && ~=(got(0)._6, 1.0 / 54), got(0).toString)
+    assert(~=(got(1)._5, 1.0 / 48) && ~=(got(1)._6, 1.0 / 27), got(1).toString)
+    assert(got.forall(r => ~=(r._7, 2.0 / 9)))
+    val brier = got.map(_._5).sum - got.map(_._6).sum + got.head._7
+    // direct: mean((conf - ok)^2) with confs .25,.25,.75 and oks 1,0,1
+    assert(~=(brier, (0.5625 + 0.0625 + 0.0625) / 3), brier.toString)
+  }
+
+  test("conformal: exact-rank threshold (clamped) and test coverage") {
+    // 5 calibration scores 10..50 -> rank = min(ceil(6*0.9), 5) = 5,
+    // threshold = 50; test scores 15,25,55,65 -> coverage 0.5
+    val df = (Seq((1L, 10L, true), (2L, 20L, true), (3L, 30L, true),
+      (4L, 40L, true), (5L, 50L, true),
+      (6L, 15L, false), (7L, 25L, false), (8L, 55L, false), (9L, 65L, false)))
+      .toDF("doc_id", "score", "is_cal")
+    val got = EvalMetrics.conformalCoverage(df, "score", "doc_id", "is_cal")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((5L, 4L, 5L, 50L, 0.5, 0.9)))
+  }
+
+  test("isotonic: pools the adjacent violator pair exactly (minimax = PAV)") {
+    // observed bins with accuracies [1/2, 0, 1] -> PAV pools the first
+    // two to 1/4: fit = [2^38, 2^38, 2^40] on the 2^40 grid
+    val df = Seq(
+      ((1L << 20), true), ((1L << 20), false),
+      ((1L << 22) + (1L << 20), false), ((1L << 22) + (1L << 20), false),
+      ((1L << 23) + (1L << 20), true), ((1L << 23) + (1L << 20), true))
+      .toDF("conf_fp", "ok")
+    val got = EvalMetrics.isotonicCalibration(df, "conf_fp", "ok", bins = 4)
+      .as[(Int, Long, Double, Long, Double)].collect().toSeq
+    assert(got.map(_._4) == Seq(1L << 38, 1L << 38, 1L << 40), got.toString)
+    assert(got.map(_._5) == Seq(0.25, 0.25, 1.0))
+    // the fitted curve is nondecreasing
+    assert(got.map(_._4) == got.map(_._4).sorted)
+  }
+
   test("kappa: random agreement -> 0, perfect agreement -> 1") {
     val rand = Seq(("a", "a"), ("a", "b"), ("b", "b"), ("b", "a")).toDF("r1", "r2")
     val k0 = EvalMetrics.cohenKappa(rand, "r1", "r2")
