@@ -435,6 +435,54 @@ object EventStream {
     * (`Trigger.ProcessingTime("30 minutes")`) must use update/append mode
     * against a real sink so the watermark actually evicts state.
     */
+  /** Streaming Misra–Gries heavy hitters: per shard, at most `capacity`
+    * (term, counter) pairs carried as `mapGroupsWithState` state — the
+    * bounded-memory "which items are heavy so far" monitor
+    * ([[graft.operators.TextAnalysis.topTermsSketch]]'s sketch as
+    * streaming state; identical decrement-all charge semantics). Every
+    * true item with frequency > n_shard/(capacity+1) is guaranteed
+    * present, and a retained counter under-counts by at most
+    * n_shard/(capacity+1) — the classic MG bound, per shard; sharding
+    * by a hash of the term keeps the guarantee (each term lives in
+    * exactly one shard) while distributing state.
+    *
+    * MG is ORDER-dependent, so each micro-batch's group is folded in
+    * (`orderCol`, term) order — under `Trigger.AvailableNow` on a
+    * static prefix the result is deterministic and equals the same
+    * fold run in batch (EventStreamSpec pins parity against a plain
+    * Scala replay). Emits one row per shard: the retained counters
+    * sorted heaviest-first (count desc, term asc).
+    */
+  def heavyHitters(rows: DataFrame, shardCol: String, termCol: String,
+                   orderCol: String, capacity: Int): Dataset[(Long, Seq[(String, Long)])] = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = rows.sparkSession
+    import spark.implicits._
+    rows.select(col(shardCol).cast("long"), col(termCol).cast("string"),
+        col(orderCol).cast("long"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Seq[(String, Long)], (Long, Seq[(String, Long)])](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (shard, it, state) =>
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(_.foreach { case (t, c) => counters(t) = c })
+          it.toSeq.sortBy { case (_, t, o) => (o, t) }.foreach { case (_, t, _) =>
+            counters.get(t) match {
+              case Some(c) => counters(t) = c + 1
+              case None if counters.size < capacity => counters(t) = 1L
+              case None =>
+                val dead = counters.iterator.collect { case (k, 1L) => k }.toList
+                counters.mapValuesInPlace((_, c) => c - 1)
+                dead.foreach(counters.remove)
+            }
+          }
+          val kept = counters.toSeq.sortBy { case (t, c) => (-c, t) }
+          state.update(kept)
+          (shard, kept)
+      }
+  }
+
   def runAvailableNow(out: DataFrame, queryName: String, checkpoint: String,
                       outputMode: String = "complete"): Array[Row] = {
     val writer: DataStreamWriter[Row] = out.writeStream

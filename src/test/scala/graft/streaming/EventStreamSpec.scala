@@ -405,6 +405,53 @@ class EventStreamSpec extends SparkSuite {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming Misra-Gries heavy hitters == the ordered batch fold per shard") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val tmp = Files.createTempDirectory("graft-stream-mg")
+    val inDir = tmp.resolve("in"); Files.createDirectories(inDir)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), inDir.resolve("events.parquet"),
+      StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+    def cols(df: org.apache.spark.sql.DataFrame) = df.select(
+      pmod(conv(substring(md5(get_json_object(col("props"), "$.k")), 1, 6), 16, 10)
+        .cast("long"), lit(4L)).as("shard"),
+      get_json_object(col("props"), "$.k").as("term"),
+      col("event_id").as("ord"))
+
+    val stream = cols(spark.readStream.schema(schema).parquet(inDir.toString))
+    val streamed = EventStream.heavyHitters(stream, "shard", "term", "ord", capacity = 8)
+      .toDF("shard", "counters")
+      .select(col("shard"), col("counters").cast("string"))
+      .as[(Long, String)]
+    val got = EventStream.runAvailableNow(streamed.toDF("shard", "counters"),
+      "mg_test", tmp.resolve("ckpt").toString, outputMode = "update")
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+
+    // plain Scala replay of the same ordered fold per shard
+    val rows = cols(spark.read.parquet(inDir.toString))
+      .as[(Long, String, Long)].collect()
+    val expected = rows.groupBy(_._1).map { case (shard, rs) =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      rs.sortBy(r => (r._3, r._2)).foreach { case (_, t, _) =>
+        counters.get(t) match {
+          case Some(c) => counters(t) = c + 1
+          case None if counters.size < 8 => counters(t) = 1L
+          case None =>
+            val dead = counters.iterator.collect { case (k, 1L) => k }.toList
+            counters.mapValuesInPlace((_, c) => c - 1)
+            dead.foreach(counters.remove)
+        }
+      }
+      shard -> counters.toSeq.sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => s"{$t, $c}" }.mkString("[", ", ", "]")
+    }
+    assert(got == expected)
+    assert(got.size == 4)
+    // MG guarantee: every counter set stays within capacity
+    assert(expected.values.forall(_.count(_ == '{') <= 8))
+  }
+
   test("streaming KMV distinct state == batch kmv_min_k over the same prefix") {
     import spark.implicits._
     graft.plans.GraftExtensions.register(spark)
