@@ -910,4 +910,97 @@ object CorpusSelection {
     spark.createDataFrame(chosen.toSeq)
       .toDF("sel_round", "center_id", "radius_fp")
   }
+
+  /** Pairwise agreement matrix between selection gates — the curation
+    * self-audit: two gates with Jaccard ≈ 1 are redundant (drop one),
+    * ≈ 0 means they prune DIFFERENT corpora and their composition is
+    * much stricter than either alone. One corpus aggregate computes
+    * every per-gate and per-pair counter; the pair rows are selects
+    * over that cached 1-row result. Emits
+    * (gate_a, gate_b, n_both, n_a_only, n_b_only, jaccard).
+    */
+  def gateOverlap(flags: DataFrame, gates: Seq[String]): DataFrame = {
+    require(gates.size >= 2, "need at least two gates")
+    val pairs = for { i <- gates.indices; j <- (i + 1) until gates.size }
+      yield (gates(i), gates(j))
+    val aggs = gates.map(g => sum(when(col(g), 1L).otherwise(0L)).as(s"_n_$g")) ++
+      pairs.map { case (a, b) =>
+        sum(when(col(a) && col(b), 1L).otherwise(0L)).as(s"_nb_${a}_$b")
+      }
+    val one = Materialize.cutEager(flags.agg(aggs.head, aggs.tail: _*))
+    val out = pairs.map { case (a, b) =>
+      one.select(lit(a).as("gate_a"), lit(b).as("gate_b"),
+        col(s"_nb_${a}_$b").as("n_both"),
+        (col(s"_n_$a") - col(s"_nb_${a}_$b")).as("n_a_only"),
+        (col(s"_n_$b") - col(s"_nb_${a}_$b")).as("n_b_only"))
+    }.reduce(_.unionByName(_))
+      .withColumn("jaccard",
+        when(col("n_both") + col("n_a_only") + col("n_b_only") === 0L, lit(0.0))
+          .otherwise(col("n_both").cast("double")
+            / (col("n_both") + col("n_a_only") + col("n_b_only")).cast("double")))
+      .orderBy(col("gate_a"), col("gate_b"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(one)
+      pinned
+    }
+  }
+
+  /** Selection-pressure audit: per gate, how the kept set's mean score
+    * shifts against the full corpus — the winners-curse check before
+    * trusting any post-selection metric (`scoreCol` must be
+    * integer-typed so the sums are exact; the means are single IEEE
+    * divisions and the shift one subtraction). Emits
+    * (gate, n_total, n_kept, mean_all, mean_kept, shift).
+    */
+  def gateShift(flags: DataFrame, gates: Seq[String], scoreCol: String): DataFrame = {
+    require(gates.nonEmpty, "need at least one gate")
+    val aggs = Seq(count(lit(1)).as("_n"), sum(col(scoreCol)).as("_s")) ++
+      gates.flatMap(g => Seq(
+        sum(when(col(g), 1L).otherwise(0L)).as(s"_n_$g"),
+        sum(when(col(g), col(scoreCol)).otherwise(0L)).as(s"_s_$g")))
+    val one = Materialize.cutEager(flags.agg(aggs.head, aggs.tail: _*))
+    val out = gates.map { g =>
+      one.select(lit(g).as("gate"), col("_n").as("n_total"),
+        col(s"_n_$g").as("n_kept"),
+        (col("_s").cast("double") / col("_n").cast("double")).as("mean_all"),
+        when(col(s"_n_$g") === 0L, lit(null).cast("double"))
+          .otherwise(col(s"_s_$g").cast("double") / col(s"_n_$g").cast("double"))
+          .as("mean_kept"))
+    }.reduce(_.unionByName(_))
+      .withColumn("shift", col("mean_kept") - col("mean_all"))
+      .orderBy(col("gate"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(one)
+      pinned
+    }
+  }
+
+  /** Leave-one-source-out ablation of a corpus-mean metric — the
+    * cheapest source-attribution signal (the full Shapley needs 2^k
+    * retrains; LOO on a DECOMPOSABLE metric needs one aggregate):
+    * mean-without-source = (S − s_i)/(N − n_i) from exact integer
+    * sums, delta against the global mean. Emits (`sourceCol`, n_docs,
+    * mean_all, mean_without, delta); single-source corpora yield null.
+    *
+    * Plan: one map-side-combined source aggregate + a 1-row broadcast
+    * total — source count rows, never the corpus, after the one scan.
+    */
+  def looSourceAblation(docs: DataFrame, sourceCol: String,
+                        scoreCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(scoreCol).cast("long")).as("_s"))
+    val tot = per.agg(sum(col("n_docs")).as("_n"), sum(col("_s")).as("_st"))
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"),
+        (col("_st").cast("double") / col("_n").cast("double")).as("mean_all"),
+        when(col("_n") === col("n_docs"), lit(null).cast("double"))
+          .otherwise((col("_st") - col("_s")).cast("double")
+            / (col("_n") - col("n_docs")).cast("double")).as("mean_without"))
+      .withColumn("delta", col("mean_without") - col("mean_all"))
+      .orderBy(col(sourceCol))
+  }
 }

@@ -504,6 +504,35 @@ object Oracles {
        |  floor(-ln(cnt::DOUBLE / t::DOUBLE) * 1099511627776.0)::BIGINT AS cfp FROM v1, t1),
        |${spmViterbiCtes(2, "c1", maxLen, pieceLen)}""".stripMargin
 
+  /** Shared flags CTE of the curation self-audit rows: the gopher
+    * rules (verbatim the quality_gopher oracle, un-planted), the hash
+    * classifier's label, and the length gate over the RAW corpus,
+    * joined to `flags(doc_id, n_chars, classifier, gopher, long250)`.
+    */
+  private def gateFlagsCtes: String =
+    s"""gt AS MATERIALIZED (SELECT doc_id, text, n_chars,
+       |  string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+       |gg AS (SELECT doc_id,
+       |    (len(toks) >= 5 AND len(toks) <= 100000
+       |     AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE >= 3.0
+       |     AND length(regexp_replace(text, '\\s+', '', 'g'))::DOUBLE / len(toks)::DOUBLE <= 10.0
+       |     AND len(regexp_extract_all(text, '[#…]'))::DOUBLE / len(toks)::DOUBLE <= 0.1
+       |     AND len(list_filter(toks, x -> regexp_matches(x, '[a-zа-яё]')))::DOUBLE / len(toks)::DOUBLE >= 0.8
+       |     AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','it')))::INTEGER >= 2) AS gopher
+       |  FROM gt),
+       |gfeats AS (
+       |  SELECT doc_id, unnest(toks) AS f FROM gt
+       |  UNION ALL
+       |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+       |  FROM gt, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+       |glab AS (SELECT doc_id, sum(w_fp) > 0 AS classifier FROM (
+       |    SELECT doc_id, (${md24(s"'w:' || ((${md24("f")}) % 4096)::VARCHAR")} - 8388608)::BIGINT AS w_fp
+       |    FROM gfeats) GROUP BY doc_id),
+       |flags AS MATERIALIZED (
+       |  SELECT gt.doc_id, gt.n_chars, glab.classifier, gg.gopher,
+       |    gt.n_chars >= 250 AS long250
+       |  FROM gt JOIN gg USING (doc_id) JOIN glab USING (doc_id))""".stripMargin
+
   private def spmTrainOracleSql: String =
     s"""WITH ${spmCtes()}
        |SELECT v1.piece, len(v1.piece)::INTEGER AS piece_len,
@@ -2844,6 +2873,75 @@ object Oracles {
 
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
+
+    // gate agreement matrix: one flags pass (gopher rules + hash
+    // classifier + length), one counter aggregate, pair rows over it
+    "selection_overlap" ->
+      s"""WITH $gateFlagsCtes,
+         |a AS (SELECT
+         |    sum(CASE WHEN classifier THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN gopher THEN 1 ELSE 0 END)::BIGINT AS n_g,
+         |    sum(CASE WHEN long250 THEN 1 ELSE 0 END)::BIGINT AS n_l,
+         |    sum(CASE WHEN classifier AND gopher THEN 1 ELSE 0 END)::BIGINT AS nb_cg,
+         |    sum(CASE WHEN classifier AND long250 THEN 1 ELSE 0 END)::BIGINT AS nb_cl,
+         |    sum(CASE WHEN gopher AND long250 THEN 1 ELSE 0 END)::BIGINT AS nb_gl
+         |  FROM flags)
+         |SELECT * FROM (
+         |  SELECT 'classifier' AS gate_a, 'gopher' AS gate_b, nb_cg AS n_both,
+         |    (n_c - nb_cg) AS n_a_only, (n_g - nb_cg) AS n_b_only,
+         |    CASE WHEN nb_cg + (n_c - nb_cg) + (n_g - nb_cg) = 0 THEN 0.0
+         |      ELSE nb_cg::DOUBLE / (nb_cg + (n_c - nb_cg) + (n_g - nb_cg))::DOUBLE END AS jaccard
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 'classifier', 'long250', nb_cl, (n_c - nb_cl), (n_l - nb_cl),
+         |    CASE WHEN nb_cl + (n_c - nb_cl) + (n_l - nb_cl) = 0 THEN 0.0
+         |      ELSE nb_cl::DOUBLE / (nb_cl + (n_c - nb_cl) + (n_l - nb_cl))::DOUBLE END
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 'gopher', 'long250', nb_gl, (n_g - nb_gl), (n_l - nb_gl),
+         |    CASE WHEN nb_gl + (n_g - nb_gl) + (n_l - nb_gl) = 0 THEN 0.0
+         |      ELSE nb_gl::DOUBLE / (nb_gl + (n_g - nb_gl) + (n_l - nb_gl))::DOUBLE END
+         |  FROM a)
+         |ORDER BY gate_a, gate_b""".stripMargin,
+
+    // selection-pressure: kept-set mean n_chars vs the corpus mean
+    "selection_shift" ->
+      s"""WITH $gateFlagsCtes,
+         |a AS (SELECT count(*)::BIGINT AS n, sum(n_chars)::BIGINT AS s,
+         |    sum(CASE WHEN classifier THEN 1 ELSE 0 END)::BIGINT AS n_c,
+         |    sum(CASE WHEN classifier THEN n_chars ELSE 0 END)::BIGINT AS s_c,
+         |    sum(CASE WHEN gopher THEN 1 ELSE 0 END)::BIGINT AS n_g,
+         |    sum(CASE WHEN gopher THEN n_chars ELSE 0 END)::BIGINT AS s_g,
+         |    sum(CASE WHEN long250 THEN 1 ELSE 0 END)::BIGINT AS n_l,
+         |    sum(CASE WHEN long250 THEN n_chars ELSE 0 END)::BIGINT AS s_l
+         |  FROM flags)
+         |SELECT *, mean_kept - mean_all AS shift FROM (
+         |  SELECT 'classifier' AS gate, n AS n_total, n_c AS n_kept,
+         |    s::DOUBLE / n::DOUBLE AS mean_all,
+         |    CASE WHEN n_c = 0 THEN NULL ELSE s_c::DOUBLE / n_c::DOUBLE END AS mean_kept
+         |  FROM a
+         |  UNION ALL
+         |  SELECT 'gopher', n, n_g, s::DOUBLE / n::DOUBLE,
+         |    CASE WHEN n_g = 0 THEN NULL ELSE s_g::DOUBLE / n_g::DOUBLE END FROM a
+         |  UNION ALL
+         |  SELECT 'long250', n, n_l, s::DOUBLE / n::DOUBLE,
+         |    CASE WHEN n_l = 0 THEN NULL ELSE s_l::DOUBLE / n_l::DOUBLE END FROM a)
+         |ORDER BY gate""".stripMargin,
+
+    // leave-one-source-out: decomposable-mean ablation from one
+    // source aggregate
+    "source_ablation" ->
+      s"""WITH per AS (SELECT source, count(*)::BIGINT AS n_docs,
+         |    sum(n_chars)::BIGINT AS s FROM documents GROUP BY source),
+         |tot AS (SELECT sum(n_docs)::BIGINT AS n, sum(s)::BIGINT AS st FROM per)
+         |SELECT source, n_docs,
+         |  st::DOUBLE / n::DOUBLE AS mean_all,
+         |  CASE WHEN n = n_docs THEN NULL
+         |    ELSE (st - s)::DOUBLE / (n - n_docs)::DOUBLE END AS mean_without,
+         |  CASE WHEN n = n_docs THEN NULL
+         |    ELSE (st - s)::DOUBLE / (n - n_docs)::DOUBLE - st::DOUBLE / n::DOUBLE
+         |    END AS delta
+         |FROM per, tot ORDER BY source""".stripMargin,
 
     // Murphy decomposition: d1/d2 integer-exact, each squared ONCE in
     // double with the engine's exact parenthesization (the cuped

@@ -513,4 +513,40 @@ class CorpusSelectionSpec extends SparkSuite {
     // after normalization the two groups' targets agree bucket-by-bucket
     (1 to 4).foreach(b => assert(byKey(("hot", b))._5 == byKey(("cold", b))._5))
   }
+
+  test("gateOverlap: hand-computed pair counts and jaccard") {
+    // flags: a=[T,T,F,F], b=[T,F,T,F], c=[T,T,T,T]
+    val flags = Seq((true, true, true), (true, false, true),
+      (false, true, true), (false, false, true)).toDF("a", "b", "c")
+    val got = CorpusSelection.gateOverlap(flags, Seq("a", "b", "c"))
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "b", 1L, 1L, 1L, 1.0 / 3),
+      ("a", "c", 2L, 0L, 2L, 0.5),
+      ("b", "c", 2L, 0L, 2L, 0.5)))
+  }
+
+  test("gateShift: kept-set mean shift per gate, empty gate -> null") {
+    val flags = Seq((true, false, 10L), (true, false, 30L), (false, false, 2L))
+      .toDF("keepers", "nobody", "sc")
+    val got = CorpusSelection.gateShift(flags, Seq("keepers", "nobody"), "sc")
+      .as[(String, Long, Long, Double, Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(got(0) == (("keepers", 3L, 2L, 14.0, Some(20.0), Some(6.0))))
+    assert(got(1) == (("nobody", 3L, 0L, 14.0, None, None)))
+  }
+
+  test("looSourceAblation: removal deltas from one aggregate; single source -> null") {
+    val d = Seq(("w", 10L), ("w", 20L), ("c", 70L)).toDF("source", "sc")
+    val got = CorpusSelection.looSourceAblation(d, "source", "sc")
+      .as[(String, Long, Double, Option[Double], Option[Double])].collect().toSeq
+    // mean_all = 100/3; without c = 15, without w = 70
+    assert(got(0)._1 == "c" && got(0)._4 == Some(15.0))
+    assert(got(1)._1 == "w" && got(1)._4 == Some(70.0))
+    assert(math.abs(got(0)._5.get - (15.0 - 100.0 / 3)) < 1e-12)
+    val single = CorpusSelection.looSourceAblation(
+      Seq(("only", 5L)).toDF("source", "sc"), "source", "sc")
+      .as[(String, Long, Double, Option[Double], Option[Double])].collect().toSeq
+    assert(single.head._4.isEmpty && single.head._5.isEmpty)
+  }
 }
