@@ -242,7 +242,14 @@ object PlanAudit {
       // calibration trio: one corpus binning aggregate each; conformal
       // adds a calibration-side window + 1-row threshold broadcast;
       // isotonic's O(bins^3) segment joins run on the 10-row bin table
-      "eval_brier", "eval_conformal", "eval_isotonic")
+      "eval_brier", "eval_conformal", "eval_isotonic",
+      // curation self-audit: ONE flags pass (gopher + classifier +
+      // length in one plan) + one counter aggregate; ablation is one
+      // source aggregate + a 1-row broadcast
+      "selection_overlap", "selection_shift", "source_ablation",
+      // the bisection median is k slim count rounds over ONE cached
+      // column (no sort anywhere); rag support shuffles grams only
+      "quantile_bisect", "rag_support")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

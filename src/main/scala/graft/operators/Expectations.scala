@@ -242,4 +242,40 @@ object Expectations {
             / lit((replicas - 1).toDouble),
           lit(0.0))).cast("float"))
   }
+
+  /** EXACT order statistic without a global sort — binary search over
+    * the integer value domain: find the smallest v with
+    * count(value ≤ v) ≥ k, where k = ⌈n·qNum/qDen⌉ (exact integer
+    * ceiling). Each bisection round is ONE map-side-combined count
+    * over the cached value column; the [lo, hi] bracket lives on the
+    * driver, so the whole search is ≤ log₂(domain) bounded rounds
+    * (~21 for a 2²⁰ grid) with a 1-row collect each — the scalable
+    * exact-quantile plan (a global sort couples every row through one
+    * ordering; percentile_approx gives up exactness; this gives up
+    * neither). Emits one row (n, k, value_fp).
+    *
+    * The value column must already be integer-gridded (the engine's
+    * fixed-point discipline); ties need no special care — "smallest v
+    * with rank ≥ k" IS the order statistic under any duplicate mass.
+    */
+  def exactQuantileBisect(df: DataFrame, valueFpCol: String,
+                          qNum: Int, qDen: Int): DataFrame = {
+    require(qNum >= 1 && qNum <= qDen, s"need 0 < q <= 1, got $qNum/$qDen")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = Materialize.cutEager(df.select(col(valueFpCol).cast("long").as("_v")))
+    val Array((n, lo0, hi0)) = v.agg(count(lit(1)), min(col("_v")), max(col("_v")))
+      .as[(Long, Long, Long)].collect()
+    require(n > 0, "empty input")
+    val k = (n * qNum + qDen - 1) / qDen
+    var lo = lo0
+    var hi = hi0
+    while (lo < hi) {
+      val mid = Math.floorDiv(lo + hi, 2)
+      val c = v.where(col("_v") <= mid).count()
+      if (c >= k) hi = mid else lo = mid + 1
+    }
+    Materialize.release(v)
+    spark.createDataset(Seq((n, k, lo))).toDF("n", "k", "value_fp")
+  }
 }

@@ -401,4 +401,52 @@ object Retrieval {
         (col("dcg_fp").cast("double") / col("idcg_fp").cast("double")).as("ndcg"))
       .orderBy(col("query_id"))
   }
+
+  /** RAG faithfulness / support audit (the RAGAS-style grounding
+    * check at k-gram granularity): given answers and a
+    * (query_id, ctx_id) RETRIEVAL PAIR TABLE — in production the
+    * output of [[bm25TopK]] or an ANN stage, here pluggable — the
+    * fraction of each answer's distinct n-grams that appear in at
+    * least one of its retrieved context documents. Unsupported mass is
+    * the hallucination-risk signal a RAG release gate thresholds on.
+    * Emits (query_id, n_grams, n_supported, support).
+    *
+    * Plan: answer grams and context grams are two bounded explodes
+    * (contexts deduplicate per (query, gram) BEFORE the support join,
+    * so repeated grams across the context set cost one row); support
+    * is a LEFT SEMI join on (query_id, gram) — grams shuffle, text
+    * never does.
+    */
+  def supportFraction(docs: DataFrame, pairs: DataFrame, textCol: String,
+                      idCol: String, n: Int = 3): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    def grams(d: DataFrame, as: String) = {
+      val toks = split(lower(trim(col(textCol))), "\\s+")
+      d.select(col(idCol).as(as), explode(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            p => array_join(slice(toks, p, lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+    }
+    val agrams = grams(docs.join(pairs.select(col("query_id")).distinct(),
+        docs(idCol) === col("query_id")).drop("query_id"), "_qid")
+      .distinct()
+    val cgrams = grams(docs.join(pairs.select(col("ctx_id")).distinct(),
+        docs(idCol) === col("ctx_id")).drop("ctx_id"), "_cid")
+      .join(pairs.select(col("query_id"), col("ctx_id")),
+        col("_cid") === col("ctx_id"))
+      .select(col("query_id").as("_qid"), col("gram"))
+      .distinct()
+    agrams
+      .join(cgrams.withColumnRenamed("_qid", "_sq")
+          .withColumnRenamed("gram", "_sg"),
+        col("_qid") === col("_sq") && col("gram") === col("_sg"), "left")
+      .groupBy(col("_qid").as("query_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("_sq").isNotNull, 1L).otherwise(0L)).as("n_supported"))
+      .select(col("query_id"), col("n_grams"), col("n_supported"),
+        (col("n_supported").cast("double") / col("n_grams").cast("double"))
+          .as("support"))
+      .orderBy(col("query_id"))
+  }
 }

@@ -2874,6 +2874,39 @@ object Oracles {
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
 
+    // exact order statistic: the bisection result must equal the
+    // k-th smallest by direct rank (k = ceil(n/2))
+    "quantile_bisect" ->
+      s"""WITH v AS MATERIALIZED (
+         |  SELECT CAST(floor(value * 1048576) AS BIGINT) AS vfp FROM events),
+         |nn AS (SELECT count(*)::BIGINT AS n FROM v),
+         |kk AS (SELECT n, ((n * 1 + 2 - 1) // 2)::BIGINT AS k FROM nn),
+         |r AS (SELECT vfp, row_number() OVER (ORDER BY vfp) AS rn FROM v)
+         |SELECT kk.n, kk.k, r.vfp AS value_fp FROM r JOIN kk ON r.rn = kk.k""".stripMargin,
+
+    // RAG support: distinct answer 3-grams left-joined against the
+    // deduped context grams of the deterministic 3-doc pair table
+    "rag_support" ->
+      s"""WITH t AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |q AS (SELECT doc_id AS query_id FROM documents WHERE doc_id % 20 = 7),
+         |pairs AS (SELECT query_id, query_id + off AS ctx_id
+         |  FROM q, unnest([1, 2, 3]) AS u(off)),
+         |ag AS (SELECT DISTINCT q.query_id AS qid,
+         |    array_to_string(toks[i : i + 2], ' ') AS gram
+         |  FROM q JOIN t ON t.doc_id = q.query_id, range(1, 200) ri(i)
+         |  WHERE i + 2 <= len(toks)),
+         |cg AS (SELECT DISTINCT p.query_id AS qid,
+         |    array_to_string(toks[i : i + 2], ' ') AS gram
+         |  FROM pairs p JOIN t ON t.doc_id = p.ctx_id, range(1, 200) ri(i)
+         |  WHERE i + 2 <= len(toks))
+         |SELECT ag.qid AS query_id, count(*)::BIGINT AS n_grams,
+         |  sum(CASE WHEN cg.qid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_supported,
+         |  sum(CASE WHEN cg.qid IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+         |    / count(*)::DOUBLE AS support
+         |FROM ag LEFT JOIN cg ON ag.qid = cg.qid AND ag.gram = cg.gram
+         |GROUP BY ag.qid ORDER BY query_id""".stripMargin,
+
     // gate agreement matrix: one flags pass (gopher rules + hash
     // classifier + length), one counter aggregate, pair rows over it
     "selection_overlap" ->

@@ -127,4 +127,17 @@ class ExpectationsSpec extends SparkSuite {
         .select("replica", "n_eff", "mean").as[(Int, Long, Double)].collect().sortBy(_._1).toSeq
     assert(run(df) == run(df.repartition(7)))
   }
+
+  test("exactQuantileBisect: hand-computed order statistics") {
+    def run(vs: Seq[Long], num: Int, den: Int) =
+      Expectations.exactQuantileBisect(vs.toDF("value_fp"), "value_fp", num, den)
+        .as[(Long, Long, Long)].collect().head
+    assert(run(Seq(1L, 3L, 5L, 7L), 1, 2) == ((4L, 2L, 3L)))   // median, even n
+    assert(run(Seq(1L, 3L, 5L), 1, 2) == ((3L, 2L, 3L)))       // median, odd n
+    assert(run(Seq(2L, 2L, 2L, 9L), 1, 2) == ((4L, 2L, 2L)))   // duplicate mass
+    assert(run(Seq(10L, 20L, 30L, 40L), 1, 4) == ((4L, 1L, 10L))) // q1
+    assert(run(Seq(10L, 20L, 30L, 40L), 1, 1) == ((4L, 4L, 40L))) // max
+    // negative domain: floorDiv keeps the bracket correct
+    assert(run(Seq(-7L, -3L, 5L), 1, 2) == ((3L, 2L, -3L)))
+  }
 }

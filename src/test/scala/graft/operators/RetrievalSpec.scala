@@ -298,4 +298,18 @@ class RetrievalSpec extends SparkSuite {
     assert(Retrieval.ndcgAtK(miss, exact, k = 10)
       .as[(Long, Long, Long, Double)].collect().head._4 == 0.0)
   }
+
+  test("supportFraction: hand-computed gram support against the pair table") {
+    val docs = Seq(
+      (1L, "a b c d"),        // query: grams "a b c", "b c d"
+      (2L, "x a b c y"),      // ctx of 1: contains "a b c" only
+      (3L, "q r s"),          // ctx of 1: no overlap
+      (10L, "k l m n"),       // query 2: "k l m", "l m n"
+      (11L, "k l m n o")      // ctx of 10: contains both
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (10L, 11L)).toDF("query_id", "ctx_id")
+    val got = Retrieval.supportFraction(docs, pairs, "text", "doc_id", n = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L, 0.5), (10L, 2L, 2L, 1.0)))
+  }
 }
