@@ -249,7 +249,11 @@ object PlanAudit {
       "selection_overlap", "selection_shift", "source_ablation",
       // the bisection median is k slim count rounds over ONE cached
       // column (no sort anywhere); rag support shuffles grams only
-      "quantile_bisect", "rag_support")
+      "quantile_bisect", "rag_support",
+      // ktruss: per round ONE wedge join over the current edge set +
+      // a filter, generations through cutLoop; dp_mean/mcnemar are one
+      // aggregate each
+      "graph_ktruss", "dp_mean", "eval_mcnemar")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -235,6 +235,32 @@ object EvalMetrics {
         (col("n").cast("decimal(38,0)") * col("n").cast("decimal(38,0)") - col("_rc")).cast("double")).as("kappa"))
   }
 
+  /** McNemar's test for PAIRED model comparison (the significance
+    * input for "did model B actually beat model A on the same eval
+    * set"): over the discordant pairs b = #(A right, B wrong) and
+    * c = #(A wrong, B right), the continuity-corrected statistic
+    * (max(|b−c|−1, 0))² / (b+c) — one ratio of exact integers (0 when
+    * b+c = 0: no discordant evidence). Marginal accuracies ride along.
+    * Emits one row (n, acc_a, acc_b, b, c, statistic).
+    */
+  def mcnemar(preds: DataFrame, okACol: String, okBCol: String): DataFrame = {
+    val agg = preds.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(okACol), 1L).otherwise(0L)).as("_na"),
+      sum(when(col(okBCol), 1L).otherwise(0L)).as("_nb"),
+      sum(when(col(okACol) && !col(okBCol), 1L).otherwise(0L)).as("b"),
+      sum(when(!col(okACol) && col(okBCol), 1L).otherwise(0L)).as("c"))
+    agg.select(col("n"),
+      (col("_na").cast("double") / col("n").cast("double")).as("acc_a"),
+      (col("_nb").cast("double") / col("n").cast("double")).as("acc_b"),
+      col("b"), col("c"),
+      when(col("b") + col("c") === 0L, lit(0.0))
+        .otherwise({
+          val d = greatest(abs(col("b") - col("c")) - 1L, lit(0L))
+          (d * d).cast("double") / (col("b") + col("c")).cast("double")
+        }).as("statistic"))
+  }
+
   /** Bradley–Terry skill ratings from pairwise outcomes via the
     * minorization-maximization fixpoint (Hunter 2004), all-integer on
     * the 2²⁰ grid: per round, s_i = Σ_j (n_ij·2⁴⁰) div (P_i+P_j) and

@@ -752,4 +752,61 @@ object Graph {
       .orderBy(col("aa_fp").desc, col("node_a"), col("node_b"))
       .limit(topK)
   }
+
+  /** k-truss peeling (Cohen 2008): run exactly `rounds` rounds of
+    * [count per-edge triangle support → drop edges with
+    * support < k−2] over the undirected simple graph — the
+    * cohesive-subgraph extractor one notch stronger than k-core
+    * (every surviving edge sits in ≥ k−2 triangles INSIDE the
+    * surviving graph). A fixed round count keeps the result
+    * oracle-unrollable; when the graph converges within `rounds` (the
+    * fixture does) the output IS the exact k-truss, and the final
+    * round's support column is the true in-truss support. Emits the
+    * surviving edges (src, dst, support).
+    *
+    * Plan: each round is one wedge join over the CURRENT edge set
+    * (edges ⋈ neighbor list twice, count per edge — the
+    * [[triangleCount]] shape) + one filter; generations go through
+    * [[Materialize.cutLoop]] so round r's plan is depth-1 and exactly
+    * one edge-set generation is live. Support counting is the standard
+    * |E|^1.5-bounded wedge pass on an oriented implementation; this
+    * unoriented form is O(Σ deg(u)·deg(v)) — fine for item graphs,
+    * and the oriented optimization drops in without changing results.
+    */
+  def trussPeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"k must be >= 3, got $k")
+    require(rounds >= 1, "need rounds >= 1")
+    var e = Materialize.cutLoop(edges
+      .select(least(col(srcCol), col(dstCol)).as("u"),
+        greatest(col(srcCol), col(dstCol)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .withColumn("support", lit(0L)), previous = None)
+    for (_ <- 1 to rounds) {
+      val dir = e.select(col("u").as("x"), col("v").as("w"))
+        .unionByName(e.select(col("v").as("x"), col("u").as("w")))
+      val sup = e.select(col("u"), col("v"))
+        .join(dir.select(col("x").as("_pu"), col("w").as("_wc")),
+          col("_pu") === col("u"))
+        .join(dir.select(col("x").as("_qv"), col("w").as("_wc2")),
+          col("_qv") === col("v") && col("_wc2") === col("_wc"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("_sup"))
+      e = Materialize.cutLoop(
+        e.select(col("u"), col("v"))
+          .join(sup, Seq("u", "v"), "left")
+          .select(col("u"), col("v"), coalesce(col("_sup"), lit(0L)).as("support"))
+          .where(col("support") >= (k - 2).toLong),
+        previous = Some(e))
+    }
+    val out = e.select(col("u").as("src"), col("v").as("dst"),
+      col("support").cast("int").as("support"))
+      .orderBy(col("src"), col("dst"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(e)
+      pinned
+    }
+  }
 }

@@ -124,6 +124,40 @@ object Privacy {
       .drop("_u")
   }
 
+  /** ε-DP mean release with clipping — the third DP primitive next to
+    * [[dpCounts]] and [[dpQuantile]] (count / quantile / mean is the
+    * canonical release trio): values clip to [0, `clip`] (sensitivity
+    * clip), the EXACT integer clipped sum takes Laplace noise of scale
+    * clip/ε (the [[dpCounts]] hash-derived reproducible noise on the
+    * 2⁻⁴⁰ grid), and the released mean divides by the public group
+    * count. Emits (`keyCol`, n, sum_clipped, noise_fp, mean_noisy).
+    *
+    * Plan: one map-side-combined key aggregate; noise is a per-key
+    * scalar expression.
+    */
+  def dpMean(df: DataFrame, keyCol: String, valueCol: String,
+             clip: Long, epsilon: Double = 1.0): DataFrame = {
+    require(clip > 0, s"clip must be positive, got $clip")
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val scale = 1099511627776.0 // 2^40
+    val b = clip.toDouble / epsilon
+    val u = (QualityClassifier.md24(concat(lit("dpm:"), col(keyCol).cast("string")))
+      .cast("double") + lit(0.5)) / lit(16777216.0) - lit(0.5)
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(least(greatest(col(valueCol).cast("long"), lit(0L)), lit(clip)))
+          .as("sum_clipped"))
+      .withColumn("_u", u)
+      .withColumn("noise_fp",
+        floor(lit(-b) * signum(col("_u")) * log(lit(1.0) - lit(2.0) * abs(col("_u"))) * lit(scale))
+          .cast("long"))
+      .withColumn("mean_noisy",
+        ((col("sum_clipped").cast("double") + col("noise_fp").cast("double") / lit(scale))
+          / col("n").cast("double")).cast("float"))
+      .drop("_u")
+      .orderBy(col(keyCol))
+  }
+
   /** l-diversity audit (Machanavajjhala et al. 2007) — the gap
     * k-anonymity leaves open: a quasi-identifier group can be large
     * (k-anonymous) yet reveal its sensitive attribute anyway when every

@@ -504,6 +504,36 @@ object Oracles {
        |  floor(-ln(cnt::DOUBLE / t::DOUBLE) * 1099511627776.0)::BIGINT AS cfp FROM v1, t1),
        |${spmViterbiCtes(2, "c1", maxLen, pieceLen)}""".stripMargin
 
+  /** Replays [[graft.operators.Graph.trussPeel]]: `rounds` unrolled
+    * layers of [neighbor list → per-edge common-neighbor count →
+    * support filter] over the hash-sparsified undirected simple
+    * item-transition graph (every layer MATERIALIZED — each is
+    * referenced by the next round's three joins).
+    */
+  private def ktrussOracleSql(k: Int, rounds: Int): String = {
+    val rs = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT u AS x, v AS w FROM e${r - 1}
+         |  UNION ALL SELECT v AS x, u AS w FROM e${r - 1}),
+         |s$r AS (SELECT e.u, e.v, count(*)::BIGINT AS sup
+         |  FROM e${r - 1} e JOIN d$r p ON p.x = e.u
+         |  JOIN d$r q ON q.x = e.v AND q.w = p.w
+         |  GROUP BY e.u, e.v),
+         |e$r AS MATERIALIZED (
+         |  SELECT e.u, e.v, coalesce(s.sup, 0)::BIGINT AS sup
+         |  FROM e${r - 1} e LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v
+         |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
+       |raw AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev),
+       |e0 AS MATERIALIZED (
+       |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+       |  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
+       |    AND (${md24("'tr:' || least(src, dst)::VARCHAR || ':' || greatest(src, dst)::VARCHAR")}) % 5 = 0),
+       |$rs
+       |SELECT u AS src, v AS dst, sup::INTEGER AS support FROM e$rounds
+       |ORDER BY src, dst""".stripMargin
+  }
+
   /** Shared flags CTE of the curation self-audit rows: the gopher
     * rules (verbatim the quality_gopher oracle, un-planted), the hash
     * classifier's label, and the length gate over the RAW corpus,
@@ -2873,6 +2903,47 @@ object Oracles {
 
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
+
+    // k-truss peeling unrolled to 6 rounds over the sparsified
+    // item-transition graph
+    "graph_ktruss" -> ktrussOracleSql(5, 6),
+
+    // the third DP primitive: clipped exact sum + the dp_counts
+    // hash-Laplace noise, mean over the public count
+    "dp_mean" ->
+      s"""WITH g AS (SELECT lang, count(*)::BIGINT AS n,
+         |    sum(least(greatest(n_chars, 0), 1000))::BIGINT AS sum_clipped
+         |  FROM documents GROUP BY 1),
+         |u AS (SELECT lang, n, sum_clipped,
+         |    ((${md24("'dpm:' || lang")})::DOUBLE + 0.5) / 16777216.0 - 0.5 AS u FROM g)
+         |SELECT lang, n, sum_clipped,
+         |  floor(-1000.0 * sign(u) * ln(1.0 - 2.0 * abs(u)) * 1099511627776.0)::BIGINT AS noise_fp,
+         |  ((sum_clipped::DOUBLE
+         |    + floor(-1000.0 * sign(u) * ln(1.0 - 2.0 * abs(u)) * 1099511627776.0)::DOUBLE
+         |      / 1099511627776.0) / n::DOUBLE)::FLOAT AS mean_noisy
+         |FROM u ORDER BY lang""".stripMargin,
+
+    // McNemar's continuity-corrected discordant-pair statistic
+    "eval_mcnemar" ->
+      s"""WITH p AS (SELECT
+         |    (${md24("'conf:' || doc_id::VARCHAR")}) AS conf_fp,
+         |    (${md24("'acc:' || doc_id::VARCHAR")}) AS a,
+         |    (${md24("'accb:' || doc_id::VARCHAR")}) AS bb
+         |  FROM documents),
+         |x AS (SELECT (a < (conf_fp * 9) // 10) AS oka,
+         |    (bb < (conf_fp * 8) // 10) AS okb FROM p),
+         |g AS (SELECT count(*)::BIGINT AS n,
+         |    sum(CASE WHEN oka THEN 1 ELSE 0 END)::BIGINT AS na,
+         |    sum(CASE WHEN okb THEN 1 ELSE 0 END)::BIGINT AS nb,
+         |    sum(CASE WHEN oka AND NOT okb THEN 1 ELSE 0 END)::BIGINT AS b,
+         |    sum(CASE WHEN NOT oka AND okb THEN 1 ELSE 0 END)::BIGINT AS c
+         |  FROM x)
+         |SELECT n, na::DOUBLE / n::DOUBLE AS acc_a, nb::DOUBLE / n::DOUBLE AS acc_b,
+         |  b, c,
+         |  CASE WHEN b + c = 0 THEN 0.0
+         |    ELSE (greatest(abs(b - c) - 1, 0) * greatest(abs(b - c) - 1, 0))::DOUBLE
+         |      / (b + c)::DOUBLE END AS statistic
+         |FROM g""".stripMargin,
 
     // exact order statistic: the bisection result must equal the
     // k-th smallest by direct rank (k = ceil(n/2))

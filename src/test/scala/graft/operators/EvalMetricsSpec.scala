@@ -138,4 +138,23 @@ class EvalMetricsSpec extends SparkSuite {
       assert(nc >= np, "pieces have at least one char")
     }
   }
+
+  test("mcnemar: discordant-pair statistic with continuity correction") {
+    // b=2, c=1 -> corrected (|1|-1)^2/3 = 0
+    val even = Seq((true, true), (true, false), (true, false), (false, true))
+      .toDF("ok_a", "ok_b")
+    val g1 = EvalMetrics.mcnemar(even, "ok_a", "ok_b")
+      .as[(Long, Double, Double, Long, Long, Double)].collect().head
+    assert(g1 == ((4L, 0.75, 0.5, 2L, 1L, 0.0)))
+    // b=4, c=0 -> (3)^2/4 = 2.25
+    val oneSided = (Seq.fill(4)((true, false)) ++ Seq.fill(2)((true, true)))
+      .toDF("ok_a", "ok_b")
+    val g2 = EvalMetrics.mcnemar(oneSided, "ok_a", "ok_b")
+      .as[(Long, Double, Double, Long, Long, Double)].collect().head
+    assert(g2 == ((6L, 1.0, 2.0 / 6, 4L, 0L, 2.25)))
+    // no discordant pairs -> statistic 0
+    val none = Seq((true, true), (false, false)).toDF("ok_a", "ok_b")
+    assert(EvalMetrics.mcnemar(none, "ok_a", "ok_b")
+      .select("statistic").as[Double].collect().head == 0.0)
+  }
 }

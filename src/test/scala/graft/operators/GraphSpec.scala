@@ -381,4 +381,22 @@ class GraphSpec extends SparkSuite {
       .as[(Long, Option[Double])].collect().head
     assert(got._1 == 2L && got._2.isEmpty)
   }
+
+  test("trussPeel: K4 survives k=4, low-support appendage peels; cascade empties") {
+    // K4 on 1..4 (every edge in 2 triangles) + a triangle 4-5-6 whose
+    // edges sit in only 1 triangle: k=4 keeps exactly the K4
+    val k4 = for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)
+    val extra = Seq((4L, 5L), (4L, 6L), (5L, 6L))
+    val edges = (k4 ++ extra).toDF("src", "dst")
+    val got = Graph.trussPeel(edges, "src", "dst", k = 4, rounds = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == k4.map { case (a, b) => (a, b, 2) })
+    // cascade: removing support-1 edges strands the middle edge, which
+    // must fall in the NEXT round (peeling, not one-shot filtering)
+    val chain = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val gone = Graph.trussPeel(chain, "src", "dst", k = 4, rounds = 2)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(gone.isEmpty, gone.toString)
+  }
 }

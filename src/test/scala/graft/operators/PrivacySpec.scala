@@ -121,4 +121,25 @@ class PrivacySpec extends SparkSuite {
       (0L, 2L, 2L, 2L, 3L, "proprietary"),
       (1L, 2L, 1L, 1L, 0L, "public_domain")))
   }
+
+  test("dpMean: clipping, reproducible noise, and the exact release chain") {
+    val df = Seq(("g", 50L), ("g", 5000L), ("h", 100L)).toDF("k", "v")
+    val got = Privacy.dpMean(df, "k", "v", clip = 1000L, epsilon = 1.0)
+      .as[(String, Long, Long, Long, Float)].collect()
+      .map(r => r._1 -> r).toMap
+    // 5000 clips to 1000; sums exact
+    assert(got("g")._3 == 1050L && got("h")._3 == 100L)
+    // noise is a pure function of the key: recompute it
+    def noise(key: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("dpm:" + key).getBytes("UTF-8"))
+      val h = java.lang.Long.parseLong(d.take(3).map(b => f"$b%02x").mkString, 16)
+      val u = (h.toDouble + 0.5) / 16777216.0 - 0.5
+      math.floor(-1000.0 * math.signum(u) * math.log(1.0 - 2.0 * math.abs(u))
+        * 1099511627776.0).toLong
+    }
+    assert(got("g")._4 == noise("g") && got("h")._4 == noise("h"))
+    assert(got("h")._5 ==
+      ((100.0 + noise("h").toDouble / 1099511627776.0) / 1.0).toFloat)
+  }
 }
