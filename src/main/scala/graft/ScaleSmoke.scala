@@ -365,6 +365,22 @@ object ScaleSmoke {
           when(size(split(lower(trim(col("text"))), "\\s+")) >= 45, 1L)
             .otherwise(-1L)),
         "text", "doc_id", "y", buckets = 4096, iters = 5).count()),
+      // the truss wedge join is the per-round cost; the 10x events
+      // grow edges and wedge volume together
+      "ktruss" -> (() => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val e = ev.select(col("user_id"), col("ts"), col("event_id"),
+            get_json_object(col("props"), "$.k").cast("long").as("k"))
+          .select(lag(col("k"), 1).over(w).as("src"), col("k").as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull &&
+            col("src") =!= col("dst"))
+          .where(conv(substring(md5(concat(lit("tr:"),
+            least(col("src"), col("dst")).cast("string"), lit(":"),
+            greatest(col("src"), col("dst")).cast("string"))), 1, 6), 16, 10)
+            .cast("long") % 5 === 0)
+        Graph.trussPeel(e, "src", "dst", k = 5, rounds = 6).count()
+      }),
       // matches grow linearly with events; the items domain grows with
       // the shifted-key 10x copies, so pair and per-round costs scale
       "bradley_terry" -> (() => {

@@ -993,6 +993,7 @@ object CorpusSelection {
                         scoreCol: String): DataFrame = {
     val per = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"), sum(col(scoreCol).cast("long")).as("_s"))
+      .materialized // totals reuse the source aggregate: one scan
     val tot = per.agg(sum(col("n_docs")).as("_n"), sum(col("_s")).as("_st"))
     per.crossJoin(broadcast(tot))
       .select(col(sourceCol), col("n_docs"),

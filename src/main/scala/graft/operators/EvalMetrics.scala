@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.operators.Materialize.MatOps
+
 /** Model-evaluation analytics — the measurement side of a training-data
   * engine (every corpus intervention is judged by eval deltas, so the
   * eval aggregations live next to the curation operators): pass@k over
@@ -69,6 +71,9 @@ object EvalMetrics {
       .agg(count(lit(1)).as("n"), sum(col("_ok")).as("_c"),
         sum(col("_conf")).as("_sc"))
       .withColumn("_gap_num", abs(col("_c") * grid - col("_sc")))
+      // the totals branch reuses the bins-domain aggregate — cut it or
+      // the corpus is scanned twice (PlanAudit caught the double scan)
+      .materialized
     val tot = b.agg(sum(col("n")).as("_tn"), sum(col("_gap_num")).as("_tg"))
     b.crossJoin(broadcast(tot))
       .select(col("bin"), col("n"),
@@ -100,6 +105,7 @@ object EvalMetrics {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), sum(col("_ok")).as("_c"),
         sum(col("_conf")).as("_sc"))
+      .materialized // totals reuse: one corpus scan, not two
     val tot = b.agg(sum(col("n")).as("_nt"), sum(col("_c")).as("_ct"))
     def d(c: Column): Column = c.cast("double")
     b.crossJoin(broadcast(tot))
