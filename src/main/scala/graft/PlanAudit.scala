@@ -249,7 +249,7 @@ object PlanAudit {
       "selection_overlap", "selection_shift", "source_ablation",
       // the bisection median is k slim count rounds over ONE cached
       // column (no sort anywhere); rag support shuffles grams only
-      "quantile_bisect", "rag_support",
+      "quantile_bisect", "rag_support", "dedup_substring_scrub",
       // ktruss: per round ONE wedge join over the current edge set +
       // a filter, generations through cutLoop; dp_mean/mcnemar are one
       // aggregate each

@@ -66,6 +66,55 @@ object SuffixRuns {
       minRun, levels)
   }
 
+  /** The SCRUB half of Lee et al. 2022: per document, how many token
+    * positions sit inside a cross-document shared run of ≥ `minRun`
+    * tokens — the mass the dedup pass would delete. A position is in
+    * such a run iff SOME shared `minRun`-window contains it (any run
+    * of length L ≥ minRun is a union of its minRun-subwindows, each
+    * itself shared), so no run extension is needed at all: flag the
+    * windows whose fingerprint occurs in ≥ 2 distinct documents,
+    * explode each flagged window to its positions, and count distinct
+    * covered positions per document. Emits (doc_id, n_tokens,
+    * n_covered, keep_frac).
+    *
+    * Plan: per-row window hashing (one level), ONE (hash)-keyed
+    * aggregate to find multi-document fingerprints, a semi-join back,
+    * and a per-doc distinct-position count — fingerprints and (doc,
+    * pos) pairs shuffle, text never does.
+    */
+  def coveredPositions(tokDocs: DataFrame, minRun: Int): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val toks = Materialize.cutEager(
+      tokDocs.select(col("_id"), col("toks"), size(col("toks")).as("n")))
+    val wins = toks.select(col("_id"), col("n"),
+        posexplode(when(col("n") >= minRun,
+          transform(sequence(lit(1), col("n") - (minRun - 1)),
+            p => md5h(array_join(slice(col("toks"), p, lit(minRun)), " "))))
+          .otherwise(array().cast("array<string>"))).as(Seq("_p0", "h")))
+      .select(col("_id"), (col("_p0") + 1).as("pos"), col("h"))
+    val shared = wins.groupBy(col("h"))
+      .agg(countDistinct(col("_id")).as("_nd"))
+      .where(col("_nd") >= 2)
+      .select(col("h"))
+    val covered = wins.join(shared, Seq("h"), "left_semi")
+      .select(col("_id"), explode(sequence(col("pos"), col("pos") + (minRun - 1))).as("_cp"))
+      .groupBy(col("_id"))
+      .agg(countDistinct(col("_cp")).as("n_covered"))
+    val out = toks.select(col("_id").as("doc_id"), col("n").cast("long").as("n_tokens"))
+      .join(covered.withColumnRenamed("_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"))
+      .withColumn("keep_frac",
+        (col("n_tokens") - col("n_covered")).cast("double") / col("n_tokens").cast("double"))
+      .orderBy(col("doc_id"))
+    if (Materialize.debugNoCut(out)) out
+    else {
+      val pinned = Materialize.cutPinned(out)
+      Materialize.release(toks)
+      pinned
+    }
+  }
+
   /** [[sharedRuns]] over a pre-tokenized (_id, toks) table. */
   def sharedRunsTok(tokDocs: DataFrame, minRun: Int, levels: Int): DataFrame = {
     val toks = Materialize.cutEager(

@@ -2904,6 +2904,32 @@ object Oracles {
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
 
+    // scrub accounting: coverage = union of shared 8-windows — the
+    // oracle marks covered positions with raw gram strings, no hashes
+    "dedup_substring_scrub" ->
+      s"""WITH tokd AS MATERIALIZED (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+         |  FROM documents WHERE doc_id < 120),
+         |st AS (
+         |  SELECT d.doc_id + 100000 AS doc_id,
+         |    d.toks[1:12] || p.toks[3 : 10 + (d.doc_id % 24)] || d.toks[13:20] AS toks
+         |  FROM tokd d JOIN tokd p ON p.doc_id = d.doc_id + 4
+         |  WHERE d.doc_id % 4 = 0),
+         |corpus AS MATERIALIZED (SELECT * FROM tokd UNION ALL SELECT * FROM st),
+         |wins AS MATERIALIZED (
+         |  SELECT doc_id, i AS pos, array_to_string(toks[i : i + 7], ' ') AS g
+         |  FROM corpus, range(1, 150) ri(i) WHERE i + 7 <= len(toks)),
+         |sh AS (SELECT g FROM wins GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+         |cov AS (SELECT doc_id, count(DISTINCT pos + off) AS n_covered
+         |  FROM wins JOIN sh USING (g), range(0, 8) ro(off)
+         |  GROUP BY doc_id)
+         |SELECT c.doc_id, len(c.toks)::BIGINT AS n_tokens,
+         |  coalesce(cov.n_covered, 0)::BIGINT AS n_covered,
+         |  (len(c.toks) - coalesce(cov.n_covered, 0))::DOUBLE
+         |    / len(c.toks)::DOUBLE AS keep_frac
+         |FROM corpus c LEFT JOIN cov USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // k-truss peeling unrolled to 6 rounds over the sparsified
     // item-transition graph
     "graph_ktruss" -> ktrussOracleSql(5, 6),

@@ -79,4 +79,19 @@ class SuffixRunsSpec extends SparkSuite {
     assert(a == b)
     assert(a.nonEmpty)
   }
+
+  test("coveredPositions: union of shared windows, hand-computed") {
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e"),   // shares "a b c","b c d" with 2 -> covers 1..4
+      (2L, "a b c d x"),   // same grams -> covers 1..4
+      (3L, "q r s t u"))   // nothing shared
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("_id"),
+        split(lower(trim(col("text"))), "\\s+").as("toks"))
+    val got = SuffixRuns.coveredPositions(docs, minRun = 3)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 4L, 0.2), (2L, 5L, 4L, 0.2), (3L, 5L, 0L, 1.0)))
+  }
 }
