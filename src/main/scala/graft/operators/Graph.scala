@@ -774,15 +774,46 @@ object Graph {
     * and the oriented optimization drops in without changing results.
     */
   def trussPeel(edges: DataFrame, srcCol: String, dstCol: String,
-                k: Int, rounds: Int): DataFrame = {
+                k: Int, rounds: Int): DataFrame =
+    trussPeelImpl(edges, srcCol, dstCol, k, rounds)._1
+
+  /** The PEEL CURVE of [[trussPeel]]: per round, the surviving edge
+    * count and the number removed — the convergence/dup-burden view
+    * (round 0 is the initial simple graph; a final round with
+    * n_removed = 0 certifies the fixpoint was reached). Emits
+    * (round, n_edges, n_removed) — `rounds`+1 rows, so the output is
+    * non-empty even when the graph peels to nothing.
+    */
+  def trussPeelCurve(edges: DataFrame, srcCol: String, dstCol: String,
+                     k: Int, rounds: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val (e, counts) = trussPeelImpl(edges, srcCol, dstCol, k, rounds)
+    Materialize.release(e)
+    val curve = counts.zipWithIndex.map { case (n, r) =>
+      (r, n, if (r == 0) 0L else counts(r - 1) - n)
+    }
+    spark.createDataset(curve).toDF("round", "n_edges", "n_removed")
+      .orderBy(col("round"))
+  }
+
+  /** Shared peel loop: returns the final (pinned) edge set and the
+    * per-generation edge counts (index 0 = the normalized input).
+    * Each generation is already materialized by cutLoop, so the counts
+    * are free reads of checkpointed blocks.
+    */
+  private def trussPeelImpl(edges: DataFrame, srcCol: String, dstCol: String,
+                            k: Int, rounds: Int): (DataFrame, Seq[Long]) = {
     require(k >= 3, s"k must be >= 3, got $k")
     require(rounds >= 1, "need rounds >= 1")
+    val counts = Seq.newBuilder[Long]
     var e = Materialize.cutLoop(edges
       .select(least(col(srcCol), col(dstCol)).as("u"),
         greatest(col(srcCol), col(dstCol)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
       .withColumn("support", lit(0L)), previous = None)
+    counts += e.count()
     for (_ <- 1 to rounds) {
       val dir = e.select(col("u").as("x"), col("v").as("w"))
         .unionByName(e.select(col("v").as("x"), col("u").as("w")))
@@ -798,15 +829,16 @@ object Graph {
           .select(col("u"), col("v"), coalesce(col("_sup"), lit(0L)).as("support"))
           .where(col("support") >= (k - 2).toLong),
         previous = Some(e))
+      counts += e.count()
     }
     val out = e.select(col("u").as("src"), col("v").as("dst"),
       col("support").cast("int").as("support"))
       .orderBy(col("src"), col("dst"))
-    if (Materialize.debugNoCut(out)) out
+    if (Materialize.debugNoCut(out)) (out, counts.result())
     else {
       val pinned = Materialize.cutPinned(out)
       Materialize.release(e)
-      pinned
+      (pinned, counts.result())
     }
   }
 }

@@ -765,6 +765,51 @@ object RateAnomaly {
         (col("adj_y1") - col("adj_y0")).as("diff_adj"))
   }
 
+  /** A/B test POWER ANALYSIS — the pre-experiment design step the rest
+    * of the experimentation layer (SRM, CUPED, Welch, SPRT) assumes
+    * already happened: from the historical user-grain variance, the
+    * per-arm sample size needed to detect a relative effect `mdeFrac`
+    * at two-sided α = 0.05 with power 0.8 —
+    * n = 2σ²(z_{0.975} + z_{0.8})² / δ², δ = mdeFrac·mean. The z
+    * quantiles are EMBEDDED LITERALS shared verbatim with the oracle
+    * (the [[sprtConstants]] discipline — no cross-engine Φ⁻¹), the
+    * moments are exact integer/decimal sums on the 2^gridBits grid,
+    * and every float step is one fixed IEEE chain. Emits one row
+    * (n_users, mean, variance, mde, n_per_arm).
+    *
+    * Plan: one user-grain aggregate (the only corpus exchange) + a
+    * 1-row moment rollup — the [[cuped]] economics.
+    */
+  def abPower(events: DataFrame, userCol: String, valueCol: String,
+              mdeFrac: Double = 0.05, gridBits: Int = 20): DataFrame = {
+    require(mdeFrac > 0, s"mdeFrac must be positive, got $mdeFrac")
+    val grid = 1L << gridBits
+    val users = events
+      .select(col(userCol).as("_u"),
+        floor(col(valueCol) * grid).cast("long").as("_v"))
+      .groupBy(col("_u")).agg(sum(col("_v")).as("_x"))
+    val m = users.agg(count(lit(1)).as("n_users"),
+      sum(col("_x").cast("decimal(38,0)")).as("_sx"),
+      sum(col("_x").cast("decimal(38,0)") * col("_x").cast("decimal(38,0)")).as("_sxx"))
+    def d(c: String): Column = col(c).cast("double")
+    val nD = d("n_users")
+    val g = lit(grid.toDouble)
+    val mean = d("_sx") / (nD * g)
+    val variance = (nD * d("_sxx") - d("_sx") * d("_sx")) / (nD * (nD - 1.0) * (g * g))
+    val zsum = lit(RateAnomaly.Z975 + RateAnomaly.Z80)
+    val mde = lit(mdeFrac) * mean
+    m.select(col("n_users"), mean.as("mean"), variance.as("variance"),
+      mde.as("mde"),
+      ceil(lit(2.0) * variance * (zsum * zsum) / (mde * mde)).cast("long")
+        .as("n_per_arm"))
+  }
+
+  /** z_{0.975} and z_{0.8} as fixed decimal literals, shared verbatim
+    * with the oracle SQL (never recomputed through any engine's Φ⁻¹).
+    */
+  val Z975: Double = 1.959963984540054
+  val Z80: Double = 0.8416212335729143
+
   /** Seasonally-ADJUSTED daily outlier flags — the composition of
     * [[seasonalProfile]] and [[detect]] that production monitors
     * actually run: a Saturday dip is not an incident, a Saturday at

@@ -523,6 +523,13 @@ object Oracles {
          |  FROM e${r - 1} e LEFT JOIN s$r s ON s.u = e.u AND s.v = e.v
          |  WHERE coalesce(s.sup, 0) >= ${k - 2})""".stripMargin
     }.mkString(",\n")
+    val curve = (0 to rounds).map { r =>
+      val removed =
+        if (r == 0) "0::BIGINT"
+        else s"(SELECT count(*) FROM e${r - 1})::BIGINT - (SELECT count(*) FROM e$r)::BIGINT"
+      s"""SELECT $r AS round, (SELECT count(*) FROM e$r)::BIGINT AS n_edges,
+         |  $removed AS n_removed""".stripMargin
+    }.mkString("\nUNION ALL\n")
     s"""WITH ev AS (SELECT user_id, ts, event_id, json_extract_string(props, '$$.k')::BIGINT AS k FROM events),
        |raw AS (SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k AS dst FROM ev),
        |e0 AS MATERIALIZED (
@@ -530,8 +537,8 @@ object Oracles {
        |  FROM raw WHERE src IS NOT NULL AND dst IS NOT NULL AND src <> dst
        |    AND (${md24("'tr:' || least(src, dst)::VARCHAR || ':' || greatest(src, dst)::VARCHAR")}) % 5 = 0),
        |$rs
-       |SELECT u AS src, v AS dst, sup::INTEGER AS support FROM e$rounds
-       |ORDER BY src, dst""".stripMargin
+       |$curve
+       |ORDER BY round""".stripMargin
   }
 
   /** Shared flags CTE of the curation self-audit rows: the gopher
@@ -2903,6 +2910,27 @@ object Oracles {
 
     // MM fixpoint unrolled to 4 rounds on the 2^20 grid
     "eval_bradley_terry" -> bradleyTerryOracleSql(4),
+
+    // power analysis: exact user-grain moments, z quantiles as the
+    // SAME decimal literals the engine embeds, every float step one
+    // fixed chain (the cuped discipline)
+    "ab_power" ->
+      s"""WITH u AS (SELECT user_id,
+         |    sum(CAST(floor(value * 1048576) AS BIGINT))::HUGEINT AS x
+         |  FROM events GROUP BY user_id),
+         |m AS (SELECT count(*)::BIGINT AS n, sum(x) AS sx, sum(x * x) AS sxx FROM u)
+         |SELECT n AS n_users,
+         |  sx::DOUBLE / (n::DOUBLE * 1048576.0) AS mean,
+         |  (n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |    / ((n::DOUBLE * (n::DOUBLE - 1.0)) * (1048576.0 * 1048576.0)) AS variance,
+         |  0.05 * (sx::DOUBLE / (n::DOUBLE * 1048576.0)) AS mde,
+         |  ceil(((2.0 * ((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+         |      / ((n::DOUBLE * (n::DOUBLE - 1.0)) * (1048576.0 * 1048576.0))))
+         |    * (((1.959963984540054 + 0.8416212335729143))
+         |       * ((1.959963984540054 + 0.8416212335729143))))
+         |    / ((0.05 * (sx::DOUBLE / (n::DOUBLE * 1048576.0)))
+         |       * (0.05 * (sx::DOUBLE / (n::DOUBLE * 1048576.0)))))::BIGINT AS n_per_arm
+         |FROM m""".stripMargin,
 
     // scrub accounting: coverage = union of shared 8-windows — the
     // oracle marks covered positions with raw gram strings, no hashes

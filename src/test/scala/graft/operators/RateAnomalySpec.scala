@@ -258,4 +258,24 @@ class RateAnomalySpec extends SparkSuite {
     assert(r.getAs[Double]("diff_raw") != 0.0)
     assert(r.getAs[Double]("diff_adj") == 0.0)
   }
+
+  test("abPower: sample size matches an independent driver-side recomputation") {
+    // user masses (on the 2^20 grid): u1 -> 3.0, u2 -> 1.0, u3 -> 2.0
+    val ev = Seq(("u1", 1.0), ("u1", 2.0), ("u2", 1.0), ("u3", 2.0))
+      .toDF("user_id", "value")
+    val got = RateAnomaly.abPower(ev, "user_id", "value", mdeFrac = 0.05)
+      .as[(Long, Double, Double, Double, Long)].collect().head
+    val g = (1L << 20).toDouble
+    val xs = Seq(3.0, 1.0, 2.0).map(v => math.floor(v * g))
+    val n = xs.size.toDouble
+    val mean = xs.sum / (n * g)
+    val variance = (n * xs.map(x => x * x).sum - xs.sum * xs.sum) /
+      (n * (n - 1.0) * (g * g))
+    val mde = 0.05 * mean
+    val z = RateAnomaly.Z975 + RateAnomaly.Z80
+    val nPerArm = math.ceil(2.0 * variance * (z * z) / (mde * mde)).toLong
+    assert(got._1 == 3L)
+    assert(math.abs(got._2 - mean) < 1e-12 && math.abs(got._3 - variance) < 1e-9)
+    assert(got._5 == nPerArm, s"got ${got._5}, expected $nPerArm")
+  }
 }
