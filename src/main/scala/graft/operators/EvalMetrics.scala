@@ -277,67 +277,76 @@ object EvalMetrics {
     * round's div would blow up). Emits (item, rating_fp, rating)
     * ordered best-first.
     *
-    * Plan: matches aggregate once into the (i, j, n_ij) pair table and
-    * the per-item win vector — corpus touched once; each of `iters`
-    * rounds is one pair-table pass + an items-domain aggregate + a
-    * one-row renorm broadcast. Loop state goes through
-    * [[Materialize.cutLoop]].
+    * Plan: ONE corpus pass aggregates matches into the (i, j, n_ij)
+    * pair table and the per-item win vector — both bounded by the
+    * ITEM DOMAIN (an arena ranks dozens of models; even the
+    * item-transition fixture has ~100 items / ~5k pairs), never by
+    * the match count — so they collect to the driver and the MM
+    * rounds run as a pure integer fold there: ZERO cluster jobs per
+    * iteration (the [[QualityClassifier.trainPerceptron]]
+    * bounded-state discipline — when the loop state fits the driver,
+    * fold it there and spend the cluster on the corpus-sized scan
+    * only). A million-item catalog would flip back to the distributed
+    * pair-table rounds; the crossover is pair-table size, documented
+    * here rather than auto-detected.
     */
   def bradleyTerry(matches: DataFrame, winnerCol: String, loserCol: String,
                    iters: Int = 4): DataFrame = {
     require(iters >= 1, "need iters >= 1")
     val grid = 1L << 20
-    val m = Materialize.cutEager(matches.select(
-      least(col(winnerCol), col(loserCol)).as("i"),
-      greatest(col(winnerCol), col(loserCol)).as("j"),
-      col(winnerCol).as("w")))
-    val pairs = Materialize.cutEager(
-      m.groupBy(col("i"), col("j")).agg(count(lit(1)).as("nij")))
-    val wins = Materialize.cutEager(
-      m.groupBy(col("w").as("item")).agg(count(lit(1)).as("wi")))
-    val items = Materialize.cutEager(
-      pairs.select(col("i").as("item")).unionByName(pairs.select(col("j").as("item")))
-        .distinct())
-    val kItems = items.agg(count(lit(1)).as("_k"))
+    val spark = matches.sparkSession
+    import spark.implicits._
+    // the ONE corpus-sized exchange: matches -> (i, j, n_ij, w_ij)
+    // where w_ij counts wins of the SMALLER endpoint i (so the win
+    // vector is recoverable pairwise: wins_j of the pair = n_ij - w_ij)
+    val pairRows: Array[(Long, Long, Long, Long)] = matches.select(
+        least(col(winnerCol), col(loserCol)).cast("long").as("i"),
+        greatest(col(winnerCol), col(loserCol)).cast("long").as("j"),
+        when(col(winnerCol) <= col(loserCol), 1L).otherwise(0L).as("iw"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("nij"), sum(col("iw")).as("wi_of_i"))
+      .as[(Long, Long, Long, Long)].collect()
 
-    var p = Materialize.cutLoop(
-      items.select(col("item"), lit(grid).as("p")), previous = None)
+    val items = pairRows.flatMap { case (i, j, _, _) => Seq(i, j) }.distinct.sorted
+    val k = items.length.toLong
+    val idx = items.zipWithIndex.toMap
+    val wins = new Array[Long](items.length)
+    pairRows.foreach { case (i, j, nij, wi) =>
+      wins(idx(i)) += wi
+      wins(idx(j)) += nij - wi
+    }
+    val p = Array.fill(items.length)(grid)
+    val s = new Array[Long](items.length)
     for (_ <- 1 to iters) {
-      val withP = pairs
-        .join(p.select(col("item").as("i"), col("p").as("pi")), Seq("i"))
-        .join(p.select(col("item").as("j"), col("p").as("pj")), Seq("j"))
-        .withColumn("_t", expr("(nij * 1099511627776L) div (pi + pj)"))
-      val s = withP.select(col("i").as("item"), col("_t"))
-        .unionByName(withP.select(col("j").as("item"), col("_t")))
-        .groupBy(col("item")).agg(sum(col("_t")).as("_s"))
-      val raw = items
-        .join(wins, Seq("item"), "left")
-        .join(s, Seq("item"), "left")
-        .select(col("item"),
-          when(coalesce(col("wi"), lit(0L)) === 0L ||
-            col("_s").isNull || col("_s") === 0L, lit(1L))
-            .otherwise(expr("(wi * 1099511627776L) div _s")).as("praw"))
-      val tot = raw.agg(sum(col("praw")).as("_tot"))
+      java.util.Arrays.fill(s, 0L)
+      pairRows.foreach { case (i, j, nij, _) =>
+        val t = (nij * 1099511627776L) / (p(idx(i)) + p(idx(j)))
+        s(idx(i)) += t
+        s(idx(j)) += t
+      }
+      var tot = 0L
+      var x = 0
+      val raw = new Array[Long](items.length)
+      while (x < items.length) {
+        raw(x) = if (wins(x) == 0L || s(x) == 0L) 1L
+          else (wins(x) * 1099511627776L) / s(x)
+        tot += raw(x)
+        x += 1
+      }
       // renorm denominator pre-shifted to the 2^20 grid so the
-      // numerator praw·K stays far from int64 overflow (praw·K·2^20
-      // would not); the ≤2^-20 relative truncation is part of the
-      // defined semantics and the oracle replays it with the same //
-      p = Materialize.cutLoop(
-        raw.crossJoin(broadcast(tot)).crossJoin(broadcast(kItems))
-          .select(col("item"),
-            greatest(
-              expr("(praw * _k) div greatest(_tot div 1048576L, 1L)"),
-              lit(1L)).as("p")),
-        previous = Some(p))
+      // numerator praw·K stays far from int64 overflow; the ≤2^-20
+      // relative truncation is part of the defined semantics and the
+      // oracle replays it with the same //
+      val den = math.max(tot / 1048576L, 1L)
+      x = 0
+      while (x < items.length) {
+        p(x) = math.max(raw(x) * k / den, 1L)
+        x += 1
+      }
     }
-    val out = p.select(col("item"), col("p").as("rating_fp"),
-      (col("p").cast("double") / grid).as("rating"))
+    spark.createDataset(items.indices.map(x =>
+        (items(x), p(x), p(x).toDouble / grid)))
+      .toDF("item", "rating_fp", "rating")
       .orderBy(col("rating_fp").desc, col("item"))
-    if (Materialize.debugNoCut(out)) out
-    else {
-      val pinned = Materialize.cutPinned(out)
-      Seq(m, pairs, wins, items, p).foreach(Materialize.release)
-      pinned
-    }
   }
 }
