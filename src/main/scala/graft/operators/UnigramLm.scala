@@ -143,10 +143,15 @@ object UnigramLm {
     */
   private def fit(docs: DataFrame, textCol: String, pieceLen: Int,
                   seedMulti: Int, keepMulti: Int): (DataFrame, DataFrame) = {
-    val words = Materialize.cutEager(wordCounts(docs, textCol))
-    val v0 = Materialize.cutEager(seedVocab(words, pieceLen, seedMulti))
+    // LAZY cuts: these are pure multi-consumer reuse points with no
+    // loop or self-invalidation hazard — an eager cut would add one
+    // count job each (5 extra job waves per fit, pure scheduling).
+    // They populate inside round 1's first action and are released
+    // only after seg2/u2 are EAGERLY materialized below.
+    val words = Materialize.cut(wordCounts(docs, textCol))
+    val v0 = Materialize.cut(seedVocab(words, pieceLen, seedMulti))
     // round 1: segment under seed-frequency costs, count usage
-    val u1 = Materialize.cutEager(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
+    val u1 = Materialize.cut(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
     // prune: keep every single char (coverage) + top keepMulti used
     // multi-char pieces (ties piece-ascending); +1-smooth the retained
     // counts so unused survivors keep a finite cost
@@ -225,9 +230,9 @@ object UnigramLm {
     */
   def trainVocab(docs: DataFrame, textCol: String, pieceLen: Int = 4,
                  seedMulti: Int = 16, keepMulti: Int = 12): DataFrame = {
-    val words = Materialize.cutEager(wordCounts(docs, textCol))
-    val v0 = Materialize.cutEager(seedVocab(words, pieceLen, seedMulti))
-    val u1 = Materialize.cutEager(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
+    val words = Materialize.cut(wordCounts(docs, textCol))
+    val v0 = Materialize.cut(seedVocab(words, pieceLen, seedMulti))
+    val u1 = Materialize.cut(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
     val chars = v0.where(length(col("piece")) === 1).select(col("piece"))
     val keep = u1.where(length(col("piece")) > 1)
       .orderBy(col("n_uses").desc, col("piece")).limit(keepMulti)
@@ -251,7 +256,7 @@ object UnigramLm {
     */
   def tokenizeCountsWith(docs: DataFrame, textCol: String, idCol: String,
                          vocab: DataFrame, pieceLen: Int = 4): DataFrame = {
-    val words = Materialize.cutEager(wordCounts(docs, textCol))
+    val words = Materialize.cut(wordCounts(docs, textCol))
     val seg = Materialize.cutEager(viterbiSeg(words, pieceCosts(vocab), pieceLen))
     val out = docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
