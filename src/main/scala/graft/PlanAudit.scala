@@ -234,7 +234,7 @@ object PlanAudit {
       // bradley-terry touches the corpus once for matches, then each
       // MM round is a pair-table pass + items aggregate + 1-row renorm
       "eval_pass_at_k", "eval_ece", "eval_kappa", "eval_bradley_terry",
-      "spm_fertility",
+      "spm_fertility", "spm_vocab_sweep",
       // the data map's margins are ONE projection over the cached
       // feature table (10 literal-snapshot folds, no joins) + the
       // tertile window; license rollup is one shard aggregate

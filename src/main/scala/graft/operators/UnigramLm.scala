@@ -275,6 +275,37 @@ object UnigramLm {
     }
   }
 
+  /** Vocabulary-size TUNING CURVE: re-fit the tokenizer at each
+    * `keepMultis` prune budget and report the corpus-level fertility it
+    * buys — the measurement a vocab-size decision is actually made on
+    * (bigger vocabulary → fewer pieces per word → shorter sequences,
+    * at the cost of embedding-table mass). Each point is a full
+    * [[fit]]; the two per-setting driver reads (vocab size, corpus
+    * totals) are bounded-class collects over already-materialized
+    * tables. Emits (keep_multi, vocab_size, n_words, n_pieces,
+    * fertility).
+    */
+  def vocabSweep(docs: DataFrame, textCol: String, keepMultis: Seq[Int],
+                 pieceLen: Int = 4, seedMulti: Int = 16): DataFrame = {
+    require(keepMultis.nonEmpty, "need at least one sweep point")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rows = keepMultis.map { km =>
+      val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, km)
+      val vocabSize = u2.count()
+      val Array((nWords, nPieces)) = seg2.agg(
+        sum(col("wcnt")),
+        sum(col("wcnt") * size(split(col("seg"), " ")).cast("long")))
+        .as[(Long, Long)].collect()
+      Materialize.release(u2)
+      Materialize.release(seg2)
+      (km, vocabSize, nWords, nPieces, nPieces.toDouble / nWords.toDouble)
+    }
+    spark.createDataset(rows)
+      .toDF("keep_multi", "vocab_size", "n_words", "n_pieces", "fertility")
+      .orderBy(col("keep_multi"))
+  }
+
   /** Tokenizer fertility audit per corpus group (language/source): the
     * number every tokenizer-vocab decision is judged by — subword
     * pieces per whitespace word (fertility) and characters per piece

@@ -585,6 +585,23 @@ object Oracles {
        |FROM tok JOIN np USING (word) WHERE word <> ''
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Each sweep point replays the FULL fit at its own keepMulti inside
+    * its own subquery — CTE names scope per subquery, so the two
+    * instantiations of the spm CTE chain never collide.
+    */
+  private def spmVocabSweepOracleSql(keepMultis: Seq[Int]): String =
+    keepMultis.map { km =>
+      s"""SELECT * FROM (
+         |  WITH ${spmCtes(keepMulti = km)}
+         |  SELECT $km AS keep_multi,
+         |    (SELECT count(*) FROM v1)::BIGINT AS vocab_size,
+         |    (SELECT sum(wcnt) FROM seg2)::BIGINT AS n_words,
+         |    (SELECT sum(wcnt * len(string_split(seg, ' '))) FROM seg2)::BIGINT AS n_pieces,
+         |    (SELECT sum(wcnt * len(string_split(seg, ' '))) FROM seg2)::DOUBLE
+         |      / (SELECT sum(wcnt) FROM seg2)::DOUBLE AS fertility
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n") + "\nORDER BY keep_multi"
+
   private def spmFertilityOracleSql: String =
     s"""WITH ${spmCtes()},
        |np AS (SELECT word, len(string_split(seg, ' '))::INTEGER AS np,
@@ -2847,6 +2864,7 @@ object Oracles {
     "spm_train" -> spmTrainOracleSql,
     "spm_tokenize" -> spmTokenizeOracleSql,
     "spm_fertility" -> spmFertilityOracleSql,
+    "spm_vocab_sweep" -> spmVocabSweepOracleSql(Seq(6, 12)),
 
     // pass@k as ratios of exact integer falling products (n fixed at
     // 10 per problem, so int64 never strains); n-c < k collapses to a

@@ -99,4 +99,19 @@ class UnigramLmSpec extends SparkSuite {
         .as[(String, Int, Long)].collect().toSeq
     assert(run(docs.repartition(1)) == run(docs.repartition(7)))
   }
+
+  test("vocabSweep: more vocabulary never hurts fertility on a structured corpus") {
+    val docs = Seq.fill(10)("banana bandana cabana banana").toDF("text")
+    val got = UnigramLm.vocabSweep(docs, "text", keepMultis = Seq(2, 8))
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    assert(got.map(_._1) == Seq(2, 8))
+    got.foreach { case (_, v, nw, np, f) =>
+      assert(v >= 1 && nw == 40L && np >= nw)
+      assert(f == np.toDouble / nw)
+    }
+    // the larger prune budget retains more multi-char pieces
+    assert(got(1)._2 >= got(0)._2)
+    // and segments at least as compactly
+    assert(got(1)._5 <= got(0)._5, got.toString)
+  }
 }
