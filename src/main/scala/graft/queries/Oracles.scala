@@ -3017,6 +3017,23 @@ object Oracles {
          |      / (b + c)::DOUBLE END AS statistic
          |FROM g""".stripMargin,
 
+    // median treatment effect: two exact per-arm rank statistics
+    "ab_quantile_effect" ->
+      s"""WITH v AS MATERIALIZED (SELECT
+         |    (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm,
+         |    CAST(floor(value * 1048576) AS BIGINT) AS vfp FROM events),
+         |n0 AS (SELECT count(*)::BIGINT AS n FROM v WHERE arm = 0),
+         |n1 AS (SELECT count(*)::BIGINT AS n FROM v WHERE arm = 1),
+         |r0 AS (SELECT vfp, row_number() OVER (ORDER BY vfp) AS rn FROM v WHERE arm = 0),
+         |r1 AS (SELECT vfp, row_number() OVER (ORDER BY vfp) AS rn FROM v WHERE arm = 1),
+         |m0 AS (SELECT n0.n AS n0, ((n0.n * 1 + 2 - 1) // 2)::BIGINT AS k0,
+         |  (SELECT vfp FROM r0, n0 WHERE rn = (n0.n * 1 + 2 - 1) // 2) AS median0_fp FROM n0),
+         |m1 AS (SELECT n1.n AS n1, ((n1.n * 1 + 2 - 1) // 2)::BIGINT AS k1,
+         |  (SELECT vfp FROM r1, n1 WHERE rn = (n1.n * 1 + 2 - 1) // 2) AS median1_fp FROM n1)
+         |SELECT n0, k0, median0_fp, n1, k1, median1_fp,
+         |  (median1_fp - median0_fp)::DOUBLE / 1048576.0 AS effect
+         |FROM m0, m1""".stripMargin,
+
     // exact order statistic: the bisection result must equal the
     // k-th smallest by direct rank (k = ceil(n/2))
     "quantile_bisect" ->
