@@ -253,7 +253,7 @@ object PlanAudit {
       // ktruss: per round ONE wedge join over the current edge set +
       // a filter, generations through cutLoop; dp_mean/mcnemar are one
       // aggregate each
-      "graph_ktruss", "dp_mean", "eval_mcnemar", "ab_quantile_effect")
+      "graph_ktruss", "dp_mean", "eval_mcnemar", "ab_quantile_effect", "ab_poststrat")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

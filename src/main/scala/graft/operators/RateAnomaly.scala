@@ -810,6 +810,54 @@ object RateAnomaly {
   val Z975: Double = 1.959963984540054
   val Z80: Double = 0.8416212335729143
 
+  /** Post-stratified A/B estimator — [[cuped]]'s sibling when the
+    * covariate is CATEGORICAL (traffic source, device, event type):
+    * each arm's mean is re-weighted to the POOLED stratum shares,
+    * adjusted_a = Σ_s (n_s/N)·mean_{a,s}, removing the variance (and
+    * bias) from per-arm stratum imbalance. Emits one row (n0, n1,
+    * mean_raw0, mean_raw1, adj0, adj1, diff_raw, diff_adj).
+    *
+    * Exactness: the (arm, stratum) cell table is arms×strata — a
+    * BOUNDED domain, so it collects to the driver (the bounded-state
+    * discipline) and every sum is exact int64 there; each stratum term
+    * is one fixed float chain, and the cross-stratum sum FOLDS IN
+    * STRATUM ORDER — `reduceLeft` here, `list_reduce` over
+    * `list(term ORDER BY stratum)` in the oracle — so even the float
+    * summation order is pinned across engines (a plain SQL `sum()`
+    * would be association-order-free and could differ in the last
+    * ulp).
+    *
+    * Plan: one map-side-combined (arm, stratum) aggregate — the only
+    * corpus exchange.
+    */
+  def postStratified(events: DataFrame, armFrom: Column, strataCol: String,
+                     valueCol: String, gridBits: Int = 20): DataFrame = {
+    val grid = (1L << gridBits).toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    val cells: Array[(Long, String, Long, Long)] = events
+      .select(armFrom.cast("long").as("arm"),
+        col(strataCol).cast("string").as("stratum"),
+        floor(col(valueCol) * (1L << gridBits)).cast("long").as("_v"))
+      .groupBy(col("arm"), col("stratum"))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("s"))
+      .as[(Long, String, Long, Long)].collect()
+    val bigN = cells.map(_._3).sum
+    val ns = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    def arm(a: Long) = cells.filter(_._1 == a)
+    def nArm(a: Long) = arm(a).map(_._3).sum
+    def rawMean(a: Long) =
+      arm(a).map(_._4).sum.toDouble / (nArm(a).toDouble * grid)
+    def adj(a: Long) = arm(a).sortBy(_._2).map { case (_, st, n, s) =>
+      (ns(st).toDouble * s.toDouble) / ((n.toDouble * bigN.toDouble) * grid)
+    }.reduceLeft(_ + _)
+    spark.createDataset(Seq((
+        nArm(0), nArm(1), rawMean(0), rawMean(1), adj(0), adj(1),
+        rawMean(1) - rawMean(0), adj(1) - adj(0))))
+      .toDF("n0", "n1", "mean_raw0", "mean_raw1", "adj0", "adj1",
+        "diff_raw", "diff_adj")
+  }
+
   /** Seasonally-ADJUSTED daily outlier flags — the composition of
     * [[seasonalProfile]] and [[detect]] that production monitors
     * actually run: a Saturday dip is not an incident, a Saturday at

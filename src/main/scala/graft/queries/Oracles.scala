@@ -3017,6 +3017,36 @@ object Oracles {
          |      / (b + c)::DOUBLE END AS statistic
          |FROM g""".stripMargin,
 
+    // post-stratification: exact cell sums, per-stratum terms as fixed
+    // float chains, the cross-stratum fold pinned to STRATUM ORDER via
+    // list(term ORDER BY stratum) + list_reduce (mirrors the engine's
+    // driver-side reduceLeft — plain sum() would be order-free)
+    "ab_poststrat" ->
+      s"""WITH cells AS MATERIALIZED (SELECT
+         |    (${md24("'ab:' || user_id::VARCHAR")}) % 2 AS arm,
+         |    event_type AS stratum,
+         |    count(*)::BIGINT AS n,
+         |    sum(CAST(floor(value * 1048576) AS BIGINT))::BIGINT AS s
+         |  FROM events GROUP BY 1, 2),
+         |ns AS (SELECT stratum, sum(n)::BIGINT AS ns FROM cells GROUP BY 1),
+         |nn AS (SELECT sum(n)::BIGINT AS bn FROM cells),
+         |a AS (SELECT cells.arm,
+         |    sum(cells.n)::BIGINT AS n_arm, sum(cells.s)::BIGINT AS s_arm,
+         |    list_reduce(
+         |      list((ns.ns::DOUBLE * cells.s::DOUBLE)
+         |           / ((cells.n::DOUBLE * nn.bn::DOUBLE) * 1048576.0)
+         |        ORDER BY cells.stratum),
+         |      (x, y) -> x + y) AS adj
+         |  FROM cells JOIN ns USING (stratum) CROSS JOIN nn
+         |  GROUP BY cells.arm),
+         |p0 AS (SELECT n_arm AS n0, s_arm::DOUBLE / (n_arm::DOUBLE * 1048576.0) AS mean_raw0,
+         |  adj AS adj0 FROM a WHERE arm = 0),
+         |p1 AS (SELECT n_arm AS n1, s_arm::DOUBLE / (n_arm::DOUBLE * 1048576.0) AS mean_raw1,
+         |  adj AS adj1 FROM a WHERE arm = 1)
+         |SELECT n0, n1, mean_raw0, mean_raw1, adj0, adj1,
+         |  mean_raw1 - mean_raw0 AS diff_raw, adj1 - adj0 AS diff_adj
+         |FROM p0, p1""".stripMargin,
+
     // median treatment effect: two exact per-arm rank statistics
     "ab_quantile_effect" ->
       s"""WITH v AS MATERIALIZED (SELECT

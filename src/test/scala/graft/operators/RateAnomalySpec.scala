@@ -278,4 +278,20 @@ class RateAnomalySpec extends SparkSuite {
     assert(math.abs(got._2 - mean) < 1e-12 && math.abs(got._3 - variance) < 1e-9)
     assert(got._5 == nPerArm, s"got ${got._5}, expected $nPerArm")
   }
+
+  test("postStratified: hand-computed reweighting corrects arm imbalance") {
+    // strata A,B each pooled share 1/2; arm0 over-samples A, arm1 B:
+    // raw0 = 2, raw1 = 10/3; adj0 = .5*1 + .5*4 = 2.5, adj1 = .5*2 + .5*4 = 3
+    val ev = Seq(
+      (0L, "A", 1.0), (0L, "A", 1.0), (0L, "B", 4.0),
+      (1L, "A", 2.0), (1L, "B", 2.0), (1L, "B", 6.0))
+      .toDF("arm", "stratum", "value")
+    val got = RateAnomaly.postStratified(ev, col("arm"), "stratum", "value")
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double)]
+      .collect().head
+    assert(got._1 == 3L && got._2 == 3L)
+    assert(got._3 == 2.0 && math.abs(got._4 - 10.0 / 3) < 1e-12)
+    assert(got._5 == 2.5 && got._6 == 3.0)
+    assert(got._8 == 0.5)
+  }
 }
