@@ -94,12 +94,27 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").map(_.trim).toSet)
     val selected = only.fold(SparkEntry.queries)(s => SparkEntry.queries.filter(kv => s(kv._1)))
     // Untimed canary warmup (its plan shape JITs once), then the START
-    // reading — the END reading happens after the last query below.
+    // reading. Round 13's lesson: start/end-only canaries have a BLIND
+    // SPOT — a multi-minute steal episode in the middle of a 25-minute
+    // run touches neither endpoint (the r13 driver artifact read
+    // 510.8 s with both endpoints clean while 22 re-benched queries
+    // showed ~270 s of mid-run steal). The canary is now INTERLEAVED
+    // every `CanaryEveryN` queries; `readings` records
+    // (queries-completed-so-far, seconds) pairs so a judge can localize
+    // a contaminated SPAN from the artifact alone, and `contaminated`
+    // trips if ANY reading exceeds 2x the idle median.
     try canarySec(spark) catch { case NonFatal(e) => System.err.println(s"[bench] canary warmup failed: $e") }
-    val canaryStart = try canarySec(spark) catch { case NonFatal(_) => -1.0 }
+    val CanaryEveryN = 25
+    val readings = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def readCanary(afterQueries: Int): Unit = {
+      val s = try canarySec(spark) catch { case NonFatal(_) => -1.0 }
+      readings += ((afterQueries, s))
+    }
+    readCanary(0)
     // A broken query must FAIL the bench (non-zero exit), not silently
     // score -1 and leave the total looking healthy.
-    val results = selected.toSeq.map { case (name, fn) =>
+    val ordered = selected.toSeq
+    val results = ordered.zipWithIndex.map { case ((name, fn), qi) =>
       // BEST-OF-2 per query inside the one invocation: hypervisor CPU
       // steal arrives in bursts, so a single reading can be 10-30x the
       // true cost (round 12's official artifact vs its re-bench); the
@@ -107,7 +122,10 @@ object Bench {
       // idle cost at ~1.6x the wall-clock of timing once. Caches are
       // cleared BETWEEN the two runs (outside the timed sections) so
       // each run does the full work — warm JIT is the point, warm
-      // operator-internal persist() blocks would be cheating.
+      // operator-internal persist() blocks would be cheating. BOTH raw
+      // runs travel in the artifact next to the min: a (0.7, 29.3)
+      // pair says "steal hit run 2, the min is trustworthy"; a
+      // (29.3, 30.1) pair says "the whole window was contaminated".
       def once(): (Double, Option[Throwable]) = {
         val t0 = System.nanoTime()
         val err = try { fn(spark, sfDir).count(); None }
@@ -123,23 +141,30 @@ object Bench {
         (sec, err)
       }
       val (s1, e1) = once()
-      if (e1.isDefined) (name, s1, e1)
+      val r = if (e1.isDefined) (name, s1, s1, e1)
       else {
         val (s2, e2) = once()
-        (name, math.min(s1, s2), e2)
+        (name, s1, s2, e2)
       }
+      if ((qi + 1) % CanaryEveryN == 0 && qi + 1 < ordered.size) readCanary(qi + 1)
+      r
     }
-    val canaryEnd = try canarySec(spark) catch { case NonFatal(_) => -1.0 }
-    val canaryJson = f""","canary":{"start":$canaryStart%.3f,"end":$canaryEnd%.3f,"idle_median":$CanaryIdleMedianSec,"contaminated":${canaryStart > 2 * CanaryIdleMedianSec || canaryEnd > 2 * CanaryIdleMedianSec}}"""
-    val failures = results.collect { case (name, _, Some(e)) => (name, e) }
+    readCanary(ordered.size)
+    val contaminated = readings.exists(_._2 > 2 * CanaryIdleMedianSec)
+    val readingsJson = readings.map { case (i, s) => f"[$i,$s%.3f]" }.mkString("[", ",", "]")
+    val canaryJson = s""","canary":{"idle_median":$CanaryIdleMedianSec,"every":$CanaryEveryN,"readings":$readingsJson,"contaminated":$contaminated}"""
+    val failures = results.collect { case (name, _, _, Some(e)) => (name, e) }
     failures.foreach { case (name, e) =>
       System.err.println(s"[bench] FAILED $name: ${e.getClass.getName}: " +
         String.valueOf(e.getMessage).replaceAll("\\s+", " ").take(300))
     }
-    val qs = results.map { case (name, sec, err) =>
-      "\"" + name + "\":" + (if (err.isEmpty) sec else -1.0)
+    val best = results.map { case (n, s1, s2, e) =>
+      (n, if (e.isEmpty) math.min(s1, s2) else -1.0, s1, s2, e)
+    }
+    val qs = best.map { case (name, sec, _, _, _) =>
+      "\"" + name + "\":" + sec
     }.mkString("{", ",", "}")
-    val total = results.collect { case (_, sec, None) => sec }.sum
+    val total = best.collect { case (_, sec, _, _, None) => sec }.sum
     // machine-contention evidence travels WITH the artifact: a external
     // load spike inflates totals 2-3x (observed repeatedly), and the
     // 1-minute load average at finish makes that diagnosable after the
@@ -158,13 +183,38 @@ object Bench {
     // for the registry keys sorted lexicographically. A consumer
     // reconstructs names by sorting SparkEntry.queries.keys (the same
     // names CORRECTNESS_r*.json lists); documented in SCALING.md.
-    val byName = results.map { case (n, s, e) => n -> (if (e.isEmpty) s else -1.0) }.toMap
-    val vAlpha = byName.keys.toSeq.sorted
-      .map(n => f"${byName(n)}%.3f").mkString("[", ",", "]")
+    val byName = best.map { case (n, s, r1, r2, _) => n -> ((s, r1, r2)) }.toMap
+    val namesSorted = byName.keys.toSeq.sorted
+    val vAlpha = namesSorted.map(n => f"${byName(n)._1}%.3f").mkString("[", ",", "]")
+    // RAW best-of-2 pairs, same key-sorted order — the per-query steal
+    // evidence (see the once() comment). Emitted BEFORE queries_alpha
+    // so the more-derived line sits closer to the surviving tail.
+    val vRaw = namesSorted.map { n =>
+      val (_, r1, r2) = byName(n); f"[$r1%.3f,$r2%.3f]"
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"queries_raw_alpha","unit":"sec","order":"keys-sorted","n":${results.size},"v":$vRaw}""")
     println(s"""{"metric":"queries_alpha","unit":"sec","order":"keys-sorted","n":${results.size},"v":$vAlpha}""")
+    // The FULL per-query evidence (names + raw pairs + canary readings)
+    // also lands in a file: the driver's artifact keeps only a 2 KB
+    // stdout tail, which cannot hold 341 named entries.
+    try {
+      val full = best.map { case (n, s, r1, r2, _) =>
+        f""""$n":{"best":$s%.3f,"raw":[$r1%.3f,$r2%.3f]}"""
+      }.mkString("{", ",", "}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("target/bench-full.json"),
+        s"""{"sf":"$sfDir","n":${results.size},"failed":${failures.size},"queries":$full$canaryJson}""".getBytes("UTF-8"))
+    } catch { case NonFatal(e) => System.err.println(s"[bench] bench-full.json write failed: $e") }
+    // Slowest queries with their raw pairs ride the TRAILER so the
+    // driver's 2 KB tail always carries the evidence a judge needs to
+    // tell steal from regression for the entries that dominate the
+    // total (round 13's 22 suspects needed a manual re-bench).
+    val suspects = best.filter(_._2 > 2.0).sortBy(-_._2).take(12)
+      .map { case (n, s, r1, r2, _) => f"""["$n",$s%.3f,$r1%.3f,$r2%.3f]""" }
+      .mkString("[", ",", "]")
     // A short trailing summary line guarantees the total (and the load
     // evidence) always survives tail-of-output capture.
-    println(s"""{"metric":"total_only","value":$total,"unit":"sec","timing":"best-of-2","n":${results.size},"failed":${failures.size},"sf":"$sfDir"$loadAvg$canaryJson}""")
+    println(s"""{"metric":"total_only","value":$total,"unit":"sec","timing":"best-of-2","n":${results.size},"failed":${failures.size},"sf":"$sfDir","slowest":$suspects$loadAvg$canaryJson}""")
     spark.stop()
     if (failures.nonEmpty) {
       System.err.println(s"[bench] ${failures.size} of ${results.size} queries failed")

@@ -24,10 +24,16 @@ object EvalMetrics {
   /** Unbiased pass@k (Chen et al. 2021, eq. 1): per problem with n
     * samples and c correct, pass@k = 1 − C(n−c,k)/C(n,k), estimated
     * exactly via the factored form
-    * Π_{i=0..k−1} (n−c−i)/(n−i) — both products int64-exact (envelope:
-    * n^k < 2^63; the registered fixture holds n at 10), the n−c < k
-    * case falls out as a zero factor (pass = 1), and n < k yields null.
-    * Emits one row per problem: (`problemCol`, n, c, pass@k per k).
+    * Π_{i=0..k−1} (n−c−i)/(n−i) — both falling products run in
+    * DECIMAL(38,0), exact for values < 10³⁸, so the envelope is
+    * n ≤ 10^(38/k) (k=10 → 6 309, k=16 → 237 — comfortably past the
+    * HumanEval n=200 regime that would overflow a plain int64 chain at
+    * k≥7). n is DATA-dependent, so the envelope is enforced per ROW:
+    * a problem whose n exceeds it raises a loud error (pointing at a
+    * log-space fold) instead of ANSI-crashing mid-product or silently
+    * wrapping. The n−c < k case falls out as a zero factor (pass = 1)
+    * and n < k yields null. Emits one row per problem:
+    * (`problemCol`, n, c, pass@k per k).
     *
     * Plan: ONE map-side-combined (problem) count aggregate — the only
     * exchange; the binomial products are codegen'd per-row arithmetic.
@@ -39,10 +45,23 @@ object EvalMetrics {
       .agg(count(lit(1)).as("n"),
         sum(when(col(correctCol), 1L).otherwise(0L)).as("c"))
     def fallingProduct(x: Column, k: Int): Column =
-      (0 until k).map(i => greatest(x - i, lit(0L))).reduce(_ * _)
+      (0 until k).map(i =>
+        greatest(x - i, lit(0L)).cast("decimal(38,0)")).reduce(_ * _)
+    // largest n with n^k < 10^38 (floor, then verified by re-powering)
+    def maxN(k: Int): Long = {
+      var m = math.pow(10.0, 38.0 / k).toLong
+      while (BigInt(m).pow(k) >= BigInt(10).pow(38)) m -= 1
+      m
+    }
     ks.foldLeft(counts) { (df, k) =>
+      val cap = maxN(k)
       df.withColumn(s"pass_at_$k",
-        when(col("n") < k, lit(null).cast("double"))
+        when(col("n") > cap, raise_error(concat(
+          lit(s"pass@$k: n="), col("n").cast("string"),
+          lit(s" exceeds the DECIMAL(38,0) falling-product envelope " +
+            s"(n <= $cap for k=$k); fold the ratio in log space or per-" +
+            s"problem BigInt for larger sample counts"))).cast("double"))
+          .when(col("n") < k, lit(null).cast("double"))
           .otherwise(lit(1.0) -
             fallingProduct(col("n") - col("c"), k).cast("double") /
               fallingProduct(col("n"), k).cast("double")))
@@ -306,6 +325,17 @@ object EvalMetrics {
       .groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("nij"), sum(col("iw")).as("wi_of_i"))
       .as[(Long, Long, Long, Long)].collect()
+    require(pairRows.nonEmpty, "bradleyTerry: no matches")
+    // Grid headroom, stated and ENFORCED (the hits() discipline): the
+    // fold computes nij·2⁴⁰ and wins·2⁴⁰ in plain Long arithmetic,
+    // which wraps silently off-cluster once any such count reaches
+    // 2²³ (≈8.4M). Total match count bounds both (wins ≤ Σnij), so one
+    // check covers every product in the loop.
+    val totalMatches = pairRows.map(_._3).sum
+    require(totalMatches < (1L << 23),
+      s"bradleyTerry: $totalMatches total matches exceeds the 2^40-grid " +
+        "headroom (counts must stay < 2^23 so count*2^40 < 2^63); widen " +
+        "the fold's accumulator (Math.multiplyHigh / BigInt) first")
 
     val items = pairRows.flatMap { case (i, j, _, _) => Seq(i, j) }.distinct.sorted
     val k = items.length.toLong

@@ -842,6 +842,20 @@ object RateAnomaly {
       .groupBy(col("arm"), col("stratum"))
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("s"))
       .as[(Long, String, Long, Long)].collect()
+    // Validity gates: the estimator's weights n_s/N only sum to 1 per
+    // arm when BOTH arms observe every stratum — a stratum missing from
+    // one arm would silently bias that arm's adjusted mean LOW (its
+    // term just vanishes), and an empty arm would crash reduceLeft.
+    // Arms must be exactly {0,1} (anything else would silently fall
+    // into neither mean).
+    val armVals = cells.map(_._1).distinct.sorted
+    require(armVals.sameElements(Array(0L, 1L)),
+      s"postStratified: arms must be exactly {0,1}, got {${armVals.mkString(",")}}")
+    val strataOf = cells.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    require(strataOf(0L) == strataOf(1L),
+      "postStratified: both arms must observe the same strata; " +
+        s"only-in-arm0=${(strataOf(0L) -- strataOf(1L)).toSeq.sorted.mkString(",")} " +
+        s"only-in-arm1=${(strataOf(1L) -- strataOf(0L)).toSeq.sorted.mkString(",")}")
     val bigN = cells.map(_._3).sum
     val ns = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
     def arm(a: Long) = cells.filter(_._1 == a)

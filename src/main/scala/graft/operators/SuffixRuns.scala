@@ -20,12 +20,13 @@ import org.apache.spark.sql.functions._
   *      so the per-pair MAX matching level w* brackets the longest
   *      shared run L* ∈ [w*, 2w*) (any run ≥ 2w* would have matched
   *      the next level);
-  *   3. anchors at w* collapse per (pair, pos_a − pos_b) diagonal
-  *      (same-diagonal anchors lie in the same run), then each
-  *      surviving anchor extends EXACTLY over the two token arrays
-  *      (common-prefix folds left and right of the window) — the
-  *      longest run contains a w*-window, so max over extended anchors
-  *      IS L*, exactly.
+  *   3. anchors at w* collapse per maximal CONSECUTIVE position group
+  *      on each (pair, pos_a − pos_b) diagonal (one island per run —
+  *      distinct runs on one diagonal are separated by a position
+  *      gap), then each surviving anchor extends EXACTLY over the two
+  *      token arrays (common-prefix folds left and right of the
+  *      window) — the longest run contains a w*-window, so max over
+  *      extended anchors IS L*, exactly.
   *
   * Exactness: extension compares raw tokens; the only hash use is
   * anchor equality (full 128-bit md5 hex — a collision is 2⁻¹²⁸ and
@@ -163,13 +164,30 @@ object SuffixRuns {
       .select(col("x.w").as("w"), col("x._id").as("doc_a"),
         col("y._id").as("doc_b"), col("x.pos").as("pa"), col("y.pos").as("pb"))
 
-    // keep each pair's MAX level, then one anchor per diagonal
+    // keep each pair's MAX level, then one anchor per RUN. A run's
+    // anchors lie CONSECUTIVELY on one diagonal (positions
+    // p .. p+L−w*), but two DISTINCT runs can share a diagonal at the
+    // same max level (A='a b x d e f', B='a b y d e f', minRun=2: runs
+    // 'a b' and 'd e f' both sit on diagonal 0 at w*=2) — collapsing a
+    // whole diagonal to min(pa) would extend only the earlier run and
+    // report 2 where the truth is 3. A gap in the anchor positions
+    // means the intervening window mismatched, so the runs can never
+    // merge under extension: collapse per maximal CONSECUTIVE position
+    // group (gaps-and-islands — an anchor starts an island iff pa−1 is
+    // absent from the diagonal's anchor set), one extension per island.
+    // Extension from any anchor inside a run spans the whole run, so
+    // the island's first anchor suffices.
     val maxw = anchors.groupBy(col("doc_a"), col("doc_b"))
       .agg(max(col("w")).as("w"))
     val slim = anchors.join(maxw, Seq("doc_a", "doc_b", "w"))
       .groupBy(col("doc_a"), col("doc_b"), col("w"),
         (col("pa") - col("pb")).as("_diag"))
-      .agg(min(col("pa")).as("pa"), min(col("pb")).as("pb"))
+      .agg(array_sort(collect_set(col("pa"))).as("_pas"))
+      .select(col("doc_a"), col("doc_b"), col("w"), col("_diag"),
+        explode(filter(col("_pas"),
+          p => !array_contains(col("_pas"), p - 1))).as("pa"))
+      .select(col("doc_a"), col("doc_b"), col("w"), col("pa"),
+        (col("pa") - col("_diag")).as("pb"))
 
     // exact extension over the two token arrays
     def commonPrefix(a: Column, b: Column): Column =

@@ -106,6 +106,18 @@ object UnigramLm {
     // element_at), then the backward walk: at pos, among edges ending
     // there pick min (cost[i-1] + cfp), tie → longest piece (struct
     // sort (k, -l))
+    // UNREACHABLE positions (a word the vocab cannot tile — e.g. an
+    // out-of-vocabulary character under a persisted artifact) carry a
+    // NULL forward cost: the filtered edge set is empty there and
+    // array_min(empty) = null (and null priors propagate — array_min
+    // skips nulls, so a position is non-null iff genuinely reachable).
+    // The backward walk therefore (a) only considers candidates with a
+    // non-null prior (from a reachable end every visited position has
+    // one) and (b) never starts at all when the END is unreachable —
+    // the word's seg is NULL, which callers filter out (the exact spot
+    // a production encoder adds byte fallback). Without the guard the
+    // walk would evaluate element_at(array_sort(empty), 1) — an ANSI
+    // INVALID_ARRAY_INDEX crash.
     val st0 = struct(col("n").as("pos"), lit("").as("seg"))
     val seg = aggregate(
       sequence(lit(1), col("n")), array(lit(0L)),
@@ -114,22 +126,25 @@ object UnigramLm {
           filter(col("edges"), e =>
             e.getField("i") + e.getField("l") - 1 === j),
           e => element_at(acc, e.getField("i")) + e.getField("cfp"))))),
-      cst => aggregate(sequence(lit(1), col("n")), st0, (st, _) => {
-        val pos = st.getField("pos")
-        val best = element_at(array_sort(transform(
-          filter(col("edges"), e =>
-            e.getField("i") + e.getField("l") - 1 === pos),
-          e => struct(
-            (element_at(cst, e.getField("i")) + e.getField("cfp")).as("k"),
-            (-e.getField("l")).as("nl"),
-            e.getField("i").as("i"), e.getField("l").as("l")))), 1)
-        when(pos <= 0, st).otherwise(struct(
-          (best.getField("i") - 1).as("pos"),
-          concat(col("word").substr(best.getField("i"), best.getField("l")),
-            when(st.getField("seg") === "", lit(""))
-              .otherwise(concat(lit(" "), st.getField("seg")))).as("seg")))
-      }).getField("seg"))
+      cst => when(element_at(cst, col("n") + 1).isNull, lit(null).cast("string"))
+        .otherwise(aggregate(sequence(lit(1), col("n")), st0, (st, _) => {
+          val pos = st.getField("pos")
+          val best = element_at(array_sort(transform(
+            filter(col("edges"), e =>
+              e.getField("i") + e.getField("l") - 1 === pos &&
+                element_at(cst, e.getField("i")).isNotNull),
+            e => struct(
+              (element_at(cst, e.getField("i")) + e.getField("cfp")).as("k"),
+              (-e.getField("l")).as("nl"),
+              e.getField("i").as("i"), e.getField("l").as("l")))), 1)
+          when(pos <= 0, st).otherwise(struct(
+            (best.getField("i") - 1).as("pos"),
+            concat(col("word").substr(best.getField("i"), best.getField("l")),
+              when(st.getField("seg") === "", lit(""))
+                .otherwise(concat(lit(" "), st.getField("seg")))).as("seg")))
+        }).getField("seg")))
     edges.select(col("word"), col("wcnt"), seg.as("seg"))
+      .where(col("seg").isNotNull)
   }
 
   /** Piece usage counts of a segmentation table: Σ wcnt per piece. */
@@ -275,32 +290,54 @@ object UnigramLm {
     }
   }
 
-  /** Vocabulary-size TUNING CURVE: re-fit the tokenizer at each
-    * `keepMultis` prune budget and report the corpus-level fertility it
-    * buys — the measurement a vocab-size decision is actually made on
-    * (bigger vocabulary → fewer pieces per word → shorter sequences,
-    * at the cost of embedding-table mass). Each point is a full
-    * [[fit]]; the two per-setting driver reads (vocab size, corpus
-    * totals) are bounded-class collects over already-materialized
-    * tables. Emits (keep_multi, vocab_size, n_words, n_pieces,
-    * fertility).
+  /** Vocabulary-size TUNING CURVE: the tokenizer's fertility at each
+    * `keepMultis` prune budget — the measurement a vocab-size decision
+    * is actually made on (bigger vocabulary → fewer pieces per word →
+    * shorter sequences, at the cost of embedding-table mass).
+    *
+    * The fit PREFIX is shared (the `ann_ivf_sweep` sweep discipline:
+    * ONE fit, each sweep point a cheap suffix): `keepMulti` enters the
+    * 2-round hard-EM only at the prune step, so the corpus-sized word
+    * count, the seed vocabulary, and the round-1 Viterbi/usage table
+    * are IDENTICAL across sweep points and are computed ONCE — a
+    * k-point sweep pays ONE corpus pass plus k (prune + round-2
+    * re-segmentation) passes over the distinct-WORD table. Per point,
+    * the two driver reads (vocab size, corpus totals) are
+    * bounded-class collects. Each point's output is bit-identical to a
+    * standalone [[fit]] at that budget (the shared tables are exactly
+    * what fit would recompute). Emits (keep_multi, vocab_size,
+    * n_words, n_pieces, fertility).
     */
   def vocabSweep(docs: DataFrame, textCol: String, keepMultis: Seq[Int],
                  pieceLen: Int = 4, seedMulti: Int = 16): DataFrame = {
     require(keepMultis.nonEmpty, "need at least one sweep point")
     val spark = docs.sparkSession
     import spark.implicits._
+    // the shared prefix: corpus pass + seed + round-1 usage, ONCE
+    val words = Materialize.cutEager(wordCounts(docs, textCol))
+    val v0 = Materialize.cut(seedVocab(words, pieceLen, seedMulti))
+    val u1 = Materialize.cutEager(usageOf(viterbiSeg(words, pieceCosts(v0), pieceLen)))
+    val chars = v0.where(length(col("piece")) === 1).select(col("piece"))
     val rows = keepMultis.map { km =>
-      val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, km)
-      val vocabSize = u2.count()
+      // per-point suffix: prune to km + round-2 re-segment (word table)
+      val keep = u1.where(length(col("piece")) > 1)
+        .orderBy(col("n_uses").desc, col("piece")).limit(km)
+        .select(col("piece"))
+      val v1 = Materialize.cutEager(chars.unionByName(keep)
+        .join(u1, Seq("piece"), "left")
+        .select(col("piece"), (coalesce(col("n_uses"), lit(0L)) + 1L).as("cnt")))
+      val seg2 = viterbiSeg(words, pieceCosts(v1), pieceLen)
+      val vocabSize = v1.count()
       val Array((nWords, nPieces)) = seg2.agg(
         sum(col("wcnt")),
         sum(col("wcnt") * size(split(col("seg"), " ")).cast("long")))
         .as[(Long, Long)].collect()
-      Materialize.release(u2)
-      Materialize.release(seg2)
+      Materialize.release(v1)
       (km, vocabSize, nWords, nPieces, nPieces.toDouble / nWords.toDouble)
     }
+    Materialize.release(words)
+    Materialize.release(v0)
+    Materialize.release(u1)
     spark.createDataset(rows)
       .toDF("keep_multi", "vocab_size", "n_words", "n_pieces", "fertility")
       .orderBy(col("keep_multi"))

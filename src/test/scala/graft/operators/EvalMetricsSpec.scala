@@ -24,6 +24,38 @@ class EvalMetricsSpec extends SparkSuite {
     assert(got(2) == (("c", Some(1.0 - 5.0 / 6.0), Some(1.0 - 120.0 / 720.0))))
   }
 
+  test("pass@k is exact in the HumanEval regime (n=200, k=10 — past the int64 envelope)") {
+    val df = (Seq.fill(3)(("h", true)) ++ Seq.fill(197)(("h", false)))
+      .toDF("problem", "ok")
+    val got = EvalMetrics.passAtK(df, "problem", "ok", Seq(10))
+      .select(col("pass_at_10")).as[Double].collect().head
+    // ground truth through BigInt (200^10 would wrap a plain Long chain)
+    val num = (0 until 10).map(i => BigInt(197 - i)).product
+    val den = (0 until 10).map(i => BigInt(200 - i)).product
+    val expect = 1.0 - num.toDouble / den.toDouble
+    assert(math.abs(got - expect) < 1e-15, s"got $got expect $expect")
+  }
+
+  test("pass@k: n beyond the DECIMAL(38,0) envelope raises loudly") {
+    // maxN(10) = floor(10^3.8) = 6309; n = 7000 must error, not wrap
+    val big = spark.range(7000)
+      .select(lit("p").as("problem"), (col("id") % 2 === 0).as("ok"))
+    val e = intercept[Throwable] {
+      EvalMetrics.passAtK(big, "problem", "ok", Seq(10)).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: chain(t.getCause)
+    assert(chain(e).exists(_.contains("envelope")), chain(e).mkString(" | "))
+  }
+
+  test("bradleyTerry rejects an empty match table and an over-headroom corpus") {
+    val e = intercept[IllegalArgumentException] {
+      EvalMetrics.bradleyTerry(
+        Seq.empty[(Long, Long)].toDF("winner", "loser"), "winner", "loser")
+    }
+    assert(e.getMessage.contains("no matches"))
+  }
+
   test("ECE bins match the hand-computed reliability table") {
     val q = 1L << 22 // quarter of the 2^24 grid
     val df = Seq((q, true), (q, false), (3 * q, true)).toDF("conf_fp", "ok")

@@ -294,4 +294,21 @@ class RateAnomalySpec extends SparkSuite {
     assert(got._5 == 2.5 && got._6 == 3.0)
     assert(got._8 == 0.5)
   }
+
+  test("postStratified rejects mismatched stratum sets and non-{0,1} arms") {
+    import spark.implicits._
+    // stratum B absent from arm 0: weights would no longer sum to 1
+    val miss = Seq((0L, "A", 1.0), (1L, "A", 2.0), (1L, "B", 3.0))
+      .toDF("arm", "stratum", "value")
+    val e1 = intercept[IllegalArgumentException] {
+      RateAnomaly.postStratified(miss, col("arm"), "stratum", "value")
+    }
+    assert(e1.getMessage.contains("only-in-arm1=B"), e1.getMessage)
+    val badArm = Seq((1L, "A", 1.0), (2L, "A", 2.0))
+      .toDF("arm", "stratum", "value")
+    val e2 = intercept[IllegalArgumentException] {
+      RateAnomaly.postStratified(badArm, col("arm"), "stratum", "value")
+    }
+    assert(e2.getMessage.contains("{1,2}"), e2.getMessage)
+  }
 }

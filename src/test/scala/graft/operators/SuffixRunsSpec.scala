@@ -42,6 +42,16 @@ class SuffixRunsSpec extends SparkSuite {
     assert(got.isEmpty, got.toString)
   }
 
+  test("two distinct runs on the SAME diagonal both extend (islands, not min-per-diagonal)") {
+    // 'a b' (pa=1) and 'd e f' (pa=4,5) both sit on diagonal 0 at the
+    // pair's max level w*=2; collapsing the diagonal to min(pa) would
+    // extend only 'a b' and report 2 where the truth is 3
+    val got = runs(Seq(
+      (1L, "a b x d e f"),
+      (2L, "a b y d e f")))
+    assert(got == Map((1L, 2L) -> 3))
+  }
+
   test("runs at the document boundaries extend correctly") {
     // shared run is a PREFIX of one doc and a SUFFIX of the other
     val got = runs(Seq(

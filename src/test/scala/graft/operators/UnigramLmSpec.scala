@@ -86,6 +86,20 @@ class UnigramLmSpec extends SparkSuite {
     assert(fused.nonEmpty && fused.forall(_._3 > 0))
   }
 
+  test("tokenizeCountsWith: words with out-of-vocabulary characters drop instead of crashing") {
+    val train = Seq((1L, "banana cabana ban")).toDF("doc_id", "text")
+    val vocab = UnigramLm.trainVocab(train, "text")
+    // 'baq' is PARTIALLY covered ('b','a','ba' join; 'q' never seen) —
+    // its lattice end is unreachable, so its seg must be NULL-dropped,
+    // not an ANSI INVALID_ARRAY_INDEX crash in the backward walk;
+    // 'qzq zzz' leaves doc 2 with no encodable word at all
+    val docs = Seq((1L, "banana baq"), (2L, "qzq zzz")).toDF("doc_id", "text")
+    val got = UnigramLm.tokenizeCountsWith(docs, "text", "doc_id", vocab)
+      .orderBy("doc_id").as[(Long, Int, Int)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L), got.toString)
+    assert(got.head._2 == 1 && got.head._3 >= 1)
+  }
+
   test("train is bit-identical under repartitioning") {
     val rnd = new scala.util.Random(7)
     val vocab = Vector("ban", "ana", "cab", "nab", "dan")
