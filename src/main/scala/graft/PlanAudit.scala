@@ -253,7 +253,11 @@ object PlanAudit {
       // ktruss: per round ONE wedge join over the current edge set +
       // a filter, generations through cutLoop; dp_mean/mcnemar are one
       // aggregate each
-      "graph_ktruss", "dp_mean", "eval_mcnemar", "ab_quantile_effect", "ab_poststrat")
+      "graph_ktruss", "dp_mean", "eval_mcnemar", "ab_quantile_effect", "ab_poststrat",
+      // round 14 graph-ANN: the build must show bucketed/grouped
+      // candidate joins + per-node windows (no cartesian anywhere);
+      // search is beam-bounded joins against the broadcast query set
+      "ann_graph", "ann_graph_topk", "ann_graph_recall")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -215,6 +215,21 @@ object ScaleSmoke {
             .as("embedding"))
         Similarity.lloydKMeans(embs, "embedding", "vec_id", k = 8, iters = 3).count()
       }),
+      // round 14: graph-ANN — the build's candidate volume is bounded
+      // per node (LSH bucket width + hash-group width + (2·degree)² per
+      // descent round), so build cost must scale with N, never N²;
+      // search is query-bound (fixed 10 queries at every scale)
+      "ann_graph" -> (() => {
+        val embs = docs.select(col("doc_id").as("vec_id"),
+          transform(sequence(lit(0), lit(15)), i =>
+            ((pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+              lit(":"), i.cast("string"))), 1, 6), 16, 10).cast("long"),
+              lit(1000L)) - lit(500L)).cast("double") / 500.0).cast("float"))
+            .as("embedding"))
+        val g = AnnGraph.buildGraph(embs, dim = 16, degree = 8)
+        AnnGraph.beamSearch(g, embs, embs.where(col("vec_id") < 10),
+          k = 10, beam = 16, dim = 16).count()
+      }),
       "stitch" -> (() => Dedup.stitchPairs(docs, "text", "doc_id").count()),
       "triangles" -> (() => {
         val w = org.apache.spark.sql.expressions.Window

@@ -1332,6 +1332,158 @@ object Oracles {
   }
 
   /** Full mirror of Similarity.ivfTopK over the shared k-means fit. */
+  /** The deterministic NN-descent graph build of AnnGraph.buildGraph
+    * (planes=5 multi-probe LSH init, degree 6, two rounds) and its beam
+    * search as a CTE chain — the whole "model fit" replayed like the
+    * ann_ivf k-means. Structure notes: the minstd-LCG hyperplane
+    * recursion nests in a sub-WITH so the OUTER with stays
+    * non-recursive and twice-referenced CTEs can be MATERIALIZED (the
+    * CTE-inlining trap); per-vector norms are precomputed once in `eb`
+    * (sqrt of the same left-fold — cosine = dot/(nrm·nrm) is then the
+    * identical float chain the engine evaluates per pair).
+    */
+  private def annGraphSql(row: String): String = {
+    val (planes, degree, rounds) = (5, 8, 2)
+    val (beam, searchRounds, k) = (16, 3, 10)
+    def cos(a: String, b: String): String =
+      s"list_reduce(list_transform(range(1, 65), j -> $a.v[j] * $b.v[j]), (x, y) -> x + y) / ($a.nrm * $b.nrm)"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"g${r - 1}"
+      s"""rev_$r AS (
+         |  SELECT u, w FROM (
+         |    SELECT g.w AS u, g.u AS w,
+         |      row_number() OVER (PARTITION BY g.w ORDER BY g.cosine DESC, g.u) AS rk
+         |    FROM $prev g)
+         |  WHERE rk <= $degree
+         |),
+         |und_$r AS MATERIALIZED (
+         |  SELECT u, w FROM $prev UNION SELECT u, w FROM rev_$r
+         |),
+         |cand_$r AS (
+         |  SELECT a.u, b.w FROM und_$r a JOIN und_$r b ON a.w = b.u WHERE a.u != b.w
+         |  UNION SELECT u, w FROM $prev
+         |),
+         |g$r AS MATERIALIZED (
+         |  SELECT u, w, cosine, rk FROM (
+         |    SELECT s.u, s.w, s.cosine,
+         |      row_number() OVER (PARTITION BY s.u ORDER BY s.cosine DESC, s.w) AS rk
+         |    FROM (SELECT c.u, c.w, ${cos("a", "b")} AS cosine
+         |          FROM cand_$r c JOIN eb a ON a.vec_id = c.u JOIN eb b ON b.vec_id = c.w) s)
+         |  WHERE rk <= $degree
+         |)""".stripMargin
+    }.mkString(",\n")
+    val searchCtes = (1 to searchRounds).map { i =>
+      val prev = s"v${i - 1}"
+      s"""n_$i AS (
+         |  SELECT DISTINCT p.query_id, g.w AS node FROM $prev p JOIN g$rounds g ON g.u = p.node
+         |),
+         |s_$i AS (
+         |  SELECT n.query_id, n.node, ${cos("q", "c")} AS cosine
+         |  FROM n_$i n JOIN eb c ON c.vec_id = n.node JOIN q ON q.query_id = n.query_id
+         |),
+         |v$i AS MATERIALIZED (
+         |  SELECT query_id, node, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+         |    FROM (SELECT * FROM $prev UNION SELECT * FROM s_$i) _u)
+         |  WHERE rk <= $beam
+         |)""".stripMargin
+    }.mkString(",\n")
+    val beamCtes =
+      s"""q AS MATERIALIZED (
+         |  SELECT vec_id AS query_id, v, nrm FROM eb WHERE vec_id < 10
+         |),
+         |qseed AS (
+         |  SELECT DISTINCT p.u AS query_id, c.vec_id AS node
+         |  FROM probe p JOIN eb c USING (bucket) WHERE p.u < 10
+         |),
+         |v0 AS MATERIALIZED (
+         |  SELECT query_id, node, cosine FROM (
+         |    SELECT s.query_id, s.node, s.cosine,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+         |    FROM (SELECT qs.query_id, qs.node, ${cos("q", "c")} AS cosine
+         |          FROM qseed qs JOIN eb c ON c.vec_id = qs.node JOIN q ON q.query_id = qs.query_id) s)
+         |  WHERE rk <= $beam
+         |),
+         |$searchCtes,
+         |topk AS MATERIALIZED (
+         |  SELECT query_id, node AS neighbor_id, rk::INTEGER AS rank, cosine FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, node) AS rk
+         |    FROM v$searchRounds)
+         |  WHERE rk <= $k
+         |)""".stripMargin
+    val prefix =
+      s"""WITH pl AS MATERIALIZED (
+         |  SELECT (k - 9) // 64 AS i, list(s / 2147483647.0 * 2 - 1 ORDER BY k) AS plane
+         |  FROM (
+         |    WITH RECURSIVE lcg(k, s) AS (
+         |      SELECT 0, (42 * 2654435761) % 2147483646 + 1
+         |      UNION ALL
+         |      SELECT k + 1, (s * 48271) % 2147483647 FROM lcg WHERE k < ${8 + planes * 64})
+         |    SELECT k, s FROM lcg)
+         |  WHERE k >= 9 GROUP BY 1
+         |),
+         |bkt AS (
+         |  SELECT vec_id, sum(CASE WHEN d >= 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT AS bucket
+         |  FROM (
+         |    SELECT e.vec_id, p.i,
+         |      list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * p.plane[j]), (x, y) -> x + y) AS d
+         |    FROM embeddings e CROSS JOIN pl p)
+         |  GROUP BY vec_id
+         |),
+         |eb AS MATERIALIZED (
+         |  SELECT e.vec_id, list_transform(e.embedding, x -> x::DOUBLE) AS v, b.bucket,
+         |    sqrt(list_reduce(list_transform(range(1, 65), j -> e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE), (x, y) -> x + y)) AS nrm
+         |  FROM embeddings e JOIN bkt b USING (vec_id)
+         |),
+         |probe AS (
+         |  SELECT vec_id AS u, xor(bucket, f::BIGINT) AS bucket
+         |  FROM eb CROSS JOIN (SELECT unnest([0, 1, 2]) AS f)
+         |),
+         |grp AS MATERIALIZED (
+         |  SELECT vec_id, ${md24("vec_id::VARCHAR")} % 32 AS g FROM embeddings
+         |),
+         |cand_0 AS (
+         |  SELECT DISTINCT u, w FROM (
+         |    SELECT p.u, c.vec_id AS w FROM probe p JOIN eb c USING (bucket) WHERE p.u != c.vec_id
+         |    UNION ALL
+         |    SELECT x.vec_id AS u, y.vec_id AS w FROM grp x JOIN grp y ON x.g = y.g AND x.vec_id != y.vec_id) _c
+         |),
+         |g0 AS MATERIALIZED (
+         |  SELECT u, w, cosine, rk FROM (
+         |    SELECT s.u, s.w, s.cosine,
+         |      row_number() OVER (PARTITION BY s.u ORDER BY s.cosine DESC, s.w) AS rk
+         |    FROM (SELECT c.u, c.w, ${cos("a", "b")} AS cosine
+         |          FROM cand_0 c JOIN eb a ON a.vec_id = c.u JOIN eb b ON b.vec_id = c.w) s)
+         |  WHERE rk <= $degree
+         |),
+         |$roundCtes""".stripMargin
+    row match {
+      case "graph" =>
+        s"""$prefix
+           |SELECT u AS vec_id, w AS neighbor_id, rk::INTEGER AS rank, cosine
+           |FROM g$rounds ORDER BY vec_id, rank""".stripMargin
+      case "topk" =>
+        s"""$prefix,
+           |$beamCtes
+           |SELECT query_id, neighbor_id, rank, cosine FROM topk ORDER BY query_id, rank""".stripMargin
+      case "recall" =>
+        s"""$prefix,
+           |$beamCtes,
+           |bs AS (
+           |  SELECT q.query_id, c.vec_id AS neighbor_id, ${cos("q", "c")} AS cosine
+           |  FROM q CROSS JOIN eb c),
+           |brute AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk FROM bs)
+           |  WHERE rk <= $k)
+           |SELECT b2.query_id, sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)::INTEGER AS n_hits,
+           |  ((sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) * 100) // count(*))::INTEGER AS recall_pct
+           |FROM brute b2 LEFT JOIN topk t
+           |  ON b2.query_id = t.query_id AND b2.neighbor_id = t.neighbor_id
+           |GROUP BY b2.query_id ORDER BY b2.query_id""".stripMargin
+    }
+  }
+
   private def ivfOracleSql: String = {
     val (iters, cells, sampleN, nprobe, k) = (10, 16, 2000, 4, 10)
     s"""WITH ${kmeansFitCtes("embeddings", iters, cells, sampleN)},
@@ -2671,6 +2823,12 @@ object Oracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    "ann_graph" -> annGraphSql("graph"),
+
+    "ann_graph_topk" -> annGraphSql("topk"),
+
+    "ann_graph_recall" -> annGraphSql("recall"),
 
     "ann_ivf_append" -> ivfAppendOracleSql,
 
