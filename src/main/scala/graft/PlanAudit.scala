@@ -257,7 +257,11 @@ object PlanAudit {
       // round 14 graph-ANN: the build must show bucketed/grouped
       // candidate joins + per-node windows (no cartesian anywhere);
       // search is beam-bounded joins against the broadcast query set
-      "ann_graph", "ann_graph_topk", "ann_graph_recall")
+      "ann_graph", "ann_graph_topk", "ann_graph_recall",
+      // pack: ONE shard exchange then a codegen'd per-shard fold (no
+      // window over the corpus, no second scan per strategy side);
+      // mrr: two query-bounded top-k legs + one join/aggregate
+      "pack_bestfit", "pack_waste", "retrieval_mrr")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -230,6 +230,16 @@ object ScaleSmoke {
         AnnGraph.beamSearch(g, embs, embs.where(col("vec_id") < 10),
           k = 10, beam = 16, dim = 16).count()
       }),
+      // pack: the fold is O(docs_in_shard x bins) PER SHARD — the shard
+      // key is the user's parallelism AND state bound, so the smoke
+      // shards by (lang, id-kilobucket) to hold shard size constant as
+      // the corpus grows (the production shape; 5 fixed mega-shards
+      // would be the quadratic mistake)
+      "pack_bestfit" -> (() => CorpusSelection.packBestFit(
+        docs.withColumn("_shard",
+          concat_ws(":", col("lang"), expr("doc_id div 1000"))),
+        "doc_id", size(split(lower(trim(col("text"))), "\\s+")), 256L,
+        "_shard").count()),
       "stitch" -> (() => Dedup.stitchPairs(docs, "text", "doc_id").count()),
       "triangles" -> (() => {
         val w = org.apache.spark.sql.expressions.Window

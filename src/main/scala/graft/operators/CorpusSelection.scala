@@ -681,6 +681,108 @@ object CorpusSelection {
       .unionByName(audit("sorted", Seq(col("_len").desc, col("_id"))))
   }
 
+  /** One best-fit pass over a shard's doc array (already in placement
+    * order): fold state = (bin loads, per-doc bin assignment). Each doc
+    * goes to the FULLEST bin that still fits it (best-fit; ties → the
+    * lowest bin index), else opens a new bin; a doc longer than
+    * `capacity` gets its own overfull singleton bin (truncation is a
+    * downstream concern). The whole placement is ONE aggregate fold —
+    * the state is a bound value, so no CollapseProject re-evaluation
+    * (the lattice-fold lesson) — and every step is integer arithmetic,
+    * so any engine replays it exactly.
+    */
+  private def bestFitState(docsArr: Column, capacity: Long): Column = {
+    val st0 = struct(
+      array().cast("array<bigint>").as("loads"),
+      array().cast("array<int>").as("bins"))
+    aggregate(docsArr, st0, (st, d) => {
+      val loads = st.getField("loads")
+      val len = d.getField("len")
+      // fittest bin that still fits: max by (load, then lowest index)
+      val best = array_max(transform(loads, (l, i0) =>
+        when(l + len <= capacity, struct(l.as("l"), (-(i0 + lit(1))).as("ni")))))
+      val idx = -best.getField("ni")
+      val newLoads = when(best.isNull, concat(loads, array(len)))
+        .otherwise(transform(loads, (l, i0) =>
+          when(i0 + lit(1) === idx, l + len).otherwise(l)))
+      val bin = coalesce(idx, size(loads) + 1).cast("int")
+      struct(newLoads.as("loads"),
+        concat(st.getField("bins"), array(bin)).as("bins"))
+    })
+  }
+
+  /** Per-shard doc arrays in placement order: length-desc (best-fit-
+    * DECREASING) or arrival (`idCol` asc) — the fold consumes either.
+    */
+  private def packArrays(docs: DataFrame, idCol: String, lenExpr: Column,
+                         shardCol: String, decreasing: Boolean): DataFrame = {
+    val key = if (decreasing) (-col("_len")).as("k1") else col("_id").as("k1")
+    docs.select(col(shardCol).as("_shard"), col(idCol).cast("long").as("_id"),
+        lenExpr.cast("long").as("_len"))
+      .groupBy(col("_shard"))
+      .agg(sort_array(collect_list(
+        struct(key, col("_id").as("id"), col("_len").as("len")))).as("_docs"))
+  }
+
+  /** BEST-FIT-DECREASING sequence packing — the production padding-free
+    * batcher that [[packSequences]] (concat-and-chunk) and
+    * [[paddingAudit]] (padding waste) motivate: documents sorted
+    * length-desc inside each shard, each placed in the fullest
+    * fixed-`capacity` bin that still fits it (new bin otherwise), so
+    * bins close near-full and no document straddles a boundary. Emits
+    * one row per document: (`shardCol`, doc_id, n_tokens, bin) with
+    * 1-based per-shard bin ids.
+    *
+    * Plan: one (shard) exchange to build per-shard doc arrays, then the
+    * whole placement is a codegen'd per-shard array fold — the
+    * placement problem is inherently sequential, and the shard IS the
+    * production parallelism unit (the [[packSequences]] shard story: a
+    * packer shards first, packs shards independently). Shard size
+    * bounds the fold's state (≤ docs/shard bins); a mega-shard's
+    * placement cost is the operator's honest serial core, not a shuffle
+    * artifact.
+    */
+  def packBestFit(docs: DataFrame, idCol: String, lenExpr: Column,
+                  capacity: Long, shardCol: String): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    packArrays(docs, idCol, lenExpr, shardCol, decreasing = true)
+      .select(col("_shard").as(shardCol), explode(zip_with(
+        col("_docs"), bestFitState(col("_docs"), capacity).getField("bins"),
+        (d, b) => struct(d.getField("id").as("doc_id"),
+          d.getField("len").as("n_tokens"), b.as("bin")))).as("p"))
+      .select(col(shardCol), col("p.doc_id").as("doc_id"),
+        col("p.n_tokens").as("n_tokens"), col("p.bin").as("bin"))
+  }
+
+  /** The waste ledger that justifies [[packBestFit]]: the same best-fit
+    * fold run under both placement orders — `arrival` (id order, the
+    * naive streaming packer) and `bestfit` (length-desc, BFD) — rolled
+    * up corpus-wide: bins opened, tokens packed, empty cells left
+    * (Σ max(capacity − load, 0) per bin), and the fill fraction. BFD's
+    * waste ≤ arrival's on every tested corpus (asserted in the spec;
+    * classic bin-packing behavior, FFD/BFD ≈ 11/9·OPT vs FF ≈ 1.7·OPT).
+    * Integer sums; fill_frac is one division of exact integers.
+    */
+  def packWaste(docs: DataFrame, idCol: String, lenExpr: Column,
+                capacity: Long, shardCol: String): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    def side(strategy: String, decreasing: Boolean): DataFrame =
+      packArrays(docs, idCol, lenExpr, shardCol, decreasing)
+        .select(bestFitState(col("_docs"), capacity).getField("loads").as("_loads"))
+        .select(size(col("_loads")).cast("long").as("_nb"),
+          aggregate(col("_loads"), lit(0L), (a, l) => a + l).as("_tot"),
+          aggregate(col("_loads"), lit(0L),
+            (a, l) => a + greatest(lit(capacity) - l, lit(0L))).as("_waste"))
+        .agg(sum(col("_nb")).as("n_bins"), sum(col("_tot")).as("total_tokens"),
+          sum(col("_waste")).as("waste_cells"))
+        .select(lit(strategy).as("strategy"), col("n_bins"), col("total_tokens"),
+          col("waste_cells"),
+          (col("total_tokens").cast("double")
+            / (col("n_bins") * capacity).cast("double")).as("fill_frac"))
+    side("arrival", decreasing = false)
+      .unionByName(side("bestfit", decreasing = true))
+  }
+
   /** Per-group winsorization: clamp a numeric signal into its group's
     * [pLo, pHi] discrete-percentile band — the outlier-conditioning pass
     * run before any mean/variance-based quality blending (a single

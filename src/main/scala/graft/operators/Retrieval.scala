@@ -402,6 +402,36 @@ object Retrieval {
       .orderBy(col("query_id"))
   }
 
+  /** MRR@k + recall@k — the rank-metric pair completing [[ndcgAtK]]:
+    * where nDCG grades the whole ordering, MRR answers "how deep does a
+    * user scan before the FIRST relevant result" (the metric navigation
+    * and known-item retrieval are tuned on) and recall@k answers "did
+    * the right set arrive at all". Relevant = membership in the EXACT
+    * top-k, the [[Similarity.recallAtK]] convention. Per query:
+    * first_rel_rank (null when no hit), rr = 1/first_rel_rank (one IEEE
+    * division of exact integers; 0.0 when no hit), n_hits, recall_pct
+    * (integer-floored).
+    *
+    * Plan: both inputs are query-bounded top-k tables — one equi-join +
+    * one aggregate; the corpus is never touched here.
+    */
+  def mrrAtK(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val rel = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("_rel"))
+    approx.where(col("rank") <= k)
+      .join(rel, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(min(when(col("_rel") === 1, col("rank"))).cast("int").as("first_rel_rank"),
+        count(lit(1)).as("_k"),
+        sum(coalesce(col("_rel"), lit(0))).cast("int").as("n_hits"))
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(lit(1.0) / col("first_rel_rank").cast("double"), lit(0.0)).as("rr"),
+        col("n_hits"),
+        expr("(n_hits * 100) div _k").cast("int").as("recall_pct"))
+      .orderBy(col("query_id"))
+  }
+
   /** RAG faithfulness / support audit (the RAGAS-style grounding
     * check at k-gram granularity): given answers and a
     * (query_id, ctx_id) RETRIEVAL PAIR TABLE — in production the

@@ -1332,6 +1332,71 @@ object Oracles {
   }
 
   /** Full mirror of Similarity.ivfTopK over the shared k-means fit. */
+  /** The best-fit placement fold of CorpusSelection.packBestFit as a
+    * DuckDB list_reduce. DuckDB 1.0's list_reduce silently drops STRUCT
+    * accumulator state (each step sees the seed again — verified in
+    * isolation), so the state is ONE BIGINT list instead:
+    * `[B, load_1..load_B, bin_1..bin_k]` (B = bins opened so far). The
+    * fittest-bin argmax rides 2-element [load, -index] lists (list_max
+    * is lexicographic — max load, tie → lowest index), exactly the
+    * engine's struct(l, ni) ordering. `orderBy` picks the placement
+    * order: length-desc (BFD) or doc-id (arrival).
+    */
+  private def packFoldCtes(cap: Int, orderBy: String, pfx: String): String = {
+    val loads = "list_slice(acc, 2, acc[1] + 1)"
+    val idx = s"-(list_max(list_filter(list_transform($loads, (l, i) -> " +
+      s"CASE WHEN l + d[1] <= $cap THEN [l, -i] END), x -> x IS NOT NULL))[2])"
+    val newacc =
+      s"""CASE WHEN ($idx) IS NULL
+         |  THEN list_concat(list_concat(list_concat([acc[1] + 1], $loads), [d[1]]),
+         |                   list_concat(list_slice(acc, acc[1] + 2, len(acc)), [acc[1] + 1]))
+         |  ELSE list_concat(list_concat([acc[1]],
+         |         list_transform($loads, (l, i) -> CASE WHEN i = ($idx) THEN l + d[1] ELSE l END)),
+         |         list_concat(list_slice(acc, acc[1] + 2, len(acc)), [$idx]))
+         |END""".stripMargin
+    s"""${pfx}arr AS (
+       |  SELECT lang, list({'id': doc_id, 'len': len} ORDER BY $orderBy) AS docs
+       |  FROM pt GROUP BY lang),
+       |${pfx}packed AS MATERIALIZED (
+       |  SELECT lang, docs,
+       |    list_reduce(list_prepend([0::BIGINT], list_transform(docs, dd -> [dd.len])),
+       |      (acc, d) -> $newacc) AS st
+       |  FROM ${pfx}arr)""".stripMargin
+  }
+
+  private val packTokensCte: String =
+    """pt AS MATERIALIZED (
+      |  SELECT lang, doc_id, len(string_split_regex(lower(trim(text)), '\s+'))::BIGINT AS len
+      |  FROM documents)""".stripMargin
+
+  private def packBestFitSql: String = {
+    val cap = 256
+    s"""WITH $packTokensCte,
+       |${packFoldCtes(cap, "len DESC, doc_id", "")}
+       |SELECT lang, u.doc_id AS doc_id, u.n_tokens AS n_tokens, u.bin AS bin FROM (
+       |  SELECT lang, unnest(list_transform(range(1, len(docs) + 1),
+       |    i -> {'doc_id': docs[i].id, 'n_tokens': docs[i].len, 'bin': st[st[1] + 1 + i]::INTEGER})) AS u
+       |  FROM packed)
+       |ORDER BY lang, bin, doc_id""".stripMargin
+  }
+
+  private def packWasteSql: String = {
+    val cap = 256
+    def side(strategy: String, pfx: String): String =
+      s"""SELECT '$strategy' AS strategy, sum(st[1])::BIGINT AS n_bins,
+         |  sum(list_reduce(list_slice(st, 2, st[1] + 1), (a, b) -> a + b))::BIGINT AS total_tokens,
+         |  sum(list_reduce(list_transform(list_slice(st, 2, st[1] + 1),
+         |    l -> greatest($cap - l, 0)), (a, b) -> a + b))::BIGINT AS waste_cells
+         |FROM ${pfx}packed""".stripMargin
+    s"""WITH $packTokensCte,
+       |${packFoldCtes(cap, "doc_id", "a")},
+       |${packFoldCtes(cap, "len DESC, doc_id", "b")}
+       |SELECT strategy, n_bins, total_tokens, waste_cells,
+       |  total_tokens::DOUBLE / (n_bins * $cap)::DOUBLE AS fill_frac
+       |FROM ((${side("arrival", "a")}) UNION ALL (${side("bestfit", "b")}))
+       |ORDER BY strategy""".stripMargin
+  }
+
   /** The deterministic NN-descent graph build of AnnGraph.buildGraph
     * (planes=5 multi-probe LSH init, degree 6, two rounds) and its beam
     * search as a CTE chain — the whole "model fit" replayed like the
@@ -2823,6 +2888,10 @@ object Oracles {
          |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "ann_ivf" -> ivfOracleSql,
+
+    "pack_bestfit" -> packBestFitSql,
+
+    "pack_waste" -> packWasteSql,
 
     "ann_graph" -> annGraphSql("graph"),
 
@@ -7207,6 +7276,40 @@ object Oracles {
          |SELECT dd.query_id, dd.dcg_fp::BIGINT AS dcg_fp, ii.idcg_fp::BIGINT AS idcg_fp,
          |  dd.dcg_fp::DOUBLE / ii.idcg_fp::DOUBLE AS ndcg
          |FROM dd JOIN ii ON ii.query_id = dd.query_id ORDER BY dd.query_id""".stripMargin
+    },
+
+    // MRR@10 + recall@10 on the retrieval_ndcg candidate tables:
+    // relevant = exact top-10 membership; rr is ONE double division of
+    // the integer first-hit rank (0.0 when no hit)
+    "retrieval_mrr" -> {
+      val dot64 = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64qq = "list_reduce(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d64cc = "list_reduce(list_transform(range(1, 65), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val dot16 = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16qq = "list_reduce(list_transform(range(1, 17), i -> qv[i]::DOUBLE * qv[i]::DOUBLE), (x, y) -> x + y)"
+      val d16cc = "list_reduce(list_transform(range(1, 17), i -> cv[i]::DOUBLE * cv[i]::DOUBLE), (x, y) -> x + y)"
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+         |sf AS (SELECT query_id, neighbor_id,
+         |    $dot64 / (sqrt($d64qq) * sqrt($d64cc)) AS cosine FROM q CROSS JOIN c),
+         |exact AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM sf) WHERE rank <= 10),
+         |st AS (SELECT query_id, neighbor_id,
+         |    $dot16 / (sqrt($d16qq) * sqrt($d16cc)) AS cosine FROM q CROSS JOIN c),
+         |approx AS (SELECT query_id, neighbor_id, rank FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+         |  FROM st) WHERE rank <= 10),
+         |j AS (SELECT a.query_id, a.rank,
+         |    CASE WHEN r.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+         |  FROM approx a LEFT JOIN exact r
+         |    ON r.query_id = a.query_id AND r.neighbor_id = a.neighbor_id)
+         |SELECT query_id,
+         |  min(CASE WHEN hit = 1 THEN rank END)::INTEGER AS first_rel_rank,
+         |  coalesce(1.0::DOUBLE / min(CASE WHEN hit = 1 THEN rank END)::DOUBLE, 0.0::DOUBLE) AS rr,
+         |  sum(hit)::INTEGER AS n_hits,
+         |  ((sum(hit) * 100) // count(*))::INTEGER AS recall_pct
+         |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin
     },
 
     // quantile normalization: exact ntile buckets, integer floor-division

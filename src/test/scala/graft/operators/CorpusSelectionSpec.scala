@@ -549,4 +549,44 @@ class CorpusSelectionSpec extends SparkSuite {
       .as[(String, Long, Double, Option[Double], Option[Double])].collect().toSeq
     assert(single.head._4.isEmpty && single.head._5.isEmpty)
   }
+
+  test("packBestFit matches the hand-worked best-fit-decreasing placement") {
+    // cap 10, lens (9,7,5,4,3): sorted desc 9,7,5,4,3 →
+    //  9→bin1(9); 7→bin2(7); 5→bin3(5); 4→bin3 is the FULLEST that
+    //  fits (5+4=9; bin1 would overflow, bin2 ties at... 7+4=11 no) →
+    //  bin3(9); 3→only bin2 fits (7+3=10) → bin2(10)
+    val d = Seq((1L, 9L), (2L, 7L), (3L, 5L), (4L, 4L), (5L, 3L))
+      .toDF("doc_id", "len").withColumn("shard", lit("s"))
+    val got = CorpusSelection.packBestFit(d, "doc_id", col("len"), 10L, "shard")
+      .select(col("doc_id"), col("bin"))
+      .as[(Long, Int)].collect().toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 3, 4L -> 3, 5L -> 2), got.toString)
+  }
+
+  test("packBestFit: oversized docs get their own overfull bin; shards pack independently") {
+    val d = Seq(("a", 1L, 15L), ("a", 2L, 6L), ("b", 3L, 6L), ("b", 4L, 15L))
+      .toDF("shard", "doc_id", "len")
+    val got = CorpusSelection.packBestFit(d, "doc_id", col("len"), 10L, "shard")
+      .as[(String, Long, Long, Int)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // per shard: the 15-token doc (sorted first) opens bin 1 overfull;
+    // the 6-token doc cannot join it → bin 2
+    assert(got == Map(("a", 1L) -> 1, ("a", 2L) -> 2,
+      ("b", 4L) -> 1, ("b", 3L) -> 2), got.toString)
+  }
+
+  test("packWaste: best-fit-decreasing never wastes more than arrival order") {
+    // adversarial arrival order: big/small interleaved
+    val d = (1L to 12L).map(i => (i, if (i % 2 == 1) 9L else 2L))
+      .toDF("doc_id", "len").withColumn("shard", pmod(col("doc_id"), lit(2)).cast("string"))
+    val got = CorpusSelection.packWaste(d, "doc_id", col("len"), 10L, "shard")
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    val (arr, bfd) = (got("arrival"), got("bestfit"))
+    assert(arr._3 == bfd._3, "total tokens must match across strategies")
+    assert(bfd._4 <= arr._4, s"BFD waste ${bfd._4} must be <= arrival ${arr._4}")
+    assert(bfd._2 <= arr._2, s"BFD bins ${bfd._2} must be <= arrival ${arr._2}")
+    // fill_frac is the single division of the exact integers
+    assert(bfd._5 == bfd._3.toDouble / (bfd._2 * 10L).toDouble)
+  }
 }

@@ -312,4 +312,20 @@ class RetrievalSpec extends SparkSuite {
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got == Seq((1L, 2L, 1L, 0.5), (10L, 2L, 2L, 1.0)))
   }
+
+  test("mrrAtK: hand-computed first-hit rank, rr, and recall") {
+    def ranking(q: Long, order: Seq[Long]) =
+      order.zipWithIndex.map { case (n, i) => (q, n, i + 1) }
+    // q1: approx [a=101,b=1,c=2], exact [1,2,3] -> first hit rank 2,
+    //     rr 0.5, hits 2/3; q2: no overlap -> null rank, rr 0, 0 hits
+    val approx = (ranking(1L, Seq(101L, 1L, 2L)) ++ ranking(2L, Seq(201L, 202L, 203L)))
+      .toDF("query_id", "neighbor_id", "rank")
+    val exact = (ranking(1L, Seq(1L, 2L, 3L)) ++ ranking(2L, Seq(7L, 8L, 9L)))
+      .toDF("query_id", "neighbor_id", "rank")
+    val got = Retrieval.mrrAtK(approx, exact, k = 10)
+      .as[(Long, Option[Int], Double, Int, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, Some(2), 0.5, 2, 66),
+      (2L, None, 0.0, 0, 0)), got.toString)
+  }
 }
