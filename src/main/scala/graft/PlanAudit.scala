@@ -261,7 +261,12 @@ object PlanAudit {
       // pack: ONE shard exchange then a codegen'd per-shard fold (no
       // window over the corpus, no second scan per strategy side);
       // mrr: two query-bounded top-k legs + one join/aggregate
-      "pack_bestfit", "pack_waste", "retrieval_mrr")
+      "pack_bestfit", "pack_waste", "retrieval_mrr",
+      // prefix cache: ONE shard exchange, per-shard sort window + lag
+      // + codegen'd LCP fold; scaling curve: one token aggregate then
+      // vocab-table work only; auprc: eval-bounded rank window;
+      // quality_mad: two group-key rank windows + broadcast joins
+      "prompt_prefix_cache", "lm_scaling_curve", "eval_auprc", "quality_mad")
     for (name <- interesting) {
       println(s"===== $name")
       val plan = SparkEntry.queries(name)(spark, d).queryExecution.executedPlan.toString

@@ -240,6 +240,14 @@ object ScaleSmoke {
           concat_ws(":", col("lang"), expr("doc_id div 1000"))),
         "doc_id", size(split(lower(trim(col("text"))), "\\s+")), 256L,
         "_shard").count()),
+      // prefix cache: per-shard sort windows (langs are fixed, so the
+      // 10x corpus means 10x-deeper shard sorts — the n log n budget);
+      // scaling curve: ONE corpus token pass, everything after on the
+      // vocabulary table
+      "prefix_cache" -> (() => TextAnalysis.prefixCacheProfile(
+        docs, "text", "doc_id", "lang").count()),
+      "scaling_curve" -> (() => TextAnalysis.scalingCurve(
+        docs, "text", "doc_id").count()),
       "stitch" -> (() => Dedup.stitchPairs(docs, "text", "doc_id").count()),
       "triangles" -> (() => {
         val w = org.apache.spark.sql.expressions.Window

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.Materialize.MatOps
@@ -66,6 +67,38 @@ object EvalMetrics {
             fallingProduct(col("n") - col("c"), k).cast("double") /
               fallingProduct(col("n"), k).cast("double")))
     }
+  }
+
+  /** Exact area under the precision–recall curve (average precision) —
+    * the imbalanced-data companion of the ROC-AUC row: with rare
+    * positives, ROC-AUC stays flattering while AP collapses, so
+    * classifier-gated curation thresholds are picked on AP.
+    * AP = Σ_{hit positions k} precision@k / P over the score-DESC
+    * ranking (ties → id asc). Every precision@k lands on the 2⁴⁰ grid
+    * as floor(cum_pos·2⁴⁰ / k), so the sum is exact int64 and
+    * partition/engine-independent; `auprc` is one division. Emits ONE
+    * row: (n, n_pos, prevalence, ap_fp, auprc).
+    *
+    * Plan: one rank window over the EVAL table (eval sets are bounded —
+    * the roc_auc sort budget) + one aggregate.
+    */
+  def averagePrecision(preds: DataFrame, scoreCol: String, labelCol: String,
+                       idCol: String): DataFrame = {
+    val grid = 1L << 40
+    val w = Window.orderBy(col(scoreCol).desc, col(idCol))
+    preds
+      .select(col(idCol), col(scoreCol),
+        when(col(labelCol), 1L).otherwise(0L).as("_y"))
+      .withColumn("_k", row_number().over(w).cast("long"))
+      .withColumn("_cum", sum(col("_y")).over(w))
+      .agg(count(lit(1)).as("n"), sum(col("_y")).as("n_pos"),
+        sum(when(col("_y") === 1L,
+          expr(s"(_cum * ${grid}L) div _k")).otherwise(0L)).as("ap_fp"))
+      .select(col("n"), col("n_pos"),
+        (col("n_pos").cast("double") / col("n").cast("double")).as("prevalence"),
+        col("ap_fp"),
+        (col("ap_fp").cast("double")
+          / (col("n_pos") * grid).cast("double")).as("auprc"))
   }
 
   /** Expected calibration error over `bins` equal-width confidence bins

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Row-level data-quality expectations — the batch-gate generalization of
@@ -109,6 +110,51 @@ object Expectations {
     * requested basis-point percentile. Values must be non-negative
     * integers (lengths, counts, byte sizes — the histogram domain).
     */
+  /** Per-group MAD (median absolute deviation) robust outlier gate —
+    * the production replacement for mean±kσ flags when a single
+    * 10M-char document owns its group's mean (the same failure
+    * [[CorpusSelection.winsorize]] conditions against, here as a
+    * DETECTOR): per group, med = the exact LOWER median (rank
+    * ⌈n/2⌉ under value order — deterministic for even n), mad = lower
+    * median of |x − med|, and a row is an outlier iff its robust
+    * z-score exceeds 3.5, evaluated as the exact integer
+    * cross-multiplication 6745·|x − med| > 35000·mad (0.6745·dev/MAD
+    * > 3.5 — no division, no float, so flags are engine- and
+    * partition-independent; Iglewicz & Hoaglin's modified z-score).
+    * Emits per group: (`groupCol`, n, med, mad, n_outliers,
+    * outlier_frac).
+    *
+    * Plan: two rank windows on the group key (the winsorize sort
+    * budget — a mega-group serializes its sort; at that scale swap in
+    * the histogram-sketch median) + one broadcast of the two-value
+    * group table back.
+    */
+  def madOutliers(df: DataFrame, groupCol: String, value: Column,
+                  idCol: String): DataFrame = {
+    val v = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      value.cast("long").as("_x"))
+    val w = Window.partitionBy(col("_g"))
+    def lowerMedian(in: DataFrame, c: String, out: String): DataFrame = in
+      .withColumn("_rn", row_number().over(w.orderBy(col(c), col("_id"))))
+      .withColumn("_cnt", count(lit(1)).over(w))
+      .groupBy(col("_g"))
+      .agg(max(when(col("_rn") === expr("(_cnt + 1) div 2"), col(c))).as(out))
+    val med = lowerMedian(v, "_x", "med")
+    val dev = v.join(broadcast(med), Seq("_g"))
+      .withColumn("_ad", abs(col("_x") - col("med")))
+    val mad = lowerMedian(dev, "_ad", "mad")
+    dev.join(broadcast(mad), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"), max(col("med")).as("med"),
+        max(col("mad")).as("mad"),
+        sum(when(col("_ad") * 6745L > lit(35000L) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .select(col("_g").as(groupCol), col("n"), col("med"), col("mad"),
+        col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n").cast("double")).as("outlier_frac"))
+      .orderBy(col(groupCol))
+  }
+
   def histogramQuantiles(df: DataFrame, strataCol: String, value: Column, binWidth: Long,
                          pBasisPoints: Seq[Int]): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")

@@ -289,6 +289,124 @@ object TextAnalysis {
     * and the total-count stats share one materialization instead of
     * re-aggregating the corpus per consumer.
     */
+  /** Token-level LCP of two arrays: a codegen'd zip_with fold (the
+    * [[SuffixRuns]] common-prefix shape). zip_with pads the shorter
+    * side with nulls, and null <=> value is false, so the fold stops
+    * exactly at min(len) when one prompt is a prefix of the other.
+    */
+  private def lcpLen(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (u, v) => u <=> v),
+      struct(lit(0L).as("c"), lit(false).as("stop")),
+      (st, eq) => when(st.getField("stop") || !coalesce(eq, lit(false)),
+        struct(st.getField("c").as("c"), lit(true).as("stop")))
+        .otherwise(struct((st.getField("c") + 1L).as("c"), lit(false).as("stop"))))
+      .getField("c")
+
+  /** Prefix-cache savings profile — the serving-side measurement behind
+    * radix-tree prompt caching (the "automatic prefix caching" of
+    * production inference servers): if a shard's prompts were served
+    * through a token-level radix cache, how many prompt tokens would
+    * hit? No trie is ever built — for a prompt SET, distinct trie
+    * nodes = Σ len − Σ adjacent-LCP over the LEXICOGRAPHICALLY sorted
+    * prompts (the classic trie identity: every shared prefix is
+    * charged once, to the sorted neighbor), so cached tokens = Σ
+    * adjacent-LCP, exactly. Emits per shard: (`shardCol`, n_prompts,
+    * total_tokens, cached_tokens, unique_trie_tokens, hit_frac) —
+    * integer sums, one final division.
+    *
+    * Plan: ONE exchange on the shard key; sort + lag is a per-shard
+    * window (the shard is the parallelism AND state unit, the
+    * [[CorpusSelection.packBestFit]] story); the LCP is a codegen'd
+    * array fold. Array ORDER is element-wise binary UTF-8 with
+    * shorter-prefix-first on both engines — the oracle row proves the
+    * collation agreement continuously.
+    */
+  def prefixCacheProfile(docs: DataFrame, textCol: String, idCol: String,
+                         shardCol: String): DataFrame = {
+    val w = Window.partitionBy(col("_shard")).orderBy(col("_toks"), col("_id"))
+    docs.select(col(shardCol).as("_shard"), col(idCol).as("_id"),
+        tokens(col(textCol)).as("_toks"))
+      .withColumn("_prev", lag(col("_toks"), 1).over(w))
+      .select(col("_shard"), size(col("_toks")).cast("long").as("_n"),
+        when(col("_prev").isNull, lit(0L))
+          .otherwise(lcpLen(col("_toks"), col("_prev"))).as("_lcp"))
+      .groupBy(col("_shard"))
+      .agg(count(lit(1)).as("n_prompts"), sum(col("_n")).as("total_tokens"),
+        sum(col("_lcp")).as("cached_tokens"))
+      .select(col("_shard").as(shardCol), col("n_prompts"), col("total_tokens"),
+        col("cached_tokens"),
+        (col("total_tokens") - col("cached_tokens")).as("unique_trie_tokens"),
+        (col("cached_tokens").cast("double")
+          / col("total_tokens").cast("double")).as("hit_frac"))
+      .orderBy(col(shardCol))
+  }
+
+  /** Data-scaling curve — the "does more data still help" measurement a
+    * corpus-growth decision is made on (the unigram-LM analog of a
+    * Chinchilla data-scaling fit): documents land in 8 md5 buckets;
+    * unigram LMs trained on nested subsets (buckets <1, <2, <4 — 1/8,
+    * 1/4, 1/2 of the corpus) are each evaluated on the FIXED held-out
+    * bucket 7, +1-smoothed over the shared corpus vocabulary so the
+    * three NLLs are comparable. Emits one row per subset: (k_buckets,
+    * n_train_tokens, n_eval_tokens, nll_fp, nll_per_token, slope) —
+    * slope is the log-log OLS slope over the three points (the
+    * data-scaling exponent; ~0 means the curve has flattened), FLOAT
+    * because its ln()/division chain is the order-sensitive float
+    * discipline of the entropy rows.
+    *
+    * Plan: the corpus is tokenized ONCE into a (term, bucket-flag
+    * counts) vocabulary table (one map-side-combined aggregate — the
+    * spm_vocab_sweep sharing discipline: all three subset models AND
+    * the eval counts come from that single pass); the three NLL sums
+    * are parallel aggregate columns over the vocab table against a
+    * one-row broadcast total; the 3-point OLS folds on the driver in
+    * pinned k order (bounded-class collect of ONE row).
+    */
+  def scalingCurve(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val scale = 1099511627776.0 // 2^40
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(
+      (QualityClassifier.md24(col(idCol).cast("string")) % 8).as("b"),
+      explode(tokens(col(textCol))).as("term"))
+    val tc = tok.groupBy(col("term")).agg(
+      sum(when(col("b") < 1, 1L).otherwise(0L)).as("c1"),
+      sum(when(col("b") < 2, 1L).otherwise(0L)).as("c2"),
+      sum(when(col("b") < 4, 1L).otherwise(0L)).as("c4"),
+      sum(when(col("b") === 7, 1L).otherwise(0L)).as("ce"))
+      .materialized
+    val tot = tc.agg(sum(col("c1")).as("t1"), sum(col("c2")).as("t2"),
+      sum(col("c4")).as("t4"), sum(col("ce")).as("te"),
+      count(lit(1)).as("v"))
+    def nllOf(c: String, t: String): Column =
+      sum(col("ce") * floor(-log((col(c) + 1).cast("double")
+        / (col(t) + col("v")).cast("double")) * scale).cast("long")).as(s"nll_$c")
+    // bounded-class driver read: ONE pivoted row (3 points + totals)
+    val Array(r) = tc.crossJoin(broadcast(tot))
+      .agg(nllOf("c1", "t1"), nllOf("c2", "t2"), nllOf("c4", "t4"),
+        max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t4")).as("t4"), max(col("te")).as("te"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect()
+    val (nll, nTrain) = (Array(r._1, r._2, r._3), Array(r._4, r._5, r._6))
+    val te = r._7
+    val den = (te * (1L << 40)).toDouble
+    // 3-point log-log OLS, every float step in pinned k order (the
+    // oracle replays the identical parenthesization)
+    val x = nTrain.map(n => math.log(n.toDouble))
+    val y = nll.map(f => math.log(f.toDouble / den))
+    val sx = (x(0) + x(1)) + x(2)
+    val sy = (y(0) + y(1)) + y(2)
+    val sxy = (x(0) * y(0) + x(1) * y(1)) + x(2) * y(2)
+    val sxx = (x(0) * x(0) + x(1) * x(1)) + x(2) * x(2)
+    val slope = ((3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)).toFloat
+    spark.createDataset(Seq(1, 2, 4).zipWithIndex.map { case (k, i) =>
+        (k, nTrain(i), te, nll(i), nll(i).toDouble / den, slope)
+      })
+      .toDF("k_buckets", "n_train_tokens", "n_eval_tokens", "nll_fp",
+        "nll_per_token", "slope")
+      .orderBy(col("k_buckets"))
+  }
+
   def unigramNll(docs: DataFrame, textCol: String, idCol: String,
                  topK: Int = 65536): DataFrame = {
     val scale = 1099511627776.0 // 2^40

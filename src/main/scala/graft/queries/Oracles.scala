@@ -2889,6 +2889,126 @@ object Oracles {
 
     "ann_ivf" -> ivfOracleSql,
 
+    // radix prefix-cache savings: sorted-neighbor LCP trie identity;
+    // list ORDER is element-wise binary UTF-8, shorter-prefix-first on
+    // both engines (this row proves the collation agreement)
+    "prompt_prefix_cache" ->
+      """WITH t AS (
+        |  SELECT lang, doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id, toks,
+        |    lag(toks) OVER (PARTITION BY lang ORDER BY toks, doc_id) AS prev
+        |  FROM t),
+        |l AS (
+        |  SELECT lang, len(toks)::BIGINT AS n,
+        |    CASE WHEN prev IS NULL THEN 0
+        |     ELSE coalesce(
+        |       list_min(list_filter(list_transform(range(1, least(len(toks), len(prev)) + 1),
+        |         i -> CASE WHEN toks[i] IS DISTINCT FROM prev[i] THEN i END), x -> x IS NOT NULL)) - 1,
+        |       least(len(toks), len(prev)))::BIGINT END AS lcp
+        |  FROM s)
+        |SELECT lang, count(*)::BIGINT AS n_prompts, sum(n)::BIGINT AS total_tokens,
+        |  sum(lcp)::BIGINT AS cached_tokens,
+        |  (sum(n) - sum(lcp))::BIGINT AS unique_trie_tokens,
+        |  sum(lcp)::DOUBLE / sum(n)::DOUBLE AS hit_frac
+        |FROM l GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // data-scaling curve: one token pass -> (term, bucket-flag counts);
+    // three +1-smoothed unigram NLLs over the shared vocab; 3-point
+    // log-log OLS slope with the engine's exact parenthesization
+    // (FLOAT — the ln-chain discipline of the entropy rows)
+    "lm_scaling_curve" -> {
+      def nll(c: String, t: String): String =
+        s"sum(ce * floor(-ln(($c + 1)::DOUBLE / ($t + v)::DOUBLE) * 1099511627776.0)::BIGINT)::BIGINT"
+      val xy = (Seq(1, 2, 4) zip Seq(1, 2, 3)).map { case (k, i) =>
+        s"ln(t$k::DOUBLE) AS x$i, ln(f$k::DOUBLE / (te * 1099511627776)::DOUBLE) AS y$i"
+      }.mkString(", ")
+      s"""WITH tok AS (
+         |  SELECT ${md24("doc_id::VARCHAR")} % 8 AS b,
+         |    unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+         |  FROM documents),
+         |tc AS MATERIALIZED (
+         |  SELECT term,
+         |    sum(CASE WHEN b < 1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+         |    sum(CASE WHEN b < 2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+         |    sum(CASE WHEN b < 4 THEN 1 ELSE 0 END)::BIGINT AS c4,
+         |    sum(CASE WHEN b = 7 THEN 1 ELSE 0 END)::BIGINT AS ce
+         |  FROM tok GROUP BY term),
+         |tot AS MATERIALIZED (
+         |  SELECT sum(c1)::BIGINT AS t1, sum(c2)::BIGINT AS t2, sum(c4)::BIGINT AS t4,
+         |    sum(ce)::BIGINT AS te, count(*)::BIGINT AS v
+         |  FROM tc),
+         |pv AS MATERIALIZED (
+         |  SELECT ${nll("c1", "t1")} AS f1, ${nll("c2", "t2")} AS f2, ${nll("c4", "t4")} AS f4,
+         |    max(t1) AS t1, max(t2) AS t2, max(t4) AS t4, max(te) AS te
+         |  FROM tc, tot),
+         |xys AS MATERIALIZED (SELECT *, $xy FROM pv),
+         |sl AS MATERIALIZED (
+         |  SELECT *,
+         |    ((3.0 * ((x1 * y1 + x2 * y2) + x3 * y3) - ((x1 + x2) + x3) * ((y1 + y2) + y3))
+         |     / (3.0 * ((x1 * x1 + x2 * x2) + x3 * x3) - ((x1 + x2) + x3) * ((x1 + x2) + x3)))::FLOAT AS slope
+         |  FROM xys)
+         |SELECT k_buckets, n_train_tokens, te AS n_eval_tokens, nll_fp,
+         |  nll_fp::DOUBLE / (te * 1099511627776)::DOUBLE AS nll_per_token, slope
+         |FROM (
+         |  SELECT 1 AS k_buckets, t1 AS n_train_tokens, f1 AS nll_fp, te, slope FROM sl
+         |  UNION ALL SELECT 2, t2, f2, te, slope FROM sl
+         |  UNION ALL SELECT 4, t4, f4, te, slope FROM sl)
+         |ORDER BY k_buckets""".stripMargin
+    },
+
+    // exact average precision of the hash-classifier score vs the
+    // "long document" truth: every precision@k on the 2^40 grid, AP an
+    // exact int64 sum, auprc one division
+    "eval_auprc" ->
+      s"""WITH w AS MATERIALIZED (
+         |  SELECT i::INTEGER AS bucket, (${md24("'w:' || i::VARCHAR")} - 8388608)::BIGINT AS w_fp
+         |  FROM (SELECT unnest(range(0, 4096)) AS i)),
+         |t AS MATERIALIZED (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM documents),
+         |feats AS (
+         |  SELECT doc_id, unnest(toks) AS f FROM t
+         |  UNION ALL
+         |  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS f
+         |  FROM t, unnest(range(1, len(toks))) AS v(i) WHERE len(toks) >= 2),
+         |b AS (SELECT doc_id, (${md24("f")} % 4096)::INTEGER AS bucket FROM feats),
+         |j AS (SELECT doc_id, w_fp FROM b JOIN w USING (bucket)),
+         |sc AS (SELECT doc_id, sum(w_fp)::DOUBLE / (count(*)::DOUBLE * 8388608.0) AS score
+         |  FROM j GROUP BY doc_id),
+         |tr AS (SELECT doc_id, len(toks) >= 45 AS is_long FROM t),
+         |r AS (
+         |  SELECT CASE WHEN is_long THEN 1 ELSE 0 END AS y,
+         |    row_number() OVER (ORDER BY score DESC, sc.doc_id) AS k,
+         |    sum(CASE WHEN is_long THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY score DESC, sc.doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM sc JOIN tr USING (doc_id))
+         |SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS n_pos,
+         |  sum(y)::DOUBLE / count(*)::DOUBLE AS prevalence,
+         |  sum(CASE WHEN y = 1 THEN (cum * 1099511627776) // k ELSE 0 END)::BIGINT AS ap_fp,
+         |  sum(CASE WHEN y = 1 THEN (cum * 1099511627776) // k ELSE 0 END)::DOUBLE
+         |    / (sum(y) * 1099511627776)::DOUBLE AS auprc
+         |FROM r""".stripMargin,
+
+    // MAD robust outlier gate: exact lower medians (rank (n+1)//2),
+    // integer cross-multiplied modified z-score (6745*dev > 35000*mad)
+    "quality_mad" ->
+      """WITH v AS (SELECT lang, doc_id, n_chars::BIGINT AS x FROM documents),
+        |m AS MATERIALIZED (
+        |  SELECT lang, max(CASE WHEN rn = (cnt + 1) // 2 THEN x END) AS med FROM (
+        |    SELECT lang, x, row_number() OVER (PARTITION BY lang ORDER BY x, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS cnt FROM v) GROUP BY lang),
+        |d AS MATERIALIZED (
+        |  SELECT v.lang, v.doc_id, abs(v.x - m.med) AS ad, m.med FROM v JOIN m USING (lang)),
+        |md AS MATERIALIZED (
+        |  SELECT lang, max(CASE WHEN rn = (cnt + 1) // 2 THEN ad END) AS mad FROM (
+        |    SELECT lang, ad, row_number() OVER (PARTITION BY lang ORDER BY ad, doc_id) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS cnt FROM d) GROUP BY lang)
+        |SELECT d.lang, count(*)::BIGINT AS n, max(d.med)::BIGINT AS med,
+        |  max(mad)::BIGINT AS mad,
+        |  sum(CASE WHEN d.ad * 6745 > 35000 * mad THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+        |  sum(CASE WHEN d.ad * 6745 > 35000 * mad THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*)::DOUBLE AS outlier_frac
+        |FROM d JOIN md USING (lang) GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
     "pack_bestfit" -> packBestFitSql,
 
     "pack_waste" -> packWasteSql,

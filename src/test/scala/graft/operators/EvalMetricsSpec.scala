@@ -56,6 +56,18 @@ class EvalMetricsSpec extends SparkSuite {
     assert(e.getMessage.contains("no matches"))
   }
 
+  test("averagePrecision matches the hand-worked PR curve exactly") {
+    // ranked by score desc: y = (1, 0, 1) -> AP = (1/1 + 2/3) / 2
+    val grid = 1L << 40
+    val df = Seq((1L, 0.9, true), (2L, 0.8, false), (3L, 0.7, true))
+      .toDF("doc_id", "score", "ok")
+    val got = EvalMetrics.averagePrecision(df, "score", "ok", "doc_id")
+      .as[(Long, Long, Double, Long, Double)].collect().head
+    val apFp = grid + (2L * grid) / 3L
+    assert(got == ((3L, 2L, 2.0 / 3.0, apFp,
+      apFp.toDouble / (2L * grid).toDouble)), got.toString)
+  }
+
   test("ECE bins match the hand-computed reliability table") {
     val q = 1L << 22 // quarter of the 2^24 grid
     val df = Seq((q, true), (q, false), (3 * q, true)).toDF("conf_fp", "ok")

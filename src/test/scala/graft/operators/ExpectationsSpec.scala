@@ -140,4 +140,16 @@ class ExpectationsSpec extends SparkSuite {
     // negative domain: floorDiv keeps the bracket correct
     assert(run(Seq(-7L, -3L, 5L), 1, 2) == ((3L, 2L, -3L)))
   }
+
+  test("madOutliers: hand-computed medians, MAD, and modified z flags") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // vals (1,2,3,4,100): med = 3 (rank (5+1)/2), |dev| sorted
+    // (0,1,1,2,97) -> mad = 1; 6745*dev > 35000 flags only dev=97
+    val df = Seq((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L), (5L, 100L))
+      .toDF("doc_id", "x").withColumn("g", org.apache.spark.sql.functions.lit("a"))
+    val got = Expectations.madOutliers(df, "g", col("x"), "doc_id")
+      .as[(String, Long, Long, Long, Long, Double)].collect().head
+    assert(got == (("a", 5L, 3L, 1L, 1L, 0.2)), got.toString)
+  }
 }

@@ -563,4 +563,37 @@ class TextAnalysisSpec extends SparkSuite {
     // identical to doc 1 despite 4x the length (raw TTR would be 2/32)
     assert(got(4L)._2 == 32L && got(4L)._4 == 0.5)
   }
+
+  test("prefixCacheProfile: sorted-neighbor LCP equals the hand-built trie") {
+    // shard s: sorted prompts [a b c], [a b d], [x y] -> LCPs 0, 2, 0;
+    // trie nodes = 8 - 2 = 6; shard t: prefix case [a b] before [a b c]
+    val docs = Seq(
+      ("s", 1L, "a b c"), ("s", 2L, "a b d"), ("s", 3L, "x y"),
+      ("t", 4L, "a b c"), ("t", 5L, "a b"))
+      .toDF("lang", "doc_id", "text")
+    val got = TextAnalysis.prefixCacheProfile(docs, "text", "doc_id", "lang")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("s", 3L, 8L, 2L, 6L, 0.25),
+      ("t", 2L, 5L, 2L, 3L, 0.4)), got.toString)
+  }
+
+  test("scalingCurve: three nested points off one pass, shared slope") {
+    val rnd = new scala.util.Random(3)
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val docs = (0L until 64L).map(i =>
+      (i, Seq.fill(12)(words(rnd.nextInt(words.size))).mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scalingCurve(docs, "text", "doc_id")
+      .as[(Int, Long, Long, Long, Double, Float)].collect().toSeq
+    assert(got.map(_._1) == Seq(1, 2, 4))
+    assert(got.map(_._2) == got.map(_._2).sorted && got.map(_._2).distinct.size == 3,
+      "training size must grow with the bucket budget")
+    assert(got.map(_._3).distinct.size == 1, "eval set is fixed")
+    got.foreach { case (_, _, te, fp, npt, slope) =>
+      assert(fp > 0 && npt == fp.toDouble / (te * (1L << 40)).toDouble)
+      assert(!slope.isNaN && !slope.isInfinite)
+    }
+    assert(got.map(_._6).distinct.size == 1, "slope is a curve-level constant")
+  }
 }
