@@ -682,16 +682,28 @@ object CorpusSelection {
   }
 
   /** One best-fit pass over a shard's doc array (already in placement
-    * order): fold state = (bin loads, per-doc bin assignment). Each doc
-    * goes to the FULLEST bin that still fits it (best-fit; ties → the
-    * lowest bin index), else opens a new bin; a doc longer than
-    * `capacity` gets its own overfull singleton bin (truncation is a
-    * downstream concern). The whole placement is ONE aggregate fold —
-    * the state is a bound value, so no CollapseProject re-evaluation
-    * (the lattice-fold lesson) — and every step is integer arithmetic,
-    * so any engine replays it exactly.
+    * order): each doc goes to the FULLEST bin that still fits it
+    * (best-fit; ties → the lowest bin index), else opens a new bin; a
+    * doc longer than `capacity` gets its own overfull singleton bin
+    * (truncation is a downstream concern). Runs as the native
+    * [[graft.plans.BestFitPack]] kernel — one codegen'd primitive loop
+    * per shard; the composed HOF fold it replaced ([[bestFitStateHof]],
+    * kept for the equivalence spec) interpreted O(bins) boxed lambda
+    * evals per doc plus an O(docs²) state concat and owned the whole
+    * query at sf0.1 (r14 measurement: pack_bestfit 14.8 s → sub-second).
+    * Integer arithmetic, bit-identical placement either way.
     */
-  private def bestFitState(docsArr: Column, capacity: Long): Column = {
+  private[operators] def bestFitState(docsArr: Column, capacity: Long): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    B.column(graft.plans.BestFitPack(
+      B.expression(transform(docsArr, d => d.getField("len"))), capacity))
+  }
+
+  /** The composed-HOF reference form of [[bestFitState]] — the
+    * equivalence oracle for the native kernel (CorpusSelectionSpec
+    * asserts bit-identical output on random and null-edge corpora).
+    */
+  private[operators] def bestFitStateHof(docsArr: Column, capacity: Long): Column = {
     val st0 = struct(
       array().cast("array<bigint>").as("loads"),
       array().cast("array<int>").as("bins"))

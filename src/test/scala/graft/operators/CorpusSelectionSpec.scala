@@ -575,6 +575,28 @@ class CorpusSelectionSpec extends SparkSuite {
       ("b", 4L) -> 1, ("b", 3L) -> 2), got.toString)
   }
 
+  test("BestFitPack kernel is bit-identical to the composed HOF fold (incl. null lens)") {
+    val rnd = new scala.util.Random(7)
+    val d = (1L to 400L).map(i =>
+      (i % 7, i, if (i % 97 == 0) None else Some(rnd.nextInt(300).toLong + 1)))
+      .toDF("shard", "id", "len")
+    val arrs = d.groupBy(col("shard"))
+      .agg(sort_array(collect_list(struct(
+        (-coalesce(col("len"), lit(0L))).as("k1"),
+        col("id").as("id"), col("len").as("len")))).as("_docs"))
+      .persist()
+    def run(st: org.apache.spark.sql.Column) = arrs
+      .select(col("shard"), st.as("st"))
+      .select(col("shard"), col("st.loads").as("loads"), col("st.bins").as("bins"))
+      .as[(Long, Seq[Option[Long]], Seq[Int])].collect().sortBy(_._1).toSeq
+    val kernel = run(CorpusSelection.bestFitState(col("_docs"), 50L))
+    val hof = run(CorpusSelection.bestFitStateHof(col("_docs"), 50L))
+    assert(kernel == hof)
+    // and the null edge actually exercised: at least one null load slot
+    assert(kernel.exists(_._2.exists(_.isEmpty)))
+    arrs.unpersist()
+  }
+
   test("packWaste: best-fit-decreasing never wastes more than arrival order") {
     // adversarial arrival order: big/small interleaved
     val d = (1L to 12L).map(i => (i, if (i % 2 == 1) 9L else 2L))
