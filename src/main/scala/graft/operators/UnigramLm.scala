@@ -84,24 +84,58 @@ object UnigramLm {
   /** Viterbi-segment every word against `costs` (piece, cfp): exact
     * integer shortest path over the per-word piece lattice, then a
     * backward walk re-picking each step's argmin (ties: longest piece)
-    * to emit the segmentation. Both folds live in ONE aggregate
-    * expression — the forward DP builds the cost array and the
-    * backward walk runs in its `finish` lambda, where the array is a
-    * bound VALUE (two projections would let CollapseProject inline the
-    * forward fold into every backward element_at — quadratic
-    * re-evaluation). The corpus never appears here. Emits
+    * to emit the segmentation. The DP runs as the native
+    * [[graft.plans.ViterbiSegVocab]] kernel — the cost table collects
+    * to a driver map (bounded: chars + the multi budget; the k-means
+    * centroid discipline) and lattice edges are substring LOOKUPS, so
+    * each EM round is ONE projection over the word table. The composed
+    * HOF form it replaced ([[viterbiSegHof]], kept as the equivalence
+    * oracle) interpreted O(n²·pieceLen) boxed lambda evals per word
+    * (aggregate/filter/array_sort are CodegenFallback) AND materialized
+    * the lattice as data — substring explode, broadcast cost join,
+    * collect_list re-group: two extra exchanges of the ≈len·pieceLen-
+    * per-word piece table per round. Together they dominated every
+    * spm_* row (r14: the five-query family totalled 22.7 s at sf0.1 →
+    * 8.6 s with the kernel). The corpus never appears here. Emits
     * (word, wcnt, seg).
     */
   private[operators] def viterbiSeg(words: DataFrame, costs: DataFrame,
                                     pieceLen: Int): DataFrame = {
-    val edges = words
-      .select(col("word"), col("wcnt"), length(col("word")).as("n"),
-        explode(piecesOf(col("word"), length(col("word")), pieceLen)).as("p"))
-      .select(col("word"), col("wcnt"), col("n"),
-        col("p.i").as("i"), col("p.l").as("l"), col("p.piece").as("piece"))
-      .join(broadcast(costs), Seq("piece"))
-      .groupBy(col("word"), col("wcnt"), col("n"))
-      .agg(collect_list(struct(col("i"), col("l"), col("cfp"))).as("edges"))
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    // bounded-class collect: the pruned vocab (all single chars + the
+    // seed/keep multi budget) — the model-as-literal discipline of
+    // lloydKMeans centroids and the perceptron weight array
+    val costSeq = costs.select(col("piece").cast("string"), col("cfp").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val seg = B.column(graft.plans.ViterbiSegVocab(
+      B.expression(col("word")), costSeq, pieceLen))
+    words.select(col("word"), col("wcnt"), seg.as("seg"))
+      .where(col("seg").isNotNull)
+  }
+
+  /** The per-word lattice edge table the composed DP form consumes. */
+  private def viterbiEdges(words: DataFrame, costs: DataFrame,
+                           pieceLen: Int): DataFrame = words
+    .select(col("word"), col("wcnt"), length(col("word")).as("n"),
+      explode(piecesOf(col("word"), length(col("word")), pieceLen)).as("p"))
+    .select(col("word"), col("wcnt"), col("n"),
+      col("p.i").as("i"), col("p.l").as("l"), col("p.piece").as("piece"))
+    .join(broadcast(costs), Seq("piece"))
+    .groupBy(col("word"), col("wcnt"), col("n"))
+    .agg(collect_list(struct(col("i"), col("l"), col("cfp"))).as("edges"))
+
+  /** The composed-HOF reference form of [[viterbiSeg]] — the
+    * equivalence oracle for the native kernel (UnigramLmSpec asserts
+    * bit-identical segmentations, incl. the unreachable-word null).
+    * Both folds live in ONE aggregate expression — the forward DP
+    * builds the cost array and the backward walk runs in its `finish`
+    * lambda, where the array is a bound VALUE (two projections would
+    * let CollapseProject inline the forward fold into every backward
+    * element_at — quadratic re-evaluation).
+    */
+  private[operators] def viterbiSegHof(words: DataFrame, costs: DataFrame,
+                                       pieceLen: Int): DataFrame = {
+    val edges = viterbiEdges(words, costs, pieceLen)
     // forward DP (cst[j+1] = cost of positions 0..j, 1-based
     // element_at), then the backward walk: at pos, among edges ending
     // there pick min (cost[i-1] + cfp), tie → longest piece (struct

@@ -37,6 +37,28 @@ class UnigramLmSpec extends SparkSuite {
     assert(got2("abc") == (("ab c", 2)))
   }
 
+  test("ViterbiSeg kernel is bit-identical to the composed HOF folds (incl. unreachable + unicode)") {
+    val rnd = new scala.util.Random(11)
+    val alphabet = "abcdefxyz"
+    val words = ((1 to 300).map { i =>
+      (Seq.fill(1 + rnd.nextInt(14))(alphabet(rnd.nextInt(alphabet.length))).mkString,
+        (i % 7 + 1).toLong)
+    } ++ Seq(("ñé", 2L), ("éñab", 3L), ("", 1L)))
+      .distinct.toDF("word", "wcnt")
+    // no 'z' in the vocab: words containing z are unreachable → null seg
+    val costs = ("abcdefxy".map(c => (c.toString, 10L + c % 7)) ++
+      Seq(("ab", 15L), ("ba", 13L), ("abc", 30L), ("xy", 9L), ("fe", 21L),
+        ("ñ", 9L), ("é", 8L), ("ñé", 12L))).toDF("piece", "cfp")
+    def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame) =
+      f(words.toDF(), costs.toDF(), 4).orderBy(col("word"), col("wcnt"))
+        .as[(String, Long, String)].collect().toSeq
+    val kernel = run(UnigramLm.viterbiSeg)
+    val hof = run(UnigramLm.viterbiSegHof)
+    assert(kernel == hof)
+    assert(kernel.nonEmpty && kernel.size < words.count(),
+      "some words must drop as unreachable for the edge to be exercised")
+  }
+
   test("segmentations concatenate back to the word (coverage invariant)") {
     val docs = Seq(
       "banana bandana cabana", "banana banana ana", "cab nab ban cabana")
