@@ -43,6 +43,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // AQE may re-coalesce cached-plan output partitioning (see the
+      // Verify.scala comment): persist()-cut intermediates size their
+      // partition count to their data instead of inheriting the full
+      // shuffle.partitions fan-out — the scale-adaptive partitioning the
+      // optimization guide §2 prescribes, measured 3× on the perceptron
+      // epoch loop at sf0.1.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb

@@ -16,6 +16,18 @@ object Verify {
       // default; read as long nanos and truncate to micros in the reader
       // (graft.sources.Tables.events) — the same truncation DuckDB applies.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Let AQE coalesce the output partitioning of CACHED plans (off by
+      // default): every operator's persist()-cut intermediate otherwise
+      // keeps the full shuffle.partitions fan-out however tiny the data,
+      // and each downstream pass pays per-task overhead on mostly-empty
+      // partitions (r14 measurement: the perceptron's cached feature
+      // table at 32 fixed partitions cost 0.45 s PER EPOCH of pure task
+      // overhead; AQE-coalesced it is 0.15 s). Data-adaptive by
+      // construction — big intermediates keep many partitions, small
+      // ones shrink — and results stay partitioning-independent (the
+      // engine's exactness discipline; the full oracle gate re-proves
+      // it). Same flag in Bench keeps the two surfaces consistent.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -217,14 +217,25 @@ object QualityClassifier {
       .agg(collect_list(struct(col("bucket"), col("cnt"))).as("fs"))
   }
 
-  /** Document score Σ cnt·w(bucket) against a driver weight array,
-    * shipped as an array literal: `w(b)` is `element_at(lit(w), b+1)` —
-    * an O(1) array index inside whole-stage codegen (a literal MAP would
-    * scan linearly; the dense bucket domain makes the array exact).
-    * int64 fold, so the score is bit-identical under any partitioning
-    * and any per-doc array order.
+  /** Document score Σ cnt·w(bucket) against a driver weight array —
+    * the native [[graft.plans.FeatureDot]] kernel (weights ride as a
+    * codegen reference object). The composed HOF form it replaced
+    * ([[scoreAgainstHof]], kept as the equivalence oracle) interpreted
+    * one boxed lambda eval per feature per doc per EPOCH — the
+    * aggregate HOF is CodegenFallback — and shipped the weights as a
+    * `buckets`+1-element literal through every epoch plan's analysis.
+    * int64 fold in identical order, so the score is bit-identical
+    * under any partitioning and any per-doc array order.
     */
-  private def scoreAgainst(w: Array[Long]): Column = {
+  private[operators] def scoreAgainst(w: Array[Long]): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    B.column(graft.plans.FeatureDot(B.expression(col("fs")), w.toSeq))
+  }
+
+  /** The composed-HOF reference form of [[scoreAgainst]] — the
+    * equivalence oracle for the native kernel.
+    */
+  private[operators] def scoreAgainstHof(w: Array[Long]): Column = {
     val wLit = typedLit(w.toSeq)
     aggregate(col("fs"), lit(0L),
       (acc, f) => acc + f.getField("cnt") * element_at(wLit, f.getField("bucket") + 1))

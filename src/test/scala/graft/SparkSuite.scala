@@ -59,5 +59,7 @@ object SparkSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
+    // match the Verify/Bench sessions (r14): cached plans may coalesce
+    .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     .getOrCreate()
 }

@@ -18,6 +18,22 @@ class QualityClassifierSpec extends SparkSuite {
     assert(got(1).getAs[Int]("n_feats") == 1)
   }
 
+  test("FeatureDot kernel is bit-identical to the composed HOF scorer") {
+    val rnd = new scala.util.Random(13)
+    val buckets = 64
+    val w = Array.fill(buckets + 1)(rnd.nextLong() % 1000000L)
+    val docs = (1L to 200L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(30))(
+        (rnd.nextInt(buckets + 1), rnd.nextInt(5).toLong + 1)))
+    }.toDF("id", "fs")
+      .select(col("id"), expr("transform(fs, f -> struct(f._1 as bucket, f._2 as cnt))").as("fs"))
+    val kernel = docs.select(col("id"), QualityClassifier.scoreAgainst(w).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val hof = docs.select(col("id"), QualityClassifier.scoreAgainstHof(w).as("s"))
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(kernel == hof)
+  }
+
   test("score matches a driver-side recomputation of the hash model") {
     // recompute md5-derived buckets/weights in plain Scala (a fully
     // independent path from the Column expressions)
