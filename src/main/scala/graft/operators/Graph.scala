@@ -189,11 +189,19 @@ object Graph {
       .where(col("b") < col("c"))
       .select(col("b"), col("c"))
     // the wedge pair (b, c) is ordered by NODE id while the edge is
-    // ordered by (deg, node), so probe both directions
-    val probe = oriented.select(col("lo").as("_pl"), col("hi").as("_ph"))
+    // ordered by (deg, node) — NORMALIZE the probe to node order so the
+    // closure is one hash EQUI-join. The r13 form probed both
+    // orientations through an OR condition, which plans as a
+    // BroadcastNestedLoopJoin: O(|wedges|·|edges|) interpreted predicate
+    // evaluations — the accidental near-cartesian of guide §3, and the
+    // operator's real scale risk (measured 4.2 s at sf0.1 vs 1.1 s as
+    // an equi-join). Each undirected edge appears exactly once in
+    // `oriented`, so the normalized equi-join matches the identical row
+    // set: n_triangles is unchanged.
+    val probe = oriented.select(least(col("lo"), col("hi")).as("_pl"),
+      greatest(col("lo"), col("hi")).as("_ph"))
     val closed = wedges.join(probe,
-      (col("b") === col("_pl") && col("c") === col("_ph"))
-        || (col("c") === col("_pl") && col("b") === col("_ph")))
+      col("b") === col("_pl") && col("c") === col("_ph"))
     raw.agg(count(lit(1)).as("n_edges")).crossJoin(
       deg.agg(count(lit(1)).as("n_nodes"), max(col("deg")).as("max_degree")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
@@ -235,10 +243,11 @@ object Graph {
     val wedges = wl.join(wr, col("_wa") === col("_wa2"))
       .where(col("b") < col("c"))
       .select(col("_wa").as("wa"), col("b"), col("c"))
-    val probe = oriented.select(col("lo").as("_pl"), col("hi").as("_ph"))
+    // node-order-normalized closure equi-join (see [[triangleCount]])
+    val probe = oriented.select(least(col("lo"), col("hi")).as("_pl"),
+      greatest(col("lo"), col("hi")).as("_ph"))
     val closed = wedges.join(probe,
-      (col("b") === col("_pl") && col("c") === col("_ph"))
-        || (col("c") === col("_pl") && col("b") === col("_ph")))
+      col("b") === col("_pl") && col("c") === col("_ph"))
     val tri = closed
       .select(explode(array(col("wa"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
