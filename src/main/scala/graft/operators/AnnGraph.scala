@@ -58,12 +58,18 @@ object AnnGraph {
   }
 
   /** Exact cosine for candidate id-pairs: two hash joins against the
-    * vector table — ids shuffle, vectors join in once per side.
+    * vector table — ids shuffle, vectors join in once per side. The `w`
+    * join runs FIRST so the second (u) join leaves the output
+    * hash-partitioned on `u`, which is exactly what [[topM]]'s window
+    * requires — EnsureRequirements then inserts no extra exchange
+    * between scoring and ranking (guide §2.4: operations keyed the same
+    * way share one exchange). Inner equi-joins commute, so results are
+    * unchanged.
     */
   private def scorePairs(pairs: DataFrame, vecs: DataFrame): DataFrame =
     pairs
-      .join(vecs.select(col("_id").as("u"), col("_v").as("_uv")), Seq("u"))
       .join(vecs.select(col("_id").as("w"), col("_v").as("_wv")), Seq("w"))
+      .join(vecs.select(col("_id").as("u"), col("_v").as("_uv")), Seq("u"))
       .select(col("u"), col("w"),
         Similarity.cosine(col("_uv"), col("_wv")).as("cosine"))
 

@@ -772,6 +772,31 @@ class DedupSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("IntersectSortedSize merge equals size(array_intersect) on sorted-distinct arrays") {
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    val rnd = new scala.util.Random(5)
+    val rows = (1 to 300).map { _ =>
+      def arr = Seq.fill(rnd.nextInt(30))(s"t${rnd.nextInt(40)}").distinct.sorted
+      (arr, arr)
+    }.toDF("xa", "xb")
+    def kernel(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      B.column(graft.plans.IntersectSortedSize(B.expression(a), B.expression(b)))
+    // compare the two counts row by row
+    val bad = rows.select(kernel(col("xa"), col("xb")).as("k"),
+      size(array_intersect(col("xa"), col("xb"))).as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(bad == 0L)
+    // long-element variant
+    val lrows = (1 to 200).map { _ =>
+      (Seq.fill(rnd.nextInt(25))(rnd.nextInt(50).toLong).distinct.sorted,
+        Seq.fill(rnd.nextInt(25))(rnd.nextInt(50).toLong).distinct.sorted)
+    }.toDF("xa", "xb")
+    val badL = lrows.select(kernel(col("xa"), col("xb")).as("k"),
+      size(array_intersect(col("xa"), col("xb"))).as("c"))
+      .where(col("k") =!= col("c")).count()
+    assert(badL == 0L)
+  }
+
   test("prefixJaccardPairs: full recall vs brute force at every tested threshold") {
     // deterministic pseudo-random corpus: token vocab of 30, docs of
     // 3..12 tokens — small enough to brute-force, varied enough to
