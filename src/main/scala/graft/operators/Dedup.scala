@@ -1483,7 +1483,10 @@ object Dedup {
       .materialized // feeds df-counts, ranking, and the verify arrays
     val dfCounts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
     val wDoc = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))
-    val ranked = toks.join(dfCounts, "_tok")
+    // shuffle_hash: the df annotation needs no order, and the window
+    // right after re-sorts by (_id) anyway — SMJ would sort the full
+    // token table by _tok first for nothing
+    val ranked = toks.join(dfCounts.hint("shuffle_hash"), "_tok")
       .select(col("_id"), col("_tok"),
         row_number().over(wDoc).as("_pos"),
         count(lit(1)).over(Window.partitionBy(col("_id"))).as("_sz"))
@@ -1505,9 +1508,17 @@ object Dedup {
     // a per-pair hash set — measured 6.3 s of the query's 5.9 s total
     // over 409k candidate pairs at sf0.1, vs ~0.5 s merged. Same count,
     // bit-exact (DedupSpec asserts it against the composed form).
+    // shuffle_hash, not sort-merge: SMJ would SORT the candidate side
+    // WITH its joined-in array payloads (~2-4 KB/row — profiled 4.4 vs
+    // 1.6 s at sf0.1); hashing the (id, token-array) side builds
+    // per-partition tables bounded by sets/nPartitions, the right shape
+    // at 100 TB too (guide §3: skip the sort when one side is the
+    // payload carrier).
     cand
-      .join(sets.select(col("_id").as("a"), col("_toks").as("_ta"), col("_sz").as("_sa")), "a")
-      .join(sets.select(col("_id").as("b"), col("_toks").as("_tb"), col("_sz").as("_sb")), "b")
+      .join(sets.select(col("_id").as("a"), col("_toks").as("_ta"), col("_sz").as("_sa"))
+        .hint("shuffle_hash"), "a")
+      .join(sets.select(col("_id").as("b"), col("_toks").as("_tb"), col("_sz").as("_sb"))
+        .hint("shuffle_hash"), "b")
       .withColumn("n_common", ExpressionUtils.column(graft.plans.IntersectSortedSize(
         ExpressionUtils.expression(col("_ta")), ExpressionUtils.expression(col("_tb")))).cast("long"))
       .where(col("n_common") * tDen >= (col("_sa") + col("_sb") - col("n_common")) * tNum)
