@@ -1243,13 +1243,17 @@ object Dedup {
     val centroids = Similarity.trainCentroids(embs, dim, cells, sampleN, iters, seed, idCol, vecCol)
     val assigned = embs
       .select(col(idCol), col(vecCol).as("_v"),
-        Similarity.nearestCell(col(vecCol), centroids).as("cell"))
+        Similarity.nearestCell(col(vecCol), centroids).as("cell"),
+        // norm once per vector on the cached table — the cosine below
+        // would re-derive BOTH norms per in-cell pair (bit-identical:
+        // the AnnGraph norm-precompute idiom)
+        Similarity.norm(col(vecCol)).as("_n"))
       .materialized
-    val l = assigned.select(col("cell"), col(idCol).as("a"), col("_v").as("va"))
-    val r = assigned.select(col("cell"), col(idCol).as("b"), col("_v").as("vb"))
+    val l = assigned.select(col("cell"), col(idCol).as("a"), col("_v").as("va"), col("_n").as("_na"))
+    val r = assigned.select(col("cell"), col(idCol).as("b"), col("_v").as("vb"), col("_n").as("_nb"))
     val dropped = l.join(r, "cell")
       .where(col("a") < col("b"))
-      .where(Similarity.cosine(col("va"), col("vb")) >= threshold)
+      .where(Similarity.cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")) >= threshold)
       .select(col("b").as(idCol))
       .distinct()
     assigned
@@ -1268,13 +1272,16 @@ object Dedup {
       col(idCol), col(vecCol),
       explode(array((0 until tables).map { t =>
         lit(t.toLong * (1L << planes)) + Similarity.lshBucket(col(vecCol), dim, planes, seed + t)
-      }: _*)).as("bucket"))
+      }: _*)).as("bucket"),
+      // norm once per (vector, table) row below the bucket join — the
+      // cosine would re-derive both norms per candidate pair
+      Similarity.norm(col(vecCol)).as("_n"))
     val l = Similarity.multiProbe(
-      bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket")),
+      bucketed.select(col(idCol).as("a"), col(vecCol).as("va"), col("bucket"), col("_n").as("_na")),
       "bucket", planes, probes)
-    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"))
+    val r = bucketed.select(col(idCol).as("b"), col(vecCol).as("vb"), col("bucket"), col("_n").as("_nb"))
     l.join(r, "bucket").where(col("a") < col("b"))
-      .withColumn("cosine", Similarity.cosine(col("va"), col("vb")))
+      .withColumn("cosine", Similarity.cosineWithNorms(col("va"), col("vb"), col("_na"), col("_nb")))
       .where(col("cosine") >= threshold)
       .select(col("a"), col("b"), col("cosine"))
       .distinct()

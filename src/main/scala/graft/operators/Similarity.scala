@@ -39,16 +39,30 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** [[cosine]] with the operand norms supplied from columns computed
+    * ONCE per vector (in the projection BELOW the scoring join) instead
+    * of re-derived per candidate pair — 3 dim-length kernels per pair
+    * become 1. BIT-IDENTICAL to [[cosine]]: a precomputed norm is the
+    * same `sqrt` of the same left-fold over the same array, and the
+    * top-level ops match `dot / (norm * norm)` exactly (the AnnGraph
+    * norm-precompute idiom, proven exceptAll-empty there and by every
+    * oracle hash here).
+    */
+  def cosineWithNorms(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Brute-force top-k cosine neighbors of each query vector.
     * `queries` must be small (it is broadcast); candidates stream.
     * Deterministic tie-break on candidate id.
     */
   def bruteForceTopK(candidates: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("_qn", norm(col("qv"))))
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .withColumn("_cn", norm(col("cv")))
     val scored = q.crossJoin(c)
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("_qn"), col("_cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w))
@@ -167,11 +181,13 @@ object Similarity {
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), centroids).as("cell"))
+      .withColumn("_cn", norm(col("cv")))
     val q = broadcast(
       queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-        explode(probeCells(col(vecCol), centroids, nprobe)).as("cell")))
+        explode(probeCells(col(vecCol), centroids, nprobe)).as("cell"))
+        .withColumn("_qn", norm(col("qv"))))
     val scored = q.join(c, "cell")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("_qn"), col("_cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
@@ -206,10 +222,12 @@ object Similarity {
       idCol = idCol, vecCol = vecCol)
     val c = candidates.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       nearestCell(col(vecCol), centroids).as("cell"))
+      .withColumn("_cn", norm(col("cv")))
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      posexplode(probeCells(col(vecCol), centroids, nprobes.max)).as(Seq("_pi", "cell"))))
+      posexplode(probeCells(col(vecCol), centroids, nprobes.max)).as(Seq("_pi", "cell")))
+      .withColumn("_qn", norm(col("qv"))))
     val scored = q.join(c, "cell")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("_qn"), col("_cn")))
       .groupBy(col("query_id"), col("neighbor_id"))
       .agg(min(col("_pi") + 1).as("_avail"), max(col("cosine")).as("cosine"))
     val exact = bruteForceTopK(candidates, queries, k, idCol, vecCol)
@@ -601,11 +619,13 @@ object Similarity {
     val c = candidates.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
       lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
+      .withColumn("_cn", norm(col("cv")))
     val qBase = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), dim, planes, seed).as("bucket"))
+      .withColumn("_qn", norm(col("qv")))
     val q = broadcast(multiProbe(qBase, "bucket", planes, probes))
     val scored = q.join(c, "bucket")
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", cosineWithNorms(col("qv"), col("cv"), col("_qn"), col("_cn")))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     scored
       .select(col("query_id"), col("neighbor_id"), col("cosine")).distinct()
