@@ -619,6 +619,14 @@ object Dedup {
     val sigs = minHashSignaturesFromHashes(sh, "sh", idCol, numHashes)
     val cands = candidatesFromSignatures(sigs, idCol, numHashes, bands, maxBucketGroups)
     cands
+      // NO join hint here, deliberately: at verification scale the (id,
+      // sh) side broadcasts (measured BroadcastHashJoin at sf0.1 — a
+      // shuffle_hash hint would displace it and cost two exchanges,
+      // measured slower); when the corpus outgrows the broadcast
+      // threshold the planner falls back to SMJ, and the
+      // prefixJaccardPairs finding (hash, don't sort, the payload side)
+      // applies — revisit with preferSortMergeJoin=false at deploy time
+      // rather than a hint that pessimizes the verified-small case.
       .join(sh.select(col(idCol).as("a"), col("sh").as("sha")), "a")
       .join(sh.select(col(idCol).as("b"), col("sh").as("shb")), "b")
       .withColumn("jaccard", jaccardSorted(col("sha"), col("shb")))
