@@ -115,7 +115,12 @@ object AnnGraph {
                  rounds: Int = 2, groupBits: Int = -1, targetWidth: Int = 16,
                  seed: Long = 42L): DataFrame = {
     require(degree >= 1 && rounds >= 0, s"degree/rounds invalid: $degree/$rounds")
-    val vecs = Materialize.cutEager(withNorm(vectors, idCol, vecCol))
+    // LAZY cut (guide §1.2 — job waves, not bytes): the norm table is a
+    // pure multi-consumer reuse point (bucketed/grouped projections plus
+    // one scoring join per round) with no loop or self-invalidation
+    // hazard, so an EAGER cut only added a count() job wave before any
+    // real work; the init round's first action populates the blocks.
+    val vecs = Materialize.cut(withNorm(vectors, idCol, vecCol))
     val autoBits = if (planes < 0 || groupBits < 0)
       bitsFor(vecs.count(), targetWidth) else 0
     val nPlanes = if (planes < 0) autoBits else planes
@@ -161,12 +166,19 @@ object AnnGraph {
     }
     val out = g.select(col("u").as("vec_id"), col("w").as("neighbor_id"),
       col("_rk").cast("int").as("rank"), col("cosine"))
+    // No final pin (guide §1.2: drop cuts whose output is consumed
+    // once): `out` is a pure projection over the last round's already-
+    // checkpointed generation, so pinning it re-materialized N·degree
+    // rows in one extra job wave purely to allow release(g). Returning
+    // the projection over g directly skips that wave; g's checkpoint
+    // blocks are freed by GC once the caller drops the result (the
+    // localCheckpoint lifecycle — Bench/Verify additionally clearCache
+    // between queries). vecs is released here because `out`'s lineage
+    // no longer references it.
     if (Materialize.debugNoCut(out)) out
     else {
-      val pinned = Materialize.cutPinned(out)
       Materialize.release(vecs)
-      Materialize.release(g)
-      pinned
+      out
     }
   }
 
@@ -231,12 +243,17 @@ object AnnGraph {
       .withColumn("_rk", row_number().over(w)).where(col("_rk") <= k)
       .select(col("query_id"), col("node").as("neighbor_id"),
         col("_rk").cast("int").as("rank"), col("cosine"))
+    // No final pin, mirroring [[buildGraph]] (guide §1.2: drop cuts
+    // whose output is consumed once): `out` is the top-k window over
+    // the last round's already-checkpointed beam, so pinning it spent
+    // one extra job wave only to allow release(visited). `visited`
+    // stays alive until the caller drops the result (localCheckpoint
+    // lifecycle); vecs is released because `out`'s lineage no longer
+    // references it.
     if (Materialize.debugNoCut(out)) out
     else {
-      val pinned = Materialize.cutPinned(out)
       Materialize.release(vecs)
-      Materialize.release(visited)
-      pinned
+      out
     }
   }
 }

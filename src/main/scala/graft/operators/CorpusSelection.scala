@@ -167,7 +167,7 @@ object CorpusSelection {
     * map work, shuffle-free at any scale.
     */
   def weightedSample(docs: DataFrame, idCol: String, weight: Column): DataFrame = {
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+    val coin = graft.plans.Md5Prefix.of(col(idCol).cast("string"), 6)
       .cast("double") / math.pow(16, 6)
     docs
       .withColumn("sample_coin", coin)
@@ -188,7 +188,7 @@ object CorpusSelection {
                   fractions: Seq[(String, Double)]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_._2 >= 0), "non-negative fractions")
     require(math.abs(fractions.map(_._2).sum - 1.0) < 1e-9, "fractions must sum to 1")
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10)
+    val coin = graft.plans.Md5Prefix.of(col(idCol).cast("string"), 6)
       .cast("double") / math.pow(16, 6)
     val cum = fractions.scanLeft(0.0)(_ + _._2).tail
     // last arm unconditional: float summation must never leave a row
@@ -353,7 +353,7 @@ object CorpusSelection {
     */
   def assignShards(docs: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"numShards must be positive, got $numShards")
-    val coin = conv(substring(md5(col(idCol).cast("string")), 1, 6), 16, 10).cast("long")
+    val coin = graft.plans.Md5Prefix.of(col(idCol).cast("string"), 6)
     docs.withColumn("shard", pmod(coin, lit(numShards.toLong)).cast("int"))
   }
 
@@ -562,9 +562,10 @@ object CorpusSelection {
   def dsirScores(raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
                  buckets: Int = 4096): DataFrame = {
     val scale = 1099511627776.0 // 2^40
+    // one codegen'd featurize+hash pass ([[QualityClassifier.featureBuckets]])
     def bucketed(df: DataFrame): DataFrame = df
-      .select(col(idCol), explode(QualityClassifier.features(col(textCol))).as("_f"))
-      .select(col(idCol), (QualityClassifier.md24(col("_f")) % buckets).cast("int").as("bucket"))
+      .select(col(idCol),
+        explode(QualityClassifier.featureBuckets(col(textCol), buckets)).as("bucket"))
     // Materialize the ≤`buckets`-row COUNT aggregates, not the exploded
     // feature relation: each count table is consumed twice (grid join +
     // totals), and caching 4096 rows is free — whereas caching the
@@ -964,6 +965,12 @@ object CorpusSelection {
     val qpool: Array[(Long, Seq[Long])] = quant(pool).orderBy(col("_pid")).collect()
       .map(r => (r.getLong(0), r.getSeq[Long](1)))
     require(qpool.nonEmpty, "pool must be non-empty")
+    // duplicate candidate ids would mint duplicate _d$cid column names
+    // and every col(s"_d$cid") below would throw an ambiguous-reference
+    // AnalysisException mid-greedy — fail loudly at the contract edge
+    require(qpool.map(_._1).distinct.length == qpool.length,
+      s"pool ids must be distinct: ${qpool.length} rows, " +
+        s"${qpool.map(_._1).distinct.length} distinct ids")
     def dotTo(vec: Seq[Long]): Column =
       aggregate(zip_with(col("qv"), typedLit(vec), (a, b) => a * b), lit(0L), (acc, x) => acc + x)
     // ONE corpus pass computes every candidate's ReLU'd dot as a scalar

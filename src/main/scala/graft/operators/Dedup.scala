@@ -881,7 +881,7 @@ object Dedup {
     val toks = docs.select(
       col(idCol),
       explode(array_distinct(split(lower(trim(col(textCol))), "\\s+"))).as("tok"))
-      .select(col(idCol), conv(substring(md5(col("tok")), 1, bits / 4), 16, 10).cast("long").as("th"))
+      .select(col(idCol), graft.plans.Md5Prefix.of(col("tok"), bits / 4).as("th"))
     val sums = (0 until bits).map { j =>
       sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
     }
@@ -1462,8 +1462,10 @@ object Dedup {
     *
     * Plan at scale: one explode + hash-aggregate for document
     * frequencies (vocabulary-sized); one equi-join to annotate tokens
-    * with df; one per-document window (partition = doc, bounded by
-    * document length) to rank tokens rarest-first; the prefix-token
+    * with df; ONE per-document regroup (keyed by doc, per-group state
+    * bounded by document length) whose (df, token)-sorted array yields
+    * BOTH the rarest-first prefix (slice) and the verify token array
+    * (re-sort of the projected tokens); the prefix-token
     * self-equi-join; a pair-key aggregate to dedup candidates; and one
     * verify join back to the (id, sorted-token-array) table — exact
     * merge intersection via [[jaccardTokens]]. Everything is keyed by
@@ -1488,35 +1490,47 @@ object Dedup {
                          tNum: Int, tDen: Int, shingleK: Int = 0): DataFrame = {
     require(tNum > 0 && tDen > 0 && tNum <= tDen,
       s"threshold must be a rational in (0, 1]: got $tNum/$tDen")
-    import org.apache.spark.sql.expressions.Window
     val units =
       if (shingleK >= 2) shingles(col(textCol), shingleK)
       else array_distinct(split(lower(trim(col(textCol))), "\\s+"))
     val toks = docs
       .select(col(idCol).as("_id"), explode(units).as("_tok"))
       .where(col("_tok") =!= "")
-      .materialized // feeds df-counts, ranking, and the verify arrays
+      .materialized // feeds df-counts and the per-doc regroup
     val dfCounts = toks.groupBy(col("_tok")).agg(count(lit(1)).as("_df"))
-    val wDoc = Window.partitionBy(col("_id")).orderBy(col("_df"), col("_tok"))
-    // shuffle_hash: the df annotation needs no order, and the window
-    // right after re-sorts by (_id) anyway — SMJ would sort the full
-    // token table by _tok first for nothing
-    val ranked = toks.join(dfCounts.hint("shuffle_hash"), "_tok")
-      .select(col("_id"), col("_tok"),
-        row_number().over(wDoc).as("_pos"),
-        count(lit(1)).over(Window.partitionBy(col("_id"))).as("_sz"))
-    // prefix length |x| - ceil(t|x|) + 1, with ceil done in integers
-    val prefix = ranked
-      .where(col("_pos") <= expr(s"_sz - (_sz * $tNum + $tDen - 1) div $tDen + 1"))
-      .select(col("_id"), col("_tok"))
+    // ONE (df, tok)-ordered per-doc regroup now feeds BOTH the
+    // rarest-first prefix and the verify arrays (guide §2.4: operations
+    // keyed the same way share one exchange). The r14 shape paid two
+    // _id-keyed exchanges of the full token table — a window (rank by
+    // (_df, _tok), then prefix filter) plus a separate
+    // collect_set aggregate for the verify sets; sort_array over
+    // struct(_df, _tok) is the identical total order ((id, tok) rows
+    // are distinct — shingles/array_distinct upstream — so there are
+    // no rank ties to break), slice(1, p) is the identical prefix
+    // membership, and re-sorting the projected tokens reproduces
+    // sort_array(collect_set(..)) element for element.
+    // shuffle_hash on the df annotation: it needs no order, and the
+    // regroup right after re-partitions by _id anyway — SMJ would sort
+    // the full token table by _tok for nothing.
+    val perDoc = toks.join(dfCounts.hint("shuffle_hash"), "_tok")
+      .groupBy(col("_id"))
+      .agg(sort_array(collect_list(struct(col("_df"), col("_tok")))).as("_ord"),
+        count(lit(1)).as("_sz"))
+      // prefix length |x| - ceil(t|x|) + 1, with ceil done in integers
+      .withColumn("_p",
+        (col("_sz") - expr(s"(_sz * $tNum + $tDen - 1) div $tDen") + 1).cast("int"))
+      .materialized // consumed by both candidate legs and both verify sides
+    val prefix = perDoc
+      .select(col("_id"), explode(slice(col("_ord"), lit(1), col("_p"))).as("_pt"))
+      .select(col("_id"), col("_pt").getField("_tok").as("_tok"))
     val cand = prefix.select(col("_id").as("a"), col("_tok"))
       .join(prefix.select(col("_id").as("b"), col("_tok")), "_tok")
       .where(col("a") < col("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("_np"))
       .select(col("a"), col("b"))
-    val sets = toks.groupBy(col("_id"))
-      .agg(sort_array(collect_set(col("_tok"))).as("_toks"),
-        count(lit(1)).as("_sz"))
+    val sets = perDoc.select(col("_id"),
+      sort_array(transform(col("_ord"), p => p.getField("_tok"))).as("_toks"),
+      col("_sz"))
     // exact intersect count as a sorted two-pointer merge
     // ([[graft.plans.IntersectSortedSize]]): the sets are already
     // sort_array(collect_set(..)), and size(array_intersect(..)) built

@@ -335,8 +335,13 @@ object Expectations {
                             fanout: Int = 1024): Seq[(Long, Long, Long, Long)] = {
     require(qNum >= 1 && qNum <= qDen, s"need 0 < q <= 1, got $qNum/$qDen")
     require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    // nulls are dropped up front: count(lit(1)) would count a null _v
+    // into n (and k) while the histogram filter _v >= lo excluded it,
+    // letting k exceed the countable rows and the bucket walk return
+    // no bucket — the require below then fails loudly instead of the
+    // bracket silently corrupting (null-free inputs are bit-identical)
     val v = Materialize.cut(grouped.select(col("_g").cast("long").as("_g"),
-      col("_v").cast("long").as("_v")))
+      col("_v").cast("long").as("_v")).where(col("_v").isNotNull))
     import v.sparkSession.implicits._
     // one stats pass populates the cache and seeds every bracket
     val stats = v.groupBy(col("_g"))
@@ -382,6 +387,9 @@ object Expectations {
           if (next >= s.k) b = cs(i)._1 else { cum = next; i += 1 }
         }
         // rank k is inside the bracket by invariant, so b is found
+        require(b >= 0, s"quantile bracket invariant violated for group " +
+          s"${s.g}: rank ${s.k} not inside [${s.lo}, ${s.hi}] " +
+          s"(cum=$cum after ${cs.length} buckets)")
         s.below = cum
         s.hi = math.min(s.hi, s.lo + (b + 1) * w - 1)
         s.lo = s.lo + b * w

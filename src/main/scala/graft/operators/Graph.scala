@@ -458,9 +458,12 @@ object Graph {
     * renormalization `(s · 2^20) div Σs` — HITS diverges without the
     * per-round normalization, and doing it as one integer division
     * against the global sum keeps every score bit-identical under any
-    * partitioning. The global sum is a ONE-ROW aggregate cross-joined
-    * back into the plan (broadcast NLJ of a scalar), not a driver
-    * collect. Grid headroom: pre-rescale sums are bounded by
+    * partitioning. The global sum is read off the checkpointed
+    * half-step mass table with a BOUNDED driver collect (one int64 —
+    * the k-means-centroid class) and folded into the renormalization
+    * as a literal: the earlier crossJoin(one-row agg) form made the
+    * broadcast-NLJ build job re-execute the half-step's edge join+agg a
+    * second time per half-step. Grid headroom: pre-rescale sums are bounded by
     * |E| · 2^20 and the rescale multiplies by 2^20 again, so int64
     * holds through |E| ≈ 8·10⁶ per partition-independent total; beyond
     * that, widen the accumulator to DECIMAL(38,0) — the grid itself
@@ -490,30 +493,43 @@ object Graph {
     var prevH: Option[DataFrame] = None
     var prevA: Option[DataFrame] = None
     for (_ <- 1 to iters) {
+      // Renormalization scalar as a DRIVER-HELD LITERAL (guide §1.2 —
+      // the perceptron/centroid discipline): the crossJoin(agg) form
+      // executed the half-step's join+agg subtree TWICE per half-step —
+      // once inside the broadcast-NLJ's build job for the one-row sum,
+      // once in the main pass — so each iteration paid 4 edge-join+agg
+      // executions instead of 2. Checkpointing the raw mass table once,
+      // reading its one-row total with a bounded collect (a single
+      // int64 — the k-means-centroid bounded-collect class), and
+      // folding it into the renormalization expression as a literal
+      // halves the heavy work. `(s * Scale) div t` is evaluated with
+      // the identical int64 operands, so every score is bit-identical.
       // authority half-step: pull hub mass along in-edges, renormalize
-      val araw = srcPart
+      val araw = Materialize.cutPinned(srcPart
         .join(hubs.hint("shuffle_hash"), srcPart("src") === hubs("node"))
-        .groupBy(col("dst")).agg(sum(col("h")).as("s"))
-      val asum = araw.agg(sum(col("s")).as("t")) // one row; broadcast NLJ
+        .groupBy(col("dst")).agg(sum(col("h")).as("s")))
+      // coalesce(.., 1): only reachable on an EMPTY edge set, where
+      // `nodes` is empty too and no row ever divides by it
+      val at = araw.agg(coalesce(sum(col("s")), lit(1L))).collect()(0).getLong(0)
       val nextA = nodes
         .join(araw.hint("shuffle_hash"), nodes("node") === araw("dst"), "left")
-        .crossJoin(asum)
         .select(nodes("node"),
-          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div t").as("a"))
+          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div ${at}L").as("a"))
       auths = Materialize.cutLoop(nextA, prevA)
       prevA = Some(auths)
+      Materialize.release(araw)
       // hub half-step: pull the fresh authority mass along out-edges
-      val hraw = dstPart
+      val hraw = Materialize.cutPinned(dstPart
         .join(auths.hint("shuffle_hash"), dstPart("dst") === auths("node"))
-        .groupBy(col("src")).agg(sum(col("a")).as("s"))
-      val hsum = hraw.agg(sum(col("s")).as("t"))
+        .groupBy(col("src")).agg(sum(col("a")).as("s")))
+      val ht = hraw.agg(coalesce(sum(col("s")), lit(1L))).collect()(0).getLong(0)
       val nextH = nodes
         .join(hraw.hint("shuffle_hash"), nodes("node") === hraw("src"), "left")
-        .crossJoin(hsum)
         .select(nodes("node"),
-          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div t").as("h"))
+          expr(s"(coalesce(s, 0L) * ${HitsScale}L) div ${ht}L").as("h"))
       hubs = Materialize.cutLoop(nextH, prevH)
       prevH = Some(hubs)
+      Materialize.release(hraw)
     }
     auths.join(hubs, Seq("node"))
       .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"),
@@ -558,8 +574,8 @@ object Graph {
     // seed sketch = {node} itself: one register per node from its coin
     var regs = nodes
       .select(col("node"),
-        conv(substring(md5(concat(lit("hb:"), col("node"))), 1, 14), 16, 10)
-          .cast("long").as("_coin"))
+        graft.plans.Md5Prefix.of(concat(lit("hb:"), col("node")), 14)
+          .as("_coin"))
       .select(col("node"),
         expr("_coin >> 48").as("j"),
         expr("CASE WHEN (_coin & 281474976710655L) = 0 THEN 49L" +

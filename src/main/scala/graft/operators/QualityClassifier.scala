@@ -33,8 +33,20 @@ object QualityClassifier {
   /** Signed fixed-point grid: weights live in [-2^23, 2^23). */
   val WeightScale: Long = 1L << 23
 
-  /** First 24 bits of md5 as a long in [0, 2^24). */
-  private[operators] def md24(c: Column): Column =
+  /** First 24 bits of md5 as a long in [0, 2^24) — the
+    * [[graft.plans.Md5Prefix]] kernel (reads the coin off the raw
+    * digest bytes; the composed hex-encode → substring → base-16-parse
+    * chain is kept as [[md24Hof]], the spec-asserted reference).
+    */
+  private[operators] def md24(c: Column): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    B.column(graft.plans.Md5Prefix(B.expression(c), 6))
+  }
+
+  /** The composed reference form of [[md24]] — the portable definition
+    * every oracle replays (equivalence oracle for the kernel).
+    */
+  private[operators] def md24Hof(c: Column): Column =
     conv(substring(md5(c), 1, 6), 16, 10).cast("long")
 
   /** The hash-derived weight table: (bucket, w_fp). Deterministic in
@@ -46,7 +58,11 @@ object QualityClassifier {
       col("id").cast("int").as("bucket"),
       (md24(concat(lit("w:"), col("id").cast("string"))) - WeightScale).as("w_fp"))
 
-  /** Unigrams ++ bigrams of the whitespace-lowered token array. */
+  /** Unigrams ++ bigrams of the whitespace-lowered token array — the
+    * composed reference form of [[featureBuckets]] (kept as the
+    * equivalence oracle; QualityClassifierSpec asserts the kernel
+    * reproduces `md24(features) % buckets` element for element).
+    */
   private[operators] def features(text: Column): Column = {
     val toks = split(lower(trim(text)), "\\s+")
     val bigrams = when(size(toks) >= 2,
@@ -56,6 +72,18 @@ object QualityClassifier {
     concat(toks, bigrams)
   }
 
+  /** `transform(features(text), f => md24(f) % buckets)` as ONE
+    * codegen'd pass ([[graft.plans.FeatureBuckets]]): the composed form
+    * built bigrams through CodegenFallback HOFs and hashed each feature
+    * via an md5 → hex → substring → base-16-parse chain; the kernel
+    * splits once and reads the bucket off the raw digest bytes.
+    * Bit-identical (spec-asserted against the kept composed form).
+    */
+  private[operators] def featureBuckets(text: Column, buckets: Int): Column = {
+    import org.apache.spark.sql.graft.{ColumnBridge => B}
+    B.column(graft.plans.FeatureBuckets(B.expression(text), buckets))
+  }
+
   /** Score every document against `weights` (bucket, w_fp). Emits
     * (`idCol`, n_feats, score, label) where score = mean bucket weight
     * rescaled to [-1, 1] and label = score > 0.
@@ -63,8 +91,7 @@ object QualityClassifier {
   def score(docs: DataFrame, weights: DataFrame, textCol: String,
             idCol: String, buckets: Int): DataFrame =
     docs
-      .select(col(idCol), explode(features(col(textCol))).as("_f"))
-      .select(col(idCol), (md24(col("_f")) % buckets).cast("int").as("bucket"))
+      .select(col(idCol), explode(featureBuckets(col(textCol), buckets)).as("bucket"))
       .join(broadcast(weights), Seq("bucket"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_feats"), sum(col("w_fp")).as("_s"))
@@ -199,8 +226,8 @@ object QualityClassifier {
                              labelCol: String, buckets: Int,
                              biasCnt: Int): DataFrame = docs
     .select(col(idCol).as("_id"), col(labelCol).cast("long").as("y"),
-      explode(features(col(textCol))).as("_f"))
-    .groupBy(col("_id"), col("y"), (md24(col("_f")) % buckets).cast("int").as("bucket"))
+      explode(featureBuckets(col(textCol), buckets)).as("bucket"))
+    .groupBy(col("_id"), col("y"), col("bucket"))
     .agg(count(lit(1)).as("cnt"))
     .unionByName(docs.select(col(idCol).as("_id"),
       col(labelCol).cast("long").as("y"),

@@ -437,7 +437,7 @@ object Similarity {
     */
   def hashEmbed(docs: DataFrame, textCol: String, idCol: String,
                 dim: Int = 64): DataFrame = {
-    val bucket = (conv(substring(md5(col("_term")), 1, 6), 16, 10).cast("long") % dim)
+    val bucket = (graft.plans.Md5Prefix.of(col("_term"), 6) % dim)
       .cast("int")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     docs
@@ -456,7 +456,7 @@ object Similarity {
     */
   private def hashCounts(docs: DataFrame, textCol: String, idCol: String,
                          dim: Int): DataFrame = {
-    val bucket = (conv(substring(md5(col("_term")), 1, 6), 16, 10).cast("long") % dim)
+    val bucket = (graft.plans.Md5Prefix.of(col("_term"), 6) % dim)
       .cast("int")
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
     docs

@@ -794,8 +794,9 @@ object TextAnalysis {
       .select(explode(tokens(col(textCol))).as("term"))
       .select(explode(sequence(lit(0), lit(depth - 1))).as("row"), col("term"))
       .select(col("row"),
-        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("term"))), 1, 6),
-          16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+        pmod(graft.plans.Md5Prefix.of(
+          concat(col("row").cast("string"), lit(":"), col("term")), 6),
+          lit(width.toLong)).as("bucket"))
       .groupBy(col("row"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
@@ -811,8 +812,9 @@ object TextAnalysis {
     val keyed = probes
       .select(col("term"), explode(sequence(lit(0), lit(depth - 1))).as("row"))
       .select(col("term"), col("row"),
-        pmod(conv(substring(md5(concat(col("row").cast("string"), lit(":"), col("term"))), 1, 6),
-          16, 10).cast("long"), lit(width.toLong)).as("bucket"))
+        pmod(graft.plans.Md5Prefix.of(
+          concat(col("row").cast("string"), lit(":"), col("term")), 6),
+          lit(width.toLong)).as("bucket"))
     keyed
       .join(sketch, Seq("row", "bucket"), "left")
       .groupBy(col("term"))

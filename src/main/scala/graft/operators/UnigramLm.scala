@@ -108,7 +108,7 @@ object UnigramLm {
     val costSeq = costs.select(col("piece").cast("string"), col("cfp").cast("long"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val seg = B.column(graft.plans.ViterbiSegVocab(
-      B.expression(col("word")), costSeq, pieceLen))
+      B.expression(col("word")), graft.plans.VocabHandle(costSeq), pieceLen))
     words.select(col("word"), col("wcnt"), seg.as("seg"))
       .where(col("seg").isNotNull)
   }
@@ -187,11 +187,15 @@ object UnigramLm {
       .groupBy(col("piece")).agg(sum(col("wcnt")).as("n_uses"))
 
   /** The 2-round hard-EM fit. Returns (final vocab with usage:
-    * (piece, n_uses), final per-word segmentation:
-    * (word, wcnt, seg)).
+    * (piece, n_uses) — only when `withUsage`, else None, and the
+    * round-2 usage pass over the word table is SKIPPED entirely
+    * (guide §1.2: don't compute what the caller throws away —
+    * [[tokenizeCounts]] and [[fertility]] only consume the
+    * segmentation), final per-word segmentation: (word, wcnt, seg)).
     */
   private def fit(docs: DataFrame, textCol: String, pieceLen: Int,
-                  seedMulti: Int, keepMulti: Int): (DataFrame, DataFrame) = {
+                  seedMulti: Int, keepMulti: Int,
+                  withUsage: Boolean = true): (Option[DataFrame], DataFrame) = {
     // LAZY cuts: these are pure multi-consumer reuse points with no
     // loop or self-invalidation hazard — an eager cut would add one
     // count job each (5 extra job waves per fit, pure scheduling).
@@ -216,9 +220,10 @@ object UnigramLm {
     // under the localCheckpoint policy a released generation cannot be
     // recomputed through, so nothing may still need it lazily.
     val seg2 = Materialize.cutEager(viterbiSeg(words, pieceCosts(v1), pieceLen))
-    val u2 = Materialize.cutEager(v1.select(col("piece"))
+    val u2 = if (!withUsage) None
+    else Some(Materialize.cutEager(v1.select(col("piece"))
       .join(usageOf(seg2), Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses")))
+      .select(col("piece"), coalesce(col("n_uses"), lit(0L)).as("n_uses"))))
     Materialize.release(words)
     Materialize.release(v0)
     Materialize.release(u1)
@@ -230,15 +235,19 @@ object UnigramLm {
     */
   def train(docs: DataFrame, textCol: String, pieceLen: Int = 4,
             seedMulti: Int = 16, keepMulti: Int = 12): DataFrame = {
-    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    val (u2opt, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    val u2 = u2opt.get
     val out = u2.select(col("piece"),
       length(col("piece")).as("piece_len"), col("n_uses"))
+    // No final pin (guide §1.2: the caller consumes `out` exactly once,
+    // and u2 is already an eager cut — pinning re-materialized the
+    // vocab-sized result in one extra job wave purely to allow
+    // release(u2)). seg2 is released: u2's checkpoint/persist no longer
+    // needs it; u2 stays alive until the caller drops the result.
     if (Materialize.debugNoCut(out)) out
     else {
-      val pinned = Materialize.cutPinned(out)
-      Materialize.release(u2)
       Materialize.release(seg2)
-      pinned
+      out
     }
   }
 
@@ -251,7 +260,11 @@ object UnigramLm {
   def tokenizeCounts(docs: DataFrame, textCol: String, idCol: String,
                      pieceLen: Int = 4, seedMulti: Int = 16,
                      keepMulti: Int = 12): DataFrame = {
-    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    // withUsage = false: the round-2 usage table was computed eagerly
+    // (one usage-explode + join wave over the word table) and then only
+    // released — the encode path consumes the SEGMENTATION alone.
+    val (_, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti,
+      withUsage = false)
     val out = docs
       .select(col(idCol), explode(split(lower(trim(col(textCol))), "\\s+")).as("word"))
       .where(col("word") =!= "")
@@ -260,13 +273,11 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
         sum(col("n_pieces")).cast("int").as("n_spm_tokens"))
-    if (Materialize.debugNoCut(out)) out
-    else {
-      val pinned = Materialize.cutPinned(out)
-      Materialize.release(u2)
-      Materialize.release(seg2)
-      pinned
-    }
+    // No final pin: the pin re-ran the whole corpus-sized encode wave
+    // just to allow release(seg2); the caller's single action now IS
+    // the encode pass. seg2 (an eager cut) stays alive until the
+    // caller drops the result.
+    out
   }
 
   /** The persistable tokenizer ARTIFACT — the pruned, +1-smoothed
@@ -315,12 +326,13 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).cast("int").as("n_ws_tokens"),
         sum(col("n_pieces")).cast("int").as("n_spm_tokens"))
+    // No final pin: the caller's single action is the encode pass.
+    // `seg` is an eager cut, so `words` can be released now; seg stays
+    // alive until the caller drops the result.
     if (Materialize.debugNoCut(out)) out
     else {
-      val pinned = Materialize.cutPinned(out)
       Materialize.release(words)
-      Materialize.release(seg)
-      pinned
+      out
     }
   }
 
@@ -387,7 +399,11 @@ object UnigramLm {
   def fertility(docs: DataFrame, textCol: String, groupCol: String,
                 pieceLen: Int = 4, seedMulti: Int = 16,
                 keepMulti: Int = 12): DataFrame = {
-    val (u2, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti)
+    // withUsage = false + no final pin: same rationale as
+    // [[tokenizeCounts]] — only the segmentation is consumed, and the
+    // caller's single action is the audit pass itself.
+    val (_, seg2) = fit(docs, textCol, pieceLen, seedMulti, keepMulti,
+      withUsage = false)
     val np = seg2.select(col("word"),
       size(split(col("seg"), " ")).as("_np"), length(col("word")).as("_nc"))
     val out = docs
@@ -400,12 +416,6 @@ object UnigramLm {
       .select(col(groupCol), col("n_words"), col("n_pieces"), col("n_chars"),
         (col("n_pieces").cast("double") / col("n_words").cast("double")).as("fertility"),
         (col("n_chars").cast("double") / col("n_pieces").cast("double")).as("chars_per_piece"))
-    if (Materialize.debugNoCut(out)) out
-    else {
-      val pinned = Materialize.cutPinned(out)
-      Materialize.release(u2)
-      Materialize.release(seg2)
-      pinned
-    }
+    out
   }
 }

@@ -177,7 +177,7 @@ object UrlFilter {
     docs
       .withColumn("registered_domain", registeredDomain(col(urlCol)))
       .withColumn("worker",
-        pmod(conv(substring(md5(col("registered_domain")), 1, 6), 16, 10).cast("long"),
+        pmod(graft.plans.Md5Prefix.of(col("registered_domain"), 6),
           lit(workers.toLong)))
       .withColumn("slot_seconds",
         (row_number().over(w).cast("long") - 1L) * delaySeconds)

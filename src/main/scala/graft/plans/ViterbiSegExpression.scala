@@ -45,11 +45,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - pieces are code-point substrings (UTF8String.substringSQL — the
   *     same semantics as the composed `word.substr(i, l)`).
   */
-final case class ViterbiSegVocab(child: Expression, costs: Seq[(String, Long)],
+final case class ViterbiSegVocab(child: Expression, vocab: VocabHandle,
                                  pieceLen: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   require(pieceLen >= 1, s"pieceLen must be >= 1, got $pieceLen")
+
+  private def costs: Seq[(String, Long)] = vocab.costs
 
   override def dataType: DataType = StringType
   override def nullable: Boolean = true
@@ -82,6 +84,32 @@ final case class ViterbiSegVocab(child: Expression, costs: Seq[(String, Long)],
     copy(child = newChild)
 
   override def prettyName: String = "viterbi_seg_vocab"
+}
+
+/** Opaque vocabulary handle for [[ViterbiSegVocab]]: the cost table is
+  * a case-class constructor arg, so expression equality / hashCode /
+  * canonicalization / toString would otherwise iterate (and print) the
+  * WHOLE vocab on every plan comparison — at the production envelope
+  * the doc anticipates (hundreds of thousands of pieces) that degrades
+  * explain and analyzer passes even though eval uses the reference-
+  * object map. The handle precomputes one content hash, compares by
+  * (identity, then hash + deep compare on hash match), and prints a
+  * truncated summary — the Broadcast-handle discipline.
+  */
+final class VocabHandle(val costs: Seq[(String, Long)]) extends Serializable {
+  override val hashCode: Int =
+    scala.util.hashing.MurmurHash3.orderedHash(costs, 0x5eed)
+  override def equals(o: Any): Boolean = o match {
+    case v: VocabHandle =>
+      (this eq v) || (hashCode == v.hashCode && costs == v.costs)
+    case _ => false
+  }
+  override def toString: String =
+    s"vocab(${costs.size} pieces, hash=0x${hashCode.toHexString})"
+}
+
+object VocabHandle {
+  def apply(costs: Seq[(String, Long)]): VocabHandle = new VocabHandle(costs)
 }
 
 object ViterbiSeg {

@@ -1139,8 +1139,8 @@ object CoreQueries {
     */
   def abChisq(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d)
-    val arm = conv(substring(md5(concat(lit("ab:"),
-      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2
+    val arm = graft.plans.Md5Prefix.of(concat(lit("ab:"),
+      col("user_id").cast("string")), 6) % 2
     val armSizes = ev.select(col("user_id")).distinct()
       .select(arm.as("arm"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
@@ -1955,8 +1955,8 @@ object CoreQueries {
       .select(to_date(col("ts")).as("day"), col("user_id"))
       .distinct()
       .select(col("day"), col("user_id"),
-        conv(substring(md5(concat(lit("hll:"), col("user_id"))), 1, 14), 16, 10)
-          .cast("long").as("coin"))
+        graft.plans.Md5Prefix.of(concat(lit("hll:"), col("user_id")), 14)
+          .as("coin"))
     val grid = events(s, d).select(to_date(col("ts")).as("report_day")).distinct()
     val perDay = userDays.groupBy(col("day"))
       .agg(call_function("hll_registers", col("coin"), lit(p)).as("regs"))
@@ -2249,8 +2249,8 @@ object CoreQueries {
     * aggregate is the only corpus-sized work.
     */
   def abSrm(s: SparkSession, d: String): DataFrame = {
-    val arm = (conv(substring(md5(concat(lit("ab:"),
-      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2)
+    val arm = (graft.plans.Md5Prefix.of(concat(lit("ab:"),
+      col("user_id").cast("string")), 6) % 2)
     events(s, d).select(col("user_id")).distinct()
       .select(arm.as("_arm"))
       .agg(count(lit(1)).as("n_users"),
@@ -2337,8 +2337,8 @@ object CoreQueries {
     * `var_reduction` reports exactly how much narrower the CI would be.
     */
   def abCuped(s: SparkSession, d: String): DataFrame = {
-    val arm = (conv(substring(md5(concat(lit("ab:"),
-      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2)
+    val arm = (graft.plans.Md5Prefix.of(concat(lit("ab:"),
+      col("user_id").cast("string")), 6) % 2)
     graft.operators.RateAnomaly.cuped(events(s, d), "user_id", "ts", "value", arm)
   }
 
@@ -2348,8 +2348,8 @@ object CoreQueries {
     * but testing the metric's MEAN instead of the conversion rate.
     */
   def abWelch(s: SparkSession, d: String): DataFrame = {
-    val arm = (conv(substring(md5(concat(lit("ab:"),
-      col("user_id").cast("string"))), 1, 6), 16, 10).cast("long") % 2).as("arm")
+    val arm = (graft.plans.Md5Prefix.of(concat(lit("ab:"),
+      col("user_id").cast("string")), 6) % 2).as("arm")
     graft.operators.RateAnomaly.welchT(
       events(s, d).select(col("event_type"), arm, col("value")),
       "event_type", "arm", "value")

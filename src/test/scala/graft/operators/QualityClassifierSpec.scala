@@ -18,6 +18,46 @@ class QualityClassifierSpec extends SparkSuite {
     assert(got(1).getAs[Int]("n_feats") == 1)
   }
 
+  test("FeatureBuckets kernel is bit-identical to md24(features) % buckets") {
+    val rnd = new scala.util.Random(7)
+    val words = Vector("the", "Quick", "BROWN", "fox", "héllo", "мир", "日本",
+      "a", "", "x1", "42")
+    val docs = ((1L to 120L).map { i =>
+      (i, Seq.fill(rnd.nextInt(12))(words(rnd.nextInt(words.length)))
+        .mkString(" "))
+    } ++ Seq(
+      (200L, ""), (201L, "   "), (202L, "solo"), (203L, " lead"),
+      (204L, "trail "), (205L, "\ttab\tsep"), (206L, "a  b   c"),
+      (207L, "ünïcode ÄÖÜ ß"), (208L, "a\nb\rc"))).toDF("id", "text")
+    for (buckets <- Seq(7, 64, 4096)) {
+      val kernel = docs.select(col("id"),
+        QualityClassifier.featureBuckets(col("text"), buckets).as("bs"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      val composed = docs.select(col("id"),
+        transform(QualityClassifier.features(col("text")),
+          f => (QualityClassifier.md24Hof(f) % buckets).cast("int")).as("bs"))
+        .as[(Long, Seq[Int])].collect().sortBy(_._1).toSeq
+      assert(kernel == composed, s"buckets=$buckets")
+    }
+  }
+
+  test("Md5Prefix kernel is bit-identical to conv(substring(md5, 1, k), 16, 10)") {
+    val rnd = new scala.util.Random(23)
+    val strs = (1 to 150).map(_ => rnd.alphanumeric.take(rnd.nextInt(40)).mkString) ++
+      Seq("", " ", "héllo wörld", "мир труд май", "日本語テキスト", "a\tb\nc",
+        "ab:12345", "hll:999", "w:4095")
+    val df = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    for (k <- Seq(1, 6, 12, 14, 15)) {
+      val kernel = df.select(col("id"),
+        graft.plans.Md5Prefix.of(col("s"), k).as("v"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      val composed = df.select(col("id"),
+        conv(substring(md5(col("s")), 1, k), 16, 10).cast("long").as("v"))
+        .as[(Long, Long)].collect().sortBy(_._1).toSeq
+      assert(kernel == composed, s"k=$k")
+    }
+  }
+
   test("FeatureDot kernel is bit-identical to the composed HOF scorer") {
     val rnd = new scala.util.Random(13)
     val buckets = 64
