@@ -225,9 +225,14 @@ object AnnGraph {
         .withColumn("_rk", row_number().over(w)).where(col("_rk") <= beam)
         .select(col("query_id"), col("node"), col("cosine")), None)
     for (_ <- 1 to rounds) {
+      // no distinct on the frontier: duplicate (query, node) candidates
+      // re-score to the IDENTICAL row (same fold), and the union's
+      // distinct below removes them exactly — dropping the dedup here
+      // removes one exchange per round for ≤ beam·degree duplicate
+      // scorings (guide §2.4)
       val nbrs = visited.select(col("query_id"), col("node"))
         .join(g, col("node") === col("_gu"))
-        .select(col("query_id"), col("_gw").as("node")).distinct()
+        .select(col("query_id"), col("_gw").as("node"))
       // re-scoring an already-visited node reproduces the identical
       // double (same fold), so the union's distinct dedups it exactly
       val scored = nbrs.join(vecs, col("node") === col("_id"))

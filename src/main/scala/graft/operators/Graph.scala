@@ -531,7 +531,9 @@ object Graph {
       prevH = Some(hubs)
       Materialize.release(hraw)
     }
-    auths.join(hubs, Seq("node"))
+    // shuffle_hash: both sides are N-row checkpoints — SMJ would sort
+    // both for a one-shot stitch
+    auths.join(hubs.hint("shuffle_hash"), Seq("node"))
       .select(col("node"), col("a").as("auth_fp"), col("h").as("hub_fp"),
         (col("a").cast("double") / lit(HitsScale.toDouble)).as("authority"),
         (col("h").cast("double") / lit(HitsScale.toDouble)).as("hub"))

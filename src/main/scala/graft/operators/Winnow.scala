@@ -48,18 +48,23 @@ object Winnow {
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    k: Int = 4, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
-    val toks = split(lower(trim(col(textCol))), "\\s+")
+    // k-gram construction + hashing + position-encoding as ONE codegen
+    // pass ([[graft.plans.WinnowKeys]]): the composed form built each
+    // gram through a CodegenFallback transform + array_join(slice(..))
+    // and hashed it via the md5 → hex → substring → conv chain.
+    // Element `pos` of the key array IS the composed `_key` (WinnowSpec
+    // asserts it against the kept composed expression), a sub-k-token
+    // doc returns the empty array (the composed `_n >= k` filter), and
+    // n_kgrams = array size = _n − (k−1).
+    val keys = {
+      import org.apache.spark.sql.graft.{ColumnBridge => B}
+      B.column(graft.plans.WinnowKeys(B.expression(col(textCol)), k))
+    }
     val grams = docs
-      .select(col(idCol), toks.as("_toks"))
-      .withColumn("_n", size(col("_toks")))
-      .where(col("_n") >= k)
-      .select(col(idCol), (col("_n") - (k - 1)).as("n_kgrams"),
-        posexplode(transform(sequence(lit(0), col("_n") - k),
-          i => array_join(slice(col("_toks"), i + 1, lit(k)), " ")))
-          .as(Seq("pos", "gram")))
-      .select(col(idCol), col("n_kgrams"), col("pos"),
-        (QualityClassifier.md24(col("gram")) * PosBits
-          + (lit(PosBits - 1) - col("pos"))).as("_key"))
+      .select(col(idCol), keys.as("_ks"))
+      .where(size(col("_ks")) > 0)
+      .select(col(idCol), size(col("_ks")).as("n_kgrams"),
+        posexplode(col("_ks")).as(Seq("pos", "_key")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     grams

@@ -28,6 +28,30 @@ class WinnowSpec extends SparkSuite {
   private def randText(n: Int, vocab: Int): String =
     Seq.fill(n)(s"w${rnd.nextInt(vocab)}").mkString(" ")
 
+  test("WinnowKeys kernel reproduces the composed transform+md24 key stream") {
+    import org.apache.spark.sql.functions._
+    val docs = ((1L to 40L).map(i => (i, randText(3 + rnd.nextInt(40), 9))) ++ Seq(
+      (100L, ""), (101L, "one two"), (102L, " lead  double  space "),
+      (103L, "héllo wörld мир труд май tokens here"), (104L, "a\tb\nc d e")))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 4)) {
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val composed = docs.select(col("doc_id"),
+        when(size(toks) >= k,
+          transform(sequence(lit(0), size(toks) - k), i =>
+            QualityClassifier.md24Hof(array_join(slice(toks, i + 1, lit(k)), " "))
+              * 16777216L + (lit(16777215L) - i)))
+          .otherwise(array().cast("array<long>")).as("ks"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      val kernel = docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.ColumnBridge.column(
+          graft.plans.WinnowKeys(
+            org.apache.spark.sql.graft.ColumnBridge.expression(col("text")), k)).as("ks"))
+        .as[(Long, Seq[Long])].collect().sortBy(_._1).toSeq
+      assert(kernel == composed, s"k=$k")
+    }
+  }
+
   test("fingerprints match the single-threaded reference exactly (small vocab forces ties)") {
     val docs = (1L to 20L).map(i => (i, randText(60, 7))) // heavy hash ties
     val out = Winnow.fingerprints(docs.toDF("doc_id", "text"), "text", "doc_id", k = 4, w = 4)
